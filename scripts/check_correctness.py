@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's t2 correctness gate.
+
+Usage: python3 scripts/check_correctness.py <verify_out_dir> <sf_dir>
+
+Reads each <name>/ parquet result written by graft.Verify, runs the
+matching oracle SQL from oracle_sql.json in DuckDB over the sf_dir
+tables, and compares (schema-insensitively): columns sorted by name,
+rows sorted by all columns, values stringified.
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize types to comparable strings
+    out = pd.DataFrame()
+    for c in df.columns:
+        s = df[c]
+        if s.dtype.kind == "f":
+            out[c] = s.round(9)
+        elif str(s.dtype).startswith("datetime"):
+            out[c] = s.astype("datetime64[us]").astype(str)
+        else:
+            out[c] = s.astype(str)
+    out = out.sort_values(by=list(out.columns)).reset_index(drop=True)
+    return out
+
+def main(outdir, sfdir):
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracles = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    names = sorted(d for d in os.listdir(outdir)
+                   if os.path.isdir(os.path.join(outdir, d)))
+    n_pass = n_fail = n_noracle = 0
+    for name in names:
+        files = glob.glob(os.path.join(outdir, name, "*.parquet"))
+        if not files:
+            print(f"EMPTY-RESULT {name}"); n_fail += 1; continue
+        got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+        if name not in oracles:
+            print(f"NO-ORACLE    {name:24s} rows={len(got)}")
+            n_noracle += 1
+            continue
+        try:
+            exp = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"ORACLE-ERR   {name}: {e}"); n_fail += 1; continue
+        g, e = canon(got), canon(exp)
+        if list(g.columns) != list(e.columns):
+            print(f"COLS-DIFF    {name}: spark={list(g.columns)} duck={list(e.columns)}")
+            n_fail += 1
+        elif len(g) != len(e):
+            print(f"ROWS-DIFF    {name}: spark={len(g)} duck={len(e)}")
+            n_fail += 1
+        elif not g.equals(e):
+            diff = (g != e).any(axis=1)
+            i = diff[diff].index[0]
+            print(f"VALS-DIFF    {name}: first diff row {i}:\n  spark: {g.loc[i].to_dict()}\n  duck:  {e.loc[i].to_dict()}")
+            n_fail += 1
+        else:
+            print(f"PASS         {name:24s} rows={len(g)}")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

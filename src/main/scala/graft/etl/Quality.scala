@@ -1,0 +1,63 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.expr.ClinicalCols._
+import graft.schema.Schemas
+
+/** Quality rules (A7 in SURVEY §2), reference `etl-service/src/etl.py:155-195`.
+  *
+  * Three conditional counts over the RAW pre-split frame, each emitted as a
+  * report row only when its count is positive:
+  *
+  *  1. `missing_unit_required` (warn)  — type requires a unit, unit blank;
+  *  2. `malformed_blood_pressure` (error) — BP row whose value fails
+  *     `parse_bp` (wrong separator, non-int parts, OR out-of-bounds parts —
+  *     `300/80` counts as malformed, not out-of-range, `etl.py:53-55`);
+  *  3. `numeric_out_of_range` (warn)   — decimal-parseable value outside
+  *     the per-type RANGES bound, summed across types. The `blood_pressure_1
+  *     /_2` range entries never match a raw `measurement_type`, so raw BP
+  *     rows can't be out-of-range (faithful to `etl.py:181-194`).
+  *
+  * One aggregation pass, no shuffle beyond the final single-row reduce;
+  * the RANGES lookup is inlined as a chained expression (7 entries), which
+  * keeps everything in whole-stage codegen rather than broadcasting a join.
+  */
+object Quality {
+
+  def ruleCounts(spark: SparkSession, raw: DataFrame, jobId: String): DataFrame = {
+    import spark.implicits._
+
+    val missingUnit =
+      col("measurement_type").isin(Schemas.RequiredUnitTypes: _*) &&
+        trim(col("unit")) === ""
+
+    val malformedBp =
+      col("measurement_type") === "blood_pressure" &&
+        bpSystolic(col("value")).isNull
+
+    val num = toDecimal(col("value"))
+    val outOfRange = Schemas.Ranges.map { case (mtype, low, high) =>
+      when(col("measurement_type") === mtype && num.isNotNull &&
+        (num < lit(low) || num > lit(high)), 1L).otherwise(0L)
+    }.reduce(_ + _)
+
+    val counts = raw.agg(
+      sum(when(missingUnit, 1L).otherwise(0L)).as("missing_unit_required"),
+      sum(when(malformedBp, 1L).otherwise(0L)).as("malformed_blood_pressure"),
+      sum(outOfRange).as("numeric_out_of_range")).head()
+
+    def at(i: Int): Long = if (counts.isNullAt(i)) 0L else counts.getLong(i)
+    val rules = Seq(
+      ("missing_unit_required", "warn", at(0)),
+      ("malformed_blood_pressure", "error", at(1)),
+      ("numeric_out_of_range", "warn", at(2)))
+      .filter(_._3 > 0) // emit-if-positive, etl.py:165,177,192
+      .map { case (rule, sev, n) => (jobId, rule, sev, n) }
+
+    rules.toDF("job_id", "rule_name", "severity", "affected_rows")
+  }
+
+  def landReports(wh: Warehouse, reports: DataFrame): Unit =
+    if (!reports.isEmpty) wh.append("data_quality_reports", reports)
+}

@@ -1,0 +1,113 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.expressions.Window
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+
+/** Parquet-backed warehouse with the reference's three sink disciplines:
+  *
+  *  - idempotent append  (`ON CONFLICT DO NOTHING`, reference `db.py:41-58`,
+  *    `db.py:88-100`)  -> within-batch keep-first dedup + left-anti join
+  *    against existing keys, then append;
+  *  - merge-upsert      (`ON CONFLICT DO UPDATE`, reference `db.py:110-127`)
+  *    -> full-outer join + per-column combine, snapshot rewrite;
+  *  - plain append      (reference `db.py:102-107`).
+  *
+  * Plain parquet has no transactional row-level merge, so merges are
+  * copy-on-write snapshot swaps (write `<table>.tmp`, atomic-ish rename).
+  * At cluster scale this slots behind the same interface as a Delta/Iceberg
+  * `MERGE INTO`, which rewrites only affected files; the operator algebra
+  * (anti-join insert set, full-outer combine) is identical. Fact tables are
+  * partitioned by `study_id` so a merge or selective read touches only the
+  * studies present in the incoming batch.
+  */
+final class Warehouse(spark: SparkSession, root: String) {
+
+  private def dir(table: String): Path = Paths.get(root, table)
+
+  def exists(table: String): Boolean = {
+    val d = dir(table)
+    // _SUCCESS-less empty dirs from failed writes count as absent
+    Files.isDirectory(d) && Files.list(d).findFirst().isPresent
+  }
+
+  /** Read a table; empty DataFrame with the declared schema when absent. */
+  def read(table: String, schema: StructType): DataFrame =
+    if (exists(table)) spark.read.schema(schema).parquet(dir(table).toString)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Plain append (quality reports, reference `db.py:102-107`). */
+  def append(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Append)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(dir(table).toString)
+  }
+
+  /** Idempotent append: `INSERT ... ON CONFLICT (keys) DO NOTHING`.
+    *
+    * Within-batch duplicates keep the FIRST row by `orderCol` (Postgres
+    * keeps the first conflicting row of the statement); cross-batch
+    * duplicates are dropped via left-anti join on the existing key set.
+    * The anti-join reads only the key columns of the existing table
+    * (column-pruned parquet scan).
+    */
+  def appendIfAbsent(table: String, schema: StructType, df: DataFrame,
+                     keys: Seq[String], orderCol: String,
+                     partitionBy: Seq[String] = Nil): Long = {
+    val keyCols = keys.map(col)
+    val w = Window.partitionBy(keyCols: _*).orderBy(col(orderCol))
+    val firstPerKey = df
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val deduped = firstPerKey.select(schema.fieldNames.map(col): _*)
+    val fresh =
+      if (!exists(table)) deduped
+      else deduped.join(
+        read(table, schema).select(keyCols: _*),
+        keys, "left_anti")
+    // single action: append and count what landed
+    val staged = fresh.cache()
+    val n = staged.count()
+    if (n > 0) append(table, staged, partitionBy)
+    staged.unpersist()
+    n
+  }
+
+  /** Merge-upsert: full-outer combine of the existing table with `incoming`
+    * on `keys`, then snapshot-rewrite. `combine` receives (existing,
+    * incoming) DataFrames pre-aliased "old"/"new" and must produce the new
+    * table contents.
+    */
+  def mergeReplace(table: String, schema: StructType,
+                   incoming: DataFrame,
+                   combine: (DataFrame, DataFrame) => DataFrame,
+                   partitionBy: Seq[String] = Nil): Unit = {
+    val merged =
+      if (!exists(table)) incoming
+      else combine(read(table, schema).alias("old"), incoming.alias("new"))
+    replace(table, merged.select(schema.fieldNames.map(col): _*), partitionBy)
+  }
+
+  /** Overwrite a table via tmp-dir + swap so we never read and clobber the
+    * same files in one job (parquet self-overwrite is undefined). */
+  def replace(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+    val tmp = Paths.get(root, table + ".__tmp")
+    deleteRecursively(tmp)
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(tmp.toString)
+    val target = dir(table)
+    val old = Paths.get(root, table + ".__old")
+    deleteRecursively(old)
+    if (Files.exists(target)) Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(old)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+}

