@@ -28,9 +28,11 @@ object Quality {
   def ruleCounts(spark: SparkSession, raw: DataFrame, jobId: String): DataFrame = {
     import spark.implicits._
 
+    // pandas reads a blank unit as "" (keep_default_na=False); Spark's CSV
+    // reader yields null for an unquoted empty field — treat both as blank
     val missingUnit =
       col("measurement_type").isin(Schemas.RequiredUnitTypes: _*) &&
-        trim(col("unit")) === ""
+        coalesce(trim(col("unit")), lit("")) === ""
 
     val malformedBp =
       col("measurement_type") === "blood_pressure" &&

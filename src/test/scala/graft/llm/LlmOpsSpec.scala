@@ -1,0 +1,120 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Sanity + property checks for the training-data-pipeline operators. */
+class LlmOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 0
+    (2L, "completely different content about spark engines and data"),
+    (3L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 0
+    (4L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical normalized text, keeps min id") {
+    val d = Dedup.exact(docs).collect()
+    assert(d.length == 4) // 0 and 3 collapse
+    val dup = d.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 0L)
+  }
+
+  test("minhash estimate tracks true jaccard for near-dups and finds exact dups") {
+    val cands = Dedup.minhashCandidates(docs, numHashes = 32, bands = 16,
+      k = 2, threshold = 0.3).collect()
+    val pairs = cands.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((0L, 3L))) // exact dup always found
+    val est = cands.find(r => r.getAs[Long]("id_a") == 0L && r.getAs[Long]("id_b") == 3L)
+      .get.getAs[Double]("est_jaccard")
+    assert(est == 1.0)
+    // near-dup 0-1: true 2-shingle jaccard is high; banding at r=2 should catch it
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 3L)))
+  }
+
+  test("exact ngram jaccard: identical docs 1.0, disjoint docs 0.0") {
+    val pairs = Seq((0L, 3L), (0L, 2L)).toDF("id_a", "id_b")
+    val j = Dedup.ngramJaccard(docs, pairs, k = 2).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard")).toMap
+    assert(j((0L, 3L)) == 1.0)
+    assert(j((0L, 2L)) == 0.0)
+  }
+
+  test("simhash: identical docs have identical fingerprints and hamming 0") {
+    val fp = Dedup.simhashTable(docs, k = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fp")).toMap
+    assert(fp(0L) == fp(3L))
+    val cands = Dedup.simhashCandidates(docs, maxHammingDistance = 3).collect()
+    val zeroPair = cands.find(r => r.getAs[Long]("id_a") == 0L && r.getAs[Long]("id_b") == 3L)
+    assert(zeroPair.exists(_.getAs[Int]("hamming") == 0))
+  }
+
+  test("brute-force ANN: self-similar vector ranks first with cosine 1") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),    // identical direction to 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.7f, 0.7f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" === 0L)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val top = Similarity.bruteForceTopK(vecs, queries, k = 3).collect()
+    assert(top.head.getAs[Long]("vec_id") == 1L)
+    assert(math.abs(top.head.getAs[Double]("cosine") - 1.0) < 1e-12)
+    // orthogonal vector ranks last
+    assert(top.last.getAs[Long]("vec_id") == 2L)
+  }
+
+  test("LSH ANN buckets identical vectors together") {
+    val vecs = (0 until 20).map(i =>
+      (i.toLong, Array.tabulate(8)(d => if (d == i % 4) 1.0f else 0.01f * i)))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val res = Similarity.lshTopK(vecs, queries, k = 5, dim = 8, nPlanes = 4)
+    // recall is approximate; the invariant is: every returned neighbor
+    // shares the query's bucket and scores are valid cosines
+    assert(res.filter($"cosine" > 1.0001 || $"cosine" < -1.0001).isEmpty)
+  }
+
+  test("text profile: counts and ratios behave on edge inputs") {
+    val edge = Seq((0L, ""), (1L, "word"), (2L, "a b c"), (3L, "Hello, world!"))
+      .toDF("doc_id", "text")
+    val p = TextAnalysis.profile(edge).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(p(0L).getAs[Int]("n_tokens") == 0)
+    assert(p(1L).getAs[Int]("n_tokens") == 1)
+    assert(p(2L).getAs[Int]("n_tokens") == 3)
+    assert(p(3L).getAs[Double]("punct_ratio") > 0.0)
+    assert(p(0L).getAs[Double]("quality") >= 0.0)
+  }
+
+  test("language id picks the language with most marker hits, 'und' on none") {
+    val d = Seq(
+      (0L, "the cat is on the mat and that is that"),
+      (1L, "der hund ist mit der katze und das ist gut"),
+      (2L, "le chat est avec la souris et le chien"),
+      (3L, "xyzzy plugh qwerty")
+    ).toDF("doc_id", "text")
+    val got = d.select($"doc_id", TextAnalysis.languageId($"text").as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) == "en"); assert(got(1L) == "de")
+    assert(got(2L) == "fr"); assert(got(3L) == "und")
+  }
+
+  test("multimodal: metadata never touches blob bytes; stub features deterministic") {
+    val media = Multimodal.asMedia(docs, col("doc_id"), col("text"), "text")
+    val meta = Multimodal.metadata(media).collect()
+    assert(meta.forall(_.getAs[Int]("n_bytes") > 0))
+    val f1 = Multimodal.extractFeatures(spark, media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(spark, media).collect().sortBy(_.media_id)
+    assert(f1.map(_.feature.toSeq) sameElements f2.map(_.feature.toSeq))
+    assert(f1.head.feature.length == 8)
+    // identical payloads -> identical checksums/features (docs 0 and 3)
+    val byId = f1.map(f => f.media_id -> f).toMap
+    assert(byId(0L).checksum == byId(3L).checksum)
+  }
+}
