@@ -1,0 +1,95 @@
+package graft.stream
+
+import graft.{Fixtures, SparkSpec}
+import graft.etl.Warehouse
+import graft.schema.Schemas
+import org.apache.spark.sql.functions._
+
+/** Streaming pipeline: same warehouse semantics as batch, driven through
+  * a real file-source stream + foreachBatch. */
+class StreamingPipelineSpec extends SparkSpec {
+
+  test("files landing in the directory flow through all sinks; late file merges") {
+    val landing = tmpDir("landing")
+    val wh = new Warehouse(spark, tmpDir("whs").toString)
+    val sp = new StreamingPipeline(spark, wh, landing.toString,
+      tmpDir("ckpt").toString)
+
+    writeCsv(landing, "study001.csv", Fixtures.study001)
+    writeCsv(landing, "study002.csv", Fixtures.study002)
+    sp.start(availableNow = true).awaitTermination()
+
+    assert(wh.read("staging_clinical_measurements", Schemas.staging).count() == 10)
+    assert(wh.read("processed_measurements", Schemas.processed).count() == 12) // 6 + 6 (BP splits)
+    assert(wh.read("studies", Schemas.studies).count() == 2)
+    val jobs = wh.read("etl_jobs", Schemas.etlJobs)
+    assert(jobs.filter(col("status") === "completed").count() == 2)
+
+    // a later file for the same study merges: cnt/avg replaced, min/max merged
+    val more =
+      s"""${Fixtures.header}
+         |STUDY001,P001,glucose,80.0,mg/dL,2024-01-17T09:30:00Z,SITE_A,0.9
+         |""".stripMargin
+    writeCsv(landing, "study001_day2.csv", more)
+    sp.start(availableNow = true).awaitTermination()
+
+    val agg = wh.read("measurement_aggregations", Schemas.aggregations)
+      .filter(col("participant_id") === "P001" && col("measurement_type") === "glucose")
+      .head()
+    assert(agg.getAs[Long]("cnt") == 1) // replaced by the day-2 job
+    assert(agg.getAs[java.math.BigDecimal]("min_num").doubleValue() == 80.0)  // merged
+    assert(agg.getAs[java.math.BigDecimal]("max_num").doubleValue() == 101.2) // merged
+
+    // re-dropping an identical file is a no-op in processed (same job id,
+    // same observation keys)
+    val processedBefore = wh.read("processed_measurements", Schemas.processed).count()
+    writeCsv(landing, "study002_copy.csv", Fixtures.study002)
+    sp.start(availableNow = true).awaitTermination()
+    assert(wh.read("processed_measurements", Schemas.processed).count() == processedBefore)
+  }
+
+  test("a contract-violating file fails its own job without killing the stream") {
+    val landing = tmpDir("landing2")
+    val wh = new Warehouse(spark, tmpDir("whs2").toString)
+    val sp = new StreamingPipeline(spark, wh, landing.toString,
+      tmpDir("ckpt2").toString)
+    writeCsv(landing, "bad.csv", Fixtures.blankStudy)
+    writeCsv(landing, "good.csv", Fixtures.study001)
+    sp.start(availableNow = true).awaitTermination()
+
+    val jobs = wh.read("etl_jobs", Schemas.etlJobs).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[String]("status")).toMap
+    assert(jobs("stream-bad.csv") == "failed")
+    assert(jobs("stream-good.csv") == "completed")
+    assert(wh.read("processed_measurements", Schemas.processed).count() == 6)
+  }
+
+  test("watermarked daily rollup over a measurement stream (memory sink)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[(String, String, String, java.sql.Timestamp, java.math.BigDecimal)]
+    val df = mem.toDF().toDF("study_id", "participant_id", "measurement_type",
+        "measured_at", "value_num")
+    val q = StreamingRollups.dailyRollup(df)
+      .writeStream.outputMode("append").format("memory").queryName("rollup").start()
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def d(v: Double) = new java.math.BigDecimal(v)
+    mem.addData(
+      ("S1", "P1", "glucose", ts("2024-01-15 09:00:00"), d(100)),
+      ("S1", "P1", "glucose", ts("2024-01-15 21:00:00"), d(110)),
+      ("S1", "P1", "glucose", ts("2024-01-16 09:00:00"), d(120)))
+    q.processAllAvailable()
+    // advance watermark far enough to close the Jan-15 and Jan-16 windows
+    mem.addData(("S1", "P1", "glucose", ts("2024-01-20 00:00:00"), d(1)))
+    q.processAllAvailable()
+
+    val out = spark.table("rollup").collect()
+    val jan15 = out.find(_.getAs[java.sql.Timestamp]("day").toString.startsWith("2024-01-15")).get
+    assert(jan15.getAs[Long]("cnt") == 2)
+    assert(jan15.getAs[java.math.BigDecimal]("avg_num").doubleValue() == 105.0)
+    q.stop()
+  }
+}
