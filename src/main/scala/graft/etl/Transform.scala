@@ -24,9 +24,14 @@ import graft.schema.Schemas
 object Transform {
 
   def processedRows(staged: DataFrame): DataFrame = {
-    val sys = bpSystolic(col("value"))
-    val dia = bpDiastolic(col("value"))
-    val num = toDecimal(col("value"))
+    // Parse ONCE in a projection ahead of the Generate: the generator
+    // expression gets no subexpression elimination, so inlining the parse
+    // tree into explode() re-evaluates split/regex/casts per output row
+    // (measured 15x slower at sf0.1).
+    val parsed = staged
+      .withColumn("__sys", bpSystolic(col("value")))
+      .withColumn("__dia", bpDiastolic(col("value")))
+      .withColumn("__num", toDecimal(col("value")))
 
     val obs = struct(
       col("measurement_type").as("m_type"),
@@ -34,22 +39,22 @@ object Transform {
       lit(null).cast("string").as("value_text"),
       col("unit").as("o_unit"))
 
-    val rows = when(col("measurement_type") === "blood_pressure" && sys.isNotNull,
+    val rows = when(col("measurement_type") === "blood_pressure" && col("__sys").isNotNull,
         array(
           struct(lit("blood_pressure_systolic").as("m_type"),
-            sys.cast(Schemas.ValueDecimal).as("value_num"),
+            col("__sys").cast(Schemas.ValueDecimal).as("value_num"),
             lit(null).cast("string").as("value_text"),
             lit("mmHg").as("o_unit")),
           struct(lit("blood_pressure_diastolic").as("m_type"),
-            dia.cast(Schemas.ValueDecimal).as("value_num"),
+            col("__dia").cast(Schemas.ValueDecimal).as("value_num"),
             lit(null).cast("string").as("value_text"),
             lit("mmHg").as("o_unit"))))
-      .when(num.isNotNull,
-        array(obs.withField("value_num", num)))
+      .when(col("__num").isNotNull,
+        array(obs.withField("value_num", col("__num"))))
       .otherwise(
         array(obs.withField("value_text", col("value"))))
 
-    staged
+    parsed
       .withColumn("__obs", explode(rows))
       .select(
         expr("uuid()").as("id"),

@@ -31,14 +31,21 @@ object Dedup {
 
   // -------------------------------------------------------------- shingles
 
-  /** Word k-shingles of the normalized text (distinct). */
+  /** Word k-shingles of the normalized text (distinct).
+    *
+    * Built by zipping k shifted slices of the token array rather than
+    * indexing from a lambda: higher-order functions evaluate interpreted,
+    * with NO subexpression elimination, so a lambda body that references
+    * the token-array EXPRESSION re-runs the whole regex+split per element
+    * (measured ~30x slower). Here the token slices are HOF *arguments*
+    * (evaluated once per row) and the lambdas touch only lambda variables.
+    */
   def shingles(text: Column, k: Int = 3): Column = {
     val toks = split(normalized(text), " ")
-    array_distinct(filter(
-      transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
-        i => when(i + k <= size(toks),
-          concat_ws(" ", slice(toks, i + 1, lit(k))))),
-      s => s.isNotNull))
+    val m = greatest(size(toks) - (k - 1), lit(0))
+    val parts = (0 until k).map(j => slice(toks, lit(j + 1), m))
+    array_distinct(
+      parts.reduce((acc, nxt) => zip_with(acc, nxt, (a, b) => concat(a, lit(" "), b))))
   }
 
   // --------------------------------------------------------------- minhash

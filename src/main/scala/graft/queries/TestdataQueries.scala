@@ -73,18 +73,20 @@ object TestdataQueries {
       col("l_orderkey"), col("l_linenumber"),
       concat(col("l_quantity").cast("int") + 40, lit("/"),
         (col("l_partkey") % 300).cast("int")).as("value"))
-    val sys = ClinicalCols.bpSystolic(col("value"))
-    val dia = ClinicalCols.bpDiastolic(col("value"))
-    val rows = when(sys.isNotNull,
+    // parse once before the Generate (generator exprs get no CSE)
+    val parsed = src
+      .withColumn("sys", ClinicalCols.bpSystolic(col("value")))
+      .withColumn("dia", ClinicalCols.bpDiastolic(col("value")))
+    val rows = when(col("sys").isNotNull,
         array(
-          struct(lit("systolic").as("component"), sys.as("value_num"),
+          struct(lit("systolic").as("component"), col("sys").as("value_num"),
             lit(null).cast("string").as("value_text")),
-          struct(lit("diastolic").as("component"), dia.as("value_num"),
+          struct(lit("diastolic").as("component"), col("dia").as("value_num"),
             lit(null).cast("string").as("value_text"))))
       .otherwise(array(
         struct(lit("raw").as("component"), lit(null).cast("int").as("value_num"),
           col("value").as("value_text"))))
-    src.withColumn("obs", explode(rows))
+    parsed.withColumn("obs", explode(rows))
       .select(col("l_orderkey"), col("l_linenumber"), col("obs.component"),
         col("obs.value_num"), col("obs.value_text"))
   }
