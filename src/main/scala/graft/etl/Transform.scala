@@ -2,7 +2,7 @@ package graft.etl
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.expr.ClinicalCols._
+import graft.expr.ClinicalCols.toDecimal
 import graft.schema.Schemas
 
 /** The signature transform (G1-G3 in SURVEY §2): staged rows -> processed
@@ -29,8 +29,9 @@ object Transform {
     // tree into explode() re-evaluates split/regex/casts per output row
     // (measured 15x slower at sf0.1).
     val parsed = staged
-      .withColumn("__sys", bpSystolic(col("value")))
-      .withColumn("__dia", bpDiastolic(col("value")))
+      .withColumn("__bp", graft.expr.ParseBloodPressure(col("value")))
+      .withColumn("__sys", col("__bp.systolic"))
+      .withColumn("__dia", col("__bp.diastolic"))
       .withColumn("__num", toDecimal(col("value")))
 
     val obs = struct(

@@ -54,6 +54,43 @@ class ClinicalColsPropSpec extends SparkSpec {
     }
   }
 
+  test("native ParseBloodPressure expression agrees with the column algebra " +
+      "(interpreted AND codegen paths) on generated inputs") {
+    val genPart = Gen.oneOf(
+      Gen.choose(-50, 400).map(_.toString),
+      Gen.alphaStr.map(_.take(4)),
+      Gen.const(""), Gen.const(" 120 "), Gen.const("120.5"), Gen.const("+80"))
+    val genValue = Gen.oneOf(
+      for { a <- genPart; b <- genPart } yield s"$a/$b",
+      for { a <- genPart; b <- genPart; c <- genPart } yield s"$a/$b/$c",
+      genPart)
+    val samples = Gen.listOfN(300, genValue).sample.get.distinct
+    val rows = samples.toDF("value").select(
+        col("value"),
+        ParseBloodPressure(col("value")).as("bp"),
+        ClinicalCols.bpSystolic(col("value")).as("sys"),
+        ClinicalCols.bpDiastolic(col("value")).as("dia"))
+      .collect()
+    rows.foreach { r =>
+      val native = Option(r.getAs[org.apache.spark.sql.Row]("bp"))
+        .map(b => (b.getInt(0), b.getInt(1)))
+      val algebra = Option(r.getAs[Any]("sys")).map(s =>
+        (s.asInstanceOf[Int], r.getAs[Any]("dia").asInstanceOf[Int]))
+      assert(native == algebra, s"for input '${r.getString(0)}'")
+    }
+  }
+
+  test("parse_bp is SQL-callable via GraftExtensions function registration") {
+    // same registration path as spark.sql.extensions, applied to the
+    // already-built test session's registry
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "parse_bp", exprs => ParseBloodPressure(exprs.head), "internal")
+    val r = spark.sql(
+      "SELECT parse_bp('120/80').systolic AS s, parse_bp('120-80') AS bad").head()
+    assert(r.getAs[Int]("s") == 120)
+    assert(r.isNullAt(1))
+  }
+
   test("explicit pinned cases: both-or-neither, bounds, strict int") {
     val got = evalBp(Seq("120/80", "300/80", "120/250", "49/80", "120-80",
       "120/80/90", "12a/80", "120.5/80", " 120 / 80 ", "+120/80", "/", ""))
