@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions for the operator inventory: these lock in the
+  * scale-critical plan properties (predicate pushdown to parquet, column
+  * pruning, broadcast joins for dims, true top-k) so a refactor that
+  * silently loses one fails the build — at 100 TB each of these is the
+  * difference between touching gigabytes and touching everything.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String = {
+    val df: DataFrame = graft.SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q01: filter pushed to parquet scan, only needed columns read") {
+    val p = plan("q01_scan_project")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(p_size,25\\).*"), p)
+    // column pruning: retailprice+partkey+name+size only, no p_brand/p_type
+    assert(!p.contains("p_brand") && !p.contains("p_type"), p)
+  }
+
+  test("q02: equality + time-range predicates all pushed down") {
+    val p = plan("q02_dynamic_filter")
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    assert(p.matches("(?s).*PushedFilters.*GreaterThanOrEqual\\(l_shipdate.*"), p)
+  }
+
+  test("q03: order+limit plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q03_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q12: all three dimension joins broadcast (no shuffle of the fact side)") {
+    val p = plan("q12_join_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q09: anti join stays a join (no driver-side collect shapes)") {
+    val p = plan("q09_anti_join")
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("q06: aggregation runs partial then final (map-side combine)") {
+    val p = plan("q06_agg_multi")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("whole-stage codegen spans cover the scan->project paths") {
+    val p = plan("q05_value_routing")
+    assert(p.contains("codegen id"), p)
+  }
+}
