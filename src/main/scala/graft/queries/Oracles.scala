@@ -199,6 +199,19 @@ object Oracles {
         |       count(*) AS n_events
         |FROM g GROUP BY user_id""".stripMargin,
 
+    "q23_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(14,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q24_distinct_agg" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
     "q30_dedup_exact" ->
       s"""SELECT md5($norm) AS content_key, min(doc_id) AS keep_id,
          |       count(*) AS n_copies

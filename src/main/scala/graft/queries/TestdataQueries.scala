@@ -141,6 +141,21 @@ object TestdataQueries {
       .select(col("r.rule_name"), col("r.severity"), col("r.affected_rows"))
       .filter(col("affected_rows") > 0)
 
+  /** Grouping sets: ROLLUP over the A1 keys (subtotals + grand total). */
+  def q23Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast(dec144)).cast("double").as("sum_qty"))
+
+  /** Distinct aggregates (expand-based plan). */
+  def q24DistinctAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("cnt"))
+
   /** A3: distinct projection. */
   def q15Distinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
@@ -378,6 +393,8 @@ object TestdataQueries {
     "q20_scalar_funcs" -> q20ScalarFuncs _,
     "q21_stream_window" -> q21StreamWindow _,
     "q22_sessionize" -> q22Sessionize _,
+    "q23_rollup" -> q23Rollup _,
+    "q24_distinct_agg" -> q24DistinctAgg _,
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_minhash_lsh" -> q31MinhashLsh _,
     "q32_simhash" -> q32Simhash _,
