@@ -75,6 +75,44 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** IVF-style ANN: partition the corpus into `nLists` cells around
+    * deterministic seed centroids (the first `nLists` corpus vectors by
+    * id), assign each vector to its nearest centroid once, then probe only
+    * the `nProbe` cells nearest each query. Centroid count bounds the
+    * assignment cost (|corpus| * nLists dot products, one pass) and
+    * probing bounds query cost — the standard coarse-quantizer trade
+    * without any ML dependency. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = broadcast(
+      corpus.orderBy(col("vec_id")).limit(nLists)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("centroid")))
+    // one pass: nearest centroid per corpus vector
+    val assignW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cell_id").asc)
+    val assigned = corpus.join(centroids)
+      .select(col("vec_id"), col("embedding"), col("cell_id"),
+        cosine(col("embedding"), col("centroid")).as("sim"))
+      .withColumn("rn", row_number().over(assignW))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell_id"))
+    // nProbe nearest cells per query
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cell_id").asc)
+    val probes = queries.join(centroids)
+      .select(col("query_id"), col("embedding").as("q_emb"), col("cell_id"),
+        cosine(col("embedding"), col("centroid")).as("sim"))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("cell_id"))
+    val scored = assigned.join(broadcast(probes), Seq("cell_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("cosine"))
+    topKPerQuery(scored, k)
+  }
+
   /** Deterministic per-query top-k: (cosine desc, vec_id asc). */
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

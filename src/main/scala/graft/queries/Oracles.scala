@@ -212,6 +212,11 @@ object Oracles {
         |       count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
+    "q25_salted_agg" ->
+      """SELECT user_id, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id""".stripMargin,
+
     "q30_dedup_exact" ->
       s"""SELECT md5($norm) AS content_key, min(doc_id) AS keep_id,
          |       count(*) AS n_copies

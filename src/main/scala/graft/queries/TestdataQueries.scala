@@ -354,6 +354,28 @@ object TestdataQueries {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Skew-safe two-phase salted aggregation — must produce EXACTLY the
+    * plain groupBy result (the oracle is the unsalted SQL). */
+  def q25SaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.SkewTools
+    SkewTools.saltedAgg(t(s, dir, "events"),
+      keys = Seq(col("user_id")), saltSource = col("event_id"), salts = 16,
+      partial = Seq(count(lit(1)).as("c"),
+        sum(col("value").cast(dec186)).as("s")),
+      fin = Seq(sum(col("c")).as("n"),
+        sum(col("s")).cast("double").as("sum_value")))
+  }
+
+  /** IVF-bucketed ANN (coarse quantizer; approximate -> rows-only). */
+  def q40AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.ivfTopK(emb, queries, k = 10, nLists = 16, nProbe = 4)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Multimodal metadata projection over binary payloads. */
   def q38MultimodalMeta(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMedia(t(s, dir, "documents"),
@@ -395,6 +417,8 @@ object TestdataQueries {
     "q22_sessionize" -> q22Sessionize _,
     "q23_rollup" -> q23Rollup _,
     "q24_distinct_agg" -> q24DistinctAgg _,
+    "q25_salted_agg" -> q25SaltedAgg _,
+    "q40_ann_ivf" -> q40AnnIvf _,
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_minhash_lsh" -> q31MinhashLsh _,
     "q32_simhash" -> q32Simhash _,

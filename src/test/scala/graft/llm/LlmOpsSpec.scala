@@ -80,6 +80,42 @@ class LlmOpsSpec extends SparkSpec {
     assert(res.filter($"cosine" > 1.0001 || $"cosine" < -1.0001).isEmpty)
   }
 
+  test("salted aggregation equals the plain groupBy exactly") {
+    val df = (1 to 1000).map(i => (i % 7L, i.toDouble)).toDF("k", "v")
+    val plain = df.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("v").cast("decimal(18,6)")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2))).toSet
+    val salted = SkewTools.saltedAgg(df, Seq(col("k")), col("v"), 8,
+        partial = Seq(count(lit(1)).as("c"), sum(col("v").cast("decimal(18,6)")).as("s")),
+        fin = Seq(sum(col("c")).as("n"), sum(col("s")).as("s")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("salted join equals the plain join") {
+    val big = (1 to 500).map(i => (i % 5L, i)).toDF("k", "payload")
+    val small = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (4L, "e"))
+      .toDF("k", "attr")
+    val plain = big.join(small, "k").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val salted = SkewTools.saltedJoin(big, small, "k", 8, col("payload"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("IVF ANN returns valid cosines and finds the identical vector") {
+    val vecs = (0 until 64).map { i =>
+      (i.toLong, Array.tabulate(8)(d => if (d == i % 8) 1.0f else 0.05f * (i % 3)))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" === 8L) // same direction as vec 0 family
+      .select($"vec_id".as("query_id"), $"embedding")
+    val res = Similarity.ivfTopK(vecs, queries, k = 5, nLists = 8, nProbe = 3)
+      .collect()
+    assert(res.nonEmpty)
+    assert(res.forall(r => math.abs(r.getAs[Double]("cosine")) <= 1.0001))
+    assert(res.map(_.getAs[Int]("rank")).toSeq == (1 to res.length))
+  }
+
   test("text profile: counts and ratios behave on edge inputs") {
     val edge = Seq((0L, ""), (1L, "word"), (2L, "a b c"), (3L, "Hello, world!"))
       .toDF("doc_id", "text")
