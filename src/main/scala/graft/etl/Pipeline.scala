@@ -40,9 +40,9 @@ final class Pipeline(spark: SparkSession, wh: Warehouse,
       val staged = Stage.landInStaging(wh, stagingRows)
 
       onProgress(jobId, 45, "upserting dimensions")
-      val jobStaging = wh.read("staging_clinical_measurements", Schemas.staging)
-        .filter(col("job_id") === jobId)
-      Dims.upsertForJob(wh, jobStaging)
+      // the reference re-selects staging WHERE job_id = :j (db.py:71-84);
+      // the in-flight stagingRows ARE that set — no need to re-read disk
+      Dims.upsertForJob(wh, stagingRows)
 
       onProgress(jobId, 65, "building processed")
       val processed = Transform.processedRows(stagingRows)

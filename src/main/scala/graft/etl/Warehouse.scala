@@ -56,12 +56,16 @@ final class Warehouse(spark: SparkSession, root: String) {
     */
   def appendIfAbsent(table: String, schema: StructType, df: DataFrame,
                      keys: Seq[String], orderCol: String,
-                     partitionBy: Seq[String] = Nil): Long = {
+                     partitionBy: Seq[String] = Nil,
+                     dedupWithinBatch: Boolean = true): Long = {
     val keyCols = keys.map(col)
-    val w = Window.partitionBy(keyCols: _*).orderBy(col(orderCol))
-    val firstPerKey = df
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val firstPerKey = if (!dedupWithinBatch) df else {
+      // keep-FIRST by orderCol, like Postgres keeping the first
+      // conflicting row of an INSERT batch
+      val w = Window.partitionBy(keyCols: _*).orderBy(col(orderCol))
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
     val deduped = firstPerKey.select(schema.fieldNames.map(col): _*)
     val fresh =
       if (!exists(table)) deduped
