@@ -197,10 +197,26 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
   }
 
-  /** Embedding-cosine near-dup: candidate pairs whose vectors' cosine
-    * similarity >= `threshold`, restricted to LSH-bucketed candidates from
-    * [[Similarity.rpBuckets]] at scale; the `pairs` argument supplies the
-    * candidate set. */
+  /** Embedding-cosine near-dup over LSH-bucketed candidates: vectors
+    * sharing a random-hyperplane sign bucket are compared; pairs with
+    * cosine >= `threshold` survive. Never all-pairs — the self-join is
+    * co-partitioned on the bucket key. */
+  def embeddingNearDupLsh(vectors: DataFrame, dim: Int,
+                          threshold: Double, nPlanes: Int = 8): DataFrame = {
+    val bucketed = vectors.select(col("vec_id"), col("embedding"),
+      Similarity.rpBucket(col("embedding"), dim, nPlanes).as("bucket"))
+    val a = bucketed.alias("a")
+    val b = bucketed.alias("b")
+    a.join(b, col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Embedding-cosine near-dup for an explicit candidate pair set
+    * (id_a, id_b) — the verification stage when candidates come from
+    * another generator. */
   def embeddingNearDup(vectors: DataFrame, pairs: DataFrame,
                        threshold: Double): DataFrame = {
     val v = vectors.select(col("vec_id"), col("embedding"))

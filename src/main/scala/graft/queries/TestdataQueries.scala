@@ -376,6 +376,12 @@ object TestdataQueries {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Embedding-cosine near-dup via LSH buckets (approximate -> rows-only). */
+  def q41EmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), dim = 64,
+      threshold = 0.25, nPlanes = 6)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+
   /** Multimodal metadata projection over binary payloads. */
   def q38MultimodalMeta(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMedia(t(s, dir, "documents"),
@@ -419,6 +425,7 @@ object TestdataQueries {
     "q24_distinct_agg" -> q24DistinctAgg _,
     "q25_salted_agg" -> q25SaltedAgg _,
     "q40_ann_ivf" -> q40AnnIvf _,
+    "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_minhash_lsh" -> q31MinhashLsh _,
     "q32_simhash" -> q32Simhash _,

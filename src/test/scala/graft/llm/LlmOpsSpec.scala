@@ -80,6 +80,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(res.filter($"cosine" > 1.0001 || $"cosine" < -1.0001).isEmpty)
   }
 
+  test("embedding near-dup finds identical-direction vectors above threshold") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(2.0f, 0.0f, 0.0f, 0.0f)),    // same direction as 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupLsh(vecs, dim = 4, threshold = 0.95,
+        nPlanes = 2).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
   test("salted aggregation equals the plain groupBy exactly") {
     val df = (1 to 1000).map(i => (i % 7L, i.toDouble)).toDF("k", "v")
     val plain = df.groupBy("k")
