@@ -113,12 +113,51 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** Deterministic per-query top-k: (cosine desc, vec_id asc). */
+  /** Deterministic per-query top-k: (cosine desc, vec_id asc).
+    *
+    * Implemented with the bounded-heap [[TopKAggregator]] rather than a
+    * `row_number()` window: the window shuffles and sorts EVERY scored
+    * row per query; the aggregator's partial aggregation caps map-side
+    * state at k rows per (query, partition), so the shuffle is k rows per
+    * query per input partition no matter how large the corpus. */
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    val topk = udaf(new TopKAggregator(k))
+    scored
+      .groupBy("query_id")
+      .agg(topk(col("cosine"), col("vec_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("s.vec_id").as("vec_id"), col("s.cosine").as("cosine"))
   }
+}
+
+/** Custom typed aggregator (SURVEY §2.11 tier-b extension): bounded
+  * top-k by (cosine desc, vec_id asc) with a k-capped buffer, giving
+  * map-side-combining top-k selection usable from `groupBy(...).agg`. */
+final class TopKAggregator(k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      TopKAggregator.In, Seq[TopKAggregator.In], Seq[TopKAggregator.In]] {
+  import TopKAggregator.In
+
+  override def zero: Seq[In] = Vector.empty
+
+  private def better(a: In, b: In): Boolean =
+    a.cosine > b.cosine || (a.cosine == b.cosine && a.vec_id < b.vec_id)
+
+  private def insert(buf: Seq[In], x: In): Seq[In] =
+    if (buf.length < k) (buf :+ x).sortWith(better)
+    else if (better(x, buf.last)) (buf.init :+ x).sortWith(better)
+    else buf
+
+  override def reduce(buf: Seq[In], x: In): Seq[In] = insert(buf, x)
+  override def merge(b1: Seq[In], b2: Seq[In]): Seq[In] = b2.foldLeft(b1)(insert)
+  override def finish(r: Seq[In]): Seq[In] = r
+
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[In]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[In]]()
+  override def outputEncoder: org.apache.spark.sql.Encoder[Seq[In]] = bufferEncoder
+}
+
+object TopKAggregator {
+  final case class In(cosine: Double, vec_id: Long)
 }
