@@ -19,7 +19,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         s = df[c]
         if s.dtype.kind == "f":
-            out[c] = s.round(9)
+            # bit-exact: engines must agree to the last ulp (shortest repr)
+            out[c] = s.map(lambda v: repr(float(v)) if v == v else "nan")
         elif str(s.dtype).startswith("datetime"):
             out[c] = s.astype("datetime64[us]").astype(str)
         else:
