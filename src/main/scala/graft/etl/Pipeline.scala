@@ -25,12 +25,12 @@ final class Pipeline(spark: SparkSession, wh: Warehouse,
                              stagedRows: Long, processedRows: Long,
                              message: Option[String])
 
-  def processJob(jobId: String, csvPath: String): JobResult = {
+  def processJob(jobId: String, csvPath: String, format: String = "csv"): JobResult = {
     val filename = Paths.get(csvPath).getFileName.toString
     try {
       markStatus(jobId, "running", Some("reading csv"), Some(filename))
       onProgress(jobId, 10, "reading csv")
-      val raw = Ingest.readCsv(spark, csvPath)
+      val raw = Ingest.read(spark, csvPath, format)
 
       onProgress(jobId, 30, "staging rows")
       // one pass shared by staging, transform and quality; small enough per

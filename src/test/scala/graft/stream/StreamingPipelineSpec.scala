@@ -64,6 +64,52 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(wh.read("processed_measurements", Schemas.processed).count() == 6)
   }
 
+  test("stateful sessionization closes sessions on inactivity gaps (flatMapGroupsWithState)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import Sessionize._
+
+    val mem = MemoryStream[Event]
+    val q = Sessionize.sessions(spark, mem.toDS(), gapMillis = 60000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions").start()
+
+    def ev(u: Long, s: String) = Event(u, java.sql.Timestamp.valueOf(s))
+    // user 1: two bursts 10 minutes apart -> two sessions
+    mem.addData(
+      ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:00:30"),
+      ev(1, "2024-01-01 10:10:00"), ev(1, "2024-01-01 10:10:20"))
+    q.processAllAvailable()
+    // advance watermark far enough to time out the open session
+    mem.addData(ev(2, "2024-01-01 11:00:00"))
+    q.processAllAvailable()
+    mem.addData(ev(2, "2024-01-01 12:00:00"))
+    q.processAllAvailable()
+
+    val out = spark.table("sessions").as[Session].collect()
+      .filter(_.user_id == 1L).sortBy(_.session_start.getTime)
+    assert(out.length == 2)
+    assert(out(0).n_events == 2 &&
+      out(0).session_end.toString.startsWith("2024-01-01 10:00:30"))
+    assert(out(1).n_events == 2 &&
+      out(1).session_start.toString.startsWith("2024-01-01 10:10:00"))
+    q.stop()
+  }
+
+  test("JSON-lines files flow through the same ingest contract") {
+    val wh = new Warehouse(spark, tmpDir("whj").toString)
+    val pipe = new graft.etl.Pipeline(spark, wh)
+    val dir = tmpDir("jsonl")
+    val jsonl =
+      """{"study_id":"SJ","participant_id":"P1","measurement_type":"glucose","value":"99.5","unit":"mg/dL","timestamp":"2024-01-15T09:30:00Z","site_id":"SITE_J","quality_score":"0.9"}
+        |{"study_id":"SJ","participant_id":"P1","measurement_type":"blood_pressure","value":"120/80","unit":"mmHg","timestamp":"2024-01-15T09:31:00Z","site_id":"SITE_J","quality_score":"0.9"}
+        |""".stripMargin
+    val res = pipe.processJob("j-json", writeCsv(dir, "m.jsonl", jsonl), format = "json")
+    assert(res.status == "completed", res.message)
+    assert(wh.read("processed_measurements", Schemas.processed).count() == 3) // BP splits
+  }
+
   test("watermarked daily rollup over a measurement stream (memory sink)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
