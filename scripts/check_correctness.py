@@ -12,21 +12,52 @@ import json, sys, glob, os
 import duckdb
 import pandas as pd
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
+# Queries whose float columns come from cross-engine floating-point math
+# (cosine similarity: different accumulation order/rounding internals in
+# Spark vs DuckDB). Their rows are uniquely keyed by the non-float columns,
+# so we sort on those and allow an absolute tolerance on the floats.
+# Everything else stays bit-exact (shortest repr).
+FLOAT_TOL = {
+    "q36_ann_brute_force": 1e-9,
+    "q37_ann_lsh": 1e-9,
+    "q40_ann_ivf": 1e-9,
+    "q41_embedding_neardup": 1e-9,
+}
+
+def canon(df: pd.DataFrame, tol: float = 0.0) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize types to comparable strings
     out = pd.DataFrame()
+    float_cols = []
     for c in df.columns:
         s = df[c]
         if s.dtype.kind == "f":
-            # bit-exact: engines must agree to the last ulp (shortest repr)
-            out[c] = s.map(lambda v: repr(float(v)) if v == v else "nan")
+            if tol > 0.0:
+                out[c] = s.astype(float)   # kept numeric; compared with tol
+                float_cols.append(c)
+            else:
+                # bit-exact: engines must agree to the last ulp (shortest repr)
+                out[c] = s.map(lambda v: repr(float(v)) if v == v else "nan")
         elif str(s.dtype).startswith("datetime"):
             out[c] = s.astype("datetime64[us]").astype(str)
         else:
             out[c] = s.astype(str)
-    out = out.sort_values(by=list(out.columns)).reset_index(drop=True)
+    sort_cols = [c for c in out.columns if c not in float_cols] or list(out.columns)
+    out = out.sort_values(by=sort_cols).reset_index(drop=True)
     return out
+
+def frames_equal(g: pd.DataFrame, e: pd.DataFrame, tol: float) -> bool:
+    if tol <= 0.0:
+        return g.equals(e)
+    for c in g.columns:
+        if g[c].dtype.kind == "f":
+            a, b = g[c].to_numpy(), e[c].to_numpy()
+            both_nan = (a != a) & (b != b)
+            if not ((abs(a - b) <= tol) | both_nan).all():
+                return False
+        elif not g[c].equals(e[c]):
+            return False
+    return True
 
 def main(outdir, sfdir):
     con = duckdb.connect()
@@ -50,14 +81,15 @@ def main(outdir, sfdir):
             exp = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             print(f"ORACLE-ERR   {name}: {e}"); n_fail += 1; continue
-        g, e = canon(got), canon(exp)
+        tol = FLOAT_TOL.get(name, 0.0)
+        g, e = canon(got, tol), canon(exp, tol)
         if list(g.columns) != list(e.columns):
             print(f"COLS-DIFF    {name}: spark={list(g.columns)} duck={list(e.columns)}")
             n_fail += 1
         elif len(g) != len(e):
             print(f"ROWS-DIFF    {name}: spark={len(g)} duck={len(e)}")
             n_fail += 1
-        elif not g.equals(e):
+        elif not frames_equal(g, e, tol):
             diff = (g != e).any(axis=1)
             i = diff[diff].index[0]
             print(f"VALS-DIFF    {name}: first diff row {i}:\n  spark: {g.loc[i].to_dict()}\n  duck:  {e.loc[i].to_dict()}")

@@ -25,7 +25,7 @@ object Sessionize {
                gapMillis: Long): Dataset[Session] = {
     import spark.implicits._
     events
-      .withWatermark("ts", s"${gapMillis / 1000} seconds")
+      .withWatermark("ts", s"$gapMillis milliseconds")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {

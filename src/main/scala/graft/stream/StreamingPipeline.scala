@@ -36,13 +36,20 @@ final class StreamingPipeline(spark: SparkSession, wh: Warehouse,
   private val pipeline = new Pipeline(spark, wh, onProgress)
 
   /** Start the landing-directory stream. `availableNow` processes what is
-    * there and stops (batch-like test mode); otherwise runs continuously. */
+    * there and stops (batch-like test mode); otherwise runs continuously.
+    *
+    * The stream itself is used ONLY for exactly-once file discovery (the
+    * file-source log + checkpoint). Each discovered file is then re-read
+    * through the batch [[Ingest.readCsv]], so header validation, the
+    * null/empty-string discipline ([[Ingest.CsvOptions]]), and every other
+    * contract rule are shared with the batch path by construction — a
+    * landing file with reordered or missing columns fails ITS job exactly
+    * like batch `validateContract`, instead of being silently bound
+    * positionally against a forced schema. */
   def start(availableNow: Boolean = false): StreamingQuery = {
     val raw = spark.readStream
       .schema(Schemas.measurementCsv)
-      .option("header", "true")
-      .option("nullValue", " ")
-      .option("emptyValue", "")
+      .options(Ingest.CsvOptions)
       .csv(landingDir)
     val writer = raw.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -51,24 +58,22 @@ final class StreamingPipeline(spark: SparkSession, wh: Warehouse,
       .start()
   }
 
-  /** One micro-batch: split by source file, run the six batch stages per
-    * file under `job id = file name`. */
+  /** One micro-batch: enumerate the batch's source files, run the six
+    * batch stages per file under `job id = file name`. */
   private[stream] def processBatch(batch: DataFrame): Unit = {
-    val withFile = batch.withColumn("__file", input_file_name()).cache()
-    try {
-      val files = withFile.select("__file").distinct().collect().map(_.getString(0))
-      files.sorted.foreach { file =>
-        val name = file.substring(file.lastIndexOf('/') + 1)
-        processFile(withFile.filter(col("__file") === file).drop("__file"), name)
-      }
-    } finally withFile.unpersist()
+    val files = batch.select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))
+    files.sorted.foreach { file =>
+      val name = file.substring(file.lastIndexOf('/') + 1)
+      processFile(file, name)
+    }
   }
 
-  private def processFile(df: DataFrame, filename: String): Unit = {
+  private def processFile(path: String, filename: String): Unit = {
     val jobId = s"stream-$filename"
     try {
       pipeline.markStatus(jobId, "running", Some("processing micro-batch"), Some(filename))
-      val validated = Ingest.validateContract(df)
+      val validated = Ingest.readCsv(spark, path)
       val withIds = Stage.assignRowIds(validated).cache()
       try {
         val stagingRows = Stage.toStagingRows(withIds, jobId, filename)
