@@ -1,0 +1,174 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for embedding-vector math (SURVEY §2.11
+  * tier-b extensions; the ANN/near-dup operators' hot path).
+  *
+  * Why native rather than `zip_with`/`aggregate` column algebra: Spark's
+  * higher-order functions evaluate their lambda interpreted, one invocation
+  * per array element, and a random-projection formulated as column algebra
+  * is an `nPlanes x dim`-term expression tree that costs seconds of
+  * optimizer + codegen time per query before the first row moves. Each
+  * expression here is a single plan node wrapping a tight primitive loop,
+  * shared verbatim between interpreted eval and `doGenCode`.
+  *
+  * All three accept `array<float>` or `array<double>` input; null array ->
+  * null result; null elements are treated as 0 (embeddings have none).
+  */
+private[graft] object VecOps extends Serializable {
+
+  def toDoubles(a: ArrayData, isFloat: Boolean): Array[Double] = {
+    val n = a.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    if (isFloat) while (i < n) { if (!a.isNullAt(i)) out(i) = a.getFloat(i); i += 1 }
+    else while (i < n) { if (!a.isNullAt(i)) out(i) = a.getDouble(i); i += 1 }
+    out
+  }
+
+  /** Left-to-right accumulation — bit-identical to the previous
+    * `aggregate(zip_with(...))` formulation (same op order). */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (a.isNullAt(i)) 0.0 else if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (b.isNullAt(i)) 0.0 else if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  def norm(a: ArrayData, aFloat: Boolean): Double =
+    math.sqrt(dot(a, a, aFloat, aFloat))
+
+  private def isFloatArr(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"expected array<float>/array<double>, got $other")
+  }
+
+  def floatFlag(e: Expression): Boolean = isFloatArr(e)
+}
+
+/** Dot product of two numeric-array columns -> double. */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+  private lazy val lFloat = VecOps.floatFlag(left)
+  private lazy val rFloat = VecOps.floatFlag(right)
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], lFloat, rFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ops = ctx.addReferenceObj("vecOps", VecOps, "graft.expr.VecOps$")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $ops.dot($a, $b, $lFloat, $rFloat);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(left = l, right = r)
+}
+
+/** L2 norm of a numeric-array column -> double (single pass, array read once). */
+case class VecNorm(child: Expression) extends UnaryExpression {
+  private lazy val isFloat = VecOps.floatFlag(child)
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "vec_norm"
+
+  override def nullSafeEval(a: Any): Any =
+    VecOps.norm(a.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ops = ctx.addReferenceObj("vecOps", VecOps, "graft.expr.VecOps$")
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ops.norm($a, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecNorm =
+    copy(child = newChild)
+}
+
+/** Random-hyperplane sign bits -> long bucket key: bit p is the sign of
+  * the projection of the vector onto pseudo-random hyperplane p.
+  *
+  * Weights are precomputed once on the driver (`nPlanes * dim` doubles,
+  * shipped with the serialized expression) using the same xxhash64-derived
+  * formula the previous column-algebra formulation folded constant-by-
+  * constant — identical buckets, but one plan node instead of an
+  * `nPlanes x dim`-term tree.
+  */
+case class RpBits(child: Expression, dim: Int, nPlanes: Int) extends UnaryExpression {
+  private lazy val isFloat = VecOps.floatFlag(child)
+
+  /** weight(plane p, dimension d) = xxhash64(p*7919+d) % 1e6 / 1e6, the
+    * exact per-constant value Catalyst folded in the old formulation. */
+  private lazy val weights: Array[Double] = {
+    val w = new Array[Double](nPlanes * dim)
+    var p = 0
+    while (p < nPlanes) {
+      var d = 0
+      while (d < dim) {
+        w(p * dim + d) = (XXH64.hashInt(p * 7919 + d, 42L) % 1000000L).toDouble / 1000000.0
+        d += 1
+      }
+      p += 1
+    }
+    w
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "rp_bits"
+
+  def compute(a: ArrayData): Long = {
+    val v = VecOps.toDoubles(a, isFloat)
+    val n = math.min(v.length, dim)
+    var bits = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var proj = 0.0
+      val base = p * dim
+      var d = 0
+      while (d < n) { proj += v(d) * weights(base + d); d += 1 }
+      if (proj >= 0) bits |= 1L << p
+      p += 1
+    }
+    bits
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("rpBits", this, "graft.expr.RpBits")
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RpBits =
+    copy(child = newChild)
+}
+
+object VectorExprs {
+  def vecDot(a: Column, b: Column): Column =
+    ColumnBridge.toColumn(VecDot(ColumnBridge.toExpression(a), ColumnBridge.toExpression(b)))
+
+  def vecNorm(a: Column): Column =
+    ColumnBridge.toColumn(VecNorm(ColumnBridge.toExpression(a)))
+
+  def rpBits(a: Column, dim: Int, nPlanes: Int): Column =
+    ColumnBridge.toColumn(RpBits(ColumnBridge.toExpression(a), dim, nPlanes))
+}

@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.expr.VectorExprs
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`).
@@ -13,51 +14,51 @@ import org.apache.spark.sql.functions._
   * Scale path: random-hyperplane LSH (IVF-like bucketing) — corpus and
   * queries hash into sign-pattern buckets; only same-bucket vectors are
   * scored, turning the n·q scoring into a co-partitioned bucket join.
-  * Dot products use `zip_with` + `aggregate` (codegen'd, no UDF).
+  *
+  * All vector math runs through the native codegen expressions in
+  * [[graft.expr.VectorExprs]] (one plan node, tight primitive loop) and
+  * every operator precomputes each vector's L2 norm ONCE before any join,
+  * so per-pair work is exactly one dot product — never a norm recompute.
   */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = VectorExprs.vecDot(a, b)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def norm(a: Column): Column = VectorExprs.vecNorm(a)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** cosine from a precomputed-norm pair: one dot per pair. */
+  private def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
 
   /** Brute-force cosine top-k per query vector.
     * `queries`: (query_id, embedding); `corpus`: (vec_id, embedding).
     * The query side is broadcast — corpus never shuffles; the final top-k
-    * per query is a window over |queries| × k rows only after local
-    * pre-filtering via groupBy-partial `max_by`-style selection.
+    * per query is a bounded-heap aggregation (see [[TopKAggregator]]).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      excludeSelf: Boolean = true): DataFrame = {
-    val scored = corpus.alias("c")
-      .join(broadcast(queries.alias("q")),
-        if (excludeSelf) col("q.query_id") =!= col("c.vec_id") else lit(true))
-      .select(col("q.query_id"), col("c.vec_id"),
-        cosine(col("q.embedding"), col("c.embedding")).as("cosine"))
+    val c = corpus.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("c_nrm"))
+    val q = queries.select(col("query_id"), col("embedding").as("q_emb"),
+      norm(col("embedding")).as("q_nrm"))
+    val scored = c.join(broadcast(q),
+        if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
+      .select(col("query_id"), col("vec_id"),
+        cosinePre(col("q_emb"), col("embedding"), col("q_nrm"), col("c_nrm"))
+          .as("cosine"))
     topKPerQuery(scored, k)
   }
 
   /** Random-hyperplane LSH bucketing: `nPlanes` pseudo-random hyperplanes
     * (deterministic per dimension/plane via a hash-derived weight), bucket
-    * key = sign bit-pattern. Probing multiple buckets (the exact bucket
+    * key = sign bit-pattern — a single native plan node
+    * ([[graft.expr.RpBits]]). Probing multiple buckets (the exact bucket
     * plus single-bit flips) trades recall for cost.
     */
-  def rpBucket(embedding: Column, dim: Int, nPlanes: Int = 12): Column = {
-    // deterministic pseudo-random weight for (plane, dimension): map
-    // xxhash64 to [-1, 1) — cheap, reproducible, no driver-side RNG state
-    def w(plane: Int, d: Int): Column =
-      (xxhash64(lit(plane * 7919 + d)) % 1000000L).cast("double") / 1000000.0
-    val bits = (0 until nPlanes).map { p =>
-      val proj = (0 until dim).map(d => element_at(embedding, d + 1).cast("double") * w(p, d))
-        .reduce(_ + _)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def rpBucket(embedding: Column, dim: Int, nPlanes: Int = 12): Column =
+    VectorExprs.rpBits(embedding, dim, nPlanes)
 
   /** LSH-bucketed ANN top-k: score only within matching buckets. Recall is
     * approximate; increase `nPlanes` for smaller buckets or probe flips for
@@ -65,13 +66,16 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
               nPlanes: Int = 8): DataFrame = {
     val c = corpus.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("c_nrm"),
       rpBucket(col("embedding"), dim, nPlanes).as("bucket"))
     val q = queries.select(col("query_id"), col("embedding").as("q_emb"),
+      norm(col("embedding")).as("q_nrm"),
       rpBucket(col("embedding"), dim, nPlanes).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
-        cosine(col("q_emb"), col("embedding")).as("cosine"))
+        cosinePre(col("q_emb"), col("embedding"), col("q_nrm"), col("c_nrm"))
+          .as("cosine"))
     topKPerQuery(scored, k)
   }
 
@@ -87,29 +91,39 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val centroids = broadcast(
       corpus.orderBy(col("vec_id")).limit(nLists)
-        .select(col("vec_id").as("cell_id"), col("embedding").as("centroid")))
-    // one pass: nearest centroid per corpus vector
+        .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"),
+          norm(col("embedding")).as("cent_nrm")))
+    // one pass: nearest centroid per corpus vector (norm computed once per
+    // vector, not once per (vector, centroid) candidate)
     val assignW = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("cell_id").asc)
-    val assigned = corpus.join(centroids)
-      .select(col("vec_id"), col("embedding"), col("cell_id"),
-        cosine(col("embedding"), col("centroid")).as("sim"))
+    val assigned = corpus
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .join(centroids)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell_id"),
+        cosinePre(col("embedding"), col("centroid"), col("nrm"), col("cent_nrm"))
+          .as("sim"))
       .withColumn("rn", row_number().over(assignW))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell_id"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell_id"))
     // nProbe nearest cells per query
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cell_id").asc)
-    val probes = queries.join(centroids)
-      .select(col("query_id"), col("embedding").as("q_emb"), col("cell_id"),
-        cosine(col("embedding"), col("centroid")).as("sim"))
+    val probes = queries
+      .select(col("query_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_nrm"))
+      .join(centroids)
+      .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cell_id"),
+        cosinePre(col("q_emb"), col("centroid"), col("q_nrm"), col("cent_nrm"))
+          .as("sim"))
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nProbe)
-      .select(col("query_id"), col("q_emb"), col("cell_id"))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cell_id"))
     val scored = assigned.join(broadcast(probes), Seq("cell_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
-        cosine(col("q_emb"), col("embedding")).as("cosine"))
+        cosinePre(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm"))
+          .as("cosine"))
     topKPerQuery(scored, k)
   }
 
