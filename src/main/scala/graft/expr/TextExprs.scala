@@ -43,6 +43,46 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Engine-portable rolling document fingerprint: the classic polynomial
+  * hash `h = (h*31 + codepoint) mod 1e9+7` over the text's Unicode code
+  * points. Unlike xxhash64 it is reproducible in ANY engine with integer
+  * arithmetic (the DuckDB oracle recomputes it with
+  * `list_reduce`/`unicode`), so fingerprint equality is cross-checkable —
+  * the dedup-bookkeeping identity for pipelines spanning engines.
+  */
+case class PolyFingerprint(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "poly_fingerprint"
+
+  override def nullSafeEval(input: Any): Any =
+    PolyFingerprint.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val obj = ctx.addReferenceObj("polyFp", PolyFingerprint,
+      "graft.expr.PolyFingerprint$")
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $obj.hash($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PolyFingerprint =
+    copy(child = newChild)
+}
+
+object PolyFingerprint {
+  final val Mod = 1000000007L
+
+  def apply(c: Column): Column =
+    ColumnBridge.toColumn(PolyFingerprint(ColumnBridge.toExpression(c)))
+
+  def hash(s: UTF8String): Long = {
+    var h = 0L
+    val it = s.toString.codePoints().iterator()
+    while (it.hasNext) h = (h * 31 + it.nextInt()) % Mod
+    h
+  }
+}
+
 object WordShingles {
 
   def apply(c: Column, k: Int): Column =

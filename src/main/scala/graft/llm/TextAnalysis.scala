@@ -18,11 +18,16 @@ object TextAnalysis {
     when(length(text) === 0, 0)
       .otherwise(size(split(text, "\\s+")))
 
-  /** BPE-ish subword token estimate: word-piece regex split — digits,
-    * letter runs, single punctuation — the standard pre-tokenizer shape. */
+  /** BPE-ish pre-tokenizer pattern: letter runs, digit runs, or a single
+    * non-space symbol — the standard word-piece shape. The character
+    * classes are explicit (no `\s`, no lookaround) so the SAME pattern
+    * means the same thing in Java regex and RE2 (the DuckDB oracle). */
+  val SubwordPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
+
+  /** BPE-ish subword token estimate via `regexp_extract_all` — one
+    * codegen'd pass, engine-portable semantics. */
   def subwordCount(text: Column): Column =
-    size(filter(split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"),
-      t => length(t) > 0))
+    size(regexp_extract_all(text, lit(SubwordPattern), lit(0)))
 
   /** Punctuation character ratio. */
   def punctRatio(text: Column): Column =

@@ -222,6 +222,45 @@ object Oracles {
          |       count(*) AS n_copies
          |FROM documents GROUP BY md5($norm)""".stripMargin,
 
+    "q26_asof_join" ->
+      """SELECT e.event_id, e.user_id,
+        |       p.event_id AS purchase_event, p.value AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+
+    "q27_range_join" ->
+      """SELECT e.event_id, e.event_type, e.value, t.tier
+        |FROM events e
+        |JOIN (VALUES ('bronze', 0.0, 50.0), ('silver', 50.0, 150.0),
+        |             ('gold', 150.0, 300.0), ('platinum', 300.0, 1000.0))
+        |  AS t(tier, lo, hi)
+        |  ON e.value >= t.lo AND e.value < t.hi""".stripMargin,
+
+    "q39_multimodal_features" ->
+      """SELECT doc_id AS media_id, 'text' AS kind,
+        |       octet_length(text::BLOB)::BIGINT AS n_bytes,
+        |       substr(sha256(text), 1, 16) AS checksum
+        |FROM documents""".stripMargin,
+
+    "q42_token_stats" ->
+      raw"""SELECT doc_id,
+        |       len(regexp_extract_all(text,
+        |         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]')) AS n_subwords,
+        |       len(list_distinct(regexp_extract_all(text,
+        |         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]'))) AS n_unique_subwords
+        |FROM documents""".stripMargin,
+
+    "q43_fingerprint" ->
+      """SELECT doc_id,
+        |       CASE WHEN length(text) = 0 THEN 0 ELSE
+        |         list_reduce(
+        |           list_transform(range(1, length(text) + 1),
+        |             i -> unicode(substr(text, i, 1))::BIGINT),
+        |           (a, b) -> (a * 31 + b) % 1000000007)
+        |       END AS fp
+        |FROM documents""".stripMargin,
+
     "q33_ngram_jaccard" ->
       s"""WITH sh AS (
          |  SELECT doc_id,

@@ -295,6 +295,43 @@ object TestdataQueries {
       .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
   }
 
+  // ------------------------------------------ time-series / interval joins
+
+  /** As-of join (backward): the most recent purchase at-or-before each
+    * click, per user — union-of-sorted-streams lowering, one shuffle
+    * (see [[graft.operators.AsofJoin]]). Oracle: DuckDB `ASOF LEFT JOIN`. */
+  def q26AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AsofJoin
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_event"), col("value").as("purchase_value"))
+    AsofJoin.backward(clicks, purchases,
+        leftKey = "user_id", rightKey = "p_user",
+        leftTime = "ts", rightTime = "p_ts",
+        payload = Seq("purchase_event", "purchase_value"))
+      .select(col("event_id"), col("user_id"),
+        col("purchase_event"), col("purchase_value"))
+  }
+
+  /** Range join: events matched to value tiers by interval containment —
+    * binned equi-join lowering (see [[graft.operators.RangeJoin]]), not a
+    * nested loop. */
+  def q27RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.RangeJoin
+    val tiers = Seq(
+      ("bronze", 0.0, 50.0), ("silver", 50.0, 150.0),
+      ("gold", 150.0, 300.0), ("platinum", 300.0, 1000.0))
+      .toDF("tier", "lo", "hi")
+    RangeJoin.binned(
+        t(s, dir, "events").select(col("event_id"), col("event_type"), col("value")),
+        col("value"), tiers, col("lo"), col("hi"), binWidth = 50.0)
+      .select(col("event_id"), col("event_type"), col("value"), col("tier"))
+  }
+
   // ------------------------------------------------------- LLM pipeline ops
 
   /** Exact dedup by content hash. */
@@ -398,6 +435,22 @@ object TestdataQueries {
       .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"))
   }
 
+  /** Subword token stats via the portable BPE-ish pre-tokenizer pattern
+    * (exact same regex semantics in Java and RE2 -> full oracle). */
+  def q42TokenStats(s: SparkSession, dir: String): DataFrame = {
+    val toks = regexp_extract_all(col("text"), lit(TextAnalysis.SubwordPattern), lit(0))
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      size(toks).as("n_subwords"),
+      size(array_distinct(toks)).as("n_unique_subwords"))
+  }
+
+  /** Engine-portable polynomial rolling fingerprint (native codegen
+    * expression; DuckDB recomputes it with list_reduce -> full oracle). */
+  def q43Fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"), graft.expr.PolyFingerprint(col("text")).as("fp"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -424,6 +477,10 @@ object TestdataQueries {
     "q23_rollup" -> q23Rollup _,
     "q24_distinct_agg" -> q24DistinctAgg _,
     "q25_salted_agg" -> q25SaltedAgg _,
+    "q26_asof_join" -> q26AsofJoin _,
+    "q27_range_join" -> q27RangeJoin _,
+    "q42_token_stats" -> q42TokenStats _,
+    "q43_fingerprint" -> q43Fingerprint _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,

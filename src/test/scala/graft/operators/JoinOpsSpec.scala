@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Behavior pins for the time-series/interval join operators. */
+class JoinOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("asof backward: greatest right time <= left time per key; >= at equal ts") {
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:05"), "t1"),
+      (1L, ts("2024-01-01 10:00:10"), "t2"),
+      (2L, ts("2024-01-01 09:59:00"), "t3"),  // before any quote for key 2
+      (3L, ts("2024-01-01 10:00:00"), "t4")   // key with no quotes at all
+    ).toDF("sym", "t", "trade_id")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:00:05"), 101.0), // equal ts as t1 -> matches (>=)
+      (1L, ts("2024-01-01 10:00:09"), 102.0),
+      (2L, ts("2024-01-01 10:30:00"), 200.0)  // after t3 -> no match
+    ).toDF("q_sym", "q_t", "px")
+
+    val out = AsofJoin.backward(trades, quotes,
+        leftKey = "sym", rightKey = "q_sym", leftTime = "t", rightTime = "q_t",
+        payload = Seq("px"))
+      .collect().map(r => r.getAs[String]("trade_id") ->
+        Option(r.getAs[Any]("px"))).toMap
+
+    assert(out("t1") == Some(101.0))  // equal timestamp wins over earlier
+    assert(out("t2") == Some(102.0))  // most recent preceding, not first
+    assert(out("t3") == None)         // nothing at-or-before
+    assert(out("t4") == None)         // key absent from right side
+    assert(out.size == 4)             // left join: every left row kept once
+  }
+
+  test("asof backward: left columns pass through unchanged") {
+    val left = Seq((1L, ts("2024-01-01 00:00:01"), "a", 7)).toDF("k", "t", "s", "n")
+    val right = Seq((1L, ts("2024-01-01 00:00:00"), 5.5)).toDF("k2", "t2", "v")
+    val row = AsofJoin.backward(left, right, "k", "k2", "t", "t2", Seq("v"))
+      .collect().head
+    assert(row.getAs[String]("s") == "a" && row.getAs[Int]("n") == 7 &&
+      row.getAs[Double]("v") == 5.5)
+  }
+
+  test("range binned equals naive, including interval and bin boundaries") {
+    val points = Seq(0.0, 49.999, 50.0, 74.9, 75.0, 100.0, 149.9, 150.0, 250.0)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val ivals = Seq(
+      ("a", 0.0, 50.0),     // hi exactly on a bin boundary
+      ("b", 50.0, 150.0),   // spans multiple bins
+      ("c", 75.0, 80.0),    // interior of one bin
+      ("d", 140.0, 160.0))  // overlapping b
+      .toDF("name", "lo", "hi")
+
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      df.select(col("id"), col("name")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    val naive = pairs(RangeJoin.naive(points, col("v"), ivals, col("lo"), col("hi")))
+    val binned = pairs(RangeJoin.binned(points, col("v"), ivals, col("lo"), col("hi"),
+      binWidth = 50.0))
+    assert(binned == naive)
+    assert(naive.contains((0L, "a")) && !naive.contains((2L, "a"))) // [lo, hi)
+    assert(naive.contains((4L, "c")) && naive.contains((4L, "b"))) // overlaps
+  }
+}
