@@ -56,18 +56,34 @@ object Dedup {
     * partial-aggregate map-side: the shuffle carries `numHashes` longs per
     * document regardless of document size.
     */
+  /** Modulus for the `portable` hash family: the largest prime below
+    * 2^28. 28-bit base hashes keep `h1 + i*h2` far from long overflow in
+    * every engine and make the family expressible in plain SQL. */
+  val PortablePrime = 268435399L
+
   def minhashTable(docs: DataFrame, numHashes: Int = 32, k: Int = 3,
                    id: Column = col("doc_id"),
-                   text: Column = col("text")): DataFrame = {
-    val hashed = docs
-      .select(id.as("doc_id"), explode(shingles(text, k)).as("sh"))
-      .select(col("doc_id"),
+                   text: Column = col("text"),
+                   portable: Boolean = false): DataFrame = {
+    val base = docs.select(id.as("doc_id"), explode(shingles(text, k)).as("sh"))
+    // `portable = true` swaps the xxhash64 XOR-rotate family for an
+    // md5-derived `(h1 + i*h2) mod p` family that any SQL engine can
+    // recompute (the DuckDB oracle re-runs the whole LSH pipeline on it);
+    // production keeps xxhash64 — ~4x cheaper per shingle.
+    val hashed =
+      if (portable) base.select(col("doc_id"),
+        conv(substring(md5(col("sh")), 1, 7), 16, 10).cast("long").as("h1"),
+        conv(substring(md5(col("sh")), 8, 7), 16, 10).cast("long").as("h2"))
+      else base.select(col("doc_id"),
         xxhash64(col("sh")).as("h1"), xxhash64(lit(1), col("sh")).as("h2"))
     def rot(c: Column, i: Int): Column =
       if (i % 64 == 0) c
       else shiftleft(c, i % 64).bitwiseOR(shiftrightunsigned(c, 64 - (i % 64)))
     val mins = (0 until numHashes).map { i =>
-      min(col("h1").bitwiseXOR(rot(col("h2"), i * 7 + 1))).as(s"m$i")
+      if (portable)
+        min((col("h1") + lit(i.toLong) * col("h2")) % PortablePrime).as(s"m$i")
+      else
+        min(col("h1").bitwiseXOR(rot(col("h2"), i * 7 + 1))).as(s"m$i")
     }
     hashed.groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
@@ -76,12 +92,16 @@ object Dedup {
   }
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
-    * and hash each band -> (band_idx, band_hash) bucket keys. */
-  def lshBuckets(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    * and hash each band -> (band_idx, band_hash) bucket keys. With
+    * `portable = true` the bucket key is the comma-joined band values
+    * themselves (engine-neutral; slightly wider shuffle keys). */
+  def lshBuckets(sig: Column, bands: Int, rowsPerBand: Int,
+                 portable: Boolean = false): Column =
     array((0 until bands).map { b =>
+      val bandStr = concat_ws(",",
+        transform(slice(sig, b * rowsPerBand + 1, rowsPerBand), _.cast("string")))
       struct(lit(b).as("band"),
-        xxhash64(concat_ws(",",
-          slice(sig, b * rowsPerBand + 1, rowsPerBand)).cast("string")).as("bucket"))
+        (if (portable) bandStr else xxhash64(bandStr).cast("string")).as("bucket"))
     }: _*)
 
   /** Within-bucket candidate pairs, computed WITHOUT a self-join: group
@@ -113,12 +133,13 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
                         k: Int = 3, threshold: Double = 0.5,
                         id: Column = col("doc_id"),
-                        text: Column = col("text")): DataFrame = {
+                        text: Column = col("text"),
+                        portable: Boolean = false): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val signed = minhashTable(docs, numHashes, k, id, text)
+    val signed = minhashTable(docs, numHashes, k, id, text, portable)
     val bucketed = signed
       .select(col("doc_id"), col("sig"),
-        explode(lshBuckets(col("sig"), bands, rowsPerBand)).as("bb"))
+        explode(lshBuckets(col("sig"), bands, rowsPerBand, portable)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
     bucketPairs(bucketed, Seq("band", "bucket"),
         struct(col("doc_id"), col("sig")))

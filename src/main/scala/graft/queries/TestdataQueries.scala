@@ -343,6 +343,15 @@ object TestdataQueries {
     Dedup.minhashCandidates(t(s, dir, "documents"), numHashes = 32, bands = 8,
       k = 3, threshold = 0.4)
 
+  /** MinHash + LSH with the engine-portable md5-derived hash family —
+    * the ENTIRE pipeline (shingles -> signatures -> banding -> candidate
+    * pairs -> estimated Jaccard) is recomputed independently by the
+    * DuckDB oracle, pinning the LSH logic end-to-end. q31 keeps the
+    * faster xxhash64 family for production. */
+  def q44MinhashPortable(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(t(s, dir, "documents"), numHashes = 32, bands = 8,
+      k = 3, threshold = 0.4, portable = true)
+
   /** SimHash near-dup candidates (no SQL oracle — xxhash64). */
   def q32Simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashCandidates(t(s, dir, "documents"), maxHammingDistance = 3)
@@ -481,6 +490,7 @@ object TestdataQueries {
     "q27_range_join" -> q27RangeJoin _,
     "q42_token_stats" -> q42TokenStats _,
     "q43_fingerprint" -> q43Fingerprint _,
+    "q44_minhash_portable" -> q44MinhashPortable _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,
