@@ -1,0 +1,64 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+/** Plan-level proof of the physical-layout claims: partition pruning
+  * reaches the scan, bucketed joins run without an exchange. At 100 TB
+  * these two properties decide whether a query touches gigabytes or
+  * everything, so they are locked in as tests.
+  */
+class LayoutSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def explain(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("partitioned layout: filter on the partition column prunes at the scan") {
+    val root = tmpDir("layout_part").toString + "/events"
+    val days = Seq(
+      (1L, "2024-01-01", 1.0), (2L, "2024-01-01", 2.0),
+      (3L, "2024-01-02", 3.0), (4L, "2024-01-03", 4.0))
+      .toDF("id", "day", "v").withColumn("day", col("day").cast("date"))
+    Layout.writePartitioned(days, root, Seq("day"))
+
+    val q = spark.read.parquet(root).filter(col("day") === lit("2024-01-02").cast("date"))
+    val p = explain(q)
+    assert(p.contains("PartitionFilters") &&
+      p.matches("(?s).*PartitionFilters: \\[[^\\]]*day[^\\]]*\\].*"), p)
+    assert(q.collect().map(_.getAs[Long]("id")).toSeq == Seq(3L))
+    // the pruned read must touch only the matching partition directory
+    val scanned = q.queryExecution.executedPlan.collectLeaves()
+      .head.metrics.get("numFiles")
+    q.count()
+    assert(scanned.exists(_.value == 1), s"expected 1 file read, got $scanned")
+  }
+
+  test("bucketed tables: equi-join on the bucket key plans with no exchange") {
+    val wh = tmpDir("layout_wh")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    try {
+      val facts = (0L until 1000L).map(i => (i % 100, i, i * 2.0))
+        .toDF("k", "id", "v")
+      val dims = (0L until 100L).map(i => (i, s"name$i")).toDF("k", "name")
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS layoutspec LOCATION '$wh'")
+      Layout.writeBucketed(facts, "layoutspec.facts_b", "k", buckets = 8)
+      Layout.writeBucketed(dims, "layoutspec.dims_b", "k", buckets = 8)
+
+      val joined = spark.table("layoutspec.facts_b")
+        .join(spark.table("layoutspec.dims_b"), "k")
+      val p = explain(joined)
+      assert(!p.contains("Exchange"), p)   // co-located: no shuffle either side
+      assert(joined.count() == 1000L)
+
+      // identical non-bucketed join DOES shuffle — the layout is what saves it
+      val plain = facts.join(dims, "k")
+      assert(explain(plain).contains("Exchange"), explain(plain))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP DATABASE IF EXISTS layoutspec CASCADE")
+    }
+  }
+}

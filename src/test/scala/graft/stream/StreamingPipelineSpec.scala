@@ -138,4 +138,28 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(jan15.getAs[java.math.BigDecimal]("avg_num").doubleValue() == 105.0)
     q.stop()
   }
+
+  test("streaming dedup drops in-window duplicates, bounded by the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[(String, String, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("study_id", "participant_id", "measured_at")
+    val q = StreamingDedup.withinWatermark(df, "measured_at", "1 hour",
+        Seq("study_id", "participant_id", "measured_at"))
+      .writeStream.outputMode("append").format("memory").queryName("dedup").start()
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData(
+      ("S1", "P1", ts("2024-01-15 09:00:00")),
+      ("S1", "P1", ts("2024-01-15 09:00:00")),   // same-batch duplicate
+      ("S1", "P2", ts("2024-01-15 09:10:00")))
+    q.processAllAvailable()
+    mem.addData(("S1", "P1", ts("2024-01-15 09:00:00")))  // cross-batch dup
+    q.processAllAvailable()
+
+    assert(spark.table("dedup").count() == 2)  // one P1 row, one P2 row
+    q.stop()
+  }
 }
