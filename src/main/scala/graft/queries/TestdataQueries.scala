@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.expr.ClinicalCols
 import graft.llm.{Dedup, Similarity, TextAnalysis, Multimodal}
 
 /** SURVEY §2 operator inventory expressed over the driver's synthetic
@@ -67,7 +66,10 @@ object TestdataQueries {
   // ------------------------------------------------- the signature transform
 
   /** G1/G2: packed "S/D" split -> two rows, invalid falls through to one
-    * text row (both-or-neither), exercising the real BP column algebra. */
+    * text row (both-or-neither), through the native [[graft.expr
+    * .ParseBloodPressure]] expression — the production parse path (the
+    * equivalent column algebra stays pinned to it by
+    * `ClinicalColsPropSpec`). */
   def q04BpSplit(s: SparkSession, dir: String): DataFrame = {
     val src = t(s, dir, "lineitem").select(
       col("l_orderkey"), col("l_linenumber"),
@@ -75,8 +77,9 @@ object TestdataQueries {
         (col("l_partkey") % 300).cast("int")).as("value"))
     // parse once before the Generate (generator exprs get no CSE)
     val parsed = src
-      .withColumn("sys", ClinicalCols.bpSystolic(col("value")))
-      .withColumn("dia", ClinicalCols.bpDiastolic(col("value")))
+      .withColumn("bp", graft.expr.ParseBloodPressure(col("value")))
+      .withColumn("sys", col("bp.systolic"))
+      .withColumn("dia", col("bp.diastolic"))
     val rows = when(col("sys").isNotNull,
         array(
           struct(lit("systolic").as("component"), col("sys").as("value_num"),

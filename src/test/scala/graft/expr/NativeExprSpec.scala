@@ -1,0 +1,83 @@
+package graft.expr
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins for the native expressions: interpreted == codegen == the column
+  * algebra they replace, plus SQL registration of the whole surface. */
+class NativeExprSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("WordShingles matches the slice/zip_with/array_distinct formulation") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "  leading and trailing  ",
+      "MIXED Case\tTabs\nNewlines  collapse",
+      "one two",          // fewer tokens than k
+      "a b c a b c a b c", // repeats -> distinct
+      "", "   ")
+    val df = texts.toDF("text")
+    // the formulation WordShingles replaced, kept here as the oracle
+    val toks = split(regexp_replace(lower(col("text")), "\\s+", " "), " ")
+    val m = greatest(size(toks) - 2, lit(0))
+    val parts = (0 until 3).map(j => slice(toks, lit(j + 1), m))
+    val algebra = array_distinct(
+      parts.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y))))
+    val rows = df.select(
+      WordShingles(col("text"), 3).as("native"), algebra.as("alg")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), r)
+    }
+  }
+
+  test("VecDot/VecNorm match the zip_with/aggregate formulation bit-exactly") {
+    val vecs = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(0.5f, -1.0f, 2.0f)),
+      (Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f)),
+      (Array(1e-8f, 1e8f, -3.3f), Array(2.2f, -1e-8f, 0.1f)))
+      .toDF("a", "b")
+    val hofDot = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    vecs.select(VectorExprs.vecDot(col("a"), col("b")).as("n"), hofDot.as("h"),
+        VectorExprs.vecNorm(col("a")).as("nn"),
+        sqrt(aggregate(zip_with(col("a"), col("a"),
+          (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, x) => acc + x)).as("hn"))
+      .collect().foreach { r =>
+        assert(r.getDouble(0) == r.getDouble(1))
+        assert(r.getDouble(2) == r.getDouble(3))
+      }
+  }
+
+  test("PolyFingerprint: known values, empty string, unicode codepoints") {
+    val r = Seq("", "a", "ab", "日本").toDF("t")
+      .select(PolyFingerprint(col("t")).as("fp")).collect().map(_.getLong(0))
+    assert(r(0) == 0L)
+    assert(r(1) == 'a'.toLong)
+    assert(r(2) == ('a'.toLong * 31 + 'b'.toLong) % 1000000007L)
+    assert(r(3) == (0x65e5L * 31 + 0x672cL) % 1000000007L)
+  }
+
+  test("the full native surface is SQL-callable via GraftExtensions") {
+    val ext = new graft.GraftExtensions
+    // same builders the extension injects, applied to the test session
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", ch => VecDot(ch(0), ch(1)), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles", ch => WordShingles(ch(0),
+        ch(1).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+          .value.asInstanceOf[Int]), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "poly_fingerprint", ch => PolyFingerprint(ch.head), "internal")
+    val r = spark.sql(
+      """SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       size(word_shingles('a b c d', 2)) AS s,
+        |       poly_fingerprint('ab') AS fp""".stripMargin).head()
+    assert(r.getAs[Double]("d") == 11.0)
+    assert(r.getAs[Int]("s") == 3)
+    assert(r.getAs[Long]("fp") == ('a'.toLong * 31 + 'b'.toLong) % 1000000007L)
+    assert(ext != null)
+  }
+}
