@@ -163,15 +163,22 @@ object Dedup {
     */
   def simhashTable(docs: DataFrame, k: Int = 2,
                    id: Column = col("doc_id"),
-                   text: Column = col("text")): DataFrame = {
-    val hashed = docs
-      .select(id.as("doc_id"), explode(shingles(text, k)).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
-    val bitSums = (0 until 64).map { bit =>
+                   text: Column = col("text"),
+                   portable: Boolean = false): DataFrame = {
+    val base = docs.select(id.as("doc_id"), explode(shingles(text, k)).as("sh"))
+    // portable: 56-bit md5-derived hash (two 28-bit hex chunks) so the
+    // DuckDB oracle can recompute every stage with plain integer SQL
+    val hashed =
+      if (portable) base.select(col("doc_id"),
+        (conv(substring(md5(col("sh")), 1, 7), 16, 10).cast("long") * (1L << 28) +
+          conv(substring(md5(col("sh")), 8, 7), 16, 10).cast("long")).as("h"))
+      else base.select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    val nBits = if (portable) 56 else 64
+    val bitSums = (0 until nBits).map { bit =>
       sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"b$bit")
     }
-    val fp = (0 until 64).map { bit =>
+    val fp = (0 until nBits).map { bit =>
       when(col(s"b$bit") > 0, lit(1L << bit)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
     hashed.groupBy("doc_id")
@@ -188,10 +195,11 @@ object Dedup {
     */
   def simhashCandidates(docs: DataFrame, maxHammingDistance: Int = 3,
                         id: Column = col("doc_id"),
-                        text: Column = col("text")): DataFrame = {
+                        text: Column = col("text"),
+                        portable: Boolean = false): DataFrame = {
     val blocks = maxHammingDistance + 1
-    val bitsPerBlock = 64 / blocks
-    val printed = simhashTable(docs, 2, id, text)
+    val bitsPerBlock = (if (portable) 56 else 64) / blocks
+    val printed = simhashTable(docs, 2, id, text, portable)
     val blocked = printed.select(col("doc_id"), col("fp"),
         explode(array((0 until blocks).map { blk =>
           struct(lit(blk).as("blk"),

@@ -295,6 +295,39 @@ object Oracles {
          |SELECT id_a, id_b, est_jaccard FROM est
          |WHERE est_jaccard >= 0.4""".stripMargin,
 
+    "q45_simhash_portable" ->
+      raw"""WITH tk AS (
+         |  SELECT doc_id, string_split($norm, ' ') AS t FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)),
+         |    i -> t[i] || ' ' || t[i+1]))) AS s
+         |  FROM tk),
+         |h AS (
+         |  SELECT doc_id,
+         |         ('0x' || substr(md5(s), 1, 7))::BIGINT * 268435456
+         |           + ('0x' || substr(md5(s), 8, 7))::BIGINT AS h
+         |  FROM sh),
+         |bits AS (
+         |  SELECT doc_id, r.bit AS bit,
+         |         sum(CASE WHEN (h >> r.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM h, range(0, 56) r(bit)
+         |  GROUP BY 1, 2),
+         |fp AS (
+         |  SELECT doc_id,
+         |         sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS fp
+         |  FROM bits GROUP BY 1),
+         |blocked AS (
+         |  SELECT doc_id, fp, r.blk AS blk,
+         |         (fp >> (r.blk * 14)) & 16383 AS key
+         |  FROM fp, range(0, 4) r(blk)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         bit_count(xor(a.fp, b.fp)) AS hamming
+         |  FROM blocked a JOIN blocked b
+         |    ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, hamming FROM pairs
+         |WHERE hamming <= 3""".stripMargin,
+
     "q33_ngram_jaccard" ->
       s"""WITH sh AS (
          |  SELECT doc_id,

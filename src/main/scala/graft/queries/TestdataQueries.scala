@@ -359,6 +359,13 @@ object TestdataQueries {
   def q32Simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashCandidates(t(s, dir, "documents"), maxHammingDistance = 3)
 
+  /** SimHash with the portable 56-bit md5-derived hash — fingerprinting,
+    * 56 bit-sums, block-permutation LSH, and Hamming filtering all
+    * recomputed independently by the DuckDB oracle (q32 keeps xxhash64). */
+  def q45SimhashPortable(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashCandidates(t(s, dir, "documents"), maxHammingDistance = 3,
+      portable = true)
+
   /** Exact n-gram Jaccard on a deterministic pair set (adjacent doc ids). */
   def q33NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -494,6 +501,7 @@ object TestdataQueries {
     "q42_token_stats" -> q42TokenStats _,
     "q43_fingerprint" -> q43Fingerprint _,
     "q44_minhash_portable" -> q44MinhashPortable _,
+    "q45_simhash_portable" -> q45SimhashPortable _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,
