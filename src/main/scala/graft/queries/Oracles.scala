@@ -10,6 +10,43 @@ object Oracles {
 
   private val norm = raw"regexp_replace(lower(text), '\s+', ' ', 'g')"
 
+  /** Sequential dot product over 64-dim embeddings — `list_reduce` is an
+    * explicit left fold, so the accumulation order (and therefore every
+    * bit of the double result) matches the engine's native VecDot loop.
+    * `0.0 + x == x` in IEEE, so starting from the first product equals
+    * the engine's zero-initialized accumulator. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> " +
+      s"$a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
+
+  /** cosine with the engine's exact arithmetic: dot / (sqrt(aa)*sqrt(bb)). */
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** The rp_bits hyperplane weights as exact decimal literals — the same
+    * xxhash64-derived constants [[graft.expr.RpBits]] precomputes, so the
+    * oracle's bucket assignment is bit-for-bit the engine's. */
+  private def planesValues(nPlanes: Int, dim: Int): String =
+    (0 until nPlanes).map { p =>
+      val ws = (0 until dim).map { d =>
+        val x = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashInt(p * 7919 + d, 42L) % 1000000L
+        new java.math.BigDecimal(x).movePointLeft(6).toPlainString
+      }.mkString("[", ", ", "]::DOUBLE[]")
+      s"($p, $ws)"
+    }.mkString(",\n         ")
+
+  /** Shared CTE computing each embedding's rp_bits bucket. */
+  private def bucketCte(nPlanes: Int): String =
+    s"""planes AS (SELECT * FROM (VALUES
+       |         ${planesValues(nPlanes, 64)}) pl(plane, w)),
+       |buck AS (
+       |  SELECT e.vec_id,
+       |         sum(CASE WHEN list_reduce(list_transform(range(1, 65),
+       |               i -> e.embedding[i]::DOUBLE * p.w[i]), (x, y) -> x + y) >= 0
+       |             THEN (1::BIGINT << p.plane) ELSE 0 END) AS bucket
+       |  FROM embeddings e, planes p GROUP BY 1)""".stripMargin
+
   val all: Map[String, String] = Map(
 
     "q01_scan_project" ->
@@ -390,6 +427,69 @@ object Oracles {
          |  sc_de, sc_en, sc_es, sc_fr, sc_zh
          |FROM s""".stripMargin
     },
+
+    "q37_ann_lsh" ->
+      s"""WITH ${bucketCte(6)},
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id,
+         |         ${cosSql("q.embedding", "c.embedding")} AS cos
+         |  FROM embeddings q
+         |  JOIN buck qb ON qb.vec_id = q.vec_id
+         |  JOIN buck cb ON cb.bucket = qb.bucket
+         |  JOIN embeddings c ON c.vec_id = cb.vec_id
+         |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, cos,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, vec_id, round(cos, 6) AS cosine
+         |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "q41_embedding_neardup" ->
+      s"""WITH ${bucketCte(6)},
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         ${cosSql("ea.embedding", "eb.embedding")} AS cos
+         |  FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id)
+         |SELECT id_a, id_b, round(cos, 6) AS cosine
+         |FROM pairs WHERE cos >= 0.25""".stripMargin,
+
+    "q40_ann_ivf" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cell_id, embedding AS centroid
+         |  FROM embeddings ORDER BY vec_id LIMIT 16),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cell_id FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.embedding", "c.centroid")} DESC,
+         |                      c.cell_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, q_emb, cell_id FROM (
+         |    SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.cell_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${cosSql("q.embedding", "c.centroid")} DESC,
+         |                      c.cell_id ASC) AS rn
+         |    FROM embeddings q CROSS JOIN cent c
+         |    WHERE q.vec_id < 5)
+         |  WHERE rn <= 4),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id,
+         |         ${cosSql("p.q_emb", "a.embedding")} AS cos
+         |  FROM probes p JOIN assigned a USING (cell_id)
+         |  WHERE a.vec_id <> p.query_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, cos,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, vec_id, round(cos, 6) AS cosine
+         |FROM ranked WHERE rank <= 10""".stripMargin,
 
     "q36_ann_brute_force" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
