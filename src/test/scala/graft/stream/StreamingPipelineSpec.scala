@@ -162,4 +162,34 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(spark.table("dedup").count() == 2)  // one P1 row, one P2 row
     q.stop()
   }
+
+  test("stream-stream join correlates keys within the event-time window only") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val meas = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val calib = MemoryStream[(String, java.sql.Timestamp, String)]
+    val joined = StreamJoin.precededBy(
+      meas.toDF().toDF("site", "m_ts", "value"),
+      calib.toDF().toDF("c_site", "c_ts", "calib_id"),
+      leftKey = "site", rightKey = "c_site",
+      leftTime = "m_ts", rightTime = "c_ts",
+      lateness = "10 minutes", window = "1 hour")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("sjoin").start()
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    calib.addData(
+      ("S_A", ts("2024-01-15 08:30:00"), "cal-in-window"),
+      ("S_A", ts("2024-01-15 06:00:00"), "cal-too-old"),
+      ("S_B", ts("2024-01-15 08:45:00"), "cal-wrong-site"))
+    meas.addData(("S_A", ts("2024-01-15 09:00:00"), 98.5))
+    q.processAllAvailable()
+
+    val rows = spark.table("sjoin").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("calib_id") == "cal-in-window")
+    q.stop()
+  }
 }
