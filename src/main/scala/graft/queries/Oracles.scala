@@ -365,6 +365,26 @@ object Oracles {
          |SELECT id_a, id_b, hamming FROM pairs
          |WHERE hamming <= 3""".stripMargin,
 
+    "q46_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT l_returnflag AS flag,
+        |         ('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))::BIGINT AS hv
+        |  FROM lineitem),
+        |r AS (SELECT flag, hv,
+        |        row_number() OVER (PARTITION BY flag ORDER BY hv) AS rn
+        |      FROM h),
+        |a AS (SELECT flag, count(*) AS nd,
+        |        max(CASE WHEN rn = 64 THEN hv END) AS kth
+        |      FROM r GROUP BY 1),
+        |ex AS (SELECT l_returnflag AS flag,
+        |         count(DISTINCT l_partkey) AS exact_distinct
+        |       FROM lineitem GROUP BY 1)
+        |SELECT a.flag AS l_returnflag, ex.exact_distinct,
+        |       CASE WHEN a.nd < 64 THEN a.nd::DOUBLE
+        |            ELSE 63.0 / (a.kth::DOUBLE / 1152921504606846976.0)
+        |       END AS kmv_est
+        |FROM a JOIN ex ON ex.flag = a.flag""".stripMargin,
+
     "q33_ngram_jaccard" ->
       s"""WITH sh AS (
          |  SELECT doc_id,

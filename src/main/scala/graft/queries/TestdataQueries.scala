@@ -470,6 +470,20 @@ object TestdataQueries {
     t(s, dir, "documents").select(
       col("doc_id"), graft.expr.PolyFingerprint(col("text")).as("fp"))
 
+  /** KMV distinct-count sketch next to the exact answer — deterministic
+    * by construction, so the DuckDB oracle recomputes the ESTIMATE
+    * itself, not just a tolerance band (impossible with HLL). */
+  def q46KmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Sketches
+    val k = 64
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(Sketches.kmvMins(k)(Sketches.kmvHash(col("l_partkey"))).as("mins"),
+        countDistinct(col("l_partkey")).as("exact_distinct"))
+      .select(col("l_returnflag"), col("exact_distinct"),
+        Sketches.kmvEstimate(k, col("mins")).as("kmv_est"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -502,6 +516,7 @@ object TestdataQueries {
     "q43_fingerprint" -> q43Fingerprint _,
     "q44_minhash_portable" -> q44MinhashPortable _,
     "q45_simhash_portable" -> q45SimhashPortable _,
+    "q46_kmv_distinct" -> q46KmvDistinct _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,

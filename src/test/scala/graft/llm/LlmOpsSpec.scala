@@ -16,6 +16,24 @@ class LlmOpsSpec extends SparkSpec {
     (4L, "short text")
   ).toDF("doc_id", "text")
 
+  test("KMV sketch: exact below k, within 2/sqrt(k) relative error above") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // 7 distinct values < k=16 -> sketch returns the exact count
+    val small = (0 until 200).map(i => ("g", i % 7)).toDF("g", "v")
+    val exactRow = Sketches.kmvDistinct(small, Seq(col("g")), col("v"), k = 16)
+      .collect().head
+    assert(exactRow.getAs[Double]("kmv_est") == 7.0)
+    // 5000 distinct values >> k=64 -> estimate within ~2/sqrt(k) (25%)
+    val big = (0 until 5000).map(i => ("g", i)).toDF("g", "v")
+    val est = Sketches.kmvDistinct(big, Seq(col("g")), col("v"), k = 64)
+      .collect().head.getAs[Double]("kmv_est")
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.25, s"estimate $est")
+    // merge path: the same data pre-split into many partitions agrees
+    val est2 = Sketches.kmvDistinct(big.repartition(13), Seq(col("g")), col("v"),
+      k = 64).collect().head.getAs[Double]("kmv_est")
+    assert(est == est2)   // deterministic regardless of partitioning
+  }
+
   test("exact dedup groups identical normalized text, keeps min id") {
     val d = Dedup.exact(docs).collect()
     assert(d.length == 4) // 0 and 3 collapse
