@@ -31,8 +31,12 @@ object Aggregate {
         max(col("value_num")).as("max_num"))
       .withColumn("job_id", lit(jobId))
 
+  /** Partition-scoped by study: a batch's merge reads and rewrites only
+    * the `study_id=` partitions it touches (see
+    * [[Warehouse.mergeReplacePartitions]]). */
   def mergeIntoWarehouse(wh: Warehouse, incoming: DataFrame): Unit =
-    wh.mergeReplace("measurement_aggregations", Schemas.aggregations, incoming,
+    wh.mergeReplacePartitions("measurement_aggregations", Schemas.aggregations,
+      incoming, partitionCols = Seq("study_id"),
       combine = (old, nw) => {
         val keys = Schemas.aggregationKey
         old.join(nw, keys, "full_outer").select(

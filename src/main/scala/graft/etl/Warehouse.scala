@@ -6,6 +6,7 @@ import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.expressions.Window
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.Comparator
+import scala.jdk.CollectionConverters._
 
 /** Parquet-backed warehouse with the reference's three sink disciplines:
   *
@@ -24,7 +25,7 @@ import java.util.Comparator
   * partitioned by `study_id` so a merge or selective read touches only the
   * studies present in the incoming batch.
   */
-final class Warehouse(spark: SparkSession, root: String) {
+final class Warehouse(spark: SparkSession, val root: String) {
 
   private def dir(table: String): Path = Paths.get(root, table)
 
@@ -70,7 +71,8 @@ final class Warehouse(spark: SparkSession, root: String) {
     val fresh =
       if (!exists(table)) deduped
       else deduped.join(
-        read(table, schema).select(keyCols: _*),
+        prunedToIncoming(read(table, schema), deduped,
+          partitionBy.filter(keys.contains)).select(keyCols: _*),
         keys, "left_anti")
     // single action: append and count what landed
     val staged = fresh.cache()
@@ -93,6 +95,70 @@ final class Warehouse(spark: SparkSession, root: String) {
       if (!exists(table)) incoming
       else combine(read(table, schema).alias("old"), incoming.alias("new"))
     replace(table, merged.select(schema.fieldNames.map(col): _*), partitionBy)
+  }
+
+  /** Restrict `existing` to the partition values present in `incoming` —
+    * the anti-join/merge scan then prunes to only the directories a batch
+    * can possibly conflict with. Valid whenever the partition columns are
+    * part of the conflict key (same key => same partition). The distinct
+    * partition values are collected to the driver: they are bounded by
+    * the batch's partition count (a handful of studies), never by data
+    * size. */
+  private def prunedToIncoming(existing: DataFrame, incoming: DataFrame,
+                               pruneCols: Seq[String]): DataFrame =
+    pruneCols.foldLeft(existing) { (d, c) =>
+      val vals = incoming.select(col(c)).distinct().collect().map(_.get(0))
+      d.filter(col(c).isin(vals: _*))
+    }
+
+  /** Partition-scoped merge-upsert: like [[mergeReplace]], but reads and
+    * rewrites ONLY the partitions present in the incoming batch — the
+    * other partition directories are never opened, never rewritten. This
+    * is the property that keeps a nightly merge touching one study's data
+    * from re-shuffling a 100 TB warehouse. Requires the partition columns
+    * to be a prefix of the merge key semantics (same key => same
+    * partition), which holds for every warehouse table here.
+    */
+  def mergeReplacePartitions(table: String, schema: StructType,
+                             incoming: DataFrame,
+                             combine: (DataFrame, DataFrame) => DataFrame,
+                             partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "use mergeReplace for unpartitioned tables")
+    if (!exists(table)) {
+      replace(table, incoming.select(schema.fieldNames.map(col): _*), partitionCols)
+      return
+    }
+    val scoped = prunedToIncoming(read(table, schema), incoming, partitionCols)
+    val merged = combine(scoped.alias("old"), incoming.alias("new"))
+      .select(schema.fieldNames.map(col): _*)
+    // write the merged scope to a tmp dir, then swap ONLY those partition
+    // directories into the live table (same no-self-overwrite discipline
+    // as replace(), at partition granularity)
+    val tmp = Paths.get(root, table + ".__ptmp")
+    deleteRecursively(tmp)
+    merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*)
+      .parquet(tmp.toString)
+    partitionDirs(tmp, partitionCols.length).foreach { rel =>
+      val target = dir(table).resolve(rel)
+      val old = Paths.get(target.toString + ".__old")
+      deleteRecursively(old)
+      Files.createDirectories(target.getParent)
+      if (Files.exists(target)) Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(tmp.resolve(rel), target, StandardCopyOption.ATOMIC_MOVE)
+      deleteRecursively(old)
+    }
+    deleteRecursively(tmp)
+  }
+
+  /** Relative `col=value[/col=value...]` paths of the leaf partition dirs
+    * under `base`, `depth` partition levels deep. */
+  private def partitionDirs(base: Path, depth: Int): Seq[Path] = {
+    def walk(p: Path, d: Int): Seq[Path] =
+      if (d == 0) Seq(p)
+      else Files.list(p).iterator().asScala.toSeq
+        .filter(q => Files.isDirectory(q) && q.getFileName.toString.contains("="))
+        .flatMap(walk(_, d - 1))
+    walk(base, depth).map(base.relativize)
   }
 
   /** Overwrite a table via tmp-dir + swap so we never read and clobber the

@@ -151,6 +151,34 @@ class PipelineSpec extends SparkSpec {
     assert(agg.getAs[String]("job_id") == "j-2")
   }
 
+  test("agg merge is partition-scoped: other studies' files are untouched") {
+    val (pipe, wh) = freshPipeline()
+    val sA =
+      s"""${Fixtures.header}
+         |SA,P,glucose,100,mg/dL,2024-01-01T00:00:00Z,SITE_A,0.9
+         |""".stripMargin
+    val sB =
+      s"""${Fixtures.header}
+         |SB,P,glucose,150,mg/dL,2024-01-02T00:00:00Z,SITE_B,0.9
+         |""".stripMargin
+    pipe.processJob("j-a", csv("sa.csv", sA))
+    val aDir = java.nio.file.Paths.get(wh.root,
+      "measurement_aggregations", "study_id=SA")
+    def filesOf(p: java.nio.file.Path): Map[String, java.nio.file.attribute.FileTime] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(f => f.toString -> java.nio.file.Files.getLastModifiedTime(f)).toMap
+    }
+    val before = filesOf(aDir)
+    pipe.processJob("j-b", csv("sb.csv", sB))   // touches only study SB
+    assert(filesOf(aDir) == before)             // SA partition bit-identical
+    val aggs = wh.read("measurement_aggregations", Schemas.aggregations)
+    assert(aggs.count() == 2)                   // both studies present
+    assert(aggs.filter(org.apache.spark.sql.functions.col("study_id") === "SA")
+      .head().getAs[java.math.BigDecimal]("avg_num").doubleValue() == 100.0)
+  }
+
   test("job status is queryable and progress milestones fire in order") {
     val seen = scala.collection.mutable.ArrayBuffer[Int]()
     val wh = new Warehouse(spark, tmpDir("wh").toString)
