@@ -385,6 +385,15 @@ object Oracles {
         |       END AS kmv_est
         |FROM a JOIN ex ON ex.flag = a.flag""".stripMargin,
 
+    "q47_quantiles" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       quantile_cont(l_quantity, 0.25) AS q25,
+        |       quantile_cont(l_quantity, 0.5)  AS q50,
+        |       quantile_cont(l_quantity, 0.9)  AS q90,
+        |       count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY 1, 2""".stripMargin,
+
     "q33_ngram_jaccard" ->
       s"""WITH sh AS (
          |  SELECT doc_id,

@@ -484,6 +484,19 @@ object TestdataQueries {
         Sketches.kmvEstimate(k, col("mins")).as("kmv_est"))
   }
 
+  /** Exact continuous quantiles (sort-based `percentile`) per group —
+    * the reference has no quantile surface; the engine exposes exact
+    * quantiles for batch profiling (at 100 TB swap in
+    * `approx_percentile`, same call shape). */
+  def q47Quantiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("q25"),
+        expr("percentile(l_quantity, 0.5)").as("q50"),
+        expr("percentile(l_quantity, 0.9)").as("q90"),
+        count(lit(1)).as("cnt"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -517,6 +530,7 @@ object TestdataQueries {
     "q44_minhash_portable" -> q44MinhashPortable _,
     "q45_simhash_portable" -> q45SimhashPortable _,
     "q46_kmv_distinct" -> q46KmvDistinct _,
+    "q47_quantiles" -> q47Quantiles _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,
