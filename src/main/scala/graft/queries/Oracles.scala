@@ -394,6 +394,21 @@ object Oracles {
         |FROM lineitem
         |GROUP BY 1, 2""".stripMargin,
 
+    "q48_frame_sample" ->
+      """SELECT doc_id::BIGINT AS media_id,
+        |       unnest(list_filter(range(0, 12), i -> i % 3 = 0)) AS frame_idx,
+        |       octet_length(encode(text)) / 30 AS approx_frame_bytes
+        |FROM documents""".stripMargin,
+
+    "q49_set_ops" ->
+      """WITH ordered AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+        |allc AS (SELECT DISTINCT c_custkey AS custkey FROM customer)
+        |SELECT custkey, 'both' AS side
+        |FROM (SELECT custkey FROM ordered INTERSECT SELECT custkey FROM allc)
+        |UNION ALL
+        |SELECT custkey, 'never_ordered' AS side
+        |FROM (SELECT custkey FROM allc EXCEPT SELECT custkey FROM ordered)""".stripMargin,
+
     "q33_ngram_jaccard" ->
       s"""WITH sh AS (
          |  SELECT doc_id,

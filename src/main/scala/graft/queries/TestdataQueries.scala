@@ -497,6 +497,25 @@ object TestdataQueries {
         expr("percentile(l_quantity, 0.9)").as("q90"),
         count(lit(1)).as("cnt"))
 
+  /** Multimodal frame-sample plan: per media item, the sampled frame
+    * indices (every 3rd below 12) exploded to rows — pure metadata math,
+    * zero blob bytes read (the plan prunes the payload column). */
+  def q48FrameSample(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMedia(t(s, dir, "documents"),
+      col("doc_id"), col("text"), "text")
+    Multimodal.frameSamplePlan(media, fps = 30, stride = 3, maxFrames = 12)
+      .select(col("media_id"), explode(col("frame_indices")).as("frame_idx"),
+        col("approx_frame_bytes"))
+  }
+
+  /** §2.7 set ops beyond union: intersect and except (distinct forms). */
+  def q49SetOps(s: SparkSession, dir: String): DataFrame = {
+    val ordered = t(s, dir, "orders").select(col("o_custkey").as("custkey")).distinct()
+    val all = t(s, dir, "customer").select(col("c_custkey").as("custkey")).distinct()
+    ordered.intersect(all).withColumn("side", lit("both"))
+      .unionByName(all.except(ordered).withColumn("side", lit("never_ordered")))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -531,6 +550,8 @@ object TestdataQueries {
     "q45_simhash_portable" -> q45SimhashPortable _,
     "q46_kmv_distinct" -> q46KmvDistinct _,
     "q47_quantiles" -> q47Quantiles _,
+    "q48_frame_sample" -> q48FrameSample _,
+    "q49_set_ops" -> q49SetOps _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,
