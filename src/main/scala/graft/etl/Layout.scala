@@ -41,4 +41,32 @@ object Layout {
   /** Derived day-partition column for event-time layouts. */
   def dayOf(tsCol: String): org.apache.spark.sql.Column =
     to_date(col(tsCol)).as("p_day")
+
+  /** Compact a parquet directory's small files: rewrite to ~`targetBytes`
+    * per file (computed from the current on-disk size) via tmp-dir + swap.
+    * Incremental appends accumulate one file per task per batch; at scale
+    * the scan cost becomes dominated by file-open overhead long before
+    * data volume — periodic compaction is the standard fix. Partitioned
+    * layouts pass their `partitionCols` so the directory structure (and
+    * pruning) survives the rewrite.
+    */
+  def compact(spark: SparkSession, path: String,
+              partitionCols: Seq[String] = Nil,
+              targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Paths.get(path)
+    val onDisk = Files.walk(dir).filter(Files.isRegularFile(_))
+      .mapToLong(Files.size(_)).sum()
+    val nFiles = math.max(1, math.ceil(onDisk.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(path)
+    val tmp = Paths.get(path + ".__compact")
+    val writer = df.repartition(nFiles).write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(tmp.toString)
+    val old = Paths.get(path + ".__old")
+    Files.move(dir, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+    Files.walk(old).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.delete(p))
+  }
 }

@@ -36,6 +36,54 @@ class LayoutSpec extends SparkSpec {
     assert(scanned.exists(_.value == 1), s"expected 1 file read, got $scanned")
   }
 
+  test("compaction collapses small files, preserves data and partitioning") {
+    val root = tmpDir("layout_compact").toString + "/t"
+    val df = (0L until 1000L).map(i => (i, (i % 3).toString, i * 1.5))
+      .toDF("id", "p", "v")
+    // fragment: 8 writes of one partition-triple each -> many small files
+    (0 until 8).foreach { _ =>
+      df.sample(0.12).write.mode("append").partitionBy("p").parquet(root)
+    }
+    def parquetFiles(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
+        .count(f => f.toString.endsWith(".parquet"))
+    }
+    val beforeFiles = parquetFiles()
+    val beforeData = spark.read.parquet(root).collect().map(_.toString).sorted
+    Layout.compact(spark, root, partitionCols = Seq("p"))
+    assert(parquetFiles() < beforeFiles)
+    assert(parquetFiles() <= 3 * 1)   // ~1 task's output per partition
+    val afterData = spark.read.parquet(root).collect().map(_.toString).sorted
+    assert(afterData.toSeq == beforeData.toSeq)
+    // partition pruning still works on the compacted layout
+    val p = explain(spark.read.parquet(root).filter(col("p") === "1"))
+    assert(p.contains("PartitionFilters"), p)
+  }
+
+  test("dynamic partition pruning: a dim filter prunes the fact scan at runtime") {
+    val root = tmpDir("layout_dpp").toString + "/facts"
+    val facts = (0L until 2000L).map(i => (i, s"d${i % 20}", i * 1.0))
+      .toDF("id", "day", "v")
+    Layout.writePartitioned(facts, root, Seq("day"))
+    // dim must be a real relation (a LocalRelation's filter constant-folds
+    // away, and DPP requires a selective predicate on the build side)
+    val dimPath = tmpDir("layout_dpp_dim").toString + "/dim"
+    (0 until 20).map(i => (s"d$i", if (i < 2) "keep" else "drop"))
+      .toDF("day", "flag").write.parquet(dimPath)
+    // at test scale the stats-based benefit estimate rejects pruning (the
+    // whole fact table is a few KB); force the ratio heuristic the way a
+    // real deployment with missing stats would take
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try {
+      val q = spark.read.parquet(root)
+        .join(spark.read.parquet(dimPath).filter(col("flag") === "keep"), "day")
+      val p = explain(q)
+      assert(p.toLowerCase.contains("dynamicpruning"), p)
+      assert(q.count() == 200)   // 2 of 20 days survive
+    } finally spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+  }
+
   test("bucketed tables: equi-join on the bucket key plans with no exchange") {
     val wh = tmpDir("layout_wh")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
