@@ -94,18 +94,24 @@ object Similarity {
         .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"),
           norm(col("embedding")).as("cent_nrm")))
     // one pass: nearest centroid per corpus vector (norm computed once per
-    // vector, not once per (vector, centroid) candidate)
-    val assignW = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("cell_id").asc)
+    // vector, not once per (vector, centroid) candidate). Argmax via
+    // max_by, NOT a window: the window formulation shuffles and sorts
+    // |corpus| x nLists rows, while the aggregate partial-combines
+    // map-side and shuffles ONE row per vector — the difference between
+    // re-shuffling the corpus nLists-fold and not, at 100 TB. Ordering
+    // struct (sim, -cell_id) reproduces (sim desc, cell_id asc) exactly.
     val assigned = corpus
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
       .join(centroids)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell_id"),
         cosinePre(col("embedding"), col("centroid"), col("nrm"), col("cent_nrm"))
           .as("sim"))
-      .withColumn("rn", row_number().over(assignW))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell_id"))
+      .groupBy("vec_id")
+      .agg(
+        max_by(struct(col("cell_id"), col("embedding"), col("nrm")),
+          struct(col("sim"), -col("cell_id"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.nrm").as("nrm"), col("best.cell_id").as("cell_id"))
     // nProbe nearest cells per query
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cell_id").asc)
