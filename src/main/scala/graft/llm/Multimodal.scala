@@ -74,6 +74,36 @@ object Multimodal {
     out
   }
 
+  /** Resize plan shape for images: per-partition batch transform emitting
+    * the target-dimension payload. The pixel work is STUBBED (no codecs in
+    * this container) with a deterministic byte downsample sized to the
+    * target dimensions, but the Spark-side contract is real: binary in,
+    * binary out, metadata updated, batch-per-partition execution, and the
+    * blob column only materializes inside the partition iterator. A real
+    * codec (JNI / `mapInArrow` to a worker) drops into `resizeStub`. */
+  def resize(spark: SparkSession, media: DataFrame,
+             targetW: Int, targetH: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("kind"),
+        col("bytes"), col("width").cast("int"), col("height").cast("int"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          MediaRow(r.media_id, r.kind,
+            resizeStub(r.bytes, targetW * targetH), targetW, targetH)
+        }
+      }
+  }
+
+  /** STUB "resize": deterministic fixed-length downsample of the payload
+    * (every ceil(n/target)-th byte). Replace with a real image scaler. */
+  private def resizeStub(bytes: Array[Byte], targetLen: Int): Array[Byte] = {
+    if (bytes.isEmpty || targetLen <= 0) return Array.emptyByteArray
+    val n = math.min(targetLen, bytes.length)
+    val step = bytes.length.toDouble / n
+    Array.tabulate(n)(i => bytes((i * step).toInt))
+  }
+
   /** Frame-sampling plan shape for video: pick every `stride`-th frame
     * index below `maxFrames` — pure metadata op until decode runs. */
   def frameSamplePlan(media: DataFrame, fps: Int, stride: Int,

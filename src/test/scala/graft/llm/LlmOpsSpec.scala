@@ -183,4 +183,15 @@ class LlmOpsSpec extends SparkSpec {
     val byId = f1.map(f => f.media_id -> f).toMap
     assert(byId(0L).checksum == byId(3L).checksum)
   }
+
+  test("multimodal resize: payload re-dimensioned per partition, metadata updated") {
+    val media = Multimodal.asMedia(docs, col("doc_id"), col("text"), "text")
+    val resized = Multimodal.resize(spark, media, targetW = 4, targetH = 3)
+      .collect().sortBy(_.media_id)
+    assert(resized.forall(r => r.width == 4 && r.height == 3))
+    assert(resized.forall(_.bytes.length <= 12))   // targetW * targetH cap
+    // deterministic: identical inputs (docs 0 and 3) -> identical payloads
+    assert(resized(0).bytes.toSeq == resized(3).bytes.toSeq)
+    assert(resized.map(_.media_id).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+  }
 }
