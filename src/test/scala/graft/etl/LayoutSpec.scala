@@ -84,6 +84,35 @@ class LayoutSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
   }
 
+  test("AQE splits skewed join partitions at runtime") {
+    // one key carries ~90% of the fact rows; with thresholds scaled to
+    // test size, adaptive execution must mark the sort-merge join skewed
+    // and split the hot partition instead of letting one task drag
+    val conf = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val facts = (0L until 60000L)
+        .map(i => (if (i % 10 < 9) 7L else i % 1000, s"payload-$i-${"x" * 40}"))
+        .toDF("k", "payload")
+      val dim = (0L until 1000L).map(i => (i, s"name$i")).toDF("k", "name")
+      val joined = facts.join(dim, "k")
+      // materialize THROUGH this DataFrame's own query execution —
+      // count() would plan a separate query and leave this one unrun
+      assert(joined.collect().length == 60000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"), finalPlan.take(2000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables: equi-join on the bucket key plans with no exchange") {
     val wh = tmpDir("layout_wh")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
