@@ -44,5 +44,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       WordShingles(ch(0), intArg("word_shingles", ch(1))))
     inject("rp_bits", ch =>
       RpBits(ch(0), intArg("rp_bits", ch(1)), intArg("rp_bits", ch(2))))
+
+    // whole-operator extension: the native as-of join physical operator
+    extensions.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

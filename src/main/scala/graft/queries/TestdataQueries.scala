@@ -301,20 +301,21 @@ object TestdataQueries {
   // ------------------------------------------ time-series / interval joins
 
   /** As-of join (backward): the most recent purchase at-or-before each
-    * click, per user — union-of-sorted-streams lowering, one shuffle
-    * (see [[graft.operators.AsofJoin]]). Oracle: DuckDB `ASOF LEFT JOIN`. */
+    * click, per user — through the NATIVE [[graft.plans.AsofJoinExec]]
+    * physical operator (two-pointer merge over co-partitioned co-sorted
+    * children; the union+window lowering in [[graft.operators.AsofJoin]]
+    * stays as the no-extensions fallback, differential-tested against
+    * this one). Oracle: DuckDB `ASOF LEFT JOIN`. */
   def q26AsofJoin(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.AsofJoin
     val ev = t(s, dir, "events")
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
         col("event_id").as("purchase_event"), col("value").as("purchase_value"))
-    AsofJoin.backward(clicks, purchases,
+    graft.plans.AsofJoinPlan.backward(s, clicks, purchases,
         leftKey = "user_id", rightKey = "p_user",
-        leftTime = "ts", rightTime = "p_ts",
-        payload = Seq("purchase_event", "purchase_value"))
+        leftTime = "ts", rightTime = "p_ts")
       .select(col("event_id"), col("user_id"),
         col("purchase_event"), col("purchase_value"))
   }

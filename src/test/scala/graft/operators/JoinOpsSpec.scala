@@ -47,6 +47,43 @@ class JoinOpsSpec extends SparkSpec {
       row.getAs[Double]("v") == 5.5)
   }
 
+  test("native AsofJoinExec matches the union+window lowering on random data") {
+    import graft.plans.AsofJoinPlan
+    val rnd = new scala.util.Random(42)
+    val left = Seq.tabulate(400)(i =>
+        (rnd.nextInt(12).toLong, ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"), i.toLong))
+      .toDF("k", "t", "lid")
+    val right = Seq.tabulate(150)(i =>
+        (rnd.nextInt(15).toLong, ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:30"), i * 1.5))
+      .toDF("rk", "rt", "px")
+      // (key, time) must be unique on the right for determinism
+      .groupBy("rk", "rt").agg(org.apache.spark.sql.functions.max("px").as("px"))
+
+    val native = AsofJoinPlan.backward(spark, left, right, "k", "rk", "t", "rt")
+      .select(col("lid"), col("px"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val lowered = AsofJoin.backward(left, right.select(col("rk"), col("rt"), col("px")),
+        "k", "rk", "t", "rt", payload = Seq("px"))
+      .select(col("lid"), col("px"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(native.size == 400 && native == lowered)
+  }
+
+  test("native AsofJoinExec: >= at equal ts, null on no-match, plan shape") {
+    import graft.plans.AsofJoinPlan
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:05"), "t1"),
+      (2L, ts("2024-01-01 09:00:00"), "t2")).toDF("sym", "t", "trade_id")
+    val quotes = Seq((1L, ts("2024-01-01 10:00:05"), 101.0)).toDF("qs", "qt", "px")
+    val out = AsofJoinPlan.backward(spark, trades, quotes, "sym", "qs", "t", "qt")
+    // physical nodes print without the Exec suffix
+    assert(out.queryExecution.executedPlan.toString.contains("AsofJoin"))
+    val rows = out.collect().map(r => r.getAs[String]("trade_id") ->
+      Option(r.getAs[Any]("px"))).toMap
+    assert(rows("t1") == Some(101.0))   // equal timestamp matches (>=)
+    assert(rows("t2") == None)          // key with no right rows -> nulls
+  }
+
   test("range binned equals naive, including interval and bin boundaries") {
     val points = Seq(0.0, 49.999, 50.0, 74.9, 75.0, 100.0, 149.9, 150.0, 250.0)
       .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
