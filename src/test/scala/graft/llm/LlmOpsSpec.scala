@@ -53,6 +53,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 3L)))
   }
 
+  test("portable hash families behave like the xxhash64 ones") {
+    val cands = Dedup.minhashCandidates(docs, numHashes = 32, bands = 16,
+      k = 2, threshold = 0.3, portable = true).collect()
+    val pair03 = cands.find(r =>
+      r.getAs[Long]("id_a") == 0L && r.getAs[Long]("id_b") == 3L)
+    assert(pair03.exists(_.getAs[Double]("est_jaccard") == 1.0)) // exact dup
+    val fp = Dedup.simhashTable(docs, k = 2, portable = true).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fp")).toMap
+    assert(fp(0L) == fp(3L))                       // identical docs agree
+    assert(fp.values.forall(v => v >= 0 && v < (1L << 56))) // 56-bit domain
+    val sims = Dedup.simhashCandidates(docs, maxHammingDistance = 3,
+      portable = true).collect()
+    assert(sims.exists(r => r.getAs[Long]("id_a") == 0L &&
+      r.getAs[Long]("id_b") == 3L && r.getAs[Int]("hamming") == 0))
+  }
+
   test("exact ngram jaccard: identical docs 1.0, disjoint docs 0.0") {
     val pairs = Seq((0L, 3L), (0L, 2L)).toDF("id_a", "id_b")
     val j = Dedup.ngramJaccard(docs, pairs, k = 2).collect()
