@@ -409,6 +409,26 @@ object Oracles {
         |SELECT custkey, 'never_ordered' AS side
         |FROM (SELECT custkey FROM allc EXCEPT SELECT custkey FROM ordered)""".stripMargin,
 
+    "q50_analytic_windows" ->
+      """SELECT event_id, user_id,
+        |       lag(event_id, 1) OVER w AS prev_event,
+        |       lead(event_id, 1) OVER w AS next_event,
+        |       row_number() OVER w AS seq,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER
+        |         (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS DOUBLE) AS cum_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts)""".stripMargin,
+
+    "q51_pivot" ->
+      """SELECT user_id,
+        |       count(*) FILTER (event_type = 'click')    AS click,
+        |       count(*) FILTER (event_type = 'error')    AS error,
+        |       count(*) FILTER (event_type = 'purchase') AS purchase,
+        |       count(*) FILTER (event_type = 'signup')   AS signup,
+        |       count(*) FILTER (event_type = 'view')     AS view
+        |FROM events GROUP BY 1""".stripMargin,
+
     "q33_ngram_jaccard" ->
       s"""WITH sh AS (
          |  SELECT doc_id,

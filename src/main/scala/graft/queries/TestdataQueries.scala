@@ -517,6 +517,29 @@ object TestdataQueries {
       .unionByName(all.except(ordered).withColumn("side", lit("never_ordered")))
   }
 
+  /** Analytic window family: lag/lead, dense ranking, and a running
+    * decimal-exact cumulative sum per user ordered by event time. */
+  def q50AnalyticWindows(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTime = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val cumFrame = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        lag(col("event_id"), 1).over(byTime).as("prev_event"),
+        lead(col("event_id"), 1).over(byTime).as("next_event"),
+        row_number().over(byTime).as("seq"),
+        sum(col("value").cast(dec186)).over(cumFrame).cast("double").as("cum_value"))
+  }
+
+  /** Pivot: per-user event counts spread across event-type columns
+    * (Spark's pivot lowers to conditional aggregates). */
+  def q51Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -553,6 +576,8 @@ object TestdataQueries {
     "q47_quantiles" -> q47Quantiles _,
     "q48_frame_sample" -> q48FrameSample _,
     "q49_set_ops" -> q49SetOps _,
+    "q50_analytic_windows" -> q50AnalyticWindows _,
+    "q51_pivot" -> q51Pivot _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,
