@@ -429,6 +429,16 @@ object Oracles {
         |       count(*) FILTER (event_type = 'view')     AS view
         |FROM events GROUP BY 1""".stripMargin,
 
+    "q52_exists_subquery" ->
+      """SELECT o_orderkey, o_custkey
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_quantity >= 49)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+        |                  WHERE l.l_orderkey = o.o_orderkey
+        |                    AND l.l_returnflag = 'R')""".stripMargin,
+
     "q33_ngram_jaccard" ->
       s"""WITH sh AS (
          |  SELECT doc_id,

@@ -540,6 +540,23 @@ object TestdataQueries {
       .agg(count(lit(1)))
       .na.fill(0L)
 
+  /** SQL surface end-to-end: temp views + `spark.sql` with a correlated
+    * EXISTS subquery (decorrelated by Catalyst into a semi join —
+    * integer-only predicates so the oracle is bit-deterministic). */
+  def q52ExistsSubquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("v_orders")
+    t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    s.sql(
+      """SELECT o_orderkey, o_custkey
+        |FROM v_orders o
+        |WHERE EXISTS (SELECT 1 FROM v_lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_quantity >= 49)
+        |  AND NOT EXISTS (SELECT 1 FROM v_lineitem l
+        |                  WHERE l.l_orderkey = o.o_orderkey
+        |                    AND l.l_returnflag = 'R')""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -578,6 +595,7 @@ object TestdataQueries {
     "q49_set_ops" -> q49SetOps _,
     "q50_analytic_windows" -> q50AnalyticWindows _,
     "q51_pivot" -> q51Pivot _,
+    "q52_exists_subquery" -> q52ExistsSubquery _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,
