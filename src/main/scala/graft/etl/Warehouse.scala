@@ -3,7 +3,6 @@ package graft.etl
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
-import org.apache.spark.sql.expressions.Window
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.Comparator
 import scala.jdk.CollectionConverters._
@@ -60,13 +59,17 @@ final class Warehouse(spark: SparkSession, val root: String) {
                      partitionBy: Seq[String] = Nil,
                      dedupWithinBatch: Boolean = true): Long = {
     val keyCols = keys.map(col)
-    val firstPerKey = if (!dedupWithinBatch) df else {
+    val firstPerKey = if (!dedupWithinBatch) df else
       // keep-FIRST by orderCol, like Postgres keeping the first
-      // conflicting row of an INSERT batch
-      val w = Window.partitionBy(keyCols: _*).orderBy(col(orderCol))
-      df.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
-    }
+      // conflicting row of an INSERT batch. min_by instead of a
+      // row_number window: the window shuffles AND sorts the whole batch,
+      // while the aggregate partial-combines map-side and carries one
+      // buffered row per key through the shuffle. orderCol is unique per
+      // key within a batch (file row number), so the argmin is exact.
+      df.groupBy(keyCols: _*)
+        .agg(min_by(struct(schema.fieldNames.map(col): _*), col(orderCol))
+          .as("__first"))
+        .select(col("__first.*"))
     val deduped = firstPerKey.select(schema.fieldNames.map(col): _*)
     val fresh =
       if (!exists(table)) deduped
