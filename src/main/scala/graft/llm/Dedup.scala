@@ -251,6 +251,47 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Duplicate clusters from near-dup candidate pairs: connected
+    * components by iterative min-label propagation — each doc's component
+    * id converges to the smallest doc id reachable through the pair
+    * graph, which is the canonical-representative choice for dedup
+    * ("keep the lowest id of every duplicate cluster").
+    *
+    * Scale shape: per iteration one join + one aggregation over the edge
+    * list; iterations bounded by the largest component's diameter (near-
+    * dup clusters are shallow — a handful of rounds in practice, `maxIter`
+    * as the safety bound). Deterministic regardless of partitioning, so
+    * the DuckDB oracle can recompute it with a recursive CTE.
+    *
+    * @param edges undirected candidate pairs (id_a, id_b)
+    * @return (doc_id, comp_id) for every doc appearing in any pair
+    */
+  def duplicateClusters(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(edges.select(col("id_b").as("u"), col("id_a").as("v")))
+      .cache()
+    var labels = sym.select(col("u").as("id")).distinct()
+      .withColumn("comp", col("id")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = sym
+        .join(labels.select(col("id").as("v"), col("comp").as("vcomp")), "v")
+        .groupBy(col("u").as("id")).agg(min("vcomp").as("ncomp"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          (coalesce(col("ncomp"), col("comp")) < col("comp")).as("chg"))
+        .cache()
+      changed = updated.filter(col("chg")).count()
+      labels.unpersist()
+      labels = updated.select("id", "comp").cache()
+      iter += 1
+    }
+    sym.unpersist()
+    labels.select(col("id").as("doc_id"), col("comp").as("comp_id"))
+  }
+
   /** Embedding-cosine near-dup for an explicit candidate pair set
     * (id_a, id_b) — the verification stage when candidates come from
     * another generator. */

@@ -10,6 +10,42 @@ object Oracles {
 
   private val norm = raw"regexp_replace(lower(text), '\s+', ' ', 'g')"
 
+  /** Shared CTE chain recomputing the portable MinHash LSH pipeline
+    * (shingles -> md5-derived signatures -> banding -> candidate pairs ->
+    * estimated Jaccard) — used by q44 and, with a recursive-CTE
+    * connected-components tail, by q53. */
+  private lazy val minhashPortableCtes: String =
+    raw"""tk AS (
+       |  SELECT doc_id, string_split($norm, ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+       |  FROM tk),
+       |h AS (
+       |  SELECT doc_id,
+       |         ('0x' || substr(md5(s), 1, 7))::BIGINT AS h1,
+       |         ('0x' || substr(md5(s), 8, 7))::BIGINT AS h2
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id, r.i AS i, min((h1 + r.i * h2) % 268435399) AS m
+       |  FROM h, range(0, 32) r(i)
+       |  GROUP BY 1, 2),
+       |band AS (
+       |  SELECT doc_id, i // 4 AS band,
+       |         string_agg(m::VARCHAR, ',' ORDER BY i) AS bucket
+       |  FROM sig GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM band a JOIN band b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT p.id_a, p.id_b,
+       |         (count(*) FILTER (WHERE sa.m = sb.m)) / 32.0 AS est_jaccard
+       |  FROM pairs p
+       |  JOIN sig sa ON sa.doc_id = p.id_a
+       |  JOIN sig sb ON sb.doc_id = p.id_b AND sb.i = sa.i
+       |  GROUP BY 1, 2)""".stripMargin
+
   /** Sequential dot product over 64-dim embeddings — `list_reduce` is an
     * explicit left fold, so the accumulation order (and therefore every
     * bit of the double result) matches the engine's native VecDot loop.
@@ -299,38 +335,25 @@ object Oracles {
         |FROM documents""".stripMargin,
 
     "q44_minhash_portable" ->
-      raw"""WITH tk AS (
-         |  SELECT doc_id, string_split($norm, ' ') AS t FROM documents),
-         |sh AS (
-         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
-         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
-         |  FROM tk),
-         |h AS (
-         |  SELECT doc_id,
-         |         ('0x' || substr(md5(s), 1, 7))::BIGINT AS h1,
-         |         ('0x' || substr(md5(s), 8, 7))::BIGINT AS h2
-         |  FROM sh),
-         |sig AS (
-         |  SELECT doc_id, r.i AS i, min((h1 + r.i * h2) % 268435399) AS m
-         |  FROM h, range(0, 32) r(i)
-         |  GROUP BY 1, 2),
-         |band AS (
-         |  SELECT doc_id, i // 4 AS band,
-         |         string_agg(m::VARCHAR, ',' ORDER BY i) AS bucket
-         |  FROM sig GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM band a JOIN band b
-         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-         |est AS (
-         |  SELECT p.id_a, p.id_b,
-         |         (count(*) FILTER (WHERE sa.m = sb.m)) / 32.0 AS est_jaccard
-         |  FROM pairs p
-         |  JOIN sig sa ON sa.doc_id = p.id_a
-         |  JOIN sig sb ON sb.doc_id = p.id_b AND sb.i = sa.i
-         |  GROUP BY 1, 2)
+      s"""WITH $minhashPortableCtes
          |SELECT id_a, id_b, est_jaccard FROM est
          |WHERE est_jaccard >= 0.4""".stripMargin,
+
+    "q53_dup_clusters" ->
+      s"""WITH RECURSIVE $minhashPortableCtes,
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM est WHERE est_jaccard >= 0.4
+         |  UNION
+         |  SELECT id_b, id_a FROM est WHERE est_jaccard >= 0.4),
+         |verts AS (SELECT DISTINCT u AS id FROM edges),
+         |walk(src, dst) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT w.src, e.v FROM walk w JOIN edges e ON e.u = w.dst)
+         |SELECT src AS doc_id, min(dst) AS comp_id
+         |FROM walk GROUP BY 1""".stripMargin,
+
+    
 
     "q45_simhash_portable" ->
       raw"""WITH tk AS (

@@ -557,6 +557,14 @@ object TestdataQueries {
         |                    AND l.l_returnflag = 'R')""".stripMargin)
   }
 
+  /** Duplicate clusters: portable-minhash candidate pairs -> connected
+    * components (min-label propagation). The DuckDB oracle re-derives the
+    * same edges and recomputes the components with a recursive CTE. */
+  def q53DupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateClusters(
+      Dedup.minhashCandidates(t(s, dir, "documents"), numHashes = 32,
+        bands = 8, k = 3, threshold = 0.4, portable = true))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -596,6 +604,7 @@ object TestdataQueries {
     "q50_analytic_windows" -> q50AnalyticWindows _,
     "q51_pivot" -> q51Pivot _,
     "q52_exists_subquery" -> q52ExistsSubquery _,
+    "q53_dup_clusters" -> q53DupClusters _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,

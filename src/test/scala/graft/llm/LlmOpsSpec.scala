@@ -69,6 +69,16 @@ class LlmOpsSpec extends SparkSpec {
       r.getAs[Long]("id_b") == 3L && r.getAs[Int]("hamming") == 0))
   }
 
+  test("duplicate clusters: components labeled by their minimum doc id") {
+    // two components: {1,2,3,9} (chain through 9) and {5,6}; 7-8 pair
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 9L), (5L, 6L), (8L, 7L))
+      .toDF("id_a", "id_b")
+    val comps = Dedup.duplicateClusters(edges).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("comp_id")).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("exact ngram jaccard: identical docs 1.0, disjoint docs 0.0") {
     val pairs = Seq((0L, 3L), (0L, 2L)).toDF("id_a", "id_b")
     val j = Dedup.ngramJaccard(docs, pairs, k = 2).collect()
