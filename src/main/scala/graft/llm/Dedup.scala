@@ -275,17 +275,28 @@ object Dedup {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
+      // step 1: pull the minimum label across direct neighbors
       val neighborMin = sym
         .join(labels.select(col("id").as("v"), col("comp").as("vcomp")), "v")
         .groupBy(col("u").as("id")).agg(min("vcomp").as("ncomp"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
+      val pulled = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
-          (coalesce(col("ncomp"), col("comp")) < col("comp")).as("chg"))
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+      // step 2: shortcut — jump to the label OF the label (pointer
+      // halving). Plain neighbor propagation needs diameter-many rounds;
+      // with shortcutting the pointer chains halve each round, so
+      // convergence is O(log diameter) — the difference between ~20 and
+      // ~5 rounds on long near-dup chains.
+      val byComp = pulled.select(col("id").as("cid"), col("comp").as("ccomp"))
+      val updated = pulled
+        .join(byComp, pulled("comp") === byComp("cid"), "left")
+        .select(pulled("id"),
+          least(pulled("comp"), coalesce(col("ccomp"), pulled("comp"))).as("comp"))
         .cache()
-      changed = updated.filter(col("chg")).count()
+      changed = updated.join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") =!= col("prev")).count()
       labels.unpersist()
-      labels = updated.select("id", "comp").cache()
+      labels = updated
       iter += 1
     }
     sym.unpersist()
