@@ -266,9 +266,40 @@ object Dedup {
     * @param edges undirected candidate pairs (id_a, id_b)
     * @return (doc_id, comp_id) for every doc appearing in any pair
     */
-  def duplicateClusters(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val sym = edges.select(col("id_a").as("u"), col("id_b").as("v"))
-      .unionByName(edges.select(col("id_b").as("u"), col("id_a").as("v")))
+  def duplicateClusters(edges: DataFrame, maxIter: Int = 50,
+                        localThreshold: Long = 1000000L): DataFrame = {
+    // Near-dup edge lists are normally FAR smaller than the corpus (the
+    // whole point of LSH candidate generation), so when the deduplicated
+    // edge list fits comfortably on the driver, a local union-find beats
+    // ~log(diameter) distributed rounds of fixed scheduling overhead.
+    // The distributed loop below remains the path for degenerate corpora
+    // whose candidate graphs are themselves huge.
+    val dedupedEdges = edges.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .distinct().cache()
+    val nEdges = dedupedEdges.count()
+    if (nEdges <= localThreshold) {
+      val pairs = dedupedEdges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      dedupedEdges.unpersist()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return parent.keys.toSeq.map(id => (id, find(id)))
+        .toDF("doc_id", "comp_id")
+    }
+    val sym = dedupedEdges.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(dedupedEdges.select(col("id_b").as("u"), col("id_a").as("v")))
       .cache()
     var labels = sym.select(col("u").as("id")).distinct()
       .withColumn("comp", col("id")).cache()
@@ -300,6 +331,7 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
+    dedupedEdges.unpersist()
     labels.select(col("id").as("doc_id"), col("comp").as("comp_id"))
   }
 

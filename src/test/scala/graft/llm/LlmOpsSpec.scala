@@ -73,10 +73,13 @@ class LlmOpsSpec extends SparkSpec {
     // two components: {1,2,3,9} (chain through 9) and {5,6}; 7-8 pair
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 9L), (5L, 6L), (8L, 7L))
       .toDF("id_a", "id_b")
-    val comps = Dedup.duplicateClusters(edges).collect()
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L)
+    def run(threshold: Long) = Dedup.duplicateClusters(edges,
+        localThreshold = threshold).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("comp_id")).toMap
-    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
-      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
+    assert(run(1000000L) == expected)   // driver union-find path
+    assert(run(0L) == expected)         // distributed label-propagation path
   }
 
   test("exact ngram jaccard: identical docs 1.0, disjoint docs 0.0") {
