@@ -462,6 +462,24 @@ object Oracles {
         |                  WHERE l.l_orderkey = o.o_orderkey
         |                    AND l.l_returnflag = 'R')""".stripMargin,
 
+    "q54_term_stats" ->
+      raw"""SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf
+         |FROM (SELECT doc_id, unnest(string_split($norm, ' ')) AS term
+         |      FROM documents)
+         |WHERE length(term) > 0
+         |GROUP BY term
+         |ORDER BY df DESC, tf DESC, term ASC
+         |LIMIT 100""".stripMargin,
+
+    "q55_split_assign" ->
+      """SELECT doc_id,
+        |       CASE WHEN b < 80 THEN 'train'
+        |            WHEN b < 90 THEN 'validation'
+        |            ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 100 AS b
+        |      FROM documents)""".stripMargin,
+
     "q33_ngram_jaccard" ->
       s"""WITH sh AS (
          |  SELECT doc_id,

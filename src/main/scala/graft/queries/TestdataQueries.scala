@@ -565,6 +565,30 @@ object TestdataQueries {
       Dedup.minhashCandidates(t(s, dir, "documents"), numHashes = 32,
         bands = 8, k = 3, threshold = 0.4, portable = true))
 
+  /** Vocabulary building: document frequency and total term frequency of
+    * the top-100 tokens (integer counts only — no log/IDF float drift;
+    * downstream IDF is a trivial map over this table). */
+  def q54TermStats(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(Dedup.normalized(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    toks.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+      .orderBy(col("df").desc, col("tf").desc, col("term").asc)
+      .limit(100)
+  }
+
+  /** Reproducible train/validation split: assignment by md5-hash bucket of
+    * the doc id — deterministic across runs, engines, and partitionings
+    * (THE portable technique for stable dataset splits). */
+  def q55SplitAssign(s: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+      .cast("long") % 100
+    t(s, dir, "documents").select(col("doc_id"),
+      when(bucket < 80, "train").when(bucket < 90, "validation")
+        .otherwise("test").as("split"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -605,6 +629,8 @@ object TestdataQueries {
     "q51_pivot" -> q51Pivot _,
     "q52_exists_subquery" -> q52ExistsSubquery _,
     "q53_dup_clusters" -> q53DupClusters _,
+    "q54_term_stats" -> q54TermStats _,
+    "q55_split_assign" -> q55SplitAssign _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,
