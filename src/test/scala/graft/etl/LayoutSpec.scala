@@ -84,6 +84,38 @@ class LayoutSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
   }
 
+  test("runtime bloom-filter join pruning reaches the fact scan") {
+    // DPP's sibling for NON-partition join keys: a selective dim filter
+    // plants a bloom filter of its join keys into the fact scan, so fact
+    // rows that cannot match are dropped at the scan instead of being
+    // shuffled — thresholds scaled down to test size
+    val dir = tmpDir("layout_bloom")
+    val facts = (0L until 50000L).map(i => (i % 5000, s"pay-$i-${"x" * 30}"))
+      .toDF("k", "payload")
+    facts.write.parquet(s"$dir/facts")
+    (0L until 5000L).map(i => (i, if (i < 50) "hot" else "cold"))
+      .toDF("k2", "temp").write.parquet(s"$dir/dim")
+    val conf = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val q = spark.read.parquet(s"$dir/facts")
+        .join(spark.read.parquet(s"$dir/dim").filter(col("temp") === "hot"),
+          col("k") === col("k2"))
+      val p = explain(q)
+      assert(p.toLowerCase.contains("bloomfilter") ||
+        p.toLowerCase.contains("might_contain"), p)
+      assert(q.count() == 500)   // 50 hot keys x 10 fact rows each
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("AQE splits skewed join partitions at runtime") {
     // one key carries ~90% of the fact rows; with thresholds scaled to
     // test size, adaptive execution must mark the sort-merge join skewed
