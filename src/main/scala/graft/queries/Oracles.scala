@@ -480,6 +480,16 @@ object Oracles {
         |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 100 AS b
         |      FROM documents)""".stripMargin,
 
+    "q56_decontamination" ->
+      raw"""WITH g AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 3),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+         |         || ' ' || t[i+4]))) AS g
+         |  FROM (SELECT doc_id, string_split($norm, ' ') AS t FROM documents))
+         |SELECT DISTINCT tr.doc_id AS train_id, ev.doc_id AS eval_id
+         |FROM g tr JOIN g ev ON tr.g = ev.g
+         |WHERE tr.doc_id >= 10 AND ev.doc_id < 10""".stripMargin,
+
     "q33_ngram_jaccard" ->
       s"""WITH sh AS (
          |  SELECT doc_id,

@@ -589,6 +589,19 @@ object TestdataQueries {
         .otherwise("test").as("split"))
   }
 
+  /** Benchmark decontamination: training docs sharing ANY word 5-gram
+    * with an "eval set" (stand-in: doc_id < 10) — exploded-shingle
+    * equi-join, the standard overlap check before a training run. At
+    * scale the eval side is tiny: broadcast, fact side never shuffles. */
+  def q56Decontamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    def grams(d: DataFrame, idAs: String) = d
+      .select(col("doc_id").as(idAs), explode(Dedup.shingles(col("text"), 5)).as("g"))
+    grams(docs.filter(col("doc_id") >= 10), "train_id")
+      .join(broadcast(grams(docs.filter(col("doc_id") < 10), "eval_id")), "g")
+      .select(col("train_id"), col("eval_id")).distinct()
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -631,6 +644,7 @@ object TestdataQueries {
     "q53_dup_clusters" -> q53DupClusters _,
     "q54_term_stats" -> q54TermStats _,
     "q55_split_assign" -> q55SplitAssign _,
+    "q56_decontamination" -> q56Decontamination _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,
