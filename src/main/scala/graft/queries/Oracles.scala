@@ -490,6 +490,14 @@ object Oracles {
          |FROM g tr JOIN g ev ON tr.g = ev.g
          |WHERE tr.doc_id >= 10 AND ev.doc_id < 10""".stripMargin,
 
+    "q57_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
+        |       count(*) AS cnt,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(14,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
     "q33_ngram_jaccard" ->
       s"""WITH sh AS (
          |  SELECT doc_id,

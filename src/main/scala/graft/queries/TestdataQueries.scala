@@ -151,6 +151,14 @@ object TestdataQueries {
       .agg(count(lit(1)).as("cnt"),
         sum(col("l_quantity").cast(dec144)).cast("double").as("sum_qty"))
 
+  /** Grouping sets: CUBE (all 4 grouping combinations) with grouping-id
+    * disambiguation of the null subtotal rows. */
+  def q57Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast(dec144)).cast("double").as("sum_qty"))
+
   /** Distinct aggregates (expand-based plan). */
   def q24DistinctAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -645,6 +653,7 @@ object TestdataQueries {
     "q54_term_stats" -> q54TermStats _,
     "q55_split_assign" -> q55SplitAssign _,
     "q56_decontamination" -> q56Decontamination _,
+    "q57_cube" -> q57Cube _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,
