@@ -9,6 +9,32 @@ class NativeExprSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("WordShingles matches the algebra on generated text (k = 1..4)") {
+    import org.scalacheck.Gen
+    val word = Gen.oneOf(Gen.alphaStr.map(_.take(6)), Gen.const("a"),
+      Gen.const("B"), Gen.const("日本"), Gen.const("x,y."))
+    val sep = Gen.oneOf(" ", "  ", "\t", "\n", " \t ")
+    val genText = for {
+      n <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(n, word)
+      ss <- Gen.listOfN(n + 1, sep)
+    } yield (ss.head + ws.zip(ss.tail).map { case (w, s) => w + s }.mkString).dropRight(0)
+    val texts = Gen.listOfN(150, genText).sample.get :+ "" :+ "   " :+ "one"
+    (1 to 4).foreach { k =>
+      val df = texts.toDF("text")
+      val toks = split(regexp_replace(lower(col("text")), "\\s+", " "), " ")
+      val m = greatest(size(toks) - (k - 1), lit(0))
+      val parts = (0 until k).map(j => slice(toks, lit(j + 1), m))
+      val algebra = array_distinct(
+        parts.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y))))
+      df.select(col("text"), WordShingles(col("text"), k).as("n"), algebra.as("a"))
+        .collect().foreach { r =>
+          assert(r.getSeq[String](1) == r.getSeq[String](2),
+            s"k=$k text=${r.getString(0).replace("\n", "\\n")}")
+        }
+    }
+  }
+
   test("WordShingles matches the slice/zip_with/array_distinct formulation") {
     val texts = Seq(
       "the quick brown fox jumps over the lazy dog",
