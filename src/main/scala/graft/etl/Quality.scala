@@ -62,4 +62,28 @@ object Quality {
 
   def landReports(wh: Warehouse, reports: DataFrame): Unit =
     if (!reports.isEmpty) wh.append("data_quality_reports", reports)
+
+  /** Generic rule engine the reference-specific counts above are an
+    * instance of: declare named per-row predicates, get one report row
+    * per violated rule. ALL rules evaluate in a single aggregation pass
+    * (one `sum(when(...))` per rule, partial-combined map-side) — adding
+    * a rule never adds a scan, which is what keeps a 50-rule suite
+    * viable over a 100 TB table. */
+  final case class Rule(name: String, severity: String, violatedWhen:
+      org.apache.spark.sql.Column)
+
+  def check(spark: SparkSession, df: DataFrame, rules: Seq[Rule],
+            jobId: String): DataFrame = {
+    import spark.implicits._
+    require(rules.nonEmpty, "no rules given")
+    val counts = df.agg(
+      sum(when(rules.head.violatedWhen, 1L).otherwise(0L)).as(rules.head.name),
+      rules.tail.map(r =>
+        sum(when(r.violatedWhen, 1L).otherwise(0L)).as(r.name)): _*).head()
+    rules.zipWithIndex
+      .map { case (r, i) =>
+        (jobId, r.name, r.severity, if (counts.isNullAt(i)) 0L else counts.getLong(i)) }
+      .filter(_._4 > 0)
+      .toDF("job_id", "rule_name", "severity", "affected_rows")
+  }
 }

@@ -145,6 +145,31 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("schema evolution: mergeSchema reads old and new file generations") {
+    val root = tmpDir("layout_evolve").toString + "/t"
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(root)
+    Seq((2L, "b", 9.5)).toDF("id", "v1", "v2_added")
+      .write.mode("append").parquet(root)
+    val merged = spark.read.option("mergeSchema", "true").parquet(root)
+    assert(merged.columns.sorted.toSeq == Seq("id", "v1", "v2_added"))
+    val byId = merged.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(byId(1L).isNullAt(byId(1L).fieldIndex("v2_added"))) // old files: null
+    assert(byId(2L).getAs[Double]("v2_added") == 9.5)
+  }
+
+  test("generic quality rules: one pass, emit-if-positive") {
+    import spark.implicits._
+    val df = Seq((1, "ok"), (-5, "ok"), (3, ""), (-9, "")).toDF("n", "s")
+    val out = graft.etl.Quality.check(spark, df, Seq(
+        graft.etl.Quality.Rule("negative_n", "error", col("n") < 0),
+        graft.etl.Quality.Rule("blank_s", "warn", col("s") === ""),
+        graft.etl.Quality.Rule("huge_n", "warn", col("n") > 1000)),
+      jobId = "j")
+      .collect().map(r => r.getAs[String]("rule_name") ->
+        r.getAs[Long]("affected_rows")).toMap
+    assert(out == Map("negative_n" -> 2L, "blank_s" -> 2L)) // huge_n omitted
+  }
+
   test("bucketed tables: equi-join on the bucket key plans with no exchange") {
     val wh = tmpDir("layout_wh")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
