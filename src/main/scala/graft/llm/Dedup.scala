@@ -335,6 +335,20 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("comp").as("comp_id"))
   }
 
+  /** The end-to-end user-facing dedup: drop every document that belongs
+    * to a near-dup cluster but is not its canonical (minimum-id)
+    * representative. Composes candidate generation (caller's choice of
+    * edges) with [[duplicateClusters]]; docs untouched by any pair pass
+    * through — the anti-join only carries the (small) non-representative
+    * id set. */
+  def dedupCorpus(docs: DataFrame, edges: DataFrame,
+                  id: Column = col("doc_id")): DataFrame = {
+    val drop = duplicateClusters(edges)
+      .filter(col("doc_id") =!= col("comp_id"))
+      .select(col("doc_id"))
+    docs.join(drop, docs(id.toString) === drop("doc_id"), "left_anti")
+  }
+
   /** Embedding-cosine near-dup for an explicit candidate pair set
     * (id_a, id_b) — the verification stage when candidates come from
     * another generator. */

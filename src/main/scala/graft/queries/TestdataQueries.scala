@@ -610,6 +610,17 @@ object TestdataQueries {
       .select(col("train_id"), col("eval_id")).distinct()
   }
 
+  /** End-to-end dedup: the corpus minus non-representative members of
+    * near-dup clusters (portable-minhash edges -> components -> keep the
+    * minimum id of each cluster). */
+  def q58DedupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.dedupCorpus(docs,
+        Dedup.minhashCandidates(docs, numHashes = 32, bands = 8, k = 3,
+          threshold = 0.4, portable = true))
+      .select(col("doc_id"), col("lang"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -654,6 +665,7 @@ object TestdataQueries {
     "q55_split_assign" -> q55SplitAssign _,
     "q56_decontamination" -> q56Decontamination _,
     "q57_cube" -> q57Cube _,
+    "q58_dedup_corpus" -> q58DedupCorpus _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,
