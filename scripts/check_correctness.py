@@ -43,6 +43,12 @@ def canon(df: pd.DataFrame, tol: float = 0.0) -> pd.DataFrame:
         else:
             out[c] = s.astype(str)
     sort_cols = [c for c in out.columns if c not in float_cols] or list(out.columns)
+    if float_cols and out.duplicated(subset=sort_cols).any():
+        # positional float comparison is only valid when the non-float
+        # columns uniquely key each row — fail loudly, never silently
+        raise ValueError(
+            f"tolerance compare invalid: non-float columns {sort_cols} "
+            f"do not uniquely key rows")
     out = out.sort_values(by=sort_cols).reset_index(drop=True)
     return out
 
@@ -82,7 +88,10 @@ def main(outdir, sfdir):
         except Exception as e:
             print(f"ORACLE-ERR   {name}: {e}"); n_fail += 1; continue
         tol = FLOAT_TOL.get(name, 0.0)
-        g, e = canon(got, tol), canon(exp, tol)
+        try:
+            g, e = canon(got, tol), canon(exp, tol)
+        except ValueError as ex:
+            print(f"KEY-DUP      {name}: {ex}"); n_fail += 1; continue
         if list(g.columns) != list(e.columns):
             print(f"COLS-DIFF    {name}: spark={list(g.columns)} duck={list(e.columns)}")
             n_fail += 1

@@ -90,8 +90,21 @@ final class Pipeline(spark: SparkSession, wh: Warehouse,
     wh.replace("etl_jobs", existing.unionByName(row))
   }
 
+  /** S10 point lookup. Malformed job ids short-circuit to None before any
+    * table read — the reference's status edge validates UUID shape first
+    * (`etl.service.ts:79-81`: `if (!isUuid(jobId)) return null`). */
   def jobStatus(jobId: String): Option[DataFrame] = {
+    if (!Pipeline.isUuid(jobId)) return None
     val df = wh.read("etl_jobs", Schemas.etlJobs).filter(col("id") === jobId)
     if (df.isEmpty) None else Some(df)
   }
+}
+
+object Pipeline {
+  // RFC-4122 textual shape, any version — same acceptance as the
+  // reference's `isUuid` check at its status endpoint
+  private val UuidRe =
+    "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$".r
+
+  def isUuid(s: String): Boolean = s != null && UuidRe.matches(s)
 }

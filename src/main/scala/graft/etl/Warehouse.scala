@@ -3,6 +3,7 @@ package graft.etl
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
+import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.Comparator
 import scala.jdk.CollectionConverters._
@@ -16,35 +17,120 @@ import scala.jdk.CollectionConverters._
   *    -> full-outer join + per-column combine, snapshot rewrite;
   *  - plain append      (reference `db.py:102-107`).
   *
-  * Plain parquet has no transactional row-level merge, so merges are
-  * copy-on-write snapshot swaps (write `<table>.tmp`, atomic-ish rename).
-  * At cluster scale this slots behind the same interface as a Delta/Iceberg
-  * `MERGE INTO`, which rewrites only affected files; the operator algebra
-  * (anti-join insert set, full-outer combine) is identical. Fact tables are
-  * partitioned by `study_id` so a merge or selective read touches only the
-  * studies present in the incoming batch.
+  * Snapshot isolation: every table is a set of immutable GENERATION
+  * directories plus a tiny `_current` pointer file naming the live one —
+  * the same shape as a Delta/Iceberg version pointer, which is how the
+  * reference's transactional visibility (Postgres, `db.py:12-17`) maps
+  * onto plain parquet. Writers assemble the next generation off to the
+  * side — rewritten partitions written fresh, untouched partitions
+  * carried over as hard links (O(touched-partition) data, O(files)
+  * metadata; the local analogue of manifest reuse) — then flip
+  * `_current` with ONE atomic rename. Readers resolve `_current` once
+  * per read, so a query planned before a merge keeps its entire
+  * pre-merge snapshot and can never observe a half-swapped table. The
+  * superseded generation is retained for one flip (older ones are GC'd),
+  * bounding staleness for in-flight readers; concurrent WRITERS to one
+  * table are out of scope, as in the reference's one-ETL-service design.
+  * Fact tables are partitioned by `study_id` so a merge or selective
+  * read touches only the studies present in the incoming batch.
   */
 final class Warehouse(spark: SparkSession, val root: String) {
 
-  private def dir(table: String): Path = Paths.get(root, table)
+  private def tableRoot(table: String): Path = Paths.get(root, table)
+  private def ptrPath(table: String): Path = tableRoot(table).resolve("_current")
 
-  def exists(table: String): Boolean = {
-    val d = dir(table)
-    // _SUCCESS-less empty dirs from failed writes count as absent
-    Files.isDirectory(d) && Files.list(d).findFirst().isPresent
+  /** The live generation's data directory, if the table exists. */
+  def currentDir(table: String): Option[Path] = {
+    val p = ptrPath(table)
+    if (!Files.exists(p)) None
+    else Some(tableRoot(table).resolve(new String(Files.readAllBytes(p), UTF_8).trim))
   }
 
-  /** Read a table; empty DataFrame with the declared schema when absent. */
+  def exists(table: String): Boolean = currentDir(table).isDefined
+
+  /** Read a table; empty DataFrame with the declared schema when absent.
+    * The snapshot is pinned at this call: later merges flip `_current` to
+    * a NEW directory and never mutate the one this scan resolved. */
   def read(table: String, schema: StructType): DataFrame =
-    if (exists(table)) spark.read.schema(schema).parquet(dir(table).toString)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    currentDir(table) match {
+      case Some(d) => spark.read.schema(schema).parquet(d.toString)
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
 
-  /** Plain append (quality reports, reference `db.py:102-107`). */
-  def append(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
-    val w = df.write.mode(SaveMode.Append)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(dir(table).toString)
+  // ------------------------------------------------------ generation plumbing
+
+  private def genName(p: Path): String = p.getFileName.toString
+
+  private def nextGenDir(table: String): Path = {
+    val seq = currentDir(table)
+      .map(d => genName(d).stripPrefix("g").toLong + 1).getOrElse(1L)
+    tableRoot(table).resolve(f"g$seq%09d")
   }
+
+  /** Atomically flip `_current` to `newGen`, then GC every generation
+    * except the new one and its immediate predecessor (kept so reads
+    * planned just before the flip stay valid). */
+  private def commit(table: String, newGen: Path): Unit = {
+    val keep = (currentDir(table).map(genName) ++ Seq(genName(newGen))).toSet
+    val tmp = tableRoot(table).resolve("_current.tmp")
+    Files.write(tmp, genName(newGen).getBytes(UTF_8))
+    Files.move(tmp, ptrPath(table), StandardCopyOption.ATOMIC_MOVE)
+    Files.list(tableRoot(table)).iterator().asScala.toList
+      .filter(p => Files.isDirectory(p) && genName(p).startsWith("g") &&
+        !keep(genName(p)))
+      .foreach(deleteRecursively)
+  }
+
+  /** Hard-link `src`'s tree into `dst`, skipping relative paths accepted
+    * by `skip`. Links share the immutable parquet files across
+    * generations — no data copy; falls back to a real copy on
+    * filesystems without hard links. Existing targets (e.g. `_SUCCESS`)
+    * are left alone. */
+  private def linkTree(src: Path, dst: Path,
+                       skip: Path => Boolean = _ => false): Unit =
+    Files.walk(src).iterator().asScala.foreach { p =>
+      val rel = src.relativize(p)
+      if (rel.toString.nonEmpty && !skip(rel)) {
+        val t = dst.resolve(rel)
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else if (!Files.exists(t)) {
+          Files.createDirectories(t.getParent)
+          try Files.createLink(t, p)
+          catch { case _: UnsupportedOperationException => Files.copy(p, t) }
+        }
+      }
+    }
+
+  /** Overwrite a table: write the new contents as a fresh generation and
+    * flip the pointer. Readers of the old generation are undisturbed —
+    * there is no in-place overwrite anywhere, so the parquet
+    * self-overwrite hazard does not arise even when `df` reads from this
+    * very table. */
+  def replace(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+    val gen = nextGenDir(table)
+    deleteRecursively(gen)              // stale dir from a crashed writer
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(gen.toString)
+    commit(table, gen)
+  }
+
+  /** Plain append (quality reports, reference `db.py:102-107`). The batch
+    * is written beside the live generation and becomes visible in one
+    * pointer flip — never file-by-file. */
+  def append(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit =
+    currentDir(table) match {
+      case None => replace(table, df, partitionBy)
+      case Some(cur) =>
+        val gen = nextGenDir(table)
+        deleteRecursively(gen)
+        val w = df.write.mode(SaveMode.Overwrite)
+        (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+          .parquet(gen.toString)
+        linkTree(cur, gen)              // carry the existing files over
+        commit(table, gen)
+    }
 
   /** Idempotent append: `INSERT ... ON CONFLICT (keys) DO NOTHING`.
     *
@@ -115,42 +201,43 @@ final class Warehouse(spark: SparkSession, val root: String) {
     }
 
   /** Partition-scoped merge-upsert: like [[mergeReplace]], but reads and
-    * rewrites ONLY the partitions present in the incoming batch — the
-    * other partition directories are never opened, never rewritten. This
-    * is the property that keeps a nightly merge touching one study's data
-    * from re-shuffling a 100 TB warehouse. Requires the partition columns
-    * to be a prefix of the merge key semantics (same key => same
-    * partition), which holds for every warehouse table here.
+    * REWRITES only the partitions present in the incoming batch — the
+    * untouched partition directories carry into the next generation as
+    * hard links, never re-read, never re-shuffled, never copied. This is
+    * the property that keeps a nightly merge touching one study's data
+    * from rewriting a 100 TB warehouse. Requires the partition columns
+    * to be part of the merge key semantics (same key => same partition),
+    * which holds for every warehouse table here.
     */
   def mergeReplacePartitions(table: String, schema: StructType,
                              incoming: DataFrame,
                              combine: (DataFrame, DataFrame) => DataFrame,
                              partitionCols: Seq[String]): Unit = {
     require(partitionCols.nonEmpty, "use mergeReplace for unpartitioned tables")
-    if (!exists(table)) {
-      replace(table, incoming.select(schema.fieldNames.map(col): _*), partitionCols)
-      return
+    currentDir(table) match {
+      case None =>
+        replace(table, incoming.select(schema.fieldNames.map(col): _*), partitionCols)
+      case Some(cur) =>
+        val scoped = prunedToIncoming(read(table, schema), incoming, partitionCols)
+        val merged = combine(scoped.alias("old"), incoming.alias("new"))
+          .select(schema.fieldNames.map(col): _*)
+        val tmp = tableRoot(table).resolve(".merge-tmp")
+        deleteRecursively(tmp)
+        merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*)
+          .parquet(tmp.toString)
+        val rewritten = partitionDirs(tmp, partitionCols.length)
+        val gen = nextGenDir(table)
+        deleteRecursively(gen)
+        Files.createDirectories(gen)
+        linkTree(cur, gen, skip = rel => rewritten.exists(rel.startsWith))
+        rewritten.foreach { rel =>
+          Files.createDirectories(gen.resolve(rel).getParent)
+          Files.move(tmp.resolve(rel), gen.resolve(rel),
+            StandardCopyOption.ATOMIC_MOVE)
+        }
+        deleteRecursively(tmp)
+        commit(table, gen)
     }
-    val scoped = prunedToIncoming(read(table, schema), incoming, partitionCols)
-    val merged = combine(scoped.alias("old"), incoming.alias("new"))
-      .select(schema.fieldNames.map(col): _*)
-    // write the merged scope to a tmp dir, then swap ONLY those partition
-    // directories into the live table (same no-self-overwrite discipline
-    // as replace(), at partition granularity)
-    val tmp = Paths.get(root, table + ".__ptmp")
-    deleteRecursively(tmp)
-    merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*)
-      .parquet(tmp.toString)
-    partitionDirs(tmp, partitionCols.length).foreach { rel =>
-      val target = dir(table).resolve(rel)
-      val old = Paths.get(target.toString + ".__old")
-      deleteRecursively(old)
-      Files.createDirectories(target.getParent)
-      if (Files.exists(target)) Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
-      Files.move(tmp.resolve(rel), target, StandardCopyOption.ATOMIC_MOVE)
-      deleteRecursively(old)
-    }
-    deleteRecursively(tmp)
   }
 
   /** Relative `col=value[/col=value...]` paths of the leaf partition dirs
@@ -162,22 +249,6 @@ final class Warehouse(spark: SparkSession, val root: String) {
         .filter(q => Files.isDirectory(q) && q.getFileName.toString.contains("="))
         .flatMap(walk(_, d - 1))
     walk(base, depth).map(base.relativize)
-  }
-
-  /** Overwrite a table via tmp-dir + swap so we never read and clobber the
-    * same files in one job (parquet self-overwrite is undefined). */
-  def replace(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
-    val tmp = Paths.get(root, table + ".__tmp")
-    deleteRecursively(tmp)
-    val w = df.write.mode(SaveMode.Overwrite)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(tmp.toString)
-    val target = dir(table)
-    val old = Paths.get(root, table + ".__old")
-    deleteRecursively(old)
-    if (Files.exists(target)) Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(old)
   }
 
   private def deleteRecursively(p: Path): Unit =

@@ -104,26 +104,56 @@ object Dedup {
         (if (portable) bandStr else xxhash64(bandStr).cast("string")).as("bucket"))
     }: _*)
 
+  /** Degenerate-LSH-bucket guard: buckets with more members than this
+    * contribute NO candidate pairs; the drop is recorded on a
+    * `graft_lsh_drops_*` observed metric that rides the query's own action
+    * (dropped_buckets / dropped_members — readable from a
+    * `QueryExecutionListener`, asserted in LlmOpsSpec). A bucket this size
+    * is an LSH failure mode — near-identical boilerplate all hashing to
+    * one key — and its pair count is quadratic in ANY formulation
+    * (4096 members → 8.4M pairs; a 65k-member bucket → 2.1B): emitting
+    * those pairs is junk work, so production dedup systems cap and move
+    * on. Raise per-call when a corpus legitimately needs it. (Caveat: if
+    * the WHOLE result is empty, AQE's empty-relation propagation can fold
+    * the metric node away with the rest of the plan — drop counts are
+    * reliable whenever any bucket survives, i.e. on any realistic corpus.)
+    */
+  val MaxBucketMembers = 4096
+
+  // observe() names must be unique per query; one bucketPairs call = one name
+  private val lshObserveId = new java.util.concurrent.atomic.AtomicLong
+
   /** Within-bucket candidate pairs, computed WITHOUT a self-join: group
     * members per bucket (one shuffle of the compact signature rows), then
     * expand ordered pairs inside each bucket. A self-join would run the
     * whole upstream signature pipeline twice — once per join side —
     * because Spark does not share scan subtrees across join inputs;
-    * this formulation computes signatures exactly once. Bucket skew is
-    * the LSH-inherent failure mode either way (a degenerate bucket is
-    * quadratic in ANY formulation) — mitigate upstream with more
-    * bands/planes, not in the pair expansion. */
+    * this formulation computes signatures exactly once.
+    *
+    * Scale bounds: the pair expansion is two-level — `posexplode` to one
+    * row per member, then each member's partner slice — so the largest
+    * single array ever materialized is O(bucket members) (the grouped
+    * member list itself: ~300 B/member with a 32-hash signature, i.e. the
+    * 2 GB UnsafeRow limit sits at ~7M members/bucket), never the
+    * O(members²) one-row pair blow-up of a naive
+    * `flatten(transform(…))` (which at 65k members already exceeds both
+    * the 2 GB row and the Int.MaxValue array-length limits). Buckets over
+    * `maxBucket` are dropped-and-counted before expansion, so the
+    * quadratic OUTPUT is capped too. */
   private def bucketPairs(bucketed: DataFrame, keyCols: Seq[String],
-                          payload: Column): DataFrame = {
+                          payload: Column, maxBucket: Int): DataFrame = {
     val ms = col("ms")
     bucketed
       .groupBy(keyCols.map(col): _*)
       .agg(sort_array(collect_list(payload)).as("ms"))
       .filter(size(ms) >= 2)
-      .select(explode(flatten(transform(ms, (x, i) =>
-        transform(slice(ms, i + 2, size(ms)),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .observe(s"graft_lsh_drops_${lshObserveId.incrementAndGet()}",
+        sum(when(size(ms) > maxBucket, 1).otherwise(0)).as("dropped_buckets"),
+        sum(when(size(ms) > maxBucket, size(ms)).otherwise(0)).as("dropped_members"))
+      .filter(size(ms) <= maxBucket)
+      .select(ms, posexplode(ms))                       // → ms, pos, col
+      .select(col("col").as("a"),
+        explode(slice(ms, col("pos") + lit(2), size(ms))).as("b"))
   }
 
   /** MinHash-LSH near-duplicate candidate pairs with signature-estimated
@@ -134,7 +164,8 @@ object Dedup {
                         k: Int = 3, threshold: Double = 0.5,
                         id: Column = col("doc_id"),
                         text: Column = col("text"),
-                        portable: Boolean = false): DataFrame = {
+                        portable: Boolean = false,
+                        maxBucket: Int = MaxBucketMembers): DataFrame = {
     val rowsPerBand = numHashes / bands
     val signed = minhashTable(docs, numHashes, k, id, text, portable)
     val bucketed = signed
@@ -142,7 +173,7 @@ object Dedup {
         explode(lshBuckets(col("sig"), bands, rowsPerBand, portable)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
     bucketPairs(bucketed, Seq("band", "bucket"),
-        struct(col("doc_id"), col("sig")))
+        struct(col("doc_id"), col("sig")), maxBucket)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
           e => e)).cast("double") / lit(numHashes)).as("est_jaccard"))
@@ -196,7 +227,8 @@ object Dedup {
   def simhashCandidates(docs: DataFrame, maxHammingDistance: Int = 3,
                         id: Column = col("doc_id"),
                         text: Column = col("text"),
-                        portable: Boolean = false): DataFrame = {
+                        portable: Boolean = false,
+                        maxBucket: Int = MaxBucketMembers): DataFrame = {
     val blocks = maxHammingDistance + 1
     val bitsPerBlock = (if (portable) 56 else 64) / blocks
     val printed = simhashTable(docs, 2, id, text, portable)
@@ -207,7 +239,8 @@ object Dedup {
               .bitwiseAND((1L << bitsPerBlock) - 1).as("key"))
         }: _*)).as("bb"))
       .select(col("doc_id"), col("fp"), col("bb.blk"), col("bb.key"))
-    bucketPairs(blocked, Seq("blk", "key"), struct(col("doc_id"), col("fp")))
+    bucketPairs(blocked, Seq("blk", "key"), struct(col("doc_id"), col("fp")),
+        maxBucket)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))

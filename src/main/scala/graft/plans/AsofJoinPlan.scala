@@ -33,6 +33,14 @@ case class AsofJoinNode(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Expression, leftTime: Expression,
                         rightKey: Expression, rightTime: Expression)
     extends BinaryNode {
+  // the exec derives its orderings from the LEFT types, so both sides
+  // must agree (same requirement a sort-merge join gets from the analyzer)
+  require(org.apache.spark.sql.types.DataType.equalsStructurally(
+      leftKey.dataType, rightKey.dataType, ignoreNullability = true),
+    s"as-of join key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
+  require(org.apache.spark.sql.types.DataType.equalsStructurally(
+      leftTime.dataType, rightTime.dataType, ignoreNullability = true),
+    s"as-of join time types differ: ${leftTime.dataType} vs ${rightTime.dataType}")
   // left rows pass through; every right column is attached (nullable —
   // a left row may precede all right rows for its key)
   override def output: Seq[Attribute] =
@@ -56,6 +64,11 @@ case class AsofJoinExec(leftKey: Expression, leftTime: Expression,
                         rightKey: Expression, rightTime: Expression,
                         left: SparkPlan, right: SparkPlan)
     extends BinaryExecNode {
+  require(org.apache.spark.sql.types.DataType.equalsStructurally(
+      leftKey.dataType, rightKey.dataType, ignoreNullability = true) &&
+    org.apache.spark.sql.types.DataType.equalsStructurally(
+      leftTime.dataType, rightTime.dataType, ignoreNullability = true),
+    "as-of join requires matching key and time types on both sides")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -97,18 +110,31 @@ case class AsofJoinExec(leftKey: Expression, leftTime: Expression,
       lIter.map { l =>
         val lk = lKey.eval(l)
         val lt = lTime.eval(l)
-        var advance = true
-        while (advance && rBuf.hasNext) {
-          val r = rBuf.head
-          val rk = rKey.eval(r)
-          val cmp = keyOrd.compare(rk, lk)
-          if (cmp < 0) { rBuf.next() } // other (earlier) key: skip
-          else if (cmp == 0 && timeOrd.compare(rTime.eval(r), lt) <= 0) {
-            lastRight = r.copy(); lastRightKey = rk; rBuf.next()
-          } else advance = false       // beyond this left row: stop
+        if (lk == null || lt == null) {
+          // null keys/times never match (SMJ semantics); the sort puts
+          // these rows first, before any right row they could consume
+          toUnsafe(joined(l, nulls))
+        } else {
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val r = rBuf.head
+            val rk = rKey.eval(r)
+            if (rk == null) { rBuf.next() } // null right key: never matches
+            else {
+              val cmp = keyOrd.compare(rk, lk)
+              if (cmp < 0) { rBuf.next() }  // other (earlier) key: skip
+              else if (cmp == 0) {
+                val rt = rTime.eval(r)
+                if (rt == null) { rBuf.next() } // null right time: skip
+                else if (timeOrd.compare(rt, lt) <= 0) {
+                  lastRight = r.copy(); lastRightKey = rk; rBuf.next()
+                } else advance = false    // beyond this left row: stop
+              } else advance = false      // right key ahead of left: stop
+            }
+          }
+          val matched = lastRight != null && keyOrd.compare(lastRightKey, lk) == 0
+          toUnsafe(joined(l, if (matched) lastRight else nulls))
         }
-        val matched = lastRight != null && keyOrd.compare(lastRightKey, lk) == 0
-        toUnsafe(joined(l, if (matched) lastRight else nulls))
       }
     }
   }

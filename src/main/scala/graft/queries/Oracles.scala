@@ -46,6 +46,41 @@ object Oracles {
        |  JOIN sig sb ON sb.doc_id = p.id_b AND sb.i = sa.i
        |  GROUP BY 1, 2)""".stripMargin
 
+  /** Shared CTE chain recomputing the portable SimHash pipeline
+    * (2-gram shingles -> 56-bit md5-derived hash -> per-bit sign sums ->
+    * fingerprint -> 14-bit block LSH -> Hamming-scored candidate pairs) —
+    * used by q45 and q60. */
+  private lazy val simhashPortableCtes: String =
+    raw"""tk AS (
+       |  SELECT doc_id, string_split($norm, ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)),
+       |    i -> t[i] || ' ' || t[i+1]))) AS s
+       |  FROM tk),
+       |h AS (
+       |  SELECT doc_id,
+       |         ('0x' || substr(md5(s), 1, 7))::BIGINT * 268435456
+       |           + ('0x' || substr(md5(s), 8, 7))::BIGINT AS h
+       |  FROM sh),
+       |bits AS (
+       |  SELECT doc_id, r.bit AS bit,
+       |         sum(CASE WHEN (h >> r.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM h, range(0, 56) r(bit)
+       |  GROUP BY 1, 2),
+       |fp AS (
+       |  SELECT doc_id,
+       |         sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS fp
+       |  FROM bits GROUP BY 1),
+       |blocked AS (
+       |  SELECT doc_id, fp, r.blk AS blk,
+       |         (fp >> (r.blk * 14)) & 16383 AS key
+       |  FROM fp, range(0, 4) r(blk)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         bit_count(xor(a.fp, b.fp)) AS hamming
+       |  FROM blocked a JOIN blocked b
+       |    ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
+
   /** Sequential dot product over 64-dim embeddings — `list_reduce` is an
     * explicit left fold, so the accumulation order (and therefore every
     * bit of the double result) matches the engine's native VecDot loop.
@@ -339,6 +374,22 @@ object Oracles {
          |SELECT id_a, id_b, est_jaccard FROM est
          |WHERE est_jaccard >= 0.4""".stripMargin,
 
+    "q59_lsh_verified" ->
+      s"""WITH $minhashPortableCtes,
+         |shl AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sl
+         |  FROM tk)
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT e.id_a, e.id_b,
+         |         len(list_intersect(a.sl, b.sl))::DOUBLE
+         |           / len(list_distinct(list_concat(a.sl, b.sl))) AS jaccard
+         |  FROM est e
+         |  JOIN shl a ON a.doc_id = e.id_a
+         |  JOIN shl b ON b.doc_id = e.id_b
+         |  WHERE e.est_jaccard >= 0.4)
+         |WHERE jaccard >= 0.5""".stripMargin,
+
     "q53_dup_clusters" ->
       s"""WITH RECURSIVE $minhashPortableCtes,
          |edges AS (
@@ -356,37 +407,25 @@ object Oracles {
     
 
     "q45_simhash_portable" ->
-      raw"""WITH tk AS (
-         |  SELECT doc_id, string_split($norm, ' ') AS t FROM documents),
-         |sh AS (
-         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)),
-         |    i -> t[i] || ' ' || t[i+1]))) AS s
-         |  FROM tk),
-         |h AS (
-         |  SELECT doc_id,
-         |         ('0x' || substr(md5(s), 1, 7))::BIGINT * 268435456
-         |           + ('0x' || substr(md5(s), 8, 7))::BIGINT AS h
-         |  FROM sh),
-         |bits AS (
-         |  SELECT doc_id, r.bit AS bit,
-         |         sum(CASE WHEN (h >> r.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
-         |  FROM h, range(0, 56) r(bit)
-         |  GROUP BY 1, 2),
-         |fp AS (
-         |  SELECT doc_id,
-         |         sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS fp
-         |  FROM bits GROUP BY 1),
-         |blocked AS (
-         |  SELECT doc_id, fp, r.blk AS blk,
-         |         (fp >> (r.blk * 14)) & 16383 AS key
-         |  FROM fp, range(0, 4) r(blk)),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         |         bit_count(xor(a.fp, b.fp)) AS hamming
-         |  FROM blocked a JOIN blocked b
-         |    ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id)
+      s"""WITH $simhashPortableCtes
          |SELECT id_a, id_b, hamming FROM pairs
          |WHERE hamming <= 3""".stripMargin,
+
+    "q60_simhash_verified" ->
+      s"""WITH $simhashPortableCtes,
+         |shl AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)),
+         |    i -> t[i] || ' ' || t[i+1])) AS sl
+         |  FROM tk)
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT p.id_a, p.id_b,
+         |         len(list_intersect(a.sl, b.sl))::DOUBLE
+         |           / len(list_distinct(list_concat(a.sl, b.sl))) AS jaccard
+         |  FROM pairs p
+         |  JOIN shl a ON a.doc_id = p.id_a
+         |  JOIN shl b ON b.doc_id = p.id_b
+         |  WHERE p.hamming <= 3)
+         |WHERE jaccard >= 0.5""".stripMargin,
 
     "q46_kmv_distinct" ->
       """WITH h AS (

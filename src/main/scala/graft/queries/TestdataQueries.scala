@@ -350,7 +350,12 @@ object TestdataQueries {
   def q30DedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(t(s, dir, "documents"))
 
-  /** MinHash + LSH near-dup candidates (no SQL oracle — xxhash64). */
+  /** MinHash + LSH near-dup candidates with the production xxhash64
+    * family. NOT in the driver query surface: xxhash64 has no SQL
+    * analogue, so a DuckDB oracle cannot exist and a rows-only entry
+    * would silently rot — the family is pinned by LlmOpsSpec (determinism
+    * across partitionings + est-vs-exact-Jaccard bounds) and the LSH
+    * pipeline itself is oracle-green via the portable twins q44/q59. */
   def q31MinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashCandidates(t(s, dir, "documents"), numHashes = 32, bands = 8,
       k = 3, threshold = 0.4)
@@ -364,7 +369,9 @@ object TestdataQueries {
     Dedup.minhashCandidates(t(s, dir, "documents"), numHashes = 32, bands = 8,
       k = 3, threshold = 0.4, portable = true)
 
-  /** SimHash near-dup candidates (no SQL oracle — xxhash64). */
+  /** SimHash near-dup candidates with the production xxhash64 hash. NOT
+    * in the driver query surface (same reasoning as [[q31MinhashLsh]]):
+    * spec-pinned, with the portable twins q45/q60 oracle-green. */
   def q32Simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashCandidates(t(s, dir, "documents"), maxHammingDistance = 3)
 
@@ -621,6 +628,29 @@ object TestdataQueries {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** The production dedup verification flow end-to-end: LSH candidate
+    * pairs VERIFIED by exact 3-gram Jaccard — verification touches only
+    * candidates, never all-pairs. Portable hash family, so the DuckDB
+    * oracle recomputes the whole chain (signatures -> bands -> candidates
+    * -> exact set Jaccard) independently. */
+  def q59LshVerified(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cand = Dedup.minhashCandidates(docs, numHashes = 32, bands = 8,
+        k = 3, threshold = 0.4, portable = true)
+      .select(col("id_a"), col("id_b"))
+    Dedup.ngramJaccard(docs, cand, k = 3).filter(col("jaccard") >= 0.5)
+  }
+
+  /** SimHash-candidate verification by exact 2-gram Jaccard — same flow
+    * as [[q59LshVerified]] over the Hamming-ball candidate generator. */
+  def q60SimhashVerified(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cand = Dedup.simhashCandidates(docs, maxHammingDistance = 3,
+        portable = true)
+      .select(col("id_a"), col("id_b"))
+    Dedup.ngramJaccard(docs, cand, k = 2).filter(col("jaccard") >= 0.5)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -669,8 +699,8 @@ object TestdataQueries {
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,
-    "q31_minhash_lsh" -> q31MinhashLsh _,
-    "q32_simhash" -> q32Simhash _,
+    "q59_lsh_verified" -> q59LshVerified _,
+    "q60_simhash_verified" -> q60SimhashVerified _,
     "q33_ngram_jaccard" -> q33NgramJaccard _,
     "q34_text_profile" -> q34TextProfile _,
     "q35_lang_id" -> q35LangId _,

@@ -162,17 +162,19 @@ class PipelineSpec extends SparkSpec {
          |SB,P,glucose,150,mg/dL,2024-01-02T00:00:00Z,SITE_B,0.9
          |""".stripMargin
     pipe.processJob("j-a", csv("sa.csv", sA))
-    val aDir = java.nio.file.Paths.get(wh.root,
-      "measurement_aggregations", "study_id=SA")
+    def saDir = wh.currentDir("measurement_aggregations").get.resolve("study_id=SA")
     def filesOf(p: java.nio.file.Path): Map[String, java.nio.file.attribute.FileTime] = {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(p).iterator().asScala
         .filter(java.nio.file.Files.isRegularFile(_))
-        .map(f => f.toString -> java.nio.file.Files.getLastModifiedTime(f)).toMap
+        .map(f => p.relativize(f).toString -> java.nio.file.Files.getLastModifiedTime(f))
+        .toMap
     }
-    val before = filesOf(aDir)
+    val before = filesOf(saDir)
     pipe.processJob("j-b", csv("sb.csv", sB))   // touches only study SB
-    assert(filesOf(aDir) == before)             // SA partition bit-identical
+    // SA's files carried into the new generation as hard links: same
+    // names, same mtimes (same inodes) — never rewritten
+    assert(filesOf(saDir) == before)
     val aggs = wh.read("measurement_aggregations", Schemas.aggregations)
     assert(aggs.count() == 2)                   // both studies present
     assert(aggs.filter(org.apache.spark.sql.functions.col("study_id") === "SA")
@@ -183,9 +185,25 @@ class PipelineSpec extends SparkSpec {
     val seen = scala.collection.mutable.ArrayBuffer[Int]()
     val wh = new Warehouse(spark, tmpDir("wh").toString)
     val pipe = new Pipeline(spark, wh, (_, pct, _) => seen += pct)
-    pipe.processJob("j-1", csv("study001.csv", Fixtures.study001))
+    val jobId = java.util.UUID.randomUUID().toString
+    pipe.processJob(jobId, csv("study001.csv", Fixtures.study001))
     assert(seen.toSeq == Seq(10, 30, 45, 65, 75, 90, 100))
-    assert(pipe.jobStatus("j-1").isDefined)
-    assert(pipe.jobStatus("nope").isEmpty)
+    assert(pipe.jobStatus(jobId).isDefined)
+    // valid-but-unknown UUID: empty after a table read
+    assert(pipe.jobStatus(java.util.UUID.randomUUID().toString).isEmpty)
+  }
+
+  test("malformed job ids are rejected at the status edge (reference etl.service.ts:79-81)") {
+    val wh = new Warehouse(spark, tmpDir("wh").toString)
+    val pipe = new Pipeline(spark, wh)
+    // a job row EXISTS under this non-UUID id, but the status edge
+    // validates shape before reading — same as the reference returning
+    // null from getJobStatus for any non-UUID id
+    pipe.processJob("j-1", csv("study001.csv", Fixtures.study001))
+    assert(pipe.jobStatus("j-1").isEmpty)
+    assert(pipe.jobStatus("").isEmpty)
+    assert(pipe.jobStatus("123e4567-e89b-12d3-a456-42661417400").isEmpty)  // 11-char tail
+    assert(pipe.jobStatus("123e4567-e89b-12d3-a456-4266141740zz").isEmpty) // non-hex
+    assert(pipe.jobStatus("123e4567-e89b-12d3-a456-426614174000").isEmpty) // valid shape, absent
   }
 }

@@ -87,23 +87,45 @@ class NativeExprSpec extends SparkSpec {
   }
 
   test("the full native surface is SQL-callable via GraftExtensions") {
-    val ext = new graft.GraftExtensions
-    // same builders the extension injects, applied to the test session
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", ch => VecDot(ch(0), ch(1)), "internal")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_shingles", ch => WordShingles(ch(0),
-        ch(1).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
-          .value.asInstanceOf[Int]), "internal")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "poly_fingerprint", ch => PolyFingerprint(ch.head), "internal")
-    val r = spark.sql(
-      """SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
-        |       size(word_shingles('a b c d', 2)) AS s,
-        |       poly_fingerprint('ab') AS fp""".stripMargin).head()
-    assert(r.getAs[Double]("d") == 11.0)
-    assert(r.getAs[Int]("s") == 3)
-    assert(r.getAs[Long]("fp") == ('a'.toLong * 31 + 'b'.toLong) % 1000000007L)
-    assert(ext != null)
+    // a REAL extensions-wired session: clear the thread's active/default
+    // session so getOrCreate builds a fresh one (same SparkContext) with
+    // the production `withExtensions(new GraftExtensions)` applied — this
+    // fails if the injectFunction / injectPlannerStrategy wiring is removed
+    import org.apache.spark.sql.SparkSession
+    val shared = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions)
+      .getOrCreate()
+    try {
+      assert(ext ne shared, "getOrCreate must have built a fresh session")
+      val r = ext.sql(
+        """SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+          |       vec_norm(array(3.0D, 4.0D)) AS n,
+          |       size(word_shingles('a b c d', 2)) AS s,
+          |       poly_fingerprint('ab') AS fp,
+          |       parse_bp('120/80').systolic AS sys,
+          |       rp_bits(array(1.0F, -2.0F), 2, 4) AS bits""".stripMargin).head()
+      assert(r.getAs[Double]("d") == 11.0)
+      assert(r.getAs[Double]("n") == 5.0)
+      assert(r.getAs[Int]("s") == 3)
+      assert(r.getAs[Long]("fp") == ('a'.toLong * 31 + 'b'.toLong) % 1000000007L)
+      assert(r.getAs[Int]("sys") == 120)
+      assert(!r.isNullAt(r.fieldIndex("bits")))
+
+      // the planner strategy rides the same extension: a native as-of
+      // node must plan and execute WITHOUT AsofJoinPlan.register
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      import ext.implicits._
+      val lp = ColumnBridge.logicalPlan(Seq((1, 10L), (1, 20L)).toDF("k", "t"))
+      val rp = ColumnBridge.logicalPlan(Seq((1, 5L, "x")).toDF("k2", "t2", "v"))
+      val asof = ColumnBridge.ofRows(ext, graft.plans.AsofJoinNode(lp, rp,
+        lp.output(0), lp.output(1), rp.output(0), rp.output(1)))
+      assert(asof.collect().length == 2)
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
   }
 }

@@ -69,6 +69,104 @@ class LlmOpsSpec extends SparkSpec {
       r.getAs[Long]("id_b") == 3L && r.getAs[Int]("hamming") == 0))
   }
 
+  test("degenerate LSH bucket: dropped, counted, and the query completes") {
+    // 70k docs with IDENTICAL text -> every band maps ALL docs to one
+    // bucket; expanding those pairs means ~2.4B rows (and, in the old
+    // one-row flatten formulation, a single >2GB array that crashed the
+    // executor). The cap must drop the bucket — recording the drop on the
+    // observed metric — and the query must complete quickly with 0 pairs.
+    val drops = new java.util.concurrent.atomic.AtomicLong(-1)
+    val members = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft_lsh_drops_")) {
+            drops.compareAndSet(-1, 0)
+            drops.addAndGet(row.getAs[Long]("dropped_buckets"))
+            members.addAndGet(row.getAs[Long]("dropped_members"))
+          }
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // 70k identical docs (the degenerate bucket) + three planted
+      // near-dup pairs in healthy buckets, like a real corpus
+      val degenerate = spark.range(70000).select(col("id").as("doc_id"),
+        lit("the same boilerplate navigation text on every page of the site")
+          .as("text"))
+      val planted = Seq(
+        (70000L, "alpha document about spark engines running at scale"),
+        (70001L, "alpha document about spark engines running at scale"),
+        (70002L, "beta notes on parquet layouts and partition pruning"),
+        (70003L, "beta notes on parquet layouts and partition pruning"),
+        (70004L, "gamma text covering watermarks in streaming pipelines"),
+        (70005L, "gamma text covering watermarks in streaming pipelines")
+      ).toDF("doc_id", "text")
+      val pairs = Dedup.minhashCandidates(degenerate.unionByName(planted),
+          numHashes = 8, bands = 2, k = 3, threshold = 0.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the healthy buckets still pair up; the degenerate bucket is capped
+      // out, so no pair touches its members
+      assert(pairs == Set((70000L, 70001L), (70002L, 70003L), (70004L, 70005L)))
+      // metric delivery is async on the listener bus — poll briefly
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (drops.get() < 1 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(drops.get() == 2, s"expected 2 dropped buckets (one per band), got ${drops.get()}")
+      assert(members.get() == 140000L, s"members=${members.get()}")
+      // the fully-degenerate corpus (every bucket capped out, empty result)
+      // must also complete — AQE may fold the empty plan away along with
+      // the metric node, so only completion is asserted here
+      assert(Dedup.minhashCandidates(degenerate, numHashes = 8, bands = 2,
+        k = 3, threshold = 0.0).count() == 0)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("xxhash64 LSH families: deterministic across partitionings; est tracks exact") {
+    // production-family pin (xxhash64 is not SQL-expressible, so these
+    // variants have no DuckDB oracle row — this spec is their gate):
+    // results must not depend on partitioning, every exact duplicate must
+    // be found with est 1.0, and the signature estimate must track the
+    // exact shingle Jaccard within minhash sampling error.
+    val corpus = (0 until 60).map { i =>
+      val base = s"document number ${i / 3} talks about topic ${i / 3} in some detail " +
+        s"with shared vocabulary across variants and enough words to shingle"
+      (i.toLong, if (i % 3 == 2) base + " plus a small edit" else base)
+    }.toDF("doc_id", "text")
+    def mh(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashCandidates(df, numHashes = 32, bands = 8, k = 3, threshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val one = mh(corpus.repartition(1))
+    val many = mh(corpus.repartition(7))
+    assert(one == many, "minhash candidates must not depend on partitioning")
+    assert(one.nonEmpty)
+    // every identical pair (i, i+1 within a group of 3) found at est 1.0
+    (0 until 60 by 3).foreach { g =>
+      assert(one.get((g.toLong, g + 1L)).contains(1.0), s"identical pair $g missing")
+    }
+    // estimate vs exact jaccard, on the candidates the production family found
+    val cand = Dedup.minhashCandidates(corpus, numHashes = 32, bands = 8,
+      k = 3, threshold = 0.3).select(col("id_a"), col("id_b"), col("est_jaccard"))
+    val exact = Dedup.ngramJaccard(corpus, cand, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    one.foreach { case (p, est) =>
+      assert(math.abs(est - exact(p)) <= 0.35, s"pair $p est=$est exact=${exact(p)}")
+    }
+    // simhash: same determinism pin
+    def sh(df: org.apache.spark.sql.DataFrame) =
+      Dedup.simhashCandidates(df, maxHammingDistance = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val s1 = sh(corpus.repartition(1))
+    assert(s1 == sh(corpus.repartition(5)))
+    (0 until 60 by 3).foreach { g =>
+      assert(s1.get((g.toLong, g + 1L)).contains(0), s"identical pair $g hamming != 0")
+    }
+  }
+
   test("duplicate clusters: components labeled by their minimum doc id") {
     // two components: {1,2,3,9} (chain through 9) and {5,6}; 7-8 pair
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 9L), (5L, 6L), (8L, 7L))

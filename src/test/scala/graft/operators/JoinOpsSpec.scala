@@ -84,6 +84,81 @@ class JoinOpsSpec extends SparkSpec {
     assert(rows("t2") == None)          // key with no right rows -> nulls
   }
 
+  test("native AsofJoinExec: null keys and times never match and never crash") {
+    import graft.plans.AsofJoinPlan
+    val left = Seq(
+      (Option(1L), Option(ts("2024-01-01 10:00:05")), "ok"),
+      (None: Option[Long], Option(ts("2024-01-01 10:00:05")), "nullkey"),
+      (Option(1L), None: Option[Timestamp], "nulltime"),
+      (None: Option[Long], None: Option[Timestamp], "nullboth")
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (Option(1L), Option(ts("2024-01-01 10:00:00")), 100.0),
+      (None: Option[Long], Option(ts("2024-01-01 09:00:00")), 666.0), // null key: never matches
+      (Option(1L), None: Option[Timestamp], 777.0)                    // null time: never matches
+    ).toDF("rk", "rt", "px")
+    val out = AsofJoinPlan.backward(spark, left, right, "k", "rk", "t", "rt")
+    assert(out.queryExecution.executedPlan.toString.contains("AsofJoin"))
+    val m = out.collect().map(r => r.getAs[String]("tag") ->
+      Option(r.getAs[Any]("px"))).toMap
+    assert(m.size == 4)                 // every left row survives exactly once
+    assert(m("ok") == Some(100.0))      // skips the null-time right row
+    assert(m("nullkey") == None && m("nulltime") == None && m("nullboth") == None)
+  }
+
+  test("fallback as-of attaches all payload fields from ONE right row (nulls included)") {
+    // the latest right row has a NULL px; per-column last(ignoreNulls)
+    // would resurrect the older row's px while taking the newer qty —
+    // stitching fields from two different right rows. The struct carry
+    // must deliver the latest ROW: px null, qty 7.
+    val left = Seq((1L, ts("2024-01-01 10:00:10"), "t1")).toDF("k", "t", "tid")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Option(100.0), Option(5L)),
+      (1L, ts("2024-01-01 10:00:05"), None: Option[Double], Option(7L))
+    ).toDF("rk", "rt", "px", "qty")
+    val row = AsofJoin.backward(left, right, "k", "rk", "t", "rt",
+      Seq("px", "qty")).collect().head
+    assert(row.isNullAt(row.fieldIndex("px")),
+      "px must come from the latest right row (which has px = null)")
+    assert(row.getAs[Long]("qty") == 7L)
+  }
+
+  test("native == fallback on data with null keys, times, and payloads") {
+    import graft.plans.AsofJoinPlan
+    val rnd = new scala.util.Random(7)
+    def mayb[T](v: T): Option[T] = if (rnd.nextInt(10) == 0) None else Some(v)
+    val left = Seq.tabulate(300)(i => (mayb(rnd.nextInt(10).toLong),
+        mayb(ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00")), i.toLong))
+      .toDF("k", "t", "lid")
+    val right = Seq.tabulate(120)(i => (mayb(rnd.nextInt(12).toLong),
+        mayb(ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:30")),
+        mayb(i * 1.5)))
+      .toDF("rk", "rt", "px")
+      .groupBy("rk", "rt").agg(max("px").as("px")) // (key,time) unique on right
+    val native = AsofJoinPlan.backward(spark, left, right, "k", "rk", "t", "rt")
+      .select(col("lid"), col("px"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val lowered = AsofJoin.backward(left,
+        right.select(col("rk"), col("rt"), col("px")),
+        "k", "rk", "t", "rt", payload = Seq("px"))
+      .select(col("lid"), col("px"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(native.size == 300 && native == lowered)
+  }
+
+  test("as-of join rejects mismatched key/time types at construction") {
+    import graft.plans.AsofJoinPlan
+    val left = Seq((1, ts("2024-01-01 00:00:01"), "a")).toDF("k", "t", "s") // Int key
+    val right = Seq((1L, ts("2024-01-01 00:00:00"), 5.5)).toDF("rk", "rt", "v") // Long key
+    intercept[IllegalArgumentException] {
+      AsofJoinPlan.backward(spark, left, right, "k", "rk", "t", "rt")
+    }
+    val right2 = Seq((1, 42L, 5.5)).toDF("rk", "rt", "v") // Long time vs Timestamp
+    intercept[IllegalArgumentException] {
+      AsofJoinPlan.backward(spark, left, right2, "k", "rk", "t", "rt")
+    }
+  }
+
   test("range binned equals naive, including interval and bin boundaries") {
     val points = Seq(0.0, 49.999, 50.0, 74.9, 75.0, 100.0, 149.9, 150.0, 250.0)
       .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
