@@ -3,7 +3,7 @@ package graft.etl
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.schema.Schemas
-import java.nio.file.Paths
+import java.nio.file.{Files, Path, Paths}
 
 /** End-to-end job orchestration (SURVEY §3.A), reference
   * `etl-service/src/etl.py:232-266` + job control `db.py:31-67`.
@@ -19,18 +19,44 @@ import java.nio.file.Paths
   * `db.py:29`; we implement the intent, not the bug).
   */
 final class Pipeline(spark: SparkSession, wh: Warehouse,
-                     onProgress: (String, Int, String) => Unit = (_, _, _) => ()) {
+                     onProgress: (String, Int, String) => Unit = (_, _, _) => (),
+                     dataRoot: Option[String] = None) {
 
   final case class JobResult(jobId: String, status: String,
                              stagedRows: Long, processedRows: Long,
                              message: Option[String])
 
+  /** Reference `main.py:30-34` (`valid_path`): job inputs are named
+    * relative to a configured data dir, resolved, and must be an
+    * existing regular file — rejected with "Not a file." otherwise. We
+    * implement the intent and additionally refuse resolved paths that
+    * escape the root (the reference's `resolve()` + `is_file` alone
+    * would follow `../` out of DATA_DIR). With no root configured
+    * (library use) only the regular-file check applies. */
+  private def resolveInput(csvPath: String): Either[String, Path] = {
+    val p = dataRoot match {
+      case Some(root) => Paths.get(root).toAbsolutePath.normalize
+        .resolve(csvPath).normalize
+      case None => Paths.get(csvPath)
+    }
+    val contained = dataRoot.forall(r =>
+      p.startsWith(Paths.get(r).toAbsolutePath.normalize))
+    if (contained && Files.isRegularFile(p)) Right(p) else Left("Not a file.")
+  }
+
   def processJob(jobId: String, csvPath: String, format: String = "csv"): JobResult = {
     val filename = Paths.get(csvPath).getFileName.toString
+    val input = resolveInput(csvPath) match {
+      case Left(err) =>
+        markStatus(jobId, "failed", Some(err), Some(filename))
+        onProgress(jobId, 100, s"failed: $err")
+        return JobResult(jobId, "failed", 0, 0, Some(err))
+      case Right(p) => p
+    }
     try {
       markStatus(jobId, "running", Some("reading csv"), Some(filename))
       onProgress(jobId, 10, "reading csv")
-      val raw = Ingest.read(spark, csvPath, format)
+      val raw = Ingest.read(spark, input.toString, format)
 
       onProgress(jobId, 30, "staging rows")
       // one pass shared by staging, transform and quality; small enough per

@@ -193,6 +193,27 @@ class PipelineSpec extends SparkSpec {
     assert(pipe.jobStatus(java.util.UUID.randomUUID().toString).isEmpty)
   }
 
+  test("job inputs resolve inside the data root only (reference main.py:30-34)") {
+    val wh = new Warehouse(spark, tmpDir("wh").toString)
+    val dataDir = tmpDir("uploads")
+    writeCsv(dataDir, "ok.csv", Fixtures.study001)
+    val outside = tmpDir("elsewhere")
+    writeCsv(outside, "evil.csv", Fixtures.study001)
+    val pipe = new Pipeline(spark, wh, dataRoot = Some(dataDir.toString))
+    // a name relative to the root works
+    assert(pipe.processJob("j-ok", "ok.csv").status == "completed")
+    // escapes and absolute paths outside the root fail with the
+    // reference's error, without reading anything
+    val esc = pipe.processJob("j-esc",
+      s"../${outside.getFileName}/evil.csv")
+    assert(esc.status == "failed" && esc.message.contains("Not a file."))
+    val abs = pipe.processJob("j-abs", outside.resolve("evil.csv").toString)
+    assert(abs.status == "failed" && abs.message.contains("Not a file."))
+    // nonexistent and non-file inputs fail the same way
+    assert(pipe.processJob("j-miss", "missing.csv").message.contains("Not a file."))
+    assert(pipe.processJob("j-dir", ".").message.contains("Not a file."))
+  }
+
   test("malformed job ids are rejected at the status edge (reference etl.service.ts:79-81)") {
     val wh = new Warehouse(spark, tmpDir("wh").toString)
     val pipe = new Pipeline(spark, wh)
