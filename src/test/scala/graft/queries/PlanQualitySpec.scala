@@ -57,4 +57,27 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q05_value_routing")
     assert(p.contains("codegen id"), p)
   }
+
+  test("q59: LSH verification is candidates-only equi-joins, never a cross product") {
+    val p = plan("q59_lsh_verified")
+    // the exact-Jaccard verify stage joins candidate pairs back to
+    // shingle sets on doc id — any all-pairs shape would surface as a
+    // cartesian/BNLJ here and be quadratic at scale
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // candidate generation stays the one-shuffle groupBy form: the pair
+    // expansion must come from Generate over grouped buckets, not a
+    // bucket self-join
+    assert(p.contains("Generate"), p)
+  }
+
+  test("q60: simhash verification has the same candidates-only shape") {
+    val p = plan("q60_simhash_verified")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Generate"), p)
+  }
+
+  test("q56: decontamination broadcasts the eval side, fact side never shuffles for the join") {
+    val p = plan("q56_decontamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
