@@ -85,6 +85,82 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(text), "\\s+", " "))
 
+  /** PII redaction patterns, applied in order. Explicit character classes
+    * only — no lookaround, no `\s`, no `\d` — so Java regex (the engine)
+    * and RE2 (the DuckDB oracle) read each pattern identically. Email
+    * before IP before phone before bare long-digit runs, so each later
+    * pattern sees the residue of the earlier ones. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}" -> "<IP>",
+    "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}" -> "<PHONE>",
+    "[0-9]{9,}" -> "<ID>")
+
+  /** Redact emails, IPv4 addresses, phone numbers, and long digit runs
+    * (account/ID numbers) with typed placeholders — the standard scrub
+    * pass before text enters a training corpus. Pure codegen'd
+    * `regexp_replace` chain: linear, no shuffle. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+
+  /** Per-category PII hit counts (pre-redaction) — the audit side of
+    * [[redactPii]]: what a scrub of this corpus would remove. Counted
+    * against the same residue chain the redactor produces, so
+    * `sum(counts) == number of placeholders inserted`. */
+  def piiCounts(text: Column): Seq[(String, Column)] = {
+    val (_, counts) = PiiPatterns.foldLeft((text, Seq.empty[(String, Column)])) {
+      case ((c, acc), (pat, rep)) =>
+        val name = rep.stripPrefix("<").stripSuffix(">").toLowerCase
+        (regexp_replace(c, pat, rep),
+          acc :+ (s"n_$name" -> size(regexp_extract_all(c, lit(pat), lit(0)))))
+    }
+    counts
+  }
+
+  /** Gopher/C4-style curation flags, one pass of column algebra per
+    * document: word count, mean word length, vocabulary diversity
+    * (unique-word and duplicate-bigram fractions), alphabetic-word
+    * fraction, stopword presence, and the composite `keep` decision.
+    * Every signal is linear in document size (no per-word quadratic
+    * loops) and shuffles nothing; the token array is materialized ONCE
+    * in a projection because HOF lambdas get no common-subexpression
+    * elimination. Thresholds follow the published Gopher rules where the
+    * signal exists at word level (this corpus has no line structure):
+    * word count bounds, mean word length in [3,10], >=80% words
+    * alphabetic, >=2 stopword hits, <=30% duplicate bigrams. */
+  def curationFlags(docs: DataFrame, text: Column = col("text"),
+                    minWords: Int = 20, maxWords: Int = 100000): DataFrame = {
+    val raw = split(Dedup.normalized(text), " ")       // matches WordShingles tokens
+    val arrs = docs.select(col("doc_id"), text.as("__text"), raw.as("__raw"),
+      filter(raw, t => length(t) > 0).as("__toks"))
+    val toks = col("__toks")
+    val n = size(toks)
+    val nBigramsTotal = greatest(size(col("__raw")) - 1, lit(0))
+    val flags = arrs.select(
+      col("doc_id"),
+      n.as("n_words"),
+      when(n === 0, 0.0).otherwise(
+        aggregate(toks, lit(0), (a, t) => a + length(t)).cast("double") / n)
+        .as("mean_word_len"),
+      when(n === 0, 0.0).otherwise(
+        size(array_distinct(toks)).cast("double") / n).as("frac_unique_words"),
+      when(nBigramsTotal === 0, 0.0).otherwise(
+        lit(1.0) - size(Dedup.shingles(col("__text"), 2)).cast("double")
+          / nBigramsTotal).as("frac_dup_bigrams"),
+      when(n === 0, 0.0).otherwise(
+        size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / n)
+        .as("frac_alpha_words"),
+      size(filter(toks, t => t.isin(Stopwords: _*))).as("stop_hits"))
+    flags.select(col("*"),
+      (col("n_words") >= minWords && col("n_words") <= maxWords &&
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+        col("frac_alpha_words") >= 0.8 &&
+        col("stop_hits") >= 2 &&
+        col("frac_dup_bigrams") <= 0.3).cast("int").as("keep"))
+  }
+
   /** One-pass document profile used by `SparkEntry` queries. */
   def profile(docs: DataFrame, text: Column = col("text")): DataFrame =
     docs.select(

@@ -427,6 +427,62 @@ object Oracles {
          |  WHERE p.hamming <= 3)
          |WHERE jaccard >= 0.5""".stripMargin,
 
+    "q61_curation_flags" ->
+      raw"""WITH tk AS (
+         |  SELECT doc_id, text, string_split($norm, ' ') AS raw,
+         |         list_filter(string_split($norm, ' '), t -> len(t) > 0) AS toks
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |         len(toks) AS n_words,
+         |         CASE WHEN len(toks) = 0 THEN 0.0
+         |              ELSE list_sum(list_transform(toks, t -> len(t)))::DOUBLE
+         |                   / len(toks) END AS mean_word_len,
+         |         CASE WHEN len(toks) = 0 THEN 0.0
+         |              ELSE len(list_distinct(toks))::DOUBLE / len(toks)
+         |              END AS frac_unique_words,
+         |         CASE WHEN len(raw) <= 1 THEN 0.0
+         |              ELSE 1.0 - len(list_distinct(list_transform(
+         |                     range(1, len(raw)),
+         |                     i -> raw[i] || ' ' || raw[i+1])))::DOUBLE
+         |                   / (len(raw) - 1) END AS frac_dup_bigrams,
+         |         CASE WHEN len(toks) = 0 THEN 0.0
+         |              ELSE len(list_filter(toks,
+         |                     t -> regexp_matches(t, '[a-z]')))::DOUBLE / len(toks)
+         |              END AS frac_alpha_words,
+         |         len(list_filter(toks, t -> list_contains(
+         |           ['the','a','of','and','to','in','is','that','for','with'], t)))
+         |           AS stop_hits
+         |  FROM tk)
+         |SELECT *,
+         |       CASE WHEN n_words >= 30 AND n_words <= 100000
+         |                 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |                 AND frac_alpha_words >= 0.8 AND stop_hits >= 2
+         |                 AND frac_dup_bigrams <= 0.3
+         |            THEN 1 ELSE 0 END AS keep
+         |FROM m""".stripMargin,
+
+    "q62_pii_redact" -> {
+      val pats = graft.llm.TextAnalysis.PiiPatterns
+      val planted = "substr(text, 1, 40) || ' contact user' || " +
+        "CAST(doc_id AS VARCHAR) || '@example.com or 555-867-' || " +
+        "lpad(CAST(doc_id AS VARCHAR), 4, '0') || ' ip 10.0.' || " +
+        "CAST(doc_id % 256 AS VARCHAR) || '.7 acct 90000000' || " +
+        "lpad(CAST(doc_id AS VARCHAR), 3, '0')"
+      val ctes = new StringBuilder(
+        s"WITH r0 AS (SELECT doc_id, $planted AS t0 FROM documents)")
+      pats.zipWithIndex.foreach { case ((pat, rep), i) =>
+        val nm = rep.stripPrefix("<").stripSuffix(">").toLowerCase
+        ctes.append(s""",
+           |r${i + 1} AS (SELECT *,
+           |  len(regexp_extract_all(t$i, '$pat', 0)) AS n_$nm,
+           |  regexp_replace(t$i, '$pat', '$rep', 'g') AS t${i + 1} FROM r$i)""".stripMargin)
+      }
+      val names = pats.map(p =>
+        "n_" + p._2.stripPrefix("<").stripSuffix(">").toLowerCase).mkString(", ")
+      s"$ctes\nSELECT doc_id, t${pats.length} AS redacted, $names FROM r${pats.length}"
+    },
+
     "q46_kmv_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT l_returnflag AS flag,

@@ -651,6 +651,28 @@ object TestdataQueries {
     Dedup.ngramJaccard(docs, cand, k = 2).filter(col("jaccard") >= 0.5)
   }
 
+  /** Gopher-style curation flags over the documents table — word-level
+    * signals only (the corpus has no line structure). */
+  def q61CurationFlags(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.curationFlags(t(s, dir, "documents"), minWords = 30)
+
+  /** PII scrub + audit. The corpus contains no natural PII, so the query
+    * plants a deterministic contact string per document — derived only
+    * from testdata values — then redacts it and counts the hits per
+    * category; the oracle replants and re-redacts the same strings in
+    * SQL, so the redaction chain is verified end-to-end. */
+  def q62PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val idStr = col("doc_id").cast("string")
+    val planted = concat(
+      substring(col("text"), 1, 40),
+      lit(" contact user"), idStr, lit("@example.com or 555-867-"),
+      lpad(idStr, 4, "0"), lit(" ip 10.0."), (col("doc_id") % 256).cast("string"),
+      lit(".7 acct 90000000"), lpad(idStr, 3, "0"))
+    val counts = TextAnalysis.piiCounts(planted).map { case (nm, c) => c.as(nm) }
+    t(s, dir, "documents").select(
+      col("doc_id") +: TextAnalysis.redactPii(planted).as("redacted") +: counts: _*)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -696,6 +718,8 @@ object TestdataQueries {
     "q56_decontamination" -> q56Decontamination _,
     "q57_cube" -> q57Cube _,
     "q58_dedup_corpus" -> q58DedupCorpus _,
+    "q61_curation_flags" -> q61CurationFlags _,
+    "q62_pii_redact" -> q62PiiRedact _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,

@@ -273,6 +273,54 @@ class LlmOpsSpec extends SparkSpec {
     assert(res.map(_.getAs[Int]("rank")).toSeq == (1 to res.length))
   }
 
+  test("PII redaction: each category replaced by its placeholder, counts audit the hits") {
+    val rows = Seq(
+      "mail john.doe+x@corp.example.org now",
+      "call 555-123-4567 or 555-123-4568",
+      "server 192.168.1.10 and 10.0.0.1",
+      "acct 123456789012 ref 987654321",
+      "version 1.2.3 has no pii at all",
+      "").toDF("text")
+      .select(col("text"), TextAnalysis.redactPii(col("text")).as("red"),
+        struct(TextAnalysis.piiCounts(col("text"))
+          .map { case (n, c) => c.as(n) }: _*).as("n"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    def red(k: String) = rows(k).getString(1)
+    def cnt(k: String, f: String) = rows(k).getStruct(2).getAs[Int](f)
+    assert(red("mail john.doe+x@corp.example.org now") == "mail <EMAIL> now")
+    assert(red("call 555-123-4567 or 555-123-4568") == "call <PHONE> or <PHONE>")
+    assert(cnt("call 555-123-4567 or 555-123-4568", "n_phone") == 2)
+    assert(red("server 192.168.1.10 and 10.0.0.1") == "server <IP> and <IP>")
+    assert(red("acct 123456789012 ref 987654321") == "acct <ID> ref <ID>")
+    // 3-segment version strings are not IPv4 and stay untouched
+    assert(red("version 1.2.3 has no pii at all") == "version 1.2.3 has no pii at all")
+    assert(red("") == "")
+    assert(cnt("mail john.doe+x@corp.example.org now", "n_email") == 1)
+    assert(cnt("version 1.2.3 has no pii at all", "n_id") == 0)
+  }
+
+  test("curation flags: empty, repetitive, and healthy docs flag as expected") {
+    val d = Seq(
+      (1L, ""),                                                     // empty
+      (2L, Seq.fill(40)("spam spam").mkString(" ")),                // one dup bigram over and over
+      (3L, "the data pipeline reads a parquet table and writes clean rows " +
+        "for every study in this big warehouse with care while another " +
+        "job merges daily aggregates")
+    ).toDF("doc_id", "text")
+    val f = TextAnalysis.curationFlags(d, minWords = 20)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(f(1L).getAs[Int]("n_words") == 0)
+    assert(f(1L).getAs[Double]("mean_word_len") == 0.0)
+    assert(f(1L).getAs[Int]("keep") == 0)
+    // "spam spam spam ..." has 1 distinct bigram out of 79 -> heavy repetition
+    assert(f(2L).getAs[Double]("frac_dup_bigrams") > 0.9)
+    assert(f(2L).getAs[Double]("frac_unique_words") < 0.05)
+    assert(f(2L).getAs[Int]("keep") == 0)                           // no stopwords, repetitive
+    assert(f(3L).getAs[Int]("keep") == 1)
+    assert(f(3L).getAs[Double]("frac_alpha_words") == 1.0)
+    assert(f(3L).getAs[Int]("stop_hits") >= 2)
+  }
+
   test("text profile: counts and ratios behave on edge inputs") {
     val edge = Seq((0L, ""), (1L, "word"), (2L, "a b c"), (3L, "Hello, world!"))
       .toDF("doc_id", "text")
