@@ -156,6 +156,19 @@ object Dedup {
         explode(slice(ms, col("pos") + lit(2), size(ms))).as("b"))
   }
 
+  /** Signature-estimated Jaccard: fraction of agreeing minhash slots. */
+  private def estJaccard(a: Column, b: Column, numHashes: Int): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), e => e)).cast("double") /
+      lit(numHashes)
+
+  /** (doc_id, sig, band, bucket) rows — one per band per document. */
+  private def sigBuckets(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+                         portable: Boolean): DataFrame =
+    sigs.select(col("doc_id"), col("sig"),
+        explode(lshBuckets(col("sig"), bands, rowsPerBand, portable)).as("bb"))
+      .select(col("doc_id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
   /** MinHash-LSH near-duplicate candidate pairs with signature-estimated
     * Jaccard. Two docs become a candidate when they share ANY band bucket.
     * Returns (id_a < id_b, est_jaccard >= threshold).
@@ -168,15 +181,49 @@ object Dedup {
                         maxBucket: Int = MaxBucketMembers): DataFrame = {
     val rowsPerBand = numHashes / bands
     val signed = minhashTable(docs, numHashes, k, id, text, portable)
-    val bucketed = signed
-      .select(col("doc_id"), col("sig"),
-        explode(lshBuckets(col("sig"), bands, rowsPerBand, portable)).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
-    bucketPairs(bucketed, Seq("band", "bucket"),
+    bucketPairs(sigBuckets(signed, bands, rowsPerBand, portable),
+        Seq("band", "bucket"), struct(col("doc_id"), col("sig")), maxBucket)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        estJaccard(col("a.sig"), col("b.sig"), numHashes).as("est_jaccard"))
+      .groupBy("id_a", "id_b")            // same pair can match in >1 band
+      .agg(max("est_jaccard").as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Incremental near-dup candidate generation — the shape a 100 TB
+    * corpus actually runs nightly: signatures are computed for the NEW
+    * batch only and compared against a persisted signature store of the
+    * existing corpus ([[minhashTable]] output, fixed-width rows); the
+    * store is never re-hashed and, because the (small) new side's bucket
+    * rows are broadcast, never shuffled either. Emits every candidate
+    * pair involving at least one new document (new-new via the capped
+    * in-batch expansion, new-old via the broadcast bucket join);
+    * old-old pairs were emitted when those documents arrived, so
+    * `candidates(all) == candidates(old) ∪ incremental(store(old), new)`
+    * — pinned exactly by LlmOpsSpec.
+    */
+  def incrementalMinhashCandidates(existingSigs: DataFrame, newDocs: DataFrame,
+                                   numHashes: Int = 32, bands: Int = 8,
+                                   k: Int = 3, threshold: Double = 0.5,
+                                   id: Column = col("doc_id"),
+                                   text: Column = col("text"),
+                                   portable: Boolean = false,
+                                   maxBucket: Int = MaxBucketMembers): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val newSigs = minhashTable(newDocs, numHashes, k, id, text, portable)
+    val newBuckets = sigBuckets(newSigs, bands, rowsPerBand, portable)
+    val newNew = bucketPairs(newBuckets, Seq("band", "bucket"),
         struct(col("doc_id"), col("sig")), maxBucket)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
-          e => e)).cast("double") / lit(numHashes)).as("est_jaccard"))
+        estJaccard(col("a.sig"), col("b.sig"), numHashes).as("est_jaccard"))
+    val newOld = sigBuckets(existingSigs, bands, rowsPerBand, portable).alias("o")
+      .join(broadcast(newBuckets).alias("n"),
+        col("o.band") === col("n.band") && col("o.bucket") === col("n.bucket") &&
+          col("o.doc_id") =!= col("n.doc_id"))
+      .select(least(col("o.doc_id"), col("n.doc_id")).as("id_a"),
+        greatest(col("o.doc_id"), col("n.doc_id")).as("id_b"),
+        estJaccard(col("o.sig"), col("n.sig"), numHashes).as("est_jaccard"))
+    newNew.unionByName(newOld)
       .groupBy("id_a", "id_b")            // same pair can match in >1 band
       .agg(max("est_jaccard").as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)

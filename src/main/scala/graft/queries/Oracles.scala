@@ -374,6 +374,11 @@ object Oracles {
          |SELECT id_a, id_b, est_jaccard FROM est
          |WHERE est_jaccard >= 0.4""".stripMargin,
 
+    "q63_incremental_dedup" ->
+      s"""WITH $minhashPortableCtes
+         |SELECT id_a, id_b, est_jaccard FROM est
+         |WHERE est_jaccard >= 0.4 AND (id_a >= 400 OR id_b >= 400)""".stripMargin,
+
     "q59_lsh_verified" ->
       s"""WITH $minhashPortableCtes,
          |shl AS (

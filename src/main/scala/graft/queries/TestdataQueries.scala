@@ -673,6 +673,21 @@ object TestdataQueries {
       col("doc_id") +: TextAnalysis.redactPii(planted).as("redacted") +: counts: _*)
   }
 
+  /** Incremental dedup: the corpus is split into an "existing" store
+    * (doc_id < 400, signatures only) and a "new batch" (doc_id >= 400);
+    * only the new batch is hashed, and the result is every candidate
+    * pair touching a new document. The oracle recomputes the FULL
+    * portable pipeline and filters to pairs with a new side — proving
+    * the incremental path loses nothing vs a full recompute. */
+  def q63IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.incrementalMinhashCandidates(
+      Dedup.minhashTable(docs.filter(col("doc_id") < 400), numHashes = 32,
+        k = 3, portable = true),
+      docs.filter(col("doc_id") >= 400),
+      numHashes = 32, bands = 8, k = 3, threshold = 0.4, portable = true)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -720,6 +735,7 @@ object TestdataQueries {
     "q58_dedup_corpus" -> q58DedupCorpus _,
     "q61_curation_flags" -> q61CurationFlags _,
     "q62_pii_redact" -> q62PiiRedact _,
+    "q63_incremental_dedup" -> q63IncrementalDedup _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,

@@ -167,6 +167,31 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental candidates: store(old) + new batch loses nothing vs full recompute") {
+    val corpus = (0 until 60).map { i =>
+      val base = s"incremental doc ${i / 3} about subject ${i / 3} with plenty of " +
+        "shared filler words to build overlapping shingles for the family"
+      (i.toLong, if (i % 3 == 2) base + " slightly edited" else base)
+    }.toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val full = pairSet(Dedup.minhashCandidates(corpus, numHashes = 32,
+      bands = 8, k = 3, threshold = 0.3))
+    val oldDocs = corpus.filter(col("doc_id") < 40)
+    val newDocs = corpus.filter(col("doc_id") >= 40)
+    val oldOnly = pairSet(Dedup.minhashCandidates(oldDocs, numHashes = 32,
+      bands = 8, k = 3, threshold = 0.3))
+    val incr = pairSet(Dedup.incrementalMinhashCandidates(
+      Dedup.minhashTable(oldDocs, numHashes = 32, k = 3),
+      newDocs, numHashes = 32, bands = 8, k = 3, threshold = 0.3))
+    // incremental emits exactly the full-recompute pairs touching a new doc,
+    // with identical estimates (signatures are per-doc deterministic)
+    assert(incr == full.filter { case ((a, b), _) => a >= 40 || b >= 40 })
+    assert(incr.nonEmpty && oldOnly.nonEmpty)
+    // and the store's old-old pairs complete the picture
+    assert(oldOnly ++ incr == full)
+  }
+
   test("duplicate clusters: components labeled by their minimum doc id") {
     // two components: {1,2,3,9} (chain through 9) and {5,6}; 7-8 pair
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 9L), (5L, 6L), (8L, 7L))
