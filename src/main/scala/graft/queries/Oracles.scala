@@ -374,6 +374,12 @@ object Oracles {
          |SELECT id_a, id_b, est_jaccard FROM est
          |WHERE est_jaccard >= 0.4""".stripMargin,
 
+    "q64_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+        |      < (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+        |              WHEN 'zh' THEN 1.0 ELSE 0.1 END) * 268435456.0""".stripMargin,
+
     "q63_incremental_dedup" ->
       s"""WITH $minhashPortableCtes
          |SELECT id_a, id_b, est_jaccard FROM est

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.llm.{Dedup, Sampling, Similarity, TextAnalysis, Multimodal}
 
 /** SURVEY §2 operator inventory expressed over the driver's synthetic
   * testdata (`/root/testdata/sf*`), one query per operator family, each
@@ -688,6 +688,15 @@ object TestdataQueries {
       numHashes = 32, bands = 8, k = 3, threshold = 0.4, portable = true)
   }
 
+  /** Deterministic per-language corpus subsampling (training-data mix
+    * construction): md5-bucket filter, reproducible across engines and
+    * partitionings, nested as rates grow. */
+  def q64StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratified(t(s, dir, "documents"), col("lang"), col("doc_id"),
+        rates = Map("en" -> 0.5, "de" -> 0.25, "zh" -> 1.0),
+        defaultRate = 0.1)
+      .select(col("doc_id"), col("lang"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -736,6 +745,7 @@ object TestdataQueries {
     "q61_curation_flags" -> q61CurationFlags _,
     "q62_pii_redact" -> q62PiiRedact _,
     "q63_incremental_dedup" -> q63IncrementalDedup _,
+    "q64_stratified_sample" -> q64StratifiedSample _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,

@@ -67,6 +67,28 @@ class WarehouseSnapshotSpec extends SparkSpec {
     assert(fin == Map("SA" -> ((5, 200L)), "SB" -> ((0, 200L))))
   }
 
+  test("stale dirs from a crashed writer are swept; the next merge succeeds") {
+    val wh = new Warehouse(spark, tmpDir("whcrash").toString)
+    wh.replace("t", batch("SA", 0), Seq("study_id"))
+    // simulate a writer that died mid-merge: a half-written merge staging
+    // dir and a half-written next-generation dir litter the table root
+    val tRoot = java.nio.file.Paths.get(wh.root, "t")
+    val staleTmp = tRoot.resolve(".merge-tmp/study_id=SA")
+    val staleGen = tRoot.resolve("g000000002/study_id=SA")
+    java.nio.file.Files.createDirectories(staleTmp)
+    java.nio.file.Files.createDirectories(staleGen)
+    java.nio.file.Files.writeString(staleTmp.resolve("part-junk"), "junk")
+    java.nio.file.Files.writeString(staleGen.resolve("part-junk"), "junk")
+    // the crash never flipped _current, so readers still see generation 1
+    assert(wh.read("t", schema).count() == 200)
+    wh.mergeReplacePartitions("t", schema, batch("SA", 7),
+      (_, incoming) => incoming, Seq("study_id"))
+    val rows = wh.read("t", schema).groupBy("v").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows == Map(7 -> 200L))      // merged cleanly, junk not visible
+    assert(!java.nio.file.Files.exists(tRoot.resolve(".merge-tmp")))
+  }
+
   test("a DataFrame planned before a flip keeps its snapshot; GC keeps two generations") {
     val wh = new Warehouse(spark, tmpDir("whgc").toString)
     wh.replace("t", batch("SA", 0), Seq("study_id"))

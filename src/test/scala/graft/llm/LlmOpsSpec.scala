@@ -346,6 +346,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(f(3L).getAs[Int]("stop_hits") >= 2)
   }
 
+  test("stratified sampling is exact, reproducible, and nested in the rate") {
+    import java.security.MessageDigest
+    def bucket(id: Long): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 7), 16)
+    }
+    def langOf(i: Int) = if (i % 4 == 0) "en" else if (i % 4 == 1) "de" else "fr"
+    val docs = (0 until 400).map(i => (i.toLong, langOf(i))).toDF("doc_id", "lang")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val rates = Map("en" -> 0.5, "de" -> 0.25)
+    val got = ids(Sampling.stratified(docs, col("lang"), col("doc_id"),
+      rates, defaultRate = 0.1))
+    // exact: the engine's md5-bucket filter equals a driver-side rederivation
+    val expected = (0 until 400).filter { i =>
+      val rate = rates.getOrElse(langOf(i), 0.1)
+      bucket(i.toLong) < rate * 268435456.0
+    }.map(_.toLong).toSet
+    assert(got == expected && got.nonEmpty && got.size < 400)
+    // reproducible under any partitioning
+    assert(got == ids(Sampling.stratified(docs.repartition(7), col("lang"),
+      col("doc_id"), rates, defaultRate = 0.1)))
+    // nested: raising every rate only ever ADDS rows
+    val bigger = ids(Sampling.stratified(docs, col("lang"), col("doc_id"),
+      Map("en" -> 0.8, "de" -> 0.5), defaultRate = 0.3))
+    assert(got.subsetOf(bigger))
+  }
+
   test("text profile: counts and ratios behave on edge inputs") {
     val edge = Seq((0L, ""), (1L, "word"), (2L, "a b c"), (3L, "Hello, world!"))
       .toDF("doc_id", "text")
