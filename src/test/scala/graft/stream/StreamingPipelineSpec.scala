@@ -48,6 +48,48 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(wh.read("processed_measurements", Schemas.processed).count() == processedBefore)
   }
 
+  test("streaming corpus dedup maintains the corpus incrementally across micro-batches") {
+    import graft.llm.Dedup
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val landing = tmpDir("docs-landing")
+    val wh = new Warehouse(spark, tmpDir("whdocs").toString)
+    val sd = new StreamingCorpusDedup(spark, wh, landing.toString,
+      tmpDir("ckptdocs").toString, numHashes = 32, bands = 8, k = 3,
+      threshold = 0.3)
+    // groups of 3 near-identical docs with group-private vocabulary;
+    // group 6 (ids 18-20) spans the two micro-batches, so cross-batch
+    // duplicates must flow through the signature store
+    def text(i: Int): String = {
+      val g = i / 3
+      val base = (0 until 14).map(j => s"tok${g}x$j").mkString(" ")
+      if (i % 3 == 2) s"$base tail$g edited" else s"$base tail$g common"
+    }
+    def jsonl(ids: Range): String =
+      ids.map(i => s"""{"doc_id": $i, "text": "${text(i)}"}""").mkString("\n")
+
+    writeCsv(landing, "day1.json", jsonl(0 until 20))
+    sd.start(availableNow = true).awaitTermination()
+    writeCsv(landing, "day2.json", jsonl(20 until 40))
+    sd.start(availableNow = true).awaitTermination()
+
+    val corpusSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val sigSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("sig", ArrayType(LongType, containsNull = false))))
+    val maintained = wh.read("corpus", corpusSchema)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = (0 until 40).map(i => (i.toLong, text(i))).toDF("doc_id", "text")
+    val oneShot = Dedup.dedupCorpus(all,
+        Dedup.minhashCandidates(all, numHashes = 32, bands = 8, k = 3,
+          threshold = 0.3))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(maintained == oneShot)
+    assert(maintained.size < 40)                               // dupes dropped
+    assert(wh.read("sig_store", sigSchema).count() == 40)      // all sigs kept
+  }
+
   test("a contract-violating file fails its own job without killing the stream") {
     val landing = tmpDir("landing2")
     val wh = new Warehouse(spark, tmpDir("whs2").toString)
