@@ -22,9 +22,7 @@ final class Pipeline(spark: SparkSession, wh: Warehouse,
                      onProgress: (String, Int, String) => Unit = (_, _, _) => (),
                      dataRoot: Option[String] = None) {
 
-  final case class JobResult(jobId: String, status: String,
-                             stagedRows: Long, processedRows: Long,
-                             message: Option[String])
+  import Pipeline.JobResult
 
   /** Reference `main.py:30-34` (`valid_path`): job inputs are named
     * relative to a configured data dir, resolved, and must be an
@@ -112,7 +110,7 @@ final class Pipeline(spark: SparkSession, wh: Warehouse,
       .withColumn("completed_at",
         if (status == "completed" || status == "failed") now
         else old.flatMap(r => Option(r.getTimestamp(1))).map(lit(_)).getOrElse(lit(null).cast("timestamp")))
-      .select(Schemas.etlJobs.fieldNames.map(col): _*)
+      .select(Schemas.etlJobs.fieldNames.toSeq.map(col): _*)
     wh.replace("etl_jobs", existing.unionByName(row))
   }
 
@@ -127,6 +125,10 @@ final class Pipeline(spark: SparkSession, wh: Warehouse,
 }
 
 object Pipeline {
+  final case class JobResult(jobId: String, status: String,
+                             stagedRows: Long, processedRows: Long,
+                             message: Option[String])
+
   // RFC-4122 textual shape, any version — same acceptance as the
   // reference's `isUuid` check at its status endpoint
   private val UuidRe =

@@ -153,10 +153,10 @@ final class Warehouse(spark: SparkSession, val root: String) {
       // buffered row per key through the shuffle. orderCol is unique per
       // key within a batch (file row number), so the argmin is exact.
       df.groupBy(keyCols: _*)
-        .agg(min_by(struct(schema.fieldNames.map(col): _*), col(orderCol))
+        .agg(min_by(struct(schema.fieldNames.toSeq.map(col): _*), col(orderCol))
           .as("__first"))
         .select(col("__first.*"))
-    val deduped = firstPerKey.select(schema.fieldNames.map(col): _*)
+    val deduped = firstPerKey.select(schema.fieldNames.toSeq.map(col): _*)
     val fresh =
       if (!exists(table)) deduped
       else deduped.join(
@@ -183,7 +183,7 @@ final class Warehouse(spark: SparkSession, val root: String) {
     val merged =
       if (!exists(table)) incoming
       else combine(read(table, schema).alias("old"), incoming.alias("new"))
-    replace(table, merged.select(schema.fieldNames.map(col): _*), partitionBy)
+    replace(table, merged.select(schema.fieldNames.toSeq.map(col): _*), partitionBy)
   }
 
   /** Restrict `existing` to the partition values present in `incoming` —
@@ -196,7 +196,8 @@ final class Warehouse(spark: SparkSession, val root: String) {
   private def prunedToIncoming(existing: DataFrame, incoming: DataFrame,
                                pruneCols: Seq[String]): DataFrame =
     pruneCols.foldLeft(existing) { (d, c) =>
-      val vals = incoming.select(col(c)).distinct().collect().map(_.get(0))
+      val vals = incoming.select(col(c)).distinct().collect()
+        .map(_.get(0)).toIndexedSeq
       d.filter(col(c).isin(vals: _*))
     }
 
@@ -216,11 +217,11 @@ final class Warehouse(spark: SparkSession, val root: String) {
     require(partitionCols.nonEmpty, "use mergeReplace for unpartitioned tables")
     currentDir(table) match {
       case None =>
-        replace(table, incoming.select(schema.fieldNames.map(col): _*), partitionCols)
+        replace(table, incoming.select(schema.fieldNames.toSeq.map(col): _*), partitionCols)
       case Some(cur) =>
         val scoped = prunedToIncoming(read(table, schema), incoming, partitionCols)
         val merged = combine(scoped.alias("old"), incoming.alias("new"))
-          .select(schema.fieldNames.map(col): _*)
+          .select(schema.fieldNames.toSeq.map(col): _*)
         val tmp = tableRoot(table).resolve(".merge-tmp")
         deleteRecursively(tmp)
         merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*)
