@@ -38,4 +38,34 @@ object Sampling {
     }
     df.filter(hashBucket(id).cast("double") < rate * BucketSpace)
   }
+
+  /** Deterministic data-mix construction by TOKEN budget: within each
+    * stratum, documents are ranked by their id hash (the same stable
+    * order [[stratified]] samples from) and the greedy prefix whose
+    * running token total stays within the stratum's budget is kept —
+    * once the cumulative sum passes the budget, everything after it in
+    * hash order is out. Like [[stratified]], no RNG: rerunning, changing
+    * partitioning, or recomputing on another engine selects the same
+    * documents, and a doubled budget strictly extends the selection.
+    *
+    * Cost: one shuffle + sort per query (the window over strata). At
+    * extreme corpus scale the same semantics can run pre-bucketed on the
+    * hash-ranked layout; the selection itself stays a prefix scan.
+    *
+    * @param tokens per-row token count column (pre-computed upstream)
+    */
+  def tokenBudgetMix(df: DataFrame, stratum: Column, id: Column,
+                     tokens: Column, budgets: Map[String, Long],
+                     defaultBudget: Long = 0L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(hashBucket(id), id)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
+      case (acc, (value, b)) => when(stratum === value, lit(b)).otherwise(acc)
+    }
+    df.withColumn("__cum", sum(tokens).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
+  }
 }

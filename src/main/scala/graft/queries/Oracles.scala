@@ -374,6 +374,23 @@ object Oracles {
          |SELECT id_a, id_b, est_jaccard FROM est
          |WHERE est_jaccard >= 0.4""".stripMargin,
 
+    "q65_token_budget_mix" ->
+      raw"""WITH tk AS (
+         |  SELECT doc_id, lang,
+         |         len(list_filter(string_split($norm, ' '), t -> len(t) > 0))
+         |           AS n_tok
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang, n_tok,
+         |         sum(n_tok) OVER (PARTITION BY lang
+         |           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT,
+         |                    doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM tk)
+         |SELECT doc_id, lang, n_tok FROM r
+         |WHERE cum <= CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 1500
+         |                       WHEN 'zh' THEN 2000 ELSE 500 END""".stripMargin,
+
     "q64_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT

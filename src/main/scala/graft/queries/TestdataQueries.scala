@@ -697,6 +697,19 @@ object TestdataQueries {
         defaultRate = 0.1)
       .select(col("doc_id"), col("lang"))
 
+  /** Data-mix construction: per-language token budgets filled by the
+    * deterministic hash-ranked greedy prefix. */
+  def q65TokenBudgetMix(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(Dedup.normalized(col("text")), " "),
+      t => length(t) > 0)
+    Sampling.tokenBudgetMix(
+      t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        size(toks).as("n_tok")),
+      col("lang"), col("doc_id"), col("n_tok"),
+      budgets = Map("en" -> 3000L, "de" -> 1500L, "zh" -> 2000L),
+      defaultBudget = 500L)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -746,6 +759,7 @@ object TestdataQueries {
     "q62_pii_redact" -> q62PiiRedact _,
     "q63_incremental_dedup" -> q63IncrementalDedup _,
     "q64_stratified_sample" -> q64StratifiedSample _,
+    "q65_token_budget_mix" -> q65TokenBudgetMix _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,

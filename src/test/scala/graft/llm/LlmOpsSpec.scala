@@ -375,6 +375,39 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.subsetOf(bigger))
   }
 
+  test("token-budget mix: exact greedy prefix per stratum, deterministic, nested") {
+    import java.security.MessageDigest
+    def bucket(id: Long): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 7), 16)
+    }
+    def langOf(i: Int) = if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr"
+    def tokOf(i: Int) = 5 + i % 7
+    val docs = (0 until 300).map(i => (i.toLong, langOf(i), tokOf(i)))
+      .toDF("doc_id", "lang", "n_tok")
+    val budgets = Map("en" -> 120L, "de" -> 60L)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = ids(Sampling.tokenBudgetMix(docs, col("lang"), col("doc_id"),
+      col("n_tok"), budgets, defaultBudget = 40L))
+    // exact: the engine's windowed prefix equals a driver-side rederivation
+    val expected = (0 until 300).groupBy(langOf).flatMap { case (lang, is) =>
+      val budget = budgets.getOrElse(lang, 40L)
+      var cum = 0L
+      is.sortBy(i => (bucket(i.toLong), i.toLong))
+        .takeWhile { i => cum += tokOf(i); cum <= budget }
+    }.map(_.toLong).toSet
+    assert(got == expected && got.nonEmpty && got.size < 300)
+    assert(got == ids(Sampling.tokenBudgetMix(docs.repartition(7), col("lang"),
+      col("doc_id"), col("n_tok"), budgets, defaultBudget = 40L)))
+    // nesting: doubled budgets strictly extend the selection
+    val bigger = ids(Sampling.tokenBudgetMix(docs, col("lang"), col("doc_id"),
+      col("n_tok"), budgets.map { case (k, v) => k -> v * 2 },
+      defaultBudget = 80L))
+    assert(got.subsetOf(bigger) && bigger.size > got.size)
+  }
+
   test("text profile: counts and ratios behave on edge inputs") {
     val edge = Seq((0L, ""), (1L, "word"), (2L, "a b c"), (3L, "Hello, world!"))
       .toDF("doc_id", "text")
