@@ -374,6 +374,14 @@ object Oracles {
          |SELECT id_a, id_b, est_jaccard FROM est
          |WHERE est_jaccard >= 0.4""".stripMargin,
 
+    "q66_topk_per_group" ->
+      """SELECT doc_id, lang, n_chars, rank FROM (
+        |  SELECT doc_id, lang, length(text) AS n_chars,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY length(text) DESC, doc_id ASC) AS rank
+        |  FROM documents)
+        |WHERE rank <= 3""".stripMargin,
+
     "q65_token_budget_mix" ->
       raw"""WITH tk AS (
          |  SELECT doc_id, lang,

@@ -710,6 +710,20 @@ object TestdataQueries {
       defaultBudget = 500L)
   }
 
+  /** Per-group top-k: the 3 longest documents per language, rank exposed.
+    * The window partitions by the group key, so each group sorts
+    * independently — k rows per group survive, never a global sort.
+    * Tie-break by doc_id keeps the ranking total and deterministic. */
+  def q66TopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(length(col("text")).desc, col("doc_id").asc)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), length(col("text")).as("n_chars"),
+        row_number().over(w).as("rank"))
+      .filter(col("rank") <= 3)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -760,6 +774,7 @@ object TestdataQueries {
     "q63_incremental_dedup" -> q63IncrementalDedup _,
     "q64_stratified_sample" -> q64StratifiedSample _,
     "q65_token_budget_mix" -> q65TokenBudgetMix _,
+    "q66_topk_per_group" -> q66TopkPerGroup _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,
