@@ -201,6 +201,12 @@ object Dedup {
     * old-old pairs were emitted when those documents arrived, so
     * `candidates(all) == candidates(old) ∪ incremental(store(old), new)`
     * — pinned exactly by LlmOpsSpec.
+    *
+    * @param broadcastNewSide hint the bucket join to broadcast the new
+    *        batch (default — the nightly-arrivals shape, store never
+    *        shuffles). Disable when the batch itself is huge; the join
+    *        then falls back to the optimizer's choice (a co-partitioned
+    *        shuffle join on the bucket key).
     */
   def incrementalMinhashCandidates(existingSigs: DataFrame, newDocs: DataFrame,
                                    numHashes: Int = 32, bands: Int = 8,
@@ -208,7 +214,8 @@ object Dedup {
                                    id: Column = col("doc_id"),
                                    text: Column = col("text"),
                                    portable: Boolean = false,
-                                   maxBucket: Int = MaxBucketMembers): DataFrame = {
+                                   maxBucket: Int = MaxBucketMembers,
+                                   broadcastNewSide: Boolean = true): DataFrame = {
     val rowsPerBand = numHashes / bands
     val newSigs = minhashTable(newDocs, numHashes, k, id, text, portable)
     val newBuckets = sigBuckets(newSigs, bands, rowsPerBand, portable)
@@ -217,7 +224,7 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         estJaccard(col("a.sig"), col("b.sig"), numHashes).as("est_jaccard"))
     val newOld = sigBuckets(existingSigs, bands, rowsPerBand, portable).alias("o")
-      .join(broadcast(newBuckets).alias("n"),
+      .join((if (broadcastNewSide) broadcast(newBuckets) else newBuckets).alias("n"),
         col("o.band") === col("n.band") && col("o.bucket") === col("n.bucket") &&
           col("o.doc_id") =!= col("n.doc_id"))
       .select(least(col("o.doc_id"), col("n.doc_id")).as("id_a"),
