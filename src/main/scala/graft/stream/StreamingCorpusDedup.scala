@@ -1,6 +1,7 @@
 package graft.stream
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 import graft.etl.Warehouse
@@ -46,9 +47,14 @@ final class StreamingCorpusDedup(spark: SparkSession, wh: Warehouse,
   }
 
   private[stream] def processBatch(batch: DataFrame): Unit = if (!batch.isEmpty) {
-    // the batch is consumed three times (edges, survivors, signatures) —
-    // pin it so the stream source isn't re-read per consumer
-    val docs = batch.cache()
+    // corrupt JSON lines surface as null doc_id/text rows from the file
+    // source — skip them rather than poison the store (one bad line must
+    // not fail the batch, matching the pipeline's one-job-not-the-service
+    // failure discipline). The batch is then consumed three times (edges,
+    // survivors, signatures) — pin it so the source isn't re-read per
+    // consumer.
+    val docs = batch
+      .filter(col("doc_id").isNotNull && col("text").isNotNull).cache()
     try {
       val edges =
         if (!wh.exists("sig_store"))

@@ -70,7 +70,10 @@ class StreamingPipelineSpec extends SparkSpec {
 
     writeCsv(landing, "day1.json", jsonl(0 until 20))
     sd.start(availableNow = true).awaitTermination()
-    writeCsv(landing, "day2.json", jsonl(20 until 40))
+    // corrupt lines ride along with day 2: they parse to null rows and
+    // must be skipped without failing the batch or entering the store
+    writeCsv(landing, "day2.json",
+      jsonl(20 until 40) + "\nnot json at all\n{\"doc_id\": 999}")
     sd.start(availableNow = true).awaitTermination()
 
     val corpusSchema = StructType(Seq(
