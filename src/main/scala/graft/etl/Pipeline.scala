@@ -28,18 +28,21 @@ final class Pipeline(spark: SparkSession, wh: Warehouse,
     * relative to a configured data dir, resolved, and must be an
     * existing regular file — rejected with "Not a file." otherwise. We
     * implement the intent and additionally refuse resolved paths that
-    * escape the root (the reference's `resolve()` + `is_file` alone
-    * would follow `../` out of DATA_DIR). With no root configured
-    * (library use) only the regular-file check applies. */
-  private def resolveInput(csvPath: String): Either[String, Path] = {
-    val p = dataRoot match {
-      case Some(root) => Paths.get(root).toAbsolutePath.normalize
-        .resolve(csvPath).normalize
-      case None => Paths.get(csvPath)
-    }
-    val contained = dataRoot.forall(r =>
-      p.startsWith(Paths.get(r).toAbsolutePath.normalize))
-    if (contained && Files.isRegularFile(p)) Right(p) else Left("Not a file.")
+    * escape the root: containment compares REAL paths (symlinks
+    * followed), so neither `../` nor a symlink planted inside the root
+    * can reach outside it — both escapes the reference's `resolve()` +
+    * `is_file` would follow. With no root configured (library use) the
+    * path passes straight through to the reader: directories, globs and
+    * non-local URIs stay valid Spark inputs there. */
+  private def resolveInput(csvPath: String): Either[String, Path] = dataRoot match {
+    case None => Right(Paths.get(csvPath))
+    case Some(root) =>
+      try {
+        val rootReal = Paths.get(root).toRealPath()
+        val p = rootReal.resolve(csvPath).toRealPath()
+        if (p.startsWith(rootReal) && Files.isRegularFile(p)) Right(p)
+        else Left("Not a file.")
+      } catch { case _: java.io.IOException => Left("Not a file.") }
   }
 
   def processJob(jobId: String, csvPath: String, format: String = "csv"): JobResult = {

@@ -212,6 +212,24 @@ class PipelineSpec extends SparkSpec {
     // nonexistent and non-file inputs fail the same way
     assert(pipe.processJob("j-miss", "missing.csv").message.contains("Not a file."))
     assert(pipe.processJob("j-dir", ".").message.contains("Not a file."))
+    // a symlink planted INSIDE the root pointing outside is the escape
+    // the lexical startsWith check would miss: real-path containment
+    // refuses it
+    java.nio.file.Files.createSymbolicLink(
+      dataDir.resolve("sneaky.csv"), outside.resolve("evil.csv"))
+    val sym = pipe.processJob("j-sym", "sneaky.csv")
+    assert(sym.status == "failed" && sym.message.contains("Not a file."))
+  }
+
+  test("with no data root, inputs pass through to the reader unvalidated") {
+    val (pipe, _) = freshPipeline()
+    // a DIRECTORY of csv files is a perfectly good Spark input in
+    // library use — the regular-file gate applies only to root-relative
+    // job inputs (reference main.py:30-34 guards its upload dir, not
+    // arbitrary engine reads)
+    val dir = tmpDir("data")
+    writeCsv(dir, "study001.csv", Fixtures.study001)
+    assert(pipe.processJob("j-dir-ok", dir.toString).status == "completed")
   }
 
   test("malformed job ids are rejected at the status edge (reference etl.service.ts:79-81)") {
