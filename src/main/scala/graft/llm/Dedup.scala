@@ -178,10 +178,20 @@ object Dedup {
                         id: Column = col("doc_id"),
                         text: Column = col("text"),
                         portable: Boolean = false,
-                        maxBucket: Int = MaxBucketMembers): DataFrame = {
+                        maxBucket: Int = MaxBucketMembers): DataFrame =
+    minhashCandidatesFromSigs(minhashTable(docs, numHashes, k, id, text, portable),
+      numHashes, bands, threshold, portable, maxBucket)
+
+  /** [[minhashCandidates]] starting from precomputed [[minhashTable]]
+    * signatures — the entry point when the caller already holds (and
+    * perhaps cached) the signature table, so the expensive shingle+hash
+    * stage is not re-planned. */
+  def minhashCandidatesFromSigs(sigs: DataFrame, numHashes: Int = 32,
+                                bands: Int = 8, threshold: Double = 0.5,
+                                portable: Boolean = false,
+                                maxBucket: Int = MaxBucketMembers): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val signed = minhashTable(docs, numHashes, k, id, text, portable)
-    bucketPairs(sigBuckets(signed, bands, rowsPerBand, portable),
+    bucketPairs(sigBuckets(sigs, bands, rowsPerBand, portable),
         Seq("band", "bucket"), struct(col("doc_id"), col("sig")), maxBucket)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         estJaccard(col("a.sig"), col("b.sig"), numHashes).as("est_jaccard"))
@@ -215,22 +225,60 @@ object Dedup {
                                    text: Column = col("text"),
                                    portable: Boolean = false,
                                    maxBucket: Int = MaxBucketMembers,
-                                   broadcastNewSide: Boolean = true): DataFrame = {
+                                   broadcastNewSide: Boolean = true): DataFrame =
+    incrementalMinhashCandidatesFromSigs(existingSigs,
+      minhashTable(newDocs, numHashes, k, id, text, portable),
+      numHashes, bands, threshold, portable, maxBucket, broadcastNewSide)
+
+  /** [[incrementalMinhashCandidates]] starting from the batch's
+    * precomputed signatures, so a caller that also persists them (the
+    * streaming corpus maintainer) hashes each batch exactly once.
+    *
+    * Formulation: the batch's bucket rows union with the store's rows in
+    * batch-touched buckets (store semi-filtered by the broadcast batch
+    * bucket keys — untouched store buckets are never read past the scan
+    * filter), each row tagged is_new, and the union goes through the SAME
+    * capped [[bucketPairs]] expansion as a full recompute; old-old pairs
+    * are discarded after expansion (they were emitted when those docs
+    * arrived). Because the cap therefore sees the bucket's COMBINED
+    * old+new size — exactly the size a full recompute would see — a
+    * degenerate store bucket is dropped-and-counted here precisely when
+    * the full recompute would drop it, keeping
+    * `candidates(all) restricted to new-touching pairs == incremental`
+    * even when the cap fires (the asymmetry ADVICE r4 flagged). The
+    * matched store rows do shuffle on the bucket key (the per-bucket size
+    * count needs them together), but only rows in batch-touched buckets:
+    * at nightly-arrival scale that is O(batch), not O(store).
+    *
+    * @param broadcastNewSide hint the store-side semi-filter to broadcast
+    *        the batch's distinct bucket keys (the nightly-arrivals
+    *        default). Disable for huge batches; the semi-join then falls
+    *        back to the optimizer's choice.
+    */
+  def incrementalMinhashCandidatesFromSigs(existingSigs: DataFrame,
+                                           newSigs: DataFrame,
+                                           numHashes: Int = 32, bands: Int = 8,
+                                           threshold: Double = 0.5,
+                                           portable: Boolean = false,
+                                           maxBucket: Int = MaxBucketMembers,
+                                           broadcastNewSide: Boolean = true): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val newSigs = minhashTable(newDocs, numHashes, k, id, text, portable)
     val newBuckets = sigBuckets(newSigs, bands, rowsPerBand, portable)
-    val newNew = bucketPairs(newBuckets, Seq("band", "bucket"),
-        struct(col("doc_id"), col("sig")), maxBucket)
+      .withColumn("is_new", lit(true))
+    val newKeys = newBuckets.select("band", "bucket").distinct()
+    val oldBuckets = sigBuckets(existingSigs, bands, rowsPerBand, portable)
+      .join(if (broadcastNewSide) broadcast(newKeys) else newKeys,
+        Seq("band", "bucket"), "left_semi")
+      .withColumn("is_new", lit(false))
+    bucketPairs(newBuckets.unionByName(oldBuckets), Seq("band", "bucket"),
+        struct(col("doc_id"), col("sig"), col("is_new")), maxBucket)
+      // old-old pairs were emitted when those docs arrived; a doc can
+      // appear as both new and old during a replay heal — never pair it
+      // with itself
+      .filter((col("a.is_new") || col("b.is_new")) &&
+        col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         estJaccard(col("a.sig"), col("b.sig"), numHashes).as("est_jaccard"))
-    val newOld = sigBuckets(existingSigs, bands, rowsPerBand, portable).alias("o")
-      .join((if (broadcastNewSide) broadcast(newBuckets) else newBuckets).alias("n"),
-        col("o.band") === col("n.band") && col("o.bucket") === col("n.bucket") &&
-          col("o.doc_id") =!= col("n.doc_id"))
-      .select(least(col("o.doc_id"), col("n.doc_id")).as("id_a"),
-        greatest(col("o.doc_id"), col("n.doc_id")).as("id_b"),
-        estJaccard(col("o.sig"), col("n.sig"), numHashes).as("est_jaccard"))
-    newNew.unionByName(newOld)
       .groupBy("id_a", "id_b")            // same pair can match in >1 band
       .agg(max("est_jaccard").as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)

@@ -1,7 +1,7 @@
 package graft.stream
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 import graft.etl.Warehouse
@@ -13,18 +13,35 @@ import graft.llm.Dedup
   * appended to the corpus.
   *
   * The micro-batch body reuses the batch operators verbatim
-  * ([[Dedup.incrementalMinhashCandidates]] / [[Dedup.dedupCorpus]] /
+  * ([[Dedup.incrementalMinhashCandidatesFromSigs]] / [[Dedup.dedupCorpus]] /
   * [[Dedup.minhashTable]] through `foreachBatch`), so streaming and batch
-  * dedup semantics cannot drift — the streaming layer contributes only
-  * exactly-once file discovery (file-source log + checkpoint).
+  * dedup semantics cannot drift. Each batch is shingled+hashed exactly
+  * ONCE: the signature table is computed up front, cached, fed to the
+  * candidate generator AND appended to the store.
+  *
+  * End-to-end effectively-once, the same discipline as the reference's
+  * `ON CONFLICT DO NOTHING` sink (`db.py:41-58`): `foreachBatch` is
+  * at-least-once, so the sink must absorb replays itself. Two layers do:
+  *
+  *  - a `_stream_commits` record keyed by (stream id, batch id) — the
+  *    Delta `txnAppId`/`txnVersion` pattern — makes a whole-batch replay
+  *    a fast no-op (the stream id is the checkpoint location, which IS
+  *    the stream's identity: a new checkpoint restarts batch numbering
+  *    and must not be treated as replayed);
+  *  - both data sinks go through [[Warehouse.appendIfAbsent]] on doc_id,
+  *    so a crash BETWEEN the two appends (or before the commit record
+  *    lands) heals on replay — re-delivered documents and signatures are
+  *    anti-joined away instead of landing twice. Replayed file batches
+  *    are byte-identical (the file-source offsets log pins each batch's
+  *    file list), so the recomputed survivor set matches the committed
+  *    one and the heal is exact.
   *
   * At scale per micro-batch: only the batch's documents are hashed (the
-  * store is never re-hashed), the store side of the candidate join never
-  * shuffles (the batch's bucket rows broadcast), and the two sink appends
-  * commit atomically through the warehouse generation pointer. Signatures
-  * of DROPPED documents enter the store too — a later near-dup of a
-  * dropped doc must still be recognized (see CorpusMaintenanceSpec for
-  * the exact maintained-vs-one-shot equivalence and its limits).
+  * store is never re-hashed) and only store rows in batch-touched LSH
+  * buckets shuffle. Signatures of DROPPED documents enter the store too —
+  * a later near-dup of a dropped doc must still be recognized (see
+  * CorpusMaintenanceSpec for the exact maintained-vs-one-shot
+  * equivalence and its limits).
   */
 final class StreamingCorpusDedup(spark: SparkSession, wh: Warehouse,
                                  landingDir: String, checkpointDir: String,
@@ -36,33 +53,55 @@ final class StreamingCorpusDedup(spark: SparkSession, wh: Warehouse,
   private val sigSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("sig", ArrayType(LongType, containsNull = false))))
+  private val commitSchema = StructType(Seq(
+    StructField("stream_id", StringType), StructField("batch_id", LongType)))
 
   def start(availableNow: Boolean = false): StreamingQuery = {
     val docs = spark.readStream.schema(docSchema).json(landingDir)
     val writer = docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) => processBatch(batch) }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId)
+      }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()
   }
 
-  private[stream] def processBatch(batch: DataFrame): Unit = if (!batch.isEmpty) {
-    // corrupt JSON lines surface as null doc_id/text rows from the file
-    // source — skip them rather than poison the store (one bad line must
-    // not fail the batch, matching the pipeline's one-job-not-the-service
-    // failure discipline). The batch is then consumed three times (edges,
-    // survivors, signatures) — pin it so the source isn't re-read per
-    // consumer.
-    val docs = batch
-      .filter(col("doc_id").isNotNull && col("text").isNotNull).cache()
-    try {
-      val edges =
-        if (!wh.exists("sig_store"))
-          Dedup.minhashCandidates(docs, numHashes, bands, k, threshold)
-        else Dedup.incrementalMinhashCandidates(
-          wh.read("sig_store", sigSchema), docs, numHashes, bands, k, threshold)
-      wh.append("corpus", Dedup.dedupCorpus(docs, edges))
-      wh.append("sig_store", Dedup.minhashTable(docs, numHashes, k))
-    } finally docs.unpersist()
+  private def alreadyCommitted(batchId: Long): Boolean =
+    wh.exists("_stream_commits") &&
+      !wh.read("_stream_commits", commitSchema)
+        .filter(col("stream_id") === checkpointDir &&
+          col("batch_id") === batchId)
+        .isEmpty
+
+  private[stream] def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    if (alreadyCommitted(batchId)) return
+    if (!batch.isEmpty) {
+      // corrupt JSON lines surface as null doc_id/text rows from the file
+      // source — skip them rather than poison the store (one bad line must
+      // not fail the batch, matching the pipeline's one-job-not-the-service
+      // failure discipline). Both the source batch and its signature table
+      // are consumed by more than one sink — pin them so neither the file
+      // read nor the shingle+hash stage runs twice.
+      val docs = batch
+        .filter(col("doc_id").isNotNull && col("text").isNotNull).cache()
+      val sigs = Dedup.minhashTable(docs, numHashes, k).cache()
+      try {
+        val edges =
+          if (!wh.exists("sig_store"))
+            Dedup.minhashCandidatesFromSigs(sigs, numHashes, bands, threshold)
+          else Dedup.incrementalMinhashCandidatesFromSigs(
+            wh.read("sig_store", sigSchema), sigs, numHashes, bands, threshold)
+        wh.appendIfAbsent("corpus", docSchema, Dedup.dedupCorpus(docs, edges),
+          keys = Seq("doc_id"), orderCol = "doc_id", dedupWithinBatch = false)
+        wh.appendIfAbsent("sig_store", sigSchema, sigs,
+          keys = Seq("doc_id"), orderCol = "doc_id", dedupWithinBatch = false)
+      } finally { sigs.unpersist(); docs.unpersist() }
+    }
+    // recorded LAST: any crash before this point replays the batch and the
+    // appendIfAbsent sinks make the replay a no-op
+    wh.append("_stream_commits",
+      spark.range(1).select(lit(checkpointDir).as("stream_id"),
+        lit(batchId).as("batch_id")))
   }
 }

@@ -192,6 +192,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(oldOnly ++ incr == full)
   }
 
+  test("incremental candidates cap degenerate store buckets exactly like a full recompute") {
+    // A boilerplate family far over the cap spans the store (30 docs) and
+    // the batch (5 docs): the combined bucket size (35) is what a full
+    // recompute would see, so BOTH formulations must drop it — the r4
+    // shape capped only the new-new expansion and would have emitted
+    // 30x5 store-batch pairs here. A genuine near-dup pair (100 old /
+    // 101 new) must still come through.
+    val boiler = (0 until 14).map(j => s"boil$j").mkString(" ")
+    val pairBase = (0 until 14).map(j => s"pairtok$j").mkString(" ")
+    val oldDocs = ((0 until 30).map(i => (i.toLong, boiler)) :+
+      ((100L, s"$pairBase common"))).toDF("doc_id", "text")
+    val newDocs = ((200 until 205).map(i => (i.toLong, boiler)) :+
+      ((101L, s"$pairBase edited"))).toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val cap = 10
+    val full = pairSet(Dedup.minhashCandidates(oldDocs.unionByName(newDocs),
+      numHashes = 32, bands = 8, k = 3, threshold = 0.3, maxBucket = cap))
+    val incr = pairSet(Dedup.incrementalMinhashCandidates(
+      Dedup.minhashTable(oldDocs, numHashes = 32, k = 3), newDocs,
+      numHashes = 32, bands = 8, k = 3, threshold = 0.3, maxBucket = cap))
+    def touchesNew(a: Long, b: Long) =
+      a >= 200 || b >= 200 || a == 101 || b == 101
+    assert(incr == full.filter { case ((a, b), _) => touchesNew(a, b) })
+    assert(incr.contains((100L, 101L)))            // genuine pair survives
+    // no store-batch boilerplate pair leaked past the combined cap
+    assert(!incr.keySet.exists { case (a, b) => a < 100 && b >= 200 })
+  }
+
   test("duplicate clusters: components labeled by their minimum doc id") {
     // two components: {1,2,3,9} (chain through 9) and {5,6}; 7-8 pair
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 9L), (5L, 6L), (8L, 7L))
@@ -401,6 +430,12 @@ class LlmOpsSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty && got.size < 300)
     assert(got == ids(Sampling.tokenBudgetMix(docs.repartition(7), col("lang"),
       col("doc_id"), col("n_tok"), budgets, defaultBudget = 40L)))
+    // the bucket count is an implementation knob, never a semantics knob:
+    // tiny buckets force many full/boundary/dropped bucket transitions
+    assert(got == ids(Sampling.tokenBudgetMix(docs, col("lang"), col("doc_id"),
+      col("n_tok"), budgets, defaultBudget = 40L, nBuckets = 3)))
+    assert(got == ids(Sampling.tokenBudgetMix(docs.repartition(5), col("lang"),
+      col("doc_id"), col("n_tok"), budgets, defaultBudget = 40L, nBuckets = 1024)))
     // nesting: doubled budgets strictly extend the selection
     val bigger = ids(Sampling.tokenBudgetMix(docs, col("lang"), col("doc_id"),
       col("n_tok"), budgets.map { case (k, v) => k -> v * 2 },
@@ -455,5 +490,40 @@ class LlmOpsSpec extends SparkSpec {
     // deterministic: identical inputs (docs 0 and 3) -> identical payloads
     assert(resized(0).bytes.toSeq == resized(3).bytes.toSeq)
     assert(resized.map(_.media_id).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("multimodal image kind decodes REAL pixels (javax.imageio) with stub fallback") {
+    import java.awt.image.BufferedImage
+    // 2x2 PNG: red, green / blue, white — known channel means and lumas
+    val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x00ff00)
+    img.setRGB(0, 1, 0x0000ff); img.setRGB(1, 1, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val junk = "definitely not an image payload".getBytes("UTF-8")
+    val media = Seq((1L, "image", png, 0, 0),
+        (2L, "image", junk, 0, 0),       // no reader claims it -> stub
+        (3L, "audio", junk, 0, 0))       // non-image kind -> stub
+      .toDF("media_id", "kind", "bytes", "width", "height")
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+      .map(f => f.media_id -> f.feature).toMap
+    val f1 = feats(1L)
+    assert(f1(0) == 2.0f && f1(1) == 2.0f)               // width, height
+    // each channel averages (255+0+0+255)/4/255 = 0.5 exactly
+    assert(f1(2) == 0.5f && f1(3) == 0.5f && f1(4) == 0.5f)
+    // 601 lumas: red 76, green 149, blue 29, white 255 -> 3-bucket
+    // histogram [2,1,1]/4
+    assert(f1(5) == 0.5f && f1(6) == 0.25f && f1(7) == 0.25f)
+    // both fallback routes produce the SAME deterministic stub features
+    assert(feats(2L).toSeq == feats(3L).toSeq)
+
+    // real resize: 2x2 -> 1x1, payload re-encoded as a decodable 1x1 PNG
+    val r = Multimodal.resize(spark,
+        media.filter(col("media_id") === 1L), 1, 1).collect().head
+    assert(r.width == 1 && r.height == 1)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.bytes))
+    assert(back.getWidth == 1 && back.getHeight == 1)
   }
 }

@@ -93,6 +93,71 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(wh.read("sig_store", sigSchema).count() == 40)      // all sigs kept
   }
 
+  test("streaming corpus dedup absorbs micro-batch replays (at-least-once sink)") {
+    import graft.llm.Dedup
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("whreplay").toString)
+    val ckpt = tmpDir("ckpt-replay").toString
+    val sd = new StreamingCorpusDedup(spark, wh, tmpDir("landing-replay").toString,
+      ckpt, numHashes = 32, bands = 8, k = 3, threshold = 0.3)
+    def text(i: Int): String = {
+      val g = i / 3
+      val base = (0 until 14).map(j => s"rtok${g}x$j").mkString(" ")
+      if (i % 3 == 2) s"$base rtail$g edited" else s"$base rtail$g common"
+    }
+    def batch(ids: Range) =
+      ids.map(i => (i.toLong, text(i))).toDF("doc_id", "text")
+    val corpusSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val sigSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("sig", ArrayType(LongType, containsNull = false))))
+    val commitSchema = StructType(Seq(
+      StructField("stream_id", StringType), StructField("batch_id", LongType)))
+    def corpusIds = wh.read("corpus", corpusSchema)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+
+    sd.processBatch(batch(0 until 20), 0L)
+    sd.processBatch(batch(20 until 40), 1L)
+    val committedCorpus = corpusIds
+    assert(wh.read("sig_store", sigSchema).count() == 40)
+
+    // whole-batch replay (crash AFTER the commit record): fast no-op via
+    // the (stream id, batch id) committed-batch check
+    sd.processBatch(batch(20 until 40), 1L)
+    assert(corpusIds == committedCorpus)
+    assert(wh.read("sig_store", sigSchema).count() == 40)
+
+    // crash BETWEEN the two sink appends: corpus landed, signatures and
+    // commit record did not. The replay must heal the store WITHOUT
+    // double-landing the corpus.
+    wh.replace("sig_store",
+      wh.read("sig_store", sigSchema).filter(col("doc_id") < 20))
+    wh.replace("_stream_commits",
+      wh.read("_stream_commits", commitSchema).filter(col("batch_id") =!= 1L))
+    sd.processBatch(batch(20 until 40), 1L)
+    assert(corpusIds == committedCorpus)
+    assert(wh.read("sig_store", sigSchema).count() == 40)
+
+    // crash just BEFORE the commit record: both sinks landed. Replay must
+    // be a full no-op through the appendIfAbsent anti-joins alone.
+    wh.replace("_stream_commits",
+      wh.read("_stream_commits", commitSchema).filter(col("batch_id") =!= 1L))
+    sd.processBatch(batch(20 until 40), 1L)
+    assert(corpusIds == committedCorpus)
+    assert(wh.read("sig_store", sigSchema).count() == 40)
+
+    // after all the replays the maintained corpus still equals a one-shot
+    // dedup of everything
+    val all = batch(0 until 40)
+    val oneShot = Dedup.dedupCorpus(all,
+        Dedup.minhashCandidates(all, numHashes = 32, bands = 8, k = 3,
+          threshold = 0.3))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(corpusIds == oneShot)
+  }
+
   test("a contract-violating file fails its own job without killing the stream") {
     val landing = tmpDir("landing2")
     val wh = new Warehouse(spark, tmpDir("whs2").toString)
