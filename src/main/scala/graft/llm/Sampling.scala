@@ -48,24 +48,69 @@ object Sampling {
     * partitioning, or recomputing on another engine selects the same
     * documents, and a doubled budget strictly extends the selection.
     *
-    * Cost: one shuffle + sort per query (the window over strata). At
-    * extreme corpus scale the same semantics can run pre-bucketed on the
-    * hash-ranked layout; the selection itself stays a prefix scan.
+    * Scale shape — two-phase bucket prefix, NOT a per-stratum window (a
+    * window partitioned by stratum funnels each stratum through one
+    * task; a training mix has ~10 language strata, so at 100 TB that is
+    * a multi-TB single-task sort). Instead the id-hash space splits into
+    * `nBuckets` ranges per stratum, and:
     *
-    * @param tokens per-row token count column (pre-computed upstream)
+    *   1. one aggregate computes each (stratum, bucket)'s token sum — a
+    *      tiny summary, `strata x nBuckets` rows;
+    *   2. a bounded window over the SUMMARY turns sums into per-bucket
+    *      prefix offsets (≤ nBuckets rows per partition — metadata, not
+    *      data), broadcast back onto the rows;
+    *   3. buckets that fit entirely under their stratum's budget keep
+    *      every row with a shuffle-free filter; buckets past the budget
+    *      drop entirely; only the ONE boundary bucket per stratum sorts,
+    *      and its window partitions by (stratum, bucket) — task size is
+    *      a 1/nBuckets slice of the stratum, never the stratum.
+    *
+    * Because bucket ranges are prefixes of the same (id-hash, id) order
+    * the old single-window form used, the selected set is IDENTICAL —
+    * pinned by LlmOpsSpec against a literal windowed reference.
+    *
+    * @param tokens   per-row token count column (pre-computed upstream)
+    * @param nBuckets hash-range buckets per stratum; raise for larger
+    *                 corpora (max boundary-task rows ~ |stratum|/nBuckets)
     */
   def tokenBudgetMix(df: DataFrame, stratum: Column, id: Column,
                      tokens: Column, budgets: Map[String, Long],
-                     defaultBudget: Long = 0L): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(stratum).orderBy(hashBucket(id), id)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
-      case (acc, (value, b)) => when(stratum === value, lit(b)).otherwise(acc)
-    }
-    df.withColumn("__cum", sum(tokens).over(w))
-      .filter(col("__cum") <= budget)
-      .drop("__cum")
+                     defaultBudget: Long = 0L,
+                     nBuckets: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val outCols = df.columns.toSeq.map(col)
+    def budgetOf(s: Column): Column =
+      budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
+        case (acc, (value, b)) => when(s === value, lit(b)).otherwise(acc)
+      }
+    val rows = df.withColumn("__strat", stratum)
+      .withColumn("__hb", hashBucket(id))
+      .withColumn("__bkt",
+        floor(col("__hb") / lit(BucketSpace / nBuckets)).cast("int"))
+    // phase 1: per-(stratum, bucket) token sums -> per-bucket prefix
+    // offsets. The window here runs over the SUMMARY (≤ nBuckets rows per
+    // stratum), not the corpus.
+    val offsets = rows.groupBy(col("__strat").as("__s"), col("__bkt").as("__b"))
+      .agg(sum(tokens).as("__btok"))
+      .withColumn("__off", coalesce(
+        sum(col("__btok")).over(Window.partitionBy(col("__s"))
+          .orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    // phase 2: annotate rows with their bucket's offset via broadcast
+    val annotated = rows.join(broadcast(offsets),
+      col("__strat") <=> col("__s") && col("__bkt") === col("__b"))
+    val budget = budgetOf(col("__strat"))
+    // whole buckets under the boundary: shuffle-free keep
+    val fullyIn = annotated.filter(col("__off") + col("__btok") <= budget)
+    // the single boundary bucket per stratum: exact prefix via a window
+    // partitioned by (stratum, bucket) — bounded task, never the stratum
+    val wB = Window.partitionBy(col("__strat"), col("__bkt"))
+      .orderBy(col("__hb"), id)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = annotated
+      .filter(col("__off") < budget && col("__off") + col("__btok") > budget)
+      .withColumn("__cum", sum(tokens).over(wB))
+      .filter(col("__off") + col("__cum") <= budget)
+    fullyIn.select(outCols: _*).unionByName(boundary.select(outCols: _*))
   }
 }

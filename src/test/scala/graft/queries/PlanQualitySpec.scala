@@ -80,4 +80,27 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q56_decontamination")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q65: token-budget mix never windows a whole stratum through one task") {
+    // every Window in the plan must involve the hash-range bucket — the
+    // row-level window partitions by (__strat, __bkt) and the summary
+    // window (≤ nBuckets rows per stratum) orders by __b. A Window
+    // partitioned by the stratum alone — the one-task-per-language funnel
+    // the two-phase form removes — would contain neither.
+    val p = plan("q65_token_budget_mix")
+    val windowArgs = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowArgs.nonEmpty, p)
+    assert(windowArgs.forall(a => a.contains("__bkt") || a.contains("__b")), p)
+  }
+
+  test("q66: rank<=k rewrites to WindowGroupLimit (map-side per-group top-k)") {
+    // Spark's InferWindowGroupLimit turns row_number().over(w) <= k into a
+    // WindowGroupLimit that bounds each group to k rows BEFORE the window
+    // shuffle — without it every group's full contents sort through one
+    // task. A refactor that breaks the rewrite (e.g. a non-rank filter
+    // shape) must fail here.
+    val p = plan("q66_topk_per_group")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
 }
