@@ -645,6 +645,22 @@ object Oracles {
          |SELECT doc_id, lang FROM documents
          |WHERE doc_id NOT IN (SELECT src FROM drop_ids)""".stripMargin,
 
+    "q67_compacted_corpus" ->
+      s"""WITH RECURSIVE $minhashPortableCtes,
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM est WHERE est_jaccard >= 0.4
+         |  UNION
+         |  SELECT id_b, id_a FROM est WHERE est_jaccard >= 0.4),
+         |verts AS (SELECT DISTINCT u AS id FROM edges),
+         |walk(src, dst) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT w.src, e.v FROM walk w JOIN edges e ON e.u = w.dst),
+         |drop_ids AS (
+         |  SELECT src FROM walk GROUP BY src HAVING min(dst) <> src)
+         |SELECT doc_id, lang, length(text) AS n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT src FROM drop_ids)""".stripMargin,
+
     "q33_ngram_jaccard" ->
       s"""WITH sh AS (
          |  SELECT doc_id,

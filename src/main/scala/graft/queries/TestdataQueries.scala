@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, Sampling, Similarity, TextAnalysis, Multimodal}
+import graft.llm.{CorpusMaintenance, Dedup, Sampling, Similarity, TextAnalysis, Multimodal}
 
 /** SURVEY §2 operator inventory expressed over the driver's synthetic
   * testdata (`/root/testdata/sf*`), one query per operator family, each
@@ -710,6 +710,44 @@ object TestdataQueries {
       defaultBudget = 500L)
   }
 
+  /** Store compaction end-to-end: the corpus arrives in three batches and
+    * is maintained incrementally (each batch hashed once, survivors and
+    * signatures accumulate — the [[q63IncrementalDedup]] nightly shape),
+    * then COMPACTED: clusters are recomputed from the accumulated
+    * signature store alone — never re-shingling a document — and any
+    * survivor that a one-shot dedup would have dropped (a late arrival
+    * bridged two earlier clusters) is retracted. The oracle recomputes
+    * the one-shot portable dedup of everything directly, so the green
+    * hash proves maintained+compacted == one-shot. */
+  def q67CompactedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // Every document is shingled+hashed exactly ONCE: the signature store
+    // at any point of the arrival history is a doc_id-prefix of this one
+    // cached table (signatures are per-doc deterministic), so each
+    // maintenance step and the final compaction are filters over it — the
+    // no-re-hashing property the incremental path guarantees in
+    // production, expressed in one plan.
+    val sigs = Dedup.minhashTable(docs, numHashes = 32, k = 3,
+      portable = true).cache()
+    def sigsBelow(hi: Long) = sigs.filter(col("doc_id") < hi)
+    val bounds = Seq(0L, 400L, Long.MaxValue)
+    val corpus = (1 until bounds.length).map { i =>
+      val (lo, hi) = (bounds(i - 1), bounds(i))
+      val batch = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+      val batchSigs = sigs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+      val edges =
+        if (i == 1) Dedup.minhashCandidatesFromSigs(batchSigs,
+          numHashes = 32, bands = 8, threshold = 0.4, portable = true)
+        else Dedup.incrementalMinhashCandidatesFromSigs(sigsBelow(lo),
+          batchSigs, numHashes = 32, bands = 8, threshold = 0.4,
+          portable = true)
+      Dedup.dedupCorpus(batch, edges)
+    }.reduce(_.unionByName(_))
+    CorpusMaintenance.recompacted(corpus, sigs, numHashes = 32,
+        bands = 8, threshold = 0.4, portable = true)
+      .select(col("doc_id"), col("lang"), length(col("text")).as("n_chars"))
+  }
+
   /** Per-group top-k: the 3 longest documents per language, rank exposed.
     * The window partitions by the group key, so each group sorts
     * independently — k rows per group survive, never a global sort.
@@ -775,6 +813,7 @@ object TestdataQueries {
     "q64_stratified_sample" -> q64StratifiedSample _,
     "q65_token_budget_mix" -> q65TokenBudgetMix _,
     "q66_topk_per_group" -> q66TopkPerGroup _,
+    "q67_compacted_corpus" -> q67CompactedCorpus _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,

@@ -78,4 +78,61 @@ class CorpusMaintenanceSpec extends SparkSpec {
     assert(maintained.size < 60 && maintained.size >= 20)
     assert(wh.read("sig_store", sigSchema).count() == 60) // every doc's sig kept
   }
+
+  test("compaction retracts greedy keeps after a cluster-bridging late arrival") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("whcompact").toString)
+    // A (id 0) and B (id 10) share no vocabulary; C (id 20) is A's block
+    // followed by B's block, so C bridges the two singleton clusters
+    val aText = (0 until 12).map(j => s"brx$j").mkString(" ") + " aa tail"
+    val bText = (0 until 12).map(j => s"bry$j").mkString(" ") + " bb tail"
+    val day1 = Seq((0L, aText), (10L, bText)).toDF("doc_id", "text")
+    // C contains BOTH documents verbatim: Jaccard(A,C) = Jaccard(B,C)
+    // ~ 0.46, Jaccard(A,B) = 0 — a genuine bridge. 32 bands of 1 row so
+    // LSH recall at that similarity is certain.
+    val day2 = Seq((20L, s"$aText $bText")).toDF("doc_id", "text")
+    val all = day1.unionByName(day2)
+    val thr = 0.25
+    val nBands = 32
+
+    Seq(day1, day2).foreach { batch =>
+      val sigs = Dedup.minhashTable(batch, numHashes = 32, k = 3)
+      val edges =
+        if (!wh.exists("sig_store"))
+          Dedup.minhashCandidatesFromSigs(sigs, numHashes = 32, bands = nBands,
+            threshold = thr)
+        else Dedup.incrementalMinhashCandidatesFromSigs(
+          wh.read("sig_store", sigSchema), sigs, numHashes = 32, bands = nBands,
+          threshold = thr)
+      wh.append("corpus", Dedup.dedupCorpus(batch, edges))
+      wh.append("sig_store", sigs)
+    }
+    def corpusIds = wh.read("corpus", corpusSchema)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // greedy kept both A and B (they never compared) and dropped C;
+    // one-shot dedup of everything keeps only the bridged cluster's
+    // minimum — the documented append-only divergence
+    val oneShot = Dedup.dedupCorpus(all,
+        Dedup.minhashCandidates(all, numHashes = 32, bands = nBands, k = 3,
+          threshold = thr))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(corpusIds == Set(0L, 10L))
+    assert(oneShot == Set(0L))
+    assert(corpusIds != oneShot)
+
+    // compaction reclusters from STORED signatures only and closes the gap
+    CorpusMaintenance.compact(spark, wh, numHashes = 32, bands = nBands,
+      threshold = thr)
+    assert(corpusIds == oneShot)
+    // the store keeps every doc's signature through compaction — later
+    // arrivals must still recognize dropped docs' clusters
+    assert(wh.read("sig_store", sigSchema).count() == 3)
+    // idempotent: a second compaction (e.g. re-run after a crash between
+    // the two table flips) changes nothing
+    CorpusMaintenance.compact(spark, wh, numHashes = 32, bands = nBands,
+      threshold = thr)
+    assert(corpusIds == oneShot)
+    assert(wh.read("sig_store", sigSchema).count() == 3)
+  }
 }
