@@ -11,12 +11,14 @@ import org.apache.spark.sql.functions._
   * queries never touch the blobs, and per-partition batch processing keeps
   * decode vectorized.
   *
-  * The decode step itself is STUBBED with a deterministic fake (this
-  * container ships no image/audio codecs); the Spark-side plumbing —
-  * schema, partition-wise batching, resize/frame-sample signatures — is
-  * real and tested. Swap `decodeStub` for a codec-backed implementation
-  * (JNI or `mapInArrow` to a Python worker) without touching the plan
-  * shape.
+  * IMAGE decode is REAL: `javax.imageio` ships PNG/BMP/GIF/JPEG readers
+  * with the JDK, so `kind == "image"` payloads are decoded to pixels for
+  * feature extraction and resized with a deterministic nearest-neighbor
+  * rescale. Audio/video decode stays STUBBED with a deterministic fake
+  * (those codecs are not in this container) behind the same batch
+  * plumbing — swap `decodeStub`/`resizeStub` for a codec-backed
+  * implementation (JNI or `mapInArrow` to a worker) without touching the
+  * plan shape.
   */
 object Multimodal {
 
@@ -40,10 +42,14 @@ object Multimodal {
       octet_length(col("bytes")).as("n_bytes"),
       sha2(col("bytes"), 256).as("sha256"))
 
-  /** Deterministic fake "decode + feature extract": per-partition batch
-    * loop (the Scala analogue of `mapInPandas` batching), emitting a fixed
-    * `featureDim`-float vector derived from the byte content. Real decoders
-    * drop in here. */
+  /** Decode + feature extract as a per-partition batch loop (the Scala
+    * analogue of `mapInPandas` batching). `kind == "image"` payloads go
+    * through a REAL pure-JVM decode — `javax.imageio` ships PNG/BMP/GIF/
+    * JPEG readers with the JDK, no external codecs — and yield
+    * deterministic pixel statistics ([[imageFeatures]]); everything else
+    * (and bytes no registered reader accepts) falls back to the
+    * deterministic byte-histogram stub, preserving the audio/video
+    * plumbing contract until those codecs exist. */
   def extractFeatures(spark: SparkSession, media: DataFrame,
                       featureDim: Int = 8): Dataset[Feature] = {
     import spark.implicits._
@@ -52,13 +58,68 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          val feat = decodeStub(r.bytes, featureDim)
+          val feat =
+            (if (r.kind == "image") decodeImage(r.bytes) else None)
+              .map(imageFeatures(_, featureDim))
+              .getOrElse(decodeStub(r.bytes, featureDim))
           Feature(r.media_id, r.kind, r.bytes.length.toLong,
             java.security.MessageDigest.getInstance("SHA-256")
               .digest(r.bytes).take(8).map("%02x".format(_)).mkString,
             feat)
         }
       }
+  }
+
+  /** Decode image bytes with whatever reader `javax.imageio` registers
+    * for their magic bytes; None when no reader claims them (the caller
+    * falls back to the stub). The ImageIO disk cache is disabled — a
+    * per-record tmp file inside an executor task loop would be an I/O
+    * hazard. */
+  private[llm] def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException => None }
+  }
+
+  /** Deterministic pixel statistics from a decoded image:
+    * `[width, height, meanR, meanG, meanB, lumaHistogram...]` with the
+    * channel means in [0,1] and the remaining `dim - 5` slots a
+    * normalized luma histogram (ITU-R 601 weights). Plain per-pixel
+    * integer reads — bit-identical across runs and partitionings. */
+  private[llm] def imageFeatures(img: java.awt.image.BufferedImage,
+                                 dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val (w, h) = (img.getWidth, img.getHeight)
+    if (dim > 0) out(0) = w.toFloat
+    if (dim > 1) out(1) = h.toFloat
+    val nHist = dim - 5
+    val hist = new Array[Long](math.max(nHist, 1))
+    var (sumR, sumG, sumB) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val (r, g, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+        sumR += r; sumG += g; sumB += b
+        if (nHist > 0) {
+          // 8-bit ITU-R 601 luma, bucketed over [0, 256)
+          val luma = (299 * r + 587 * g + 114 * b) / 1000
+          hist(luma * nHist / 256) += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    if (n > 0) {
+      if (dim > 2) out(2) = sumR.toFloat / n / 255.0f
+      if (dim > 3) out(3) = sumG.toFloat / n / 255.0f
+      if (dim > 4) out(4) = sumB.toFloat / n / 255.0f
+      var i = 0
+      while (i < nHist) { out(5 + i) = hist(i).toFloat / n; i += 1 }
+    }
+    out
   }
 
   /** STUB decoder: deterministic feature vector from byte histogram
@@ -74,13 +135,13 @@ object Multimodal {
     out
   }
 
-  /** Resize plan shape for images: per-partition batch transform emitting
-    * the target-dimension payload. The pixel work is STUBBED (no codecs in
-    * this container) with a deterministic byte downsample sized to the
-    * target dimensions, but the Spark-side contract is real: binary in,
-    * binary out, metadata updated, batch-per-partition execution, and the
-    * blob column only materializes inside the partition iterator. A real
-    * codec (JNI / `mapInArrow` to a worker) drops into `resizeStub`. */
+  /** Resize as a per-partition batch transform: binary in, binary out,
+    * metadata updated, the blob column only materialized inside the
+    * partition iterator. `kind == "image"` payloads that decode go
+    * through a REAL nearest-neighbor rescale and re-encode as PNG
+    * (both ends pure-JVM `javax.imageio`/`java.awt`, deterministic);
+    * everything else keeps the deterministic byte-downsample stub
+    * (audio/video codecs are not in this container). */
   def resize(spark: SparkSession, media: DataFrame,
              targetW: Int, targetH: Int): Dataset[MediaRow] = {
     import spark.implicits._
@@ -89,10 +150,34 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          MediaRow(r.media_id, r.kind,
-            resizeStub(r.bytes, targetW * targetH), targetW, targetH)
+          val resized = (if (r.kind == "image") decodeImage(r.bytes) else None)
+            .map(img => encodePng(scaleImage(img, targetW, targetH)))
+            .getOrElse(resizeStub(r.bytes, targetW * targetH))
+          MediaRow(r.media_id, r.kind, resized, targetW, targetH)
         }
       }
+  }
+
+  /** Nearest-neighbor rescale — the hint is set explicitly so the pixel
+    * mapping is deterministic across JVMs (the default interpolation is
+    * implementation-defined). */
+  private def scaleImage(img: java.awt.image.BufferedImage,
+                         w: Int, h: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+      g.drawImage(img, 0, 0, w, h, null)
+    } finally g.dispose()
+    out
+  }
+
+  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** STUB "resize": deterministic fixed-length downsample of the payload
