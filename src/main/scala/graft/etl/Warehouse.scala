@@ -29,8 +29,11 @@ import scala.jdk.CollectionConverters._
   * per read, so a query planned before a merge keeps its entire
   * pre-merge snapshot and can never observe a half-swapped table. The
   * superseded generation is retained for one flip (older ones are GC'd),
-  * bounding staleness for in-flight readers; concurrent WRITERS to one
-  * table are out of scope, as in the reference's one-ETL-service design.
+  * bounding staleness for in-flight readers. Concurrent WRITERS to one
+  * table are out of scope, as in the reference's one-ETL-service design —
+  * and enforced: every mutation runs under a per-table pid lock file
+  * (stale locks of crashed writers are taken over), so a second live
+  * writer fails fast instead of interleaving flips and GC.
   * Fact tables are partitioned by `study_id` so a merge or selective
   * read touches only the studies present in the incoming batch.
   */
@@ -57,6 +60,56 @@ final class Warehouse(spark: SparkSession, val root: String) {
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
+
+  // --------------------------------------------------------- writer locking
+
+  /** Single-writer guard. Concurrent writers to one table are out of
+    * scope (the reference is one ETL service), but a misconfigured second
+    * writer must fail FAST — two interleaved commits could GC a
+    * generation a reader pinned. Every mutating entry point runs under:
+    *
+    *  - an in-process reentrant lock per table path (so nested calls —
+    *    appendIfAbsent → append → replace — re-enter, and two threads of
+    *    ONE process serialize instead of failing); and
+    *  - a cross-process lock FILE created atomically (`CREATE_NEW`)
+    *    holding the owner pid. A lock whose owner process is gone — a
+    *    crashed writer's leftover — is taken over; a lock held by a LIVE
+    *    other process raises, loudly, before anything is touched.
+    */
+  private def withTableLock[T](table: String)(f: => T): T = {
+    val local = Warehouse.localLock(tableRoot(table).toAbsolutePath.toString)
+    local.lock()
+    try {
+      if (local.getHoldCount > 1) f       // nested call: outer frame owns the file lock
+      else {
+        Files.createDirectories(tableRoot(table))
+        val lockFile = tableRoot(table).resolve("_lock")
+        val pid = ProcessHandle.current().pid()
+        def tryAcquire(): Boolean =
+          try {
+            Files.write(lockFile, pid.toString.getBytes(UTF_8),
+              java.nio.file.StandardOpenOption.CREATE_NEW)
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+        if (!tryAcquire()) {
+          val owner =
+            try new String(Files.readAllBytes(lockFile), UTF_8).trim.toLong
+            catch { case _: Exception => -1L }
+          val ownerAlive = owner > 0 && owner != pid &&
+            ProcessHandle.of(owner).isPresent && ProcessHandle.of(owner).get().isAlive
+          if (ownerAlive) throw new IllegalStateException(
+            s"table '$table' is locked by live writer pid $owner ($lockFile); " +
+              "concurrent writers to one table are not supported")
+          Files.deleteIfExists(lockFile)  // stale: crashed writer (or our own pid)
+          if (!tryAcquire()) throw new IllegalStateException(
+            s"lost the takeover race for stale lock $lockFile")
+        }
+        try f finally Files.deleteIfExists(lockFile)
+      }
+    } finally local.unlock()
+  }
 
   // ------------------------------------------------------ generation plumbing
 
@@ -107,29 +160,32 @@ final class Warehouse(spark: SparkSession, val root: String) {
     * there is no in-place overwrite anywhere, so the parquet
     * self-overwrite hazard does not arise even when `df` reads from this
     * very table. */
-  def replace(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
-    val gen = nextGenDir(table)
-    deleteRecursively(gen)              // stale dir from a crashed writer
-    val w = df.write.mode(SaveMode.Overwrite)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(gen.toString)
-    commit(table, gen)
-  }
+  def replace(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit =
+    withTableLock(table) {
+      val gen = nextGenDir(table)
+      deleteRecursively(gen)            // stale dir from a crashed writer
+      val w = df.write.mode(SaveMode.Overwrite)
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(gen.toString)
+      commit(table, gen)
+    }
 
   /** Plain append (quality reports, reference `db.py:102-107`). The batch
     * is written beside the live generation and becomes visible in one
     * pointer flip — never file-by-file. */
   def append(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit =
-    currentDir(table) match {
-      case None => replace(table, df, partitionBy)
-      case Some(cur) =>
-        val gen = nextGenDir(table)
-        deleteRecursively(gen)
-        val w = df.write.mode(SaveMode.Overwrite)
-        (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-          .parquet(gen.toString)
-        linkTree(cur, gen)              // carry the existing files over
-        commit(table, gen)
+    withTableLock(table) {
+      currentDir(table) match {
+        case None => replace(table, df, partitionBy)
+        case Some(cur) =>
+          val gen = nextGenDir(table)
+          deleteRecursively(gen)
+          val w = df.write.mode(SaveMode.Overwrite)
+          (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+            .parquet(gen.toString)
+          linkTree(cur, gen)            // carry the existing files over
+          commit(table, gen)
+      }
     }
 
   /** Idempotent append: `INSERT ... ON CONFLICT (keys) DO NOTHING`.
@@ -143,7 +199,7 @@ final class Warehouse(spark: SparkSession, val root: String) {
   def appendIfAbsent(table: String, schema: StructType, df: DataFrame,
                      keys: Seq[String], orderCol: String,
                      partitionBy: Seq[String] = Nil,
-                     dedupWithinBatch: Boolean = true): Long = {
+                     dedupWithinBatch: Boolean = true): Long = withTableLock(table) {
     val keyCols = keys.map(col)
     val firstPerKey = if (!dedupWithinBatch) df else
       // keep-FIRST by orderCol, like Postgres keeping the first
@@ -179,7 +235,7 @@ final class Warehouse(spark: SparkSession, val root: String) {
   def mergeReplace(table: String, schema: StructType,
                    incoming: DataFrame,
                    combine: (DataFrame, DataFrame) => DataFrame,
-                   partitionBy: Seq[String] = Nil): Unit = {
+                   partitionBy: Seq[String] = Nil): Unit = withTableLock(table) {
     val merged =
       if (!exists(table)) incoming
       else combine(read(table, schema).alias("old"), incoming.alias("new"))
@@ -213,7 +269,7 @@ final class Warehouse(spark: SparkSession, val root: String) {
   def mergeReplacePartitions(table: String, schema: StructType,
                              incoming: DataFrame,
                              combine: (DataFrame, DataFrame) => DataFrame,
-                             partitionCols: Seq[String]): Unit = {
+                             partitionCols: Seq[String]): Unit = withTableLock(table) {
     require(partitionCols.nonEmpty, "use mergeReplace for unpartitioned tables")
     currentDir(table) match {
       case None =>
@@ -255,4 +311,14 @@ final class Warehouse(spark: SparkSession, val root: String) {
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+}
+
+object Warehouse {
+  // one reentrant lock per table path, process-wide: threads of the same
+  // process serialize on a table; separate processes go through the lock
+  // file in withTableLock
+  private val localLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
+  private def localLock(key: String): java.util.concurrent.locks.ReentrantLock =
+    localLocks.computeIfAbsent(key, _ => new java.util.concurrent.locks.ReentrantLock())
 }
