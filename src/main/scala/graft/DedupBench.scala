@@ -16,6 +16,17 @@ import graft.llm.Dedup
   * corpus would use, verifying the shuffle volume stays signatures-only
   * and the planted duplicates are the ones that disappear.
   *
+  * Three phases, one JSON line each:
+  *  1. one-shot dedup of the full corpus (shingle+hash everything);
+  *  2. the nightly incremental shape — 80% of the corpus pre-exists as a
+  *     signature store, 20% arrives as a batch: only the batch is
+  *     shingled+hashed and only store rows in batch-touched buckets
+  *     shuffle, with cross-boundary planted dups recognized through the
+  *     store;
+  *  3. compaction — recluster the ENTIRE corpus from stored signatures
+  *     alone; its wall-clock vs phase 1 is the measured cost of skipping
+  *     the shingle+hash stage.
+  *
   * Usage: `runMain graft.DedupBench [nDocs]` (default 200000).
   */
 object DedupBench {
@@ -45,8 +56,39 @@ object DedupBench {
         threshold = 0.5)).count()
     val sec = (System.nanoTime() - t0) / 1e9
     val expected = n - (n - 1) / 20    // planted dups must be the drops
-    println(f"""{"docs":$n,"survivors":$survivors,"expected":$expected,"sec":$sec%.2f,"docs_per_sec":${(n / sec).toLong}}""")
+    println(f"""{"phase":"one_shot","docs":$n,"survivors":$survivors,"expected":$expected,"sec":$sec%.2f,"docs_per_sec":${(n / sec).toLong}}""")
     assert(survivors == expected, s"survivors=$survivors expected=$expected")
+
+    // phase 2: incremental — the store pre-exists (hashed once, outside
+    // the timing); the batch is hashed once inside it
+    val cut = n * 4 / 5
+    val store = Dedup.minhashTable(docs.filter(col("doc_id") < cut),
+      numHashes = 32, k = 3).cache()
+    store.count()
+    val batch = docs.filter(col("doc_id") >= cut)
+    val batchN = n - cut
+    val t1 = System.nanoTime()
+    val batchSigs = Dedup.minhashTable(batch, numHashes = 32, k = 3).cache()
+    val edges = Dedup.incrementalMinhashCandidatesFromSigs(store, batchSigs,
+      numHashes = 32, bands = 8, threshold = 0.5)
+    val batchSurvivors = Dedup.dedupCorpus(batch, edges).count()
+    val sec2 = (System.nanoTime() - t1) / 1e9
+    // every 20th id in the batch copies its predecessor and must drop —
+    // including the boundary doc whose original lives only in the store
+    val expectedBatch = batchN - (((n - 1) / 20) - ((cut - 1) / 20))
+    println(f"""{"phase":"incremental","store_docs":$cut,"batch_docs":$batchN,"survivors":$batchSurvivors,"expected":$expectedBatch,"sec":$sec2%.2f,"batch_docs_per_sec":${(batchN / sec2).toLong}}""")
+    assert(batchSurvivors == expectedBatch,
+      s"batch survivors=$batchSurvivors expected=$expectedBatch")
+
+    // phase 3: compaction reclusters ALL n docs from stored signatures —
+    // no shingling, no text; the speedup vs phase 1 is the no-re-hash win
+    val allSigs = store.unionByName(batchSigs)
+    val t2 = System.nanoTime()
+    val compacted = graft.llm.CorpusMaintenance.recompacted(docs, allSigs,
+      numHashes = 32, bands = 8, threshold = 0.5).count()
+    val sec3 = (System.nanoTime() - t2) / 1e9
+    println(f"""{"phase":"compaction","docs":$n,"survivors":$compacted,"expected":$expected,"sec":$sec3%.2f,"docs_per_sec":${(n / sec3).toLong}}""")
+    assert(compacted == expected, s"compacted=$compacted expected=$expected")
     spark.stop()
   }
 }

@@ -94,6 +94,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(windowArgs.forall(a => a.contains("__bkt") || a.contains("__b")), p)
   }
 
+  test("q63: incremental dedup filters the store by a BROADCAST semi-join on batch bucket keys") {
+    // the signature store must never shuffle wholesale: rows in buckets
+    // the batch doesn't touch are discarded by a broadcast left-semi
+    // before the (capped) pair expansion groups anything
+    val p = plan("q63_incremental_dedup")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("q66: rank<=k rewrites to WindowGroupLimit (map-side per-group top-k)") {
     // Spark's InferWindowGroupLimit turns row_number().over(w) <= k into a
     // WindowGroupLimit that bounds each group to k rows BEFORE the window
