@@ -1,7 +1,7 @@
 package graft.stream
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, max}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 import graft.etl.Warehouse
@@ -23,11 +23,13 @@ import graft.llm.Dedup
   * `ON CONFLICT DO NOTHING` sink (`db.py:41-58`): `foreachBatch` is
   * at-least-once, so the sink must absorb replays itself. Two layers do:
   *
-  *  - a `_stream_commits` record keyed by (stream id, batch id) — the
-  *    Delta `txnAppId`/`txnVersion` pattern — makes a whole-batch replay
-  *    a fast no-op (the stream id is the checkpoint location, which IS
+  *  - a `_stream_commits` high-water mark per stream — the Delta
+  *    `txnAppId`/`txnVersion` pattern — makes a whole-batch replay a
+  *    fast no-op (the stream id is the checkpoint location, which IS
   *    the stream's identity: a new checkpoint restarts batch numbering
-  *    and must not be treated as replayed);
+  *    and must not be treated as replayed; within one checkpoint batch
+  *    ids are strictly monotonic, so the table stays one row per
+  *    stream);
   *  - both data sinks go through [[Warehouse.appendIfAbsent]] on doc_id,
   *    so a crash BETWEEN the two appends (or before the commit record
   *    lands) heals on replay — re-delivered documents and signatures are
@@ -67,11 +69,15 @@ final class StreamingCorpusDedup(spark: SparkSession, wh: Warehouse,
       .start()
   }
 
+  /** Batch ids are strictly monotonic per checkpoint and only batches
+    * after the last checkpoint commit ever re-deliver, so one MAX per
+    * stream is a complete replay record — the table stays one tiny row
+    * per stream instead of one per batch. */
   private def alreadyCommitted(batchId: Long): Boolean =
     wh.exists("_stream_commits") &&
       !wh.read("_stream_commits", commitSchema)
         .filter(col("stream_id") === checkpointDir &&
-          col("batch_id") === batchId)
+          col("batch_id") >= batchId)
         .isEmpty
 
   private[stream] def processBatch(batch: DataFrame, batchId: Long): Unit = {
@@ -99,9 +105,13 @@ final class StreamingCorpusDedup(spark: SparkSession, wh: Warehouse,
       } finally { sigs.unpersist(); docs.unpersist() }
     }
     // recorded LAST: any crash before this point replays the batch and the
-    // appendIfAbsent sinks make the replay a no-op
-    wh.append("_stream_commits",
+    // appendIfAbsent sinks make the replay a no-op. The merge-upsert runs
+    // its combine under the table's writer lock, so streams sharing one
+    // warehouse never clobber each other's high-water mark.
+    wh.mergeReplace("_stream_commits", commitSchema,
       spark.range(1).select(lit(checkpointDir).as("stream_id"),
-        lit(batchId).as("batch_id")))
+        lit(batchId).as("batch_id")),
+      (old, incoming) => old.unionByName(incoming)
+        .groupBy("stream_id").agg(max("batch_id").as("batch_id")))
   }
 }

@@ -148,6 +148,10 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(corpusIds == committedCorpus)
     assert(wh.read("sig_store", sigSchema).count() == 40)
 
+    // the commit record is a high-water mark: one tiny row per stream,
+    // not one per batch
+    assert(wh.read("_stream_commits", commitSchema).count() == 1)
+
     // after all the replays the maintained corpus still equals a one-shot
     // dedup of everything
     val all = batch(0 until 40)
