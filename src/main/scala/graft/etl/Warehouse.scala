@@ -34,6 +34,14 @@ import scala.jdk.CollectionConverters._
   * and enforced: every mutation runs under a per-table pid lock file
   * (stale locks of crashed writers are taken over), so a second live
   * writer fails fast instead of interleaving flips and GC.
+  *
+  * Multi-table atomicity: [[transact]] lifts the same pointer-flip
+  * pattern from one table to the warehouse — staged generations for
+  * every table the block touches, then ONE atomic rename of a catalog
+  * manifest version publishes them all (see the catalog section below).
+  * [[snapshot]] is the read-side counterpart: all transaction-managed
+  * tables resolved through one pinned manifest.
+  *
   * Fact tables are partitioned by `study_id` so a merge or selective
   * read touches only the studies present in the incoming batch.
   */
@@ -42,12 +50,25 @@ final class Warehouse(spark: SparkSession, val root: String) {
   private def tableRoot(table: String): Path = Paths.get(root, table)
   private def ptrPath(table: String): Path = tableRoot(table).resolve("_current")
 
-  /** The live generation's data directory, if the table exists. */
+  /** The live generation's data directory, if the table exists. Inside a
+    * [[transact]] block this resolves the transaction's own staged
+    * generation first (read-your-own-writes); otherwise the committed
+    * state: the catalog manifest when the table is transaction-managed,
+    * the per-table `_current` pointer when it is not. */
   def currentDir(table: String): Option[Path] = {
-    val p = ptrPath(table)
-    if (!Files.exists(p)) None
-    else Some(tableRoot(table).resolve(new String(Files.readAllBytes(p), UTF_8).trim))
+    val staged = Option(txn.get()).flatMap(_.staged.get(table))
+    staged.map(tableRoot(table).resolve(_)).orElse(committedCurrentDir(table))
   }
+
+  /** Committed resolution only — never sees in-flight staged work. */
+  private def committedCurrentDir(table: String): Option[Path] =
+    catalogManifest().get(table).map(tableRoot(table).resolve(_))
+      .orElse {
+        val p = ptrPath(table)
+        if (!Files.exists(p)) None
+        else Some(tableRoot(table).resolve(
+          new String(Files.readAllBytes(p), UTF_8).trim))
+      }
 
   def exists(table: String): Boolean = currentDir(table).isDefined
 
@@ -55,11 +76,7 @@ final class Warehouse(spark: SparkSession, val root: String) {
     * The snapshot is pinned at this call: later merges flip `_current` to
     * a NEW directory and never mutate the one this scan resolved. */
   def read(table: String, schema: StructType): DataFrame =
-    currentDir(table) match {
-      case Some(d) => spark.read.schema(schema).parquet(d.toString)
-      case None => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    }
+    readDir(currentDir(table), schema)
 
   // --------------------------------------------------------- writer locking
 
@@ -77,38 +94,54 @@ final class Warehouse(spark: SparkSession, val root: String) {
     *    other process raises, loudly, before anything is touched.
     */
   private def withTableLock[T](table: String)(f: => T): T = {
-    val local = Warehouse.localLock(tableRoot(table).toAbsolutePath.toString)
+    val tx = txn.get()
+    if (tx != null) {
+      // a transaction holds every touched table's lock until its commit
+      // or abort, so nothing can flip or GC between staging and the
+      // catalog flip
+      if (!tx.locks.contains(table))
+        tx.locks(table) = acquireLock(tableRoot(table), s"table '$table'")
+      f
+    } else {
+      val release = acquireLock(tableRoot(table), s"table '$table'")
+      try f finally release()
+    }
+  }
+
+  /** Acquire the in-process + cross-process lock for `dir`; returns the
+    * release action. Reentrant: a nested acquisition on the same thread
+    * piggybacks on the outer frame's file lock. */
+  private def acquireLock(dir: Path, what: String): () => Unit = {
+    val local = Warehouse.localLock(dir.toAbsolutePath.toString)
     local.lock()
-    try {
-      if (local.getHoldCount > 1) f       // nested call: outer frame owns the file lock
-      else {
-        Files.createDirectories(tableRoot(table))
-        val lockFile = tableRoot(table).resolve("_lock")
-        val pid = ProcessHandle.current().pid()
-        def tryAcquire(): Boolean =
-          try {
-            Files.write(lockFile, pid.toString.getBytes(UTF_8),
-              java.nio.file.StandardOpenOption.CREATE_NEW)
-            true
-          } catch {
-            case _: java.nio.file.FileAlreadyExistsException => false
-          }
-        if (!tryAcquire()) {
-          val owner =
-            try new String(Files.readAllBytes(lockFile), UTF_8).trim.toLong
-            catch { case _: Exception => -1L }
-          val ownerAlive = owner > 0 && owner != pid &&
-            ProcessHandle.of(owner).isPresent && ProcessHandle.of(owner).get().isAlive
-          if (ownerAlive) throw new IllegalStateException(
-            s"table '$table' is locked by live writer pid $owner ($lockFile); " +
-              "concurrent writers to one table are not supported")
-          Files.deleteIfExists(lockFile)  // stale: crashed writer (or our own pid)
-          if (!tryAcquire()) throw new IllegalStateException(
-            s"lost the takeover race for stale lock $lockFile")
+    if (local.getHoldCount > 1) { () => local.unlock() }
+    else try {
+      Files.createDirectories(dir)
+      val lockFile = dir.resolve("_lock")
+      val pid = ProcessHandle.current().pid()
+      def tryAcquire(): Boolean =
+        try {
+          Files.write(lockFile, pid.toString.getBytes(UTF_8),
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
         }
-        try f finally Files.deleteIfExists(lockFile)
+      if (!tryAcquire()) {
+        val owner =
+          try new String(Files.readAllBytes(lockFile), UTF_8).trim.toLong
+          catch { case _: Exception => -1L }
+        val ownerAlive = owner > 0 && owner != pid &&
+          ProcessHandle.of(owner).isPresent && ProcessHandle.of(owner).get().isAlive
+        if (ownerAlive) throw new IllegalStateException(
+          s"$what is locked by live writer pid $owner ($lockFile); " +
+            "concurrent writers are not supported")
+        Files.deleteIfExists(lockFile)  // stale: crashed writer (or our own pid)
+        if (!tryAcquire()) throw new IllegalStateException(
+          s"lost the takeover race for stale lock $lockFile")
       }
-    } finally local.unlock()
+      () => { Files.deleteIfExists(lockFile); local.unlock() }
+    } catch { case e: Throwable => local.unlock(); throw e }
   }
 
   // ------------------------------------------------------ generation plumbing
@@ -121,19 +154,182 @@ final class Warehouse(spark: SparkSession, val root: String) {
     tableRoot(table).resolve(f"g$seq%09d")
   }
 
-  /** Atomically flip `_current` to `newGen`, then GC every generation
-    * except the new one and its immediate predecessor (kept so reads
-    * planned just before the flip stay valid). */
+  /** Commit a freshly-written generation. Inside a [[transact]] block the
+    * flip is DEFERRED — the generation is recorded against the
+    * transaction and becomes visible only when the whole transaction
+    * flips the catalog in one rename. Otherwise it commits immediately:
+    * flip the pointer atomically, then GC every generation except the
+    * new one and its immediate predecessor (kept so reads planned just
+    * before the flip stay valid). */
   private def commit(table: String, newGen: Path): Unit = {
-    val keep = (currentDir(table).map(genName) ++ Seq(genName(newGen))).toSet
+    val tx = txn.get()
+    if (tx != null) {
+      if (!tx.base.contains(table))
+        tx.base(table) = committedCurrentDir(table).map(genName)
+      tx.staged(table) = genName(newGen)
+      tx.allGens(table) = genName(newGen) :: tx.allGens.getOrElse(table, Nil)
+    } else {
+      val keep = (committedCurrentDir(table).map(genName) ++
+        Seq(genName(newGen))).toSet
+      // for a transaction-managed (cataloged) table the catalog entry is
+      // what readers resolve, so updating it IS the commit point; the
+      // per-table pointer below is then a best-effort mirror
+      if (catalogManifest().contains(table)) withCatalogLock {
+        writeCatalogVersion(catalogManifest() + (table -> genName(newGen)))
+      }
+      writeTablePtr(table, genName(newGen))
+      gcTable(table, keep)
+    }
+  }
+
+  private def writeTablePtr(table: String, gen: String): Unit = {
     val tmp = tableRoot(table).resolve("_current.tmp")
-    Files.write(tmp, genName(newGen).getBytes(UTF_8))
+    Files.write(tmp, gen.getBytes(UTF_8))
     Files.move(tmp, ptrPath(table), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def gcTable(table: String, keep: Set[String]): Unit =
     Files.list(tableRoot(table)).iterator().asScala.toList
       .filter(p => Files.isDirectory(p) && genName(p).startsWith("g") &&
         !keep(genName(p)))
       .foreach(deleteRecursively)
+
+  // -------------------------------------------------- catalog + transactions
+
+  /** The catalog is the warehouse-level analogue of a table's `_current`
+    * pointer: one tiny versioned manifest (`_catalog/v000000N`, lines of
+    * `table<TAB>generation`) plus an atomically-renamed `_catalog/_current`
+    * naming the live version — the Delta/Iceberg version-pointer pattern
+    * lifted from one table to the warehouse. A table enters the catalog
+    * the first time a transaction commits it; from then on the catalog
+    * entry is what readers resolve, so N tables' generations flip in ONE
+    * rename. Tables never touched by a transaction keep resolving through
+    * their per-table pointer — the single-table paths lose nothing.
+    * Version files are retained one flip (like generations), so a
+    * [[snapshot]] taken just before a commit stays readable. */
+  private def catalogDir: Path = Paths.get(root, "_catalog")
+  private def catalogPtr: Path = catalogDir.resolve("_current")
+
+  private def catalogVersionName(n: Long): String = f"v$n%09d"
+
+  private def currentCatalogVersion(): Option[String] =
+    if (!Files.exists(catalogPtr)) None
+    else Some(new String(Files.readAllBytes(catalogPtr), UTF_8).trim)
+
+  private def catalogManifest(): Map[String, String] =
+    currentCatalogVersion() match {
+      case None => Map.empty
+      case Some(v) =>
+        Files.readAllLines(catalogDir.resolve(v)).asScala.iterator
+          .filter(_.nonEmpty)
+          .map { l => val i = l.indexOf('\t'); l.substring(0, i) -> l.substring(i + 1) }
+          .toMap
+    }
+
+  /** Write the next manifest version and flip `_current` to it — the one
+    * atomic commit point for everything the manifest covers. Old version
+    * GC is best-effort: a failure after the flip must not unwind a commit
+    * that already happened. */
+  private def writeCatalogVersion(m: Map[String, String]): Unit = {
+    val next = currentCatalogVersion()
+      .map(_.stripPrefix("v").toLong + 1).getOrElse(1L)
+    val name = catalogVersionName(next)
+    Files.createDirectories(catalogDir)
+    Files.write(catalogDir.resolve(name),
+      m.toSeq.sorted.map { case (t, g) => s"$t\t$g" }
+        .mkString("\n").getBytes(UTF_8))
+    val tmp = catalogDir.resolve("_current.tmp")
+    Files.write(tmp, name.getBytes(UTF_8))
+    Files.move(tmp, catalogPtr, StandardCopyOption.ATOMIC_MOVE)
+    try {
+      val keep = Set(name, catalogVersionName(next - 1))
+      Files.list(catalogDir).iterator().asScala.toList
+        .filter(p => p.getFileName.toString.startsWith("v") &&
+          !keep(p.getFileName.toString))
+        .foreach(Files.delete)
+    } catch { case _: java.io.IOException => () }
   }
+
+  private def withCatalogLock[T](f: => T): T = {
+    val release = acquireLock(catalogDir, "catalog")
+    try f finally release()
+  }
+
+  // one open transaction per thread per warehouse; nesting is refused
+  private val txn = new ThreadLocal[Warehouse.TxnState]
+
+  /** Run `body` as ONE atomic multi-table commit.
+    *
+    * Every mutation inside the block writes its generation off to the
+    * side as usual but defers the pointer flip; reads inside the block
+    * see the transaction's own staged state for touched tables
+    * (read-your-own-writes) and the pre-transaction snapshot for the
+    * rest. When the block completes, all staged tables flip in ONE
+    * atomic catalog rename — a reader using [[snapshot]] can never
+    * observe table A post-commit and table B pre-commit. If the block
+    * throws, the staged generations are deleted and nothing becomes
+    * visible. A crash at any point leaves either the old state (flip
+    * not reached; orphaned staged dirs are swept by later writers) or
+    * the new state (flip done; pointer mirrors and GC re-converge on
+    * the next commit of each table).
+    *
+    * Locks on touched tables are held from first touch to commit/abort,
+    * so a live concurrent writer on any staged table fails fast rather
+    * than interleaving. Concurrent transactions are out of scope, like
+    * concurrent single-table writers.
+    */
+  def transact[T](body: => T): T = {
+    require(txn.get() == null, "nested transactions are not supported")
+    val tx = new Warehouse.TxnState
+    txn.set(tx)
+    try {
+      val out = body
+      if (tx.staged.nonEmpty) {
+        withCatalogLock {
+          writeCatalogVersion(catalogManifest() ++ tx.staged)
+        }
+        tx.committed = true
+        // post-flip housekeeping: pointer mirrors + per-table GC; the
+        // commit already happened, failures here only delay cleanup
+        tx.staged.foreach { case (t, g) =>
+          writeTablePtr(t, g)
+          gcTable(t, keep = tx.base(t).toSet + g)
+        }
+      }
+      out
+    } catch {
+      case e: Throwable =>
+        if (!tx.committed)
+          tx.allGens.foreach { case (t, gens) =>
+            gens.foreach(g => deleteRecursively(tableRoot(t).resolve(g)))
+          }
+        throw e
+    } finally {
+      txn.remove()
+      tx.locks.values.toList.reverse.foreach(release => release())
+    }
+  }
+
+  /** A consistent multi-table read view: every transaction-managed table
+    * resolves through ONE pinned manifest version, so two reads from the
+    * same snapshot can never straddle a transaction's commit. Tables not
+    * (yet) in the catalog fall back to their live per-table pointer —
+    * cross-table atomicity is only promised for tables that commit
+    * through [[transact]]. */
+  def snapshot(): Warehouse.Snapshot =
+    new Warehouse.Snapshot(this, catalogManifest())
+
+  private[etl] def resolveAgainst(table: String,
+                                  manifest: Map[String, String]): Option[Path] =
+    manifest.get(table).map(tableRoot(table).resolve(_))
+      .orElse(committedCurrentDir(table))
+
+  private[etl] def readDir(d: Option[Path], schema: StructType): DataFrame =
+    d match {
+      case Some(p) => spark.read.schema(schema).parquet(p.toString)
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
 
   /** Hard-link `src`'s tree into `dst`, skipping relative paths accepted
     * by `skip`. Links share the immutable parquet files across
@@ -321,4 +517,26 @@ object Warehouse {
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
   private def localLock(key: String): java.util.concurrent.locks.ReentrantLock =
     localLocks.computeIfAbsent(key, _ => new java.util.concurrent.locks.ReentrantLock())
+
+  /** Mutable bookkeeping of one open [[Warehouse.transact]] block. */
+  private final class TxnState {
+    val locks = scala.collection.mutable.LinkedHashMap[String, () => Unit]()
+    // pre-transaction committed generation of each touched table (GC keep)
+    val base = scala.collection.mutable.Map[String, Option[String]]()
+    // latest staged generation per table — what the catalog flip publishes
+    val staged = scala.collection.mutable.LinkedHashMap[String, String]()
+    // every staged generation incl. intermediates — what an abort deletes
+    val allGens = scala.collection.mutable.Map[String, List[String]]()
+    var committed = false
+  }
+
+  /** See [[Warehouse.snapshot]]. */
+  final class Snapshot private[etl] (wh: Warehouse,
+                                     manifest: Map[String, String]) {
+    def currentDir(table: String): Option[Path] =
+      wh.resolveAgainst(table, manifest)
+    def exists(table: String): Boolean = currentDir(table).isDefined
+    def read(table: String, schema: StructType): DataFrame =
+      wh.readDir(currentDir(table), schema)
+  }
 }

@@ -47,14 +47,16 @@ object CorpusMaintenance {
         numHashes, bands, threshold, portable, maxBucket))
 
   /** Run compaction against a warehouse-held corpus + signature store.
-    * Each table rewrite is one atomic generation flip; the pair is not
-    * atomic, but every intermediate state is consistent (the store is
-    * untouched data-wise — only doc_id-deduplicated — and compaction is
-    * idempotent: re-running after a crash converges to the same state).
+    * The two rewrites commit as ONE [[Warehouse.transact]] block: a
+    * reader holding a [[Warehouse#snapshot]] sees either the
+    * pre-compaction pair or the post-compaction pair, never a compacted
+    * corpus against an uncompacted store; a crash mid-compaction
+    * publishes nothing. (Compaction is also idempotent, so even a replay
+    * after a post-commit crash converges to the same state.)
     */
   def compact(spark: SparkSession, wh: Warehouse,
               numHashes: Int = 32, bands: Int = 8,
-              threshold: Double = 0.5): Unit = {
+              threshold: Double = 0.5): Unit = wh.transact {
     val store = wh.read("sig_store", sigSchema)
     wh.replace("corpus",
       recompacted(wh.read("corpus", corpusSchema), store, numHashes, bands,

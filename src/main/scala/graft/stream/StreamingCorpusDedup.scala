@@ -21,8 +21,12 @@ import graft.llm.Dedup
   *
   * End-to-end effectively-once, the same discipline as the reference's
   * `ON CONFLICT DO NOTHING` sink (`db.py:41-58`): `foreachBatch` is
-  * at-least-once, so the sink must absorb replays itself. Two layers do:
+  * at-least-once, so the sink must absorb replays itself. Three layers do:
   *
+  *  - each micro-batch commits as ONE [[Warehouse.transact]] block —
+  *    corpus survivors, signatures, and the commit record flip in a
+  *    single atomic catalog rename, so there is no crash window in which
+  *    some sinks of a batch are visible and others are not;
   *  - a `_stream_commits` high-water mark per stream — the Delta
   *    `txnAppId`/`txnVersion` pattern — makes a whole-batch replay a
   *    fast no-op (the stream id is the checkpoint location, which IS
@@ -80,38 +84,46 @@ final class StreamingCorpusDedup(spark: SparkSession, wh: Warehouse,
           col("batch_id") >= batchId)
         .isEmpty
 
-  private[stream] def processBatch(batch: DataFrame, batchId: Long): Unit = {
-    if (alreadyCommitted(batchId)) return
-    if (!batch.isEmpty) {
-      // corrupt JSON lines surface as null doc_id/text rows from the file
-      // source — skip them rather than poison the store (one bad line must
-      // not fail the batch, matching the pipeline's one-job-not-the-service
-      // failure discipline). Both the source batch and its signature table
-      // are consumed by more than one sink — pin them so neither the file
-      // read nor the shingle+hash stage runs twice.
-      val docs = batch
-        .filter(col("doc_id").isNotNull && col("text").isNotNull).cache()
-      val sigs = Dedup.minhashTable(docs, numHashes, k).cache()
-      try {
-        val edges =
-          if (!wh.exists("sig_store"))
-            Dedup.minhashCandidatesFromSigs(sigs, numHashes, bands, threshold)
-          else Dedup.incrementalMinhashCandidatesFromSigs(
-            wh.read("sig_store", sigSchema), sigs, numHashes, bands, threshold)
-        wh.appendIfAbsent("corpus", docSchema, Dedup.dedupCorpus(docs, edges),
-          keys = Seq("doc_id"), orderCol = "doc_id", dedupWithinBatch = false)
-        wh.appendIfAbsent("sig_store", sigSchema, sigs,
-          keys = Seq("doc_id"), orderCol = "doc_id", dedupWithinBatch = false)
-      } finally { sigs.unpersist(); docs.unpersist() }
+  private[stream] def processBatch(batch: DataFrame, batchId: Long): Unit =
+    // ONE transaction per micro-batch: survivors, signatures, and the
+    // high-water commit record flip together in a single catalog rename,
+    // so a crash anywhere inside the batch publishes nothing and the
+    // replay starts from a clean slate — corpus rows can never land
+    // without their signatures or without the commit record.
+    wh.transact {
+      if (!alreadyCommitted(batchId)) {
+        if (!batch.isEmpty) {
+          // corrupt JSON lines surface as null doc_id/text rows from the file
+          // source — skip them rather than poison the store (one bad line must
+          // not fail the batch, matching the pipeline's one-job-not-the-service
+          // failure discipline). Both the source batch and its signature table
+          // are consumed by more than one sink — pin them so neither the file
+          // read nor the shingle+hash stage runs twice.
+          val docs = batch
+            .filter(col("doc_id").isNotNull && col("text").isNotNull).cache()
+          val sigs = Dedup.minhashTable(docs, numHashes, k).cache()
+          try {
+            val edges =
+              if (!wh.exists("sig_store"))
+                Dedup.minhashCandidatesFromSigs(sigs, numHashes, bands, threshold)
+              else Dedup.incrementalMinhashCandidatesFromSigs(
+                wh.read("sig_store", sigSchema), sigs, numHashes, bands, threshold)
+            wh.appendIfAbsent("corpus", docSchema, Dedup.dedupCorpus(docs, edges),
+              keys = Seq("doc_id"), orderCol = "doc_id", dedupWithinBatch = false)
+            wh.appendIfAbsent("sig_store", sigSchema, sigs,
+              keys = Seq("doc_id"), orderCol = "doc_id", dedupWithinBatch = false)
+          } finally { sigs.unpersist(); docs.unpersist() }
+        }
+        // the appendIfAbsent sinks would heal a replayed batch row-by-row
+        // even WITHOUT the transaction (anti-join on doc_id); with it they
+        // are belt-and-braces for streams sharing tables. The merge-upsert
+        // runs under the table's writer lock, so streams sharing one
+        // warehouse never clobber each other's high-water mark.
+        wh.mergeReplace("_stream_commits", commitSchema,
+          spark.range(1).select(lit(checkpointDir).as("stream_id"),
+            lit(batchId).as("batch_id")),
+          (old, incoming) => old.unionByName(incoming)
+            .groupBy("stream_id").agg(max("batch_id").as("batch_id")))
+      }
     }
-    // recorded LAST: any crash before this point replays the batch and the
-    // appendIfAbsent sinks make the replay a no-op. The merge-upsert runs
-    // its combine under the table's writer lock, so streams sharing one
-    // warehouse never clobber each other's high-water mark.
-    wh.mergeReplace("_stream_commits", commitSchema,
-      spark.range(1).select(lit(checkpointDir).as("stream_id"),
-        lit(batchId).as("batch_id")),
-      (old, incoming) => old.unionByName(incoming)
-        .groupBy("stream_id").agg(max("batch_id").as("batch_id")))
-  }
 }
