@@ -45,7 +45,10 @@ import scala.jdk.CollectionConverters._
   * Fact tables are partitioned by `study_id` so a merge or selective
   * read touches only the studies present in the incoming batch.
   */
-final class Warehouse(spark: SparkSession, val root: String) {
+final class Warehouse(spark: SparkSession, val root: String,
+                      catalogRetention: Int = 2) {
+  require(catalogRetention >= 2,
+    "catalogRetention < 2 would GC the version in-flight readers resolved")
 
   private def tableRoot(table: String): Path = Paths.get(root, table)
   private def ptrPath(table: String): Path = tableRoot(table).resolve("_current")
@@ -188,11 +191,15 @@ final class Warehouse(spark: SparkSession, val root: String) {
     Files.move(tmp, ptrPath(table), StandardCopyOption.ATOMIC_MOVE)
   }
 
-  private def gcTable(table: String, keep: Set[String]): Unit =
+  private def gcTable(table: String, keep: Set[String]): Unit = {
+    // generations pinned by a retained catalog version stay readable —
+    // the invariant time travel rests on
+    val keepAll = keep ++ cataloguedGens(table)
     Files.list(tableRoot(table)).iterator().asScala.toList
       .filter(p => Files.isDirectory(p) && genName(p).startsWith("g") &&
-        !keep(genName(p)))
+        !keepAll(genName(p)))
       .foreach(deleteRecursively)
+  }
 
   // -------------------------------------------------- catalog + transactions
 
@@ -242,13 +249,40 @@ final class Warehouse(spark: SparkSession, val root: String) {
     Files.write(tmp, name.getBytes(UTF_8))
     Files.move(tmp, catalogPtr, StandardCopyOption.ATOMIC_MOVE)
     try {
-      val keep = Set(name, catalogVersionName(next - 1))
+      val keep = (next - catalogRetention + 1 to next)
+        .map(catalogVersionName).toSet
       Files.list(catalogDir).iterator().asScala.toList
         .filter(p => p.getFileName.toString.startsWith("v") &&
           !keep(p.getFileName.toString))
         .foreach(Files.delete)
     } catch { case _: java.io.IOException => () }
   }
+
+  /** Catalog versions still on disk, oldest first — the [[snapshotAt]]
+    * time-travel horizon (the newest `catalogRetention` commits). */
+  def catalogVersions(): Seq[Long] =
+    if (!Files.exists(catalogDir)) Nil
+    else Files.list(catalogDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toLong).toSeq.sorted
+
+  private def manifestAt(version: Long): Map[String, String] = {
+    val f = catalogDir.resolve(catalogVersionName(version))
+    require(Files.exists(f),
+      s"catalog version $version is outside the retention horizon " +
+        s"(${catalogVersions().mkString(", ")})")
+    Files.readAllLines(f).asScala.iterator
+      .filter(_.nonEmpty)
+      .map { l => val i = l.indexOf('\t'); l.substring(0, i) -> l.substring(i + 1) }
+      .toMap
+  }
+
+  /** The set of generation names of `table` pinned by ANY retained
+    * catalog version — these must survive per-table GC or time travel
+    * would resolve a manifest onto deleted data. */
+  private def cataloguedGens(table: String): Set[String] =
+    catalogVersions().flatMap(v => manifestAt(v).get(table)).toSet
 
   private def withCatalogLock[T](f: => T): T = {
     val release = acquireLock(catalogDir, "catalog")
@@ -318,6 +352,15 @@ final class Warehouse(spark: SparkSession, val root: String) {
     * through [[transact]]. */
   def snapshot(): Warehouse.Snapshot =
     new Warehouse.Snapshot(this, catalogManifest())
+
+  /** Time travel: the warehouse exactly as transaction commit `version`
+    * left it. Every cataloged table resolves through that version's
+    * manifest — whose generations per-table GC keeps alive as long as
+    * the version is retained (the newest `catalogRetention` commits;
+    * older versions raise). Tables never committed through [[transact]]
+    * have no history here and read live, as in [[snapshot]]. */
+  def snapshotAt(version: Long): Warehouse.Snapshot =
+    new Warehouse.Snapshot(this, manifestAt(version))
 
   private[etl] def resolveAgainst(table: String,
                                   manifest: Map[String, String]): Option[Path] =
@@ -490,6 +533,44 @@ final class Warehouse(spark: SparkSession, val root: String) {
         }
         deleteRecursively(tmp)
         commit(table, gen)
+    }
+  }
+
+  /** Maintenance rewrite (the OPTIMIZE verb of Delta/Iceberg): compact a
+    * table's many small files — the debris of streaming appends, each of
+    * which lands its own part-files — into few near-target-size ones,
+    * and optionally range-cluster rows by `sortBy` so parquet row-group
+    * min/max statistics let later scans skip whole files (single-prefix
+    * Z-ordering). The target file count comes from the live generation's
+    * actual bytes — local file metadata, no data scan. The rewrite is an
+    * ordinary generation flip: readers keep their snapshot, a crash
+    * publishes nothing, and the row SET is unchanged — only layout.
+    *
+    * At cluster scale this is the op that keeps a streaming-ingested
+    * table scannable: a year of 30-second micro-batches is ~1M tiny
+    * files per table without it, a planner-killing listing even before
+    * the first byte is read. */
+  def optimizeTable(table: String, schema: StructType,
+                    sortBy: Seq[String] = Nil,
+                    targetBytesPerFile: Long = 128L << 20,
+                    partitionBy: Seq[String] = Nil): Unit = withTableLock(table) {
+    currentDir(table).foreach { cur =>
+      val bytes = Files.walk(cur).iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(Files.size).sum
+      val nFiles = math.max(1L, (bytes + targetBytesPerFile - 1) /
+        targetBytesPerFile).toInt
+      val df = read(table, schema)
+      val keys = (partitionBy ++ sortBy).map(col)
+      val shaped =
+        if (keys.nonEmpty)
+          // range partitioning keeps each partition value contiguous and
+          // gives every output file a narrow, disjoint sort-key range —
+          // what the footer-stats skipping relies on
+          df.repartitionByRange(nFiles, keys: _*).sortWithinPartitions(keys: _*)
+        else df.coalesce(nFiles)
+      replace(table, shaped, partitionBy)
     }
   }
 

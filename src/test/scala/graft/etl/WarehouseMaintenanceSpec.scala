@@ -1,0 +1,99 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+/** Pins for the warehouse maintenance surface: OPTIMIZE-style small-file
+  * compaction (streaming appends each land their own part-files; the
+  * rewrite must shrink the file count without changing the row set),
+  * range-clustered rewrites (per-file sort-key ranges must be disjoint,
+  * the property parquet footer-stats skipping rests on), and catalog
+  * time travel (snapshotAt must resolve a retained commit's exact
+  * cross-table state, with per-table GC keeping its generations alive). */
+class WarehouseMaintenanceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType),
+    StructField("v", IntegerType)))
+
+  private def parquetFiles(gen: Path): List[Path] =
+    Files.walk(gen).iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .toList
+
+  test("optimizeTable compacts streaming-append debris without changing the rows") {
+    val wh = new Warehouse(spark, tmpDir("whopt").toString)
+    // 12 micro-batch appends, 4 shuffle partitions each: many small files
+    (0 until 12).foreach { b =>
+      wh.append("t", (0 until 40).map(i => (b * 40 + i, b))
+        .toDF("id", "v").repartition(4))
+    }
+    val before = parquetFiles(wh.currentDir("t").get)
+    assert(before.size >= 12, s"expected small-file debris, got ${before.size}")
+    val rowsBefore = wh.read("t", schema).collect().map(r => (r.getInt(0), r.getInt(1))).sorted
+
+    wh.optimizeTable("t", schema)   // default 128 MiB target -> one file here
+    val after = parquetFiles(wh.currentDir("t").get)
+    assert(after.size == 1, s"expected 1 compacted file, got ${after.size}")
+    val rowsAfter = wh.read("t", schema).collect().map(r => (r.getInt(0), r.getInt(1))).sorted
+    assert(rowsAfter.sameElements(rowsBefore))
+  }
+
+  test("a sortBy rewrite gives files disjoint key ranges (footer-stats skipping)") {
+    val wh = new Warehouse(spark, tmpDir("whsort").toString)
+    // ids deliberately scattered across appends so the unsorted layout
+    // interleaves every file's id range
+    (0 until 8).foreach { b =>
+      wh.append("t", (0 until 100).map(i => (i * 8 + b, b)).toDF("id", "v"))
+    }
+    wh.optimizeTable("t", schema, sortBy = Seq("id"),
+      targetBytesPerFile = 2048)    // tiny target -> several output files
+    val files = parquetFiles(wh.currentDir("t").get)
+    assert(files.size >= 2, s"tiny target should yield several files: ${files.size}")
+    val ranges = files.map { f =>
+      val mm = spark.read.schema(schema).parquet(f.toString)
+        .agg(min("id"), max("id")).head
+      (mm.getInt(0), mm.getInt(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"overlapping file ranges: $ranges")
+      case _ => ()
+    }
+    assert(wh.read("t", schema).count() == 800)
+  }
+
+  test("snapshotAt time-travels to any retained commit; older versions raise") {
+    val wh = new Warehouse(spark, tmpDir("whtt").toString, catalogRetention = 4)
+    def batch(v: Int) = (0 until 30).map(i => (i, v)).toDF("id", "v")
+    def vOf(s: Warehouse.Snapshot, t: String): Int =
+      s.read(t, schema).agg(max("v")).head.getInt(0)
+
+    wh.transact { wh.replace("a", batch(1)); wh.replace("b", batch(1)) } // v1
+    wh.transact { wh.replace("a", batch(2)) }                            // v2
+    wh.transact { wh.replace("a", batch(3)); wh.replace("b", batch(3)) } // v3
+    assert(wh.catalogVersions() == Seq(1L, 2L, 3L))
+
+    // each retained version resolves its exact cross-table state — v2
+    // must pair a's second write with b's FIRST, and the generations it
+    // pins must have survived the later commits' GC
+    assert(vOf(wh.snapshotAt(1), "a") == 1 && vOf(wh.snapshotAt(1), "b") == 1)
+    assert(vOf(wh.snapshotAt(2), "a") == 2 && vOf(wh.snapshotAt(2), "b") == 1)
+    assert(vOf(wh.snapshotAt(3), "a") == 3 && vOf(wh.snapshotAt(3), "b") == 3)
+
+    // default retention (2) drops the horizon as commits land
+    val wh2 = new Warehouse(spark, tmpDir("whtt2").toString)
+    wh2.transact { wh2.replace("a", batch(1)) }
+    wh2.transact { wh2.replace("a", batch(2)) }
+    wh2.transact { wh2.replace("a", batch(3)) }
+    assert(wh2.catalogVersions() == Seq(2L, 3L))
+    assert(vOf(wh2.snapshotAt(2), "a") == 2)
+    intercept[IllegalArgumentException] { wh2.snapshotAt(1) }
+  }
+}
