@@ -14,8 +14,11 @@ import org.apache.spark.sql.functions._
   * IMAGE decode is REAL: `javax.imageio` ships PNG/BMP/GIF/JPEG readers
   * with the JDK, so `kind == "image"` payloads are decoded to pixels for
   * feature extraction and resized with a deterministic nearest-neighbor
-  * rescale. Audio/video decode stays STUBBED with a deterministic fake
-  * (those codecs are not in this container) behind the same batch
+  * rescale. AUDIO decode is REAL too: `javax.sound.sampled` ships
+  * WAV/AIFF/AU PCM readers, so `kind == "audio"` payloads are decoded
+  * to normalized mono samples for duration/RMS/zero-crossing/energy
+  * features. Video decode stays STUBBED with a deterministic fake
+  * (no video codec ships with the JDK) behind the same batch
   * plumbing — swap `decodeStub`/`resizeStub` for a codec-backed
   * implementation (JNI or `mapInArrow` to a worker) without touching the
   * plan shape.
@@ -58,10 +61,12 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          val feat =
-            (if (r.kind == "image") decodeImage(r.bytes) else None)
-              .map(imageFeatures(_, featureDim))
-              .getOrElse(decodeStub(r.bytes, featureDim))
+          val feat = (r.kind match {
+            case "image" => decodeImage(r.bytes).map(imageFeatures(_, featureDim))
+            case "audio" => decodeAudio(r.bytes)
+              .map { case (rate, samples) => audioFeatures(rate, samples, featureDim) }
+            case _ => None
+          }).getOrElse(decodeStub(r.bytes, featureDim))
           Feature(r.media_id, r.kind, r.bytes.length.toLong,
             java.security.MessageDigest.getInstance("SHA-256")
               .digest(r.bytes).take(8).map("%02x".format(_)).mkString,
@@ -118,6 +123,103 @@ object Multimodal {
       if (dim > 4) out(4) = sumB.toFloat / n / 255.0f
       var i = 0
       while (i < nHist) { out(5 + i) = hist(i).toFloat / n; i += 1 }
+    }
+    out
+  }
+
+  /** Decode audio bytes with whatever reader `javax.sound.sampled`
+    * registers for them (WAV/AIFF/AU PCM ship with the JDK); returns the
+    * sample rate and the samples mixed down to normalized mono floats in
+    * [-1, 1], or None when no reader claims the bytes or the PCM layout
+    * is one we do not unpack (the caller falls back to the stub). */
+  private[llm] def decodeAudio(bytes: Array[Byte]): Option[(Float, Array[Float])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = in.getFormat
+        import javax.sound.sampled.AudioFormat.Encoding._
+        val bits = f.getSampleSizeInBits
+        val ok = (f.getEncoding == PCM_SIGNED || f.getEncoding == PCM_UNSIGNED) &&
+          (bits == 8 || bits == 16)
+        if (!ok) None
+        else {
+          val raw = in.readAllBytes()
+          val ch = f.getChannels
+          val bytesPerSample = bits / 8
+          val frames = raw.length / (bytesPerSample * ch)
+          val mono = new Array[Float](frames)
+          var fr = 0
+          while (fr < frames) {
+            var acc = 0.0f
+            var c = 0
+            while (c < ch) {
+              val off = (fr * ch + c) * bytesPerSample
+              val v =
+                if (bits == 8) {
+                  if (f.getEncoding == PCM_SIGNED) raw(off).toInt / 128.0f
+                  else ((raw(off) & 0xff) - 128) / 128.0f
+                } else {
+                  val (b0, b1) = if (f.isBigEndian) (raw(off), raw(off + 1))
+                                 else (raw(off + 1), raw(off))
+                  val s = ((b0 & 0xff) << 8) | (b1 & 0xff)
+                  val signed = if (f.getEncoding == PCM_SIGNED) s.toShort.toInt
+                               else s - 32768
+                  signed / 32768.0f
+                }
+              acc += v
+              c += 1
+            }
+            mono(fr) = acc / ch
+            fr += 1
+          }
+          Some((f.getSampleRate, mono))
+        }
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Deterministic features from decoded audio:
+    * `[durationSec, sampleRate, rms, zeroCrossingRate, peak,
+    * energyEnvelope...]` — the remaining `dim - 5` slots are the RMS of
+    * equal-width sample windows (a coarse loudness envelope). Plain
+    * sequential float math — bit-identical across runs/partitionings. */
+  private[llm] def audioFeatures(sampleRate: Float, samples: Array[Float],
+                                 dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val n = samples.length
+    if (dim > 0) out(0) = if (sampleRate > 0) n / sampleRate else 0.0f
+    if (dim > 1) out(1) = sampleRate
+    if (n == 0) return out
+    var (sumSq, crossings) = (0.0, 0L)
+    var peak = 0.0f
+    var i = 0
+    while (i < n) {
+      val s = samples(i)
+      sumSq += s.toDouble * s
+      if (math.abs(s) > peak) peak = math.abs(s)
+      if (i > 0 && (samples(i - 1) >= 0) != (s >= 0)) crossings += 1
+      i += 1
+    }
+    if (dim > 2) out(2) = math.sqrt(sumSq / n).toFloat
+    if (dim > 3) out(3) = crossings.toFloat / n
+    if (dim > 4) out(4) = peak
+    val nEnv = dim - 5
+    if (nEnv > 0) {
+      var w = 0
+      while (w < nEnv) {
+        val lo = (w.toLong * n / nEnv).toInt
+        val hi = ((w + 1).toLong * n / nEnv).toInt
+        if (hi > lo) {
+          var ss = 0.0
+          var j = lo
+          while (j < hi) { ss += samples(j).toDouble * samples(j); j += 1 }
+          out(5 + w) = math.sqrt(ss / (hi - lo)).toFloat
+        }
+        w += 1
+      }
     }
     out
   }

@@ -526,4 +526,49 @@ class LlmOpsSpec extends SparkSpec {
       new java.io.ByteArrayInputStream(r.bytes))
     assert(back.getWidth == 1 && back.getHeight == 1)
   }
+
+  test("multimodal audio kind decodes REAL samples (javax.sound) with stub fallback") {
+    import javax.sound.sampled._
+    // 16-bit PCM WAV fixtures with exactly-known features
+    def wav(format: AudioFormat, samples: Array[Short]): Array[Byte] = {
+      val raw = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { i =>               // little-endian, as WAV is
+        raw(2 * i) = (samples(i) & 0xff).toByte
+        raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val frames = samples.length / format.getChannels
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), format, frames),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val mono = new AudioFormat(8000f, 16, 1, true, false)
+    val stereo = new AudioFormat(8000f, 16, 2, true, false)
+    // mono square wave flipping every sample at half amplitude:
+    // duration 0.5 s, rms = peak = 0.5, zero-crossing rate (n-1)/n
+    val square = wav(mono, Array.tabulate(4000)(i =>
+      (if (i % 2 == 0) 16384 else -16384).toShort))
+    // stereo with L = -R: the mono mixdown must cancel to silence
+    val cancel = wav(stereo, Array.tabulate(2000)(i =>
+      (if (i % 2 == 0) 16384 else -16384).toShort))
+    val junk = "definitely not audio".getBytes("UTF-8")
+    val media = Seq((1L, "audio", square), (2L, "audio", cancel),
+        (3L, "audio", junk), (4L, "video", junk))
+      .toDF("media_id", "kind", "bytes")
+      .select(col("media_id"), col("kind"), col("bytes"),
+        lit(0).as("width"), lit(0).as("height"))
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+      .map(f => f.media_id -> f.feature).toMap
+
+    val sq = feats(1L)
+    assert(sq(0) == 0.5f && sq(1) == 8000.0f)     // duration, sample rate
+    assert(sq(2) == 0.5f && sq(4) == 0.5f)        // rms, peak
+    assert(sq(3) == 3999.0f / 4000.0f)            // zero-crossing rate
+    assert(sq(5) == 0.5f && sq(6) == 0.5f && sq(7) == 0.5f) // envelope
+    val st = feats(2L)
+    assert(st(0) == 0.125f && st(2) == 0.0f && st(4) == 0.0f)
+    // undecodable audio and video both take the SAME deterministic stub
+    assert(feats(3L).toSeq == feats(4L).toSeq)
+  }
 }
