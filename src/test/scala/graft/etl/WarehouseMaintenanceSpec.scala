@@ -69,6 +69,21 @@ class WarehouseMaintenanceSpec extends SparkSpec {
     assert(wh.read("t", schema).count() == 800)
   }
 
+  test("schema evolution on read: an added column reads as null over old generations") {
+    val wh = new Warehouse(spark, tmpDir("whevo").toString)
+    wh.replace("t", (0 until 20).map(i => (i, i * 2)).toDF("id", "v"))
+    val evolved = StructType(schema.fields :+ StructField("tag", StringType))
+    // old generation under the widened schema: new column all-null
+    assert(wh.read("t", evolved).filter(col("tag").isNull).count() == 20)
+    // an append under the widened schema coexists with carried-over old
+    // files; rows keep their own generation's physical schema
+    wh.append("t", Seq((100, 7, "x")).toDF("id", "v", "tag"))
+    val r = wh.read("t", evolved)
+    assert(r.count() == 21)
+    assert(r.filter(col("tag") === "x").select("id").head.getInt(0) == 100)
+    assert(r.filter(col("tag").isNull).count() == 20)
+  }
+
   test("snapshotAt time-travels to any retained commit; older versions raise") {
     val wh = new Warehouse(spark, tmpDir("whtt").toString, catalogRetention = 4)
     def batch(v: Int) = (0 until 30).map(i => (i, v)).toDF("id", "v")
