@@ -25,7 +25,13 @@ import graft.llm.Dedup
   *     store;
   *  3. compaction — recluster the ENTIRE corpus from stored signatures
   *     alone; its wall-clock vs phase 1 is the measured cost of skipping
-  *     the shingle+hash stage.
+  *     the shingle+hash stage;
+  *  4. the PRODUCTION streaming sink — the same corpus arriving as
+  *     JSON-lines waves through [[graft.stream.StreamingCorpusDedup]]
+  *     into a transactional warehouse (one catalog commit per
+  *     micro-batch, checkpoint restart between waves), proving the
+  *     transact/appendIfAbsent machinery holds at corpus scale and the
+  *     maintained corpus still equals the one-shot result.
   *
   * Usage: `runMain graft.DedupBench [nDocs]` (default 200000).
   */
@@ -89,6 +95,32 @@ object DedupBench {
     val sec3 = (System.nanoTime() - t2) / 1e9
     println(f"""{"phase":"compaction","docs":$n,"survivors":$compacted,"expected":$expected,"sec":$sec3%.2f,"docs_per_sec":${(n / sec3).toLong}}""")
     assert(compacted == expected, s"compacted=$compacted expected=$expected")
+
+    // phase 4: the streaming sink end-to-end — arrival waves land as
+    // JSON-lines files, each micro-batch dedups incrementally against the
+    // warehouse store and commits corpus + signatures + the high-water
+    // record as ONE catalog transaction; the stream restarts from its
+    // checkpoint between waves like a nightly job would
+    import java.nio.file.Files
+    val whRoot = Files.createTempDirectory("dedupbench-wh")
+    val landing = Files.createTempDirectory("dedupbench-landing")
+    val ckpt = Files.createTempDirectory("dedupbench-ckpt")
+    val wh = new graft.etl.Warehouse(spark, whRoot.toString)
+    val sd = new graft.stream.StreamingCorpusDedup(spark, wh,
+      landing.toString, ckpt.toString)
+    val waves = 5
+    val t3 = System.nanoTime()
+    (0 until waves).foreach { w =>
+      docs.filter(col("doc_id") >= n * w / waves &&
+          col("doc_id") < n * (w + 1) / waves)
+        .coalesce(4).write.mode("append").json(landing.toString)
+      sd.start(availableNow = true).awaitTermination()
+    }
+    val sec4 = (System.nanoTime() - t3) / 1e9
+    val streamed = wh.read("corpus", new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")).count()
+    println(f"""{"phase":"streaming_sink","docs":$n,"waves":$waves,"survivors":$streamed,"expected":$expected,"sec":$sec4%.2f,"docs_per_sec":${(n / sec4).toLong}}""")
+    assert(streamed == expected, s"streamed survivors=$streamed expected=$expected")
     spark.stop()
   }
 }
