@@ -161,6 +161,60 @@ object TextAnalysis {
         col("frac_dup_bigrams") <= 0.3).cast("int").as("keep"))
   }
 
+  /** Whitespace tokens of normalized text — the shared tokenization of
+    * the corpus-index operators below (engine-portable: the oracle
+    * recomputes it with a string split). */
+  private def wsTokens(text: Column): Column =
+    filter(split(Dedup.normalized(text), " "), t => length(t) > 0)
+
+  /** Inverted index: one row per term with its document frequency and
+    * the first `maxPostings` doc ids. The posting cap is enforced
+    * MAP-SIDE: the `row_number <= k` filter rewrites to Spark's
+    * WindowGroupLimit, so each task forwards at most k rows per term
+    * into the shuffle and the grouped posting array is bounded at k
+    * elements — a stop-word's full posting list (O(corpus) doc ids, a
+    * guaranteed 2 GB-row blowup at 100 TB) is never materialized. The
+    * df count aggregates partially for the same reason. */
+  def invertedIndex(docs: DataFrame, minDf: Long = 1, maxPostings: Int = 10,
+                    id: Column = col("doc_id"),
+                    text: Column = col("text")): DataFrame = {
+    val terms = docs.select(id.as("doc_id"),
+      explode(array_distinct(wsTokens(text))).as("term"))
+    val dfs = terms.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("doc_id"))
+    val postings = terms
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPostings)
+      .groupBy("term")
+      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+    dfs.filter(col("df") >= minDf).join(postings, Seq("term"))
+  }
+
+  /** Per-document top-k terms by tf-idf, with the idf kept in EXACT
+    * integer arithmetic — `score = tf * 1_000_000 div df` — so the
+    * ranking is bit-identical across engines (a float idf's `ln` is
+    * libm-dependent). Ties break on the term, making the ranking total.
+    * The df side aggregates to one row per vocabulary term before the
+    * join, and the per-document ranking rewrites to WindowGroupLimit —
+    * both shuffles carry derived columns only, never the text. */
+  def topTfidfTerms(docs: DataFrame, k: Int = 3,
+                    id: Column = col("doc_id"),
+                    text: Column = col("text")): DataFrame = {
+    val tf = docs.select(id.as("doc_id"), explode(wsTokens(text)).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfs, Seq("term"))
+      .withColumn("score", expr("tf * 1000000L div df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
+
   /** One-pass document profile used by `SparkEntry` queries. */
   def profile(docs: DataFrame, text: Column = col("text")): DataFrame =
     docs.select(

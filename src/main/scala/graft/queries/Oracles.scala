@@ -661,6 +661,33 @@ object Oracles {
          |SELECT doc_id, lang, length(text) AS n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT src FROM drop_ids)""".stripMargin,
 
+    "q68_inverted_index" ->
+      raw"""WITH t AS (
+         |  SELECT doc_id,
+         |         unnest(list_distinct(list_filter(string_split($norm, ' '),
+         |           t -> len(t) > 0))) AS term
+         |  FROM documents)
+         |SELECT term, count(*) AS df,
+         |       (list(doc_id ORDER BY doc_id))[1:8] AS postings
+         |FROM t GROUP BY term HAVING count(*) >= 5""".stripMargin,
+
+    "q69_tfidf_terms" ->
+      raw"""WITH tok AS (
+         |  SELECT doc_id,
+         |         unnest(list_filter(string_split($norm, ' '),
+         |           t -> len(t) > 0)) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |       GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |             CAST(tf.tf * 1000000 // df.df AS BIGINT) AS score
+         |      FROM tf JOIN df USING (term))
+         |SELECT doc_id, term, tf, df, score, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, term ASC) AS rank FROM s)
+         |WHERE rank <= 3""".stripMargin,
+
     "q33_ngram_jaccard" ->
       s"""WITH sh AS (
          |  SELECT doc_id,

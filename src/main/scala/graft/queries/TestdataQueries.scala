@@ -762,6 +762,19 @@ object TestdataQueries {
       .filter(col("rank") <= 3)
   }
 
+  /** Inverted-index construction over the corpus: per-term document
+    * frequency + a bounded posting list (the cap is map-side via
+    * WindowGroupLimit — a stop-word's full posting list is never
+    * materialized). */
+  def q68InvertedIndex(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.invertedIndex(t(s, dir, "documents"), minDf = 5,
+      maxPostings = 8)
+
+  /** Per-document top-3 terms by tf-idf with exact integer scoring, so
+    * the ranking is engine-portable (no libm `ln`). */
+  def q69TfidfTerms(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topTfidfTerms(t(s, dir, "documents"), k = 3)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -814,6 +827,8 @@ object TestdataQueries {
     "q65_token_budget_mix" -> q65TokenBudgetMix _,
     "q66_topk_per_group" -> q66TopkPerGroup _,
     "q67_compacted_corpus" -> q67CompactedCorpus _,
+    "q68_inverted_index" -> q68InvertedIndex _,
+    "q69_tfidf_terms" -> q69TfidfTerms _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,

@@ -112,4 +112,13 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q66_topk_per_group")
     assert(p.contains("WindowGroupLimit"), p)
   }
+
+  test("q68/q69: posting cap and tf-idf ranking are map-side group limits") {
+    // the inverted index's posting cap and the per-document tf-idf top-k
+    // both rest on the same rewrite: without WindowGroupLimit a
+    // stop-word's posting list (O(corpus) rows in one group) sorts
+    // through a single task before the cap applies
+    assert(plan("q68_inverted_index").contains("WindowGroupLimit"))
+    assert(plan("q69_tfidf_terms").contains("WindowGroupLimit"))
+  }
 }
