@@ -688,6 +688,33 @@ object Oracles {
          |    ORDER BY score DESC, term ASC) AS rank FROM s)
          |WHERE rank <= 3""".stripMargin,
 
+    "q70_source_report" ->
+      raw"""SELECT source, count(*) AS n_docs,
+         |       CAST(SUM(len(list_filter(string_split($norm, ' '),
+         |         t -> len(t) > 0))) AS BIGINT) AS n_tokens,
+         |       count(DISTINCT lang) AS n_langs,
+         |       max(n_chars) AS max_chars,
+         |       CAST(SUM(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_long_docs
+         |FROM documents GROUP BY source""".stripMargin,
+
+    "q71_label_neighbors" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+        |           WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT c.label, c.vec_id,
+        |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                CAST(c.embedding AS DOUBLE[])) AS cos
+        |  FROM q CROSS JOIN embeddings c
+        |  WHERE c.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT label, vec_id, cos,
+        |         row_number() OVER (PARTITION BY label
+        |                            ORDER BY cos DESC, vec_id ASC) AS rank
+        |  FROM scored)
+        |SELECT label, rank, vec_id, round(cos, 6) AS cosine
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
     "q33_ngram_jaccard" ->
       s"""WITH sh AS (
          |  SELECT doc_id,

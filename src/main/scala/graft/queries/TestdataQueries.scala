@@ -775,6 +775,44 @@ object TestdataQueries {
   def q69TfidfTerms(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.topTfidfTerms(t(s, dir, "documents"), k = 3)
 
+  /** Provenance report: per-source doc/token/language counts — the
+    * data-mix accounting every training corpus runs by ingest source.
+    * One pass, partial aggregation; only derived numbers shuffle. */
+  def q70SourceReport(s: SparkSession, dir: String): DataFrame = {
+    val toks = size(filter(split(Dedup.normalized(col("text")), " "),
+      t => length(t) > 0))
+    t(s, dir, "documents").groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(toks.cast("long")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        max(col("n_chars")).as("max_chars"),
+        sum((col("n_chars") >= 100).cast("long")).as("n_long_docs"))
+  }
+
+  /** Per-label nearest neighbors to a probe embedding (the
+    * mislabeled-sample-mining shape: which members of each class sit
+    * closest to a given example). Same broadcast-probe single-dot
+    * scoring as q36; the per-label ranking is a WindowGroupLimit. */
+  def q71LabelNeighbors(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        Similarity.norm(col("embedding")).as("q_nrm"))
+    val scored = emb
+      .select(col("vec_id"), col("label"), col("embedding"),
+        Similarity.norm(col("embedding")).as("c_nrm"))
+      .join(broadcast(probe), col("vec_id") =!= col("query_id"))
+      .select(col("label"), col("vec_id"),
+        (Similarity.dot(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * col("c_nrm"))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("label"), col("rank"), col("vec_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -829,6 +867,8 @@ object TestdataQueries {
     "q67_compacted_corpus" -> q67CompactedCorpus _,
     "q68_inverted_index" -> q68InvertedIndex _,
     "q69_tfidf_terms" -> q69TfidfTerms _,
+    "q70_source_report" -> q70SourceReport _,
+    "q71_label_neighbors" -> q71LabelNeighbors _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,
