@@ -139,7 +139,16 @@ final class Warehouse(spark: SparkSession, val root: String,
         if (ownerAlive) throw new IllegalStateException(
           s"$what is locked by live writer pid $owner ($lockFile); " +
             "concurrent writers are not supported")
-        Files.deleteIfExists(lockFile)  // stale: crashed writer (or our own pid)
+        // claim the stale lock ATOMICALLY by moving it aside under a
+        // unique name: only one taker's move can succeed, so two writers
+        // respawned after the same crash can never both delete-and-
+        // recreate and proceed concurrently (a plain deleteIfExists lets
+        // the second taker delete the FIRST taker's fresh lock)
+        val claim = dir.resolve(s"_lock.stale.$pid")
+        try {
+          Files.move(lockFile, claim, StandardCopyOption.ATOMIC_MOVE)
+          Files.deleteIfExists(claim)
+        } catch { case _: java.io.IOException => () } // another taker claimed it
         if (!tryAcquire()) throw new IllegalStateException(
           s"lost the takeover race for stale lock $lockFile")
       }
@@ -148,6 +157,18 @@ final class Warehouse(spark: SparkSession, val root: String,
   }
 
   // ------------------------------------------------------ generation plumbing
+
+  // Files.list/walk return streams holding an open directory fd until
+  // closed — on the per-micro-batch commit path that's a leak per call
+  // (reclaimed only at GC, EMFILE under pressure). Materialize + close.
+  private def listDir(p: Path): List[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toList finally s.close()
+  }
+  private def walkDir(p: Path): List[Path] = {
+    val s = Files.walk(p)
+    try s.iterator().asScala.toList finally s.close()
+  }
 
   private def genName(p: Path): String = p.getFileName.toString
 
@@ -195,7 +216,7 @@ final class Warehouse(spark: SparkSession, val root: String,
     // generations pinned by a retained catalog version stay readable —
     // the invariant time travel rests on
     val keepAll = keep ++ cataloguedGens(table)
-    Files.list(tableRoot(table)).iterator().asScala.toList
+    listDir(tableRoot(table))
       .filter(p => Files.isDirectory(p) && genName(p).startsWith("g") &&
         !keepAll(genName(p)))
       .foreach(deleteRecursively)
@@ -251,7 +272,7 @@ final class Warehouse(spark: SparkSession, val root: String,
     try {
       val keep = (next - catalogRetention + 1 to next)
         .map(catalogVersionName).toSet
-      Files.list(catalogDir).iterator().asScala.toList
+      listDir(catalogDir)
         .filter(p => p.getFileName.toString.startsWith("v") &&
           !keep(p.getFileName.toString))
         .foreach(Files.delete)
@@ -262,10 +283,10 @@ final class Warehouse(spark: SparkSession, val root: String,
     * time-travel horizon (the newest `catalogRetention` commits). */
   def catalogVersions(): Seq[Long] =
     if (!Files.exists(catalogDir)) Nil
-    else Files.list(catalogDir).iterator().asScala
+    else listDir(catalogDir)
       .map(_.getFileName.toString)
       .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
-      .map(_.drop(1).toLong).toSeq.sorted
+      .map(_.drop(1).toLong).sorted
 
   private def manifestAt(version: Long): Map[String, String] = {
     val f = catalogDir.resolve(catalogVersionName(version))
@@ -381,7 +402,7 @@ final class Warehouse(spark: SparkSession, val root: String,
     * are left alone. */
   private def linkTree(src: Path, dst: Path,
                        skip: Path => Boolean = _ => false): Unit =
-    Files.walk(src).iterator().asScala.foreach { p =>
+    walkDir(src).foreach { p =>
       val rel = src.relativize(p)
       if (rel.toString.nonEmpty && !skip(rel)) {
         val t = dst.resolve(rel)
@@ -555,7 +576,7 @@ final class Warehouse(spark: SparkSession, val root: String,
                     targetBytesPerFile: Long = 128L << 20,
                     partitionBy: Seq[String] = Nil): Unit = withTableLock(table) {
     currentDir(table).foreach { cur =>
-      val bytes = Files.walk(cur).iterator().asScala
+      val bytes = walkDir(cur)
         .filter(p => Files.isRegularFile(p) &&
           p.getFileName.toString.endsWith(".parquet"))
         .map(Files.size).sum
@@ -579,7 +600,7 @@ final class Warehouse(spark: SparkSession, val root: String,
   private def partitionDirs(base: Path, depth: Int): Seq[Path] = {
     def walk(p: Path, d: Int): Seq[Path] =
       if (d == 0) Seq(p)
-      else Files.list(p).iterator().asScala.toSeq
+      else listDir(p)
         .filter(q => Files.isDirectory(q) && q.getFileName.toString.contains("="))
         .flatMap(walk(_, d - 1))
     walk(base, depth).map(base.relativize)
@@ -587,7 +608,8 @@ final class Warehouse(spark: SparkSession, val root: String,
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      walkDir(p).sorted(Ordering.comparatorToOrdering(
+        Comparator.reverseOrder[Path]())).foreach(Files.delete)
 }
 
 object Warehouse {

@@ -266,15 +266,22 @@ object Dedup {
     val newBuckets = sigBuckets(newSigs, bands, rowsPerBand, portable)
       .withColumn("is_new", lit(true))
     val newKeys = newBuckets.select("band", "bucket").distinct()
+    val newIds = newSigs.select("doc_id").distinct()
     val oldBuckets = sigBuckets(existingSigs, bands, rowsPerBand, portable)
       .join(if (broadcastNewSide) broadcast(newKeys) else newKeys,
         Seq("band", "bucket"), "left_semi")
+      // a doc present in BOTH sides (a replay healing a partial crash:
+      // its signature landed, its corpus row did not) must occupy ONE
+      // bucket slot, as new — two slots would inflate the bucket size,
+      // and a bucket sitting exactly at `maxBucket` would be dropped on
+      // the heal but not in the original run, making the heal inexact
+      .join(if (broadcastNewSide) broadcast(newIds) else newIds,
+        Seq("doc_id"), "left_anti")
       .withColumn("is_new", lit(false))
     bucketPairs(newBuckets.unionByName(oldBuckets), Seq("band", "bucket"),
         struct(col("doc_id"), col("sig"), col("is_new")), maxBucket)
-      // old-old pairs were emitted when those docs arrived; a doc can
-      // appear as both new and old during a replay heal — never pair it
-      // with itself
+      // old-old pairs were emitted when those docs arrived; the self-pair
+      // guard is defense in depth for stores built outside appendIfAbsent
       .filter((col("a.is_new") || col("b.is_new")) &&
         col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),

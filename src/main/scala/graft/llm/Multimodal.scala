@@ -82,8 +82,12 @@ object Multimodal {
     * hazard. */
   private[llm] def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
     javax.imageio.ImageIO.setUseCache(false)
+    // NonFatal, not just IOException: the JDK readers throw unchecked
+    // exceptions (AIOOBE, IllegalArgument, NegativeArraySize) on
+    // truncated/fuzzed payloads, and one bad record must fall back to
+    // the stub — never fail the batch
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-    catch { case _: java.io.IOException => None }
+    catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Deterministic pixel statistics from a decoded image:
@@ -101,10 +105,15 @@ object Multimodal {
     val hist = new Array[Long](math.max(nHist, 1))
     var (sumR, sumG, sumB) = (0L, 0L, 0L)
     var y = 0
+    // one bulk row read per scanline (identical values to per-pixel
+    // getRGB, minus its per-call sample/color-model conversion overhead —
+    // the decode hot loop of corpus feature extraction)
+    val row = new Array[Int](math.max(w, 1))
     while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
       var x = 0
       while (x < w) {
-        val rgb = img.getRGB(x, y)
+        val rgb = row(x)
         val (r, g, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
         sumR += r; sumG += g; sumB += b
         if (nHist > 0) {
@@ -140,8 +149,11 @@ object Multimodal {
         val f = in.getFormat
         import javax.sound.sampled.AudioFormat.Encoding._
         val bits = f.getSampleSizeInBits
+        // validate the channel count too: a corrupt fmt chunk can claim 0
+        // channels with otherwise-valid PCM fields, which would divide by
+        // zero below — undecodable means stub fallback, never a crash
         val ok = (f.getEncoding == PCM_SIGNED || f.getEncoding == PCM_UNSIGNED) &&
-          (bits == 8 || bits == 16)
+          (bits == 8 || bits == 16) && f.getChannels > 0
         if (!ok) None
         else {
           val raw = in.readAllBytes()
@@ -176,10 +188,7 @@ object Multimodal {
           Some((f.getSampleRate, mono))
         }
       } finally in.close()
-    } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      case _: java.io.IOException => None
-    }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Deterministic features from decoded audio:
     * `[durationSec, sampleRate, rms, zeroCrossingRate, peak,

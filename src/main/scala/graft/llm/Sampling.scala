@@ -96,19 +96,26 @@ object Sampling {
         sum(col("__btok")).over(Window.partitionBy(col("__s"))
           .orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
-    // phase 2: annotate rows with their bucket's offset via broadcast
+    // phase 2: annotate rows with their bucket's offset via broadcast.
+    // Bucket equality is NULL-SAFE: a null id hashes to a null bucket,
+    // which the old single-window form ranked first (nulls-first sort) —
+    // a plain equi-join would drop those rows while still charging their
+    // token sum against every later bucket's offset.
     val annotated = rows.join(broadcast(offsets),
-      col("__strat") <=> col("__s") && col("__bkt") === col("__b"))
+      col("__strat") <=> col("__s") && col("__bkt") <=> col("__b"))
     val budget = budgetOf(col("__strat"))
     // whole buckets under the boundary: shuffle-free keep
     val fullyIn = annotated.filter(col("__off") + col("__btok") <= budget)
     // the single boundary bucket per stratum: exact prefix via a window
-    // partitioned by (stratum, bucket) — bounded task, never the stratum
+    // partitioned by (stratum, bucket) — bounded task, never the stratum.
+    // `__off <= budget`, not `<`: when the preceding buckets sum EXACTLY
+    // to the budget, this bucket's leading zero-token rows still satisfy
+    // cum <= budget and the old window form kept them.
     val wB = Window.partitionBy(col("__strat"), col("__bkt"))
       .orderBy(col("__hb"), id)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val boundary = annotated
-      .filter(col("__off") < budget && col("__off") + col("__btok") > budget)
+      .filter(col("__off") <= budget && col("__off") + col("__btok") > budget)
       .withColumn("__cum", sum(tokens).over(wB))
       .filter(col("__off") + col("__cum") <= budget)
     fullyIn.select(outCols: _*).unionByName(boundary.select(outCols: _*))

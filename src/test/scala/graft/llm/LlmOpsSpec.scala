@@ -443,6 +443,65 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.subsetOf(bigger) && bigger.size > got.size)
   }
 
+  test("token-budget mix: exact-boundary buckets, zero-token docs, null ids") {
+    import java.security.MessageDigest
+    def bucket(id: Long): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 7), 16)
+    }
+    val nB = 4
+    def bkt(id: Long): Int = (bucket(id) / (268435456.0 / nB)).toInt
+    val allIds = 0L until 120L
+    // bucket 1's first two docs in (hash, id) order carry ZERO tokens —
+    // with the budget landing EXACTLY on bucket 0's boundary, the old
+    // single-window form keeps them (cum == budget <= budget) and the
+    // two-phase form must too; a `__off < budget` boundary test drops
+    // the whole bucket
+    val b1 = allIds.filter(bkt(_) == 1).sortBy(i => (bucket(i), i))
+    assert(b1.length >= 3, "need a populated bucket 1 for this pin")
+    def tokOf(i: Long): Int = if (b1.take(2).contains(i)) 0 else 3
+    // a null-id row (the old window ranked nulls first) consumes budget
+    // ahead of every bucket
+    val rows = allIds.map(i => (java.lang.Long.valueOf(i), "en", tokOf(i))) :+
+      ((null.asInstanceOf[java.lang.Long], "en", 4))
+    val docs = rows.toDF("doc_id", "lang", "n_tok")
+    val budget = 4L + allIds.filter(bkt(_) == 0).map(tokOf).sum
+    val got = Sampling.tokenBudgetMix(docs, col("lang"), col("doc_id"),
+        col("n_tok"), Map("en" -> budget), defaultBudget = 0L, nBuckets = nB)
+      .select("doc_id").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+    // literal greedy prefix in (hash nulls-first, id) order
+    var cum = 0L
+    val expected = (None +: allIds.sortBy(i => (bucket(i), i)).map(Some(_)))
+      .takeWhile { o => cum += o.fold(4)(tokOf(_)); cum <= budget }.toSet
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+    assert(b1.take(2).map(i => Some(i): Option[Long]).forall(got),
+      "boundary bucket's leading zero-token docs must stay selected")
+    assert(got(None), "null-id row must stay selected")
+  }
+
+  test("incremental candidates: a doc in both store and batch fills ONE bucket slot") {
+    // replay heal: the batch is a subset of the store (its signatures
+    // landed, its corpus rows did not). Six identical docs share every
+    // band bucket; with maxBucket == 6 the bucket fits EXACTLY — but if
+    // healed docs occupied a store slot AND a batch slot the bucket
+    // would count 9 members and be dropped, silently losing the heal's
+    // candidates (the cap-inexactness failure mode).
+    val docs = (0L until 6L).map(i => (i, "same text in every document here"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashTable(docs, numHashes = 16, k = 2)
+    val batch = sigs.filter(col("doc_id") >= 3)
+    val healed = Dedup.incrementalMinhashCandidatesFromSigs(sigs, batch,
+        numHashes = 16, bands = 4, threshold = 0.5, maxBucket = 6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      a <- 0L until 6L; b <- (a + 1) until 6L
+      if a >= 3 || b >= 3                   // pairs touching a batch doc
+    } yield (a, b)).toSet
+    assert(healed == expected, s"healed=$healed")
+  }
+
   test("text profile: counts and ratios behave on edge inputs") {
     val edge = Seq((0L, ""), (1L, "word"), (2L, "a b c"), (3L, "Hello, world!"))
       .toDF("doc_id", "text")
