@@ -386,7 +386,13 @@ final class Warehouse(spark: SparkSession, val root: String,
   private[etl] def resolveAgainst(table: String,
                                   manifest: Map[String, String]): Option[Path] =
     manifest.get(table).map(tableRoot(table).resolve(_))
-      .orElse(committedCurrentDir(table))
+      .orElse {
+        // absent from the pinned manifest: a table the catalog manages
+        // NOW simply did not exist at that version (read empty) — only a
+        // never-transacted table falls back to its live pointer
+        if (catalogManifest().contains(table)) None
+        else committedCurrentDir(table)
+      }
 
   private[etl] def readDir(d: Option[Path], schema: StructType): DataFrame =
     d match {
@@ -554,6 +560,52 @@ final class Warehouse(spark: SparkSession, val root: String,
         }
         deleteRecursively(tmp)
         commit(table, gen)
+    }
+  }
+
+  /** Change-data feed between two retained catalog versions (the CDC
+    * verb the generation + manifest machinery makes cheap): every row of
+    * `table` that differs between commit `fromVersion` and `toVersion`,
+    * tagged `_change_type`.
+    *
+    * With `keys`, changes are KEYED: a full-outer join on the key
+    * produces `insert` / `delete` rows and update pairs
+    * (`update_preimage` + `update_postimage`) — one shuffle of each
+    * snapshot on the key, the honest scale shape for row-level diff.
+    * Without keys it degrades to a multiset diff (`exceptAll` both
+    * ways): inserts and deletes only, updates surface as a
+    * delete+insert pair.
+    *
+    * Both versions must still be retained (see `catalogRetention`);
+    * a table absent from the older manifest diffs against empty, so the
+    * first transacted commit reads as all-inserts. */
+  def changesBetween(table: String, schema: StructType,
+                     fromVersion: Long, toVersion: Long,
+                     keys: Seq[String] = Nil): DataFrame = {
+    val before = snapshotAt(fromVersion).read(table, schema)
+    val after = snapshotAt(toVersion).read(table, schema)
+    val all = schema.fieldNames.toSeq.map(col)
+    if (keys.isEmpty)
+      after.exceptAll(before).withColumn("_change_type", lit("insert"))
+        .unionByName(
+          before.exceptAll(after).withColumn("_change_type", lit("delete")))
+    else {
+      val bs = before.select(keys.map(col) :+ struct(all: _*).as("__b"): _*)
+      val as_ = after.select(keys.map(col) :+ struct(all: _*).as("__a"): _*)
+      val j = bs.join(as_, keys, "full_outer")
+      val inserts = j.filter(col("__b").isNull && col("__a").isNotNull)
+        .select(col("__a.*")).withColumn("_change_type", lit("insert"))
+      val deletes = j.filter(col("__a").isNull && col("__b").isNotNull)
+        .select(col("__b.*")).withColumn("_change_type", lit("delete"))
+      val updates = j
+        .filter(col("__a").isNotNull && col("__b").isNotNull &&
+          !(col("__a") <=> col("__b")))
+        .select(explode(array(
+          struct(col("__b").as("row"), lit("update_preimage").as("t")),
+          struct(col("__a").as("row"), lit("update_postimage").as("t"))))
+          .as("__e"))
+        .select(col("__e.row.*") +: Seq(col("__e.t").as("_change_type")): _*)
+      inserts.unionByName(deletes).unionByName(updates)
     }
   }
 

@@ -84,6 +84,34 @@ class WarehouseMaintenanceSpec extends SparkSpec {
     assert(r.filter(col("tag").isNull).count() == 20)
   }
 
+  test("changesBetween yields the exact keyed change feed of two commits") {
+    val wh = new Warehouse(spark, tmpDir("whcdc").toString, catalogRetention = 4)
+    wh.transact {
+      wh.replace("t", Seq((1, 10), (2, 20), (3, 30)).toDF("id", "v"))
+    }                                                              // v1
+    wh.transact {
+      wh.replace("t", Seq((1, 10), (3, 99), (4, 40)).toDF("id", "v"))
+    }                                                              // v2: del 2, upd 3, ins 4
+    val keyed = wh.changesBetween("t", schema, 1, 2, keys = Seq("id"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    assert(keyed == Set(
+      (4, 40, "insert"), (2, 20, "delete"),
+      (3, 30, "update_preimage"), (3, 99, "update_postimage")))
+    // unchanged rows never appear
+    assert(!keyed.exists(_._1 == 1))
+    // keyless multiset diff: the update degrades to delete+insert
+    val flat = wh.changesBetween("t", schema, 1, 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    assert(flat == Set(
+      (4, 40, "insert"), (3, 99, "insert"),
+      (2, 20, "delete"), (3, 30, "delete")))
+    // a table absent from the older manifest diffs against empty
+    wh.transact { wh.replace("u", Seq((7, 70)).toDF("id", "v")) }  // v3
+    val born = wh.changesBetween("u", schema, 2, 3, keys = Seq("id"))
+      .collect().map(r => (r.getInt(0), r.getString(2))).toSet
+    assert(born == Set((7, "insert")))
+  }
+
   test("snapshotAt time-travels to any retained commit; older versions raise") {
     val wh = new Warehouse(spark, tmpDir("whtt").toString, catalogRetention = 4)
     def batch(v: Int) = (0 until 30).map(i => (i, v)).toDF("id", "v")
