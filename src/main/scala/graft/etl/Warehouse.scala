@@ -244,14 +244,31 @@ final class Warehouse(spark: SparkSession, val root: String,
     if (!Files.exists(catalogPtr)) None
     else Some(new String(Files.readAllBytes(catalogPtr), UTF_8).trim)
 
+  private def parseManifest(f: Path): Map[String, String] =
+    Files.readAllLines(f).asScala.iterator
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l => val i = l.indexOf('\t'); l.substring(0, i) -> l.substring(i + 1) }
+      .toMap
+
+  /** Commit wall-clock of a retained version (the `#ts` header line) —
+    * what `TIMESTAMP AS OF` resolves against. Pre-header manifests (none
+    * in practice) read as epoch 0. */
+  private def versionCommitMillis(version: Long): Long =
+    Files.readAllLines(catalogDir.resolve(catalogVersionName(version)))
+      .asScala.collectFirst {
+        case l if l.startsWith("#ts\t") => l.stripPrefix("#ts\t").toLong
+      }.getOrElse(0L)
+
+  /** The newest retained version committed at or before `millis` — the
+    * `TIMESTAMP AS OF` resolution rule. None when `millis` predates the
+    * retention horizon. */
+  def versionAt(millis: Long): Option[Long] =
+    catalogVersions().filter(versionCommitMillis(_) <= millis).lastOption
+
   private def catalogManifest(): Map[String, String] =
     currentCatalogVersion() match {
       case None => Map.empty
-      case Some(v) =>
-        Files.readAllLines(catalogDir.resolve(v)).asScala.iterator
-          .filter(_.nonEmpty)
-          .map { l => val i = l.indexOf('\t'); l.substring(0, i) -> l.substring(i + 1) }
-          .toMap
+      case Some(v) => parseManifest(catalogDir.resolve(v))
     }
 
   /** Write the next manifest version and flip `_current` to it — the one
@@ -264,7 +281,8 @@ final class Warehouse(spark: SparkSession, val root: String,
     val name = catalogVersionName(next)
     Files.createDirectories(catalogDir)
     Files.write(catalogDir.resolve(name),
-      m.toSeq.sorted.map { case (t, g) => s"$t\t$g" }
+      (s"#ts\t${System.currentTimeMillis()}" +:
+        m.toSeq.sorted.map { case (t, g) => s"$t\t$g" })
         .mkString("\n").getBytes(UTF_8))
     val tmp = catalogDir.resolve("_current.tmp")
     Files.write(tmp, name.getBytes(UTF_8))
@@ -293,10 +311,7 @@ final class Warehouse(spark: SparkSession, val root: String,
     require(Files.exists(f),
       s"catalog version $version is outside the retention horizon " +
         s"(${catalogVersions().mkString(", ")})")
-    Files.readAllLines(f).asScala.iterator
-      .filter(_.nonEmpty)
-      .map { l => val i = l.indexOf('\t'); l.substring(0, i) -> l.substring(i + 1) }
-      .toMap
+    parseManifest(f)
   }
 
   /** The set of generation names of `table` pinned by ANY retained

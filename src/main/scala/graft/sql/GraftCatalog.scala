@@ -92,6 +92,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     resolved(ident, wh.snapshotAt(v).currentDir(ident.name()))
   }
 
+  /** `TIMESTAMP AS OF t` — the newest retained commit at or before `t`
+    * (manifest versions record their commit wall-clock). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val v = wh.versionAt(timestampMicros / 1000L).getOrElse(
+      throw new NoSuchTableException(ident))
+    resolved(ident, wh.snapshotAt(v).currentDir(ident.name()))
+  }
+
   override def loadTable(ident: Identifier,
                          privileges: util.Set[TableWritePrivilege]): Table =
     throw new UnsupportedOperationException(

@@ -130,6 +130,22 @@ class WarehouseMaintenanceSpec extends SparkSpec {
     assert(vOf(wh.snapshotAt(2), "a") == 2 && vOf(wh.snapshotAt(2), "b") == 1)
     assert(vOf(wh.snapshotAt(3), "a") == 3 && vOf(wh.snapshotAt(3), "b") == 3)
 
+    // TIMESTAMP AS OF resolution: each manifest records its commit
+    // wall-clock; a timestamp resolves to the newest commit at or
+    // before it, and one before the first commit resolves to nothing
+    val whT = new Warehouse(spark, tmpDir("whts").toString, catalogRetention = 4)
+    val before = System.currentTimeMillis() - 1
+    Thread.sleep(3)
+    whT.transact { whT.replace("a", batch(1)) }
+    Thread.sleep(3)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(3)
+    whT.transact { whT.replace("a", batch(2)) }
+    assert(whT.versionAt(before).isEmpty)
+    assert(whT.versionAt(mid).contains(1L))
+    assert(whT.versionAt(System.currentTimeMillis()).contains(2L))
+    assert(vOf(whT.snapshotAt(whT.versionAt(mid).get), "a") == 1)
+
     // default retention (2) drops the horizon as commits land
     val wh2 = new Warehouse(spark, tmpDir("whtt2").toString)
     wh2.transact { wh2.replace("a", batch(1)) }

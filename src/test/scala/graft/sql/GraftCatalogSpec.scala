@@ -18,6 +18,9 @@ class GraftCatalogSpec extends SparkSpec {
     val wh = new Warehouse(spark, root, catalogRetention = 4)
     def batch(v: Int) = (0 until 25).map(i => (i, v)).toDF("id", "v")
     wh.transact { wh.replace("a", batch(1)); wh.replace("b", batch(1)) } // v1
+    Thread.sleep(3)
+    val betweenCommits = System.currentTimeMillis()
+    Thread.sleep(3)
     wh.transact { wh.replace("a", batch(2)) }                            // v2
 
     // a REAL catalog-wired session (fresh session, shared SparkContext)
@@ -27,6 +30,7 @@ class GraftCatalogSpec extends SparkSpec {
     val sql = SparkSession.builder()
       .config("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
       .config("spark.sql.catalog.graft.root", root)
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     try {
       assert(sql ne shared)
@@ -42,6 +46,15 @@ class GraftCatalogSpec extends SparkSpec {
         """SELECT max(a.v) + max(b.v)
           |FROM graft.a VERSION AS OF 2 a, graft.b VERSION AS OF 2 b""".stripMargin)
         .head.getInt(0) == 3)
+
+      // TIMESTAMP AS OF: a wall-clock between the two commits resolves
+      // to the first commit's state
+      val ts = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(betweenCommits))
+      assert(sql.sql(
+        s"SELECT max(v) FROM graft.a TIMESTAMP AS OF '$ts'").head.getInt(0) == 1)
 
       // enumeration sees exactly the committed tables (never _catalog)
       val names = sql.sql("SHOW TABLES IN graft").collect()
