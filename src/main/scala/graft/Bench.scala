@@ -51,7 +51,7 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
       java.nio.file.Files.write(out,
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case _: java.io.IOException => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
   }
 }

@@ -31,9 +31,9 @@ import scala.jdk.CollectionConverters._
   * superseded generation is retained for one flip (older ones are GC'd),
   * bounding staleness for in-flight readers. Concurrent WRITERS to one
   * table are out of scope, as in the reference's one-ETL-service design —
-  * and enforced: every mutation runs under a per-table pid lock file
-  * (stale locks of crashed writers are taken over), so a second live
-  * writer fails fast instead of interleaving flips and GC.
+  * and enforced: every mutation runs under a per-table OS file lock
+  * (released by the OS the moment a crashed writer dies), so a second
+  * live writer fails fast instead of interleaving flips and GC.
   *
   * Multi-table atomicity: [[transact]] lifts the same pointer-flip
   * pattern from one table to the warehouse — staged generations for
@@ -91,10 +91,17 @@ final class Warehouse(spark: SparkSession, val root: String,
     *  - an in-process reentrant lock per table path (so nested calls —
     *    appendIfAbsent → append → replace — re-enter, and two threads of
     *    ONE process serialize instead of failing); and
-    *  - a cross-process lock FILE created atomically (`CREATE_NEW`)
-    *    holding the owner pid. A lock whose owner process is gone — a
-    *    crashed writer's leftover — is taken over; a lock held by a LIVE
-    *    other process raises, loudly, before anything is touched.
+    *  - a cross-process OS file lock (`FileChannel.tryLock`) on the
+    *    table's `_lock` file, holding the owner pid as diagnostics. The
+    *    OS releases the lock the instant its holder dies, so a crashed
+    *    writer leaves nothing to take over — which eliminates the entire
+    *    class of stale-lock takeover races (any delete-and-recreate
+    *    protocol lets two recovering writers steal each other's fresh
+    *    lock). A lock held by a LIVE process raises, loudly, before
+    *    anything is touched. (Advisory-lock caveat: on filesystems
+    *    without real lock support, e.g. some NFS mounts, this degrades
+    *    to in-process-only protection — same trade every lock-file
+    *    engine makes locally.)
     */
   private def withTableLock[T](table: String)(f: => T): T = {
     val tx = txn.get()
@@ -113,7 +120,10 @@ final class Warehouse(spark: SparkSession, val root: String,
 
   /** Acquire the in-process + cross-process lock for `dir`; returns the
     * release action. Reentrant: a nested acquisition on the same thread
-    * piggybacks on the outer frame's file lock. */
+    * piggybacks on the outer frame's file lock. The `_lock` file itself
+    * persists across acquisitions (deleting a lock file while others may
+    * be blocked on its inode is the classic unlink race); only the OS
+    * lock and the diagnostic pid inside it change hands. */
   private def acquireLock(dir: Path, what: String): () => Unit = {
     val local = Warehouse.localLock(dir.toAbsolutePath.toString)
     local.lock()
@@ -121,38 +131,29 @@ final class Warehouse(spark: SparkSession, val root: String,
     else try {
       Files.createDirectories(dir)
       val lockFile = dir.resolve("_lock")
-      val pid = ProcessHandle.current().pid()
-      def tryAcquire(): Boolean =
-        try {
-          Files.write(lockFile, pid.toString.getBytes(UTF_8),
-            java.nio.file.StandardOpenOption.CREATE_NEW)
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-        }
-      if (!tryAcquire()) {
+      val ch = java.nio.channels.FileChannel.open(lockFile,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.READ)
+      val flock =
+        try ch.tryLock()
+        catch { case _: java.nio.channels.OverlappingFileLockException => null }
+      if (flock == null) {
         val owner =
-          try new String(Files.readAllBytes(lockFile), UTF_8).trim.toLong
-          catch { case _: Exception => -1L }
-        val ownerAlive = owner > 0 && owner != pid &&
-          ProcessHandle.of(owner).isPresent && ProcessHandle.of(owner).get().isAlive
-        if (ownerAlive) throw new IllegalStateException(
+          try {
+            val buf = java.nio.ByteBuffer.allocate(64)
+            val n = ch.read(buf, 0L)
+            if (n <= 0) "?" else new String(buf.array(), 0, n, UTF_8).trim
+          } finally ch.close()
+        throw new IllegalStateException(
           s"$what is locked by live writer pid $owner ($lockFile); " +
             "concurrent writers are not supported")
-        // claim the stale lock ATOMICALLY by moving it aside under a
-        // unique name: only one taker's move can succeed, so two writers
-        // respawned after the same crash can never both delete-and-
-        // recreate and proceed concurrently (a plain deleteIfExists lets
-        // the second taker delete the FIRST taker's fresh lock)
-        val claim = dir.resolve(s"_lock.stale.$pid")
-        try {
-          Files.move(lockFile, claim, StandardCopyOption.ATOMIC_MOVE)
-          Files.deleteIfExists(claim)
-        } catch { case _: java.io.IOException => () } // another taker claimed it
-        if (!tryAcquire()) throw new IllegalStateException(
-          s"lost the takeover race for stale lock $lockFile")
       }
-      () => { Files.deleteIfExists(lockFile); local.unlock() }
+      // diagnostics only — liveness is the OS lock, never this content
+      ch.truncate(0L)
+      ch.write(java.nio.ByteBuffer.wrap(
+        ProcessHandle.current().pid().toString.getBytes(UTF_8)), 0L)
+      () => { try { flock.release(); ch.close() } finally local.unlock() }
     } catch { case e: Throwable => local.unlock(); throw e }
   }
 
@@ -251,19 +252,24 @@ final class Warehouse(spark: SparkSession, val root: String,
       .toMap
 
   /** Commit wall-clock of a retained version (the `#ts` header line) —
-    * what `TIMESTAMP AS OF` resolves against. Pre-header manifests (none
-    * in practice) read as epoch 0. */
-  private def versionCommitMillis(version: Long): Long =
-    Files.readAllLines(catalogDir.resolve(catalogVersionName(version)))
-      .asScala.collectFirst {
-        case l if l.startsWith("#ts\t") => l.stripPrefix("#ts\t").toLong
-      }.getOrElse(0L)
+    * what `TIMESTAMP AS OF` resolves against. None when the version file
+    * vanished between listing and reading (a concurrent commit's GC — it
+    * just fell off the retention horizon); pre-header manifests (none in
+    * practice) read as epoch 0. */
+  private def versionCommitMillis(version: Long): Option[Long] =
+    try Some(
+      Files.readAllLines(catalogDir.resolve(catalogVersionName(version)))
+        .asScala.collectFirst {
+          case l if l.startsWith("#ts\t") => l.stripPrefix("#ts\t").toLong
+        }.getOrElse(0L))
+    catch { case _: java.io.IOException => None }
 
   /** The newest retained version committed at or before `millis` — the
     * `TIMESTAMP AS OF` resolution rule. None when `millis` predates the
     * retention horizon. */
   def versionAt(millis: Long): Option[Long] =
-    catalogVersions().filter(versionCommitMillis(_) <= millis).lastOption
+    catalogVersions()
+      .filter(v => versionCommitMillis(v).exists(_ <= millis)).lastOption
 
   private def catalogManifest(): Map[String, String] =
     currentCatalogVersion() match {
@@ -387,7 +393,7 @@ final class Warehouse(spark: SparkSession, val root: String,
     * cross-table atomicity is only promised for tables that commit
     * through [[transact]]. */
   def snapshot(): Warehouse.Snapshot =
-    new Warehouse.Snapshot(this, catalogManifest())
+    new Warehouse.Snapshot(this, catalogManifest(), Set.empty)
 
   /** Time travel: the warehouse exactly as transaction commit `version`
     * left it. Every cataloged table resolves through that version's
@@ -396,17 +402,30 @@ final class Warehouse(spark: SparkSession, val root: String,
     * older versions raise). Tables never committed through [[transact]]
     * have no history here and read live, as in [[snapshot]]. */
   def snapshotAt(version: Long): Warehouse.Snapshot =
-    new Warehouse.Snapshot(this, manifestAt(version))
+    { val m = manifestAt(version)
+      new Warehouse.Snapshot(this, m, catalogManifest().keySet -- m.keySet) }
 
-  private[etl] def resolveAgainst(table: String,
-                                  manifest: Map[String, String]): Option[Path] =
+  /** Resolution rules are FROZEN at snapshot creation (`laterManaged` is
+    * the set of tables cataloged then but absent from the pinned
+    * manifest): a pinned snapshot's answer for a table can never flip
+    * because a later transaction entered that table into the catalog.
+    * The fallback for never-cataloged tables reads the per-table pointer
+    * directly — the live catalog is never consulted after pinning. */
+  private[etl] def resolveAgainst(table: String, manifest: Map[String, String],
+                                  laterManaged: Set[String]): Option[Path] =
     manifest.get(table).map(tableRoot(table).resolve(_))
       .orElse {
-        // absent from the pinned manifest: a table the catalog manages
-        // NOW simply did not exist at that version (read empty) — only a
-        // never-transacted table falls back to its live pointer
-        if (catalogManifest().contains(table)) None
-        else committedCurrentDir(table)
+        // absent from the pinned manifest: a table cataloged at pin time
+        // simply did not exist at that version (read empty); only a
+        // never-transacted table falls back to its live pointer (no
+        // cross-snapshot consistency is promised for those)
+        if (laterManaged(table)) None
+        else {
+          val p = ptrPath(table)
+          if (!Files.exists(p)) None
+          else Some(tableRoot(table).resolve(
+            new String(Files.readAllBytes(p), UTF_8).trim))
+        }
       }
 
   private[etl] def readDir(d: Option[Path], schema: StructType): DataFrame =
@@ -605,9 +624,14 @@ final class Warehouse(spark: SparkSession, val root: String,
         .unionByName(
           before.exceptAll(after).withColumn("_change_type", lit("delete")))
     else {
-      val bs = before.select(keys.map(col) :+ struct(all: _*).as("__b"): _*)
-      val as_ = after.select(keys.map(col) :+ struct(all: _*).as("__a"): _*)
-      val j = bs.join(as_, keys, "full_outer")
+      // key equality is NULL-SAFE (<=>): a row with a null key that is
+      // identical in both versions is "unchanged", not a spurious
+      // delete+insert pair on every diff
+      val bs = before.select(struct(all: _*).as("__b"))
+      val as_ = after.select(struct(all: _*).as("__a"))
+      val j = bs.join(as_,
+        keys.map(k => col(s"__b.$k") <=> col(s"__a.$k")).reduce(_ && _),
+        "full_outer")
       val inserts = j.filter(col("__b").isNull && col("__a").isNotNull)
         .select(col("__a.*")).withColumn("_change_type", lit("insert"))
       val deletes = j.filter(col("__a").isNull && col("__b").isNotNull)
@@ -702,9 +726,10 @@ object Warehouse {
 
   /** See [[Warehouse.snapshot]]. */
   final class Snapshot private[etl] (wh: Warehouse,
-                                     manifest: Map[String, String]) {
+                                     manifest: Map[String, String],
+                                     laterManaged: Set[String]) {
     def currentDir(table: String): Option[Path] =
-      wh.resolveAgainst(table, manifest)
+      wh.resolveAgainst(table, manifest, laterManaged)
     def exists(table: String): Boolean = currentDir(table).isDefined
     def read(table: String, schema: StructType): DataFrame =
       wh.readDir(currentDir(table), schema)

@@ -65,7 +65,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!Files.isDirectory(dir)) Array.empty
     else {
       val w = wh
-      Files.list(dir).iterator().asScala
+      val stream = Files.list(dir)
+      val names =
+        try stream.iterator().asScala.toList finally stream.close()
+      names
         .filter(Files.isDirectory(_))
         .map(_.getFileName.toString)
         .filterNot(_.startsWith("_"))     // _catalog and friends

@@ -86,11 +86,16 @@ class WarehouseMaintenanceSpec extends SparkSpec {
 
   test("changesBetween yields the exact keyed change feed of two commits") {
     val wh = new Warehouse(spark, tmpDir("whcdc").toString, catalogRetention = 4)
+    // the null-keyed row is identical in both commits: null-safe key
+    // equality must treat it as unchanged, never a delete+insert pair
+    def row(id: Integer, v: Integer) = (id, v)
     wh.transact {
-      wh.replace("t", Seq((1, 10), (2, 20), (3, 30)).toDF("id", "v"))
+      wh.replace("t", Seq(row(1, 10), row(2, 20), row(3, 30), row(null, 5))
+        .toDF("id", "v"))
     }                                                              // v1
     wh.transact {
-      wh.replace("t", Seq((1, 10), (3, 99), (4, 40)).toDF("id", "v"))
+      wh.replace("t", Seq(row(1, 10), row(3, 99), row(4, 40), row(null, 5))
+        .toDF("id", "v"))
     }                                                              // v2: del 2, upd 3, ins 4
     val keyed = wh.changesBetween("t", schema, 1, 2, keys = Seq("id"))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
@@ -110,6 +115,25 @@ class WarehouseMaintenanceSpec extends SparkSpec {
     val born = wh.changesBetween("u", schema, 2, 3, keys = Seq("id"))
       .collect().map(r => (r.getInt(0), r.getString(2))).toSet
     assert(born == Set((7, "insert")))
+  }
+
+  test("a pinned snapshot's resolution rules are frozen at creation") {
+    val wh = new Warehouse(spark, tmpDir("whfreeze").toString, catalogRetention = 4)
+    def batch(v: Int) = (0 until 10).map(i => (i, v)).toDF("id", "v")
+    wh.transact { wh.replace("a", batch(1)) }     // v1
+    wh.replace("u", batch(7))                     // plain write: u never transacted
+    val pinned = wh.snapshotAt(1)
+    assert(pinned.read("u", schema).agg(max("v")).head.getInt(0) == 7)
+    // u now enters the catalog; the ALREADY-PINNED snapshot keeps its
+    // creation-time rule (live-pointer fallback) — it must never flip to
+    // reading u as empty mid-lifetime
+    wh.transact { wh.replace("u", batch(8)) }     // v2
+    assert(pinned.exists("u"))
+    assert(pinned.read("u", schema).agg(max("v")).head.getInt(0) == 8)
+    // a FRESH snapshot of v1 sees the new rule: u is catalog-managed now
+    // and absent from v1's manifest, so at v1 it reads as nonexistent
+    assert(!wh.snapshotAt(1).exists("u"))
+    assert(wh.snapshotAt(2).read("u", schema).agg(max("v")).head.getInt(0) == 8)
   }
 
   test("snapshotAt time-travels to any retained commit; older versions raise") {

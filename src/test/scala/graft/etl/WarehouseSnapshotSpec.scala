@@ -111,32 +111,38 @@ class WarehouseSnapshotSpec extends SparkSpec {
     assert(counts == Map("SA" -> 200L, "SB" -> 200L))
   }
 
-  test("a second live writer fails fast; a crashed writer's lock is taken over") {
+  test("a second live writer fails fast; a crashed writer's lock auto-releases") {
     val wh = new Warehouse(spark, tmpDir("whlock").toString)
     wh.replace("t", batch("SA", 0), Seq("study_id"))
     val reader = wh.read("t", schema)          // pins generation g1
     val lock = java.nio.file.Paths.get(wh.root, "t", "_lock")
 
-    // another LIVE process (pid 1 always exists) holds the table: every
-    // mutation must refuse before touching anything
-    java.nio.file.Files.write(lock, "1".getBytes("UTF-8"))
-    intercept[IllegalStateException] { wh.append("t", batch("SB", 1), Seq("study_id")) }
-    intercept[IllegalStateException] { wh.replace("t", batch("SB", 1), Seq("study_id")) }
-    intercept[IllegalStateException] {
-      wh.mergeReplacePartitions("t", schema, batch("SA", 2),
-        (_, incoming) => incoming, Seq("study_id"))
-    }
-    // nothing was committed or GC'd: live table AND the pinned reader
-    // still see the original generation
-    assert(wh.read("t", schema).count() == 200L)
-    assert(reader.agg(sum("v")).head.getLong(0) == 0L)
+    // a LIVE writer = an actually-held OS file lock (liveness is the OS
+    // lock, never the file's pid content): every mutation must refuse
+    // before touching anything
+    val foreign = java.nio.channels.FileChannel.open(lock,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val held = foreign.tryLock()
+    try {
+      intercept[IllegalStateException] { wh.append("t", batch("SB", 1), Seq("study_id")) }
+      intercept[IllegalStateException] { wh.replace("t", batch("SB", 1), Seq("study_id")) }
+      intercept[IllegalStateException] {
+        wh.mergeReplacePartitions("t", schema, batch("SA", 2),
+          (_, incoming) => incoming, Seq("study_id"))
+      }
+      // nothing was committed or GC'd: live table AND the pinned reader
+      // still see the original generation
+      assert(wh.read("t", schema).count() == 200L)
+      assert(reader.agg(sum("v")).head.getLong(0) == 0L)
+    } finally { held.release(); foreign.close() }
 
-    // a lock left by a CRASHED writer (pid far beyond pid_max -> no such
-    // process) is stale: the next writer takes it over and proceeds
+    // a CRASHED writer leaves only the lock FILE — the OS released its
+    // lock with the process, so there is no stale state to take over
+    // (and no delete-and-recreate race between two recovering writers):
+    // the next writer just acquires
     java.nio.file.Files.write(lock, "2147483646".getBytes("UTF-8"))
     wh.append("t", batch("SB", 9), Seq("study_id"))
     assert(wh.read("t", schema).filter(col("study_id") === "SB").count() == 200L)
-    // the lock is released after the mutation
-    assert(!java.nio.file.Files.exists(lock))
   }
 }

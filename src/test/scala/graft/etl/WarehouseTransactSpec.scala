@@ -113,15 +113,19 @@ class WarehouseTransactSpec extends SparkSpec {
     intercept[IllegalArgumentException] { wh.transact { wh.transact { () } } }
 
     wh.transact { wh.replace("a", batch(1)); wh.replace("b", batch(1)) }
-    // another LIVE process (pid 1) holds table b: the transaction must
-    // fail when it first touches b, and its staged write to a must be
-    // rolled back — not half-committed
+    // another LIVE writer holds table b's OS file lock: the transaction
+    // must fail when it first touches b, and its staged write to a must
+    // be rolled back — not half-committed
     val lock = Paths.get(wh.root, "b", "_lock")
-    Files.write(lock, "1".getBytes("UTF-8"))
-    intercept[IllegalStateException] {
-      wh.transact { wh.replace("a", batch(9)); wh.replace("b", batch(9)) }
-    }
-    Files.delete(lock)
+    val foreign = java.nio.channels.FileChannel.open(lock,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val held = foreign.tryLock()
+    try {
+      intercept[IllegalStateException] {
+        wh.transact { wh.replace("a", batch(9)); wh.replace("b", batch(9)) }
+      }
+    } finally { held.release(); foreign.close() }
     assert(readV(wh, "a") == Set(1) && readV(wh, "b") == Set(1))
   }
 }
