@@ -66,12 +66,17 @@ final class Warehouse(spark: SparkSession, val root: String,
   /** Committed resolution only — never sees in-flight staged work. */
   private def committedCurrentDir(table: String): Option[Path] =
     catalogManifest().get(table).map(tableRoot(table).resolve(_))
-      .orElse {
-        val p = ptrPath(table)
-        if (!Files.exists(p)) None
-        else Some(tableRoot(table).resolve(
-          new String(Files.readAllBytes(p), UTF_8).trim))
-      }
+      .orElse(tablePtrDir(table))
+
+  /** The per-table `_current` pointer's generation dir, if present — the
+    * ONE place the pointer encoding is read (committed resolution and
+    * snapshot fallback both come through here). */
+  private def tablePtrDir(table: String): Option[Path] = {
+    val p = ptrPath(table)
+    if (!Files.exists(p)) None
+    else Some(tableRoot(table).resolve(
+      new String(Files.readAllBytes(p), UTF_8).trim))
+  }
 
   def exists(table: String): Boolean = currentDir(table).isDefined
 
@@ -136,40 +141,54 @@ final class Warehouse(spark: SparkSession, val root: String,
         java.nio.file.StandardOpenOption.WRITE,
         java.nio.file.StandardOpenOption.READ)
       val flock =
-        try ch.tryLock()
-        catch { case _: java.nio.channels.OverlappingFileLockException => null }
-      if (flock == null) {
-        val owner =
+        try Option(ch.tryLock())
+        catch {
+          case _: java.nio.channels.OverlappingFileLockException =>
+            None                         // held by this process (live writer)
+          case _: java.io.IOException =>
+            // the filesystem has no lock support (e.g. an NFS mount
+            // without a lock daemon): degrade to in-process-only
+            // protection, as documented — don't fail every mutation
+            ch.close()
+            return () => local.unlock()
+        }
+      flock match {
+        case None =>
+          val owner =
+            try {
+              val buf = java.nio.ByteBuffer.allocate(64)
+              val n = ch.read(buf, 0L)
+              if (n <= 0) "?" else new String(buf.array(), 0, n, UTF_8).trim
+            } catch { case scala.util.control.NonFatal(_) => "?" }
+            finally ch.close()
+          throw new IllegalStateException(
+            s"$what is locked by live writer pid $owner ($lockFile); " +
+              "concurrent writers are not supported")
+        case Some(fl) =>
+          // diagnostics only — liveness is the OS lock, never this
+          // content; a failure here must not strand the acquired lock
           try {
-            val buf = java.nio.ByteBuffer.allocate(64)
-            val n = ch.read(buf, 0L)
-            if (n <= 0) "?" else new String(buf.array(), 0, n, UTF_8).trim
-          } finally ch.close()
-        throw new IllegalStateException(
-          s"$what is locked by live writer pid $owner ($lockFile); " +
-            "concurrent writers are not supported")
+            ch.truncate(0L)
+            ch.write(java.nio.ByteBuffer.wrap(
+              ProcessHandle.current().pid().toString.getBytes(UTF_8)), 0L)
+          } catch { case scala.util.control.NonFatal(_) => () }
+          // release must NEVER throw: if an interrupt already closed the
+          // channel, the OS dropped the lock with it — and a throwing
+          // release inside transact's unwind would skip the remaining
+          // tables' releases and strand their in-process locks
+          () => {
+            try { fl.release(); ch.close() }
+            catch { case scala.util.control.NonFatal(_) => () }
+            finally local.unlock()
+          }
       }
-      // diagnostics only — liveness is the OS lock, never this content
-      ch.truncate(0L)
-      ch.write(java.nio.ByteBuffer.wrap(
-        ProcessHandle.current().pid().toString.getBytes(UTF_8)), 0L)
-      () => { try { flock.release(); ch.close() } finally local.unlock() }
     } catch { case e: Throwable => local.unlock(); throw e }
   }
 
   // ------------------------------------------------------ generation plumbing
 
-  // Files.list/walk return streams holding an open directory fd until
-  // closed — on the per-micro-batch commit path that's a leak per call
-  // (reclaimed only at GC, EMFILE under pressure). Materialize + close.
-  private def listDir(p: Path): List[Path] = {
-    val s = Files.list(p)
-    try s.iterator().asScala.toList finally s.close()
-  }
-  private def walkDir(p: Path): List[Path] = {
-    val s = Files.walk(p)
-    try s.iterator().asScala.toList finally s.close()
-  }
+  private def listDir(p: Path): List[Path] = Warehouse.listDir(p)
+  private def walkDir(p: Path): List[Path] = Warehouse.walkDir(p)
 
   private def genName(p: Path): String = p.getFileName.toString
 
@@ -382,7 +401,13 @@ final class Warehouse(spark: SparkSession, val root: String,
         throw e
     } finally {
       txn.remove()
-      tx.locks.values.toList.reverse.foreach(release => release())
+      // every table's lock must release even if one release misbehaves —
+      // a skipped release strands an in-process lock and turns the next
+      // writer's fail-fast into a hang
+      tx.locks.values.toList.reverse.foreach { release =>
+        try release()
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
     }
   }
 
@@ -420,12 +445,7 @@ final class Warehouse(spark: SparkSession, val root: String,
         // never-transacted table falls back to its live pointer (no
         // cross-snapshot consistency is promised for those)
         if (laterManaged(table)) None
-        else {
-          val p = ptrPath(table)
-          if (!Files.exists(p)) None
-          else Some(tableRoot(table).resolve(
-            new String(Files.readAllBytes(p), UTF_8).trim))
-        }
+        else tablePtrDir(table)
       }
 
   private[etl] def readDir(d: Option[Path], schema: StructType): DataFrame =
@@ -608,7 +628,8 @@ final class Warehouse(spark: SparkSession, val root: String,
     * snapshot on the key, the honest scale shape for row-level diff.
     * Without keys it degrades to a multiset diff (`exceptAll` both
     * ways): inserts and deletes only, updates surface as a
-    * delete+insert pair.
+    * delete+insert pair. Null-keyed rows have no identity, so they take
+    * the multiset path even in keyed mode.
     *
     * Both versions must still be retained (see `catalogRetention`);
     * a table absent from the older manifest diffs against empty, so the
@@ -624,13 +645,19 @@ final class Warehouse(spark: SparkSession, val root: String,
         .unionByName(
           before.exceptAll(after).withColumn("_change_type", lit("delete")))
     else {
-      // key equality is NULL-SAFE (<=>): a row with a null key that is
-      // identical in both versions is "unchanged", not a spurious
-      // delete+insert pair on every diff
-      val bs = before.select(struct(all: _*).as("__b"))
-      val as_ = after.select(struct(all: _*).as("__a"))
+      // null-keyed rows have no identity to match on — joining them
+      // null-safely would cross-product every null-key row with every
+      // other — so they route through the MULTISET diff (insert/delete,
+      // never update) and the keyed join sees only real keys
+      val nullKey = keys.map(col(_).isNull).reduce(_ || _)
+      val nullIns = after.filter(nullKey).exceptAll(before.filter(nullKey))
+        .withColumn("_change_type", lit("insert"))
+      val nullDel = before.filter(nullKey).exceptAll(after.filter(nullKey))
+        .withColumn("_change_type", lit("delete"))
+      val bs = before.filter(!nullKey).select(struct(all: _*).as("__b"))
+      val as_ = after.filter(!nullKey).select(struct(all: _*).as("__a"))
       val j = bs.join(as_,
-        keys.map(k => col(s"__b.$k") <=> col(s"__a.$k")).reduce(_ && _),
+        keys.map(k => col(s"__b.$k") === col(s"__a.$k")).reduce(_ && _),
         "full_outer")
       val inserts = j.filter(col("__b").isNull && col("__a").isNotNull)
         .select(col("__a.*")).withColumn("_change_type", lit("insert"))
@@ -645,6 +672,7 @@ final class Warehouse(spark: SparkSession, val root: String,
           .as("__e"))
         .select(col("__e.row.*") +: Seq(col("__e.t").as("_change_type")): _*)
       inserts.unionByName(deletes).unionByName(updates)
+        .unionByName(nullIns).unionByName(nullDel)
     }
   }
 
@@ -704,6 +732,19 @@ final class Warehouse(spark: SparkSession, val root: String,
 }
 
 object Warehouse {
+  // Files.list/walk return streams holding an open directory fd until
+  // closed — on the per-micro-batch commit path that's a leak per call
+  // (reclaimed only at GC, EMFILE under pressure). Materialize + close.
+  // Shared with the SQL catalog so every listing goes through one idiom.
+  private[graft] def listDir(p: Path): List[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toList finally s.close()
+  }
+  private[graft] def walkDir(p: Path): List[Path] = {
+    val s = Files.walk(p)
+    try s.iterator().asScala.toList finally s.close()
+  }
+
   // one reentrant lock per table path, process-wide: threads of the same
   // process serialize on a table; separate processes go through the lock
   // file in withTableLock

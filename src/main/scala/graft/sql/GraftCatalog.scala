@@ -65,10 +65,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!Files.isDirectory(dir)) Array.empty
     else {
       val w = wh
-      val stream = Files.list(dir)
-      val names =
-        try stream.iterator().asScala.toList finally stream.close()
-      names
+      Warehouse.listDir(dir)
         .filter(Files.isDirectory(_))
         .map(_.getFileName.toString)
         .filterNot(_.startsWith("_"))     // _catalog and friends

@@ -86,30 +86,35 @@ class WarehouseMaintenanceSpec extends SparkSpec {
 
   test("changesBetween yields the exact keyed change feed of two commits") {
     val wh = new Warehouse(spark, tmpDir("whcdc").toString, catalogRetention = 4)
-    // the null-keyed row is identical in both commits: null-safe key
-    // equality must treat it as unchanged, never a delete+insert pair
+    // null-keyed rows have no identity: the UNCHANGED (null, 5) must not
+    // appear at all (and never cross-product with the other null row),
+    // while the (null, 6) -> (null, 61) change surfaces as delete+insert
     def row(id: Integer, v: Integer) = (id, v)
     wh.transact {
-      wh.replace("t", Seq(row(1, 10), row(2, 20), row(3, 30), row(null, 5))
-        .toDF("id", "v"))
+      wh.replace("t", Seq(row(1, 10), row(2, 20), row(3, 30),
+        row(null, 5), row(null, 6)).toDF("id", "v"))
     }                                                              // v1
     wh.transact {
-      wh.replace("t", Seq(row(1, 10), row(3, 99), row(4, 40), row(null, 5))
-        .toDF("id", "v"))
+      wh.replace("t", Seq(row(1, 10), row(3, 99), row(4, 40),
+        row(null, 5), row(null, 61)).toDF("id", "v"))
     }                                                              // v2: del 2, upd 3, ins 4
-    val keyed = wh.changesBetween("t", schema, 1, 2, keys = Seq("id"))
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (if (r.isNullAt(0)) None else Some(r.getInt(0)),
+        r.getInt(1), r.getString(2))
+    }.toSet
+    val keyed = rows(wh.changesBetween("t", schema, 1, 2, keys = Seq("id")))
     assert(keyed == Set(
-      (4, 40, "insert"), (2, 20, "delete"),
-      (3, 30, "update_preimage"), (3, 99, "update_postimage")))
-    // unchanged rows never appear
-    assert(!keyed.exists(_._1 == 1))
+      (Some(4), 40, "insert"), (Some(2), 20, "delete"),
+      (Some(3), 30, "update_preimage"), (Some(3), 99, "update_postimage"),
+      (None, 61, "insert"), (None, 6, "delete")))
+    // unchanged rows never appear (keyed row 1 and null-keyed 5)
+    assert(!keyed.exists(_._1.contains(1)) && !keyed.exists(_._2 == 5))
     // keyless multiset diff: the update degrades to delete+insert
-    val flat = wh.changesBetween("t", schema, 1, 2)
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    val flat = rows(wh.changesBetween("t", schema, 1, 2))
     assert(flat == Set(
-      (4, 40, "insert"), (3, 99, "insert"),
-      (2, 20, "delete"), (3, 30, "delete")))
+      (Some(4), 40, "insert"), (Some(3), 99, "insert"),
+      (Some(2), 20, "delete"), (Some(3), 30, "delete"),
+      (None, 61, "insert"), (None, 6, "delete")))
     // a table absent from the older manifest diffs against empty
     wh.transact { wh.replace("u", Seq((7, 70)).toDF("id", "v")) }  // v3
     val born = wh.changesBetween("u", schema, 2, 3, keys = Seq("id"))
