@@ -39,6 +39,29 @@ object Sampling {
     df.filter(hashBucket(id).cast("double") < rate * BucketSpace)
   }
 
+  /** Deterministic weight-biased subsample: each row's priority is
+    * `hashBucket(id) / weight` and the k SMALLEST priorities win, so
+    * heavier rows (longer documents, higher-quality scores, …) are
+    * proportionally favored while the selection stays fully
+    * reproducible — rerunning, repartitioning, or recomputing on
+    * another engine picks the same rows, and the selection is NESTED in
+    * k. The priority is one integer-to-double cast and one IEEE
+    * division, which every engine rounds identically; exact weighted
+    * reservoir sampling (Efraimidis-Spirtsis) needs `pow(u, 1/w)`,
+    * whose libm rounding differs across engines — this ratio form keeps
+    * the weight-monotone bias with none of that nondeterminism.
+    *
+    * Plans as TakeOrderedAndProject (a bounded per-partition heap +
+    * driver merge of k rows), never a global sort — the shape that
+    * holds at corpus scale. Rows with weight <= 0 are excluded.
+    */
+  def weightedPriority(df: DataFrame, id: Column, weight: Column,
+                       k: Int): DataFrame =
+    df.filter(weight > 0)
+      .withColumn("__prio", hashBucket(id).cast("double") / weight)
+      .orderBy(col("__prio").asc, id.asc)
+      .limit(k)
+
   /** Deterministic data-mix construction by TOKEN budget: within each
     * stratum, documents are ranked by their id hash (the same stable
     * order [[stratified]] samples from) and the greedy prefix whose

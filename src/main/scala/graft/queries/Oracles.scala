@@ -715,6 +715,20 @@ object Oracles {
         |SELECT label, rank, vec_id, round(cos, 6) AS cosine
         |FROM ranked WHERE rank <= 5""".stripMargin,
 
+    "q72_weighted_sample" ->
+      raw"""WITH tk AS (
+         |  SELECT doc_id, lang,
+         |         len(list_filter(string_split($norm, ' '),
+         |           t -> len(t) > 0)) AS n_tok
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, lang, n_tok,
+         |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+         |              AS DOUBLE) / n_tok AS prio
+         |  FROM tk WHERE n_tok > 0)
+         |SELECT doc_id, lang, n_tok, prio FROM p
+         |ORDER BY prio, doc_id LIMIT 100""".stripMargin,
+
     "q33_ngram_jaccard" ->
       s"""WITH sh AS (
          |  SELECT doc_id,

@@ -775,6 +775,19 @@ object TestdataQueries {
   def q69TfidfTerms(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.topTfidfTerms(t(s, dir, "documents"), k = 3)
 
+  /** Deterministic length-weighted subsample: the 100 documents with the
+    * smallest hash/token-count priority — longer docs proportionally
+    * favored, selection reproducible and nested in k. */
+  def q72WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val toks = size(filter(split(Dedup.normalized(col("text")), " "),
+      t => length(t) > 0))
+    Sampling.weightedPriority(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          toks.as("n_tok")),
+        col("doc_id"), col("n_tok"), k = 100)
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("__prio").as("prio"))
+  }
+
   /** Provenance report: per-source doc/token/language counts — the
     * data-mix accounting every training corpus runs by ingest source.
     * One pass, partial aggregation; only derived numbers shuffle. */
@@ -869,6 +882,7 @@ object TestdataQueries {
     "q69_tfidf_terms" -> q69TfidfTerms _,
     "q70_source_report" -> q70SourceReport _,
     "q71_label_neighbors" -> q71LabelNeighbors _,
+    "q72_weighted_sample" -> q72WeightedSample _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,

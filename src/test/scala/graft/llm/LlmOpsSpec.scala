@@ -443,6 +443,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.subsetOf(bigger) && bigger.size > got.size)
   }
 
+  test("weighted-priority sampling: exact, deterministic, nested, weight-filtered") {
+    import java.security.MessageDigest
+    def bucket(id: Long): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 7), 16)
+    }
+    val rows = (0L until 400L).map(i => (i, 1 + (i % 13).toInt))
+    val docs = rows.toDF("doc_id", "w")
+    def sel(k: Int, d: org.apache.spark.sql.DataFrame = docs) =
+      Sampling.weightedPriority(d, col("doc_id"), col("w"), k)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = sel(100)
+    // the engine's priority ranking equals an exact driver rederivation —
+    // same integer-to-double cast, same IEEE division
+    val expected = rows.sortBy { case (i, w) => (bucket(i).toDouble / w, i) }
+      .take(100).map(_._1).toSet
+    assert(got == expected)
+    assert(got == sel(100, docs.repartition(7)))   // partitioning-invariant
+    assert(got.subsetOf(sel(200)))                 // nested in k
+    // non-positive weights are excluded, never divided by
+    val withZero = docs.withColumn("w",
+      when(col("doc_id") === 0, 0).otherwise(col("w")))
+    assert(!sel(400, withZero).contains(0L))
+  }
+
   test("token-budget mix: exact-boundary buckets, zero-token docs, null ids") {
     import java.security.MessageDigest
     def bucket(id: Long): Long = {
