@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.expr.{ParseBloodPressure, PolyFingerprint, RpBits, VecDot, VecNorm, WordShingles}
+import graft.expr.{ParseBloodPressure, PolyFingerprint, RpBits, VecDot, VecDotInt, VecNorm, WordShingles}
 
 /** Session extensions for the engine's native functions.
   *
@@ -38,6 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     inject("parse_bp", ch => ParseBloodPressure(ch.head))
     inject("vec_dot", ch => VecDot(ch(0), ch(1)))
+    inject("vec_dot_int", ch => VecDotInt(ch(0), ch(1)))
     inject("vec_norm", ch => VecNorm(ch.head))
     inject("poly_fingerprint", ch => PolyFingerprint(ch.head))
     inject("word_shingles", ch =>

@@ -162,9 +162,60 @@ case class RpBits(child: Expression, dim: Int, nPlanes: Int) extends UnaryExpres
     copy(child = newChild)
 }
 
+/** Integer dot product of two `array<int>` columns -> long. The hot
+  * kernel of quantized (int8) similarity search: products and the
+  * accumulator are exact integers, so the result is bit-identical on any
+  * engine regardless of accumulation order — which is what lets the
+  * quantized ANN operator keep a full cross-engine oracle. */
+case class VecDotInt(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "vec_dot_int"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"vec_dot_int expects two array<int> args, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecDotInt.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expr.VecDotInt.dot($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDotInt =
+    copy(left = l, right = r)
+}
+
+object VecDotInt {
+  def dot(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i))
+        acc += a.getInt(i).toLong * b.getInt(i).toLong
+      i += 1
+    }
+    acc
+  }
+}
+
 object VectorExprs {
   def vecDot(a: Column, b: Column): Column =
     ColumnBridge.toColumn(VecDot(ColumnBridge.toExpression(a), ColumnBridge.toExpression(b)))
+
+  def vecDotInt(a: Column, b: Column): Column =
+    ColumnBridge.toColumn(VecDotInt(ColumnBridge.toExpression(a), ColumnBridge.toExpression(b)))
 
   def vecNorm(a: Column): Column =
     ColumnBridge.toColumn(VecNorm(ColumnBridge.toExpression(a)))

@@ -393,6 +393,34 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the corpus with deterministic k-means
+    * ([[Similarity.kmeansAssign]]), compare embeddings only WITHIN each
+    * cluster, and drop every vector that has a smaller-id neighbor above
+    * the cosine threshold. The clustering is what makes this tractable at
+    * scale — the quadratic pair search runs per cluster (the k-means
+    * shuffle key), never across the corpus, and the keep-lowest-id rule
+    * needs only the candidate pairs, not connected components.
+    *
+    * Returns the KEPT rows (vec_id, cluster). Fully deterministic, so the
+    * DuckDB oracle replays the whole chain: seeds, Lloyd iterations,
+    * within-cluster pairs, the drop set.
+    */
+  def semDedup(vectors: DataFrame, k: Int, iters: Int, tau: Double): DataFrame = {
+    val asg = Similarity.kmeansAssign(vectors, k, iters)
+      .select(col("vec_id"), col("cluster"))
+    val withVec = asg.join(vectors.select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm")), "vec_id")
+    val a = withVec.alias("a")
+    val b = withVec.alias("b")
+    val dropped = a.join(b, col("a.cluster") === col("b.cluster") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .filter((Similarity.dot(col("a.embedding"), col("b.embedding")) /
+        (col("a.nrm") * col("b.nrm"))) >= tau)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    asg.join(dropped, Seq("vec_id"), "left_anti")
+  }
+
   /** Duplicate clusters from near-dup candidate pairs: connected
     * components by iterative min-label propagation — each doc's component
     * id converges to the smallest doc id reachable through the pair

@@ -133,6 +133,145 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Deterministic Lloyd's k-means over an embedding column, engine-portable.
+    *
+    * Everything is reproducible bit-for-bit on any engine (the DuckDB
+    * oracle recomputes all iterations):
+    *   - seeds = the `k` corpus vectors with the smallest `vec_id`
+    *     (cluster ids 0..k-1 in that order) — no RNG;
+    *   - assignment = argmax cosine, ties to the smallest cluster id;
+    *     computed per-row against broadcast-literal centroids (k native
+    *     dots per row, NO join and NO shuffle — the corpus never moves);
+    *   - centroid update sums `floor(component * 1e9 + 0.5)` as exact
+    *     integers (order-independent, portable) and divides back in a
+    *     fixed op order: `(sum.toDouble / 1e9) / count`. A cluster that
+    *     loses every member keeps its previous centroid.
+    *
+    * Scale: each iteration is one pass over the corpus — a shuffle-free
+    * argmax projection plus a partial-aggregated (cluster, dim)-cell sum
+    * whose shuffle is `k * dim` rows per input partition. Centroids
+    * (`k * dim` doubles) live on the driver, the same bounded-metadata
+    * collect the IVF coarse quantizer uses. The integer centroid sums are
+    * exact below 2^53 / 1e9 ≈ 9e6 member-components per cluster-cell times
+    * whatever slack the double mantissa has left — beyond that (≈ billions
+    * of rows per cluster) the final cast rounds identically on both
+    * engines but the docstring caveat applies: drop the scale to 1e6.
+    *
+    * Returns the assignment DataFrame (vec_id, cluster, cosine-to-final-
+    * centroid) computed with the final centroids.
+    */
+  def kmeansAssign(corpus: DataFrame, k: Int, iters: Int,
+                   idCol: String = "vec_id", embCol: String = "embedding")
+      : DataFrame = {
+    val spark = corpus.sparkSession
+    val seeds: Array[Array[Double]] = corpus
+      .orderBy(col(idCol)).limit(k)
+      .select(col(embCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+    def assign(centroids: Array[Array[Double]]): DataFrame = {
+      val base = corpus.select(col(idCol), col(embCol),
+        norm(col(embCol)).as("nrm"))
+      val sims = array(centroids.toIndexedSeq.map { c =>
+        dot(col(embCol), typedLit(c.toSeq)) / (col("nrm") * lit(foldNorm(c)))
+      }: _*)
+      base.withColumn("sims", sims)
+        .select(col(idCol), col(embCol),
+          (array_position(col("sims"), array_max(col("sims"))) - 1)
+            .cast("int").as("cluster"),
+          array_max(col("sims")).as("cosine"))
+    }
+
+    var centroids = seeds
+    var it = 0
+    while (it < iters) {
+      val cells = assign(centroids)
+        .select(col("cluster"), posexplode(col(embCol)).as(Seq("pos", "v")))
+        .groupBy("cluster", "pos")
+        .agg(sum(floor(col("v").cast("double") * lit(1e9) + lit(0.5))
+               .cast("decimal(38,0)")).as("s"),
+             count(lit(1)).as("c"))
+        .collect()
+      val byCluster = cells.groupBy(_.getInt(0))
+      centroids = centroids.zipWithIndex.map { case (old, cl) =>
+        byCluster.get(cl) match {
+          case None => old
+          case Some(rows) =>
+            val comp = old.clone()
+            rows.foreach { r =>
+              comp(r.getInt(1)) =
+                (r.getDecimal(2).doubleValue() / 1e9) / r.getLong(3).toDouble
+            }
+            comp
+        }
+      }
+      it += 1
+    }
+    assign(centroids).select(col(idCol), col("cluster"), col("cosine"))
+  }
+
+  /** Norm computation order shared with the kmeans oracle: left fold. */
+  private def foldNorm(c: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < c.length) { acc += c(i) * c(i); i += 1 }
+    math.sqrt(acc)
+  }
+
+  /** Symmetric int8 quantization of a float embedding: per-vector scale
+    * `127 / max(|v|)`, component `floor(v * scale + 0.5)`. Every step is
+    * a deterministic IEEE op, so quantized vectors are engine-portable.
+    * Zero vectors quantize to zeros. Quantization is the cheap one-time
+    * preprocessing pass; the per-pair hot kernel is [[VectorExprs.vecDotInt]]
+    * — EXACT integer arithmetic, immune to accumulation order. */
+  def quantize(emb: Column, maxAbs: Column): Column = {
+    val scale = lit(127.0) / maxAbs
+    transform(emb,
+      x => when(maxAbs === 0.0, lit(0))
+        .otherwise(floor(x.cast("double") * scale + lit(0.5)).cast("int")))
+  }
+
+  /** Per-vector max(|component|) — materialize this as its own column
+    * before calling [[quantize]], so the max is computed once per vector
+    * rather than re-evaluated inside the per-element lambda. */
+  def maxAbs(emb: Column): Column =
+    array_max(transform(emb, x => abs(x))).cast("double")
+
+  /** Quantized ANN: int8-quantize corpus and queries (4x less state than
+    * float32 — at 100 TB the difference between an index that fits
+    * executor memory and one that doesn't), rank candidates per query by
+    * the approximate integer-dot cosine, then exact-rescore ONLY the
+    * surviving top-k with full-precision floats. One NATIVE integer dot
+    * ([[graft.expr.VecDotInt]] — exact, accumulation-order-immune, hence
+    * fully oracle-able) per scored pair; one float dot per (query x k)
+    * survivor. */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    def quantized(df: DataFrame, id: String, emb: Column): DataFrame =
+      df.select(col(id), emb.as("emb"), maxAbs(emb).as("mx"))
+        .select(col(id), col("emb"), quantize(col("emb"), col("mx")).as("qv"))
+        .withColumn("qn", VectorExprs.vecDotInt(col("qv"), col("qv")))
+    val c = quantized(corpus, "vec_id", col("embedding"))
+      .select(col("vec_id"), col("qv"), col("qn"))
+    val q = quantized(queries, "query_id", col("embedding"))
+      .select(col("query_id"), col("qv").as("q_qv"), col("qn").as("q_qn"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (VectorExprs.vecDotInt(col("q_qv"), col("qv")).cast("double") /
+          (sqrt(col("q_qn").cast("double")) * sqrt(col("qn").cast("double"))))
+          .as("cosine"))
+    val top = topKPerQuery(scored, k)
+      .withColumnRenamed("cosine", "approx_cos")
+    // exact rescore of the <= |queries| * k survivors only: the tiny
+    // top-k set is the broadcast side both times — the corpus never
+    // shuffles for the rescore.
+    corpus.select(col("vec_id"), col("embedding").as("c_emb"))
+      .join(broadcast(top), "vec_id")
+      .join(broadcast(queries.select(col("query_id"), col("embedding").as("q_emb"))),
+        "query_id")
+      .select(col("query_id"), col("rank"), col("vec_id"), col("approx_cos"),
+        (dot(col("q_emb"), col("c_emb")) /
+          (norm(col("q_emb")) * norm(col("c_emb")))).as("exact_cos"))
+  }
+
   /** Deterministic per-query top-k: (cosine desc, vec_id asc).
     *
     * Implemented with the bounded-heap [[TopKAggregator]] rather than a

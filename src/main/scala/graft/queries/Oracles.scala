@@ -107,6 +107,50 @@ object Oracles {
       s"($p, $ws)"
     }.mkString(",\n         ")
 
+  /** CTE chain replaying [[graft.llm.Similarity.kmeansAssign]] exactly:
+    * smallest-id seeds, `iters` Lloyd rounds (argmax-cosine assignment
+    * with ties to the smallest cluster; centroid update via exact
+    * `floor(v*1e9+0.5)` integer sums divided back in the engine's op
+    * order), then a final assignment. The last CTE is `a$iters`
+    * (vec_id, embedding, cluster, cos). */
+  private def kmeansCtes(k: Int, iters: Int): String = {
+    def assignCte(name: String, cent: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, embedding, cluster, cos FROM (
+         |    SELECT e.vec_id, e.embedding, c.cluster,
+         |           ${cosSql("e.embedding", "c.centroid")} AS cos,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.embedding", "c.centroid")} DESC,
+         |                      c.cluster ASC) AS rn
+         |    FROM embeddings e CROSS JOIN $cent c)
+         |  WHERE rn = 1)""".stripMargin
+    val seeds =
+      s"""cent0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+         |         CAST(embedding AS DOUBLE[]) AS centroid
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $k))""".stripMargin
+    val rounds = (0 until iters).map { i =>
+      s"""${assignCte(s"a$i", s"cent$i")},
+         |sums$i AS (
+         |  SELECT a.cluster, t.i AS pos,
+         |         sum(CAST(floor(a.embedding[t.i]::DOUBLE * 1000000000.0 + 0.5)
+         |                  AS BIGINT)) AS s,
+         |         count(*) AS c
+         |  FROM a$i a, range(1, 65) t(i)
+         |  GROUP BY 1, 2),
+         |cent${i + 1} AS (
+         |  SELECT s.cluster,
+         |         CASE WHEN count(n.pos) = 0 THEN any_value(s.centroid)
+         |              ELSE list((CAST(n.s AS DOUBLE) / 1000000000.0) /
+         |                        CAST(n.c AS DOUBLE) ORDER BY n.pos)
+         |         END AS centroid
+         |  FROM cent$i s LEFT JOIN sums$i n USING (cluster)
+         |  GROUP BY s.cluster)""".stripMargin
+    }
+    (Seq(seeds) ++ rounds ++ Seq(assignCte(s"a$iters", s"cent$iters")))
+      .mkString(",\n")
+  }
+
   /** Shared CTE computing each embedding's rp_bits bucket. */
   private def bucketCte(nPlanes: Int): String =
     s"""planes AS (SELECT * FROM (VALUES
@@ -853,6 +897,61 @@ object Oracles {
          |                            ORDER BY cos DESC, vec_id ASC) AS rank
          |  FROM scored)
          |SELECT query_id, rank, vec_id, round(cos, 6) AS cosine
+         |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "q73_kmeans" ->
+      s"""WITH ${kmeansCtes(8, 2)}
+         |SELECT vec_id, CAST(cluster AS INT) AS cluster,
+         |       round(cos, 6) AS cosine
+         |FROM a2""".stripMargin,
+
+    "q74_semdedup" ->
+      s"""WITH ${kmeansCtes(8, 2)},
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM a2 a JOIN a2 b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.22)
+         |SELECT vec_id, CAST(cluster AS INT) AS cluster
+         |FROM a2 WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
+
+    "q75_quantized_ann" ->
+      s"""WITH mx AS (
+         |  SELECT vec_id, embedding,
+         |         CAST(list_max(list_transform(embedding, x -> abs(x)))
+         |              AS DOUBLE) AS mx
+         |  FROM embeddings),
+         |qv AS (
+         |  SELECT vec_id, embedding,
+         |         CASE WHEN mx = 0
+         |              THEN list_transform(range(1, 65), i -> 0)
+         |              ELSE list_transform(range(1, 65), i ->
+         |                CAST(floor(embedding[i]::DOUBLE * (127.0 / mx) + 0.5)
+         |                     AS INT)) END AS q
+         |  FROM mx),
+         |qn AS (
+         |  SELECT vec_id, embedding, q,
+         |         list_reduce(list_transform(range(1, 65),
+         |           i -> CAST(q[i] AS BIGINT) * CAST(q[i] AS BIGINT)),
+         |           (x, y) -> x + y) AS n2
+         |  FROM qv),
+         |scored AS (
+         |  SELECT que.vec_id AS query_id, c.vec_id,
+         |         CAST(list_reduce(list_transform(range(1, 65),
+         |                i -> CAST(que.q[i] AS BIGINT) * CAST(c.q[i] AS BIGINT)),
+         |                (x, y) -> x + y) AS DOUBLE)
+         |           / (sqrt(CAST(que.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE)))
+         |           AS approx,
+         |         ${cosSql("que.embedding", "c.embedding")} AS exact
+         |  FROM qn que CROSS JOIN qn c
+         |  WHERE que.vec_id < 5 AND c.vec_id <> que.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, approx, exact,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY approx DESC, vec_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, vec_id, round(approx, 6) AS approx_cos,
+         |       round(exact, 6) AS exact_cos
          |FROM ranked WHERE rank <= 10""".stripMargin,
 
     "q36_ann_brute_force" ->

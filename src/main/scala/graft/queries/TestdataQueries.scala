@@ -826,6 +826,33 @@ object TestdataQueries {
         round(col("cos"), 6).as("cosine"))
   }
 
+  /** Deterministic k-means over the embeddings (seeded by smallest ids,
+    * two Lloyd iterations — every step engine-portable, so the oracle
+    * replays the whole algorithm). Assignment is a shuffle-free argmax
+    * projection against broadcast-literal centroids. */
+  def q73Kmeans(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansAssign(t(s, dir, "embeddings"), k = 8, iters = 2)
+      .select(col("vec_id"), col("cluster"), round(col("cosine"), 6).as("cosine"))
+
+  /** SemDeDup: k-means clusters -> within-cluster cosine near-dup ->
+    * drop the higher id of every pair above the threshold. Returns the
+    * kept corpus. */
+  def q74Semdedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.semDedup(t(s, dir, "embeddings"), k = 8, iters = 2, tau = 0.22)
+
+  /** Quantized ANN: int8 symmetric quantization, candidates ranked by
+    * the EXACT-integer dot cosine (native VecDotInt), float rescore of
+    * the top-k only. */
+  def q75QuantizedAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.quantizedTopK(emb, queries, k = 10)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("approx_cos"), 6).as("approx_cos"),
+        round(col("exact_cos"), 6).as("exact_cos"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -883,6 +910,9 @@ object TestdataQueries {
     "q70_source_report" -> q70SourceReport _,
     "q71_label_neighbors" -> q71LabelNeighbors _,
     "q72_weighted_sample" -> q72WeightedSample _,
+    "q73_kmeans" -> q73Kmeans _,
+    "q74_semdedup" -> q74Semdedup _,
+    "q75_quantized_ann" -> q75QuantizedAnn _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,

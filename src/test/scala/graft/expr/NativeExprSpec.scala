@@ -77,6 +77,22 @@ class NativeExprSpec extends SparkSpec {
       }
   }
 
+  test("VecDotInt matches the zip_with/aggregate integer formulation exactly") {
+    val vecs = Seq(
+      (Array(1, 2, 3), Array(4, -5, 6)),
+      (Array(127, -127, 127), Array(127, 127, -127)),
+      (Array(0, 0, 0), Array(9, 9, 9)))
+      .toDF("a", "b")
+    val hof = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    vecs.select(VectorExprs.vecDotInt(col("a"), col("b")).as("n"), hof.as("h"))
+      .collect().foreach { r => assert(r.getLong(0) == r.getLong(1)) }
+    // null array -> null; accumulator is long (no int overflow at 127^2 * dim)
+    val nulls = Seq((Option.empty[Array[Int]], Option(Array(1, 2)))).toDF("a", "b")
+    assert(nulls.select(VectorExprs.vecDotInt(col("a"), col("b"))).head().isNullAt(0))
+  }
+
   test("PolyFingerprint: known values, empty string, unicode codepoints") {
     val r = Seq("", "a", "ab", "日本").toDF("t")
       .select(PolyFingerprint(col("t")).as("fp")).collect().map(_.getLong(0))
@@ -102,12 +118,14 @@ class NativeExprSpec extends SparkSpec {
       assert(ext ne shared, "getOrCreate must have built a fresh session")
       val r = ext.sql(
         """SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+          |       vec_dot_int(array(2, 3), array(5, 7)) AS di,
           |       vec_norm(array(3.0D, 4.0D)) AS n,
           |       size(word_shingles('a b c d', 2)) AS s,
           |       poly_fingerprint('ab') AS fp,
           |       parse_bp('120/80').systolic AS sys,
           |       rp_bits(array(1.0F, -2.0F), 2, 4) AS bits""".stripMargin).head()
       assert(r.getAs[Double]("d") == 11.0)
+      assert(r.getAs[Long]("di") == 31L)
       assert(r.getAs[Double]("n") == 5.0)
       assert(r.getAs[Int]("s") == 3)
       assert(r.getAs[Long]("fp") == ('a'.toLong * 31 + 'b'.toLong) % 1000000007L)

@@ -656,4 +656,103 @@ class LlmOpsSpec extends SparkSpec {
     // undecodable audio and video both take the SAME deterministic stub
     assert(feats(3L).toSeq == feats(4L).toSeq)
   }
+
+  // 20 vectors in two well-separated directions (plus id-0/1 seeds in
+  // each): k-means with k=2 must split them cleanly.
+  private lazy val twoBlobs = (0L until 20L).map { i =>
+    val hot = if (i % 2 == 0) 0 else 3
+    val v = Array.tabulate(6)(d =>
+      (if (d == hot) 1.0f else 0.01f) + i.toFloat * 1e-4f)
+    (i, v)
+  }.toDF("vec_id", "embedding")
+
+  test("kmeans: deterministic across partitionings, splits separated blobs") {
+    val a = Similarity.kmeansAssign(twoBlobs, k = 2, iters = 2)
+      .orderBy("vec_id").collect()
+    // the two planted directions land in different clusters, consistently
+    val byCluster = a.groupBy(_.getAs[Int]("cluster"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    assert(byCluster.size == 2)
+    assert(byCluster.values.toSet ==
+      Set((0L until 20L by 2).toSet, (1L until 20L by 2).toSet))
+    // invariant under physical partitioning (exact doubles included)
+    val b = Similarity.kmeansAssign(twoBlobs.repartition(7), k = 2, iters = 2)
+      .orderBy("vec_id").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    // every cosine is against the FINAL centroid: within [0, 1] here
+    a.foreach(r => assert(r.getAs[Double]("cosine") > 0.0 &&
+      r.getAs[Double]("cosine") <= 1.0 + 1e-12))
+  }
+
+  test("kmeans: a cluster that loses all members keeps its previous centroid") {
+    // all points identical to the id-0 seed -> the id-1 seed cluster goes
+    // empty on every iteration; the run must still converge with k
+    // centroids and assign everything to cluster 0 (ties break low)
+    val same = (0L until 8L).map(i => (i, Array.fill(4)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.kmeansAssign(same, k = 2, iters = 2).collect()
+    assert(a.forall(_.getAs[Int]("cluster") == 0))
+  }
+
+  test("semDedup drops exactly the higher-id in-cluster near-duplicates") {
+    // ids 100/101: same direction as the even blob -> near-dups of its
+    // members; keep-lowest-id must drop them, never the originals
+    val dupes = Seq(
+      (100L, Array.tabulate(6)(d => if (d == 0) 1.0f else 0.01f)),
+      (101L, Array.tabulate(6)(d => if (d == 0) 1.0f else 0.011f)))
+      .toDF("vec_id", "embedding")
+    val all = twoBlobs.union(dupes)
+    val kept = Dedup.semDedup(all, k = 2, iters = 2, tau = 0.999)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(!kept.contains(100L) && !kept.contains(101L))
+    assert(kept.contains(0L) && kept.contains(1L))
+    // below-threshold corpus survives intact
+    val keptAll = Dedup.semDedup(twoBlobs, k = 2, iters = 2, tau = 1.1)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(keptAll == (0L until 20L).toSet)
+  }
+
+  test("int8 quantization: bounded values, bounded error, zero-vector safe") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -0.25f, 0.125f, 1.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),          // zero vector
+      (3L, Array(-2.0f, 2.0f, 1.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val q = vecs
+      .withColumn("mx", Similarity.maxAbs(col("embedding")))
+      .withColumn("q", Similarity.quantize(col("embedding"), col("mx")))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Double]("mx"), r.getSeq[Int](3)))
+      .toMap
+    // components within [-127, 127]; max-abs element hits exactly +-127
+    assert(q(1L)._2 == Seq(64, -32, 16, 127))
+    // NOTE -63, not -64: floor(x + 0.5) rounds halves toward +inf
+    // (-1.0 scales to -63.5 -> -63), identically in Spark and the oracle
+    assert(q(3L)._2 == Seq(-127, 127, 64, -63))
+    assert(q(2L)._2 == Seq(0, 0, 0, 0))             // no NaN/div-by-zero
+    // dequantization error bound: |v - q*mx/127| <= mx/254 per component
+    val v = Array(0.5, -0.25, 0.125, 1.0)
+    q(1L)._2.zipWithIndex.foreach { case (qi, i) =>
+      assert(math.abs(v(i) - qi * q(1L)._1 / 127.0) <= q(1L)._1 / 254.0 + 1e-12)
+    }
+  }
+
+  test("quantized ANN: k rows per query, approx in [-1,1], exact rescore real") {
+    val emb = twoBlobs
+    val queries = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val top = Similarity.quantizedTopK(emb, queries, k = 5).collect()
+    assert(top.length == 10)
+    top.foreach { r =>
+      val a = r.getAs[Double]("approx_cos")
+      assert(a >= -1.0 - 1e-12 && a <= 1.0 + 1e-12)   // Cauchy-Schwarz holds in ints
+      assert(r.getAs[Long]("vec_id") != r.getAs[Long]("query_id"))
+    }
+    // the quantized ranking finds the same-direction blob: every top hit
+    // for query 0 (even blob) is an even id, with high exact cosine
+    top.filter(_.getAs[Long]("query_id") == 0L).foreach { r =>
+      assert(r.getAs[Long]("vec_id") % 2 == 0)
+      assert(r.getAs[Double]("exact_cos") > 0.99)
+    }
+  }
 }

@@ -113,6 +113,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q73: kmeans assignment is a shuffle-free projection (corpus never moves)") {
+    // the Lloyd-iteration centroid sums run eagerly at construction time;
+    // the RETURNED plan is the final assignment — k broadcast-literal
+    // dots per row, argmax in column algebra, NO Exchange anywhere
+    val p = plan("q73_kmeans")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("vec_dot"), p)
+  }
+
+  test("q75: quantized ANN broadcasts queries and survivors, never sort-merges") {
+    val p = plan("q75_quantized_ann")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("Broadcast"), p)
+    // the integer hot kernel is the native expression, not a HOF chain
+    assert(p.contains("vec_dot_int"), p)
+  }
+
   test("q68/q69: posting cap and tf-idf ranking are map-side group limits") {
     // the inverted index's posting cap and the per-document tf-idf top-k
     // both rest on the same rewrite: without WindowGroupLimit a
