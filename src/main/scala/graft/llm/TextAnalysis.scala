@@ -227,4 +227,42 @@ object TextAnalysis {
       qualityScore(text).as("quality"),
       languageId(text).as("lang_pred"),
       fingerprint(text).as("fingerprint"))
+
+  /** Per-stratum EXACT-percentile outlier trim: keep rows whose integer
+    * metric (length, token count) lies within the stratum's
+    * [loPct, hiPct] percentile band — the standard "drop the freakishly
+    * short/long tails per language" curation filter.
+    *
+    * Cutoff rule (engine-portable, all-integer): the p-th percentile
+    * cutoff of a stratum with n rows is the smallest value v whose
+    * cumulative count reaches ceil(p*n/100) = (p*n + 99) div 100.
+    *
+    * Scale shape: ONE partial-aggregated pass builds the per-(stratum,
+    * value) histogram; the cumulative window then runs over the
+    * HISTOGRAM — |strata| x |distinct metric values| rows, bounded by
+    * the value domain, NOT by the corpus — and the corpus itself only
+    * meets a broadcast of the per-stratum cutoffs. No per-stratum window
+    * (and no sort) ever sees a full-corpus partition. The div-by-100 is
+    * computed in doubles and truncated, exact while p*n + 99 < 2^53 —
+    * beyond ~9e13 rows per stratum swap in a decimal division. */
+  def percentileTrim(docs: DataFrame, stratum: Column, value: Column,
+                     loPct: Int = 1, hiPct: Int = 99): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(0 <= loPct && loPct <= hiPct && hiPct <= 100, s"$loPct..$hiPct")
+    val hist = docs.groupBy(stratum.as("__s"), value.as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = hist
+      .withColumn("__cum",
+        sum(col("__c")).over(Window.partitionBy(col("__s")).orderBy(col("__v"))))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(col("__s"))))
+    def cut(pct: Int): Column =
+      min(when(col("__cum") >=
+        floor((lit(pct.toLong) * col("__n") + lit(99L)) / lit(100L)),
+        col("__v")))
+    val cuts = cum.groupBy(col("__s"))
+      .agg(cut(loPct).as("__lo"), cut(hiPct).as("__hi"))
+    docs.join(broadcast(cuts),
+        stratum === col("__s") && value.between(col("__lo"), col("__hi")))
+      .drop("__s", "__lo", "__hi")
+  }
 }

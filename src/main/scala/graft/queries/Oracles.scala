@@ -954,6 +954,24 @@ object Oracles {
          |       round(exact, 6) AS exact_cos
          |FROM ranked WHERE rank <= 10""".stripMargin,
 
+    "q76_percentile_trim" ->
+      """WITH hist AS (
+        |  SELECT lang, n_chars AS v, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, v,
+        |         sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+        |         sum(c) OVER (PARTITION BY lang) AS n
+        |  FROM hist),
+        |cuts AS (
+        |  SELECT lang,
+        |         min(CASE WHEN cum >= (5 * n + 99) // 100 THEN v END) AS lo,
+        |         min(CASE WHEN cum >= (95 * n + 99) // 100 THEN v END) AS hi
+        |  FROM cum GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d JOIN cuts c
+        |  ON d.lang = c.lang AND d.n_chars BETWEEN c.lo AND c.hi""".stripMargin,
+
     "q36_ann_brute_force" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
         |           WHERE vec_id < 5),

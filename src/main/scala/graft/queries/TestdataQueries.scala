@@ -853,6 +853,14 @@ object TestdataQueries {
         round(col("exact_cos"), 6).as("exact_cos"))
   }
 
+  /** Per-language exact-percentile length trim (drop the freak tails):
+    * histogram pass + cutoff broadcast — no per-stratum window or sort
+    * ever touches the corpus. */
+  def q76PercentileTrim(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.percentileTrim(t(s, dir, "documents"),
+        col("lang"), col("n_chars"), loPct = 5, hiPct = 95)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -913,6 +921,7 @@ object TestdataQueries {
     "q73_kmeans" -> q73Kmeans _,
     "q74_semdedup" -> q74Semdedup _,
     "q75_quantized_ann" -> q75QuantizedAnn _,
+    "q76_percentile_trim" -> q76PercentileTrim _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,

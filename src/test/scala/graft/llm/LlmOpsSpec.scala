@@ -737,6 +737,21 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("percentile trim: exact integer cutoffs, strata independent, 0..100 identity") {
+    // stratum A: values 1..100 once each -> [5,95] keeps exactly 5..95
+    // stratum B: all-equal values -> nothing can be trimmed
+    val rows = (1 to 100).map(v => ("A", v)) ++ (1 to 10).map(_ => ("B", 7))
+    val df = rows.toDF("lang", "n")
+    val kept = TextAnalysis.percentileTrim(df, col("lang"), col("n"), 5, 95)
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(kept.filter(_._1 == "A").map(_._2).sorted.toSeq == (5 to 95))
+    assert(kept.count(_._1 == "B") == 10)
+    // [0,100] keeps everything; repartitioning does not change the result
+    val all = TextAnalysis.percentileTrim(df.repartition(5), col("lang"),
+      col("n"), 0, 100).count()
+    assert(all == rows.size)
+  }
+
   test("quantized ANN: k rows per query, approx in [-1,1], exact rescore real") {
     val emb = twoBlobs
     val queries = emb.filter(col("vec_id") < 2)
