@@ -210,12 +210,83 @@ object VecDotInt {
   }
 }
 
+/** Argmax-cosine against a fixed centroid set, in ONE plan node:
+  * `struct(cluster, cosine)` where `cluster` is the FIRST index attaining
+  * the maximum cosine (ties to the smallest index — the k-means
+  * assignment rule) and `cosine` that maximum.
+  *
+  * Bit-identical to the column-algebra formulation it replaces
+  * (`array_position(sims, array_max(sims))` over k separate [[VecDot]]
+  * columns, pinned by NativeExprSpec): per candidate the similarity is
+  * `dot(v, c) / (sqrt(dot(v, v)) * sqrt(dot(c, c)))` with left-fold
+  * accumulation, the input norm computed once. What changes is plan
+  * cost, not values: k expression nodes + a k-array build + two k-array
+  * scans per row collapse into a single tight loop, and the vector is
+  * deserialized once instead of k times. NaN-free inputs assumed (the
+  * formulations diverge on NaN; embeddings have none).
+  *
+  * Centroid norms are precomputed once on the driver and ship with the
+  * serialized expression, like [[RpBits]] weights.
+  */
+case class CentroidArgMax(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+  private lazy val isFloat = VecOps.floatFlag(child)
+  private lazy val norms: Array[Double] = centroids.map { c =>
+    var acc = 0.0; var i = 0
+    while (i < c.length) { acc += c(i) * c(i); i += 1 }
+    math.sqrt(acc)
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cluster", IntegerType, nullable = false),
+    StructField("cosine", DoubleType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "centroid_argmax"
+
+  def compute(a: ArrayData): Any = {
+    val v = VecOps.toDoubles(a, isFloat)
+    var nacc = 0.0
+    var i = 0
+    while (i < v.length) { nacc += v(i) * v(i); i += 1 }
+    val nrm = math.sqrt(nacc)
+    var best = Double.NegativeInfinity
+    var bi = 0
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val n = math.min(v.length, cent.length)
+      var acc = 0.0
+      var j = 0
+      while (j < n) { acc += v(j) * cent(j); j += 1 }
+      val sim = acc / (nrm * norms(c))
+      if (sim > best) { best = sim; bi = c }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bi, best))
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("centArgMax", this, "graft.expr.CentroidArgMax")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $self.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidArgMax =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   def vecDot(a: Column, b: Column): Column =
     ColumnBridge.toColumn(VecDot(ColumnBridge.toExpression(a), ColumnBridge.toExpression(b)))
 
   def vecDotInt(a: Column, b: Column): Column =
     ColumnBridge.toColumn(VecDotInt(ColumnBridge.toExpression(a), ColumnBridge.toExpression(b)))
+
+  def centroidArgMax(a: Column, centroids: Array[Array[Double]]): Column =
+    ColumnBridge.toColumn(CentroidArgMax(ColumnBridge.toExpression(a), centroids))
 
   def vecNorm(a: Column): Column =
     ColumnBridge.toColumn(VecNorm(ColumnBridge.toExpression(a)))

@@ -402,6 +402,14 @@ object Dedup {
     * shuffle key), never across the corpus, and the keep-lowest-id rule
     * needs only the candidate pairs, not connected components.
     *
+    * SIZE `k` WITH THE CORPUS: the pair stage materializes ~n^2/(2k)
+    * rows, so k must grow so that n/k (the mean cluster size) stays a
+    * few thousand — the paper's own regime (50k clusters for 100M+
+    * docs). k also sets the join's shuffle-key cardinality: a small k
+    * over a big corpus funnels everything through k partitions.
+    * EmbedBench soaks 200k vectors at k=256 (~780 vectors/cluster);
+    * k=16 over the same corpus is 16x the pairs through 16 keys.
+    *
     * Returns the KEPT rows (vec_id, cluster). Fully deterministic, so the
     * DuckDB oracle replays the whole chain: seeds, Lloyd iterations,
     * within-cluster pairs, the drop set.

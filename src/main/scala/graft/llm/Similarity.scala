@@ -140,8 +140,9 @@ object Similarity {
     *   - seeds = the `k` corpus vectors with the smallest `vec_id`
     *     (cluster ids 0..k-1 in that order) — no RNG;
     *   - assignment = argmax cosine, ties to the smallest cluster id;
-    *     computed per-row against broadcast-literal centroids (k native
-    *     dots per row, NO join and NO shuffle — the corpus never moves);
+    *     computed per-row against the centroid set in ONE native plan
+    *     node ([[graft.expr.CentroidArgMax]] — k dots in a tight loop,
+    *     NO join and NO shuffle; the corpus never moves);
     *   - centroid update sums `floor(component * 1e9 + 0.5)` as exact
     *     integers (order-independent, portable) and divides back in a
     *     fixed op order: `(sum.toDouble / 1e9) / count`. A cluster that
@@ -169,18 +170,12 @@ object Similarity {
       .select(col(embCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
 
-    def assign(centroids: Array[Array[Double]]): DataFrame = {
-      val base = corpus.select(col(idCol), col(embCol),
-        norm(col(embCol)).as("nrm"))
-      val sims = array(centroids.toIndexedSeq.map { c =>
-        dot(col(embCol), typedLit(c.toSeq)) / (col("nrm") * lit(foldNorm(c)))
-      }: _*)
-      base.withColumn("sims", sims)
+    def assign(centroids: Array[Array[Double]]): DataFrame =
+      corpus
         .select(col(idCol), col(embCol),
-          (array_position(col("sims"), array_max(col("sims"))) - 1)
-            .cast("int").as("cluster"),
-          array_max(col("sims")).as("cosine"))
-    }
+          VectorExprs.centroidArgMax(col(embCol), centroids).as("best"))
+        .select(col(idCol), col(embCol),
+          col("best.cluster").as("cluster"), col("best.cosine").as("cosine"))
 
     var centroids = seeds
     var it = 0
@@ -208,13 +203,6 @@ object Similarity {
       it += 1
     }
     assign(centroids).select(col(idCol), col("cluster"), col("cosine"))
-  }
-
-  /** Norm computation order shared with the kmeans oracle: left fold. */
-  private def foldNorm(c: Array[Double]): Double = {
-    var acc = 0.0; var i = 0
-    while (i < c.length) { acc += c(i) * c(i); i += 1 }
-    math.sqrt(acc)
   }
 
   /** Symmetric int8 quantization of a float embedding: per-vector scale

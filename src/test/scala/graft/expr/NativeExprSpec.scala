@@ -93,6 +93,36 @@ class NativeExprSpec extends SparkSpec {
     assert(nulls.select(VectorExprs.vecDotInt(col("a"), col("b"))).head().isNullAt(0))
   }
 
+  test("CentroidArgMax matches the array_position/array_max formulation bit-exactly") {
+    val cents = Array(
+      Array(1.0, 0.0, 0.0, 0.1),
+      Array(0.0, 1.0, 0.0, 0.1),
+      Array(1.0, 0.0, 0.0, 0.1))   // duplicate of 0: ties must pick 0
+    val vecs = Seq(
+      Array(0.9f, 0.1f, 0.0f, 0.2f),
+      Array(0.1f, 0.8f, 0.3f, 0.0f),
+      Array(1.0f, 0.0f, 0.0f, 0.1f),   // exact centroid: cosine 1, tie 0 vs 2
+      Array(-1.0f, -1.0f, -1.0f, -1.0f))
+      .toDF("e")
+    val sims = array(cents.toIndexedSeq.map { c =>
+      VectorExprs.vecDot(col("e"), typedLit(c.toSeq)) /
+        (VectorExprs.vecNorm(col("e")) *
+          lit(math.sqrt(c.map(x => x * x).sum)))
+    }: _*)
+    val rows = vecs
+      .withColumn("best", VectorExprs.centroidArgMax(col("e"), cents))
+      .withColumn("sims", sims)
+      .select(col("best.cluster"), col("best.cosine"),
+        (array_position(col("sims"), array_max(col("sims"))) - 1).cast("int"),
+        array_max(col("sims")))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) == r.getInt(2), r)
+      assert(r.getDouble(1) == r.getDouble(3), r)   // bit-exact, not approx
+    }
+    assert(rows(2).getInt(0) == 0)   // the tie broke to the first index
+  }
+
   test("PolyFingerprint: known values, empty string, unicode codepoints") {
     val r = Seq("", "a", "ab", "日本").toDF("t")
       .select(PolyFingerprint(col("t")).as("fp")).collect().map(_.getLong(0))

@@ -119,7 +119,7 @@ class PlanQualitySpec extends SparkSpec {
     // dots per row, argmax in column algebra, NO Exchange anywhere
     val p = plan("q73_kmeans")
     assert(!p.contains("Exchange"), p)
-    assert(p.contains("vec_dot"), p)
+    assert(p.contains("centroid_argmax"), p)
   }
 
   test("q75: quantized ANN broadcasts queries and survivors, never sort-merges") {
