@@ -143,4 +143,49 @@ object Sampling {
       .filter(col("__off") + col("__cum") <= budget)
     fullyIn.select(outCols: _*).unionByName(boundary.select(outCols: _*))
   }
+
+  /** Sequence packing: place every document on the concatenated token
+    * stream (documents in id order, back to back) and report which
+    * fixed-size context bin it starts in and at what offset — `bin =
+    * floor(start / ctx)`, `bin_pos = start mod ctx`. A training loader
+    * that cuts the stream every `ctx` tokens gets exactly these
+    * coordinates, so the assignment is the "concat then split" packing
+    * every pre-training pipeline runs.
+    *
+    * Scale shape — the global running sum is NEVER a single-task window:
+    * ids split into fixed-width range buckets; one aggregate computes
+    * per-bucket token sums; a bounded window over that SUMMARY yields
+    * each bucket's global offset (broadcast back); and each row adds a
+    * within-bucket prefix sum whose window partitions by bucket — every
+    * task is at most `bucketWidth` rows, fully parallel. All integer
+    * arithmetic; deterministic on any engine and partitioning.
+    *
+    * @param bucketWidth id-range width per bucket: the summary has
+    *        `max_id / bucketWidth` rows (keep it metadata-sized) and no
+    *        task sorts more than `bucketWidth` rows.
+    */
+  def packSequences(df: DataFrame, id: Column, tokens: Column, ctx: Long,
+                    bucketWidth: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ctx > 0 && bucketWidth > 0, s"$ctx/$bucketWidth")
+    val outCols = df.columns.toSeq.map(col)
+    val rows = df.withColumn("__id", id.cast("long"))
+      .withColumn("__n", tokens.cast("long"))
+      .withColumn("__bkt",
+        floor(col("__id").cast("double") / lit(bucketWidth.toDouble)).cast("long"))
+    val offsets = rows.groupBy(col("__bkt").as("__b"))
+      .agg(sum(col("__n")).as("__btok"))
+      .withColumn("__off", coalesce(
+        sum(col("__btok")).over(Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val wIn = Window.partitionBy(col("__bkt")).orderBy(col("__id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    rows.join(broadcast(offsets), col("__bkt") === col("__b"))
+      .withColumn("__local", coalesce(sum(col("__n")).over(wIn), lit(0L)))
+      .withColumn("__start", col("__off") + col("__local"))
+      .withColumn("bin",
+        floor(col("__start").cast("double") / lit(ctx.toDouble)).cast("long"))
+      .withColumn("bin_pos", col("__start") - col("bin") * lit(ctx))
+      .select(outCols ++ Seq(col("bin"), col("bin_pos")): _*)
+  }
 }

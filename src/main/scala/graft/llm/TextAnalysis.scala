@@ -228,6 +228,39 @@ object TextAnalysis {
       languageId(text).as("lang_pred"),
       fingerprint(text).as("fingerprint"))
 
+  /** Token-window chunking: split each document into training-context
+    * chunks of `chunkSize` tokens with `overlap` tokens carried between
+    * consecutive chunks (stride = chunkSize - overlap) — the standard
+    * pre-training / RAG chunker. Chunk count per doc is
+    * `ceil((n - overlap) / stride)` (one chunk when n <= chunkSize);
+    * empty documents produce no chunks.
+    *
+    * One narrow generator pass: the token array is materialized in a
+    * projection BEFORE the explode (generator discipline — Catalyst does
+    * not eliminate subexpressions across generators), each chunk is a
+    * `slice` of that array, and nothing shuffles. All arithmetic is
+    * integer, so the DuckDB oracle replays it exactly. */
+  def chunkTokens(docs: DataFrame, chunkSize: Int, overlap: Int,
+                  text: Column = col("text")): DataFrame = {
+    require(0 <= overlap && overlap < chunkSize, s"$overlap/$chunkSize")
+    val stride = chunkSize - overlap
+    val toks = docs.select(col("doc_id"),
+      filter(split(Dedup.normalized(text), " "), t => length(t) > 0).as("__t"))
+    val n = size(col("__t"))
+    val nChunks = greatest(lit(1),
+      floor((n - lit(overlap) + lit(stride - 1)).cast("double") / lit(stride))
+        .cast("int"))
+    toks
+      .select(col("doc_id"), col("__t"),
+        explode(when(n > 0, sequence(lit(0), nChunks - 1))
+          .otherwise(array().cast("array<int>"))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("__t"), col("chunk_id") * stride + 1, lit(chunkSize)).as("__c"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("__c")).as("n_tokens"),
+        array_join(col("__c"), " ").as("chunk"))
+  }
+
   /** Per-stratum EXACT-percentile outlier trim: keep rows whose integer
     * metric (length, token count) lies within the stratum's
     * [loPct, hiPct] percentile band — the standard "drop the freakishly

@@ -972,6 +972,36 @@ object Oracles {
         |FROM documents d JOIN cuts c
         |  ON d.lang = c.lang AND d.n_chars BETWEEN c.lo AND c.hi""".stripMargin,
 
+    "q77_chunk" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split($norm, ' '), t -> length(t) > 0) AS t
+         |  FROM documents),
+         |ch AS (
+         |  SELECT doc_id, t,
+         |         unnest(range(0, greatest(1, (len(t) - 10 + 29) // 30))) AS chunk_id
+         |  FROM tk WHERE len(t) > 0)
+         |SELECT doc_id, chunk_id,
+         |       len(t[chunk_id*30+1 : chunk_id*30+40]) AS n_tokens,
+         |       array_to_string(t[chunk_id*30+1 : chunk_id*30+40], ' ') AS chunk
+         |FROM ch""".stripMargin,
+
+    "q78_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         len(list_filter(string_split($norm, ' '),
+         |                         t -> length(t) > 0)) AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tok,
+         |         coalesce(sum(n_tok) OVER (ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS start
+         |  FROM t)
+         |SELECT doc_id, n_tok, CAST(start // 512 AS BIGINT) AS bin,
+         |       CAST(start % 512 AS BIGINT) AS bin_pos
+         |FROM c""".stripMargin,
+
     "q36_ann_brute_force" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
         |           WHERE vec_id < 5),

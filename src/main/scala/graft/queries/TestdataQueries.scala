@@ -861,6 +861,23 @@ object TestdataQueries {
         col("lang"), col("n_chars"), loPct = 5, hiPct = 95)
       .select(col("doc_id"), col("lang"), col("n_chars"))
 
+  /** Token-window chunking (40-token chunks, 10-token overlap) — the
+    * pre-training/RAG context splitter; one generator pass, no shuffle. */
+  def q77Chunk(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkTokens(t(s, dir, "documents"), chunkSize = 40, overlap = 10)
+
+  /** Sequence packing onto 512-token context bins (doc-id order); small
+    * bucket width so the two-phase prefix machinery actually exercises
+    * multiple range buckets at test scale. */
+  def q78Pack(s: SparkSession, dir: String): DataFrame = {
+    val toks = size(filter(split(Dedup.normalized(col("text")), " "),
+      t => length(t) > 0))
+    Sampling.packSequences(
+        t(s, dir, "documents").select(col("doc_id"), toks.as("n_tok")),
+        col("doc_id"), col("n_tok"), ctx = 512, bucketWidth = 64)
+      .select(col("doc_id"), col("n_tok"), col("bin"), col("bin_pos"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -922,6 +939,8 @@ object TestdataQueries {
     "q74_semdedup" -> q74Semdedup _,
     "q75_quantized_ann" -> q75QuantizedAnn _,
     "q76_percentile_trim" -> q76PercentileTrim _,
+    "q77_chunk" -> q77Chunk _,
+    "q78_pack" -> q78Pack _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,

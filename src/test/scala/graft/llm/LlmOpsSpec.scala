@@ -737,6 +737,44 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("token chunking: stride coverage, short-doc single chunk, empty doc none") {
+    val d = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")),  // 100 tokens
+      (2L, "a b c"),                                     // short: one chunk
+      (3L, "")                                           // empty: no chunks
+    ).toDF("doc_id", "text")
+    val ch = TextAnalysis.chunkTokens(d, chunkSize = 40, overlap = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    // ceil((100-10)/30) = 3 chunks at offsets 0/30/60; last runs to token 100
+    val doc1 = ch.filter(_._1 == 1L).sortBy(_._2)
+    assert(doc1.map(_._2).toSeq == Seq(0, 1, 2))
+    assert(doc1.map(_._3).toSeq == Seq(40, 40, 40))
+    assert(doc1(2)._4.startsWith("t61 ") && doc1(2)._4.endsWith(" t100"))
+    // consecutive chunks share exactly the 10-token overlap
+    assert(doc1(0)._4.split(" ").takeRight(10).toSeq ==
+      doc1(1)._4.split(" ").take(10).toSeq)
+    assert(ch.filter(_._1 == 2L).toSeq == Seq((2L, 0, 3, "a b c")))
+    assert(!ch.exists(_._1 == 3L))
+  }
+
+  test("sequence packing: exact global offsets, bucket-width and partition invariant") {
+    val d = (0L until 50L).map(i => (i, 10L + (i % 7))).toDF("doc_id", "n")
+    def pack(df: org.apache.spark.sql.DataFrame, width: Long) =
+      Sampling.packSequences(df, col("doc_id"), col("n"), ctx = 64,
+          bucketWidth = width)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sorted.toSeq
+    val ref = {
+      // literal single-stream reference: running sum in id order
+      var off = 0L
+      (0L until 50L).map { i =>
+        val n = 10L + (i % 7); val r = (i, off / 64, off % 64); off += n; r
+      }
+    }
+    assert(pack(d, 8) == ref)
+    assert(pack(d, 1000) == ref)               // one bucket == many buckets
+    assert(pack(d.repartition(7), 8) == ref)   // physical layout irrelevant
+  }
+
   test("percentile trim: exact integer cutoffs, strata independent, 0..100 identity") {
     // stratum A: values 1..100 once each -> [5,95] keeps exactly 5..95
     // stratum B: all-equal values -> nothing can be trimmed
