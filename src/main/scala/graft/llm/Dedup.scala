@@ -374,6 +374,77 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
   }
 
+  /** EXACT Jaccard set-similarity self-join via prefix filtering
+    * (PPJoin-family; Chaudhuri et al. 2006, Xiao et al. 2008): every
+    * pair of documents whose distinct-token Jaccard is >= tNum/tDen, and
+    * ONLY those — no LSH approximation, no all-pairs blowup.
+    *
+    * Prefix-filter principle: order every document's tokens by one
+    * GLOBAL total order (document frequency asc, then token — rare
+    * tokens first, which minimizes candidates) and emit only its first
+    * `|d| - ceil(t*|d|) + 1` tokens as join keys. Any pair with
+    * J >= t must share at least one token within both prefixes, so the
+    * equi-join on prefix tokens finds every qualifying pair; a length
+    * filter (`min*tDen >= max*tNum`, necessary for J >= t) prunes
+    * candidates before exact verification over the full token arrays.
+    *
+    * The threshold is a RATIONAL tNum/tDen and every filter is integer
+    * arithmetic (`ceil(t*n) = (tNum*n + tDen - 1) div tDen`;
+    * `inter*tDen >= union*tNum`), so the result is bit-reproducible on
+    * any engine — the DuckDB oracle recomputes it as a brute-force
+    * all-pairs join, which doubles as a completeness proof on the
+    * driver data.
+    *
+    * Scale: one shuffle to build (doc, token) pairs, one tiny df
+    * aggregate, one per-doc sort bounded by document length, then an
+    * equi-join whose key cardinality is the token space (rare-first
+    * prefixes keep bucket sizes small; a stop-word never enters a
+    * prefix unless a doc is nearly all stop-words). Verification runs
+    * on candidates only.
+    */
+  def jaccardJoin(docs: DataFrame, tNum: Int, tDen: Int, k: Int = 3,
+                  id: Column = col("doc_id"),
+                  text: Column = col("text")): DataFrame = {
+    require(0 < tNum && tNum <= tDen, s"$tNum/$tDen")
+    // set elements are the distinct k-shingles (same set the minhash
+    // family approximates — this operator is its exact counterpart);
+    // docs with no shingles have no set and join nothing
+    val toks = docs
+      .select(id.as("doc_id"), explode(shingles(text, k)).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    // per-doc tokens in the global (df, tok) order; length + prefix slice
+    val sorted = toks.join(freq, "tok")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ts"))
+      .select(col("doc_id"),
+        transform(col("ts"), s => s.getField("tok")).as("toks"),
+        size(col("ts")).as("n"))
+    val prefixLen = col("n") -
+      floor((lit(tNum) * col("n") + lit(tDen - 1)).cast("double") / lit(tDen))
+        .cast("int") + lit(1)
+    val prefixes = sorted
+      .select(col("doc_id"), col("n"),
+        explode(slice(col("toks"), lit(1), prefixLen)).as("tok"))
+    val cand = prefixes.alias("a")
+      .join(prefixes.alias("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")) * tDen >=
+            greatest(col("a.n"), col("b.n")) * tNum)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    // exact verification over full (distinct) token arrays, candidates only
+    cand
+      .join(sorted.select(col("doc_id").as("id_a"), col("toks").as("t_a"),
+        col("n").as("n_a")), "id_a")
+      .join(sorted.select(col("doc_id").as("id_b"), col("toks").as("t_b"),
+        col("n").as("n_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("t_a"), col("t_b"))))
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
+      .filter(col("inter") * tDen >= col("uni") * tNum)
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / col("uni").cast("double")).as("jaccard"))
+  }
+
   /** Embedding-cosine near-dup over LSH-bucketed candidates: vectors
     * sharing a random-hyperplane sign bucket are compared; pairs with
     * cosine >= `threshold` survive. Never all-pairs — the self-join is

@@ -1002,6 +1002,23 @@ object Oracles {
          |       CAST(start % 512 AS BIGINT) AS bin_pos
          |FROM c""".stripMargin,
 
+    "q79_jaccard_join" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split($norm, ' ') AS t FROM documents),
+         |sets AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(range(1, len(t) - 1),
+         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+         |  FROM tk WHERE len(t) >= 3),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         len(list_intersect(a.s, b.s)) AS inter,
+         |         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+         |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |       CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
+         |FROM pairs WHERE inter * 5 >= uni * 3""".stripMargin,
+
     "q36_ann_brute_force" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
         |           WHERE vec_id < 5),

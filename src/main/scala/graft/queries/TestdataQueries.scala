@@ -878,6 +878,12 @@ object TestdataQueries {
       .select(col("doc_id"), col("n_tok"), col("bin"), col("bin_pos"))
   }
 
+  /** EXACT Jaccard similarity self-join (prefix-filtered, threshold
+    * 3/5) — the oracle recomputes it brute-force all-pairs, so a green
+    * row is a completeness proof for the prefix filter on real data. */
+  def q79JaccardJoin(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardJoin(t(s, dir, "documents"), tNum = 3, tDen = 5)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -941,6 +947,7 @@ object TestdataQueries {
     "q76_percentile_trim" -> q76PercentileTrim _,
     "q77_chunk" -> q77Chunk _,
     "q78_pack" -> q78Pack _,
+    "q79_jaccard_join" -> q79JaccardJoin _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,

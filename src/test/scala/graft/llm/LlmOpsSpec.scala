@@ -737,6 +737,28 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("jaccard join: equals in-Spark brute force; prefix filter is complete") {
+    // 40 docs: pairs (2i, 2i+1) share most of their text when i % 3 == 0
+    val rows = (0 until 40).map { i =>
+      val base = (0 until 25).map(j => s"w${(i / 2) * 31 + j}").mkString(" ")
+      val tail = if (i % 2 == 1 && (i / 2) % 3 == 0) " x y z" else s" u$i v$i"
+      (i.toLong, base + tail)
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val got = Dedup.jaccardJoin(docs, tNum = 1, tDen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute force over the same shingle sets
+    val sets = rows.map { case (i, t) =>
+      i -> t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    }
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = (sa & sb).size; uni = (sa | sb).size
+      if inter * 2 >= uni
+    } yield (ia, ib, inter.toDouble / uni.toDouble)).toSet
+    assert(want.nonEmpty && got == want)
+  }
+
   test("token chunking: stride coverage, short-doc single chunk, empty doc none") {
     val d = Seq(
       (1L, (1 to 100).map(i => s"t$i").mkString(" ")),  // 100 tokens
