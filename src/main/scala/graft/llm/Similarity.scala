@@ -205,6 +205,29 @@ object Similarity {
     assign(centroids).select(col(idCol), col("cluster"), col("cosine"))
   }
 
+  /** Per-group mean embedding (class centroids — domain profiles,
+    * label prototypes for mislabel mining, diversity scoring). The mean
+    * is computed through exact `floor(v*1e9+0.5)` integer sums — the
+    * same engine-portable trick [[kmeansAssign]]'s update step uses —
+    * so the result is independent of accumulation order and
+    * recomputable bit-for-bit by any engine. One explode + one
+    * partial-aggregated groupBy of `groups x dim` cells; the array is
+    * reassembled with `sort_array`, never a window. */
+  def meanEmbedding(df: DataFrame, group: Column,
+                    emb: Column = col("embedding")): DataFrame =
+    df.select(group.as("group"), posexplode(emb).as(Seq("pos", "v")))
+      .groupBy("group", "pos")
+      .agg(sum(floor(col("v").cast("double") * lit(1e9) + lit(0.5))
+             .cast("decimal(38,0)")).as("s"),
+           count(lit(1)).as("c"))
+      .select(col("group"), col("pos"),
+        ((col("s").cast("double") / lit(1e9)) / col("c").cast("double"))
+          .as("m"))
+      .groupBy("group")
+      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("group"),
+        transform(col("pm"), s => s.getField("m")).as("centroid"))
+
   /** Symmetric int8 quantization of a float embedding: per-vector scale
     * `127 / max(|v|)`, component `floor(v * scale + 0.5)`. Every step is
     * a deterministic IEEE op, so quantized vectors are engine-portable.

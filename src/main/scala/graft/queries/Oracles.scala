@@ -1019,6 +1019,14 @@ object Oracles {
          |       CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
          |FROM pairs WHERE inter * 5 >= uni * 3""".stripMargin,
 
+    "q80_label_centroids" ->
+      """SELECT label, r.i - 1 AS pos,
+        |       (CAST(sum(CAST(floor(embedding[r.i]::DOUBLE * 1000000000.0
+        |                            + 0.5) AS BIGINT)) AS DOUBLE)
+        |        / 1000000000.0) / CAST(count(*) AS DOUBLE) AS m
+        |FROM embeddings, range(1, 65) r(i)
+        |GROUP BY label, r.i""".stripMargin,
+
     "q36_ann_brute_force" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
         |           WHERE vec_id < 5),

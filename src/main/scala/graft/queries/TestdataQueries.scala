@@ -884,6 +884,13 @@ object TestdataQueries {
   def q79JaccardJoin(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardJoin(t(s, dir, "documents"), tNum = 3, tDen = 5)
 
+  /** Per-label mean-embedding centroids (exact scaled-integer sums ->
+    * bit-portable doubles), exploded to scalar rows for the compare. */
+  def q80LabelCentroids(s: SparkSession, dir: String): DataFrame =
+    Similarity.meanEmbedding(t(s, dir, "embeddings"), col("label"))
+      .select(col("group").as("label"),
+        posexplode(col("centroid")).as(Seq("pos", "m")))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -948,6 +955,7 @@ object TestdataQueries {
     "q77_chunk" -> q77Chunk _,
     "q78_pack" -> q78Pack _,
     "q79_jaccard_join" -> q79JaccardJoin _,
+    "q80_label_centroids" -> q80LabelCentroids _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,

@@ -737,6 +737,27 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("kmeans: fewer vectors than clusters degrades to n clusters") {
+    val tiny = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.kmeansAssign(tiny, k = 5, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == Map(0L -> 0, 1L -> 1))
+  }
+
+  test("mean embedding: exact driver-computed means, partitioning invariant") {
+    val df = Seq(
+      ("a", Array(1.0f, -2.0f)), ("a", Array(2.0f, 4.0f)),
+      ("b", Array(0.5f, 0.5f)))
+      .toDF("label", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.meanEmbedding(d, col("label"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val m = run(df)
+    assert(m("a") == Seq(1.5, 1.0) && m("b") == Seq(0.5, 0.5))
+    assert(run(df.repartition(5)) == m)
+  }
+
   test("jaccard join: equals in-Spark brute force; prefix filter is complete") {
     // 40 docs: pairs (2i, 2i+1) share most of their text when i % 3 == 0
     val rows = (0 until 40).map { i =>
