@@ -412,13 +412,17 @@ object Dedup {
     val toks = docs
       .select(id.as("doc_id"), explode(shingles(text, k)).as("tok"))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-    // per-doc tokens in the global (df, tok) order; length + prefix slice
+    // per-doc tokens in the global (df, tok) order; length + prefix
+    // slice. CACHED: three consumers read it (prefix generation and the
+    // two verification joins) — without the cache the whole
+    // shingle+df+sort pipeline would re-read the corpus three times.
     val sorted = toks.join(freq, "tok")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ts"))
       .select(col("doc_id"),
         transform(col("ts"), s => s.getField("tok")).as("toks"),
         size(col("ts")).as("n"))
+      .cache()
     val prefixLen = col("n") -
       floor((lit(tNum) * col("n") + lit(tDen - 1)).cast("double") / lit(tDen))
         .cast("int") + lit(1)
@@ -485,8 +489,16 @@ object Dedup {
     * DuckDB oracle replays the whole chain: seeds, Lloyd iterations,
     * within-cluster pairs, the drop set.
     */
-  def semDedup(vectors: DataFrame, k: Int, iters: Int, tau: Double): DataFrame = {
-    val asg = Similarity.kmeansAssign(vectors, k, iters)
+  def semDedup(vectors: DataFrame, k: Int, iters: Int, tau: Double): DataFrame =
+    semDedupWith(vectors,
+      Similarity.kmeansCentroids(vectors, k, iters), tau)
+
+  /** [[semDedup]] against EXPLICIT centroids — the core both the
+    * one-shot and the incremental paths share, so their equivalence is
+    * structural. */
+  def semDedupWith(vectors: DataFrame, centroids: Array[Array[Double]],
+                   tau: Double): DataFrame = {
+    val asg = Similarity.assignTo(vectors, centroids)
       .select(col("vec_id"), col("cluster"))
     val withVec = asg.join(vectors.select(col("vec_id"), col("embedding"),
         Similarity.norm(col("embedding")).as("nrm")), "vec_id")
@@ -498,6 +510,50 @@ object Dedup {
         (col("a.nrm") * col("b.nrm"))) >= tau)
       .select(col("b.vec_id").as("vec_id")).distinct()
     asg.join(dropped, Seq("vec_id"), "left_anti")
+  }
+
+  /** Incremental SemDeDup vs a persisted vector store — the embedding
+    * mirror of [[incrementalMinhashCandidates]]: centroids are FIXED
+    * (from the initial corpus build), the store holds the assignment of
+    * EVERY past vector (kept or dropped — exactly like the signature
+    * store retains dropped docs' signatures, so a late arrival can
+    * match a document that itself lost an earlier comparison), and only
+    * the batch is assigned and compared: batch-vs-store within
+    * batch-touched clusters plus batch-vs-batch. A batch vector drops
+    * iff it has a smaller-id neighbor >= tau in (store ∪ batch) in its
+    * cluster — with arrival-ordered ids that is EXACTLY the one-shot
+    * [[semDedupWith]] condition restricted to the batch, so
+    * `incremental(store, batch) == semDedupWith(all) ∩ batch`
+    * (LlmOpsSpec pins it). The store never recomputes a dot against
+    * itself: store rows outside batch-touched clusters are
+    * semi-join-pruned before any pair forms.
+    *
+    * @param storeAsg (vec_id, cluster, embedding) of every past vector
+    *                 — persist [[Similarity.assignTo]]'s output
+    */
+  def semDedupIncremental(storeAsg: DataFrame, batch: DataFrame,
+                          centroids: Array[Array[Double]],
+                          tau: Double): DataFrame = {
+    val batchAsg = Similarity.assignTo(batch, centroids)
+      .select(col("vec_id"), col("cluster"), col("embedding"))
+    val touched = batchAsg.select("cluster").distinct()
+    val older = storeAsg
+      .select(col("vec_id"), col("cluster"), col("embedding"))
+      .join(broadcast(touched), Seq("cluster"), "left_semi")
+      .unionByName(batchAsg)
+      .select(col("vec_id"), col("cluster"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+    val newer = batchAsg
+      .select(col("vec_id"), col("cluster"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+    val dropped = older.alias("a").join(newer.alias("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter((Similarity.dot(col("a.embedding"), col("b.embedding")) /
+        (col("a.nrm") * col("b.nrm"))) >= tau)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    batchAsg.select(col("vec_id"), col("cluster"))
+      .join(dropped, Seq("vec_id"), "left_anti")
   }
 
   /** Duplicate clusters from near-dup candidate pairs: connected

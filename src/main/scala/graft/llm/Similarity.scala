@@ -163,24 +163,38 @@ object Similarity {
     */
   def kmeansAssign(corpus: DataFrame, k: Int, iters: Int,
                    idCol: String = "vec_id", embCol: String = "embedding")
-      : DataFrame = {
-    val spark = corpus.sparkSession
+      : DataFrame =
+    assignTo(corpus, kmeansCentroids(corpus, k, iters, idCol, embCol),
+        idCol, embCol)
+      .select(col(idCol), col("cluster"), col("cosine"))
+
+  /** Assign every vector to its argmax-cosine centroid (ties to the
+    * smallest index) — one native plan node per row, no shuffle.
+    * Returns (id, embedding, cluster, cosine). */
+  def assignTo(corpus: DataFrame, centroids: Array[Array[Double]],
+               idCol: String = "vec_id", embCol: String = "embedding")
+      : DataFrame =
+    corpus
+      .select(col(idCol), col(embCol),
+        VectorExprs.centroidArgMax(col(embCol), centroids).as("best"))
+      .select(col(idCol), col(embCol),
+        col("best.cluster").as("cluster"), col("best.cosine").as("cosine"))
+
+  /** The Lloyd-iteration loop of [[kmeansAssign]], returning the FINAL
+    * centroids — the fixed coarse structure an incremental maintainer
+    * (e.g. [[Dedup.semDedupIncremental]]) assigns later arrivals
+    * against. `k * dim` doubles on the driver (bounded metadata). */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int,
+                      idCol: String = "vec_id", embCol: String = "embedding")
+      : Array[Array[Double]] = {
     val seeds: Array[Array[Double]] = corpus
       .orderBy(col(idCol)).limit(k)
       .select(col(embCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-
-    def assign(centroids: Array[Array[Double]]): DataFrame =
-      corpus
-        .select(col(idCol), col(embCol),
-          VectorExprs.centroidArgMax(col(embCol), centroids).as("best"))
-        .select(col(idCol), col(embCol),
-          col("best.cluster").as("cluster"), col("best.cosine").as("cosine"))
-
     var centroids = seeds
     var it = 0
     while (it < iters) {
-      val cells = assign(centroids)
+      val cells = assignTo(corpus, centroids, idCol, embCol)
         .select(col("cluster"), posexplode(col(embCol)).as(Seq("pos", "v")))
         .groupBy("cluster", "pos")
         .agg(sum(floor(col("v").cast("double") * lit(1e9) + lit(0.5))
@@ -202,7 +216,7 @@ object Similarity {
       }
       it += 1
     }
-    assign(centroids).select(col(idCol), col("cluster"), col("cosine"))
+    centroids
   }
 
   /** Per-group mean embedding (class centroids — domain profiles,

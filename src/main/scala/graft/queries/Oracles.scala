@@ -113,8 +113,9 @@ object Oracles {
     * `floor(v*1e9+0.5)` integer sums divided back in the engine's op
     * order), then a final assignment. The last CTE is `a$iters`
     * (vec_id, embedding, cluster, cos). */
-  private def kmeansCtes(k: Int, iters: Int): String = {
-    def assignCte(name: String, cent: String): String =
+  private def kmeansCtes(k: Int, iters: Int, trainPred: String = "TRUE",
+                         finalPred: String = "TRUE"): String = {
+    def assignCte(name: String, cent: String, pred: String): String =
       s"""$name AS (
          |  SELECT vec_id, embedding, cluster, cos FROM (
          |    SELECT e.vec_id, e.embedding, c.cluster,
@@ -122,15 +123,16 @@ object Oracles {
          |           row_number() OVER (PARTITION BY e.vec_id
          |             ORDER BY ${cosSql("e.embedding", "c.centroid")} DESC,
          |                      c.cluster ASC) AS rn
-         |    FROM embeddings e CROSS JOIN $cent c)
+         |    FROM embeddings e CROSS JOIN $cent c WHERE $pred)
          |  WHERE rn = 1)""".stripMargin
     val seeds =
       s"""cent0 AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
          |         CAST(embedding AS DOUBLE[]) AS centroid
-         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $k))""".stripMargin
+         |  FROM (SELECT * FROM embeddings WHERE $trainPred
+         |        ORDER BY vec_id LIMIT $k))""".stripMargin
     val rounds = (0 until iters).map { i =>
-      s"""${assignCte(s"a$i", s"cent$i")},
+      s"""${assignCte(s"a$i", s"cent$i", trainPred)},
          |sums$i AS (
          |  SELECT a.cluster, t.i AS pos,
          |         sum(CAST(floor(a.embedding[t.i]::DOUBLE * 1000000000.0 + 0.5)
@@ -147,7 +149,8 @@ object Oracles {
          |  FROM cent$i s LEFT JOIN sums$i n USING (cluster)
          |  GROUP BY s.cluster)""".stripMargin
     }
-    (Seq(seeds) ++ rounds ++ Seq(assignCte(s"a$iters", s"cent$iters")))
+    (Seq(seeds) ++ rounds ++
+        Seq(assignCte(s"a$iters", s"cent$iters", finalPred)))
       .mkString(",\n")
   }
 
@@ -914,6 +917,19 @@ object Oracles {
          |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.22)
          |SELECT vec_id, CAST(cluster AS INT) AS cluster
          |FROM a2 WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
+
+    "q81_incremental_semdedup" ->
+      s"""WITH ${kmeansCtes(8, 2, trainPred = "vec_id < 400")},
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM a2 a JOIN a2 b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE b.vec_id >= 400
+         |    AND ${cosSql("a.embedding", "b.embedding")} >= 0.22)
+         |SELECT vec_id, CAST(cluster AS INT) AS cluster
+         |FROM a2
+         |WHERE vec_id >= 400
+         |  AND vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
 
     "q75_quantized_ann" ->
       s"""WITH mx AS (

@@ -891,6 +891,19 @@ object TestdataQueries {
       .select(col("group").as("label"),
         posexplode(col("centroid")).as(Seq("pos", "m")))
 
+  /** Incremental SemDeDup: centroids trained on the pre-existing store
+    * (vec_id < 400), batch arrivals assigned + compared against store
+    * and batch only — must equal the one-shot semantic dedup restricted
+    * to the batch (the oracle computes the one-shot form). */
+  def q81IncrementalSemdedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val store = emb.filter(col("vec_id") < 400)
+    val cents = Similarity.kmeansCentroids(store, k = 8, iters = 2)
+    Dedup.semDedupIncremental(
+      Similarity.assignTo(store, cents),
+      emb.filter(col("vec_id") >= 400), cents, tau = 0.22)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -956,6 +969,7 @@ object TestdataQueries {
     "q78_pack" -> q78Pack _,
     "q79_jaccard_join" -> q79JaccardJoin _,
     "q80_label_centroids" -> q80LabelCentroids _,
+    "q81_incremental_semdedup" -> q81IncrementalSemdedup _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,

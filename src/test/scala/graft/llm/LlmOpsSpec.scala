@@ -712,6 +712,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(keptAll == (0L until 20L).toSet)
   }
 
+  test("incremental semDedup == one-shot restricted to the batch") {
+    val dupes = Seq(
+      (100L, Array.tabulate(6)(d => if (d == 0) 1.0f else 0.01f)),
+      (101L, Array.tabulate(6)(d => if (d == 3) 1.0f else 0.011f)))
+      .toDF("vec_id", "embedding")
+    val all = twoBlobs.union(dupes)
+    val cents = Similarity.kmeansCentroids(all, k = 2, iters = 2)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getAs[Int]("cluster")).toMap
+    val oneShot = ids(Dedup.semDedupWith(all, cents, tau = 0.999))
+    // split at id 10: the batch's near-dups (100/101) must recognize
+    // their originals THROUGH the store, exactly like the one-shot run
+    val store = all.filter(col("vec_id") < 10)
+    val batch = all.filter(col("vec_id") >= 10)
+    val inc = ids(Dedup.semDedupIncremental(
+      Similarity.assignTo(store, cents), batch, cents, tau = 0.999))
+    assert(inc == oneShot.filter(_._1 >= 10L))
+    assert(!inc.contains(100L) && !inc.contains(101L))
+  }
+
   test("int8 quantization: bounded values, bounded error, zero-vector safe") {
     val vecs = Seq(
       (1L, Array(0.5f, -0.25f, 0.125f, 1.0f)),
