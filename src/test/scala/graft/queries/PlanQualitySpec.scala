@@ -130,6 +130,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("vec_dot_int"), p)
   }
 
+  test("q76: percentile cutoffs reach the corpus as a broadcast, never a corpus window") {
+    val p = plan("q76_percentile_trim")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q78/q79/q81: candidate joins stay equi-joins, broadcast where one side is small") {
+    // q78: rows meet their bucket offsets via broadcast
+    val p78 = plan("q78_pack")
+    assert(p78.contains("BroadcastHashJoin"), p78)
+    // q79: prefix-filter candidates and verification are hash equi-joins —
+    // an exact similarity join that never degenerates to a cross product
+    val p79 = plan("q79_jaccard_join")
+    assert(!p79.contains("CartesianProduct") &&
+      !p79.contains("BroadcastNestedLoopJoin"), p79)
+    // q81: the store prunes to batch-touched clusters via broadcast semi
+    val p81 = plan("q81_incremental_semdedup")
+    assert(p81.contains("LeftSemi"), p81)
+    assert(p81.contains("BroadcastHashJoin"), p81)
+  }
+
   test("q68/q69: posting cap and tf-idf ranking are map-side group limits") {
     // the inverted index's posting cap and the per-document tf-idf top-k
     // both rest on the same rewrite: without WindowGroupLimit a
