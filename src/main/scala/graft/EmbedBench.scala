@@ -60,6 +60,25 @@ object EmbedBench {
     println(f"""{"phase":"semdedup","vecs":$n,"k":256,"survivors":$kept,"expected":$expected,"sec":$sec2%.2f,"vecs_per_sec":${(n / sec2).toLong}}""")
     assert(kept == expected, s"kept=$kept expected=$expected")
 
+    // phase 2b: the nightly-arrivals shape — centroids fixed from the
+    // store build, 80% of the corpus pre-assigned as the store, 20%
+    // arrives as a batch; cross-boundary copies must be recognized
+    // THROUGH the store, and only the batch is ever assigned or compared
+    val cut = n * 4 / 5
+    val storeVecs = vecs.filter(col("vec_id") < cut)
+    val cents = Similarity.kmeansCentroids(storeVecs, k = 256, iters = 2)
+    val storeAsg = Similarity.assignTo(storeVecs, cents).cache()
+    storeAsg.count()                   // the store pre-exists; not timed
+    val batch = vecs.filter(col("vec_id") >= cut)
+    val batchN = n - cut
+    val t1b = System.nanoTime()
+    val incKept = Dedup.semDedupIncremental(storeAsg, batch, cents,
+      tau = 0.999).count()
+    val sec2b = (System.nanoTime() - t1b) / 1e9
+    val expectedBatch = batchN - (((n - 1) / 20) - ((cut - 1) / 20))
+    println(f"""{"phase":"semdedup_incremental","store_vecs":$cut,"batch_vecs":$batchN,"survivors":$incKept,"expected":$expectedBatch,"sec":$sec2b%.2f,"batch_vecs_per_sec":${(batchN / sec2b).toLong}}""")
+    assert(incKept == expectedBatch, s"kept=$incKept expected=$expectedBatch")
+
     // phase 3: quantized ANN — 32 queries against the full corpus; the
     // copy at id 20 must find its original at rank 1 through int8 ranking
     val queries = vecs.filter(col("vec_id") < 32)
