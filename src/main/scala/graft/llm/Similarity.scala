@@ -173,12 +173,14 @@ object Similarity {
     * Returns (id, embedding, cluster, cosine). */
   def assignTo(corpus: DataFrame, centroids: Array[Array[Double]],
                idCol: String = "vec_id", embCol: String = "embedding")
-      : DataFrame =
+      : DataFrame = {
+    require(centroids.nonEmpty, "assignTo needs at least one centroid")
     corpus
       .select(col(idCol), col(embCol),
         VectorExprs.centroidArgMax(col(embCol), centroids).as("best"))
       .select(col(idCol), col(embCol),
         col("best.cluster").as("cluster"), col("best.cosine").as("cosine"))
+  }
 
   /** The Lloyd-iteration loop of [[kmeansAssign]], returning the FINAL
     * centroids — the fixed coarse structure an incremental maintainer
@@ -187,10 +189,12 @@ object Similarity {
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int,
                       idCol: String = "vec_id", embCol: String = "embedding")
       : Array[Array[Double]] = {
+    require(k >= 1 && iters >= 0, s"k=$k iters=$iters")
     val seeds: Array[Array[Double]] = corpus
       .orderBy(col(idCol)).limit(k)
       .select(col(embCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+    require(seeds.nonEmpty, "kmeans needs a non-empty corpus")
     var centroids = seeds
     var it = 0
     while (it < iters) {

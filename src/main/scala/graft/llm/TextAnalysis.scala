@@ -277,12 +277,18 @@ object TextAnalysis {
     * meets a broadcast of the per-stratum cutoffs. No per-stratum window
     * (and no sort) ever sees a full-corpus partition. The div-by-100 is
     * computed in doubles and truncated, exact while p*n + 99 < 2^53 —
-    * beyond ~9e13 rows per stratum swap in a decimal division. */
+    * beyond ~9e13 rows per stratum swap in a decimal division.
+    *
+    * Rows with a NULL metric are excluded up front (a null has no rank;
+    * leaving it in would also make the cutoffs depend on engine null-sort
+    * order). A null STRATUM is an ordinary stratum — the join is
+    * null-safe. */
   def percentileTrim(docs: DataFrame, stratum: Column, value: Column,
                      loPct: Int = 1, hiPct: Int = 99): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(0 <= loPct && loPct <= hiPct && hiPct <= 100, s"$loPct..$hiPct")
-    val hist = docs.groupBy(stratum.as("__s"), value.as("__v"))
+    val nonNull = docs.filter(value.isNotNull)
+    val hist = nonNull.groupBy(stratum.as("__s"), value.as("__v"))
       .agg(count(lit(1)).as("__c"))
     val cum = hist
       .withColumn("__cum",
@@ -294,8 +300,8 @@ object TextAnalysis {
         col("__v")))
     val cuts = cum.groupBy(col("__s"))
       .agg(cut(loPct).as("__lo"), cut(hiPct).as("__hi"))
-    docs.join(broadcast(cuts),
-        stratum === col("__s") && value.between(col("__lo"), col("__hi")))
+    nonNull.join(broadcast(cuts),
+        stratum <=> col("__s") && value.between(col("__lo"), col("__hi")))
       .drop("__s", "__lo", "__hi")
   }
 }

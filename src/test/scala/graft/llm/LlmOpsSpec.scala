@@ -851,6 +851,26 @@ class LlmOpsSpec extends SparkSpec {
     val all = TextAnalysis.percentileTrim(df.repartition(5), col("lang"),
       col("n"), 0, 100).count()
     assert(all == rows.size)
+    // null metric rows are excluded and never distort the cutoffs;
+    // a null stratum trims as its own ordinary group
+    val withNulls = Seq(
+      (Some("A"), Option.empty[Int]),
+      (None: Option[String], Some(1)), (None, Some(2)), (None, Some(3)))
+      .toDF("lang", "n").union(df.select(col("lang"), col("n")))
+    val trimmed = TextAnalysis.percentileTrim(withNulls, col("lang"),
+        col("n"), 5, 95)
+      .collect().map(r => (Option(r.getString(0)), r.getInt(1)))
+    assert(trimmed.filter(_._1.isEmpty).map(_._2).sorted.toSeq == Seq(1, 2, 3))
+    assert(trimmed.filter(_._1.contains("A")).map(_._2).sorted.toSeq == (5 to 95))
+  }
+
+  test("kmeans accepts array<double> embeddings too") {
+    val d = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)),
+        (2L, Array(0.9, 0.1)))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.kmeansAssign(d, k = 2, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a(0L) == 0 && a(1L) == 1 && a(2L) == 0)
   }
 
   test("quantized ANN: k rows per query, approx in [-1,1], exact rescore real") {
