@@ -50,6 +50,83 @@ object Sketches {
     sketch.select(keys.map(c => sketch(c.toString)) :+
       kmvEstimate(k, col("mins")).as("kmv_est"): _*)
   }
+
+  /** EXACT heavy hitters at scale: every item whose count is strictly
+    * greater than `n / threshold` (n = total items), found without ever
+    * shuffling the full per-item count table.
+    *
+    *  - pass 1: a Misra-Gries sketch ([[MisraGriesAggregator]],
+    *    `sketchSize` counters of mergeable state per partition) produces
+    *    a candidate set. MG guarantees every item with count > n/k
+    *    survives a size-k sketch, so with `sketchSize >= threshold`
+    *    there are NO false negatives — the sketch's only error mode is
+    *    extra candidates;
+    *  - pass 2: the <= sketchSize candidates broadcast back as a filter
+    *    and are counted EXACTLY; false candidates fall out at the final
+    *    `count * threshold > n` check.
+    *
+    * Two narrow passes, partial aggregation both times, per-task state
+    * O(sketchSize) — while the result is exactly `GROUP BY item HAVING
+    * count(*) > n/threshold`, which is what the DuckDB oracle runs.
+    */
+  def heavyHitters(items: DataFrame, item: Column, threshold: Int,
+                   sketchSize: Int = 0): DataFrame = {
+    val k = if (sketchSize > 0) sketchSize else 2 * threshold
+    require(k >= threshold, s"sketchSize $k < threshold $threshold loses the " +
+      "no-false-negative guarantee")
+    val mg = udaf(new MisraGriesAggregator(k))
+    val base = items.select(item.cast("string").as("item"))
+      .filter(col("item").isNotNull)
+    val candidates = base.agg(mg(col("item")).as("cand"))
+      .select(explode(col("cand")).as("item"))
+      .collect().map(_.getString(0)).toIndexedSeq
+    val n = base.count()
+    base.filter(col("item").isin(candidates: _*))
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * threshold > lit(n))
+  }
+}
+
+/** Misra-Gries frequent-items sketch: at most `k` (item, count) counters;
+  * an unmatched item with a full buffer decrements every counter (the
+  * classic k-way cancellation). Merge sums counters then re-caps by
+  * subtracting the (k+1)-th largest count — the standard mergeable form
+  * (Agarwal et al., "Mergeable Summaries"). Guarantee: any item with true
+  * count > n/k is present in the final sketch; counts are undercounts by
+  * at most n/k. Emitted as the candidate list for an exact recount. */
+final class MisraGriesAggregator(k: Int)
+    extends Aggregator[String, Map[String, Long], Seq[String]] {
+
+  override def zero: Map[String, Long] = Map.empty
+
+  private def cap(m: Map[String, Long]): Map[String, Long] =
+    if (m.size <= k) m
+    else {
+      val cut = m.values.toSeq.sorted(Ordering[Long].reverse)(k)
+      m.flatMap { case (i, c) =>
+        if (c - cut > 0) Some(i -> (c - cut)) else None
+      }
+    }
+
+  override def reduce(m: Map[String, Long], item: String): Map[String, Long] =
+    m.get(item) match {
+      case Some(c) => m.updated(item, c + 1)
+      case None if m.size < k => m.updated(item, 1L)
+      case None =>
+        m.flatMap { case (i, c) => if (c > 1) Some(i -> (c - 1)) else None }
+    }
+
+  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+    cap(b.foldLeft(a) { case (m, (i, c)) =>
+      m.updated(i, m.getOrElse(i, 0L) + c)
+    })
+
+  override def finish(m: Map[String, Long]): Seq[String] = m.keys.toSeq.sorted
+
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  override def outputEncoder: org.apache.spark.sql.Encoder[Seq[String]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
 }
 
 /** Bounded buffer of the k smallest DISTINCT hash values (ascending).

@@ -1043,6 +1043,17 @@ object Oracles {
         |FROM embeddings, range(1, 65) r(i)
         |GROUP BY label, r.i""".stripMargin,
 
+    "q82_heavy_hitters" ->
+      s"""WITH t AS (
+         |  SELECT unnest(list_filter(string_split($norm, ' '),
+         |                x -> length(x) > 0)) AS item
+         |  FROM documents),
+         |n AS (SELECT count(*) AS n FROM t)
+         |SELECT item, count(*) AS cnt
+         |FROM t, n
+         |GROUP BY item, n.n
+         |HAVING count(*) * 40 > n.n""".stripMargin,
+
     "q36_ann_brute_force" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
         |           WHERE vec_id < 5),

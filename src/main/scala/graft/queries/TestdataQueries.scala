@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{CorpusMaintenance, Dedup, Sampling, Similarity, TextAnalysis, Multimodal}
+import graft.llm.{CorpusMaintenance, Dedup, Sampling, Similarity, Sketches, TextAnalysis, Multimodal}
 
 /** SURVEY §2 operator inventory expressed over the driver's synthetic
   * testdata (`/root/testdata/sf*`), one query per operator family, each
@@ -904,6 +904,16 @@ object TestdataQueries {
       emb.filter(col("vec_id") >= 400), cents, tau = 0.22)
   }
 
+  /** Exact heavy hitters over document terms (count > n/40) via a
+    * Misra-Gries candidate sketch + exact recount of candidates only —
+    * the oracle runs the plain GROUP BY ... HAVING form. */
+  def q82HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = explode(filter(split(Dedup.normalized(col("text")), " "),
+      x => length(x) > 0)).as("item")
+    Sketches.heavyHitters(t(s, dir, "documents").select(toks),
+      col("item"), threshold = 40)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -970,6 +980,7 @@ object TestdataQueries {
     "q79_jaccard_join" -> q79JaccardJoin _,
     "q80_label_centroids" -> q80LabelCentroids _,
     "q81_incremental_semdedup" -> q81IncrementalSemdedup _,
+    "q82_heavy_hitters" -> q82HeavyHitters _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,

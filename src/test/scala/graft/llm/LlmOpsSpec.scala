@@ -864,6 +864,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(trimmed.filter(_._1.contains("A")).map(_._2).sorted.toSeq == (5 to 95))
   }
 
+  test("heavy hitters: exact result, partitioning-invariant, no false negatives") {
+    // 10k items: 'hot' is 20% of the stream, 'warm' exactly at the
+    // count*threshold > n boundary (excluded — strict inequality),
+    // everything else unique noise
+    val rows = Seq.fill(2000)("hot") ++ Seq.fill(1000)("warm") ++
+      (0 until 7000).map(i => s"u$i")
+    val df = rows.toDF("item")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sketches.heavyHitters(d, col("item"), threshold = 10)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = run(df.repartition(13))
+    assert(got == Map("hot" -> 2000L))        // exact count, warm excluded
+    assert(run(df.repartition(3)) == got)     // sketch noise never leaks out
+    // threshold 5 (> 2000 needed): nothing qualifies
+    assert(Sketches.heavyHitters(df, col("item"), threshold = 5).count() == 0)
+  }
+
   test("kmeans accepts array<double> embeddings too") {
     val d = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)),
         (2L, Array(0.9, 0.1)))
