@@ -533,9 +533,18 @@ object Dedup {
     */
   def semDedupIncremental(storeAsg: DataFrame, batch: DataFrame,
                           centroids: Array[Array[Double]],
-                          tau: Double): DataFrame = {
-    val batchAsg = Similarity.assignTo(batch, centroids)
-      .select(col("vec_id"), col("cluster"), col("embedding"))
+                          tau: Double): DataFrame =
+    semDedupIncrementalFromAssigned(storeAsg,
+      Similarity.assignTo(batch, centroids)
+        .select(col("vec_id"), col("cluster"), col("embedding")), tau)
+
+  /** [[semDedupIncremental]] starting from the batch's precomputed
+    * assignment — the entry point when the caller also persists the
+    * assignment (the streaming maintainer), so each batch is assigned
+    * exactly once. `batchAsg`: (vec_id, cluster, embedding). */
+  def semDedupIncrementalFromAssigned(storeAsg: DataFrame,
+                                      batchAsg: DataFrame,
+                                      tau: Double): DataFrame = {
     val touched = batchAsg.select("cluster").distinct()
     val older = storeAsg
       .select(col("vec_id"), col("cluster"), col("embedding"))

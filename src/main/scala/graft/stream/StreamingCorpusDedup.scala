@@ -1,7 +1,7 @@
 package graft.stream
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, max}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 import graft.etl.Warehouse
@@ -59,8 +59,6 @@ final class StreamingCorpusDedup(spark: SparkSession, wh: Warehouse,
   private val sigSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("sig", ArrayType(LongType, containsNull = false))))
-  private val commitSchema = StructType(Seq(
-    StructField("stream_id", StringType), StructField("batch_id", LongType)))
 
   def start(availableNow: Boolean = false): StreamingQuery = {
     val docs = spark.readStream.schema(docSchema).json(landingDir)
@@ -73,17 +71,6 @@ final class StreamingCorpusDedup(spark: SparkSession, wh: Warehouse,
       .start()
   }
 
-  /** Batch ids are strictly monotonic per checkpoint and only batches
-    * after the last checkpoint commit ever re-deliver, so one MAX per
-    * stream is a complete replay record — the table stays one tiny row
-    * per stream instead of one per batch. */
-  private def alreadyCommitted(batchId: Long): Boolean =
-    wh.exists("_stream_commits") &&
-      !wh.read("_stream_commits", commitSchema)
-        .filter(col("stream_id") === checkpointDir &&
-          col("batch_id") >= batchId)
-        .isEmpty
-
   private[stream] def processBatch(batch: DataFrame, batchId: Long): Unit =
     // ONE transaction per micro-batch: survivors, signatures, and the
     // high-water commit record flip together in a single catalog rename,
@@ -91,7 +78,7 @@ final class StreamingCorpusDedup(spark: SparkSession, wh: Warehouse,
     // replay starts from a clean slate — corpus rows can never land
     // without their signatures or without the commit record.
     wh.transact {
-      if (!alreadyCommitted(batchId)) {
+      if (!StreamCommits.alreadyCommitted(wh, checkpointDir, batchId)) {
         if (!batch.isEmpty) {
           // corrupt JSON lines surface as null doc_id/text rows from the file
           // source — skip them rather than poison the store (one bad line must
@@ -116,14 +103,8 @@ final class StreamingCorpusDedup(spark: SparkSession, wh: Warehouse,
         }
         // the appendIfAbsent sinks would heal a replayed batch row-by-row
         // even WITHOUT the transaction (anti-join on doc_id); with it they
-        // are belt-and-braces for streams sharing tables. The merge-upsert
-        // runs under the table's writer lock, so streams sharing one
-        // warehouse never clobber each other's high-water mark.
-        wh.mergeReplace("_stream_commits", commitSchema,
-          spark.range(1).select(lit(checkpointDir).as("stream_id"),
-            lit(batchId).as("batch_id")),
-          (old, incoming) => old.unionByName(incoming)
-            .groupBy("stream_id").agg(max("batch_id").as("batch_id")))
+        // are belt-and-braces for streams sharing tables
+        StreamCommits.record(spark, wh, checkpointDir, batchId)
       }
     }
 }

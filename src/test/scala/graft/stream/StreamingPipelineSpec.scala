@@ -277,6 +277,56 @@ class StreamingPipelineSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming semantic dedup maintains the vector corpus across micro-batches") {
+    import graft.llm.{Dedup, Similarity}
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    // two well-separated directions; vec 25 (wave 2) duplicates vec 5
+    // (wave 1), vec 30 duplicates vec 28 within wave 2
+    def vec(i: Int): Array[Float] = {
+      val src = if (i == 25) 5 else if (i == 30) 28 else i
+      val hot = if (src % 2 == 0) 0 else 3
+      Array.tabulate(6)(d =>
+        (if (d == hot) 1.0f else 0.01f) + src.toFloat * 1e-4f)
+    }
+    def jsonl(ids: Range): String = ids.map { i =>
+      s"""{"vec_id": $i, "embedding": [${vec(i).mkString(", ")}]}"""
+    }.mkString("\n")
+    val all = (0 until 40).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(all.filter(col("vec_id") < 20),
+      k = 2, iters = 2)
+
+    val landing = tmpDir("vec-landing")
+    val wh = new Warehouse(spark, tmpDir("whvec").toString)
+    val sd = new StreamingSemDedup(spark, wh, landing.toString,
+      tmpDir("ckptvec").toString, cents, tau = 0.999)
+    writeCsv(landing, "wave1.json", jsonl(0 until 20))
+    sd.start(availableNow = true).awaitTermination()
+    writeCsv(landing, "wave2.json",
+      jsonl(20 until 40) + "\nnot json\n{\"vec_id\": 999}")
+    sd.start(availableNow = true).awaitTermination()
+
+    val keptSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("cluster", IntegerType)))
+    val storeSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("cluster", IntegerType),
+      StructField("embedding", ArrayType(FloatType))))
+    val maintained = wh.read("vec_corpus", keptSchema)
+      .collect().map(_.getLong(0)).toSet
+    val oneShot = Dedup.semDedupWith(all, cents, tau = 0.999)
+      .collect().map(_.getLong(0)).toSet
+    assert(maintained == oneShot)
+    assert(!maintained.contains(25L) && !maintained.contains(30L))
+    assert(wh.read("vec_store", storeSchema).count() == 40)  // dropped too
+
+    // whole-batch replay is a no-op (high-water mark)
+    val batch2 = (20 until 40).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    sd.processBatch(batch2, 1L)
+    assert(wh.read("vec_corpus", keptSchema).count() == maintained.size)
+    assert(wh.read("vec_store", storeSchema).count() == 40)
+  }
+
   test("stream-stream join correlates keys within the event-time window only") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
