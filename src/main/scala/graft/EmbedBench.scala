@@ -50,14 +50,15 @@ object EmbedBench {
     assert(assigned == n, s"assigned=$assigned n=$n")
 
     // phase 2: SemDeDup — exactly the planted copies must drop (random
-    // 64-dim vectors never reach cosine 0.999 by chance). k=256 is the
-    // production shape: the pair stage is ~n^2/(2k) rows, so k grows
-    // with the corpus to hold mean cluster size at a few thousand
+    // 64-dim vectors never reach cosine 0.999 by chance). The pair stage
+    // is ~n^2/(2k) rows, so k GROWS WITH THE CORPUS to hold mean cluster
+    // size near ~800 — the documented SemDeDup sizing rule.
+    val kc = math.max(256, (n / 800).toInt)
     val t1 = System.nanoTime()
-    val kept = Dedup.semDedup(vecs, k = 256, iters = 2, tau = 0.999).count()
+    val kept = Dedup.semDedup(vecs, k = kc, iters = 2, tau = 0.999).count()
     val sec2 = (System.nanoTime() - t1) / 1e9
     val expected = n - (n - 1) / 20
-    println(f"""{"phase":"semdedup","vecs":$n,"k":256,"survivors":$kept,"expected":$expected,"sec":$sec2%.2f,"vecs_per_sec":${(n / sec2).toLong}}""")
+    println(f"""{"phase":"semdedup","vecs":$n,"k":$kc,"survivors":$kept,"expected":$expected,"sec":$sec2%.2f,"vecs_per_sec":${(n / sec2).toLong}}""")
     assert(kept == expected, s"kept=$kept expected=$expected")
 
     // phase 2b: the nightly-arrivals shape — centroids fixed from the
@@ -66,7 +67,7 @@ object EmbedBench {
     // THROUGH the store, and only the batch is ever assigned or compared
     val cut = n * 4 / 5
     val storeVecs = vecs.filter(col("vec_id") < cut)
-    val cents = Similarity.kmeansCentroids(storeVecs, k = 256, iters = 2)
+    val cents = Similarity.kmeansCentroids(storeVecs, k = kc, iters = 2)
     val storeAsg = Similarity.assignTo(storeVecs, cents).cache()
     storeAsg.count()                   // the store pre-exists; not timed
     val batch = vecs.filter(col("vec_id") >= cut)
