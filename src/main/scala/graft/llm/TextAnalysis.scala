@@ -287,6 +287,14 @@ object TextAnalysis {
                      loPct: Int = 1, hiPct: Int = 99): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(0 <= loPct && loPct <= hiPct && hiPct <= 100, s"$loPct..$hiPct")
+    // the histogram is bounded by the metric's VALUE DOMAIN — that is the
+    // whole scale argument. An unbucketed continuous metric would blow the
+    // histogram up to ~|corpus| rows, so refuse it loudly; bucket doubles
+    // to a grid (e.g. cast to int) before trimming on them.
+    val vType = docs.select(value).schema.head.dataType
+    require(Seq("integer", "long", "short", "byte", "date")
+        .contains(vType.typeName),
+      s"percentileTrim needs a bounded-domain (integral) metric, got $vType")
     val nonNull = docs.filter(value.isNotNull)
     val hist = nonNull.groupBy(stratum.as("__s"), value.as("__v"))
       .agg(count(lit(1)).as("__c"))
