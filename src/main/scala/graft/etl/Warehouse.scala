@@ -46,9 +46,15 @@ import scala.jdk.CollectionConverters._
   * read touches only the studies present in the incoming batch.
   */
 final class Warehouse(spark: SparkSession, val root: String,
-                      catalogRetention: Int = 2) {
+                      catalogRetention: Int = 2,
+                      format: String = "parquet") {
   require(catalogRetention >= 2,
     "catalogRetention < 2 would GC the version in-flight readers resolved")
+  // every generation/pointer/catalog mechanism is format-agnostic (they
+  // move directories and files, never rows); only the scan and the write
+  // name the format. ORC gets the same pushdown/pruning/vectorization
+  // via its own DSv2 source (FormatsSpec pins the pushed filters).
+  require(Set("parquet", "orc")(format), s"unsupported format $format")
 
   private def tableRoot(table: String): Path = Paths.get(root, table)
   private def ptrPath(table: String): Path = tableRoot(table).resolve("_current")
@@ -450,7 +456,7 @@ final class Warehouse(spark: SparkSession, val root: String,
 
   private[etl] def readDir(d: Option[Path], schema: StructType): DataFrame =
     d match {
-      case Some(p) => spark.read.schema(schema).parquet(p.toString)
+      case Some(p) => spark.read.schema(schema).format(format).load(p.toString)
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
@@ -484,9 +490,9 @@ final class Warehouse(spark: SparkSession, val root: String,
     withTableLock(table) {
       val gen = nextGenDir(table)
       deleteRecursively(gen)            // stale dir from a crashed writer
-      val w = df.write.mode(SaveMode.Overwrite)
+      val w = df.write.mode(SaveMode.Overwrite).format(format)
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-        .parquet(gen.toString)
+        .save(gen.toString)
       commit(table, gen)
     }
 
@@ -500,9 +506,9 @@ final class Warehouse(spark: SparkSession, val root: String,
         case Some(cur) =>
           val gen = nextGenDir(table)
           deleteRecursively(gen)
-          val w = df.write.mode(SaveMode.Overwrite)
+          val w = df.write.mode(SaveMode.Overwrite).format(format)
           (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-            .parquet(gen.toString)
+            .save(gen.toString)
           linkTree(cur, gen)            // carry the existing files over
           commit(table, gen)
       }
@@ -600,8 +606,8 @@ final class Warehouse(spark: SparkSession, val root: String,
           .select(schema.fieldNames.toSeq.map(col): _*)
         val tmp = tableRoot(table).resolve(".merge-tmp")
         deleteRecursively(tmp)
-        merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*)
-          .parquet(tmp.toString)
+        merged.write.mode(SaveMode.Overwrite).format(format)
+          .partitionBy(partitionCols: _*).save(tmp.toString)
         val rewritten = partitionDirs(tmp, partitionCols.length)
         val gen = nextGenDir(table)
         deleteRecursively(gen)
@@ -697,7 +703,7 @@ final class Warehouse(spark: SparkSession, val root: String,
     currentDir(table).foreach { cur =>
       val bytes = walkDir(cur)
         .filter(p => Files.isRegularFile(p) &&
-          p.getFileName.toString.endsWith(".parquet"))
+          p.getFileName.toString.endsWith(s".$format"))
         .map(Files.size).sum
       val nFiles = math.max(1L, (bytes + targetBytesPerFile - 1) /
         targetBytesPerFile).toInt

@@ -43,18 +43,20 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
   private var root: String = _
+  private var format: String = "parquet"
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     root = Option(options.get("root")).getOrElse(throw new IllegalArgumentException(
       s"set spark.sql.catalog.$name.root to a graft warehouse directory"))
+    format = Option(options.get("format")).getOrElse("parquet")
   }
 
   override def name(): String = catalogName
 
   // resolution state lives on disk; the Warehouse handle is stateless and
   // cheap, so construct per call against the active session
-  private def wh = new Warehouse(SparkSession.active, root)
+  private def wh = new Warehouse(SparkSession.active, root, format = format)
 
   private def requireDefaultNs(ns: Array[String]): Unit =
     if (ns.nonEmpty) throw new NoSuchNamespaceException(ns)
@@ -112,7 +114,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     dir match {
       case Some(d) =>
         ParquetTableBridge.create(s"$catalogName.${ident.name()}",
-          SparkSession.active, d.toString)
+          SparkSession.active, d.toString, format)
       case None => throw new NoSuchTableException(ident)
     }
   }

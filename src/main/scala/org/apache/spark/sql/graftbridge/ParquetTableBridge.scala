@@ -2,24 +2,35 @@ package org.apache.spark.sql.graftbridge
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.Table
+import org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.orc.OrcTable
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** Bridge into Spark's built-in parquet DataSource V2 table. The graft
+/** Bridge into Spark's built-in file DataSource V2 tables. The graft
   * SQL catalog resolves a warehouse table to one immutable generation
   * directory and then delegates ALL read machinery — schema/partition
   * inference, filter pushdown, column pruning, vectorized scans — to the
-  * stock `ParquetTable`, rather than re-implementing a file scan. The
-  * class is public bytecode but lives in an `execution` package, so the
-  * construction sits here with the other `org.apache.spark.sql`
-  * internals bridges. */
+  * stock `ParquetTable`/`OrcTable`, rather than re-implementing a file
+  * scan. The classes are public bytecode but live in `execution`
+  * packages, so the construction sits here with the other
+  * `org.apache.spark.sql` internals bridges. */
 object ParquetTableBridge {
-  def create(name: String, spark: SparkSession, path: String): Table = {
+  def create(name: String, spark: SparkSession, path: String,
+             format: String = "parquet"): Table = {
     val opts = new java.util.HashMap[String, String]()
     opts.put("path", path)
-    ParquetTable(name, spark, new CaseInsensitiveStringMap(opts),
-      Seq(path), userSpecifiedSchema = None,
-      fallbackFileFormat = classOf[ParquetFileFormat])
+    val map = new CaseInsensitiveStringMap(opts)
+    format match {
+      case "parquet" =>
+        ParquetTable(name, spark, map, Seq(path), userSpecifiedSchema = None,
+          fallbackFileFormat = classOf[ParquetFileFormat])
+      case "orc" =>
+        OrcTable(name, spark, map, Seq(path), userSpecifiedSchema = None,
+          fallbackFileFormat = classOf[OrcFileFormat])
+      case other =>
+        throw new IllegalArgumentException(s"unsupported format $other")
+    }
   }
 }
