@@ -222,8 +222,10 @@ object VecDotInt {
   * accumulation, the input norm computed once. What changes is plan
   * cost, not values: k expression nodes + a k-array build + two k-array
   * scans per row collapse into a single tight loop, and the vector is
-  * deserialized once instead of k times. NaN-free inputs assumed (the
-  * formulations diverge on NaN; embeddings have none).
+  * deserialized once instead of k times. A zero-norm input (no
+  * direction, cosine undefined) deterministically yields
+  * (cluster 0, cosine 0.0) instead of engine-dependent NaN ordering;
+  * NaN elements are otherwise assumed absent.
   *
   * Centroid norms are precomputed once on the driver and ship with the
   * serialized expression, like [[RpBits]] weights.
@@ -249,6 +251,13 @@ case class CentroidArgMax(child: Expression, centroids: Array[Array[Double]])
     var i = 0
     while (i < v.length) { nacc += v(i) * v(i); i += 1 }
     val nrm = math.sqrt(nacc)
+    // a zero-norm vector has no direction: every cosine is 0/0. Define
+    // it as (cluster 0, cosine 0.0) rather than letting NaN comparisons
+    // pick an engine-dependent winner — deterministic, and downstream
+    // thresholds (cosine >= tau) treat it as similar to nothing.
+    if (nrm == 0.0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0, 0.0))
     var best = Double.NegativeInfinity
     var bi = 0
     var c = 0

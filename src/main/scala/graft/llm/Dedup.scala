@@ -416,6 +416,13 @@ object Dedup {
     // slice. CACHED: three consumers read it (prefix generation and the
     // two verification joins) — without the cache the whole
     // shingle+df+sort pipeline would re-read the corpus three times.
+    // cache() deliberately, not localCheckpoint: the CacheManager
+    // dedupes by canonicalized plan, so repeated joins over the same
+    // corpus reuse one materialization, and blocks are evictable under
+    // storage-memory pressure. The trade is a session-lifetime catalog
+    // entry per distinct corpus — a long-running service cycling MANY
+    // corpora should spark.catalog.clearCache() between them (the bench
+    // does).
     val sorted = toks.join(freq, "tok")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ts"))
@@ -498,10 +505,13 @@ object Dedup {
     * structural. */
   def semDedupWith(vectors: DataFrame, centroids: Array[Array[Double]],
                    tau: Double): DataFrame = {
-    val asg = Similarity.assignTo(vectors, centroids)
-      .select(col("vec_id"), col("cluster"))
-    val withVec = asg.join(vectors.select(col("vec_id"), col("embedding"),
-        Similarity.norm(col("embedding")).as("nrm")), "vec_id")
+    // assignTo already carries the embedding — no join back to `vectors`
+    // (re-attaching a column the projection just dropped would shuffle
+    // the whole corpus twice for nothing)
+    val withVec = Similarity.assignTo(vectors, centroids)
+      .select(col("vec_id"), col("cluster"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+    val asg = withVec.select(col("vec_id"), col("cluster"))
     val a = withVec.alias("a")
     val b = withVec.alias("b")
     val dropped = a.join(b, col("a.cluster") === col("b.cluster") &&

@@ -273,7 +273,8 @@ object Similarity {
     * ([[graft.expr.VecDotInt]] — exact, accumulation-order-immune, hence
     * fully oracle-able) per scored pair; one float dot per (query x k)
     * survivor. */
-  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    excludeSelf: Boolean = true): DataFrame = {
     def quantized(df: DataFrame, id: String, emb: Column): DataFrame =
       df.select(col(id), emb.as("emb"), maxAbs(emb).as("mx"))
         .select(col(id), col("emb"), quantize(col("emb"), col("mx")).as("qv"))
@@ -282,7 +283,11 @@ object Similarity {
       .select(col("vec_id"), col("qv"), col("qn"))
     val q = quantized(queries, "query_id", col("embedding"))
       .select(col("query_id"), col("qv").as("q_qv"), col("qn").as("q_qn"))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("vec_id"))
+    // excludeSelf assumes queries drawn FROM the corpus (shared id
+    // space); disable it when query ids are unrelated to corpus ids, or
+    // a coincidental id match would silently hide a valid candidate
+    val scored = c.join(broadcast(q),
+        if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
       .select(col("query_id"), col("vec_id"),
         (VectorExprs.vecDotInt(col("q_qv"), col("qv")).cast("double") /
           (sqrt(col("q_qn").cast("double")) * sqrt(col("qn").cast("double"))))

@@ -77,10 +77,12 @@ object Sketches {
     val mg = udaf(new MisraGriesAggregator(k))
     val base = items.select(item.cast("string").as("item"))
       .filter(col("item").isNotNull)
-    val candidates = base.agg(mg(col("item")).as("cand"))
-      .select(explode(col("cand")).as("item"))
-      .collect().map(_.getString(0)).toIndexedSeq
-    val n = base.count()
+    // ONE aggregation yields both the candidate set and n — keeping the
+    // documented two-pass shape honest (sketch pass + recount pass)
+    val head = base.agg(mg(col("item")).as("cand"), count(lit(1)).as("n"))
+      .head()
+    val candidates = head.getSeq[String](0).toIndexedSeq
+    val n = head.getLong(1)
     base.filter(col("item").isin(candidates: _*))
       .groupBy("item").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * threshold > lit(n))

@@ -986,7 +986,8 @@ object Oracles {
         |  FROM cum GROUP BY lang)
         |SELECT d.doc_id, d.lang, d.n_chars
         |FROM documents d JOIN cuts c
-        |  ON d.lang = c.lang AND d.n_chars BETWEEN c.lo AND c.hi""".stripMargin,
+        |  ON d.lang IS NOT DISTINCT FROM c.lang
+        | AND d.n_chars BETWEEN c.lo AND c.hi""".stripMargin,
 
     "q77_chunk" ->
       s"""WITH tk AS (

@@ -121,6 +121,11 @@ class NativeExprSpec extends SparkSpec {
       assert(r.getDouble(1) == r.getDouble(3), r)   // bit-exact, not approx
     }
     assert(rows(2).getInt(0) == 0)   // the tie broke to the first index
+    // zero-norm input: defined as (0, 0.0), never NaN
+    val z = Seq(Array(0.0f, 0.0f, 0.0f, 0.0f)).toDF("e")
+      .select(VectorExprs.centroidArgMax(col("e"), cents).as("b"))
+      .select(col("b.cluster"), col("b.cosine")).head()
+    assert(z.getInt(0) == 0 && z.getDouble(1) == 0.0)
   }
 
   test("PolyFingerprint: known values, empty string, unicode codepoints") {
