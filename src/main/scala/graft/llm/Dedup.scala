@@ -673,6 +673,87 @@ object Dedup {
     docs.join(drop, docs(id.toString) === drop("doc_id"), "left_anti")
   }
 
+  // -------------------------------------------------- duplicated spans
+
+  /** EXACT duplicated-span detection — substring-level dedup in the
+    * style of "Deduplicating Training Data Makes Language Models
+    * Better" (Lee et al., 2022), relationally instead of with a suffix
+    * array: every k-token window of every document is hashed at its
+    * position; a window hash occurring >= `minCount` times anywhere in
+    * the corpus (across documents OR repeated within one — both are
+    * boilerplate) marks its k positions as duplicated; overlapping and
+    * adjacent marked windows then merge into MAXIMAL spans per document.
+    * Output: one row per maximal span (doc_id, span_start, span_end,
+    * span_tokens), positions 0-based over the normalized token sequence.
+    *
+    * Scale shape: the window table has one row per corpus TOKEN carrying
+    * only (doc_id, pos, hash) — the hash is computed in the projection
+    * BEFORE any shuffle, so text never moves. The occurrence count
+    * partial-aggregates map-side; marking is one equi-join on the hash
+    * (only positions, never text, shuffle back); and the span merge is a
+    * per-document window over the MARKED positions only — task size is
+    * bounded by the longest document's duplicated region, never by the
+    * corpus. No stage is quadratic and nothing is collected.
+    *
+    * `portable = true` hashes the joined window text with md5 (the form
+    * a SQL oracle can replay); production keeps the default xxhash64 of
+    * the token-array slice — no string is ever built per window. */
+  def dupSpans(docs: DataFrame, k: Int = 8, minCount: Int = 2,
+               id: Column = col("doc_id"), text: Column = col("text"),
+               portable: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && minCount >= 2, s"k=$k minCount=$minCount")
+    val toks = docs.select(id.as("doc_id"),
+      filter(split(normalized(text), " "), t => length(t) > 0).as("__t"))
+    val n = size(col("__t"))
+    val win = slice(col("__t"), col("pos") + 1, lit(k))
+    val grams = toks
+      .select(col("doc_id"), col("__t"),
+        explode(when(n >= k, sequence(lit(0), n - k))
+          .otherwise(array().cast("array<int>"))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        (if (portable) md5(array_join(win, " ")) else xxhash64(win)).as("__h"))
+    val dup = grams.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") >= minCount)
+    val seeds = grams.join(dup, "__h").select(col("doc_id"), col("pos"))
+    // islands: a new span starts where the gap to the previous seed
+    // exceeds k (seed windows [p, p+k-1] overlap or touch iff gap <= k)
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    seeds
+      .withColumn("__brk",
+        when(col("pos") - lag(col("pos"), 1).over(wDoc) > k, 1).otherwise(0))
+      .withColumn("__isl", sum(col("__brk"))
+        .over(wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("pos")).as("span_start"), max(col("pos")).as("__mx"))
+      .select(col("doc_id"), col("span_start"),
+        (col("__mx") + lit(k - 1)).as("span_end"),
+        (col("__mx") + lit(k) - col("span_start")).as("span_tokens"))
+  }
+
+  /** Per-document duplicated-token coverage from [[dupSpans]]: how much
+    * of each document lies inside a corpus-duplicated span, and the
+    * curation `keep` decision (`dup_frac <= maxDupFrac`). Spans are
+    * disjoint by construction, so coverage is a plain sum. Documents
+    * with no duplicated span (or no tokens) report zero coverage. */
+  def dupSpanStats(docs: DataFrame, k: Int = 8, minCount: Int = 2,
+                   maxDupFrac: Double = 0.5,
+                   id: Column = col("doc_id"), text: Column = col("text"),
+                   portable: Boolean = false): DataFrame = {
+    val perDoc = dupSpans(docs, k, minCount, id, text, portable)
+      .groupBy(col("doc_id")).agg(sum(col("span_tokens")).as("__dup"))
+    val base = docs.select(id.as("doc_id"),
+      size(filter(split(normalized(text), " "), t => length(t) > 0))
+        .as("n_tokens"))
+    base.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("__dup"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_frac",
+        when(col("n_tokens") === 0, 0.0)
+          .otherwise(col("dup_tokens").cast("double") / col("n_tokens")))
+      .withColumn("keep", (col("dup_frac") <= maxDupFrac).cast("int"))
+  }
+
   /** Embedding-cosine near-dup for an explicit candidate pair set
     * (id_a, id_b) — the verification stage when candidates come from
     * another generator. */

@@ -261,6 +261,50 @@ object TextAnalysis {
         array_join(col("__c"), " ").as("chunk"))
   }
 
+  /** Nearest-centroid text classifier, trained AND applied in-engine —
+    * the model-based curation stage of a training-data pipeline (route /
+    * score documents with a model learned from the corpus itself), with
+    * every number kept in EXACT integer arithmetic so the ranking is
+    * bit-identical on any engine:
+    *
+    *   - train: each class's centroid is its term-frequency profile,
+    *     scaled to integer weights `w_c(t) = tf_c(t) * SCALE div total_c`
+    *     (SCALE = 1e9) — one aggregate over the corpus, |vocab| x
+    *     |classes| rows of METADATA, never corpus-sized;
+    *   - score: `score(d, c) = sum_t tf_d(t) * w_c(t)` — document term
+    *     counts meet the weight table in a broadcast join, partial-agg'd
+    *     per (doc, class);
+    *   - predict: argmax by score with a deterministic class-name
+    *     tie-break, as one partial-aggregable `min(struct(-score, c))`.
+    *
+    * Text never shuffles: only derived (doc_id, term, tf) rows move, and
+    * the weight table rides the broadcast. A float softmax/log-prob
+    * formulation would be libm-dependent; the integer profile keeps the
+    * argmax portable (and a monotone transform of the same ranking).
+    * Documents with no tokens have no score under any class and are
+    * absent from the output — callers wanting them back left-join. */
+  def centroidClassifier(docs: DataFrame, label: Column = col("source"),
+                         id: Column = col("doc_id"),
+                         text: Column = col("text")): DataFrame = {
+    val terms = docs.select(id.as("doc_id"), label.as("__lab"),
+      explode(wsTokens(text)).as("term"))
+    val classTf = terms.groupBy(col("__lab"), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+    val classTot = classTf.groupBy(col("__lab")).agg(sum(col("__tf")).as("__tot"))
+    val weights = classTf.join(classTot, "__lab")
+      .select(col("__lab"), col("term"),
+        expr("__tf * 1000000000L div __tot").as("__w"))
+    val docTf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("__dtf"))
+    docTf.join(broadcast(weights), "term")
+      .groupBy(col("doc_id"), col("__lab"))
+      .agg(sum(col("__dtf") * col("__w")).as("__score"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("__score")).as("__ns"), col("__lab"))).as("__b"))
+      .select(col("doc_id"), col("__b.__lab").as("pred"),
+        (-col("__b.__ns")).as("score"))
+  }
+
   /** Per-stratum EXACT-percentile outlier trim: keep rows whose integer
     * metric (length, token count) lies within the stratum's
     * [loPct, hiPct] percentile band — the standard "drop the freakishly

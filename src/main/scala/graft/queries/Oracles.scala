@@ -1055,6 +1055,98 @@ object Oracles {
          |GROUP BY item, n.n
          |HAVING count(*) * 40 > n.n""".stripMargin,
 
+    "q83_dup_spans" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split($norm, ' '), t -> length(t) > 0) AS t
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+         |  FROM tk WHERE len(t) >= 8),
+         |g AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |         md5(array_to_string(t[i : i + 7], ' ')) AS h
+         |  FROM p),
+         |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+         |seeds AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+         |lagged AS (
+         |  SELECT doc_id, pos,
+         |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+         |                                        ORDER BY pos) > 8
+         |              THEN 1 ELSE 0 END AS brk
+         |  FROM seeds),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |  FROM lagged)
+         |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+         |       max(pos) + 8 - min(pos) AS span_tokens
+         |FROM isl GROUP BY doc_id, grp""".stripMargin,
+
+    "q84_span_scrub" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split($norm, ' '), t -> length(t) > 0) AS t
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+         |  FROM tk WHERE len(t) >= 8),
+         |g AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |         md5(array_to_string(t[i : i + 7], ' ')) AS h
+         |  FROM p),
+         |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+         |seeds AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+         |lagged AS (
+         |  SELECT doc_id, pos,
+         |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+         |                                        ORDER BY pos) > 8
+         |              THEN 1 ELSE 0 END AS brk
+         |  FROM seeds),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |  FROM lagged),
+         |spans AS (
+         |  SELECT doc_id, max(pos) + 8 - min(pos) AS st
+         |  FROM isl GROUP BY doc_id, grp),
+         |per AS (SELECT doc_id, CAST(sum(st) AS BIGINT) AS dup_tokens
+         |        FROM spans GROUP BY doc_id)
+         |SELECT b.doc_id, len(b.t) AS n_tokens,
+         |       coalesce(per.dup_tokens, 0) AS dup_tokens,
+         |       CASE WHEN len(b.t) = 0 THEN 0.0
+         |            ELSE CAST(coalesce(per.dup_tokens, 0) AS DOUBLE) / len(b.t)
+         |       END AS dup_frac,
+         |       CASE WHEN (CASE WHEN len(b.t) = 0 THEN 0.0
+         |                       ELSE CAST(coalesce(per.dup_tokens, 0) AS DOUBLE)
+         |                            / len(b.t) END) <= 0.3
+         |            THEN 1 ELSE 0 END AS keep
+         |FROM tk b LEFT JOIN per USING (doc_id)""".stripMargin,
+
+    "q85_centroid_classify" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, source,
+         |         unnest(list_filter(string_split($norm, ' '),
+         |                x -> length(x) > 0)) AS term
+         |  FROM documents),
+         |ctf AS (SELECT source AS lab, term, count(*) AS tf
+         |        FROM tok GROUP BY 1, 2),
+         |ctot AS (SELECT lab, sum(tf) AS tot FROM ctf GROUP BY 1),
+         |w AS (SELECT lab, term, tf * 1000000000 // tot AS wt
+         |      FROM ctf JOIN ctot USING (lab)),
+         |dtf AS (SELECT doc_id, term, count(*) AS dtf
+         |        FROM tok GROUP BY 1, 2),
+         |sc AS (SELECT d.doc_id, w.lab, CAST(sum(d.dtf * w.wt) AS BIGINT) AS score
+         |       FROM dtf d JOIN w USING (term) GROUP BY 1, 2),
+         |r AS (SELECT doc_id, lab, score,
+         |             row_number() OVER (PARTITION BY doc_id
+         |               ORDER BY score DESC, lab ASC) AS rn
+         |      FROM sc)
+         |SELECT r.doc_id, d.source, r.lab AS pred, r.score
+         |FROM r JOIN documents d USING (doc_id) WHERE rn = 1""".stripMargin,
+
     "q36_ann_brute_force" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
         |           WHERE vec_id < 5),

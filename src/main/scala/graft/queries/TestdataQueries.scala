@@ -914,6 +914,30 @@ object TestdataQueries {
       col("item"), threshold = 40)
   }
 
+  /** Exact duplicated-span detection (Lee et al.-style substring dedup):
+    * 8-token window hashes -> corpus-duplicated windows -> maximal merged
+    * spans per document. Portable md5 window hash so the oracle replays
+    * the whole pipeline; production uses xxhash64 of the array slice. */
+  def q83DupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpans(t(s, dir, "documents"), k = 8, minCount = 2,
+      portable = true)
+
+  /** Per-document duplicated-token coverage + curation keep decision
+    * (drop documents that are mostly corpus-duplicated spans). */
+  def q84SpanScrub(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpanStats(t(s, dir, "documents"), k = 8, minCount = 2,
+      maxDupFrac = 0.3, portable = true)
+
+  /** Nearest-centroid text classifier trained and applied in-engine
+    * (exact integer weights; argmax portable across engines), reported
+    * against the actual source label. */
+  def q85CentroidClassify(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    TextAnalysis.centroidClassifier(d)
+      .join(d.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("doc_id"), col("source"), col("pred"), col("score"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -981,6 +1005,9 @@ object TestdataQueries {
     "q80_label_centroids" -> q80LabelCentroids _,
     "q81_incremental_semdedup" -> q81IncrementalSemdedup _,
     "q82_heavy_hitters" -> q82HeavyHitters _,
+    "q83_dup_spans" -> q83DupSpans _,
+    "q84_span_scrub" -> q84SpanScrub _,
+    "q85_centroid_classify" -> q85CentroidClassify _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,

@@ -908,4 +908,77 @@ class LlmOpsSpec extends SparkSpec {
       assert(r.getAs[Double]("exact_cos") > 0.99)
     }
   }
+
+  private def spanDocs = {
+    val a = (1 to 20).map(i => s"w$i").mkString(" ")               // w1..w20
+    val b = ((1 to 5).map(i => s"x$i") ++ (3 to 14).map(i => s"w$i") ++
+      (1 to 5).map(i => s"y$i")).mkString(" ")                     // shares w3..w14
+    val c = "p q r s t p q r s t"                                  // self-repeat
+    val d = (1 to 15).map(i => s"z$i").mkString(" ")               // clean
+    Seq((0L, a), (1L, b), (2L, c), (3L, d)).toDF("doc_id", "text")
+  }
+
+  test("dupSpans finds the maximal cross-doc shared span at exact bounds") {
+    for (portable <- Seq(false, true)) {
+      val spans = Dedup.dupSpans(spanDocs, k = 4, portable = portable)
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          (r.getAs[Int]("span_start"), r.getAs[Int]("span_end"),
+            r.getAs[Int]("span_tokens")))).groupBy(_._1)
+      // docA: w3..w14 is tokens 2..13 (0-based); seeds 2..10 merge to one span
+      assert(spans(0L).map(_._2).toSeq == Seq((2, 13, 12)))
+      // docB: same 12 shared tokens sit at positions 5..16
+      assert(spans(1L).map(_._2).toSeq == Seq((5, 16, 12)))
+      // docD shares nothing and repeats nothing
+      assert(!spans.contains(3L))
+    }
+  }
+
+  test("dupSpans marks within-document repetition as one merged span") {
+    val spans = Dedup.dupSpans(spanDocs, k = 4)
+      .filter(col("doc_id") === 2L).collect()
+    // "p q r s t p q r s t": windows 0==5 and 1==6 repeat; seeds {0,1,5,6}
+    // merge (max gap 4 == k) into one whole-doc span
+    assert(spans.length == 1)
+    val r = spans.head
+    assert(r.getAs[Int]("span_start") == 0 && r.getAs[Int]("span_end") == 9 &&
+      r.getAs[Int]("span_tokens") == 10)
+  }
+
+  test("dupSpanStats reports coverage and the keep decision, zeros for clean docs") {
+    val stats = Dedup.dupSpanStats(spanDocs, k = 4, maxDupFrac = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_tokens"), r.getAs[Long]("dup_tokens"),
+          r.getAs[Double]("dup_frac"), r.getAs[Int]("keep"))).toMap
+    assert(stats(0L) == ((20, 12L, 0.6, 0)))     // 12/20 duplicated -> drop
+    assert(stats(1L) == ((22, 12L, 12.0 / 22.0, 0)))
+    assert(stats(2L) == ((10, 10L, 1.0, 0)))     // all self-repeat -> drop
+    assert(stats(3L) == ((15, 0L, 0.0, 1)))      // clean -> keep
+  }
+
+  test("dupSpans is stable under repartitioning") {
+    val base = Dedup.dupSpans(spanDocs, k = 4).collect().toSet
+    val re = Dedup.dupSpans(spanDocs.repartition(7), k = 4).collect().toSet
+    assert(base == re)
+  }
+
+  test("centroid classifier separates disjoint-vocab classes") {
+    val d = Seq((1L, "a", "alpha alpha alpha beta"),
+      (2L, "b", "gamma gamma gamma beta")).toDF("doc_id", "source", "text")
+    val pred = TextAnalysis.centroidClassifier(d)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("pred"), r.getAs[Long]("score"))).toMap
+    // class a profile {alpha: 3/4, beta: 1/4}: doc1 scores
+    // 3*750000000 + 1*250000000 = 2.5e9 under a, only 250000000 under b
+    assert(pred(1L) == (("a", 2500000000L)))
+    assert(pred(2L) == (("b", 2500000000L)))
+  }
+
+  test("centroid classifier breaks exact score ties by smallest class label") {
+    val d = Seq((1L, "u", "t"), (2L, "v", "t")).toDF("doc_id", "source", "text")
+    val pred = TextAnalysis.centroidClassifier(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred")).toMap
+    // both classes have the identical profile {t: 1.0} -> every doc ties
+    // at 1e9 under u and v; the deterministic tie-break picks "u"
+    assert(pred == Map(1L -> "u", 2L -> "u"))
+  }
 }
