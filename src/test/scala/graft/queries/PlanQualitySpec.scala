@@ -151,6 +151,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(p81.contains("BroadcastHashJoin"), p81)
   }
 
+  test("q83: span detection never moves text — window hashes shuffle, docs don't") {
+    // the duplicated-window count and the mark-back join must both key on
+    // the precomputed hash (equi-joins/aggregates over (doc_id, pos, h)
+    // rows); the token arrays stay behind the projection. A plan that
+    // shuffles `text` or `__t` would carry the corpus through the wire.
+    val p = plan("q83_dup_spans")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty, p)
+    assert(!exchanges.exists(l => l.contains("text") || l.contains("__t#")), p)
+  }
+
+  test("q85: classifier weight table broadcasts; corpus text never joins") {
+    // scoring joins doc term counts to the |vocab| x |classes| weight
+    // table — metadata — which must ride a broadcast, never a sort-merge
+    val p = plan("q85_centroid_classify")
+    assert(p.contains("BroadcastHashJoin"), p)
+    val smjLines = p.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    assert(!smjLines.exists(_.contains("term")), p)
+  }
+
   test("q68/q69: posting cap and tf-idf ranking are map-side group limits") {
     // the inverted index's posting cap and the per-document tf-idf top-k
     // both rest on the same rewrite: without WindowGroupLimit a
