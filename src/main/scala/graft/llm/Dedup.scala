@@ -435,12 +435,23 @@ object Dedup {
         .cast("int") + lit(1)
     val prefixes = sorted
       .select(col("doc_id"), col("n"),
-        explode(slice(col("toks"), lit(1), prefixLen)).as("tok"))
+        posexplode(slice(col("toks"), lit(1), prefixLen)).as(Seq("p0", "tok")))
+      .select(col("doc_id"), col("n"), col("tok"), (col("p0") + 1).as("p"))
+    // PPJoin positional filter on top of the length filter: for the FIRST
+    // common token of a pair (positions pa/pb in the shared global order)
+    // the overlap can't exceed 1 + min(n_a - pa, n_b - pb); J >= tNum/tDen
+    // needs overlap*(tNum+tDen) >= tNum*(n_a+n_b). Applying the bound to
+    // EVERY matched prefix row is sound: later matches only tighten it,
+    // so a pair survives iff its first-match row does — and the candidate
+    // set (hence the verified result) is unchanged, just smaller before
+    // the distinct and the verification joins.
     val cand = prefixes.alias("a")
       .join(prefixes.alias("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.n"), col("b.n")) * tDen >=
-            greatest(col("a.n"), col("b.n")) * tNum)
+            greatest(col("a.n"), col("b.n")) * tNum &&
+          (lit(1) + least(col("a.n") - col("a.p"), col("b.n") - col("b.p"))) *
+            (tNum + tDen) >= (col("a.n") + col("b.n")) * tNum)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     // exact verification over full (distinct) token arrays, candidates only
@@ -592,6 +603,8 @@ object Dedup {
     */
   def duplicateClusters(edges: DataFrame, maxIter: Int = 50,
                         localThreshold: Long = 1000000L): DataFrame = {
+    require(localThreshold >= 0 && localThreshold < Int.MaxValue,
+      s"localThreshold $localThreshold must fit a bounded collect")
     // Near-dup edge lists are normally FAR smaller than the corpus (the
     // whole point of LSH candidate generation), so when the deduplicated
     // edge list fits comfortably on the driver, a local union-find beats
@@ -600,9 +613,14 @@ object Dedup {
     // whose candidate graphs are themselves huge.
     val dedupedEdges = edges.select(col("id_a").cast("long"), col("id_b").cast("long"))
       .distinct().cache()
-    val nEdges = dedupedEdges.count()
-    if (nEdges <= localThreshold) {
-      val pairs = dedupedEdges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // ONE bounded action decides the path AND fetches the edges: limit
+    // N+1 returns every row when there are <= N (the local case) and a
+    // cheap overflow witness otherwise — the separate count() pass this
+    // replaces was a full extra traversal per dedup invocation (and
+    // q67-style maintenance pipelines invoke this three times).
+    val probe = dedupedEdges.limit(localThreshold.toInt + 1).collect()
+    if (probe.length <= localThreshold) {
+      val pairs = probe.map(r => (r.getLong(0), r.getLong(1)))
       dedupedEdges.unpersist()
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
