@@ -144,6 +144,53 @@ object Sampling {
     fullyIn.select(outCols: _*).unionByName(boundary.select(outCols: _*))
   }
 
+  /** Deterministic shuffle-and-shard: the last stage of a training-data
+    * pipeline — spread documents pseudo-randomly across `nShards` output
+    * shards and give each a dense position within its shard, with no RNG
+    * anywhere: shard = md5-bucket(id) mod nShards, order within a shard
+    * = (bucket, id). Rerunning, repartitioning, or recomputing on
+    * another engine produces the identical (shard, pos) assignment, so
+    * training runs are reproducible and resumable.
+    *
+    * Scale shape — positions are NEVER a per-shard window over the
+    * corpus (that funnels each shard through one task): the id-hash
+    * space splits into `nBuckets` ranges per shard, one aggregate
+    * computes per-(shard, range) counts (a `nShards x nBuckets`
+    * METADATA summary), a bounded window over the summary turns counts
+    * into range offsets broadcast back, and each row adds a
+    * within-range rank whose window partitions by (shard, range) —
+    * every task is a 1/nBuckets slice of a shard. Because ranges are
+    * prefixes of the same (bucket, id) order, positions are dense
+    * 0..count-1 per shard and identical to the naive windowed form.
+    *
+    * Rows with a null id have no hash and are excluded (a null has no
+    * deterministic position). */
+  def shardAssign(df: DataFrame, id: Column, nShards: Int,
+                  nBuckets: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards > 0 && nBuckets > 0, s"$nShards/$nBuckets")
+    val outCols = df.columns.toSeq.map(col)
+    val rows = df.filter(id.isNotNull)
+      .withColumn("__hb", hashBucket(id))
+      .withColumn("shard", pmod(col("__hb"), lit(nShards.toLong)).cast("int"))
+      .withColumn("__bkt",
+        floor(col("__hb") / lit(BucketSpace / nBuckets)).cast("int"))
+    val offsets = rows
+      .groupBy(col("shard").as("__s"), col("__bkt").as("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(
+        sum(col("__c")).over(Window.partitionBy(col("__s"))
+          .orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val wIn = Window.partitionBy(col("shard"), col("__bkt"))
+      .orderBy(col("__hb"), id)
+    rows.join(broadcast(offsets),
+        col("shard") === col("__s") && col("__bkt") === col("__b"))
+      .withColumn("pos",
+        col("__off") + row_number().over(wIn).cast("long") - 1L)
+      .select(outCols ++ Seq(col("shard"), col("pos")): _*)
+  }
+
   /** Sequence packing: place every document on the concatenated token
     * stream (documents in id order, back to back) and report which
     * fixed-size context bin it starts in and at what offset — `bin =

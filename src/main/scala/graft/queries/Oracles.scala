@@ -1147,6 +1147,17 @@ object Oracles {
          |SELECT r.doc_id, d.source, r.lab AS pred, r.score
          |FROM r JOIN documents d USING (doc_id) WHERE rn = 1""".stripMargin,
 
+    "q86_shard_assign" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+        |           AS hb
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |SELECT doc_id, CAST(hb % 8 AS INT) AS shard,
+        |       row_number() OVER (PARTITION BY hb % 8
+        |                          ORDER BY hb, doc_id) - 1 AS pos
+        |FROM h""".stripMargin,
+
     "q36_ann_brute_force" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
         |           WHERE vec_id < 5),

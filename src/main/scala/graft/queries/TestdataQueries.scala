@@ -938,6 +938,14 @@ object TestdataQueries {
       .select(col("doc_id"), col("source"), col("pred"), col("score"))
   }
 
+  /** Deterministic shuffle-and-shard: every document's (shard, position)
+    * for 8 output shards — two-phase bucket ranking, no per-shard window
+    * over the corpus; small nBuckets so multiple range buckets are
+    * genuinely exercised at test scale. */
+  def q86ShardAssign(s: SparkSession, dir: String): DataFrame =
+    Sampling.shardAssign(t(s, dir, "documents").select(col("doc_id")),
+      col("doc_id"), nShards = 8, nBuckets = 64)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -1008,6 +1016,7 @@ object TestdataQueries {
     "q83_dup_spans" -> q83DupSpans _,
     "q84_span_scrub" -> q84SpanScrub _,
     "q85_centroid_classify" -> q85CentroidClassify _,
+    "q86_shard_assign" -> q86ShardAssign _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,

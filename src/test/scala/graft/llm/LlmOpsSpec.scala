@@ -961,6 +961,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(base == re)
   }
 
+  test("shard assignment: dense positions, equals the naive window, invariant") {
+    import org.apache.spark.sql.expressions.Window
+    val d = (0L until 500L).toDF("id")
+    val a = Sampling.shardAssign(d, col("id"), nShards = 4, nBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // dense 0..count-1 positions per shard
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3) == (0L until rows.size).toSet)
+    }
+    // identical to the naive one-window-per-shard form
+    val w = Window.partitionBy(col("shard")).orderBy(col("__hb"), col("id"))
+    val naive = d.withColumn("__hb", Sampling.hashBucket(col("id")))
+      .withColumn("shard", pmod(col("__hb"), lit(4L)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .select(col("id"), col("shard"), col("pos"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a == naive)
+    // bucket-count and partitioning invariance
+    val b3 = Sampling.shardAssign(d, col("id"), 4, nBuckets = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(b3 == a)
+    val rep = Sampling.shardAssign(d.repartition(13), col("id"), 4, 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rep == a)
+  }
+
+  test("shard assignment excludes null ids (no deterministic position)") {
+    val d = (Seq[Option[Long]](None) ++ (0L until 20L).map(Some(_))).toDF("id")
+    val a = Sampling.shardAssign(d, col("id"), nShards = 2)
+    assert(a.count() == 20 && a.filter(col("id").isNull).count() == 0)
+  }
+
   test("centroid classifier separates disjoint-vocab classes") {
     val d = Seq((1L, "a", "alpha alpha alpha beta"),
       (2L, "b", "gamma gamma gamma beta")).toDF("doc_id", "source", "text")

@@ -173,6 +173,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(!smjLines.exists(_.contains("term")), p)
   }
 
+  test("q86: shard positions never window a whole shard through one task") {
+    // same invariant as q65: every window must involve the hash-range
+    // bucket; a Window partitioned by shard alone is the funnel the
+    // two-phase form removes
+    val p = plan("q86_shard_assign")
+    val windowArgs = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowArgs.nonEmpty, p)
+    assert(windowArgs.forall(a => a.contains("__bkt") || a.contains("__b")), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q68/q69: posting cap and tf-idf ranking are map-side group limits") {
     // the inverted index's posting cap and the per-document tf-idf top-k
     // both rest on the same rewrite: without WindowGroupLimit a
