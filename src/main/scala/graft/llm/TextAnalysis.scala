@@ -261,6 +261,58 @@ object TextAnalysis {
         array_join(col("__c"), " ").as("chunk"))
   }
 
+  /** Gopher-style repetition metrics: for each document and each n in
+    * `ns`, the token-coverage fraction of the MOST FREQUENT n-gram
+    * (`count * n / n_tokens`), plus the composite keep decision against
+    * the published thresholds (drop when the top 2-gram covers > 20%,
+    * 3-gram > 18%, 4-gram > 16% — boilerplate and degenerate repetition
+    * both trip these).
+    *
+    * ZERO shuffle: the most frequent n-gram's count is the longest run
+    * of equal adjacent elements in the SORTED per-document n-gram array,
+    * computed by one `array_sort` + one linear `aggregate` fold per n —
+    * everything stays in a projection, so the corpus never moves and no
+    * per-gram rows ever exist (the exploded formulation would put
+    * |ns| x corpus-token gram strings through a shuffle). Only the count
+    * is needed for the fraction, so no tie-break question arises. All
+    * engine-portable: counts are integers and the fraction is one IEEE
+    * division. */
+  def repetitionMetrics(docs: DataFrame, ns: Seq[Int] = Seq(2, 3, 4),
+                        thresholds: Map[Int, Double] =
+                          Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16),
+                        id: Column = col("doc_id"),
+                        text: Column = col("text")): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), ns.toString)
+    val base = docs.select(id.as("doc_id"),
+      filter(split(Dedup.normalized(text), " "), t => length(t) > 0).as("__t"))
+    val sz = size(col("__t"))
+    def maxRun(n: Int): Column = {
+      val grams = array_sort(transform(sequence(lit(0), sz - n),
+        i => array_join(slice(col("__t"), i + 1, lit(n)), " ")))
+      val folded = aggregate(
+        when(sz >= n, grams).otherwise(array().cast("array<string>")),
+        struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+        (s, x) => {
+          val run = when(x === s.getField("prev"), s.getField("run") + 1)
+            .otherwise(lit(1))
+          struct(x.as("prev"), run.as("run"),
+            greatest(s.getField("best"), run).as("best"))
+        },
+        s => s.getField("best"))
+      folded
+    }
+    val fracs = ns.map { n =>
+      (n, when(sz === 0, 0.0)
+        .otherwise(maxRun(n).cast("double") * n / sz).as(s"top${n}_frac"))
+    }
+    val keep = thresholds.toSeq.sortBy(_._1)
+      .filter { case (n, _) => ns.contains(n) }
+      .map { case (n, thr) => col(s"top${n}_frac") <= thr }
+      .reduce(_ && _)
+    base.select(col("doc_id") +: sz.as("n_tokens") +: fracs.map(_._2): _*)
+      .withColumn("keep", keep.cast("int"))
+  }
+
   /** Nearest-centroid text classifier, trained AND applied in-engine —
     * the model-based curation stage of a training-data pipeline (route /
     * score documents with a model learned from the corpus itself), with

@@ -1158,6 +1158,39 @@ object Oracles {
         |                          ORDER BY hb, doc_id) - 1 AS pos
         |FROM h""".stripMargin,
 
+    "q87_repetition" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split($norm, ' '), t -> length(t) > 0) AS t
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, t, n, unnest(range(1, len(t) - n + 2)) AS i
+         |  FROM tk, (VALUES (2), (3), (4)) AS v(n)
+         |  WHERE len(t) >= n),
+         |g AS (
+         |  SELECT doc_id, n, array_to_string(t[i : i + n - 1], ' ') AS gr
+         |  FROM p),
+         |c AS (SELECT doc_id, n, gr, count(*) AS c FROM g GROUP BY 1, 2, 3),
+         |top AS (SELECT doc_id, n, max(c) AS mc FROM c GROUP BY 1, 2),
+         |fr AS (
+         |  SELECT tk.doc_id, len(tk.t) AS n_tokens,
+         |         coalesce(max(CASE WHEN n = 2
+         |           THEN CAST(mc * 2 AS DOUBLE) / len(tk.t) END), 0.0)
+         |           AS top2_frac,
+         |         coalesce(max(CASE WHEN n = 3
+         |           THEN CAST(mc * 3 AS DOUBLE) / len(tk.t) END), 0.0)
+         |           AS top3_frac,
+         |         coalesce(max(CASE WHEN n = 4
+         |           THEN CAST(mc * 4 AS DOUBLE) / len(tk.t) END), 0.0)
+         |           AS top4_frac
+         |  FROM tk LEFT JOIN top ON tk.doc_id = top.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, n_tokens, top2_frac, top3_frac, top4_frac,
+         |       CASE WHEN top2_frac <= 0.20 AND top3_frac <= 0.18
+         |                 AND top4_frac <= 0.16
+         |            THEN 1 ELSE 0 END AS keep
+         |FROM fr""".stripMargin,
+
     "q36_ann_brute_force" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
         |           WHERE vec_id < 5),

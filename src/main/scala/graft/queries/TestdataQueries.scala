@@ -946,6 +946,12 @@ object TestdataQueries {
     Sampling.shardAssign(t(s, dir, "documents").select(col("doc_id")),
       col("doc_id"), nShards = 8, nBuckets = 64)
 
+  /** Gopher repetition metrics: top-n-gram token-coverage fraction per
+    * document for n = 2,3,4 + keep decision — zero-shuffle sorted-run
+    * formulation (the corpus never leaves its scan tasks). */
+  def q87Repetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionMetrics(t(s, dir, "documents"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -1017,6 +1023,7 @@ object TestdataQueries {
     "q84_span_scrub" -> q84SpanScrub _,
     "q85_centroid_classify" -> q85CentroidClassify _,
     "q86_shard_assign" -> q86ShardAssign _,
+    "q87_repetition" -> q87Repetition _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,

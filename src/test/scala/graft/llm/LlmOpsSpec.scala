@@ -993,6 +993,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(a.count() == 20 && a.filter(col("id").isNull).count() == 0)
   }
 
+  test("repetition metrics: exact top-n-gram coverage and keep thresholds") {
+    val d = Seq(
+      (0L, "a b a b a b a b"),          // top 2-gram "a b" x4 of 7 -> 8/8
+      (1L, "x y z w v u t s"),          // all n-grams unique
+      (2L, "r r r r r r r r r r"),      // one token repeated: total repetition
+      (3L, ""),                         // empty -> all zeros, kept
+      (4L, "one two")                   // shorter than n=3,4 -> those are 0
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(d)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_tokens"), r.getAs[Double]("top2_frac"),
+          r.getAs[Double]("top3_frac"), r.getAs[Double]("top4_frac"),
+          r.getAs[Int]("keep"))).toMap
+    // doc0: "a b" x4 of 7 bigrams -> 8/8; "a b a" x3 -> 9/8; "a b a b" x3
+    // -> 12/8 (overlapping repeats legitimately exceed 1.0); dropped
+    assert(m(0L) == ((8, 1.0, 9.0 / 8, 12.0 / 8, 0)))
+    // doc1: every n-gram occurs once -> fractions n/8, kept iff all under
+    assert(m(1L)._2 == 2.0 / 8 && m(1L)._3 == 3.0 / 8 && m(1L)._4 == 4.0 / 8)
+    assert(m(1L)._5 == 0)   // 3/8 = 0.375 > 0.18 -> tiny docs trip the rule
+    // doc2: "r r" x9 of 9 bigrams -> full coverage at every n
+    assert(m(2L) == ((10, 9 * 2.0 / 10, 8 * 3.0 / 10, 7 * 4.0 / 10, 0)))
+    // doc3: empty -> zeros, kept
+    assert(m(3L) == ((0, 0.0, 0.0, 0.0, 1)))
+    // doc4: one bigram, no 3/4-grams -> top2 = 2/2 = 1.0, others 0
+    assert(m(4L) == ((2, 1.0, 0.0, 0.0, 0)))
+  }
+
   test("centroid classifier separates disjoint-vocab classes") {
     val d = Seq((1L, "a", "alpha alpha alpha beta"),
       (2L, "b", "gamma gamma gamma beta")).toDF("doc_id", "source", "text")

@@ -185,6 +185,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q87: repetition metrics are a pure projection — zero shuffles") {
+    // the sorted-run formulation keeps the whole computation inside the
+    // scan's projection; an exploded gram-count formulation would put
+    // |ns| x corpus-tokens gram strings through an Exchange
+    val p = plan("q87_repetition")
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("q68/q69: posting cap and tf-idf ranking are map-side group limits") {
     // the inverted index's posting cap and the per-document tf-idf top-k
     // both rest on the same rewrite: without WindowGroupLimit a
