@@ -691,6 +691,39 @@ object Dedup {
     docs.join(drop, docs(id.toString) === drop("doc_id"), "left_anti")
   }
 
+  // -------------------------------------------------- decontamination
+
+  /** Benchmark decontamination at corpus scale: every (train doc, eval
+    * doc) pair sharing at least one word k-gram — EXACT result, Bloom-
+    * pruned plan. A plain exploded-shingle equi-join needs the eval gram
+    * set on every executor (broadcast) or a shuffle of the FULL train
+    * gram table (corpus x ~tokens rows) when the eval suite outgrows the
+    * broadcast limit. Here the eval grams build a [[Sketches.bloomBuild]]
+    * bitmap (numBits/64 longs — 128 KB at 2^20 bits, constant-size
+    * however many eval grams), the train grams filter through
+    * [[Sketches.bloomMightContain]] INSIDE their scan tasks, and only
+    * the surviving sliver meets the eval grams in the exact equi-join
+    * that removes Bloom false positives. No false negatives exist, so
+    * the result equals the plain join's exactly — pinned by spec and by
+    * the q88 oracle (which recomputes the plain form).
+    *
+    * The eval side is read twice (bloom build + verify join) — cache it
+    * when it is itself expensive to produce. */
+  def decontaminate(train: DataFrame, eval: DataFrame, k: Int = 5,
+                    numBits: Int = 1 << 20, numHashes: Int = 4,
+                    trainId: Column = col("doc_id"),
+                    evalId: Column = col("doc_id"),
+                    trainText: Column = col("text"),
+                    evalText: Column = col("text")): DataFrame = {
+    val evalGrams = eval.select(evalId.as("eval_id"),
+      explode(shingles(evalText, k)).as("g"))
+    val bits = Sketches.bloomBuild(evalGrams, col("g"), numBits, numHashes)
+    train.select(trainId.as("train_id"), explode(shingles(trainText, k)).as("g"))
+      .filter(Sketches.bloomMightContain(bits, col("g"), numHashes))
+      .join(evalGrams, "g")
+      .select(col("train_id"), col("eval_id")).distinct()
+  }
+
   // -------------------------------------------------- duplicated spans
 
   /** EXACT duplicated-span detection — substring-level dedup in the

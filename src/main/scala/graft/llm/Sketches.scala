@@ -51,6 +51,65 @@ object Sketches {
       kmvEstimate(k, col("mins")).as("kmv_est"): _*)
   }
 
+  // --------------------------------------------------------------- bloom
+
+  /** Bit positions of `item` in a `numBits`-bit Bloom filter (power of
+    * two), via the XOR-rotate two-hash family the minhash path uses
+    * (`h1 + i*h2` would need wrapping long arithmetic, which ANSI mode
+    * rejects). Pure column algebra — usable on both the build and the
+    * probe side, so the two can never disagree. */
+  def bloomPositions(item: Column, numBits: Int, numHashes: Int): Seq[Column] = {
+    require(numBits >= 64 && (numBits & (numBits - 1)) == 0,
+      s"numBits $numBits must be a power of two >= 64")
+    require(numHashes >= 1, s"numHashes $numHashes")
+    val h1 = xxhash64(item)
+    val h2 = xxhash64(lit(1), item)
+    def rot(c: Column, i: Int): Column =
+      if (i % 64 == 0) c
+      else shiftleft(c, i % 64).bitwiseOR(shiftrightunsigned(c, 64 - (i % 64)))
+    (0 until numHashes).map { i =>
+      h1.bitwiseXOR(rot(h2, i * 7 + 1)).bitwiseAND(lit((numBits - 1).toLong))
+    }
+  }
+
+  private val BitMasks: Seq[Long] = (0 until 64).map(1L << _)
+
+  /** Build the filter: ONE partially-aggregated pass over the items
+    * (word index -> OR of bit masks — at most numBits/64 groups), the
+    * bitmap collected to the driver as `numBits / 64` longs. A 2^20-bit
+    * filter is 16k longs = 128 KB — broadcastable as a plan literal at
+    * any corpus scale, unlike the item set itself. */
+  def bloomBuild(df: DataFrame, item: Column, numBits: Int,
+                 numHashes: Int = 4): Array[Long] = {
+    val pos = explode(array(bloomPositions(item, numBits, numHashes): _*))
+    val words = df.select(pos.as("__p"))
+      .select(shiftrightunsigned(col("__p"), 6).cast("int").as("__w"),
+        element_at(typedLit(BitMasks),
+          col("__p").bitwiseAND(lit(63L)).cast("int") + 1).as("__m"))
+      .groupBy("__w").agg(expr("bit_or(__m)").as("__bits"))
+      .collect()
+    val arr = new Array[Long](numBits / 64)
+    words.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    arr
+  }
+
+  /** Membership test against a built bitmap: all `numHashes` bits set.
+    * NO false negatives (every inserted item passes); false positives at
+    * the standard Bloom rate — callers follow with an exact verify. The
+    * bitmap and the 64 single-bit masks ride the plan as array literals;
+    * the test is k `element_at` probes, fully codegen'd. */
+  def bloomMightContain(bits: Array[Long], item: Column,
+                        numHashes: Int = 4): Column = {
+    val numBits = bits.length * 64
+    val bitsLit = typedLit(bits.toSeq)
+    bloomPositions(item, numBits, numHashes).map { p =>
+      val word = element_at(bitsLit, shiftrightunsigned(p, 6).cast("int") + 1)
+      val mask = element_at(typedLit(BitMasks),
+        p.bitwiseAND(lit(63L)).cast("int") + 1)
+      word.bitwiseAND(mask) =!= 0L
+    }.reduce(_ && _)
+  }
+
   /** EXACT heavy hitters at scale: every item whose count is strictly
     * greater than `n / threshold` (n = total items), found without ever
     * shuffling the full per-item count table.

@@ -1191,6 +1191,17 @@ object Oracles {
          |            THEN 1 ELSE 0 END AS keep
          |FROM fr""".stripMargin,
 
+    "q88_decontaminate_bloom" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split($norm, ' ') AS t FROM documents),
+         |gr AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 3),
+         |    i -> array_to_string(t[i : i + 4], ' ')))) AS g
+         |  FROM toks)
+         |SELECT DISTINCT tr.doc_id AS train_id, ev.doc_id AS eval_id
+         |FROM gr tr JOIN gr ev ON tr.g = ev.g
+         |WHERE tr.doc_id >= 10 AND ev.doc_id < 10""".stripMargin,
+
     "q36_ann_brute_force" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
         |           WHERE vec_id < 5),

@@ -952,6 +952,17 @@ object TestdataQueries {
   def q87Repetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionMetrics(t(s, dir, "documents"))
 
+  /** Bloom-pruned decontamination: identical result to q56's plain join
+    * (Bloom filters have no false negatives; the exact verify join drops
+    * the false positives), but the train grams are pruned inside their
+    * scan tasks by a constant-size bitmap — the shape that survives an
+    * eval suite too large to broadcast. */
+  def q88DecontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.decontaminate(docs.filter(col("doc_id") >= 10),
+      docs.filter(col("doc_id") < 10), k = 5)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -1024,6 +1035,7 @@ object TestdataQueries {
     "q85_centroid_classify" -> q85CentroidClassify _,
     "q86_shard_assign" -> q86ShardAssign _,
     "q87_repetition" -> q87Repetition _,
+    "q88_decontaminate_bloom" -> q88DecontaminateBloom _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,

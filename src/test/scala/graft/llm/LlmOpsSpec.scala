@@ -1020,6 +1020,37 @@ class LlmOpsSpec extends SparkSpec {
     assert(m(4L) == ((2, 1.0, 0.0, 0.0, 0)))
   }
 
+  test("bloom filter: no false negatives; build matches probe family") {
+    val items = (0 until 2000).map(i => s"item-$i").toDF("it")
+    val bits = Sketches.bloomBuild(items, col("it"), numBits = 1 << 14)
+    // every inserted item passes the membership test
+    assert(items.filter(!Sketches.bloomMightContain(bits, col("it"))).count() == 0)
+    // items never inserted are overwhelmingly rejected (fp rate, not 100%)
+    val absent = (0 until 2000).map(i => s"other-$i").toDF("it")
+    val fp = absent.filter(Sketches.bloomMightContain(bits, col("it"))).count()
+    assert(fp < 200, s"false-positive count $fp implausibly high")
+  }
+
+  test("bloom decontamination equals the plain exploded-shingle join") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),         // eval
+      (1L, "one two three four five six"),                 // eval
+      (10L, "x alpha beta gamma delta epsilon y"),         // hits eval 0
+      (11L, "one two three four five seven"),              // hits eval 1
+      (12L, "totally unrelated content with no overlap at all")
+    ).toDF("doc_id", "text")
+    val train = docs.filter(col("doc_id") >= 10)
+    val eval = docs.filter(col("doc_id") < 10)
+    val bloom = Dedup.decontaminate(train, eval, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def grams(d: org.apache.spark.sql.DataFrame, as: String) = d.select(
+      col("doc_id").as(as), explode(Dedup.shingles(col("text"), 5)).as("g"))
+    val plain = grams(train, "train_id").join(grams(eval, "eval_id"), "g")
+      .select(col("train_id"), col("eval_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bloom == plain && bloom == Set((10L, 0L), (11L, 1L)))
+  }
+
   test("centroid classifier separates disjoint-vocab classes") {
     val d = Seq((1L, "a", "alpha alpha alpha beta"),
       (2L, "b", "gamma gamma gamma beta")).toDF("doc_id", "source", "text")

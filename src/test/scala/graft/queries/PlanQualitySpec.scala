@@ -193,6 +193,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("q88: bloom prune filters train grams before the verify join") {
+    // the constant-size bitmap probe (element_at against the literal
+    // long array) must sit under a Filter on the train side, so the
+    // exact equi-join only ever sees the pruned sliver
+    val p = plan("q88_decontaminate_bloom")
+    assert(p.contains("element_at"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q68/q69: posting cap and tf-idf ranking are map-side group limits") {
     // the inverted index's posting cap and the per-document tf-idf top-k
     // both rest on the same rewrite: without WindowGroupLimit a
