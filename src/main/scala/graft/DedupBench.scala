@@ -121,6 +121,30 @@ object DedupBench {
       .add("doc_id", "long").add("text", "string")).count()
     println(f"""{"phase":"streaming_sink","docs":$n,"waves":$waves,"survivors":$streamed,"expected":$expected,"sec":$sec4%.2f,"docs_per_sec":${(n / sec4).toLong}}""")
     assert(streamed == expected, s"streamed survivors=$streamed expected=$expected")
+
+    // phase 5: substring-level pipeline — duplicated-span detection +
+    // boilerplate scrub over the same corpus. Planted copies are
+    // whole-document duplicates, so exactly the 2 * nPairs docs in a
+    // planted pair must carry one full-document span (tokens 0..49) and
+    // scrub to empty; every other doc must pass through untouched. The
+    // window-hash table is one row per corpus token, so this phase is
+    // the token-level scale check (docs x 50 hashes through one shuffle).
+    val nPairs = (n - 1) / 20
+    val t4 = System.nanoTime()
+    val spans = Dedup.dupSpans(docs, k = 8, minCount = 2)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("span_start") === 0 && col("span_end") === 49, 1)
+          .otherwise(0)).as("full")).head()
+    val scrub = Dedup.scrubSpans(docs, k = 8, minCount = 2)
+      .agg(sum(when(col("n_kept") === 0, 1).otherwise(0)).as("emptied"),
+        sum(col("n_kept")).as("kept")).head()
+    val sec5 = (System.nanoTime() - t4) / 1e9
+    println(f"""{"phase":"span_scrub","docs":$n,"span_rows":${spans.getLong(0)},"emptied":${scrub.getLong(0)},"sec":$sec5%.2f,"docs_per_sec":${(n / sec5).toLong}}""")
+    assert(spans.getLong(0) == 2 * nPairs && spans.getLong(1) == 2 * nPairs,
+      s"spans=$spans expected ${2 * nPairs} full-doc spans")
+    assert(scrub.getLong(0) == 2 * nPairs &&
+      scrub.getLong(1) == (n - 2 * nPairs) * 50,
+      s"scrub=$scrub expected ${2 * nPairs} emptied docs")
     spark.stop()
   }
 }

@@ -805,6 +805,40 @@ object Dedup {
       .withColumn("keep", (col("dup_frac") <= maxDupFrac).cast("int"))
   }
 
+  /** Boilerplate scrub: rewrite every document with its duplicated spans
+    * removed — the repeated headers/footers/license blocks that
+    * [[dupSpans]] detects are deleted from EVERY copy (the C4-style
+    * boilerplate strip; content repeated >= minCount times is treated as
+    * template noise, not information). This is deliberately distinct
+    * from keep-one dedup: document-level near-dup keeps a canonical
+    * representative (the minhash family); span-level repetition is
+    * template text, and pipelines strip all of it.
+    *
+    * Scale shape: [[dupSpans]] does the heavy lifting (text never
+    * shuffles there); the rewrite joins each doc's few spans back —
+    * span lists are per-doc metadata — and drops covered tokens with one
+    * index-aware `filter` in the projection. Untouched documents pass
+    * through the left join with their text rebuilt from the same
+    * normalized tokens, so output text is uniformly normalized. */
+  def scrubSpans(docs: DataFrame, k: Int = 8, minCount: Int = 2,
+                 id: Column = col("doc_id"), text: Column = col("text"),
+                 portable: Boolean = false): DataFrame = {
+    val spans = dupSpans(docs, k, minCount, id, text, portable)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__sp"))
+    val toks = docs.select(id.as("doc_id"),
+      filter(split(normalized(text), " "), t => length(t) > 0).as("__t"))
+    toks.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("__t")).as("n_tokens"),
+        when(col("__sp").isNull, col("__t")).otherwise(
+          filter(col("__t"), (_, i) => !exists(col("__sp"),
+            sp => i >= sp.getField("span_start") &&
+              i <= sp.getField("span_end")))).as("__kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("__kept")).as("n_kept"),
+        array_join(col("__kept"), " ").as("scrubbed"))
+  }
+
   /** Embedding-cosine near-dup for an explicit candidate pair set
     * (id_a, id_b) — the verification stage when candidates come from
     * another generator. */

@@ -1202,6 +1202,55 @@ object Oracles {
          |FROM gr tr JOIN gr ev ON tr.g = ev.g
          |WHERE tr.doc_id >= 10 AND ev.doc_id < 10""".stripMargin,
 
+    "q89_scrub_spans" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split($norm, ' '), t -> length(t) > 0) AS t
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+         |  FROM tk WHERE len(t) >= 8),
+         |g AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |         md5(array_to_string(t[i : i + 7], ' ')) AS h
+         |  FROM p),
+         |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+         |seeds AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+         |lagged AS (
+         |  SELECT doc_id, pos,
+         |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+         |                                        ORDER BY pos) > 8
+         |              THEN 1 ELSE 0 END AS brk
+         |  FROM seeds),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |  FROM lagged),
+         |spans AS (
+         |  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+         |  FROM isl GROUP BY doc_id, grp),
+         |tok2 AS (
+         |  SELECT doc_id, i, t[i] AS w
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM tk)),
+         |removed AS (
+         |  SELECT DISTINCT t2.doc_id, t2.i
+         |  FROM tok2 t2 JOIN spans s ON t2.doc_id = s.doc_id
+         |   AND t2.i - 1 BETWEEN s.s AND s.e),
+         |kept AS (
+         |  SELECT t2.doc_id, t2.i, t2.w
+         |  FROM tok2 t2 LEFT JOIN removed r
+         |    ON t2.doc_id = r.doc_id AND t2.i = r.i
+         |  WHERE r.i IS NULL),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |         string_agg(w, ' ' ORDER BY i) AS scrubbed
+         |  FROM kept GROUP BY doc_id)
+         |SELECT tk.doc_id, len(tk.t) AS n_tokens,
+         |       coalesce(a.n_kept, 0) AS n_kept,
+         |       coalesce(a.scrubbed, '') AS scrubbed
+         |FROM tk LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
     "q36_ann_brute_force" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
         |           WHERE vec_id < 5),

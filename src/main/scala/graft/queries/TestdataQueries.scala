@@ -963,6 +963,13 @@ object TestdataQueries {
       docs.filter(col("doc_id") < 10), k = 5)
   }
 
+  /** Boilerplate scrub: documents rewritten with every duplicated span
+    * stripped (all copies — template text, not information); the
+    * detection is q83's, the rewrite is one index-aware filter. */
+  def q89ScrubSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.scrubSpans(t(s, dir, "documents"), k = 8, minCount = 2,
+      portable = true)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -1036,6 +1043,7 @@ object TestdataQueries {
     "q86_shard_assign" -> q86ShardAssign _,
     "q87_repetition" -> q87Repetition _,
     "q88_decontaminate_bloom" -> q88DecontaminateBloom _,
+    "q89_scrub_spans" -> q89ScrubSpans _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,

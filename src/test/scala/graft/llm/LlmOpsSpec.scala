@@ -955,6 +955,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(stats(3L) == ((15, 0L, 0.0, 1)))      // clean -> keep
   }
 
+  test("scrubSpans strips every duplicated span from every copy") {
+    val out = Dedup.scrubSpans(spanDocs, k = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_tokens"), r.getAs[Int]("n_kept"),
+          r.getAs[String]("scrubbed"))).toMap
+    // docA loses w3..w14 (positions 2..13)
+    assert(out(0L) == ((20, 8,
+      "w1 w2 " + (15 to 20).map(i => s"w$i").mkString(" "))))
+    // docB loses the same shared block (positions 5..16)
+    assert(out(1L) == ((22, 10,
+      (1 to 5).map(i => s"x$i").mkString(" ") + " " +
+        (1 to 5).map(i => s"y$i").mkString(" "))))
+    // docC is all self-repetition -> scrubbed to empty
+    assert(out(2L) == ((10, 0, "")))
+    // docD is untouched, text rebuilt from normalized tokens
+    assert(out(3L) == ((15, 15, (1 to 15).map(i => s"z$i").mkString(" "))))
+  }
+
   test("dupSpans is stable under repartitioning") {
     val base = Dedup.dupSpans(spanDocs, k = 4).collect().toSet
     val re = Dedup.dupSpans(spanDocs.repartition(7), k = 4).collect().toSet
