@@ -19,6 +19,16 @@ object Dedup {
   def normalized(text: Column): Column =
     regexp_replace(lower(text), "\\s+", " ")
 
+  /** Whitespace tokens of the normalized text — the ONE tokenization the
+    * span/scrub/repetition/index operators (and their SQL oracles) share,
+    * so a tokenizer change cannot drift them apart. Null text tokenizes
+    * to the EMPTY array (not null): a null-text row then reports zero
+    * tokens/coverage instead of legacy `size(null) = -1` artifacts, and
+    * the oracles mirror it with `coalesce(normalized, '')`. */
+  def wsTokens(text: Column): Column =
+    coalesce(filter(split(normalized(text), " "), t => length(t) > 0),
+      array().cast("array<string>"))
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup: group by content hash, keep the smallest id as the
@@ -617,7 +627,11 @@ object Dedup {
     // N+1 returns every row when there are <= N (the local case) and a
     // cheap overflow witness otherwise — the separate count() pass this
     // replaces was a full extra traversal per dedup invocation (and
-    // q67-style maintenance pipelines invoke this three times).
+    // q67-style maintenance pipelines invoke this three times). On the
+    // degenerate overflow path the probe transiently holds N+1 rows on
+    // the driver before discarding them; that is the same high-water
+    // memory the local path needs by design, so the threshold bounds
+    // driver memory in BOTH cases.
     val probe = dedupedEdges.limit(localThreshold.toInt + 1).collect()
     if (probe.length <= localThreshold) {
       val pairs = probe.map(r => (r.getLong(0), r.getLong(1)))
@@ -754,8 +768,7 @@ object Dedup {
                portable: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && minCount >= 2, s"k=$k minCount=$minCount")
-    val toks = docs.select(id.as("doc_id"),
-      filter(split(normalized(text), " "), t => length(t) > 0).as("__t"))
+    val toks = docs.select(id.as("doc_id"), wsTokens(text).as("__t"))
     val n = size(col("__t"))
     val win = slice(col("__t"), col("pos") + 1, lit(k))
     val grams = toks
@@ -793,9 +806,7 @@ object Dedup {
                    portable: Boolean = false): DataFrame = {
     val perDoc = dupSpans(docs, k, minCount, id, text, portable)
       .groupBy(col("doc_id")).agg(sum(col("span_tokens")).as("__dup"))
-    val base = docs.select(id.as("doc_id"),
-      size(filter(split(normalized(text), " "), t => length(t) > 0))
-        .as("n_tokens"))
+    val base = docs.select(id.as("doc_id"), size(wsTokens(text)).as("n_tokens"))
     base.join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("__dup"), lit(0L)).as("dup_tokens"))
@@ -826,8 +837,7 @@ object Dedup {
     val spans = dupSpans(docs, k, minCount, id, text, portable)
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__sp"))
-    val toks = docs.select(id.as("doc_id"),
-      filter(split(normalized(text), " "), t => length(t) > 0).as("__t"))
+    val toks = docs.select(id.as("doc_id"), wsTokens(text).as("__t"))
     toks.join(spans, Seq("doc_id"), "left")
       .select(col("doc_id"), size(col("__t")).as("n_tokens"),
         when(col("__sp").isNull, col("__t")).otherwise(

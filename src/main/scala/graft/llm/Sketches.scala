@@ -100,6 +100,14 @@ object Sketches {
     * the test is k `element_at` probes, fully codegen'd. */
   def bloomMightContain(bits: Array[Long], item: Column,
                         numHashes: Int = 4): Column = {
+    // the probe re-derives numBits from the array length, so the array
+    // must be exactly what bloomBuild returned (same numBits AND the
+    // same numHashes) — a truncated/padded bitmap would silently probe
+    // different positions and break the no-false-negative contract.
+    // Non-power-of-two lengths are the detectable corruption: refuse.
+    require(bits.nonEmpty && java.lang.Integer.bitCount(bits.length) == 1,
+      s"bitmap length ${bits.length} is not a power of two — not a " +
+        "bloomBuild result")
     val numBits = bits.length * 64
     val bitsLit = typedLit(bits.toSeq)
     bloomPositions(item, numBits, numHashes).map { p =>

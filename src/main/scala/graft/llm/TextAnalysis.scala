@@ -161,11 +161,11 @@ object TextAnalysis {
         col("frac_dup_bigrams") <= 0.3).cast("int").as("keep"))
   }
 
-  /** Whitespace tokens of normalized text — the shared tokenization of
-    * the corpus-index operators below (engine-portable: the oracle
-    * recomputes it with a string split). */
-  private def wsTokens(text: Column): Column =
-    filter(split(Dedup.normalized(text), " "), t => length(t) > 0)
+  /** Whitespace tokens of normalized text — delegates to the single
+    * shared tokenization in [[Dedup.wsTokens]] (null text -> empty
+    * array), so the index/classifier/repetition operators and the
+    * span/scrub family can never tokenize differently. */
+  private def wsTokens(text: Column): Column = Dedup.wsTokens(text)
 
   /** Inverted index: one row per term with its document frequency and
     * the first `maxPostings` doc ids. The posting cap is enforced
@@ -283,8 +283,7 @@ object TextAnalysis {
                         id: Column = col("doc_id"),
                         text: Column = col("text")): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), ns.toString)
-    val base = docs.select(id.as("doc_id"),
-      filter(split(Dedup.normalized(text), " "), t => length(t) > 0).as("__t"))
+    val base = docs.select(id.as("doc_id"), wsTokens(text).as("__t"))
     val sz = size(col("__t"))
     def maxRun(n: Int): Column = {
       val grams = array_sort(transform(sequence(lit(0), sz - n),
@@ -305,10 +304,13 @@ object TextAnalysis {
       (n, when(sz === 0, 0.0)
         .otherwise(maxRun(n).cast("double") * n / sz).as(s"top${n}_frac"))
     }
+    // only thresholds whose n was computed apply; with none applicable
+    // (e.g. ns the caller thresholds separately) nothing can trip, so
+    // every document keeps — vacuous truth, not an error
     val keep = thresholds.toSeq.sortBy(_._1)
       .filter { case (n, _) => ns.contains(n) }
       .map { case (n, thr) => col(s"top${n}_frac") <= thr }
-      .reduce(_ && _)
+      .foldLeft(lit(true))(_ && _)
     base.select(col("doc_id") +: sz.as("n_tokens") +: fracs.map(_._2): _*)
       .withColumn("keep", keep.cast("int"))
   }

@@ -1058,7 +1058,8 @@ object Oracles {
     "q83_dup_spans" ->
       s"""WITH tk AS (
          |  SELECT doc_id,
-         |         list_filter(string_split($norm, ' '), t -> length(t) > 0) AS t
+         |         list_filter(string_split(coalesce($norm, ''), ' '),
+         |                     t -> length(t) > 0) AS t
          |  FROM documents),
          |p AS (
          |  SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
@@ -1087,7 +1088,8 @@ object Oracles {
     "q84_span_scrub" ->
       s"""WITH tk AS (
          |  SELECT doc_id,
-         |         list_filter(string_split($norm, ' '), t -> length(t) > 0) AS t
+         |         list_filter(string_split(coalesce($norm, ''), ' '),
+         |                     t -> length(t) > 0) AS t
          |  FROM documents),
          |p AS (
          |  SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
@@ -1161,7 +1163,8 @@ object Oracles {
     "q87_repetition" ->
       s"""WITH tk AS (
          |  SELECT doc_id,
-         |         list_filter(string_split($norm, ' '), t -> length(t) > 0) AS t
+         |         list_filter(string_split(coalesce($norm, ''), ' '),
+         |                     t -> length(t) > 0) AS t
          |  FROM documents),
          |p AS (
          |  SELECT doc_id, t, n, unnest(range(1, len(t) - n + 2)) AS i
@@ -1205,7 +1208,8 @@ object Oracles {
     "q89_scrub_spans" ->
       s"""WITH tk AS (
          |  SELECT doc_id,
-         |         list_filter(string_split($norm, ' '), t -> length(t) > 0) AS t
+         |         list_filter(string_split(coalesce($norm, ''), ' '),
+         |                     t -> length(t) > 0) AS t
          |  FROM documents),
          |p AS (
          |  SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i

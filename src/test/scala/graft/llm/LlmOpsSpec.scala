@@ -1069,6 +1069,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(bloom == plain && bloom == Set((10L, 0L), (11L, 1L)))
   }
 
+  test("null text tokenizes to empty: stats, scrub, repetition report zeros") {
+    val d = Seq((0L, "a b c d e"), (1L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val st = Dedup.dupSpanStats(d, k = 4).filter(col("doc_id") === 1L)
+      .collect().head
+    assert(st.getAs[Int]("n_tokens") == 0 &&
+      st.getAs[Long]("dup_tokens") == 0L && st.getAs[Int]("keep") == 1)
+    val sc = Dedup.scrubSpans(d, k = 4).filter(col("doc_id") === 1L)
+      .collect().head
+    assert(sc.getAs[Int]("n_kept") == 0 && sc.getAs[String]("scrubbed") == "")
+    val rm = TextAnalysis.repetitionMetrics(d).filter(col("doc_id") === 1L)
+      .collect().head
+    assert(rm.getAs[Int]("n_tokens") == 0 &&
+      rm.getAs[Double]("top2_frac") == 0.0 && rm.getAs[Int]("keep") == 1)
+  }
+
+  test("repetition metrics with no applicable threshold keep everything") {
+    val d = Seq((0L, "x x x x x x")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionMetrics(d, ns = Seq(5)).collect().head
+    // n=5 has no configured threshold -> nothing can trip, keep is vacuous
+    assert(r.getAs[Double]("top5_frac") > 0.0 && r.getAs[Int]("keep") == 1)
+  }
+
   test("centroid classifier separates disjoint-vocab classes") {
     val d = Seq((1L, "a", "alpha alpha alpha beta"),
       (2L, "b", "gamma gamma gamma beta")).toDF("doc_id", "source", "text")
