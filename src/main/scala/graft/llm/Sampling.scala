@@ -144,6 +144,42 @@ object Sampling {
     fullyIn.select(outCols: _*).unionByName(boundary.select(outCols: _*))
   }
 
+  /** Temperature-scaled mixture sampling at alpha = 0.5 — the standard
+    * multilingual rebalance (sample stratum i proportionally to
+    * sqrt(n_i), so low-resource strata are up-weighted relative to their
+    * raw share): per-stratum keep rates are derived from the corpus
+    * itself, then applied through [[stratified]]'s deterministic hash
+    * filter. `rate_i = min(1, targetRows * w_i / W / n_i)` with
+    * `w_i = floor(sqrt(n_i) * 1e6)`.
+    *
+    * Engine-portable by construction: IEEE-754 requires sqrt to be
+    * correctly rounded (unlike pow/exp/ln, which vary by libm — the
+    * reason a general-alpha power law is NOT offered), the scaled
+    * weights become integers so their SUM is exact regardless of
+    * order, and the rate is a fixed left-associated chain of double
+    * operations both engines evaluate identically. The per-stratum
+    * count pass collects |strata| rows of metadata to the driver; rows
+    * with a null stratum fall to rate 0 (no size, no weight).
+    *
+    * Expected sample size is ~targetRows (hash sampling is Bernoulli
+    * per row, exact only in expectation); strata whose rate clamps at 1
+    * contribute all their rows. */
+  def temperatureMix(df: DataFrame, stratum: Column, id: Column,
+                     targetRows: Long): DataFrame = {
+    require(targetRows >= 0, s"targetRows $targetRows")
+    val counts = df.filter(stratum.isNotNull)
+      .groupBy(stratum.cast("string").as("__s")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val weights = counts.map { case (s, n) =>
+      (s, n, math.floor(math.sqrt(n.toDouble) * 1e6).toLong)
+    }
+    val totalW = weights.map(_._3).sum
+    val rates = weights.map { case (s, n, w) =>
+      s -> math.min(1.0, targetRows.toDouble * w / totalW / n)
+    }.toMap
+    stratified(df, stratum.cast("string"), id, rates, defaultRate = 0.0)
+  }
+
   /** Deterministic shuffle-and-shard: the last stage of a training-data
     * pipeline — spread documents pseudo-randomly across `nShards` output
     * shards and give each a dense position within its shard, with no RNG

@@ -1255,6 +1255,22 @@ object Oracles {
          |       coalesce(a.scrubbed, '') AS scrubbed
          |FROM tk LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
+    "q90_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents
+        |           WHERE lang IS NOT NULL GROUP BY 1),
+        |w AS (SELECT lang, n,
+        |             CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |               AS w
+        |      FROM c),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
+        |r AS (SELECT lang,
+        |             least(1.0, CAST(200 AS DOUBLE) * w / tw / n) AS rate
+        |      FROM w, tot)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN r USING (lang)
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT
+        |      < rate * 268435456.0""".stripMargin,
+
     "q36_ann_brute_force" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
         |           WHERE vec_id < 5),

@@ -970,6 +970,15 @@ object TestdataQueries {
     Dedup.scrubSpans(t(s, dir, "documents"), k = 8, minCount = 2,
       portable = true)
 
+  /** Temperature-scaled (alpha = 0.5) language rebalance: keep rates
+    * derived from per-language corpus counts via integer-scaled sqrt
+    * weights, applied as the deterministic hash filter — the oracle
+    * rederives the rates from the same counts. */
+  def q90TemperatureMix(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureMix(t(s, dir, "documents"), col("lang"),
+        col("doc_id"), targetRows = 200)
+      .select(col("doc_id"), col("lang"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -1044,6 +1053,7 @@ object TestdataQueries {
     "q87_repetition" -> q87Repetition _,
     "q88_decontaminate_bloom" -> q88DecontaminateBloom _,
     "q89_scrub_spans" -> q89ScrubSpans _,
+    "q90_temperature_mix" -> q90TemperatureMix _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,

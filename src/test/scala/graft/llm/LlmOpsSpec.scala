@@ -1069,6 +1069,39 @@ class LlmOpsSpec extends SparkSpec {
     assert(bloom == plain && bloom == Set((10L, 0L), (11L, 1L)))
   }
 
+  test("temperature mix: exact sqrt-weighted rates, clamp, determinism") {
+    import java.security.MessageDigest
+    def bucket(id: Long): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 7), 16)
+    }
+    val d = (0L until 900L).map(i => (i, if (i < 800) "big" else "small"))
+      .toDF("doc_id", "lang")
+    val got = Sampling.temperatureMix(d, col("lang"), col("doc_id"),
+        targetRows = 300)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // driver rederivation of the exact rate chain the operator documents
+    val wb = math.floor(math.sqrt(800.0) * 1e6).toLong
+    val ws = math.floor(math.sqrt(100.0) * 1e6).toLong
+    val tw = wb + ws
+    def rate(w: Long, n: Long) = math.min(1.0, 300.0 * w / tw / n)
+    val expected = (0L until 900L).filter { i =>
+      val r = if (i < 800) rate(wb, 800) else rate(ws, 100)
+      bucket(i) < r * 268435456.0
+    }.toSet
+    assert(got == expected)
+    // sqrt weighting up-samples the small stratum relative to raw share
+    assert(rate(ws, 100) > rate(wb, 800))
+    // a tiny stratum clamps at rate 1.0: every row kept
+    val d2 = (0L until 501L).map(i => (i, if (i < 500) "big" else "tiny"))
+      .toDF("doc_id", "lang")
+    val kept2 = Sampling.temperatureMix(d2, col("lang"), col("doc_id"),
+        targetRows = 400)
+      .filter(col("lang") === "tiny").count()
+    assert(kept2 == 1)
+  }
+
   test("null text tokenizes to empty: stats, scrub, repetition report zeros") {
     val d = Seq((0L, "a b c d e"), (1L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
