@@ -729,9 +729,19 @@ object TestdataQueries {
     // production, expressed in one plan.
     val sigs = Dedup.minhashTable(docs, numHashes = 32, k = 3,
       portable = true).cache()
+    // The three dedup stages (initial batch, incremental batch, full-store
+    // recompaction clustering) are mutually independent until the final
+    // anti-joins, and each runs an eager bounded cluster probe during
+    // construction — submit them from separate threads, the production
+    // shape for independent maintenance stages sharing one cluster
+    // (Spark's scheduler is built for concurrent job submission; the
+    // shared signature cache materializes once under either thread).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     def sigsBelow(hi: Long) = sigs.filter(col("doc_id") < hi)
     val bounds = Seq(0L, 400L, Long.MaxValue)
-    val corpus = (1 until bounds.length).map { i =>
+    val parts = (1 until bounds.length).map { i => Future {
       val (lo, hi) = (bounds(i - 1), bounds(i))
       val batch = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
       val batchSigs = sigs.filter(col("doc_id") >= lo && col("doc_id") < hi)
@@ -742,9 +752,18 @@ object TestdataQueries {
           batchSigs, numHashes = 32, bands = 8, threshold = 0.4,
           portable = true)
       Dedup.dedupCorpus(batch, edges)
-    }.reduce(_.unionByName(_))
-    CorpusMaintenance.recompacted(corpus, sigs, numHashes = 32,
-        bands = 8, threshold = 0.4, portable = true)
+    }}
+    // recompaction's clustering reads only the signature store — launch it
+    // alongside the batch stages, apply its drop-set to their union after
+    val drop = Future {
+      Dedup.duplicateClusters(Dedup.minhashCandidatesFromSigs(sigs,
+          numHashes = 32, bands = 8, threshold = 0.4, portable = true))
+        .filter(col("doc_id") =!= col("comp_id")).select(col("doc_id"))
+    }
+    val corpus = parts.map(Await.result(_, Duration.Inf))
+      .reduce(_.unionByName(_))
+    val dropDf = Await.result(drop, Duration.Inf)
+    corpus.join(dropDf, corpus("doc_id") === dropDf("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), length(col("text")).as("n_chars"))
   }
 
