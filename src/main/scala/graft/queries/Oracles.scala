@@ -1271,6 +1271,30 @@ object Oracles {
         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT
         |      < rate * 268435456.0""".stripMargin,
 
+    "q91_series_motifs" ->
+      """WITH rows AS (
+        |  SELECT user_id AS k, epoch_ms(ts) // 21600000 AS b,
+        |         CAST(floor(value * 1000) AS BIGINT) AS v
+        |  FROM events),
+        |agg AS (SELECT k, b, CAST(sum(v) AS BIGINT) // count(*) AS m
+        |        FROM rows GROUP BY 1, 2),
+        |mm AS (SELECT min(m) AS lo, max(m) AS hi FROM agg),
+        |sym AS (SELECT k, b, CAST((m - lo) * 4 // (hi - lo + 1) AS VARCHAR) AS s
+        |        FROM agg, mm),
+        |seqs AS (SELECT k, list(s ORDER BY b) AS arr FROM sym GROUP BY k),
+        |grams AS (
+        |  SELECT DISTINCT k, md5(array_to_string(arr[i : i + 5], ' ')) AS h
+        |  FROM (SELECT k, arr, unnest(range(1, len(arr) - 4)) AS i
+        |        FROM seqs WHERE len(arr) >= 6)),
+        |bym AS (SELECT h, count(*) AS nk FROM grams GROUP BY h),
+        |ok AS (SELECT h FROM bym WHERE nk BETWEEN 2 AND 64),
+        |pairs AS (
+        |  SELECT a.k AS key_a, b.k AS key_b, count(*) AS shared_motifs
+        |  FROM grams a JOIN grams b ON a.h = b.h AND a.k < b.k
+        |  JOIN ok ON ok.h = a.h
+        |  GROUP BY 1, 2)
+        |SELECT * FROM pairs WHERE shared_motifs >= 3""".stripMargin,
+
     "q36_ann_brute_force" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
         |           WHERE vec_id < 5),

@@ -998,6 +998,19 @@ object TestdataQueries {
         col("doc_id"), targetRows = 200)
       .select(col("doc_id"), col("lang"))
 
+  /** Time-series motif similarity over the event stream: per-user values
+    * symbolized into 6-hour buckets (exact integer means, equal-width
+    * global bands), users sharing >= 3 distinct 6-symbol motifs paired —
+    * the SAX-style symbolize-then-index shape; the oracle replays
+    * symbolization, motif hashing, and pairing end-to-end. */
+  def q91SeriesMotifs(s: SparkSession, dir: String): DataFrame = {
+    val sym = graft.operators.SeriesMotifs.symbolize(t(s, dir, "events"),
+      col("user_id"), col("ts"), col("value"),
+      bucketMillis = 21600000L, alphabet = 4)
+    graft.operators.SeriesMotifs.motifPairs(sym, w = 6, minShared = 3,
+      maxKeys = 64, portable = true)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -1073,6 +1086,7 @@ object TestdataQueries {
     "q88_decontaminate_bloom" -> q88DecontaminateBloom _,
     "q89_scrub_spans" -> q89ScrubSpans _,
     "q90_temperature_mix" -> q90TemperatureMix _,
+    "q91_series_motifs" -> q91SeriesMotifs _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,
