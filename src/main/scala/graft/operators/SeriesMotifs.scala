@@ -33,6 +33,23 @@ import org.apache.spark.sql.functions._
   */
 object SeriesMotifs {
 
+  /** One row per (key, time bucket) with the EXACT integer mean `m` of
+    * the bucket's scaled values (long sum `div` count — no float
+    * accumulation anywhere). The shared first pass of [[symbolize]] and
+    * [[bucketOutliers]]; events reduce here once and never shuffle raw
+    * downstream. */
+  def bucketMeans(events: DataFrame, key: Column, ts: Column, value: Column,
+                  bucketMillis: Long, scale: Int = 1000): DataFrame = {
+    require(bucketMillis > 0 && scale > 0, s"$bucketMillis/$scale")
+    events.select(key.as("k"),
+        floor(unix_millis(ts).cast("double") / bucketMillis).cast("long")
+          .as("b"),
+        floor(value * scale).cast("long").as("v"))
+      .groupBy(col("k"), col("b"))
+      .agg(sum(col("v")).as("__s"), count(lit(1)).as("__c"))
+      .select(col("k"), col("b"), expr("__s div __c").as("m"))
+  }
+
   /** One row per (key, time bucket): `sym` in [0, alphabet). Missing
     * buckets simply do not appear — motif windows run over each key's
     * OBSERVED bucket sequence (a gap joins its neighbors; callers
@@ -40,18 +57,44 @@ object SeriesMotifs {
   def symbolize(events: DataFrame, key: Column, ts: Column, value: Column,
                 bucketMillis: Long, alphabet: Int = 4,
                 scale: Int = 1000): DataFrame = {
-    require(bucketMillis > 0 && alphabet >= 2 && scale > 0,
-      s"$bucketMillis/$alphabet/$scale")
-    val rows = events.select(key.as("k"),
-      floor(unix_millis(ts).cast("double") / bucketMillis).cast("long").as("b"),
-      floor(value * scale).cast("long").as("v"))
-    val agg = rows.groupBy(col("k"), col("b"))
-      .agg(sum(col("v")).as("__s"), count(lit(1)).as("__c"))
-      .select(col("k"), col("b"), expr("__s div __c").as("m"))
+    require(alphabet >= 2, alphabet.toString)
+    val agg = bucketMeans(events, key, ts, value, bucketMillis, scale)
     val mm = agg.agg(min(col("m")).as("__lo"), max(col("m")).as("__hi"))
     agg.crossJoin(broadcast(mm))
       .select(col("k"), col("b"),
         expr(s"((m - __lo) * $alphabet) div (__hi - __lo + 1)").as("sym"))
+  }
+
+  /** Per-key z-score outlier buckets, in EXACT arithmetic: bucket mean
+    * `m` is an outlier of its key's series when
+    * `(m - mean)^2 > (sigmaNum/sigmaDen)^2 * variance`, evaluated by
+    * cross-multiplication as
+    * `(n*m - S)^2 * sigmaDen^2 > sigmaNum^2 * (n*Q - S^2)` over the
+    * key's bucket-mean stats (n, S = sum m, Q = sum m^2) — every term an
+    * integer, the big squares in decimal(38) (HUGEINT on the oracle
+    * side), so no float mean/stddev ever exists and the flag replays
+    * bit-identically in SQL. Per-key stats are one extra partial
+    * aggregation over the bucket-means table (metadata-sized); `n*m`
+    * stays in long while n is buckets-per-key (a year of hourly buckets
+    * x scaled values ~ 4e9, far under 2^63). Keys with one bucket or
+    * zero variance flag nothing (0 > 0 is false). Returns only the
+    * flagged (k, b, m) rows. */
+  def bucketOutliers(events: DataFrame, key: Column, ts: Column,
+                     value: Column, bucketMillis: Long, scale: Int = 1000,
+                     sigmaNum: Int = 2, sigmaDen: Int = 1): DataFrame = {
+    require(sigmaNum > 0 && sigmaDen > 0, s"$sigmaNum/$sigmaDen")
+    val agg = bucketMeans(events, key, ts, value, bucketMillis, scale)
+    val stats = agg.groupBy(col("k"))
+      .agg(count(lit(1)).as("__n"), sum(col("m")).as("__S"),
+        sum(col("m") * col("m")).as("__Q"))
+    val dec = "decimal(38,0)"
+    val dev = (col("__n") * col("m") - col("__S")).cast(dec)
+    val varTerm = col("__n").cast(dec) * col("__Q").cast(dec) -
+      col("__S").cast(dec) * col("__S").cast(dec)
+    agg.join(stats, "k")
+      .filter(dev * dev * lit(sigmaDen.toLong * sigmaDen) >
+        lit(sigmaNum.toLong * sigmaNum) * varTerm)
+      .select(col("k"), col("b"), col("m"))
   }
 
   /** Candidate similar-series pairs: (key_a < key_b, shared_motifs =

@@ -1295,6 +1295,23 @@ object Oracles {
         |  GROUP BY 1, 2)
         |SELECT * FROM pairs WHERE shared_motifs >= 3""".stripMargin,
 
+    "q92_series_outliers" ->
+      """WITH rows AS (
+        |  SELECT user_id AS k, epoch_ms(ts) // 21600000 AS b,
+        |         CAST(floor(value * 1000) AS BIGINT) AS v
+        |  FROM events),
+        |agg AS (SELECT k, b, CAST(sum(v) AS BIGINT) // count(*) AS m
+        |        FROM rows GROUP BY 1, 2),
+        |st AS (SELECT k, count(*) AS n, CAST(sum(m) AS BIGINT) AS s,
+        |              CAST(sum(m * m) AS HUGEINT) AS q
+        |       FROM agg GROUP BY 1)
+        |SELECT agg.k, agg.b, agg.m
+        |FROM agg JOIN st ON agg.k = st.k
+        |WHERE CAST(st.n * agg.m - st.s AS HUGEINT)
+        |        * CAST(st.n * agg.m - st.s AS HUGEINT)
+        |      > 4 * (CAST(st.n AS HUGEINT) * st.q
+        |             - CAST(st.s AS HUGEINT) * CAST(st.s AS HUGEINT))""".stripMargin,
+
     "q36_ann_brute_force" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
         |           WHERE vec_id < 5),

@@ -1011,6 +1011,15 @@ object TestdataQueries {
       maxKeys = 64, portable = true)
   }
 
+  /** Per-user series outliers: bucket means more than 2 sigma from the
+    * user's own series mean, decided entirely in exact integer/decimal
+    * cross-multiplication — no float mean or stddev exists on either
+    * engine. */
+  def q92SeriesOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SeriesMotifs.bucketOutliers(t(s, dir, "events"),
+      col("user_id"), col("ts"), col("value"), bucketMillis = 21600000L,
+      sigmaNum = 2, sigmaDen = 1)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -1087,6 +1096,7 @@ object TestdataQueries {
     "q89_scrub_spans" -> q89ScrubSpans _,
     "q90_temperature_mix" -> q90TemperatureMix _,
     "q91_series_motifs" -> q91SeriesMotifs _,
+    "q92_series_outliers" -> q92SeriesOutliers _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,

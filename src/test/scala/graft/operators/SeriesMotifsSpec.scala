@@ -68,6 +68,31 @@ class SeriesMotifsSpec extends SparkSpec {
       .count() == 3)
   }
 
+  test("bucket outliers: exact 2-sigma rule flags the spike, not the noise") {
+    // user 1: nine buckets at 100 and one at 400 — the spike is far past
+    // 2 sigma; user 2: flat series, zero variance, nothing flags
+    val rows = ((0 until 9).map(h =>
+        (1L, Timestamp.valueOf(f"2024-01-01 ${h}%02d:00:00"), 100.0)) :+
+        ((1L, Timestamp.valueOf("2024-01-01 09:00:00"), 400.0))) ++
+      (0 until 10).map(h =>
+        (2L, Timestamp.valueOf(f"2024-01-01 ${h}%02d:00:00"), 250.0))
+    val out = SeriesMotifs.bucketOutliers(rows.toDF("user_id", "ts", "value"),
+        col("user_id"), col("ts"), col("value"), bucketMillis = 3600000L)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 400000L)))
+    // driver rederivation of the exact cross-multiplied rule for the spike:
+    // n=10, S=9*100000+400000, dev = n*m - S, flag iff dev^2 > 4(nQ - S^2)
+    val ms = Seq.fill(9)(100000L) :+ 400000L
+    val n = ms.size.toLong
+    val s = ms.sum
+    val q = ms.map(m => BigInt(m) * m).sum
+    def flagged(m: Long) = {
+      val dev = BigInt(n * m - s)
+      dev * dev > 4 * (BigInt(n) * q - BigInt(s) * s)
+    }
+    assert(ms.count(flagged) == 1 && flagged(400000L))
+  }
+
   test("motif pairs are stable under repartitioning") {
     val sym = SeriesMotifs.symbolize(mkEvents.repartition(7), col("user_id"),
       col("ts"), col("value"), bucketMillis = 3600000L)
