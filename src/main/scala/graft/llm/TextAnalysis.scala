@@ -282,7 +282,8 @@ object TextAnalysis {
                           Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16),
                         id: Column = col("doc_id"),
                         text: Column = col("text")): DataFrame = {
-    require(ns.nonEmpty && ns.forall(_ >= 1), ns.toString)
+    require(ns.nonEmpty && ns.forall(_ >= 1) && ns.distinct.size == ns.size,
+      s"ns must be distinct positive ints: $ns")
     val base = docs.select(id.as("doc_id"), wsTokens(text).as("__t"))
     val sz = size(col("__t"))
     def maxRun(n: Int): Column = {

@@ -41,6 +41,10 @@ object SeriesMotifs {
   def bucketMeans(events: DataFrame, key: Column, ts: Column, value: Column,
                   bucketMillis: Long, scale: Int = 1000): DataFrame = {
     require(bucketMillis > 0 && scale > 0, s"$bucketMillis/$scale")
+    // bucket by FLOOR division (not truncation), so pre-1970 timestamps
+    // (negative epoch millis) land in the bucket covering them — the
+    // oracles mirror with floor(epoch_ms / width) rather than `//`,
+    // which DuckDB truncates toward zero
     events.select(key.as("k"),
         floor(unix_millis(ts).cast("double") / bucketMillis).cast("long")
           .as("b"),
@@ -58,7 +62,12 @@ object SeriesMotifs {
                 bucketMillis: Long, alphabet: Int = 4,
                 scale: Int = 1000): DataFrame = {
     require(alphabet >= 2, alphabet.toString)
-    val agg = bucketMeans(events, key, ts, value, bucketMillis, scale)
+    // both the global min/max pass and the symbol projection read the
+    // bucket-means table — cache it so the raw events aggregate ONCE
+    // (the jaccardJoin multi-consumer cache pattern; evictable, deduped
+    // by canonicalized plan, cleared by long-running services between
+    // corpora)
+    val agg = bucketMeans(events, key, ts, value, bucketMillis, scale).cache()
     val mm = agg.agg(min(col("m")).as("__lo"), max(col("m")).as("__hi"))
     agg.crossJoin(broadcast(mm))
       .select(col("k"), col("b"),
@@ -83,11 +92,14 @@ object SeriesMotifs {
                      value: Column, bucketMillis: Long, scale: Int = 1000,
                      sigmaNum: Int = 2, sigmaDen: Int = 1): DataFrame = {
     require(sigmaNum > 0 && sigmaDen > 0, s"$sigmaNum/$sigmaDen")
-    val agg = bucketMeans(events, key, ts, value, bucketMillis, scale)
+    // cached for the same two-consumer reason as in symbolize
+    val agg = bucketMeans(events, key, ts, value, bucketMillis, scale).cache()
+    val dec = "decimal(38,0)"
+    // the square enters decimal BEFORE multiplying — a long m*m silently
+    // wraps past |m| ~ 3e9, magnitudes this module's bounds allow
     val stats = agg.groupBy(col("k"))
       .agg(count(lit(1)).as("__n"), sum(col("m")).as("__S"),
-        sum(col("m") * col("m")).as("__Q"))
-    val dec = "decimal(38,0)"
+        sum(col("m").cast(dec) * col("m").cast(dec)).as("__Q"))
     val dev = (col("__n") * col("m") - col("__S")).cast(dec)
     val varTerm = col("__n").cast(dec) * col("__Q").cast(dec) -
       col("__S").cast(dec) * col("__S").cast(dec)

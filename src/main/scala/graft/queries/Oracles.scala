@@ -1273,7 +1273,8 @@ object Oracles {
 
     "q91_series_motifs" ->
       """WITH rows AS (
-        |  SELECT user_id AS k, epoch_ms(ts) // 21600000 AS b,
+        |  SELECT user_id AS k,
+        |         CAST(floor(epoch_ms(ts) / 21600000.0) AS BIGINT) AS b,
         |         CAST(floor(value * 1000) AS BIGINT) AS v
         |  FROM events),
         |agg AS (SELECT k, b, CAST(sum(v) AS BIGINT) // count(*) AS m
@@ -1297,13 +1298,14 @@ object Oracles {
 
     "q92_series_outliers" ->
       """WITH rows AS (
-        |  SELECT user_id AS k, epoch_ms(ts) // 21600000 AS b,
+        |  SELECT user_id AS k,
+        |         CAST(floor(epoch_ms(ts) / 21600000.0) AS BIGINT) AS b,
         |         CAST(floor(value * 1000) AS BIGINT) AS v
         |  FROM events),
         |agg AS (SELECT k, b, CAST(sum(v) AS BIGINT) // count(*) AS m
         |        FROM rows GROUP BY 1, 2),
         |st AS (SELECT k, count(*) AS n, CAST(sum(m) AS BIGINT) AS s,
-        |              CAST(sum(m * m) AS HUGEINT) AS q
+        |              CAST(sum(CAST(m AS HUGEINT) * m) AS HUGEINT) AS q
         |       FROM agg GROUP BY 1)
         |SELECT agg.k, agg.b, agg.m
         |FROM agg JOIN st ON agg.k = st.k

@@ -93,6 +93,38 @@ class SeriesMotifsSpec extends SparkSpec {
     assert(ms.count(flagged) == 1 && flagged(400000L))
   }
 
+  test("bucket outliers survive large magnitudes (squares never wrap long)") {
+    // m ~ 1.6e10 for the spike: m^2 = 2.56e20 overflows Long silently if
+    // squared before entering decimal — the flag must still be exact
+    val rows = (0 until 9).map(h =>
+        (1L, Timestamp.valueOf(f"2024-01-01 ${h}%02d:00:00"), 4.0e6)) :+
+      ((1L, Timestamp.valueOf("2024-01-01 09:00:00"), 1.6e7))
+    val out = SeriesMotifs.bucketOutliers(rows.toDF("user_id", "ts", "value"),
+        col("user_id"), col("ts"), col("value"), bucketMillis = 3600000L)
+      .collect().map(_.getLong(2))
+    assert(out.toSeq == Seq(16000000000L))
+    val ms = Seq.fill(9)(4000000000L) :+ 16000000000L
+    val n = ms.size.toLong; val s = ms.sum
+    val q = ms.map(m => BigInt(m) * m).sum
+    def flagged(m: Long) = {
+      val dev = BigInt(n) * m - s
+      dev * dev > 4 * (BigInt(n) * q - BigInt(s) * s)
+    }
+    assert(ms.count(flagged) == 1 && flagged(16000000000L))
+  }
+
+  test("pre-epoch timestamps bucket by floor, not truncation toward zero") {
+    val d = Seq((1L, new Timestamp(-3600000L), 10.0),
+        (1L, new Timestamp(-1L), 20.0))
+      .toDF("user_id", "ts", "value")
+    val b = SeriesMotifs.bucketMeans(d, col("user_id"), col("ts"),
+        col("value"), bucketMillis = 3600000L)
+      .select("b").collect().map(_.getLong(0)).toSeq
+    // both events precede the epoch: floor puts them in bucket -1; a
+    // truncating division would claim bucket 0
+    assert(b == Seq(-1L))
+  }
+
   test("motif pairs are stable under repartitioning") {
     val sym = SeriesMotifs.symbolize(mkEvents.repartition(7), col("user_id"),
       col("ts"), col("value"), bucketMillis = 3600000L)
