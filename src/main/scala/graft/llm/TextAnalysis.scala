@@ -411,4 +411,132 @@ object TextAnalysis {
         stratum <=> col("__s") && value.between(col("__lo"), col("__hi")))
       .drop("__s", "__lo", "__hi")
   }
+
+  /** Bigram language-model likelihood scoring — the CCNet-style "does
+    * this look like the reference corpus" quality filter, with the LM
+    * trained AND applied in-engine.
+    *
+    * Train side: bigram counts `c2(w1,w2)` and continuation totals
+    * `c1(w1) = sum_w2 c2(w1,w2)`, plus the train token vocabulary size V
+    * for add-one smoothing (unseen bigrams in scored text must get a
+    * small nonzero probability, not a crash or a zero).
+    *
+    * Score side: every bigram occurrence scores the integer-scaled
+    * smoothed conditional `p = 1e9 * (c2+1) div (c1+V)`; a document's
+    * `lm_score` is the integer mean over its bigrams and `keep` is the
+    * threshold decision. All arithmetic is exact integer (decimal(38,0)
+    * for the scaled numerator), so scores are bit-identical across
+    * engines — the log of the true probability is monotone in it per
+    * bigram, and the mean-of-scaled-probabilities ordering is the
+    * documented engine policy (no libm `log`).
+    *
+    * Scale shape: bigram formation is a narrow projection (zip of the
+    * token array with its own tail — the corpus never shuffles as text);
+    * occurrences pre-aggregate to (doc_id,w1,w2,m) before meeting the
+    * count tables, and every shuffle key is a term pair. Documents with
+    * fewer than two tokens have no bigram and produce no row (nothing
+    * to measure — route them to a length filter instead). */
+  def bigramLmScore(train: DataFrame, toScore: DataFrame,
+                    minScore: Long = 0L,
+                    id: Column = col("doc_id"),
+                    text: Column = col("text")): DataFrame = {
+    def bigrams(d: DataFrame): DataFrame = {
+      val withToks = d.select(id.as("doc_id"), wsTokens(text).as("__t"))
+      withToks
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
+          slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("__b"))
+        .select(col("doc_id"), col("__b.w1"), col("__b.w2"))
+    }
+    val c2 = bigrams(train).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+    val vocab = train.select(explode(wsTokens(text)).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    val occ = bigrams(toScore).groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("m"))
+    occ
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("p_scaled", expr(
+        """CAST(1000000000 AS DECIMAL(38,0)) * (coalesce(c2, 0L) + 1)
+          |  div (coalesce(c1, 0L) + v)""".stripMargin))
+      .groupBy("doc_id")
+      .agg(sum("m").as("n_bigrams"),
+        sum(expr("m * p_scaled")).as("__sum_p"))
+      .withColumn("lm_score", expr("__sum_p div n_bigrams"))
+      .withColumn("keep", col("lm_score") >= minScore)
+      .select(col("doc_id"), col("n_bigrams"), col("lm_score"), col("keep"))
+  }
+
+  /** Engine-portable BM25 retrieval: top-`k` documents per query.
+    *
+    * The scoring kernel is EXACT integer arithmetic end to end, so both
+    * the ranking and the scores are bit-identical across engines:
+    *
+    *   - idf is the integer-scaled rational Robertson idf ARGUMENT,
+    *     `(2N - 2df + 1) * 1_000_000 div (2df + 1)` — true BM25 takes
+    *     `ln` of that rational, but `ln` is monotone so the per-term
+    *     ordering is unchanged, and dropping it keeps libm out of the
+    *     kernel (the same policy as [[topTfidfTerms]]'s integer idf).
+    *   - the saturation/length normalization (k1 = 6/5, b = 3/4) is
+    *     cleared of denominators: with N = corpus doc count and T =
+    *     corpus token count (avgdl = T/N stays a RATIONAL — never a
+    *     float divide), `tf*(k1+1) / (tf + k1*(1 - b + b*dl*N/T))`
+    *     becomes `44*tf*T / (20*tf*T + 6*T + 18*dl*N)`.
+    *   - each term's contribution floor-divides in decimal(38,0)
+    *     (HUGEINT in the oracle) down to a long, and the per-document
+    *     score is a SUM of those longs — order-independent, so partial
+    *     aggregation is safe.
+    *
+    * Scale shape: the query set is tiny and broadcast; df aggregates
+    * only the query vocabulary (the corpus tf table is pruned by the
+    * broadcast query terms before the df count); the one corpus-wide
+    * shuffle carries (doc_id, term, tf) — never the text; the per-query
+    * top-k rewrites to WindowGroupLimit. N and T count non-empty
+    * documents (an empty document has no length to normalize by).
+    * Query terms absent from the corpus contribute nothing; a query
+    * with no corpus term produces no rows. */
+  def bm25TopK(docs: DataFrame, queries: Seq[(String, String)], k: Int = 10,
+               id: Column = col("doc_id"),
+               text: Column = col("text")): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = docs.select(id.as("doc_id"), explode(wsTokens(text)).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("t"))
+    val qterms = queries.flatMap { case (qid, qtext) =>
+      qtext.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .groupBy(identity).toSeq.sortBy(_._1)
+        .map { case (w, occ) => (qid, w, occ.length.toLong) }
+    }.toDF("query_id", "term", "qtf")
+    val dfs = tf.join(broadcast(qterms.select("term").distinct()), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val perTerm = tf
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfs), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      // decimal(38,0) keeps the cleared-denominator products exact far
+      // past long range (idf*44*tf*T*qtf overflows a long at real N, T)
+      .withColumn("score_t", expr(
+        """CAST(
+          |  CAST((2*n - 2*df + 1) AS DECIMAL(38,0)) * 1000000
+          |    div CAST(2*df + 1 AS DECIMAL(38,0))
+          |  * CAST(44 AS DECIMAL(38,0)) * tf * t * qtf
+          |  div (CAST(20 AS DECIMAL(38,0)) * tf * t
+          |       + CAST(6 AS DECIMAL(38,0)) * t
+          |       + CAST(18 AS DECIMAL(38,0)) * dl * n)
+          |AS BIGINT)""".stripMargin))
+    val scored = perTerm.groupBy("query_id", "doc_id")
+      .agg(sum("score_t").as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+  }
 }

@@ -1314,6 +1314,72 @@ object Oracles {
         |      > 4 * (CAST(st.n AS HUGEINT) * st.q
         |             - CAST(st.s AS HUGEINT) * CAST(st.s AS HUGEINT))""".stripMargin,
 
+    "q93_bm25" -> {
+      // VALUES rows derived from the ONE query list the Spark side uses
+      val vals = TestdataQueries.Bm25Queries.flatMap { case (qid, qtext) =>
+        qtext.toLowerCase.split("\\s+").filter(_.nonEmpty)
+          .groupBy(identity).toSeq.sortBy(_._1)
+          .map { case (w, occ) => s"('$qid', '$w', ${occ.length})" }
+      }.mkString(", ")
+      raw"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_filter(string_split($norm, ' '),
+         |    t -> len(t) > 0)) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |       GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+         |stats AS (SELECT count(*) AS n, sum(dl) AS t FROM dl),
+         |q(query_id, term, qtf) AS (VALUES $vals),
+         |dfs AS (SELECT term, count(*) AS df FROM tf
+         |        WHERE term IN (SELECT term FROM q) GROUP BY term),
+         |hit AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |         CAST(
+         |           CAST((2*s.n - 2*d.df + 1) AS HUGEINT) * 1000000
+         |             // CAST(2*d.df + 1 AS HUGEINT)
+         |           * 44 * tf.tf * s.t * q.qtf
+         |           // (CAST(20 AS HUGEINT) * tf.tf * s.t + 6 * s.t
+         |              + 18 * dl.dl * s.n)
+         |         AS BIGINT) AS score_t
+         |  FROM tf JOIN q USING (term) JOIN dfs d USING (term)
+         |       JOIN dl USING (doc_id) CROSS JOIN stats s),
+         |sc AS (SELECT query_id, doc_id, CAST(sum(score_t) AS BIGINT)
+         |         AS score FROM hit GROUP BY 1, 2)
+         |SELECT query_id, doc_id, score, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, doc_id ASC) AS rank FROM sc)
+         |WHERE rank <= 10""".stripMargin
+    },
+
+    "q94_bigram_lm" ->
+      raw"""WITH tk AS (
+         |  SELECT doc_id, list_filter(string_split($norm, ' '),
+         |    t -> len(t) > 0) AS t
+         |  FROM documents),
+         |bi AS (
+         |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tk)),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi
+         |       WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+         |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+         |v AS (SELECT count(DISTINCT w) AS v FROM (
+         |        SELECT unnest(t) AS w FROM tk WHERE doc_id % 2 = 0)),
+         |occ AS (SELECT doc_id, w1, w2, count(*) AS m FROM bi
+         |        WHERE doc_id % 2 = 1 GROUP BY doc_id, w1, w2),
+         |p AS (
+         |  SELECT occ.doc_id, occ.m,
+         |         CAST(1000000000 AS HUGEINT) * (coalesce(c2.c2, 0) + 1)
+         |           // (coalesce(c1.c1, 0) + v.v) AS p_scaled
+         |  FROM occ
+         |  LEFT JOIN c2 ON occ.w1 = c2.w1 AND occ.w2 = c2.w2
+         |  LEFT JOIN c1 ON occ.w1 = c1.w1
+         |  CROSS JOIN v)
+         |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+         |       CAST(sum(m * p_scaled) // sum(m) AS BIGINT) AS lm_score,
+         |       CAST(sum(m * p_scaled) // sum(m) AS BIGINT) >= 30000000
+         |         AS keep
+         |FROM p GROUP BY doc_id""".stripMargin,
+
     "q36_ann_brute_force" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
         |           WHERE vec_id < 5),

@@ -1020,6 +1020,30 @@ object TestdataQueries {
       col("user_id"), col("ts"), col("value"), bucketMillis = 21600000L,
       sigmaNum = 2, sigmaDen = 1)
 
+  /** The q93 query workload — shared with the oracle's VALUES list so the
+    * two sides can never drift. */
+  val Bm25Queries: Seq[(String, String)] = Seq(
+    "q_hash_join" -> "hash join",
+    "q_stream" -> "stream window batch",
+    "q_vector" -> "vector scan table")
+
+  /** BM25 retrieval: top-10 documents per query, exact-integer portable
+    * kernel (rational idf surrogate + cleared-denominator length
+    * normalization) — the oracle recomputes every score. */
+  def q93Bm25(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25TopK(t(s, dir, "documents"), Bm25Queries, k = 10)
+
+  /** Bigram-LM likelihood quality filter: train the LM on even doc_ids,
+    * score the odd ones with add-one smoothing — the held-out-scoring
+    * shape a CCNet-style gibberish filter runs at corpus scale. */
+  def q94BigramLm(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    TextAnalysis.bigramLmScore(
+      d.filter(col("doc_id") % 2 === 0),
+      d.filter(col("doc_id") % 2 === 1),
+      minScore = 30000000L)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -1097,6 +1121,8 @@ object TestdataQueries {
     "q90_temperature_mix" -> q90TemperatureMix _,
     "q91_series_motifs" -> q91SeriesMotifs _,
     "q92_series_outliers" -> q92SeriesOutliers _,
+    "q93_bm25" -> q93Bm25 _,
+    "q94_bigram_lm" -> q94BigramLm _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,

@@ -1145,4 +1145,82 @@ class LlmOpsSpec extends SparkSpec {
     // at 1e9 under u and v; the deterministic tie-break picks "u"
     assert(pred == Map(1L -> "u", 2L -> "u"))
   }
+
+  test("bigram LM: exact smoothed scores, unseen-bigram floor, short docs dropped") {
+    val train = Seq((0L, "a b a b"), (2L, "b c")).toDF("doc_id", "text")
+    // c2: (a,b)=2 (b,a)=1 (b,c)=1; c1: a=2 b=2; V=3
+    val toScore = Seq(
+      (1L, "a b z a"),   // seen, unseen-w2, unseen-w1 bigrams
+      (3L, "solo"),      // single token: no bigram, no row
+      (5L, "a b a b")    // pure in-distribution text
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScore(train, toScore, minScore = 400000000L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("lm_score"),
+          r.getAs[Boolean]("keep"))).toMap
+    // doc 1: p(a,b)=1e9*3/5=600000000, p(b,z)=1e9*1/5=200000000,
+    //        p(z,a)=1e9*1/3=333333333 -> mean = 1133333333/3 = 377777777
+    assert(got(1L) == ((3L, 377777777L, false)))
+    // doc 5: bigrams (a,b)x2 + (b,a): (2*600000000 + 1e9*2/5) div 3
+    assert(got(5L) == ((3L, 533333333L, true)))
+    assert(!got.contains(3L))
+    val again = TextAnalysis.bigramLmScore(train.repartition(5),
+        toScore.repartition(3), minScore = 400000000L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("lm_score"),
+          r.getAs[Boolean]("keep"))).toMap
+    assert(again == got)
+  }
+
+  test("bm25: exact BigInt rederivation, rank order, absent terms inert") {
+    val corpus = Seq(
+      (0L, "apple banana apple"),
+      (1L, "banana cherry"),
+      (2L, "apple cherry cherry date fig grape"),
+      (3L, ""),                           // empty: excluded from N and T
+      (4L, "banana banana banana banana")
+    ).toDF("doc_id", "text")
+    val queries = Seq(
+      "qa" -> "apple cherry",
+      "qb" -> "apple apple",              // repeated term -> qtf = 2
+      "qc" -> "zzz missing")              // no corpus term -> no rows
+    val got = TextAnalysis.bm25TopK(corpus, queries, k = 3).collect()
+      .map(r => (r.getAs[String]("query_id"), r.getAs[Long]("doc_id")) ->
+        (r.getAs[Long]("score"), r.getAs[Int]("rank"))).toMap
+
+    // driver-side rederivation of the documented kernel
+    val toks = Map(0L -> Seq("apple", "banana", "apple"),
+      1L -> Seq("banana", "cherry"),
+      2L -> Seq("apple", "cherry", "cherry", "date", "fig", "grape"),
+      4L -> Seq("banana", "banana", "banana", "banana"))
+    val n = BigInt(toks.size); val t = BigInt(toks.values.map(_.size).sum)
+    def df(term: String) = BigInt(toks.values.count(_.contains(term)))
+    def score(docId: Long, q: Seq[(String, Int)]): BigInt = q.map {
+      case (term, qtf) =>
+        val tf = BigInt(toks(docId).count(_ == term))
+        if (tf == 0) BigInt(0)
+        else {
+          val d = df(term)
+          val idf = (2 * n - 2 * d + 1) * 1000000 / (2 * d + 1)
+          val dl = BigInt(toks(docId).size)
+          idf * 44 * tf * t * qtf / (20 * tf * t + 6 * t + 18 * dl * n)
+        }
+    }.sum
+    val qa = Seq("apple" -> 1, "cherry" -> 1)
+    val qaScores = Seq(0L, 1L, 2L, 4L).map(i => i -> score(i, qa))
+      .filter(_._2 > 0).sortBy { case (i, s) => (-s, i) }
+    qaScores.take(3).zipWithIndex.foreach { case ((i, s), r) =>
+      assert(got(("qa", i)) == ((s.toLong, r + 1)), s"qa doc $i")
+    }
+    val qb = Seq("apple" -> 2)
+    assert(got(("qb", 0L))._1 == score(0L, qb).toLong)
+    assert(!got.keys.exists(_._1 == "qc"))
+    assert(!got.keys.exists(_._2 == 3L))  // empty doc never scores
+    // repartitioning does not change anything (order-independent sums)
+    val again = TextAnalysis.bm25TopK(corpus.repartition(7), queries, k = 3)
+      .collect().map(r => (r.getAs[String]("query_id"),
+        r.getAs[Long]("doc_id")) ->
+        (r.getAs[Long]("score"), r.getAs[Int]("rank"))).toMap
+    assert(again == got)
+  }
 }
