@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact edit-distance similarity self-join — the entity-resolution
+  * "same name, small typo" matcher.
+  *
+  * Blocking is the symmetric deletion neighborhood (the SymSpell
+  * scheme): every string emits each variant reachable by deleting at
+  * most `tau` characters, and two strings are candidates iff they share
+  * a variant. The underlying lemma (take an optimal alignment; delete
+  * from each side the characters it does not align identically) makes
+  * the candidate set a SUPERSET of every pair within edit distance
+  * `tau` — no false negatives — and the `levenshtein` verify on
+  * candidates only makes the result EXACT. The spec and the driver
+  * oracle both pin equality with the brute-force all-pairs join.
+  *
+  * Scale shape: a string of length L emits 1 + L + L(L-1)/2 variant
+  * keys at tau=2 (~170 for an 18-char name) — the variant table is a
+  * constant factor of the input and carries (key, id, len) only; the
+  * equi-join on the variant key replaces the all-pairs cross join
+  * (quadratic in |input|) with one shuffle join (linear in shared-key
+  * pairs). Text is joined back for CANDIDATE pairs only. Caveat the
+  * caller owns: k strings sharing one variant key produce k^2
+  * candidates — name-like ER keys are near-unique, but a corpus of
+  * near-identical strings degrades toward brute force (that is the
+  * data, not the algorithm: those pairs really are all matches). For
+  * long strings (where the L^2/2 variant fan-out hurts) the segment
+  * scheme (PassJoin) is the right tool instead; this operator targets
+  * the short-key ER band and enforces tau in {1, 2}.
+  */
+object FuzzyJoin {
+
+  def editDistanceSelfJoin(rows: DataFrame, tau: Int,
+                           id: Column = col("id"),
+                           str: Column = col("s")): DataFrame = {
+    require(tau == 1 || tau == 2, s"tau=$tau (deletion scheme band)")
+    val base = rows.filter(id.isNotNull && str.isNotNull)
+      .select(id.as("__id"), str.as("__s"))
+    val s = col("__s")
+    val n = length(s)
+    // delete 0-based position i (chars are 1-based in substr)
+    def del1(i: Column): Column =
+      concat(s.substr(lit(1), i), s.substr(i + 2, n - i - 1))
+    // delete 0-based positions i < j
+    def del2(i: Column, j: Column): Column =
+      concat(s.substr(lit(1), i), s.substr(i + 2, j - i - 1),
+        s.substr(j + 2, n - j - 1))
+    val empty = array().cast("array<string>")
+    val v1 = when(n >= 1,
+      transform(sequence(lit(0), n - 1), i => del1(i))).otherwise(empty)
+    val v2 =
+      if (tau < 2) empty
+      else when(n >= 2, flatten(transform(sequence(lit(0), n - 2), i =>
+        transform(sequence(i + 1, n - 1), j => del2(i, j))))
+      ).otherwise(empty)
+    val variants = base.select(col("__id"), n.as("__len"),
+      explode(array_distinct(concat(array(s), v1, v2))).as("__key"))
+    val a = variants.select(col("__id").as("a_id"), col("__len").as("__la"),
+      col("__key"))
+    val b = variants.select(col("__id").as("b_id"), col("__len").as("__lb"),
+      col("__key"))
+    val cands = a.join(b, Seq("__key"))
+      .filter(col("a_id") < col("b_id") &&
+        abs(col("__la") - col("__lb")) <= tau)
+      .select("a_id", "b_id").distinct()
+    cands
+      .join(base.select(col("__id").as("a_id"), col("__s").as("__sa")), "a_id")
+      .join(base.select(col("__id").as("b_id"), col("__s").as("__sb")), "b_id")
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
+      .filter(col("dist") <= tau)
+      .select(col("a_id"), col("b_id"), col("dist"))
+  }
+}

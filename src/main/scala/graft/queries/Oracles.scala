@@ -1380,6 +1380,40 @@ object Oracles {
          |         AS keep
          |FROM p GROUP BY doc_id""".stripMargin,
 
+    "q95_pagerank" -> {
+      // unrolled damped-update CTEs, one per engine iteration
+      val iterCtes = (1 to 4).map { i =>
+        raw"""r$i AS (
+           |  SELECT nd.node, t.tp + (85 * coalesce(s.inc, 0)) // 100 AS rank
+           |  FROM nodes nd CROSS JOIN tp t
+           |  LEFT JOIN (
+           |    SELECT e.dst AS node,
+           |           CAST(sum(p.rank // d.outdeg) AS BIGINT) AS inc
+           |    FROM r${i - 1} p JOIN e ON e.src = p.node
+           |    JOIN deg d ON d.src = p.node
+           |    GROUP BY e.dst) s ON s.node = nd.node)""".stripMargin
+      }.mkString(",\n")
+      raw"""WITH li AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+         |e AS (SELECT 'p' || l_partkey AS src, 's' || l_suppkey AS dst
+         |      FROM li
+         |      UNION ALL
+         |      SELECT 's' || l_suppkey, 'p' || l_partkey FROM li),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |n AS (SELECT count(*) AS n FROM nodes),
+         |tp AS (SELECT ((1000000000000 // n) * 15) // 100 AS tp FROM n),
+         |r0 AS (SELECT node, (SELECT 1000000000000 // n FROM n) AS rank
+         |       FROM nodes),
+         |$iterCtes
+         |SELECT node, CAST(rank AS BIGINT) AS rank FROM r4""".stripMargin
+    },
+
+    "q96_fuzzy_join" ->
+      """SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
+
     "q36_ann_brute_force" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
         |           WHERE vec_id < 5),

@@ -1044,6 +1044,30 @@ object TestdataQueries {
       minScore = 30000000L)
   }
 
+  /** PageRank over the part–supplier co-occurrence graph (edges both
+    * directions, so no dangling mass): which parts/suppliers sit at the
+    * center of the supply network — the domain-authority ranking shape a
+    * crawl-curation pipeline runs over its link graph. Exact integer
+    * ranks; the oracle unrolls all four iterations. */
+  def q95Pagerank(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val e = li.select(concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .union(li.select(concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst")))
+    graft.operators.GraphRank.pageRank(e, iters = 4)
+  }
+
+  /** Fuzzy entity resolution over customer names: all pairs within edit
+    * distance 2, found via the deletion-neighborhood blocking join. The
+    * oracle IS the brute-force all-pairs levenshtein — a green row
+    * proves the blocking lost nothing on real data. */
+  def q96FuzzyJoin(s: SparkSession, dir: String): DataFrame =
+    graft.operators.FuzzyJoin.editDistanceSelfJoin(
+      t(s, dir, "customer"), tau = 2,
+      id = col("c_custkey"), str = col("c_name"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -1123,6 +1147,8 @@ object TestdataQueries {
     "q92_series_outliers" -> q92SeriesOutliers _,
     "q93_bm25" -> q93Bm25 _,
     "q94_bigram_lm" -> q94BigramLm _,
+    "q95_pagerank" -> q95Pagerank _,
+    "q96_fuzzy_join" -> q96FuzzyJoin _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,

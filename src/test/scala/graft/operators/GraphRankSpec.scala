@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** Exact-arithmetic pins for the integer PageRank. */
+class GraphRankSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Driver-side BigInt replay of the documented update rule. */
+  private def ref(edges: Seq[(String, String)],
+                  iters: Int): Map[String, BigInt] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = BigInt(nodes.size)
+    val scale = BigInt("1000000000000")
+    val base = scale / n
+    val tp = base * 15 / 100
+    val out = edges.groupBy(_._1).view.mapValues(es => BigInt(es.size)).toMap
+    var r = nodes.map(_ -> base).toMap
+    for (_ <- 0 until iters) {
+      val inc = mutable.Map[String, BigInt]().withDefaultValue(BigInt(0))
+      for ((s, d) <- edges) inc(d) += r(s) / out(s)
+      r = nodes.map(nd => nd -> (tp + BigInt(85) * inc(nd) / 100)).toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(String, String)], iters: Int,
+                  parts: Int = 1): Map[String, Long] =
+    GraphRank.pageRank(
+        edges.toDF("src", "dst").repartition(parts), iters)
+      .collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Long]("rank")).toMap
+
+  test("matches the BigInt reference on cycle + hub + dangling graph") {
+    // cycle a->b->c->a, hub pull d->a/e->a, dangling sink a->f (f has no
+    // out-edges: its mass leaks, the documented variant), multi-edge d->a
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "d" -> "a",
+      "e" -> "a", "a" -> "f", "d" -> "a")
+    val expected = ref(edges, 4).map { case (k, v) => k -> v.toLong }
+    assert(run(edges, 4) == expected)
+    // the hub outranks the pure sources that feed it
+    assert(expected("a") > expected("d") && expected("a") > expected("e"))
+  }
+
+  test("iters=0 is the uniform start; partitioning never changes a rank") {
+    val edges = Seq("x" -> "y", "y" -> "z", "z" -> "x", "x" -> "z")
+    val r0 = run(edges, 0)
+    assert(r0.values.toSet == Set(1000000000000L / 3))
+    assert(run(edges, 3, parts = 7) == run(edges, 3))
+  }
+}
