@@ -490,34 +490,42 @@ object TextAnalysis {
     *     score is a SUM of those longs — order-independent, so partial
     *     aggregation is safe.
     *
-    * Scale shape: the query set is tiny and broadcast; df aggregates
-    * only the query vocabulary (the corpus tf table is pruned by the
-    * broadcast query terms before the df count); the one corpus-wide
-    * shuffle carries (doc_id, term, tf) — never the text; the per-query
-    * top-k rewrites to WindowGroupLimit. N and T count non-empty
-    * documents (an empty document has no length to normalize by).
-    * Query terms absent from the corpus contribute nothing; a query
-    * with no corpus term produces no rows. */
+    * Scale shape: NOTHING corpus-wide ever shuffles. Document lengths
+    * and the N/T stats come from a narrow `size(tokens)` projection (no
+    * explode, no groupBy on the corpus); the exploded-token stream is
+    * filtered to the LITERAL query vocabulary inside its scan tasks
+    * before the tf aggregation, so the only shuffles carry query-term
+    * hits; df aggregates that same tiny table. The per-query top-k
+    * rewrites to WindowGroupLimit. N and T count non-empty documents
+    * (an empty document has no length to normalize by). Query terms
+    * absent from the corpus contribute nothing; a query with no corpus
+    * term produces no rows. */
   def bm25TopK(docs: DataFrame, queries: Seq[(String, String)], k: Int = 10,
                id: Column = col("doc_id"),
                text: Column = col("text")): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val tf = docs.select(id.as("doc_id"), explode(wsTokens(text)).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("t"))
+    val qvocab = queries.flatMap(_._2.toLowerCase.split("\\s+"))
+      .filter(_.nonEmpty).distinct.sorted
+    val toks = docs.select(id.as("doc_id"), wsTokens(text).as("__t"))
+    val stats = toks.select(size(col("__t")).as("dl")).filter(col("dl") > 0)
+      .agg(count(lit(1)).as("n"), sum("dl").as("t"))
+    // dl rides along as a grouping key (constant per doc), so scoring
+    // needs no join back to a corpus-sized length table
+    val tf = toks
+      .select(col("doc_id"), size(col("__t")).as("dl"),
+        explode(col("__t")).as("term"))
+      .filter(col("term").isin(qvocab: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
     val qterms = queries.flatMap { case (qid, qtext) =>
       qtext.toLowerCase.split("\\s+").filter(_.nonEmpty)
         .groupBy(identity).toSeq.sortBy(_._1)
         .map { case (w, occ) => (qid, w, occ.length.toLong) }
     }.toDF("query_id", "term", "qtf")
-    val dfs = tf.join(broadcast(qterms.select("term").distinct()), Seq("term"))
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val perTerm = tf
       .join(broadcast(qterms), Seq("term"))
       .join(broadcast(dfs), Seq("term"))
-      .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       // decimal(38,0) keeps the cleared-denominator products exact far
       // past long range (idf*44*tf*T*qtf overflows a long at real N, T)

@@ -23,12 +23,16 @@ import org.apache.spark.sql.functions._
   * variant, exact and iteration-count-stable, which keeps the update
   * free of a global dangling-mass term.
   *
-  * Scale shape: the edge table is augmented with out-degrees ONCE and
-  * repartitioned by source — each iteration then shuffles only the
-  * rank table (|nodes| rows of (node, long)), never the edges. The
-  * per-iteration plan is join -> partial-aggregated groupBy -> left
-  * join back to the node list; `iters` is expected to be small (4-20).
-  * At real scale you would localCheckpoint the rank table every few
+  * Scale shape: the edge table is augmented with out-degrees ONCE,
+  * repartitioned by source, and PERSISTED (memory-and-disk) — without
+  * that, the unrolled lineage recomputes the edge build every
+  * iteration; with it, each iteration reads the cached partitions and
+  * shuffles only the rank table (|nodes| rows of (node, long)). The
+  * node list is persisted for the same reason (it anchors every
+  * iteration's left join and the uniform start). The caller owns
+  * unpersisting via the returned frame's session if the graph is
+  * one-shot. `iters` is expected to be small (4-20); at real scale you
+  * would additionally localCheckpoint the rank table every few
   * iterations to keep lineage bounded — values are unaffected.
   */
 object GraphRank {
@@ -40,12 +44,16 @@ object GraphRank {
     require(iters >= 0, s"iters=$iters")
     require(0 < dampNum && dampNum <= dampDen, s"$dampNum/$dampDen")
     val e = edges.select(src.as("src"), dst.as("dst"))
+    import org.apache.spark.storage.StorageLevel
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // degree-augmented edges: built once, partitioned by the join key so
-    // iterations reshuffle only ranks
+    // degree-augmented edges: built once, partitioned by the join key,
+    // and cached so the unrolled iterations reshuffle only ranks and
+    // never recompute the edge build
     val eDeg = e.join(outdeg, Seq("src")).repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     require(n > 0, "empty graph")
     val base = scale / n

@@ -1412,7 +1412,7 @@ object Oracles {
       """SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
         |       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-        |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
 
     "q36_ann_brute_force" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings

@@ -203,6 +203,29 @@ class PlanQualitySpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q93: bm25 broadcasts query/df sides; per-query top-k is a group limit") {
+    val p = plan("q93_bm25")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the corpus tf table must never be cross-joined against anything
+    // bigger than the one-row stats relation
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q95: pagerank iterations read cached edges, never rebuild them") {
+    val p = plan("q95_pagerank")
+    // the degree-augmented edge table and the node list are persisted —
+    // every iteration reads the cache instead of replaying scan ->
+    // distinct -> union -> degree join
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q96: fuzzy join is equi-join blocking + verify, never a cross product") {
+    val p = plan("q96_fuzzy_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q68/q69: posting cap and tf-idf ranking are map-side group limits") {
     // the inverted index's posting cap and the per-document tf-idf top-k
     // both rest on the same rewrite: without WindowGroupLimit a
