@@ -73,4 +73,40 @@ object GraphRank {
     }
     ranks
   }
+
+  /** Bounded-hop BFS: the minimum hop count from any seed to every node
+    * within `hops` hops (nodes farther away are absent). Deterministic
+    * by construction — a node's distance is the level of its first
+    * discovery, which no partitioning or evaluation order can change.
+    *
+    * Scale shape: textbook frontier BFS. Edges are persisted once;
+    * each level joins only the CURRENT frontier against them, anti-joins
+    * away already-visited nodes, and persists the (node-sized) frontier
+    * and visited tables so the unrolled lineage stays linear in `hops`
+    * — without those persists every level would recompute the whole
+    * cascade below it. The expensive side (edges) never moves after its
+    * one repartition. */
+  def bfsDistances(edges: DataFrame, seeds: Seq[String], hops: Int,
+                   src: Column = col("src"),
+                   dst: Column = col("dst")): DataFrame = {
+    require(hops >= 0, s"hops=$hops")
+    import org.apache.spark.storage.StorageLevel
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(src.as("src"), dst.as("dst"))
+      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    var known = seeds.distinct.toDF("node").withColumn("dist", lit(0))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = known.select("node")
+    for (h <- 1 to hops) {
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(known.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(h))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      known = known.union(next).persist(StorageLevel.MEMORY_AND_DISK)
+      frontier = next.select("node")
+    }
+    known
+  }
 }

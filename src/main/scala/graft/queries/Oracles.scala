@@ -1414,6 +1414,42 @@ object Oracles {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
 
+    "q97_entity_clusters" ->
+      """WITH RECURSIVE pr AS (
+        |  SELECT a.c_custkey AS u, b.c_custkey AS v
+        |  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |  WHERE a.c_custkey < 4000 AND b.c_custkey < 4000
+        |    AND levenshtein(a.c_name, b.c_name) <= 1),
+        |edges AS (SELECT u, v FROM pr UNION SELECT v, u FROM pr),
+        |verts AS (SELECT DISTINCT u AS id FROM edges),
+        |walk(src, dst) AS (
+        |  SELECT id, id FROM verts
+        |  UNION
+        |  SELECT w.src, e.v FROM walk w JOIN edges e ON e.u = w.dst)
+        |SELECT src AS doc_id, min(dst) AS comp_id
+        |FROM walk GROUP BY 1""".stripMargin,
+
+    "q98_bfs_reach" -> {
+      // unrolled frontier expansions: r_k holds min-distance nodes
+      // within k hops
+      val hops = (1 to 3).map { k =>
+        raw"""r$k AS (SELECT node, min(dist) AS dist FROM (
+           |  SELECT node, dist FROM r${k - 1}
+           |  UNION ALL
+           |  SELECT e.dst, p.dist + 1 FROM r${k - 1} p
+           |  JOIN e ON e.src = p.node)
+           |GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      raw"""WITH li AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+         |e AS (SELECT 'p' || l_partkey AS src, 's' || l_suppkey AS dst
+         |      FROM li
+         |      UNION ALL
+         |      SELECT 's' || l_suppkey, 'p' || l_partkey FROM li),
+         |r0(node, dist) AS (VALUES ('p0', 0), ('p1', 0), ('p2', 0)),
+         |$hops
+         |SELECT node, CAST(dist AS INTEGER) AS dist FROM r3""".stripMargin
+    },
+
     "q36_ann_brute_force" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
         |           WHERE vec_id < 5),

@@ -1074,6 +1074,35 @@ object TestdataQueries {
       t(s, dir, "customer"), tau = 1,
       id = col("c_custkey"), str = col("c_name"))
 
+  /** Entity clustering: fuzzy-join pairs become connected components —
+    * "these customer records are all the same entity". Reuses the dedup
+    * clustering machinery; the oracle walks the same brute-force pair
+    * set with a recursive CTE. Bounded to a fixed id prefix: the full
+    * table is q96's job, and on TPC-H's digit-named customers the
+    * cluster structure is identical on any prefix. */
+  def q97EntityClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.operators.FuzzyJoin.editDistanceSelfJoin(
+        t(s, dir, "customer").filter(col("c_custkey") < 4000), tau = 1,
+        id = col("c_custkey"), str = col("c_name"))
+      .select(col("a_id").as("id_a"), col("b_id").as("id_b"))
+    Dedup.duplicateClusters(pairs)
+  }
+
+  /** Bounded-hop BFS over the part–supplier graph: which parts and
+    * suppliers sit within 3 hops of the seed parts — the supply-chain
+    * blast-radius / graph-reachability query. The oracle unrolls the
+    * three frontier expansions. */
+  def q98BfsReach(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val e = li.select(concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .union(li.select(concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst")))
+    graft.operators.GraphRank.bfsDistances(e,
+      seeds = Seq("p0", "p1", "p2"), hops = 3)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -1155,6 +1184,8 @@ object TestdataQueries {
     "q94_bigram_lm" -> q94BigramLm _,
     "q95_pagerank" -> q95Pagerank _,
     "q96_fuzzy_join" -> q96FuzzyJoin _,
+    "q97_entity_clusters" -> q97EntityClusters _,
+    "q98_bfs_reach" -> q98BfsReach _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,

@@ -45,6 +45,24 @@ class GraphRankSpec extends SparkSpec {
     assert(expected("a") > expected("d") && expected("a") > expected("e"))
   }
 
+  test("bfs: first-discovery levels, cycles keep min dist, horizon cuts off") {
+    // line a->b->c->d plus a shortcut cycle c->a and an island x->y
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "d", "c" -> "a",
+      "x" -> "y").toDF("src", "dst")
+    def bfs(hops: Int, seeds: Seq[String], parts: Int = 1) =
+      GraphRank.bfsDistances(edges.repartition(parts), seeds, hops)
+        .collect().map(r => r.getAs[String]("node") ->
+          r.getAs[Int]("dist")).toMap
+    assert(bfs(2, Seq("a")) == Map("a" -> 0, "b" -> 1, "c" -> 2))
+    // the cycle edge back to the seed must not overwrite dist 0
+    assert(bfs(3, Seq("a")) == Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 3))
+    // multiple seeds take the closer one; islands stay separate
+    assert(bfs(1, Seq("a", "x")) ==
+      Map("a" -> 0, "x" -> 0, "b" -> 1, "y" -> 1))
+    assert(bfs(0, Seq("a")) == Map("a" -> 0))
+    assert(bfs(3, Seq("a"), parts = 7) == bfs(3, Seq("a")))
+  }
+
   test("iters=0 is the uniform start; partitioning never changes a rank") {
     val edges = Seq("x" -> "y", "y" -> "z", "z" -> "x", "x" -> "z")
     val r0 = run(edges, 0)
