@@ -505,8 +505,14 @@ object TextAnalysis {
                text: Column = col("text")): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val qvocab = queries.flatMap(_._2.toLowerCase.split("\\s+"))
-      .filter(_.nonEmpty).distinct.sorted
+    // ONE query tokenization feeds both the scan-side vocabulary filter
+    // and the qterms join table, so they cannot drift
+    val qtermRows = queries.flatMap { case (qid, qtext) =>
+      qtext.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .groupBy(identity).toSeq.sortBy(_._1)
+        .map { case (w, occ) => (qid, w, occ.length.toLong) }
+    }
+    val qvocab = qtermRows.map(_._2).distinct.sorted
     val toks = docs.select(id.as("doc_id"), wsTokens(text).as("__t"))
     val stats = toks.select(size(col("__t")).as("dl")).filter(col("dl") > 0)
       .agg(count(lit(1)).as("n"), sum("dl").as("t"))
@@ -517,11 +523,7 @@ object TextAnalysis {
         explode(col("__t")).as("term"))
       .filter(col("term").isin(qvocab: _*))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-    val qterms = queries.flatMap { case (qid, qtext) =>
-      qtext.toLowerCase.split("\\s+").filter(_.nonEmpty)
-        .groupBy(identity).toSeq.sortBy(_._1)
-        .map { case (w, occ) => (qid, w, occ.length.toLong) }
-    }.toDF("query_id", "term", "qtf")
+    val qterms = qtermRows.toDF("query_id", "term", "qtf")
     val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val perTerm = tf
       .join(broadcast(qterms), Seq("term"))

@@ -95,16 +95,20 @@ object GraphRank {
     import spark.implicits._
     val e = edges.select(src.as("src"), dst.as("dst"))
       .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
-    var known = seeds.distinct.toDF("node").withColumn("dist", lit(0))
+    // Only each LEVEL is persisted; the cumulative `known` is a plain
+    // union of the cached levels, so no row is ever cached twice and
+    // lineage stays linear without re-persisting the growing prefix.
+    val level0 = seeds.distinct.toDF("node").withColumn("dist", lit(0))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var frontier = known.select("node")
+    var known = level0
+    var frontier = level0.select("node")
     for (h <- 1 to hops) {
       val next = frontier.join(e, frontier("node") === e("src"))
         .select(col("dst").as("node")).distinct()
         .join(known.select("node"), Seq("node"), "left_anti")
         .withColumn("dist", lit(h))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      known = known.union(next).persist(StorageLevel.MEMORY_AND_DISK)
+      known = known.union(next)
       frontier = next.select("node")
     }
     known

@@ -1376,8 +1376,8 @@ object Oracles {
          |  CROSS JOIN v)
          |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
          |       CAST(sum(m * p_scaled) // sum(m) AS BIGINT) AS lm_score,
-         |       CAST(sum(m * p_scaled) // sum(m) AS BIGINT) >= 30000000
-         |         AS keep
+         |       CAST(sum(m * p_scaled) // sum(m) AS BIGINT)
+         |         >= ${TestdataQueries.BigramLmMinScore} AS keep
          |FROM p GROUP BY doc_id""".stripMargin,
 
     "q95_pagerank" -> {

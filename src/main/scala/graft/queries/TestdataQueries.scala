@@ -1033,6 +1033,10 @@ object TestdataQueries {
   def q93Bm25(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bm25TopK(t(s, dir, "documents"), Bm25Queries, k = 10)
 
+  /** q94's keep threshold — shared with the oracle SQL so the two sides
+    * can never drift. */
+  val BigramLmMinScore: Long = 30000000L
+
   /** Bigram-LM likelihood quality filter: train the LM on even doc_ids,
     * score the odd ones with add-one smoothing — the held-out-scoring
     * shape a CCNet-style gibberish filter runs at corpus scale. */
@@ -1041,7 +1045,19 @@ object TestdataQueries {
     TextAnalysis.bigramLmScore(
       d.filter(col("doc_id") % 2 === 0),
       d.filter(col("doc_id") % 2 === 1),
-      minScore = 30000000L)
+      minScore = BigramLmMinScore)
+  }
+
+  /** The ONE part–supplier graph q95 and q98 both traverse (prefixed
+    * node ids, both edge directions) — shared so the two queries, and
+    * their separately-authored oracles, can never drift apart. */
+  private def partSupplierEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    li.select(concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .union(li.select(concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst")))
   }
 
   /** PageRank over the part–supplier co-occurrence graph (edges both
@@ -1049,15 +1065,8 @@ object TestdataQueries {
     * center of the supply network — the domain-authority ranking shape a
     * crawl-curation pipeline runs over its link graph. Exact integer
     * ranks; the oracle unrolls all four iterations. */
-  def q95Pagerank(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-      .select(col("l_partkey"), col("l_suppkey")).distinct()
-    val e = li.select(concat(lit("p"), col("l_partkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
-      .union(li.select(concat(lit("s"), col("l_suppkey")).as("src"),
-        concat(lit("p"), col("l_partkey")).as("dst")))
-    graft.operators.GraphRank.pageRank(e, iters = 4)
-  }
+  def q95Pagerank(s: SparkSession, dir: String): DataFrame =
+    graft.operators.GraphRank.pageRank(partSupplierEdges(s, dir), iters = 4)
 
   /** Fuzzy entity resolution over customer names: all pairs within edit
     * distance 1 (the single-typo ER band), found via the
@@ -1092,16 +1101,9 @@ object TestdataQueries {
     * suppliers sit within 3 hops of the seed parts — the supply-chain
     * blast-radius / graph-reachability query. The oracle unrolls the
     * three frontier expansions. */
-  def q98BfsReach(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-      .select(col("l_partkey"), col("l_suppkey")).distinct()
-    val e = li.select(concat(lit("p"), col("l_partkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
-      .union(li.select(concat(lit("s"), col("l_suppkey")).as("src"),
-        concat(lit("p"), col("l_partkey")).as("dst")))
-    graft.operators.GraphRank.bfsDistances(e,
+  def q98BfsReach(s: SparkSession, dir: String): DataFrame =
+    graft.operators.GraphRank.bfsDistances(partSupplierEdges(s, dir),
       seeds = Seq("p0", "p1", "p2"), hops = 3)
-  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,

@@ -213,12 +213,19 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("q95: pagerank iterations read cached edges, never rebuild them") {
-    val p = plan("q95_pagerank")
-    // the degree-augmented edge table and the node list are persisted —
-    // every iteration reads the cache instead of replaying scan ->
-    // distinct -> union -> degree join
-    assert(p.contains("InMemoryTableScan"), p)
-    assert(!p.contains("CartesianProduct"), p)
+    try {
+      val p = plan("q95_pagerank")
+      // the degree-augmented edge table and the node list are persisted —
+      // every iteration reads the cache instead of replaying scan ->
+      // distinct -> union -> degree join
+      assert(p.contains("InMemoryTableScan"), p)
+      assert(!p.contains("CartesianProduct"), p)
+    } finally {
+      // unlike the other plan-only tests, building this plan runs the
+      // operator's eager node count and installs its caches — drop them
+      // so later tests in the shared session start clean
+      spark.catalog.clearCache()
+    }
   }
 
   test("q96: fuzzy join is equi-join blocking + verify, never a cross product") {
