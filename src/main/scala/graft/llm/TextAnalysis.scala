@@ -470,6 +470,34 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"), col("lm_score"), col("keep"))
   }
 
+  /** Reciprocal-rank fusion of ranked candidate lists — the standard
+    * hybrid-retrieval combiner (lexical + semantic + priors), kept
+    * engine-portable: each system contributes
+    * `1e9 div (kConst + rank)` and a document's fused score is the SUM
+    * over the systems that ranked it (absent = 0). Integer floor-divide
+    * end to end, so fused scores and the fused ranking replay exactly
+    * in SQL; ties break on doc_id.
+    *
+    * Fusion happens over the UNION OF TOP-K CANDIDATES, never a global
+    * corpus ranking — a per-system global rank would funnel the corpus
+    * through one sort task, while the candidate union is
+    * |systems| * k * |queries| rows. Inputs must carry
+    * (query_id, doc_id, rank). */
+  def rrfFuse(systems: Seq[DataFrame], kConst: Long = 60L,
+              topK: Int = 10): DataFrame = {
+    require(systems.nonEmpty, "need at least one ranking")
+    val scored = systems.map(_.select(col("query_id"), col("doc_id"),
+        expr(s"1000000000L div ($kConst + rank)").as("part")))
+      .reduce(_ unionByName _)
+      .groupBy("query_id", "doc_id").agg(sum("part").as("rrf_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("doc_id"), col("rrf_score"), col("rank"))
+  }
+
   /** Engine-portable BM25 retrieval: top-`k` documents per query.
     *
     * The scoring kernel is EXACT integer arithmetic end to end, so both

@@ -46,6 +46,47 @@ object Oracles {
        |  JOIN sig sb ON sb.doc_id = p.id_b AND sb.i = sa.i
        |  GROUP BY 1, 2)""".stripMargin
 
+  /** Shared CTE chain recomputing the exact-integer BM25 pipeline up to
+    * the per-query ranking (`bmranked`) — used by q93 and, as the
+    * lexical leg of the RRF fusion, by q99. The VALUES rows derive from
+    * the ONE query list the Spark side uses. */
+  private lazy val bm25Ctes: String = {
+    val vals = TestdataQueries.Bm25Queries.flatMap { case (qid, qtext) =>
+      qtext.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .groupBy(identity).toSeq.sortBy(_._1)
+        .map { case (w, occ) => s"('$qid', '$w', ${occ.length})" }
+    }.mkString(", ")
+    raw"""tok AS (
+       |  SELECT doc_id, unnest(list_filter(string_split($norm, ' '),
+       |    t -> len(t) > 0)) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       |       GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+       |stats AS (SELECT count(*) AS n, sum(dl) AS t FROM dl),
+       |q(query_id, term, qtf) AS (VALUES $vals),
+       |dfs AS (SELECT term, count(*) AS df FROM tf
+       |        WHERE term IN (SELECT term FROM q) GROUP BY term),
+       |hit AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |         CAST(
+       |           CAST((2*s.n - 2*d.df + 1) AS HUGEINT) * 1000000
+       |             // CAST(2*d.df + 1 AS HUGEINT)
+       |           * 44 * tf.tf * s.t * q.qtf
+       |           // (CAST(20 AS HUGEINT) * tf.tf * s.t + 6 * s.t
+       |              + 18 * dl.dl * s.n)
+       |         AS BIGINT) AS score_t
+       |  FROM tf JOIN q USING (term) JOIN dfs d USING (term)
+       |       JOIN dl USING (doc_id) CROSS JOIN stats s),
+       |sc AS (SELECT query_id, doc_id, CAST(sum(score_t) AS BIGINT)
+       |         AS score FROM hit GROUP BY 1, 2),
+       |bmranked AS (
+       |  SELECT query_id, doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY score DESC, doc_id ASC) AS rank
+       |  FROM sc)""".stripMargin
+  }
+
   /** Shared CTE chain recomputing the portable SimHash pipeline
     * (2-gram shingles -> 56-bit md5-derived hash -> per-bit sign sums ->
     * fingerprint -> 14-bit block LSH -> Hamming-scored candidate pairs) —
@@ -1314,42 +1355,32 @@ object Oracles {
         |      > 4 * (CAST(st.n AS HUGEINT) * st.q
         |             - CAST(st.s AS HUGEINT) * CAST(st.s AS HUGEINT))""".stripMargin,
 
-    "q93_bm25" -> {
-      // VALUES rows derived from the ONE query list the Spark side uses
-      val vals = TestdataQueries.Bm25Queries.flatMap { case (qid, qtext) =>
-        qtext.toLowerCase.split("\\s+").filter(_.nonEmpty)
-          .groupBy(identity).toSeq.sortBy(_._1)
-          .map { case (w, occ) => s"('$qid', '$w', ${occ.length})" }
-      }.mkString(", ")
-      raw"""WITH tok AS (
-         |  SELECT doc_id, unnest(list_filter(string_split($norm, ' '),
-         |    t -> len(t) > 0)) AS term
-         |  FROM documents),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
-         |       GROUP BY doc_id, term),
-         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
-         |stats AS (SELECT count(*) AS n, sum(dl) AS t FROM dl),
-         |q(query_id, term, qtf) AS (VALUES $vals),
-         |dfs AS (SELECT term, count(*) AS df FROM tf
-         |        WHERE term IN (SELECT term FROM q) GROUP BY term),
-         |hit AS (
-         |  SELECT q.query_id, tf.doc_id,
-         |         CAST(
-         |           CAST((2*s.n - 2*d.df + 1) AS HUGEINT) * 1000000
-         |             // CAST(2*d.df + 1 AS HUGEINT)
-         |           * 44 * tf.tf * s.t * q.qtf
-         |           // (CAST(20 AS HUGEINT) * tf.tf * s.t + 6 * s.t
-         |              + 18 * dl.dl * s.n)
-         |         AS BIGINT) AS score_t
-         |  FROM tf JOIN q USING (term) JOIN dfs d USING (term)
-         |       JOIN dl USING (doc_id) CROSS JOIN stats s),
-         |sc AS (SELECT query_id, doc_id, CAST(sum(score_t) AS BIGINT)
-         |         AS score FROM hit GROUP BY 1, 2)
-         |SELECT query_id, doc_id, score, rank FROM (
+    "q93_bm25" ->
+      s"""WITH $bm25Ctes
+         |SELECT query_id, doc_id, score, rank FROM bmranked
+         |WHERE rank <= 10""".stripMargin,
+
+    "q99_hybrid_rrf" ->
+      s"""WITH $bm25Ctes,
+         |bm AS (SELECT query_id, doc_id, rank FROM bmranked
+         |       WHERE rank <= 10),
+         |prior0 AS (SELECT doc_id, row_number() OVER (
+         |             ORDER BY n_chars DESC, doc_id ASC) AS rank
+         |           FROM documents),
+         |prior AS (SELECT qq.query_id, p.doc_id, p.rank
+         |          FROM (SELECT DISTINCT query_id FROM q) qq
+         |          CROSS JOIN (SELECT * FROM prior0 WHERE rank <= 10) p),
+         |parts AS (
+         |  SELECT query_id, doc_id, 1000000000 // (60 + rank) AS part
+         |  FROM bm
+         |  UNION ALL
+         |  SELECT query_id, doc_id, 1000000000 // (60 + rank) FROM prior),
+         |f AS (SELECT query_id, doc_id, CAST(sum(part) AS BIGINT)
+         |        AS rrf_score FROM parts GROUP BY 1, 2)
+         |SELECT query_id, doc_id, rrf_score, rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY score DESC, doc_id ASC) AS rank FROM sc)
-         |WHERE rank <= 10""".stripMargin
-    },
+         |    ORDER BY rrf_score DESC, doc_id ASC) AS rank FROM f)
+         |WHERE rank <= 10""".stripMargin,
 
     "q94_bigram_lm" ->
       raw"""WITH tk AS (

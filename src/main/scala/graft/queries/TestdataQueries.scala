@@ -1105,6 +1105,26 @@ object TestdataQueries {
     graft.operators.GraphRank.bfsDistances(partSupplierEdges(s, dir),
       seeds = Seq("p0", "p1", "p2"), hops = 3)
 
+  /** Hybrid retrieval: reciprocal-rank fusion of the BM25 top-10 (q93)
+    * with a query-independent document prior (longest-document top-10 —
+    * a crude but fully portable quality prior). Candidates only, never
+    * a global corpus ranking; integer RRF scores replayed by the
+    * oracle. */
+  def q99HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val bm25 = q93Bm25(s, dir).select("query_id", "doc_id", "rank")
+    // top-10 prior: TakeOrderedAndProject, then rank the 10 survivors
+    val prior = t(s, dir, "documents")
+      .orderBy(col("n_chars").desc, col("doc_id").asc).limit(10)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("n_chars").desc, col("doc_id").asc)).as("rank"))
+    val qids = Bm25Queries.map(_._1).toDF("query_id")
+    val priorPerQuery = broadcast(qids).crossJoin(prior)
+      .select("query_id", "doc_id", "rank")
+    TextAnalysis.rrfFuse(Seq(bm25, priorPerQuery))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -1188,6 +1208,7 @@ object TestdataQueries {
     "q96_fuzzy_join" -> q96FuzzyJoin _,
     "q97_entity_clusters" -> q97EntityClusters _,
     "q98_bfs_reach" -> q98BfsReach _,
+    "q99_hybrid_rrf" -> q99HybridRrf _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,

@@ -1172,6 +1172,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("rrf fusion: exact integer scores, absent docs score one-sided, doc_id ties") {
+    val sysA = Seq(("q1", 10L, 1), ("q1", 20L, 2)).toDF("query_id", "doc_id", "rank")
+    val sysB = Seq(("q1", 20L, 1), ("q1", 30L, 2)).toDF("query_id", "doc_id", "rank")
+    val got = TextAnalysis.rrfFuse(Seq(sysA, sysB), kConst = 60, topK = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("rrf_score"), r.getAs[Int]("rank"))).toMap
+    // 1e9 div 61 = 16393442, 1e9 div 62 = 16129032
+    assert(got(20L) == ((16393442L + 16129032L, 1)))  // in both systems
+    assert(got(10L) == ((16393442L, 2)))              // one-sided, rank 1
+    assert(got(30L) == ((16129032L, 3)))              // one-sided, rank 2
+    // equal fused scores break on doc_id
+    val tied = TextAnalysis.rrfFuse(Seq(
+      Seq(("q1", 6L, 1), ("q1", 5L, 1)).toDF("query_id", "doc_id", "rank")))
+      .collect().sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("doc_id"))
+    assert(tied.toSeq == Seq(5L, 6L))
+  }
+
   test("bm25: exact BigInt rederivation, rank order, absent terms inert") {
     val corpus = Seq(
       (0L, "apple banana apple"),
