@@ -1481,6 +1481,43 @@ object Oracles {
          |SELECT node, CAST(dist AS INTEGER) AS dist FROM r3""".stripMargin
     },
 
+    "q100_hits" -> {
+      // one auth + hub half-step pair per engine iteration, each
+      // max-rescaled to the integer grid
+      val steps = (1 to 3).map { i =>
+        raw"""a${i}r AS (
+           |  SELECT e.dst AS node, sum(CAST(h${i - 1}.score AS HUGEINT))
+           |    AS score
+           |  FROM h${i - 1} JOIN e ON e.src = h${i - 1}.node
+           |  GROUP BY e.dst),
+           |a$i AS (
+           |  SELECT node, CAST(score * 1000000000000
+           |    // (SELECT max(score) FROM a${i}r) AS BIGINT) AS score
+           |  FROM a${i}r),
+           |h${i}r AS (
+           |  SELECT e.src AS node, sum(CAST(a$i.score AS HUGEINT))
+           |    AS score
+           |  FROM a$i JOIN e ON e.dst = a$i.node
+           |  GROUP BY e.src),
+           |h$i AS (
+           |  SELECT node, CAST(score * 1000000000000
+           |    // (SELECT max(score) FROM h${i}r) AS BIGINT) AS score
+           |  FROM h${i}r)""".stripMargin
+      }.mkString(",\n")
+      raw"""WITH li AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+         |e AS (SELECT 'p' || l_partkey AS src, 's' || l_suppkey AS dst
+         |      FROM li),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |h0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS score
+         |       FROM nodes),
+         |$steps
+         |SELECT n.node, coalesce(h3.score, 0) AS hub,
+         |       coalesce(a3.score, 0) AS auth
+         |FROM nodes n
+         |LEFT JOIN h3 ON h3.node = n.node
+         |LEFT JOIN a3 ON a3.node = n.node""".stripMargin
+    },
+
     "q36_ann_brute_force" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
         |           WHERE vec_id < 5),

@@ -1125,6 +1125,19 @@ object TestdataQueries {
     TextAnalysis.rrfFuse(Seq(bm25, priorPerQuery))
   }
 
+  /** HITS over the DIRECTED part->supplier graph — the textbook
+    * bipartite case: parts are pure hubs (who sources broadly),
+    * suppliers pure authorities (who is sourced by the well-connected).
+    * Exact integer max-rescaled iterations; the oracle unrolls all
+    * three. */
+  def q100Hits(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    graft.operators.GraphRank.hits(
+      li.select(concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst")), iters = 3)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -1209,6 +1222,7 @@ object TestdataQueries {
     "q97_entity_clusters" -> q97EntityClusters _,
     "q98_bfs_reach" -> q98BfsReach _,
     "q99_hybrid_rrf" -> q99HybridRrf _,
+    "q100_hits" -> q100Hits _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,

@@ -63,6 +63,42 @@ class GraphRankSpec extends SparkSpec {
     assert(bfs(3, Seq("a"), parts = 7) == bfs(3, Seq("a")))
   }
 
+  test("hits: BigInt reference replay; pure sources/sinks score one-sided") {
+    // bipartite-ish: h1 links to both authorities, h2 to one; plus a
+    // chain node that is both hub and authority
+    val edges = Seq("h1" -> "a1", "h1" -> "a2", "h2" -> "a1", "a1" -> "a2")
+    val scale = BigInt("1000000000000")
+    // driver replay of the documented half-steps
+    def replay(iters: Int): (Map[String, BigInt], Map[String, BigInt]) = {
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      var hub = nodes.map(_ -> scale).toMap
+      var auth = Map.empty[String, BigInt]
+      def rescale(m: Map[String, BigInt]) = {
+        val mx = m.values.max
+        m.map { case (k, v) => k -> v * scale / mx }
+      }
+      for (_ <- 1 to iters) {
+        auth = rescale(edges.groupBy(_._2).map { case (v, es) =>
+          v -> es.map(e => hub(e._1)).sum })
+        hub = rescale(edges.groupBy(_._1).map { case (u, es) =>
+          u -> es.map(e => auth(e._2)).sum })
+      }
+      (hub, auth)
+    }
+    val (hubRef, authRef) = replay(3)
+    val got = GraphRank.hits(edges.toDF("src", "dst"), iters = 3)
+      .collect().map(r => r.getAs[String]("node") ->
+        (r.getAs[Long]("hub"), r.getAs[Long]("auth"))).toMap
+    for (n <- got.keys) {
+      assert(got(n)._1 == hubRef.getOrElse(n, BigInt(0)).toLong, s"hub $n")
+      assert(got(n)._2 == authRef.getOrElse(n, BigInt(0)).toLong, s"auth $n")
+    }
+    // pure sink a2 has hub 0; pure sources h1/h2 have auth 0
+    assert(got("a2")._1 == 0L && got("h1")._2 == 0L && got("h2")._2 == 0L)
+    // h1 (links to everything) is the top hub
+    assert(got("h1")._1 > got("h2")._1)
+  }
+
   test("iters=0 is the uniform start; partitioning never changes a rank") {
     val edges = Seq("x" -> "y", "y" -> "z", "z" -> "x", "x" -> "z")
     val r0 = run(edges, 0)
