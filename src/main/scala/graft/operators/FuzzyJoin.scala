@@ -28,15 +28,28 @@ import org.apache.spark.sql.functions._
   * data, not the algorithm: those pairs really are all matches). For
   * long strings (where the L^2/2 variant fan-out hurts) the segment
   * scheme (PassJoin) is the right tool instead; this operator targets
-  * the short-key ER band and enforces tau in {1, 2}.
+  * the short-key ER band and enforces tau in {1, 2} and, via `maxLen`,
+  * a hard cap on string length (one 10k-char string at tau=2 would
+  * emit ~50M variants inside a single row's transform — rows longer
+  * than `maxLen` are excluded from matching rather than allowed to
+  * blow up a task).
+  *
+  * The variant key is hashed to a LONG (xxhash64) before the
+  * self-join: the shuffle carries 8-byte keys instead of near-full
+  * copies of the string, and a hash collision can only ADD a candidate
+  * pair, which the exact `levenshtein` verify then removes — the
+  * result stays exact.
   */
 object FuzzyJoin {
 
   def editDistanceSelfJoin(rows: DataFrame, tau: Int,
                            id: Column = col("id"),
-                           str: Column = col("s")): DataFrame = {
+                           str: Column = col("s"),
+                           maxLen: Int = 512): DataFrame = {
     require(tau == 1 || tau == 2, s"tau=$tau (deletion scheme band)")
-    val base = rows.filter(id.isNotNull && str.isNotNull)
+    require(maxLen >= 1, s"maxLen=$maxLen")
+    val base = rows.filter(id.isNotNull && str.isNotNull &&
+        length(str) <= maxLen)
       .select(id.as("__id"), str.as("__s"))
     val s = col("__s")
     val n = length(s)
@@ -56,7 +69,8 @@ object FuzzyJoin {
         transform(sequence(i + 1, n - 1), j => del2(i, j))))
       ).otherwise(empty)
     val variants = base.select(col("__id"), n.as("__len"),
-      explode(array_distinct(concat(array(s), v1, v2))).as("__key"))
+      explode(array_distinct(
+        transform(concat(array(s), v1, v2), v => xxhash64(v)))).as("__key"))
     val a = variants.select(col("__id").as("a_id"), col("__len").as("__la"),
       col("__key"))
     val b = variants.select(col("__id").as("b_id"), col("__len").as("__lb"),

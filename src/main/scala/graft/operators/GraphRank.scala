@@ -29,37 +29,46 @@ import org.apache.spark.sql.functions._
   * iteration; with it, each iteration reads the cached partitions and
   * shuffles only the rank table (|nodes| rows of (node, long)). The
   * node list is persisted for the same reason (it anchors every
-  * iteration's left join and the uniform start). The caller owns
-  * unpersisting via the returned frame's session if the graph is
-  * one-shot. `iters` is expected to be small (4-20); at real scale you
-  * would additionally localCheckpoint the rank table every few
-  * iterations to keep lineage bounded — values are unaffected.
+  * iteration's left join and the uniform start). Every frame this
+  * call persists is reported through `onPersist` — a caller that runs
+  * many graphs in one session collects them and unpersists after
+  * consuming the result (the default callback keeps the old
+  * fire-and-forget behavior). `iters` is expected to be small (4-20);
+  * for larger iteration counts pass `checkpointEvery > 0` to
+  * localCheckpoint the rank table every that-many iterations — lineage
+  * stays bounded and values are bit-identical (the checkpoint only
+  * materializes, never re-orders, integer arithmetic).
   */
 object GraphRank {
 
   def pageRank(edges: DataFrame, iters: Int,
                src: Column = col("src"), dst: Column = col("dst"),
                dampNum: Long = 85L, dampDen: Long = 100L,
-               scale: Long = 1000000000000L): DataFrame = {
+               scale: Long = 1000000000000L,
+               checkpointEvery: Int = 0,
+               onPersist: DataFrame => Unit = _ => ()): DataFrame = {
     require(iters >= 0, s"iters=$iters")
     require(0 < dampNum && dampNum <= dampDen, s"$dampNum/$dampDen")
+    require(checkpointEvery >= 0, s"checkpointEvery=$checkpointEvery")
     val e = edges.select(src.as("src"), dst.as("dst"))
     import org.apache.spark.storage.StorageLevel
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    onPersist(nodes)
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // degree-augmented edges: built once, partitioned by the join key,
     // and cached so the unrolled iterations reshuffle only ranks and
     // never recompute the edge build
     val eDeg = e.join(outdeg, Seq("src")).repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    onPersist(eDeg)
     val n = nodes.count()
     require(n > 0, "empty graph")
     val base = scale / n
     val teleport = base * (dampDen - dampNum) / dampDen
     var ranks = nodes.withColumn("rank", lit(base))
-    for (_ <- 0 until iters) {
+    for (i <- 1 to iters) {
       val incoming = ranks
         .join(eDeg, ranks("node") === eDeg("src"))
         .select(col("dst").as("node"),
@@ -70,6 +79,8 @@ object GraphRank {
           lit(teleport) +
             expr(s"$dampNum * coalesce(inc, 0L) div $dampDen"))
         .select(col("node"), col("rank"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint()
     }
     ranks
   }
@@ -90,36 +101,46 @@ object GraphRank {
     *
     * Scale shape: like [[pageRank]] — the edge table is persisted once
     * and each half-step shuffles only a node-sized score table; the
-    * per-step max is a one-row broadcast. */
+    * per-step max is a one-row broadcast cross join, so NO scalar ever
+    * round-trips through the driver. */
   def hits(edges: DataFrame, iters: Int,
            src: Column = col("src"), dst: Column = col("dst"),
-           scale: Long = 1000000000000L): DataFrame = {
+           scale: Long = 1000000000000L,
+           onPersist: DataFrame => Unit = _ => ()): DataFrame = {
     require(iters >= 1, s"iters=$iters")
     import org.apache.spark.storage.StorageLevel
     val e = edges.select(src.as("src"), dst.as("dst"))
       .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    onPersist(e)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    onPersist(nodes)
     // sums and the rescale numerator run in decimal(38,0): a node of
     // in-degree d accumulates up to d * scale, which leaves long range
     // around d ~ 9e6 at the default scale.
-    // Each half-step PERSISTS its raw sums and fetches the max as one
-    // driver-side literal (bounded metadata, like pageRank's node
-    // count). Leaving the max as a broadcast subquery instead makes
-    // every half-step's plan embed and re-evaluate the entire chain
-    // below it — measured as minutes-not-seconds at sf0.1 — while the
-    // one-row collect materializes each level exactly once.
+    // The per-step max joins in as a broadcast 1-row frame, keeping the
+    // whole half-step lazy. The localCheckpoint is what makes that
+    // affordable: without it every half-step's plan embeds the previous
+    // one TWICE (once through the scores, once through the max
+    // subquery) — a 2^iters plan blow-up measured as minutes-not-seconds
+    // at sf0.1 — while the checkpoint truncates lineage to a
+    // constant-size plan per step and materializes each level exactly
+    // once (one distributed job, same count as an eager rescale, but no
+    // value crosses the driver). The raw-sum cache is superseded the
+    // moment the checkpoint exists, so it unpersists in-loop;
+    // checkpointed blocks of PAST half-steps drop out of lineage at the
+    // next checkpoint and are freed by the context cleaner.
     def rescaled(scores: DataFrame): DataFrame = {
-      val s = scores.persist(StorageLevel.MEMORY_AND_DISK)
-      val mxRow = s.agg(max("score")).collect()(0)
-      if (mxRow.isNullAt(0)) s
-      else {
-        val mx = mxRow.get(0).toString
-        s.select(col("node"),
+      val raw = scores.persist(StorageLevel.MEMORY_AND_DISK)
+      val mx = raw.agg(max(col("score")).cast("decimal(38,0)").as("__mx"))
+      val out = raw.crossJoin(broadcast(mx))
+        .select(col("node"),
           expr(s"CAST(CAST(score AS DECIMAL(38,0)) * ${scale}L" +
-            s" div CAST('$mx' AS DECIMAL(38,0)) AS BIGINT)").as("score"))
-      }
+            " div __mx AS BIGINT)").as("score"))
+        .localCheckpoint()
+      raw.unpersist()
+      out
     }
     def sumDec = sum(col("score").cast("decimal(38,0)")).as("score")
     var hub = nodes.withColumn("score", lit(scale))
@@ -154,18 +175,24 @@ object GraphRank {
     * one repartition. */
   def bfsDistances(edges: DataFrame, seeds: Seq[String], hops: Int,
                    src: Column = col("src"),
-                   dst: Column = col("dst")): DataFrame = {
+                   dst: Column = col("dst"),
+                   onPersist: DataFrame => Unit = _ => ()): DataFrame = {
     require(hops >= 0, s"hops=$hops")
     import org.apache.spark.storage.StorageLevel
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(src.as("src"), dst.as("dst"))
       .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    onPersist(e)
     // Only each LEVEL is persisted; the cumulative `known` is a plain
     // union of the cached levels, so no row is ever cached twice and
     // lineage stays linear without re-persisting the growing prefix.
+    // All levels stay referenced by the result union, so none is
+    // superseded — they are all reported to `onPersist` for the caller
+    // to free after consuming the result.
     val level0 = seeds.distinct.toDF("node").withColumn("dist", lit(0))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    onPersist(level0)
     var known = level0
     var frontier = level0.select("node")
     for (h <- 1 to hops) {
@@ -174,6 +201,7 @@ object GraphRank {
         .join(known.select("node"), Seq("node"), "left_anti")
         .withColumn("dist", lit(h))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      onPersist(next)
       known = known.union(next)
       frontier = next.select("node")
     }

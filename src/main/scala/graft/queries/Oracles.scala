@@ -756,7 +756,8 @@ object Oracles {
          |           t -> len(t) > 0))) AS term
          |  FROM documents)
          |SELECT term, count(*) AS df,
-         |       (list(doc_id ORDER BY doc_id))[1:8] AS postings
+         |       array_to_string((list(doc_id ORDER BY doc_id))[1:8], ',')
+         |         AS postings
          |FROM t GROUP BY term HAVING count(*) >= 5""".stripMargin,
 
     "q69_tfidf_terms" ->

@@ -784,10 +784,15 @@ object TestdataQueries {
   /** Inverted-index construction over the corpus: per-term document
     * frequency + a bounded posting list (the cap is map-side via
     * WindowGroupLimit — a stop-word's full posting list is never
-    * materialized). */
+    * materialized). The posting array is joined to a CSV string in the
+    * query output only — checkers sort rows by every column, and an
+    * array column isn't sortable there; the operator itself keeps the
+    * typed array. */
   def q68InvertedIndex(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.invertedIndex(t(s, dir, "documents"), minDf = 5,
-      maxPostings = 8)
+        maxPostings = 8)
+      .withColumn("postings",
+        array_join(transform(col("postings"), _.cast("string")), ","))
 
   /** Per-document top-3 terms by tf-idf with exact integer scoring, so
     * the ranking is engine-portable (no libm `ln`). */

@@ -53,6 +53,23 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got.contains((0L, 1L, 1)) && !got.contains((0L, 5L, 2)))
   }
 
+  test("maxLen guard excludes over-long strings from matching") {
+    val withLong = names.unionByName(Seq(
+      (13L, "kitten" + ("x" * 100)),       // over the guard, no match anyway
+      (14L, "kittenx")                      // dist 1 from kitten, under guard
+    ).toDF("id", "s"))
+    val got = FuzzyJoin.editDistanceSelfJoin(withLong, 2, maxLen = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // the long row is filtered out; everything in-band is still exact
+    assert(!got.exists { case (a, b, _) => a == 13L || b == 13L })
+    assert(got.contains((0L, 14L, 1)))
+    assert(got ==
+      brute(withLong.filter(length(col("s")) <= 20), 2))
+    intercept[IllegalArgumentException] {
+      FuzzyJoin.editDistanceSelfJoin(names, 2, maxLen = 0)
+    }
+  }
+
   test("partitioning-invariant; null ids and strings excluded") {
     val withNulls = names.unionByName(Seq(
       (null.asInstanceOf[java.lang.Long], "kitten"),

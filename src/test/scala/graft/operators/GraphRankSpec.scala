@@ -105,4 +105,37 @@ class GraphRankSpec extends SparkSpec {
     assert(r0.values.toSet == Set(1000000000000L / 3))
     assert(run(edges, 3, parts = 7) == run(edges, 3))
   }
+
+  test("checkpointEvery never changes a rank; iters=50 completes bounded") {
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "d" -> "a",
+      "e" -> "a", "a" -> "f", "d" -> "a")
+    def run(iters: Int, every: Int): Map[String, Long] =
+      GraphRank.pageRank(edges.toDF("src", "dst"), iters,
+          checkpointEvery = every)
+        .collect()
+        .map(r => r.getAs[String]("node") -> r.getAs[Long]("rank")).toMap
+    // checkpointing is value-invariant (it only truncates lineage)
+    assert(run(8, 3) == run(8, 0))
+    // a long run with bounded lineage completes and matches the replay
+    val expected = ref(edges, 50).map { case (k, v) => k -> v.toLong }
+    assert(run(50, 5) == expected)
+  }
+
+  test("onPersist hands back every cached frame and cleanup unpersists") {
+    val edges = Seq("h1" -> "a1", "h1" -> "a2", "h2" -> "a1", "a1" -> "a2")
+      .toDF("src", "dst")
+    val tracked = mutable.Buffer[org.apache.spark.sql.DataFrame]()
+    val base = GraphRank.hits(edges, iters = 2).collect().toSet
+    spark.sharedState.cacheManager.clearCache()
+    val got = GraphRank.hits(edges, iters = 2, onPersist = tracked += _)
+      .collect().toSet
+    assert(got == base)
+    assert(tracked.size == 2) // edges + nodes (half-steps self-clean)
+    tracked.foreach(_.unpersist(blocking = true))
+    val bfsTracked = mutable.Buffer[org.apache.spark.sql.DataFrame]()
+    GraphRank.bfsDistances(edges, Seq("h1"), hops = 2,
+      onPersist = bfsTracked += _).collect()
+    assert(bfsTracked.size == 4) // edges + level0 + 2 levels
+    bfsTracked.foreach(_.unpersist(blocking = true))
+  }
 }
