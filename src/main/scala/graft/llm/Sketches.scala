@@ -51,6 +51,30 @@ object Sketches {
       kmvEstimate(k, col("mins")).as("kmv_est"): _*)
   }
 
+  // ----------------------------------------------------------- quantiles
+
+  /** Sketch-based group quantiles — the 100 TB path next to the exact
+    * sort-based `percentile` (q47's shape). `percentile_approx` runs
+    * Greenwald-Khanna: a mergeable bounded-memory summary with rank
+    * error at most `n / accuracy` per group, aggregated partially
+    * map-side — no per-group sort, no group's values ever collected in
+    * one place. The result is one of the group's ACTUAL values (the
+    * exact path interpolates), within that rank bound of the true
+    * quantile; SketchesSpec pins the bound against the exact path.
+    * Output columns are `q_<pct>` per requested percentile + `cnt`. */
+  def approxQuantiles(df: DataFrame, keys: Seq[Column], value: Column,
+                      percentiles: Seq[Double],
+                      accuracy: Int = 10000): DataFrame = {
+    require(percentiles.nonEmpty, "no percentiles requested")
+    require(percentiles.forall(p => p >= 0 && p <= 1), s"$percentiles")
+    require(accuracy >= 1, s"accuracy=$accuracy")
+    val aggs = percentiles.map { p =>
+      percentile_approx(value, lit(p), lit(accuracy))
+        .as(s"q_${(p * 100).round}")
+    } :+ count(lit(1)).as("cnt")
+    df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   // --------------------------------------------------------------- bloom
 
   /** Bit positions of `item` in a `numBits`-bit Bloom filter (power of

@@ -502,8 +502,11 @@ object TestdataQueries {
 
   /** Exact continuous quantiles (sort-based `percentile`) per group —
     * the reference has no quantile surface; the engine exposes exact
-    * quantiles for batch profiling (at 100 TB swap in
-    * `approx_percentile`, same call shape). */
+    * quantiles for batch profiling. The 100 TB path is
+    * [[graft.llm.Sketches.approxQuantiles]] (mergeable GK sketch, rank
+    * error <= n/accuracy, pinned against this exact path in
+    * LlmOpsSpec); it has no driver query because a DuckDB oracle
+    * cannot replay Spark's sketch internals. */
   def q47Quantiles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy("l_returnflag", "l_linestatus")

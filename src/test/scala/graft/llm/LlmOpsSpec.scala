@@ -34,6 +34,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(est == est2)   // deterministic regardless of partitioning
   }
 
+  test("approx quantiles: GK rank error within n/accuracy of exact") {
+    import org.apache.spark.sql.functions.col
+    // group a: 1..2000, group b: 1..500 — values ARE their rank, so a
+    // returned value v has rank v and the GK bound is directly checkable
+    val rows = (1 to 2000).map(v => ("a", v.toLong)) ++
+      (1 to 500).map(v => ("b", v.toLong))
+    val df = rows.toDF("g", "v").repartition(7)
+    val ps = Seq(0.25, 0.5, 0.9)
+    val acc = 100
+    val got = Sketches.approxQuantiles(df, Seq(col("g")), col("v"), ps, acc)
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    for ((g, n) <- Seq("a" -> 2000, "b" -> 500); p <- ps) {
+      val v = got(g).getAs[Long](s"q_${(p * 100).round}")
+      val bound = n.toDouble / acc + 1  // GK guarantee (+1 rank slack)
+      assert(math.abs(v - p * n) <= bound, s"$g p=$p got $v n=$n")
+      assert(got(g).getAs[Long]("cnt") == n)
+    }
+    // accuracy >= n degrades to exact: the sketch keeps every value
+    val exact = Sketches.approxQuantiles(df, Seq(col("g")), col("v"),
+        Seq(0.5), accuracy = 10000)
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Long]("q_50")).toMap
+    assert(exact("a") == 1000L && exact("b") == 250L)
+  }
+
   test("exact dedup groups identical normalized text, keeps min id") {
     val d = Dedup.exact(docs).collect()
     assert(d.length == 4) // 0 and 3 collapse
