@@ -101,8 +101,8 @@ object GraphRank {
     *
     * Scale shape: like [[pageRank]] — the edge table is persisted once
     * and each half-step shuffles only a node-sized score table; the
-    * per-step max is a one-row broadcast cross join, so NO scalar ever
-    * round-trips through the driver. */
+    * per-step max is one row of driver metadata (see the comment in
+    * the body for why the driver-free variants measured slower). */
   def hits(edges: DataFrame, iters: Int,
            src: Column = col("src"), dst: Column = col("dst"),
            scale: Long = 1000000000000L,
@@ -119,40 +119,51 @@ object GraphRank {
     // sums and the rescale numerator run in decimal(38,0): a node of
     // in-degree d accumulates up to d * scale, which leaves long range
     // around d ~ 9e6 at the default scale.
-    // The per-step max joins in as a broadcast 1-row frame, keeping the
-    // whole half-step lazy. The localCheckpoint is what makes that
-    // affordable: without it every half-step's plan embeds the previous
-    // one TWICE (once through the scores, once through the max
-    // subquery) — a 2^iters plan blow-up measured as minutes-not-seconds
-    // at sf0.1 — while the checkpoint truncates lineage to a
-    // constant-size plan per step and materializes each level exactly
-    // once (one distributed job, same count as an eager rescale, but no
-    // value crosses the driver). The raw-sum cache is superseded the
-    // moment the checkpoint exists, so it unpersists in-loop;
-    // checkpointed blocks of PAST half-steps drop out of lineage at the
-    // next checkpoint and are freed by the context cleaner.
-    def rescaled(scores: DataFrame): DataFrame = {
-      val raw = scores.persist(StorageLevel.MEMORY_AND_DISK)
-      val mx = raw.agg(max(col("score")).cast("decimal(38,0)").as("__mx"))
-      val out = raw.crossJoin(broadcast(mx))
-        .select(col("node"),
+    // Each half-step PERSISTS its raw sums and fetches the max as one
+    // driver-side literal — bounded metadata (1 row), the same class as
+    // pageRank's node count. Both driver-free alternatives were
+    // measured and REJECTED: a broadcast max subquery without lineage
+    // truncation embeds the whole previous chain in every half-step's
+    // plan (2^iters blow-up, minutes at sf0.1), and broadcast +
+    // per-half-step localCheckpoint runs 4x slower warm (6.5 s vs
+    // 1.6 s at sf0.1) because it schedules two jobs per half-step plus
+    // checkpoint block I/O where the collect schedules exactly one job
+    // that both materializes the cache and returns the scalar. The
+    // iteration is inherently job-sequential either way; the 1-row
+    // collect adds no extra pass over data.
+    // Returns (rescaled projection, the raw cache behind it): a
+    // half-step's cache is consumed by the NEXT iteration's collects,
+    // so each iteration unpersists the previous one's pair in-loop and
+    // only the final pair — which the returned plan still reads —
+    // survives, handed to `onPersist` for the caller to free.
+    def rescaled(scores: DataFrame): (DataFrame, DataFrame) = {
+      val s = scores.persist(StorageLevel.MEMORY_AND_DISK)
+      val mxRow = s.agg(max("score")).collect()(0)
+      if (mxRow.isNullAt(0)) (s, s)
+      else {
+        val mx = mxRow.get(0).toString
+        (s.select(col("node"),
           expr(s"CAST(CAST(score AS DECIMAL(38,0)) * ${scale}L" +
-            " div __mx AS BIGINT)").as("score"))
-        .localCheckpoint()
-      raw.unpersist()
-      out
+            s" div CAST('$mx' AS DECIMAL(38,0)) AS BIGINT)").as("score")), s)
+      }
     }
     def sumDec = sum(col("score").cast("decimal(38,0)")).as("score")
     var hub = nodes.withColumn("score", lit(scale))
     var auth: DataFrame = null
+    var prevRaws = List.empty[DataFrame]
     for (_ <- 1 to iters) {
-      auth = rescaled(hub
+      val (a, aRaw) = rescaled(hub
         .join(e, hub("node") === e("src"))
         .groupBy(col("dst").as("node")).agg(sumDec))
-      hub = rescaled(auth
+      auth = a
+      val (h, hRaw) = rescaled(auth
         .join(e, auth("node") === e("dst"))
         .groupBy(col("src").as("node")).agg(sumDec))
+      hub = h
+      prevRaws.foreach(_.unpersist())
+      prevRaws = List(aRaw, hRaw)
     }
+    prevRaws.foreach(onPersist)
     nodes
       .join(hub.select(col("node"), col("score").as("hub")), Seq("node"), "left")
       .join(auth.select(col("node"), col("score").as("auth")), Seq("node"), "left")

@@ -130,7 +130,9 @@ class GraphRankSpec extends SparkSpec {
     val got = GraphRank.hits(edges, iters = 2, onPersist = tracked += _)
       .collect().toSet
     assert(got == base)
-    assert(tracked.size == 2) // edges + nodes (half-steps self-clean)
+    // edges + nodes + the final iteration's two half-step caches
+    // (earlier iterations' caches unpersist in-loop)
+    assert(tracked.size == 4)
     tracked.foreach(_.unpersist(blocking = true))
     val bfsTracked = mutable.Buffer[org.apache.spark.sql.DataFrame]()
     GraphRank.bfsDistances(edges, Seq("h1"), hops = 2,
