@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical data layout for the 100 TB path: directory partitioning for
@@ -41,6 +41,50 @@ object Layout {
   /** Derived day-partition column for event-time layouts. */
   def dayOf(tsCol: String): org.apache.spark.sql.Column =
     to_date(col(tsCol)).as("p_day")
+
+  /** Morton (Z-order) code: interleave the low `bits` bits of two
+    * non-negative integer dimensions, bit i of x landing at position 2i
+    * and bit i of y at 2i+1. Built from shift/and/add only (the summed
+    * bit positions are disjoint, so + IS bitwise-or) — every term is
+    * engine-portable integer arithmetic that an external SQL engine
+    * replays bit-identically. Values must fit `bits` bits; map/clamp
+    * wider domains first. */
+  def mortonCode(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits=$bits")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc +
+        shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }
+  }
+
+  /** Z-order clustering: range-partition and sort by the Morton code of
+    * two dimensions, so every output file covers a TIGHT 2-D bounding
+    * box and parquet min/max stats prune scans filtered on EITHER (or
+    * both) dimension. A 1-D sort layout gives perfect pruning on its
+    * sort column and none on the second; Z-order trades a little of the
+    * first dimension's locality for bounded ranges in both — the
+    * standard answer to "this 100 TB table is filtered by two columns
+    * and we can only sort by one". The range partitioning samples the
+    * z-value distribution, so skewed dimensions still split evenly. */
+  def zorderBy(df: DataFrame, x: org.apache.spark.sql.Column,
+               y: org.apache.spark.sql.Column,
+               numFiles: Int, bits: Int = 16): DataFrame = {
+    val z = mortonCode(x, y, bits).as("__z")
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+
+  /** [[zorderBy]] + write: one parquet file per range, each with tight
+    * two-dimensional min/max stats. */
+  def writeZordered(df: DataFrame, path: String,
+                    x: org.apache.spark.sql.Column,
+                    y: org.apache.spark.sql.Column,
+                    numFiles: Int, bits: Int = 16,
+                    mode: SaveMode = SaveMode.Overwrite): Unit =
+    zorderBy(df, x, y, numFiles, bits).write.mode(mode).parquet(path)
 
   /** Compact a parquet directory's small files: rewrite to ~`targetBytes`
     * per file (computed from the current on-disk size) via tmp-dir + swap.

@@ -1519,6 +1519,22 @@ object Oracles {
          |LEFT JOIN a3 ON a3.node = n.node""".stripMargin
     },
 
+    "q101_zorder_stats" -> {
+      // bit-for-bit replay of Layout.mortonCode: bit i of x lands at
+      // position 2i, bit i of y at 2i+1 (7 bits per dimension)
+      val terms = (0 until 7).map { i =>
+        s"(((p_size >> $i) & 1) << ${2 * i}) + " +
+          s"(((name_len >> $i) & 1) << ${2 * i + 1})"
+      }.mkString(" + ")
+      raw"""WITH dims AS (
+         |  SELECT p_size, length(p_name) AS name_len FROM part),
+         |z AS (SELECT p_size, name_len, $terms AS zval FROM dims)
+         |SELECT zval // 1024 AS bucket, count(*) AS cnt,
+         |       min(p_size) AS min_size, max(p_size) AS max_size,
+         |       min(name_len) AS min_len, max(name_len) AS max_len
+         |FROM z GROUP BY 1""".stripMargin
+    },
+
     "q36_ann_brute_force" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
         |           WHERE vec_id < 5),

@@ -1146,6 +1146,25 @@ object TestdataQueries {
         concat(lit("s"), col("l_suppkey")).as("dst")), iters = 3)
   }
 
+  /** Z-order layout statistics: parts bucketed by the Morton interleave
+    * of (p_size, name length) — each z-range bucket's bounding box over
+    * BOTH dimensions stays tight, which is exactly the property that
+    * lets parquet min/max stats prune two-column filters after
+    * [[graft.etl.Layout.writeZordered]]. Pure shift/and/add integer
+    * arithmetic, replayed bit-identically by the oracle. */
+  def q101ZorderStats(s: SparkSession, dir: String): DataFrame = {
+    val nameLen = length(col("p_name"))
+    t(s, dir, "part")
+      .select(col("p_size"), nameLen.as("name_len"),
+        graft.etl.Layout.mortonCode(col("p_size"), nameLen, bits = 7)
+          .as("zval"))
+      .withColumn("bucket", expr("zval div 1024"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"),
+        min("p_size").as("min_size"), max("p_size").as("max_size"),
+        min("name_len").as("min_len"), max("name_len").as("max_len"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -1231,6 +1250,7 @@ object TestdataQueries {
     "q98_bfs_reach" -> q98BfsReach _,
     "q99_hybrid_rrf" -> q99HybridRrf _,
     "q100_hits" -> q100Hits _,
+    "q101_zorder_stats" -> q101ZorderStats _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,

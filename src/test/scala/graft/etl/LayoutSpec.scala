@@ -170,6 +170,46 @@ class LayoutSpec extends SparkSpec {
     assert(out == Map("negative_n" -> 2L, "blank_s" -> 2L)) // huge_n omitted
   }
 
+  test("z-order: morton bits interleave exactly; files get tight 2-D boxes") {
+    // bit-exactness against a driver-side reference
+    def ref(x: Int, y: Int, bits: Int): Long =
+      (0 until bits).map { i =>
+        (((x >> i) & 1).toLong << (2 * i)) |
+          (((y >> i) & 1).toLong << (2 * i + 1))
+      }.sum
+    val pts = for (x <- 0 until 32; y <- 0 until 32) yield (x, y)
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        Layout.mortonCode(col("x"), col("y"), bits = 5).as("z"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    for ((x, y) <- pts) assert(got((x, y)) == ref(x, y, 5), s"($x,$y)")
+
+    // layout quality = pruning: how many files could a filter on the
+    // SECOND dimension touch, judged by per-file min/max stats (what
+    // parquet row-group pruning sees)? A 1-D sort by x leaves every
+    // file spanning the full y-range (all files touched); z-order files
+    // cover y-bands, so most files' stats exclude the probe.
+    def filesTouchingY(df: org.apache.spark.sql.DataFrame,
+                       lo: Int, hi: Int): Long =
+      df.groupBy(spark_partition_id().as("f"))
+        .agg(min("y").as("ymin"), max("y").as("ymax"))
+        .filter(col("ymax") >= lo && col("ymin") <= hi)
+        .count()
+    val grid = pts.toDF("x", "y")
+    val zTouch = filesTouchingY(Layout.zorderBy(grid, col("x"), col("y"),
+      numFiles = 16, bits = 5), 8, 11)
+    val xTouch = filesTouchingY(grid.repartitionByRange(16, col("x"))
+      .sortWithinPartitions(col("x")), 8, 11)
+    assert(xTouch == 16L, s"linear=$xTouch") // 1-D sort prunes nothing on y
+    assert(zTouch * 2 <= xTouch, s"z=$zTouch linear=$xTouch")
+
+    // write path round-trips the data unchanged
+    val dir = tmpDir("layout_z").toString + "/z"
+    Layout.writeZordered(grid, dir, col("x"), col("y"), numFiles = 4,
+      bits = 5)
+    assert(spark.read.parquet(dir).count() == 1024L)
+  }
+
   test("bucketed tables: equi-join on the bucket key plans with no exchange") {
     val wh = tmpDir("layout_wh")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
