@@ -51,6 +51,29 @@ object Sketches {
       kmvEstimate(k, col("mins")).as("kmv_est"): _*)
   }
 
+  /** Bloom semi-join reduction — the generic form of the
+    * decontamination pruning, for any "100 TB fact ⋉ selective dim"
+    * join. The dim keys build a plan-literal bitmap (128 KB at the
+    * default 2^20 bits, regardless of fact size); the probe evaluates
+    * INSIDE the fact's scan stage, so rows that cannot match die before
+    * the join shuffle ever sees them; the exact semi-join afterwards
+    * removes the bitmap's false positives — the result EQUALS the plain
+    * semi-join, the bloom only prunes. Sized for dims up to ~100k keys
+    * at the default (≈2.4% fp); bigger dims want more bits, and a dim
+    * too big to collect as a bitmap wants a shuffle join anyway. */
+  def bloomSemiJoin(fact: DataFrame, factKey: Column,
+                    dim: DataFrame, dimKey: Column,
+                    numBits: Int = 1 << 20): DataFrame = {
+    // no distinct on either dim pass: bit_or makes duplicate keys a
+    // no-op in the build, and a semi-join output is per-fact-row
+    // regardless of build-side multiplicity — both would only add a
+    // shuffle
+    val bits = bloomBuild(dim.select(dimKey.as("__k")), col("__k"), numBits)
+    fact.filter(bloomMightContain(bits, factKey))
+      .join(broadcast(dim.select(dimKey.as("__k"))),
+        factKey === col("__k"), "left_semi")
+  }
+
   // ----------------------------------------------------------- quantiles
 
   /** Sketch-based group quantiles — the 100 TB path next to the exact

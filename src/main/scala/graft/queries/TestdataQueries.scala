@@ -1165,6 +1165,21 @@ object TestdataQueries {
         min("name_len").as("min_len"), max("name_len").as("max_len"))
   }
 
+  /** Bloom semi-join reduction: orders of high-balance customers. The
+    * selective dim's keys become a 128 KB plan-literal bitmap probed
+    * inside the fact scan, so non-matching orders die before the join
+    * shuffle; the exact semi-join then drops the bloom's false
+    * positives — result EQUALS the plain semi-join the oracle runs. */
+  def q102BloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val rich = t(s, dir, "customer").filter(col("c_acctbal") > 9900)
+    // bitmap sized to the dim (~150 keys/sf0.1): 2^14 bits = 2 KB; the
+    // operator default (2^20) targets ~100k-key dims
+    Sketches.bloomSemiJoin(
+        t(s, dir, "orders"), col("o_custkey"), rich, col("c_custkey"),
+        numBits = 1 << 14)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -1251,6 +1266,7 @@ object TestdataQueries {
     "q99_hybrid_rrf" -> q99HybridRrf _,
     "q100_hits" -> q100Hits _,
     "q101_zorder_stats" -> q101ZorderStats _,
+    "q102_bloom_semijoin" -> q102BloomSemiJoin _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,

@@ -1073,6 +1073,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(fp < 200, s"false-positive count $fp implausibly high")
   }
 
+  test("bloom semi-join equals the plain semi-join and prunes pre-join") {
+    val fact = (0L until 5000L).map(i => (i, i % 500)).toDF("id", "k")
+    val dim = Seq(3L, 7L, 450L, 499L, 9999L).toDF("dk") // 9999 matches nothing
+    val got = Sketches.bloomSemiJoin(fact, col("k"), dim, col("dk"),
+        numBits = 1 << 14)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = fact.join(dim, col("k") === col("dk"), "left_semi")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(want.nonEmpty && want.forall { case (_, k) =>
+      Set(3L, 7L, 450L, 499L).contains(k) })
+    // the bitmap alone (before the exact join) already rejects nearly
+    // everything: no false negatives, few false positives
+    val bits = Sketches.bloomBuild(dim, col("dk"), 1 << 14)
+    val pass = fact.filter(Sketches.bloomMightContain(bits, col("k"))).count()
+    assert(pass >= want.size && pass < 500, s"bloom passed $pass rows")
+  }
+
   test("bloom decontamination equals the plain exploded-shingle join") {
     val docs = Seq(
       (0L, "alpha beta gamma delta epsilon zeta"),         // eval
