@@ -215,6 +215,73 @@ object TextAnalysis {
         col("score"), col("rank"))
   }
 
+  /** Sparse tf-idf cosine similarity join — the sparse-vector member of
+    * the similarity family (PPJoin covers set Jaccard, the ANN ops
+    * dense embeddings). "Rare-term cosine": terms are weighted
+    * `w = tf * (1e6 div df)` and only terms with `2 <= df <= maxDf`
+    * participate — a df-1 term cannot pair, and a stop-word's posting
+    * list would make candidate generation quadratic in the corpus, so
+    * its discriminative weight (already ~1e6/df) is rounded to zero by
+    * construction. Two docs pair iff they SHARE a qualifying term
+    * (classic inverted-index candidate generation: linear in posting
+    * sizes, never an all-pairs product), and a pair is kept when
+    * cos >= tau, tested EXACTLY in integers:
+    * `num^2 * tauDen^2 >= na2 * nb2 * tauNum^2` (num >= 0) — no sqrt,
+    * no floats, every engine replays the same pairs bit-for-bit.
+    * Output: (id_a < id_b, num, na2, nb2) — numerator and the two
+    * squared norms over qualifying terms.
+    *
+    * Arithmetic bands: weights and their pair/norm sums run in LONG
+    * (decimal aggregation measured ~2x slower end-to-end); with
+    * w <= tf * 5e5 that is safe while tf * sqrt(shared terms) stays
+    * under ~6e9 — any real corpus. Only the final threshold comparison
+    * squares the sums, and it alone runs in decimal(38,0) (num^2 can
+    * reach ~1e34).
+    *
+    * 100 TB shape: tf/df/weights are derived columns only (text never
+    * shuffles); the df cap bounds every posting join group at maxDf
+    * members; the pair aggregation carries three integers per shared
+    * term. */
+  def tfidfSimilarityJoin(docs: DataFrame, maxDf: Int = 20,
+                          tauNum: Long = 1, tauDen: Long = 2,
+                          id: Column = col("doc_id"),
+                          terms: Column = null,
+                          onPersist: DataFrame => Unit = _ => ())
+      : DataFrame = {
+    require(maxDf >= 2, s"maxDf=$maxDf")
+    require(tauDen > 0 && tauNum >= 0, s"tau=$tauNum/$tauDen")
+    // default term space: word 3-shingles (the corpus vocabulary may be
+    // tiny — testdata's is ~31 words, every one a stop-word — while
+    // shingle df distributions discriminate)
+    val termCol =
+      if (terms == null) graft.llm.Dedup.shingles(col("text"), 3) else terms
+    val tf = docs.select(id.as("doc_id"), explode(termCol).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+    // the weight table feeds THREE subtrees (norms + both self-join
+    // sides); without the persist each one re-tokenizes the corpus —
+    // reported through onPersist for callers that manage cache
+    val w = tf.join(dfs, Seq("term"))
+      .select(col("doc_id"), col("term"),
+        expr("tf * (1000000L div df)").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    onPersist(w)
+    val norms = w.groupBy("doc_id").agg(sum(expr("w * w")).as("norm2"))
+    val a = w.select(col("term"), col("doc_id").as("id_a"), col("w").as("wa"))
+    val b = w.select(col("term"), col("doc_id").as("id_b"), col("w").as("wb"))
+    a.join(b, Seq("term"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(expr("wa * wb")).as("num"))
+      .join(norms.select(col("doc_id").as("id_a"), col("norm2").as("na2")), "id_a")
+      .join(norms.select(col("doc_id").as("id_b"), col("norm2").as("nb2")), "id_b")
+      .filter(expr("CAST(num AS DECIMAL(38,0)) * num" +
+        s" * ${tauDen * tauDen}L >= CAST(na2 AS DECIMAL(38,0)) * nb2" +
+        s" * ${tauNum * tauNum}L"))
+      .select(col("id_a"), col("id_b"), col("num"), col("na2"), col("nb2"))
+  }
+
   /** One-pass document profile used by `SparkEntry` queries. */
   def profile(docs: DataFrame, text: Column = col("text")): DataFrame =
     docs.select(

@@ -1541,6 +1541,34 @@ object Oracles {
         |WHERE o_custkey IN (SELECT c_custkey FROM customer
         |                    WHERE c_acctbal > 9900)""".stripMargin,
 
+    "q103_tfidf_join" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |         unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+         |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS term
+         |  FROM (SELECT doc_id, string_split($norm, ' ') AS tk
+         |        FROM documents)),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM sh GROUP BY 1, 2),
+         |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1
+         |        HAVING count(*) BETWEEN 2 AND 20),
+         |w AS (SELECT doc_id, tf.term,
+         |             CAST(tf * (1000000 // df) AS HUGEINT) AS w
+         |      FROM tf JOIN dfs ON dfs.term = tf.term),
+         |norms AS (SELECT doc_id, CAST(sum(w * w) AS HUGEINT) AS norm2
+         |          FROM w GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         CAST(sum(a.w * b.w) AS HUGEINT) AS num
+         |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(num AS BIGINT) AS num,
+         |       CAST(na.norm2 AS BIGINT) AS na2,
+         |       CAST(nb.norm2 AS BIGINT) AS nb2
+         |FROM pairs
+         |JOIN norms na ON na.doc_id = id_a
+         |JOIN norms nb ON nb.doc_id = id_b
+         |WHERE num * num * 4 >= na.norm2 * nb.norm2""".stripMargin,
+
     "q36_ann_brute_force" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
         |           WHERE vec_id < 5),

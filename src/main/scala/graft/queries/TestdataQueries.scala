@@ -1180,6 +1180,17 @@ object TestdataQueries {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
   }
 
+  /** Sparse tf-idf cosine join over shingle terms: pairs of documents
+    * with rare-shingle cosine >= 1/2, the threshold tested exactly in
+    * integer arithmetic (no sqrt, no floats). Outputs the numerator and
+    * both squared norms as bigints (well inside the long range at this
+    * weight scale) so the oracle compares bit-for-bit. */
+  def q103TfidfJoin(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfSimilarityJoin(t(s, dir, "documents"), maxDf = 20,
+        tauNum = 1, tauDen = 2)
+      .select(col("id_a"), col("id_b"), col("num").cast("long").as("num"),
+        col("na2").cast("long").as("na2"), col("nb2").cast("long").as("nb2"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -1267,6 +1278,7 @@ object TestdataQueries {
     "q100_hits" -> q100Hits _,
     "q101_zorder_stats" -> q101ZorderStats _,
     "q102_bloom_semijoin" -> q102BloomSemiJoin _,
+    "q103_tfidf_join" -> q103TfidfJoin _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,

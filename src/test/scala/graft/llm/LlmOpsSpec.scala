@@ -1073,6 +1073,44 @@ class LlmOpsSpec extends SparkSpec {
     assert(fp < 200, s"false-positive count $fp implausibly high")
   }
 
+  test("tfidf similarity join matches a driver replay; partition-invariant") {
+    val docs = Seq(
+      (0L, "a b c d e"),        // shares "a b c","b c d" with d1
+      (1L, "a b c d x"),
+      (2L, "z z z q q"),        // shares "z z q","z q q" with d3
+      (3L, "y z z q q"),
+      (4L, "p q r s t"),        // no shared shingle with anyone
+      (5L, "a b c d e")         // exact dup of d0
+    ).toDF("doc_id", "text")
+    // driver replay of the documented semantics (binary tf, df in
+    // [2, maxDf], w = 1e6 div df, exact integer cosine >= 1/2)
+    val sh = docs.collect().map(r => r.getLong(0) ->
+      r.getString(1).split(" ").sliding(3).map(_.mkString(" "))
+        .toSeq.distinct).toMap
+    val df = sh.values.flatten.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val qual = df.filter { case (_, d) => d >= 2 && d <= 20 }
+    def w(id: Long) = sh(id).filter(qual.contains)
+      .map(t => t -> 1000000L / qual(t)).toMap
+    val expected = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      wa = w(a); wb = w(b)
+      shared = wa.keySet & wb.keySet if shared.nonEmpty
+      num = shared.toSeq.map(t => BigInt(wa(t)) * wb(t)).sum
+      na2 = wa.values.map(v => BigInt(v) * v).sum
+      nb2 = wb.values.map(v => BigInt(v) * v).sum
+      if num * num * 4 >= na2 * nb2
+    } yield (a, b, num.toLong, na2.toLong, nb2.toLong)).toSet
+    def run(parts: Int) = TextAnalysis.tfidfSimilarityJoin(
+        docs.repartition(parts), maxDf = 20, tauNum = 1, tauDen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(run(1) == expected)
+    assert(run(7) == expected)
+    assert(expected.exists { case (a, b, _, _, _) => a == 0L && b == 5L })
+    assert(!expected.exists { case (a, b, _, _, _) => a == 4L || b == 4L })
+  }
+
   test("bloom semi-join equals the plain semi-join and prunes pre-join") {
     val fact = (0L until 5000L).map(i => (i, i % 500)).toDF("id", "k")
     val dim = Seq(3L, 7L, 450L, 499L, 9999L).toDF("dk") // 9999 matches nothing
