@@ -241,4 +241,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan("q68_inverted_index").contains("WindowGroupLimit"))
     assert(plan("q69_tfidf_terms").contains("WindowGroupLimit"))
   }
+
+  test("q102: the bloom probe filters the fact scan BELOW the semi-join") {
+    val p = plan("q102_bloom_semijoin")
+    // the plan reads: semi-join over (Filter over the orders scan) — the
+    // bitmap kills rows in the scan stage, before any join exchange
+    assert(p.contains("LeftSemi"), p)
+    val filterIdx = p.indexOf("element_at")    // the bitmap probe
+    assert(filterIdx >= 0, p)
+    assert(!p.contains("SortMergeJoin"), p)    // tiny dim broadcasts
+    spark.catalog.clearCache()
+  }
+
+  test("q103: tf-idf join is equi-join candidates, never a cross product") {
+    val p = plan("q103_tfidf_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // the df cap must reach the weight build: qualifying-term filter
+    // appears as a real plan filter on the aggregated df
+    assert(p.matches("(?s).*Filter.*df.*"), p)
+    spark.catalog.clearCache()
+  }
 }
