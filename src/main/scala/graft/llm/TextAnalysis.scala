@@ -268,12 +268,21 @@ object TextAnalysis {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     onPersist(w)
     val norms = w.groupBy("doc_id").agg(sum(expr("w * w")).as("norm2"))
-    val a = w.select(col("term"), col("doc_id").as("id_a"), col("w").as("wa"))
-    val b = w.select(col("term"), col("doc_id").as("id_b"), col("w").as("wb"))
-    a.join(b, Seq("term"))
-      .filter(col("id_a") < col("id_b"))
+    // candidate pairs via per-term member arrays (the bucketPairs shape):
+    // the df cap already bounds every array at maxDf members, so ONE
+    // groupBy shuffle replaces both sides of a term self-join, and the
+    // sorted array + tail-slice emits each (id_a < id_b) pair exactly
+    // once per shared term
+    val ms = col("ms")
+    w.groupBy("term")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("w")))).as("ms"))
+      .select(ms, posexplode(ms))
+      .select(col("col").as("a"),
+        explode(slice(ms, col("pos") + lit(2), size(ms))).as("b"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        expr("a.w * b.w").as("p"))
       .groupBy("id_a", "id_b")
-      .agg(sum(expr("wa * wb")).as("num"))
+      .agg(sum(col("p")).as("num"))
       .join(norms.select(col("doc_id").as("id_a"), col("norm2").as("na2")), "id_a")
       .join(norms.select(col("doc_id").as("id_b"), col("norm2").as("nb2")), "id_b")
       .filter(expr("CAST(num AS DECIMAL(38,0)) * num" +
