@@ -70,11 +70,11 @@ object Layout {
   def zorderBy(df: DataFrame, x: org.apache.spark.sql.Column,
                y: org.apache.spark.sql.Column,
                numFiles: Int, bits: Int = 16): DataFrame = {
-    val z = mortonCode(x, y, bits).as("__z")
-    df.withColumn("__z", z)
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
+    // the z-value rides the partitioner and sort as an expression, so
+    // the caller's schema passes through untouched (a temp column would
+    // silently clobber a same-named input column)
+    val z = mortonCode(x, y, bits)
+    df.repartitionByRange(numFiles, z).sortWithinPartitions(z)
   }
 
   /** [[zorderBy]] + write: one parquet file per range, each with tight

@@ -150,20 +150,29 @@ object Dedup {
     * the 2 GB row and the Int.MaxValue array-length limits). Buckets over
     * `maxBucket` are dropped-and-counted before expansion, so the
     * quadratic OUTPUT is capped too. */
+  /** Expand each sorted member array (column `ms`) into every (a, b)
+    * pair with a strictly before b — the shared tail of all
+    * group-then-pair operators (LSH buckets, tf-idf posting groups).
+    * One posexplode + tail slice; never a self-join's second shuffle. */
+  private[llm] def pairsFromMembers(grouped: DataFrame): DataFrame = {
+    val ms = col("ms")
+    grouped
+      .select(ms, posexplode(ms))                       // → ms, pos, col
+      .select(col("col").as("a"),
+        explode(slice(ms, col("pos") + lit(2), size(ms))).as("b"))
+  }
+
   private def bucketPairs(bucketed: DataFrame, keyCols: Seq[String],
                           payload: Column, maxBucket: Int): DataFrame = {
     val ms = col("ms")
-    bucketed
+    pairsFromMembers(bucketed
       .groupBy(keyCols.map(col): _*)
       .agg(sort_array(collect_list(payload)).as("ms"))
       .filter(size(ms) >= 2)
       .observe(s"graft_lsh_drops_${lshObserveId.incrementAndGet()}",
         sum(when(size(ms) > maxBucket, 1).otherwise(0)).as("dropped_buckets"),
         sum(when(size(ms) > maxBucket, size(ms)).otherwise(0)).as("dropped_members"))
-      .filter(size(ms) <= maxBucket)
-      .select(ms, posexplode(ms))                       // → ms, pos, col
-      .select(col("col").as("a"),
-        explode(slice(ms, col("pos") + lit(2), size(ms))).as("b"))
+      .filter(size(ms) <= maxBucket))
   }
 
   /** Signature-estimated Jaccard: fraction of agreeing minhash slots. */

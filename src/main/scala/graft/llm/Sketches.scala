@@ -91,9 +91,12 @@ object Sketches {
     require(percentiles.nonEmpty, "no percentiles requested")
     require(percentiles.forall(p => p >= 0 && p <= 1), s"$percentiles")
     require(accuracy >= 1, s"accuracy=$accuracy")
-    val aggs = percentiles.map { p =>
-      percentile_approx(value, lit(p), lit(accuracy))
-        .as(s"q_${(p * 100).round}")
+    val names = percentiles.map(p => s"q_${(p * 100).round}")
+    require(names.distinct.size == names.size,
+      s"percentiles $percentiles collide after rounding to $names — " +
+        "space them at least a full percent apart")
+    val aggs = percentiles.zip(names).map { case (p, n) =>
+      percentile_approx(value, lit(p), lit(accuracy)).as(n)
     } :+ count(lit(1)).as("cnt")
     df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
   }

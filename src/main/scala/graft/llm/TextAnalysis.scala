@@ -235,8 +235,11 @@ object TextAnalysis {
     * (decimal aggregation measured ~2x slower end-to-end); with
     * w <= tf * 5e5 that is safe while tf * sqrt(shared terms) stays
     * under ~6e9 — any real corpus. Only the final threshold comparison
-    * squares the sums, and it alone runs in decimal(38,0) (num^2 can
-    * reach ~1e34).
+    * squares the sums, restructured as (num*tauDen)^2 >=
+    * (na2*tauNum)*(nb2*tauNum) so each decimal side stays under 38
+    * digits whenever the tau-scaled sums fit a long — and the long
+    * products fail LOUD under ANSI if they do not, never a silently
+    * dropped pair.
     *
     * 100 TB shape: tf/df/weights are derived columns only (text never
     * shuffles); the df cap bounds every posting join group at maxDf
@@ -268,26 +271,29 @@ object TextAnalysis {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     onPersist(w)
     val norms = w.groupBy("doc_id").agg(sum(expr("w * w")).as("norm2"))
-    // candidate pairs via per-term member arrays (the bucketPairs shape):
-    // the df cap already bounds every array at maxDf members, so ONE
-    // groupBy shuffle replaces both sides of a term self-join, and the
-    // sorted array + tail-slice emits each (id_a < id_b) pair exactly
+    // candidate pairs via per-term member arrays: the df cap already
+    // bounds every array at maxDf members, so ONE groupBy shuffle
+    // replaces both sides of a term self-join and the shared
+    // pairsFromMembers expansion emits each (id_a < id_b) pair exactly
     // once per shared term
-    val ms = col("ms")
-    w.groupBy("term")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("w")))).as("ms"))
-      .select(ms, posexplode(ms))
-      .select(col("col").as("a"),
-        explode(slice(ms, col("pos") + lit(2), size(ms))).as("b"))
+    graft.llm.Dedup.pairsFromMembers(w.groupBy("term")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("w"))))
+          .as("ms")))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         expr("a.w * b.w").as("p"))
       .groupBy("id_a", "id_b")
       .agg(sum(col("p")).as("num"))
       .join(norms.select(col("doc_id").as("id_a"), col("norm2").as("na2")), "id_a")
       .join(norms.select(col("doc_id").as("id_b"), col("norm2").as("nb2")), "id_b")
-      .filter(expr("CAST(num AS DECIMAL(38,0)) * num" +
-        s" * ${tauDen * tauDen}L >= CAST(na2 AS DECIMAL(38,0)) * nb2" +
-        s" * ${tauNum * tauNum}L"))
+      // threshold compare restructured so neither decimal side can
+      // exceed 38 digits while the tau-scaled values fit a long:
+      // (num*tauDen)^2 >= (na2*tauNum) * (nb2*tauNum). The long
+      // products are the only overflow points and ANSI mode makes them
+      // LOUD (error, never a silently-dropped pair); each decimal side
+      // is then at most (9.2e18)^2 < 8.6e37.
+      .filter(expr(s"CAST(num * ${tauDen}L AS DECIMAL(38,0))" +
+        s" * (num * ${tauDen}L) >=" +
+        s" CAST(na2 * ${tauNum}L AS DECIMAL(38,0)) * (nb2 * ${tauNum}L)"))
       .select(col("id_a"), col("id_b"), col("num"), col("na2"), col("nb2"))
   }
 

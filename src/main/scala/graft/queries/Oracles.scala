@@ -1441,16 +1441,21 @@ object Oracles {
     },
 
     "q96_fuzzy_join" ->
+      // the length predicates mirror the operator's maxLen=512 band
+      // (rows longer than the band are excluded from matching); no-ops
+      // on TPC-H's ~18-char names but keeps oracle semantics identical
       """SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
         |       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+        |WHERE length(a.c_name) <= 512 AND length(b.c_name) <= 512
+        |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
 
     "q97_entity_clusters" ->
       """WITH RECURSIVE pr AS (
         |  SELECT a.c_custkey AS u, b.c_custkey AS v
         |  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |  WHERE a.c_custkey < 4000 AND b.c_custkey < 4000
+        |    AND length(a.c_name) <= 512 AND length(b.c_name) <= 512
         |    AND levenshtein(a.c_name, b.c_name) <= 1),
         |edges AS (SELECT u, v FROM pr UNION SELECT v, u FROM pr),
         |verts AS (SELECT DISTINCT u AS id FROM edges),

@@ -244,11 +244,16 @@ class PlanQualitySpec extends SparkSpec {
 
   test("q102: the bloom probe filters the fact scan BELOW the semi-join") {
     val p = plan("q102_bloom_semijoin")
-    // the plan reads: semi-join over (Filter over the orders scan) — the
-    // bitmap kills rows in the scan stage, before any join exchange
-    assert(p.contains("LeftSemi"), p)
-    val filterIdx = p.indexOf("element_at")    // the bitmap probe
-    assert(filterIdx >= 0, p)
+    // the tree must read: semi-join whose DIRECT fact-side child is the
+    // bitmap Filter (over the scan) — rows die in the scan stage,
+    // before any join exchange. In formatted explain that is the
+    // "LeftSemi ..." tree line immediately followed by ":- Filter".
+    val semiIdx = p.indexOf("LeftSemi")
+    assert(semiIdx >= 0, p)
+    val childIdx = p.indexOf(":- Filter", semiIdx)
+    assert(childIdx >= 0 && childIdx - semiIdx < 120,
+      s"bloom filter is not the semi-join's direct fact-side child\n$p")
+    assert(p.contains("element_at"), p)        // the bitmap probe itself
     assert(!p.contains("SortMergeJoin"), p)    // tiny dim broadcasts
     spark.catalog.clearCache()
   }
