@@ -1574,6 +1574,16 @@ object Oracles {
          |JOIN norms nb ON nb.doc_id = id_b
          |WHERE num * num * 4 >= na.norm2 * nb.norm2""".stripMargin,
 
+    "q104_approx_quantiles" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       quantile_disc(l_quantity, 0.25) AS q_25,
+        |       quantile_disc(l_quantity, 0.5)  AS q_50,
+        |       quantile_disc(l_quantity, 0.9)  AS q_90,
+        |       count(*) AS cnt
+        |FROM lineitem
+        |WHERE l_quantity IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
+
     "q36_ann_brute_force" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
         |           WHERE vec_id < 5),

@@ -1191,6 +1191,20 @@ object TestdataQueries {
       .select(col("id_a"), col("id_b"), col("num").cast("long").as("num"),
         col("na2").cast("long").as("na2"), col("nb2").cast("long").as("nb2"))
 
+  /** The sketch-path quantiles (q47's 100 TB variant) as a driver
+    * query: [[graft.llm.Sketches.approxQuantiles]] with accuracy far
+    * above any group's row count, where the Greenwald-Khanna summary
+    * keeps every value and the rank error drops below one row — the
+    * sketch degrades to the exact DISCRETE quantile, which DuckDB's
+    * `quantile_disc` replays bit-for-bit. Same mergeable bounded-memory
+    * plan shape as production (partial map-side aggregation, no
+    * per-group sort); only the accuracy knob differs. */
+  def q104ApproxQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Sketches.approxQuantiles(
+      t(s, dir, "lineitem").filter(col("l_quantity").isNotNull),
+      Seq(col("l_returnflag"), col("l_linestatus")),
+      col("l_quantity"), Seq(0.25, 0.5, 0.9), accuracy = 10000000)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -1279,6 +1293,7 @@ object TestdataQueries {
     "q101_zorder_stats" -> q101ZorderStats _,
     "q102_bloom_semijoin" -> q102BloomSemiJoin _,
     "q103_tfidf_join" -> q103TfidfJoin _,
+    "q104_approx_quantiles" -> q104ApproxQuantiles _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,
