@@ -37,6 +37,11 @@ object Bench {
       .config("spark.ui.retainedJobs", "40")
       .config("spark.ui.retainedStages", "100")
       .config("spark.ui.retainedTasks", "1000")
+      // ~100 queries x several codegen stages each thrash the default
+      // 100-entry generated-class cache; a query's warm run then
+      // re-compiles code its cold run just compiled (observed 3x on the
+      // codegen-heaviest query, solo-fast in-sweep-slow)
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (scheduler, file listing, codegen compiler) so the
