@@ -67,10 +67,13 @@ object ScaleOpsBench {
     val strongN = strong.count()
     val wrong = strong.filter(!(col("id_b") === col("id_a") + 1 &&
       pmod(col("id_b"), lit(50)) === 0)).count()
-    println(f"""{"phase":"tfidf_join","docs":$n,"planted":$planted,"found":$found,"strong":$strongN,"wrong":$wrong,"sec":$sec1%.2f,"docs_per_sec":${(n / sec1).toLong}}""")
+    println(s"""{"phase":"tfidf_join","docs":$n,"planted":$planted,"found":$found,"strong":$strongN,"wrong":$wrong,"sec":${math.round(sec1 * 100) / 100.0},"docs_per_sec":${(n / sec1).toLong}}""")
     assert(strongN == planted && wrong == 0,
       s"strong=$strongN planted=$planted wrong=$wrong (found=$found)")
     strong.unpersist(); pairs.unpersist(); docs.unpersist()
+    // drop the join's internal weight-table persist too, so phase 1's
+    // ~5.7M-row cache can't evict phase 2/3 caches and distort them
+    spark.catalog.clearCache()
 
     // ---- phase 2: bloom semi-join at a 20x fact fan-out -----------
     val factN = n * 20
@@ -87,7 +90,7 @@ object ScaleOpsBench {
       1 << 20)
     val bloomPass = fact.filter(Sketches.bloomMightContain(bits, col("k")))
       .count()
-    println(f"""{"phase":"bloom_semijoin","fact_rows":$factN,"dim_keys":${n / 2},"matches":$viaBloom,"bloom_passed":$bloomPass,"sec":$sec2%.2f,"fact_rows_per_sec":${(factN / sec2).toLong}}""")
+    println(s"""{"phase":"bloom_semijoin","fact_rows":$factN,"dim_keys":${n / 2},"matches":$viaBloom,"bloom_passed":$bloomPass,"sec":${math.round(sec2 * 100) / 100.0},"fact_rows_per_sec":${(factN / sec2).toLong}}""")
     assert(viaBloom == exact, s"bloom=$viaBloom exact=$exact")
     // the bitmap must do real pre-join killing: false positives bounded
     // (~2.4% of non-matches at 2^20 bits / 50k keys)
@@ -111,7 +114,7 @@ object ScaleOpsBench {
     val sec3 = (System.nanoTime() - t2) / 1e9
     val linTouch = filesTouchingY(
       pts.repartitionByRange(64, col("x")).sortWithinPartitions(col("x")))
-    println(f"""{"phase":"zorder","points":$n,"files":64,"z_files_touched":$zTouch,"linear_files_touched":$linTouch,"sec":$sec3%.2f}""")
+    println(s"""{"phase":"zorder","points":$n,"files":64,"z_files_touched":$zTouch,"linear_files_touched":$linTouch,"sec":${math.round(sec3 * 100) / 100.0}}""")
     assert(zTouch * 2 <= linTouch, s"z=$zTouch linear=$linTouch")
     spark.stop()
   }
