@@ -271,4 +271,45 @@ object Sampling {
       .withColumn("bin_pos", col("__start") - col("bin") * lit(ctx))
       .select(outCols ++ Seq(col("bin"), col("bin_pos")): _*)
   }
+
+  /** Length-grouped training batches: rows ordered by (token count, id)
+    * and cut into consecutive `batchSize` groups, so each batch holds
+    * near-equal-length rows and the padding waste
+    * `batchSize * max(len) - sum(len)` stays minimal — the standard
+    * batching of any padded-attention trainer.
+    *
+    * The global rank uses the same two-phase shape as [[packSequences]]
+    * (a straight `row_number` over the corpus would sort 100 TB through
+    * one task): per-(n_tok, id-bucket) counts shrink to a SUMMARY whose
+    * bounded window yields each group's global offset, and the within-
+    * group `row_number` windows partition by (n_tok, id-bucket) — at
+    * most `bucketWidth` ids per task. Integer arithmetic throughout;
+    * deterministic on any engine and partitioning.
+    *
+    * Output: (doc_id, n_tok, batch_id); only the last batch may be
+    * short. */
+  def lengthGroupedBatches(df: DataFrame, id: Column, tokens: Column,
+                           batchSize: Int,
+                           bucketWidth: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(batchSize >= 1 && bucketWidth > 0, s"$batchSize/$bucketWidth")
+    val rows = df.select(id.cast("long").as("doc_id"),
+        tokens.cast("long").as("n_tok"))
+      .withColumn("__bkt",
+        floor(col("doc_id").cast("double") / lit(bucketWidth.toDouble))
+          .cast("long"))
+    val offsets = rows
+      .groupBy(col("n_tok").as("__t"), col("__bkt").as("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(
+        sum(col("__c")).over(Window.orderBy(col("__t"), col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val wIn = Window.partitionBy(col("n_tok"), col("__bkt"))
+      .orderBy(col("doc_id"))
+    rows.join(broadcast(offsets),
+        col("n_tok") === col("__t") && col("__bkt") === col("__b"))
+      .withColumn("__rank", col("__off") + row_number().over(wIn))
+      .select(col("doc_id"), col("n_tok"),
+        expr(s"(__rank - 1L) div ${batchSize}L").as("batch_id"))
+  }
 }

@@ -1584,6 +1584,22 @@ object Oracles {
         |WHERE l_quantity IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
 
+    "q105_length_batches" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |         len(list_filter(string_split($norm, ' '),
+         |           t -> len(t) > 0)) AS n_tok
+         |  FROM documents),
+         |r AS (SELECT doc_id, n_tok,
+         |             row_number() OVER (ORDER BY n_tok, doc_id) AS rk
+         |      FROM tok)
+         |SELECT (rk - 1) // 32 AS batch_id, count(*) AS docs,
+         |       min(n_tok) AS min_tok, max(n_tok) AS max_tok,
+         |       CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+         |       CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT)
+         |         AS padding
+         |FROM r GROUP BY 1""".stripMargin,
+
     "q36_ann_brute_force" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
         |           WHERE vec_id < 5),

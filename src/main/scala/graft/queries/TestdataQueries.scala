@@ -1205,6 +1205,23 @@ object TestdataQueries {
       Seq(col("l_returnflag"), col("l_linestatus")),
       col("l_quantity"), Seq(0.25, 0.5, 0.9), accuracy = 10000000)
 
+  /** Length-grouped batch construction: documents ordered by (token
+    * count, id) and cut into 32-row batches, reported per batch with
+    * the padding waste a padded-attention trainer would pay. The global
+    * rank is the two-phase summary-offset shape — no corpus-wide
+    * single-task sort. */
+  def q105LengthBatches(s: SparkSession, dir: String): DataFrame = {
+    val toks = size(Dedup.wsTokens(col("text"))).cast("long")
+    Sampling.lengthGroupedBatches(
+        t(s, dir, "documents").select(col("doc_id"), toks.as("n_tok")),
+        col("doc_id"), col("n_tok"), batchSize = 32)
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("docs"),
+        min("n_tok").as("min_tok"), max("n_tok").as("max_tok"),
+        sum("n_tok").as("sum_tok"),
+        (count(lit(1)) * max("n_tok") - sum("n_tok")).as("padding"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
@@ -1294,6 +1311,7 @@ object TestdataQueries {
     "q102_bloom_semijoin" -> q102BloomSemiJoin _,
     "q103_tfidf_join" -> q103TfidfJoin _,
     "q104_approx_quantiles" -> q104ApproxQuantiles _,
+    "q105_length_batches" -> q105LengthBatches _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_embedding_neardup" -> q41EmbeddingNearDup _,
     "q30_dedup_exact" -> q30DedupExact _,

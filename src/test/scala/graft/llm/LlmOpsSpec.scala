@@ -1073,6 +1073,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(fp < 200, s"false-positive count $fp implausibly high")
   }
 
+  test("length-grouped batches equal the single-window rank; invariant") {
+    import org.apache.spark.sql.functions.col
+    // lengths engineered for ties (same n_tok across many ids) and a
+    // short final batch
+    val rows = (0L until 107L).map(i => (i, (i % 7) * 10 + 5))
+    val df = rows.toDF("doc_id", "n_tok")
+    def run(parts: Int) = Sampling.lengthGroupedBatches(
+        df.repartition(parts), col("doc_id"), col("n_tok"), batchSize = 16,
+        bucketWidth = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // reference: plain global sort by (n_tok, doc_id)
+    val ref = rows.sortBy { case (id, t) => (t, id) }.zipWithIndex
+      .map { case ((id, t), rk) => id -> ((t, rk.toLong / 16)) }.toMap
+    assert(run(1) == ref)
+    assert(run(13) == ref)          // partitioning never moves a row
+    // every batch except the last is full, and batches are length-sorted
+    val byBatch = ref.values.groupBy(_._2).view
+      .mapValues(_.map(_._1).toSeq).toMap
+    val last = byBatch.keys.max
+    assert(byBatch.filter(_._1 != last).forall(_._2.size == 16))
+    for (b <- 0L until last)
+      assert(byBatch(b).max <= byBatch(b + 1).min)
+  }
+
   test("tfidf similarity join matches a driver replay; partition-invariant") {
     val docs = Seq(
       (0L, "a b c d e"),        // shares "a b c","b c d" with d1
