@@ -47,14 +47,26 @@ object Layout {
     * and bit i of y at 2i+1. Built from shift/and/add only (the summed
     * bit positions are disjoint, so + IS bitwise-or) — every term is
     * engine-portable integer arithmetic that an external SQL engine
-    * replays bit-identically. Values must fit `bits` bits; map/clamp
-    * wider domains first. */
+    * replays bit-identically.
+    *
+    * Inputs outside `[0, 2^bits)` are CLAMPED to the nearest boundary
+    * before interleaving (monotone saturation, `greatest`/`least` —
+    * still portable integer ops). Silent truncation would interleave
+    * the dropped high bits' neighbours into the same code and quietly
+    * degrade the clustering to near-random; clamping instead collapses
+    * the out-of-range tail into the boundary bucket, which keeps every
+    * in-range code exact and the layout's pruning intact. Domains wider
+    * than `bits` bits should still be mapped down by the caller (the
+    * boundary bucket absorbs the whole tail otherwise). */
   def mortonCode(x: Column, y: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, s"bits=$bits")
+    val hi = lit((1L << bits) - 1)
+    val xc = least(greatest(x.cast("long"), lit(0L)), hi)
+    val yc = least(greatest(y.cast("long"), lit(0L)), hi)
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
       acc +
-        shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+        shiftleft(shiftright(xc, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(yc, i).bitwiseAND(lit(1L)), 2 * i + 1)
     }
   }
 
@@ -93,24 +105,34 @@ object Layout {
     * data volume — periodic compaction is the standard fix. Partitioned
     * layouts pass their `partitionCols` so the directory structure (and
     * pruning) survives the rewrite.
-    */
+    *
+    * All filesystem access goes through the Hadoop `FileSystem` API
+    * resolved from the path's scheme, so the same call works on local
+    * disk, HDFS, or an object store (where `rename` is a copy, not
+    * atomic — callers needing atomicity on S3-style stores should
+    * compact behind a table-format commit instead). */
   def compact(spark: SparkSession, path: String,
               partitionCols: Seq[String] = Nil,
               targetBytes: Long = 128L * 1024 * 1024): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val dir = Paths.get(path)
-    val onDisk = Files.walk(dir).filter(Files.isRegularFile(_))
-      .mapToLong(Files.size(_)).sum()
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    var onDisk = 0L
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) { val st = it.next(); if (st.isFile) onDisk += st.getLen }
     val nFiles = math.max(1, math.ceil(onDisk.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(path)
-    val tmp = Paths.get(path + ".__compact")
+    val tmp = new Path(path + ".__compact")
     val writer = df.repartition(nFiles).write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(tmp.toString)
-    val old = Paths.get(path + ".__old")
-    Files.move(dir, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
-    Files.walk(old).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => Files.delete(p))
+    val old = new Path(path + ".__old")
+    if (!fs.rename(dir, old))
+      throw new java.io.IOException(s"compact: rename $dir -> $old failed")
+    if (!fs.rename(tmp, dir)) { // roll back so the data stays readable
+      fs.rename(old, dir)
+      throw new java.io.IOException(s"compact: rename $tmp -> $dir failed")
+    }
+    fs.delete(old, true)
   }
 }

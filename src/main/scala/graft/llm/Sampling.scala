@@ -252,10 +252,16 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     require(ctx > 0 && bucketWidth > 0, s"$ctx/$bucketWidth")
     val outCols = df.columns.toSeq.map(col)
+    // bucket by INTEGER floor-division (pmod keeps the floor semantics
+    // for negative ids): a double division would round above 2^53 and
+    // shift bucket boundaries. Rows with a null id or token count are
+    // excluded EXPLICITLY (they have no place on the token axis) rather
+    // than dropped silently by the summary join.
     val rows = df.withColumn("__id", id.cast("long"))
       .withColumn("__n", tokens.cast("long"))
+      .filter(col("__id").isNotNull && col("__n").isNotNull)
       .withColumn("__bkt",
-        floor(col("__id").cast("double") / lit(bucketWidth.toDouble)).cast("long"))
+        expr(s"(__id - pmod(__id, ${bucketWidth}L)) div ${bucketWidth}L"))
     val offsets = rows.groupBy(col("__bkt").as("__b"))
       .agg(sum(col("__n")).as("__btok"))
       .withColumn("__off", coalesce(
@@ -266,8 +272,7 @@ object Sampling {
     rows.join(broadcast(offsets), col("__bkt") === col("__b"))
       .withColumn("__local", coalesce(sum(col("__n")).over(wIn), lit(0L)))
       .withColumn("__start", col("__off") + col("__local"))
-      .withColumn("bin",
-        floor(col("__start").cast("double") / lit(ctx.toDouble)).cast("long"))
+      .withColumn("bin", expr(s"__start div ${ctx}L"))
       .withColumn("bin_pos", col("__start") - col("bin") * lit(ctx))
       .select(outCols ++ Seq(col("bin"), col("bin_pos")): _*)
   }
@@ -283,8 +288,19 @@ object Sampling {
     * one task): per-(n_tok, id-bucket) counts shrink to a SUMMARY whose
     * bounded window yields each group's global offset, and the within-
     * group `row_number` windows partition by (n_tok, id-bucket) — at
-    * most `bucketWidth` ids per task. Integer arithmetic throughout;
-    * deterministic on any engine and partitioning.
+    * most `bucketWidth` ids per task. Integer arithmetic throughout
+    * (the id bucket is an integer floor-division, exact for the full
+    * 64-bit id range incl. snowflake-style ids above 2^53);
+    * deterministic on any engine and partitioning. Rows with a null id
+    * or token count are excluded explicitly.
+    *
+    * Cardinality contract (like [[packSequences]]'s bucketWidth note):
+    * the broadcast summary holds one row per OCCUPIED (n_tok,
+    * id-bucket) pair — bounded by distinct token lengths times
+    * id-range / bucketWidth. The caller sizes `bucketWidth` so that
+    * product stays metadata-sized (~1e7 rows); token lengths are
+    * naturally few thousand distinct values, so a width of id-range/1e3
+    * is safe at any corpus size.
     *
     * Output: (doc_id, n_tok, batch_id); only the last batch may be
     * short. */
@@ -295,9 +311,9 @@ object Sampling {
     require(batchSize >= 1 && bucketWidth > 0, s"$batchSize/$bucketWidth")
     val rows = df.select(id.cast("long").as("doc_id"),
         tokens.cast("long").as("n_tok"))
+      .filter(col("doc_id").isNotNull && col("n_tok").isNotNull)
       .withColumn("__bkt",
-        floor(col("doc_id").cast("double") / lit(bucketWidth.toDouble))
-          .cast("long"))
+        expr(s"(doc_id - pmod(doc_id, ${bucketWidth}L)) div ${bucketWidth}L"))
     val offsets = rows
       .groupBy(col("n_tok").as("__t"), col("__bkt").as("__b"))
       .agg(count(lit(1)).as("__c"))

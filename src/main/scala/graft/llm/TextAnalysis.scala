@@ -248,8 +248,7 @@ object TextAnalysis {
   def tfidfSimilarityJoin(docs: DataFrame, maxDf: Int = 20,
                           tauNum: Long = 1, tauDen: Long = 2,
                           id: Column = col("doc_id"),
-                          terms: Column = null,
-                          onPersist: DataFrame => Unit = _ => ())
+                          terms: Column = null)
       : DataFrame = {
     require(maxDf >= 2, s"maxDf=$maxDf")
     require(tauDen > 0 && tauNum >= 0, s"tau=$tauNum/$tauDen")
@@ -262,14 +261,16 @@ object TextAnalysis {
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
-    // the weight table feeds THREE subtrees (norms + both self-join
-    // sides); without the persist each one re-tokenizes the corpus —
-    // reported through onPersist for callers that manage cache
+    // the weight table feeds two subtrees (norms + the posting groups);
+    // NOT persisted: a one-JVM A/B at sf0.1 measured persist vs
+    // no-persist identical (2.595 s vs 2.594 s best-of-3 warm — the
+    // shared shuffle subtrees are cheap to replay), and an un-owned
+    // persist leaks MEMORY_AND_DISK blocks on every call for a library
+    // caller looping over corpora. Callers who want the weight stage
+    // resident can persist `docs` (or a precomputed `terms`) themselves.
     val w = tf.join(dfs, Seq("term"))
       .select(col("doc_id"), col("term"),
         expr("tf * (1000000L div df)").as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    onPersist(w)
     val norms = w.groupBy("doc_id").agg(sum(expr("w * w")).as("norm2"))
     // candidate pairs via per-term member arrays: the df cap already
     // bounds every array at maxDf members, so ONE groupBy shuffle

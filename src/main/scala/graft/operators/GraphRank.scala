@@ -88,26 +88,44 @@ object GraphRank {
   /** HITS hubs & authorities, fixed iterations in EXACT integer
     * arithmetic. The classical normalization (divide by the L2 norm)
     * is libm territory; the integer-portable equivalent used here
-    * rescales by the MAXIMUM score each half-step:
-    * `score * scale div max(score)` — same ranking, values pinned to
-    * [0, scale], and every operation is an order-independent integer
-    * sum, multiply, or floor-divide, so results replay bit-for-bit in
-    * SQL. Nodes with no role in a step score 0 (a pure source has
-    * authority 0, a pure sink has hub 0).
+    * rescales by the MAXIMUM score: `score * scale div max(score)` —
+    * same ranking, values pinned to [0, scale], and every operation is
+    * an order-independent integer sum, multiply, or floor-divide, so
+    * results replay bit-for-bit in SQL. Nodes with no role in a step
+    * score 0 (a pure source has authority 0, a pure sink has hub 0).
     *
     * Update per iteration (directed edges u -> v):
-    *   auth'(v) = sum of hub(u) over in-edges, rescaled to max = scale;
-    *   hub'(u)  = sum of auth'(v) over out-edges, rescaled likewise.
+    *   auth'(v) = sum of hub(u) over in-edges;
+    *   hub'(u)  = sum of auth'(v) over out-edges;
+    * each rescaled on its scheduled iterations (below).
+    *
+    * `rescaleEvery`: iteration `i` of a score type rescales when
+    * `i % rescaleEvery == 0` or `i == iters` (so outputs always sit on
+    * the [0, scale] grid); between rescales the raw sums carry forward
+    * as decimal(38,0). Each rescale costs one driver collect (the max)
+    * and one persist, so `rescaleEvery = k` divides both by ~k — the
+    * un-rescaled half-steps fuse into the next rescale's job. The
+    * trade: raw scores grow by a degree factor per un-rescaled
+    * half-step, and the rescale numerator `score * scale` must fit
+    * decimal(38,0) — safe while `scale^2 * (product of max degrees
+    * across the <= 2*rescaleEvery - 1 un-rescaled half-steps) < 1e38`,
+    * e.g. at the default scale a degree bound of ~4e4 for
+    * `rescaleEvery = 2`. Overflow is LOUD under ANSI, never silent.
+    * Values differ from `rescaleEvery = 1` (flooring happens at
+    * different points) but the schedule is part of the operator's
+    * deterministic contract and replays exactly in SQL.
     *
     * Scale shape: like [[pageRank]] — the edge table is persisted once
     * and each half-step shuffles only a node-sized score table; the
-    * per-step max is one row of driver metadata (see the comment in
+    * per-rescale max is one row of driver metadata (see the comment in
     * the body for why the driver-free variants measured slower). */
   def hits(edges: DataFrame, iters: Int,
            src: Column = col("src"), dst: Column = col("dst"),
            scale: Long = 1000000000000L,
+           rescaleEvery: Int = 1,
            onPersist: DataFrame => Unit = _ => ()): DataFrame = {
     require(iters >= 1, s"iters=$iters")
+    require(rescaleEvery >= 1, s"rescaleEvery=$rescaleEvery")
     import org.apache.spark.storage.StorageLevel
     val e = edges.select(src.as("src"), dst.as("dst"))
       .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
@@ -151,17 +169,27 @@ object GraphRank {
     var hub = nodes.withColumn("score", lit(scale))
     var auth: DataFrame = null
     var prevRaws = List.empty[DataFrame]
-    for (_ <- 1 to iters) {
-      val (a, aRaw) = rescaled(hub
+    for (i <- 1 to iters) {
+      // skipped iterations carry the raw decimal sums forward unpersisted
+      // — they fuse into the next rescale's single materializing job
+      val doRescale = i % rescaleEvery == 0 || i == iters
+      val aSum = hub
         .join(e, hub("node") === e("src"))
-        .groupBy(col("dst").as("node")).agg(sumDec))
-      auth = a
-      val (h, hRaw) = rescaled(auth
-        .join(e, auth("node") === e("dst"))
-        .groupBy(col("src").as("node")).agg(sumDec))
-      hub = h
-      prevRaws.foreach(_.unpersist())
-      prevRaws = List(aRaw, hRaw)
+        .groupBy(col("dst").as("node")).agg(sumDec)
+      val hSum0 = (a: DataFrame) => a
+        .join(e, a("node") === e("dst"))
+        .groupBy(col("src").as("node")).agg(sumDec)
+      if (doRescale) {
+        val (a, aRaw) = rescaled(aSum)
+        auth = a
+        val (h, hRaw) = rescaled(hSum0(auth))
+        hub = h
+        prevRaws.foreach(_.unpersist())
+        prevRaws = List(aRaw, hRaw)
+      } else {
+        auth = aSum
+        hub = hSum0(auth)
+      }
     }
     prevRaws.foreach(onPersist)
     nodes

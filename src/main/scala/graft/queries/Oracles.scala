@@ -1488,27 +1488,31 @@ object Oracles {
     },
 
     "q100_hits" -> {
-      // one auth + hub half-step pair per engine iteration, each
-      // max-rescaled to the integer grid
+      // one auth + hub half-step pair per engine iteration; iteration i
+      // max-rescales to the integer grid when i % 2 == 0 or i == 3 (the
+      // engine's rescaleEvery = 2 schedule), raw HUGEINT sums otherwise
       val steps = (1 to 3).map { i =>
+        val rescale = i % 2 == 0 || i == 3
+        def scaled(src: String) =
+          if (rescale)
+            raw"""SELECT node, CAST(score * 1000000000000
+               |    // (SELECT max(score) FROM $src) AS BIGINT) AS score
+               |  FROM $src""".stripMargin
+          else s"SELECT node, score FROM $src"
         raw"""a${i}r AS (
            |  SELECT e.dst AS node, sum(CAST(h${i - 1}.score AS HUGEINT))
            |    AS score
            |  FROM h${i - 1} JOIN e ON e.src = h${i - 1}.node
            |  GROUP BY e.dst),
            |a$i AS (
-           |  SELECT node, CAST(score * 1000000000000
-           |    // (SELECT max(score) FROM a${i}r) AS BIGINT) AS score
-           |  FROM a${i}r),
+           |  ${scaled(s"a${i}r")}),
            |h${i}r AS (
            |  SELECT e.src AS node, sum(CAST(a$i.score AS HUGEINT))
            |    AS score
            |  FROM a$i JOIN e ON e.dst = a$i.node
            |  GROUP BY e.src),
            |h$i AS (
-           |  SELECT node, CAST(score * 1000000000000
-           |    // (SELECT max(score) FROM h${i}r) AS BIGINT) AS score
-           |  FROM h${i}r)""".stripMargin
+           |  ${scaled(s"h${i}r")})""".stripMargin
       }.mkString(",\n")
       raw"""WITH li AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
          |e AS (SELECT 'p' || l_partkey AS src, 's' || l_suppkey AS dst

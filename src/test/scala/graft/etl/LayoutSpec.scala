@@ -184,6 +184,19 @@ class LayoutSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
     for ((x, y) <- pts) assert(got((x, y)) == ref(x, y, 5), s"($x,$y)")
 
+    // out-of-range inputs saturate at the boundary (monotone clamp),
+    // never truncate-and-wrap: 40 > 31 behaves as 31, negatives as 0 —
+    // a wrap would scatter the tail across the whole code space
+    val clamped = Seq((40, 7), (-3, 7), (1 << 20, 40), (31, -9))
+      .toDF("x", "y")
+      .select(col("x"), col("y"),
+        Layout.mortonCode(col("x"), col("y"), bits = 5).as("z"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(clamped((40, 7)) == ref(31, 7, 5))
+    assert(clamped((-3, 7)) == ref(0, 7, 5))
+    assert(clamped((1 << 20, 40)) == ref(31, 31, 5))
+    assert(clamped((31, -9)) == ref(31, 0, 5))
+
     // layout quality = pruning: how many files could a filter on the
     // SECOND dimension touch, judged by per-file min/max stats (what
     // parquet row-group pruning sees)? A 1-D sort by x leaves every

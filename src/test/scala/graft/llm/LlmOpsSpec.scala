@@ -1098,6 +1098,39 @@ class LlmOpsSpec extends SparkSpec {
       assert(byBatch(b).max <= byBatch(b + 1).min)
   }
 
+  test("length batches: ids above 2^53 keep exact buckets; nulls excluded") {
+    import org.apache.spark.sql.functions.col
+    // adjacent 63-bit snowflake-style ids: a double cast collapses
+    // 2^53 and 2^53+1 (the latter is not representable), so a
+    // double-division bucketing would merge or shift these; integer
+    // floor-division must keep every id distinct and dense-ranked
+    val base = (1L << 53)
+    val ids = (0L until 20L).map(base + _)
+    val rows = ids.map(i => (java.lang.Long.valueOf(i),
+      java.lang.Long.valueOf(7L))) :+
+      ((null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(7L))) :+
+      ((java.lang.Long.valueOf(base + 99L), null.asInstanceOf[java.lang.Long]))
+    val df = rows.toDF("doc_id", "n_tok")
+    val got = Sampling.lengthGroupedBatches(df.repartition(5),
+        col("doc_id"), col("n_tok"), batchSize = 4, bucketWidth = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // null id / null token rows are excluded, everything else ranked
+    assert(got.keySet == ids.toSet)
+    // equal lengths tie-break by id: batch = position-in-id-order / 4
+    val ref = ids.sorted.zipWithIndex.map { case (id, i) => id -> i.toLong / 4 }
+    assert(got == ref.toMap)
+    // packSequences on the same id range: offsets are the exact running
+    // sum in id order, not a double approximation
+    val packed = Sampling.packSequences(
+        df.filter(col("doc_id").isNotNull && col("n_tok").isNotNull),
+        col("doc_id"), col("n_tok"), ctx = 10, bucketWidth = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sorted
+    val refPack = ids.sorted.zipWithIndex.map { case (id, i) =>
+      val off = 7L * i; (id, off / 10, off % 10)
+    }
+    assert(packed.toSeq == refPack)
+  }
+
   test("tfidf similarity join matches a driver replay; partition-invariant") {
     val docs = Seq(
       (0L, "a b c d e"),        // shares "a b c","b c d" with d1
@@ -1134,6 +1167,13 @@ class LlmOpsSpec extends SparkSpec {
     assert(run(7) == expected)
     assert(expected.exists { case (a, b, _, _, _) => a == 0L && b == 5L })
     assert(!expected.exists { case (a, b, _, _, _) => a == 4L || b == 4L })
+    // leak pin: the operator installs NO cache of its own, so a library
+    // caller looping over corpora accumulates nothing (no clearCache
+    // needed between calls)
+    spark.catalog.clearCache()
+    assert(run(3) == expected)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "tfidfSimilarityJoin left persisted blocks behind")
   }
 
   test("bloom semi-join equals the plain semi-join and prunes pre-join") {

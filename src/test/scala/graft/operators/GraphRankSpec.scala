@@ -99,6 +99,49 @@ class GraphRankSpec extends SparkSpec {
     assert(got("h1")._1 > got("h2")._1)
   }
 
+  test("hits rescaleEvery: scheduled-rescale BigInt replay, last step pinned") {
+    val edges = Seq("h1" -> "a1", "h1" -> "a2", "h2" -> "a1", "a1" -> "a2",
+      "h2" -> "a2", "a2" -> "a1")
+    val scale = BigInt("1000000000000")
+    // driver replay with the documented schedule: iteration i of a score
+    // type rescales when i % k == 0 or i == iters; raw sums carry over
+    def replay(iters: Int, k: Int): (Map[String, BigInt], Map[String, BigInt]) = {
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      var hub = nodes.map(_ -> scale).toMap
+      var auth = Map.empty[String, BigInt]
+      def rescale(m: Map[String, BigInt]) = {
+        val mx = m.values.max
+        m.map { case (n, v) => n -> v * scale / mx }
+      }
+      for (i <- 1 to iters) {
+        val doR = i % k == 0 || i == iters
+        auth = edges.groupBy(_._2).map { case (v, es) =>
+          v -> es.map(e => hub(e._1)).sum }
+        if (doR) auth = rescale(auth)
+        hub = edges.groupBy(_._1).map { case (u, es) =>
+          u -> es.map(e => auth(e._2)).sum }
+        if (doR) hub = rescale(hub)
+      }
+      (hub, auth)
+    }
+    for ((iters, k) <- Seq((3, 2), (4, 3), (2, 5))) {
+      val (hubRef, authRef) = replay(iters, k)
+      val got = GraphRank.hits(edges.toDF("src", "dst").repartition(5),
+          iters = iters, rescaleEvery = k)
+        .collect().map(r => r.getAs[String]("node") ->
+          (r.getAs[Long]("hub"), r.getAs[Long]("auth"))).toMap
+      for (n <- got.keys) {
+        assert(got(n)._1 == hubRef.getOrElse(n, BigInt(0)).toLong,
+          s"hub $n iters=$iters k=$k")
+        assert(got(n)._2 == authRef.getOrElse(n, BigInt(0)).toLong,
+          s"auth $n iters=$iters k=$k")
+      }
+      // the forced final rescale pins outputs to the [0, scale] grid
+      assert(got.values.map(_._1).max == scale.toLong)
+      assert(got.values.map(_._2).max == scale.toLong)
+    }
+  }
+
   test("iters=0 is the uniform start; partitioning never changes a rank") {
     val edges = Seq("x" -> "y", "y" -> "z", "z" -> "x", "x" -> "z")
     val r0 = run(edges, 0)
