@@ -21,14 +21,34 @@ object TestdataQueries {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.parquet stores TIMESTAMP(NANOS) which Spark's reader rejects
-      // outright (PARQUET_TYPE_ILLEGAL); read the raw int64 nanos and
-      // truncate to microsecond TimestampType (integral `div` — a double
-      // division would lose precision above 2^53 ns).
+      // The testdata's `events.ts` physical type has drifted across driver
+      // generations: TIMESTAMP(NANOS) originally (Spark's reader rejects it
+      // outright — PARQUET_TYPE_ILLEGAL — unless read as raw int64 via
+      // nanosAsLong), TIMESTAMP(MICROS, isAdjustedToUTC=false) today. Branch
+      // on the schema actually read so every vintage lands on the same
+      // microsecond-precision TimestampType (session tz is UTC everywhere,
+      // so the NTZ→TIMESTAMP cast is instant-preserving).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      df.schema("ts").dataType match {
+        case LongType =>
+          // raw int64 nanos: truncate integrally (double division would lose
+          // precision above 2^53 ns)
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampType    => df
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case other => throw new IllegalStateException(
+          s"unexpected events.ts type $other in $dir — testdata schema drifted again; " +
+            "extend TestdataQueries.t() to handle it")
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Public loader alias: `TestdataSchemaSpec` pins this exact path so
+    * driver-side testdata schema drift fails in `sbt test` instead of
+    * silently killing driver queries (round-7 postmortem). */
+  def table(s: SparkSession, dir: String, name: String): DataFrame =
+    t(s, dir, name)
 
   private val dec144 = "decimal(14,4)"
   private val dec186 = "decimal(18,6)"
@@ -47,14 +67,18 @@ object TestdataQueries {
   // points in both modes.
   @volatile private var sharedStages = false
   def enableSharedStages(): Unit = { sharedStages = true }
+  // Keyed by (session, dir): a DataFrame is bound to the SparkSession that
+  // built it, so a dir-only key would hand out frames from a stopped session
+  // if a long-lived JVM ever cycles sessions. Entries for dead sessions are
+  // simply ignored (the map is tiny — one per sf dir per session).
   private val sigMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def portableSigs(s: SparkSession, dir: String): DataFrame = {
     def plan = Dedup.minhashTable(t(s, dir, "documents"), numHashes = 32,
       k = 3, portable = true)
     if (!sharedStages) plan
     else {
-      val df = sigMemo.computeIfAbsent(dir, _ => plan)
+      val df = sigMemo.computeIfAbsent((s, dir), _ => plan)
       this.synchronized {
         if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
           df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
