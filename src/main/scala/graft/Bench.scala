@@ -57,7 +57,13 @@ object Bench {
     // a per-query corpus re-hash. Verify keeps this OFF: the oracle
     // compares the fully isolated plan.
     graft.queries.TestdataQueries.enableSharedStages()
+    // Dev-loop filter, mirroring Verify: SPARK_GRAFT_ONLY=q97_x,q100_y
+    // times just those queries (solo A/B without the sweep's cache and
+    // GC context). Unset for the driver's full run.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     // One measurement = a back-to-back pair; run 2 reuses run 1's JIT,
     // codegen, and installed caches (steady-state). Post-pair hygiene,
     // OUTSIDE the timed region: drop any cache the query installed and

@@ -1489,10 +1489,10 @@ object Oracles {
 
     "q100_hits" -> {
       // one auth + hub half-step pair per engine iteration; iteration i
-      // max-rescales to the integer grid when i % 2 == 0 or i == 3 (the
-      // engine's rescaleEvery = 2 schedule), raw HUGEINT sums otherwise
+      // max-rescales to the integer grid only at i == 3 (the engine's
+      // rescaleEvery = 3 final-only schedule), raw HUGEINT sums otherwise
       val steps = (1 to 3).map { i =>
-        val rescale = i % 2 == 0 || i == 3
+        val rescale = i == 3
         def scaled(src: String) =
           if (rescale)
             raw"""SELECT node, CAST(score * 1000000000000

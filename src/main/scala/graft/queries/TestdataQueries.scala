@@ -1194,18 +1194,22 @@ object TestdataQueries {
   /** HITS over the DIRECTED part->supplier graph — the textbook
     * bipartite case: parts are pure hubs (who sources broadly),
     * suppliers pure authorities (who is sourced by the well-connected).
-    * Exact integer max-rescaled iterations, rescaled every 2nd
-    * iteration (raw decimal sums carry between — degree product ~6e2
-    * at this shape, far inside the documented ~4e4 headroom): halves
-    * the per-iteration driver collects and persists. The oracle
-    * unrolls the same schedule. */
+    * Exact integer max-rescaled iterations, rescaled ONCE at the final
+    * iteration (raw decimal sums carry through all five preceding
+    * half-steps — degree product ~8e6 at this bipartite shape, and the
+    * rescale numerator peaks ~1e31, far inside the decimal(38) bound
+    * documented on [[graft.operators.GraphRank.hits]]): the whole
+    * iteration chain fuses into the two final materializing jobs, so
+    * the query schedules 2 persists + 2 collects total instead of 4+4
+    * under the previous every-2nd schedule. The oracle unrolls the
+    * same schedule. */
   def q100Hits(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
       .select(col("l_partkey"), col("l_suppkey")).distinct()
     graft.operators.GraphRank.hits(
       li.select(concat(lit("p"), col("l_partkey")).as("src"),
         concat(lit("s"), col("l_suppkey")).as("dst")),
-      iters = 3, rescaleEvery = 2)
+      iters = 3, rescaleEvery = 3)
   }
 
   /** Z-order layout statistics: parts bucketed by the Morton interleave
