@@ -67,6 +67,12 @@ object TestdataQueries {
   // points in both modes.
   @volatile private var sharedStages = false
   def enableSharedStages(): Unit = { sharedStages = true }
+  // test hooks: SigMemoSpec pins the per-session memo keying without
+  // leaving shared-stage mode on for the rest of the suite's JVM
+  private[queries] def setSharedStagesForTest(on: Boolean): Unit =
+    sharedStages = on
+  private[queries] def portableSigsForTest(s: SparkSession, dir: String)
+      : DataFrame = portableSigs(s, dir)
   // Keyed by (session, dir): a DataFrame is bound to the SparkSession that
   // built it, so a dir-only key would hand out frames from a stopped session
   // if a long-lived JVM ever cycles sessions. Entries for dead sessions are

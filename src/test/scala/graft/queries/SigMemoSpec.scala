@@ -1,0 +1,47 @@
+package graft.queries
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** Pins the shared-signature-store memo's per-session keying.
+  *
+  * A DataFrame is bound to the SparkSession that built it, so a memo
+  * keyed by directory alone would keep handing out frames from the
+  * FIRST session that ever touched a dir — including after that session
+  * is stopped in a long-lived JVM that cycles sessions. The memo keys by
+  * (session, dir); this spec drives two sequential sessions over the
+  * same dir and asserts each gets a frame bound to itself.
+  */
+class SigMemoSpec extends SparkSpec {
+
+  private def writeDocs(): String = {
+    val dir = tmpDir("sigmemo")
+    import spark.implicits._
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir.toString
+  }
+
+  test("two sequential sessions each get a frame bound to themselves") {
+    val dir = writeDocs()
+    TestdataQueries.setSharedStagesForTest(true)
+    try {
+      val s1 = spark.newSession()
+      val s2 = spark.newSession()
+      val df1 = TestdataQueries.portableSigsForTest(s1, dir)
+      val df2 = TestdataQueries.portableSigsForTest(s2, dir)
+      assert(df1.sparkSession eq s1,
+        "session 1 must receive a frame built by itself")
+      assert(df2.sparkSession eq s2,
+        "session 2 must NOT receive session 1's cached frame")
+      // memo hit: same session + dir returns the identical cached frame
+      assert(TestdataQueries.portableSigsForTest(s1, dir) eq df1)
+      // and the frames still compute (persisted, same contents)
+      assert(df1.count() == df2.count() && df1.count() > 0)
+    } finally TestdataQueries.setSharedStagesForTest(false)
+  }
+}
