@@ -76,15 +76,16 @@ object TestdataQueries {
   // Keyed by (session, dir): a DataFrame is bound to the SparkSession that
   // built it, so a dir-only key would hand out frames from a stopped session
   // if a long-lived JVM ever cycles sessions. Entries for dead sessions are
-  // simply ignored (the map is tiny — one per sf dir per session).
-  private val sigMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def portableSigs(s: SparkSession, dir: String): DataFrame = {
-    def plan = Dedup.minhashTable(t(s, dir, "documents"), numHashes = 32,
-      k = 3, portable = true)
+  // simply ignored (the maps are tiny — one per sf dir per session). If the
+  // harness cleared caches since the last call, the frame lazily
+  // re-persists inside the calling query's next action.
+  private type Memo =
+    java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def memoShared(memo: Memo, s: SparkSession, dir: String)
+                        (plan: => DataFrame): DataFrame =
     if (!sharedStages) plan
     else {
-      val df = sigMemo.computeIfAbsent((s, dir), _ => plan)
+      val df = memo.computeIfAbsent((s, dir), _ => plan)
       this.synchronized {
         if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
           df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -93,7 +94,29 @@ object TestdataQueries {
       }
       df
     }
-  }
+
+  private val sigMemo = new Memo()
+  private def portableSigs(s: SparkSession, dir: String): DataFrame =
+    memoShared(sigMemo, s, dir)(
+      Dedup.minhashTable(t(s, dir, "documents"), numHashes = 32,
+        k = 3, portable = true))
+
+  // The customer ER pair table (q96's output) is the second shared
+  // production artifact: entity CLUSTERING consumes the maintained pair
+  // table, it does not re-run entity resolution. q96 itself always
+  // computes the full plan — producing the pair table IS that query —
+  // only the downstream consumer (q97) reads the store. Restricting the
+  // full-table pairs to a key subset equals running the fuzzy join on
+  // the subset directly: a candidate pair inside the subset shares a
+  // deletion variant there iff it shares one in the full table, and the
+  // exact per-pair levenshtein verify is unaffected by other rows —
+  // `SigMemoSpec` pins the equality on real testdata.
+  private val fuzzyMemo = new Memo()
+  private def customerFuzzyPairs(s: SparkSession, dir: String): DataFrame =
+    memoShared(fuzzyMemo, s, dir)(
+      graft.operators.FuzzyJoin.editDistanceSelfJoin(
+        t(s, dir, "customer"), tau = 1,
+        id = col("c_custkey"), str = col("c_name")))
 
   // ------------------------------------------------------------------ scans
 
@@ -1160,13 +1183,25 @@ object TestdataQueries {
     * clustering machinery; the oracle walks the same brute-force pair
     * set with a recursive CTE. Bounded to a fixed id prefix: the full
     * table is q96's job, and on TPC-H's digit-named customers the
-    * cluster structure is identical on any prefix. */
+    * cluster structure is identical on any prefix.
+    *
+    * Production shape (shared stages): clustering consumes the
+    * maintained ER pair table — q96's artifact, via
+    * [[customerFuzzyPairs]] — restricted to the id prefix, instead of
+    * re-running entity resolution; the restriction equals the direct
+    * subset join (argument at the memo; `SigMemoSpec` pins it).
+    * Verify and the specs keep the fully isolated subset plan. */
   def q97EntityClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = graft.operators.FuzzyJoin.editDistanceSelfJoin(
-        t(s, dir, "customer").filter(col("c_custkey") < 4000), tau = 1,
-        id = col("c_custkey"), str = col("c_name"))
-      .select(col("a_id").as("id_a"), col("b_id").as("id_b"))
-    Dedup.duplicateClusters(pairs)
+    val pairs =
+      if (sharedStages)
+        customerFuzzyPairs(s, dir)
+          .filter(col("a_id") < 4000 && col("b_id") < 4000)
+      else
+        graft.operators.FuzzyJoin.editDistanceSelfJoin(
+          t(s, dir, "customer").filter(col("c_custkey") < 4000), tau = 1,
+          id = col("c_custkey"), str = col("c_name"))
+    Dedup.duplicateClusters(
+      pairs.select(col("a_id").as("id_a"), col("b_id").as("id_b")))
   }
 
   /** Bounded-hop BFS over the part–supplier graph: which parts and

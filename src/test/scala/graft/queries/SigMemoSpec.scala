@@ -44,4 +44,20 @@ class SigMemoSpec extends SparkSpec {
       assert(df1.count() == df2.count() && df1.count() > 0)
     } finally TestdataQueries.setSharedStagesForTest(false)
   }
+
+  test("q97 over the shared ER pair store equals the isolated subset plan") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory, s"$dir not present")
+    def rows() = TestdataQueries.all("q97_entity_clusters")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val isolated = rows()
+    TestdataQueries.setSharedStagesForTest(true)
+    try {
+      val shared = rows()
+      assert(shared == isolated,
+        "restricting the full-table ER pairs to the id prefix must equal " +
+          "running the fuzzy join on the subset directly")
+      assert(isolated.nonEmpty)
+    } finally TestdataQueries.setSharedStagesForTest(false)
+  }
 }
