@@ -152,9 +152,10 @@ object Dedup {
     * quadratic OUTPUT is capped too. */
   /** Expand each sorted member array (column `ms`) into every (a, b)
     * pair with a strictly before b — the shared tail of all
-    * group-then-pair operators (LSH buckets, tf-idf posting groups).
-    * One posexplode + tail slice; never a self-join's second shuffle. */
-  private[llm] def pairsFromMembers(grouped: DataFrame): DataFrame = {
+    * group-then-pair operators (LSH buckets, tf-idf posting groups,
+    * fuzzy-join variant blocks). One posexplode + tail slice; never a
+    * self-join's second shuffle. */
+  private[graft] def pairsFromMembers(grouped: DataFrame): DataFrame = {
     val ms = col("ms")
     grouped
       .select(ms, posexplode(ms))                       // → ms, pos, col

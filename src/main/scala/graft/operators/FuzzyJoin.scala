@@ -71,14 +71,20 @@ object FuzzyJoin {
     val variants = base.select(col("__id"), n.as("__len"),
       explode(array_distinct(
         transform(concat(array(s), v1, v2), v => xxhash64(v)))).as("__key"))
-    val a = variants.select(col("__id").as("a_id"), col("__len").as("__la"),
-      col("__key"))
-    val b = variants.select(col("__id").as("b_id"), col("__len").as("__lb"),
-      col("__key"))
-    val cands = a.join(b, Seq("__key"))
-      .filter(col("a_id") < col("b_id") &&
-        abs(col("__la") - col("__lb")) <= tau)
-      .select("a_id", "b_id").distinct()
+    // candidates via per-key member arrays (the shared group-then-pair
+    // tail): ONE groupBy shuffle of the variant table replaces both
+    // sides of a variant self-join — which would also compute the
+    // variant explode twice — and sort_array on (id, len) structs makes
+    // every emitted pair a_id < b_id by construction. Same k^2 emission
+    // per k-member key as the self-join (exactness forbids capping;
+    // name-like ER keys keep k small — see the class comment).
+    val cands = graft.llm.Dedup.pairsFromMembers(
+        variants.groupBy("__key")
+          .agg(sort_array(collect_list(
+            struct(col("__id"), col("__len")))).as("ms"))
+          .filter(size(col("ms")) >= 2))
+      .filter(abs(col("a.__len") - col("b.__len")) <= tau)
+      .select(col("a.__id").as("a_id"), col("b.__id").as("b_id")).distinct()
     cands
       .join(base.select(col("__id").as("a_id"), col("__s").as("__sa")), "a_id")
       .join(base.select(col("__id").as("b_id"), col("__s").as("__sb")), "b_id")
