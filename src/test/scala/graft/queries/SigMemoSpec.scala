@@ -45,19 +45,30 @@ class SigMemoSpec extends SparkSpec {
     } finally TestdataQueries.setSharedStagesForTest(false)
   }
 
-  test("q97 over the shared ER pair store equals the isolated subset plan") {
-    val dir = "/root/testdata/sf0.001"
-    assume(new java.io.File(dir).isDirectory, s"$dir not present")
-    def rows() = TestdataQueries.all("q97_entity_clusters")(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val isolated = rows()
-    TestdataQueries.setSharedStagesForTest(true)
-    try {
-      val shared = rows()
-      assert(shared == isolated,
-        "restricting the full-table ER pairs to the id prefix must equal " +
-          "running the fuzzy join on the subset directly")
-      assert(isolated.nonEmpty)
-    } finally TestdataQueries.setSharedStagesForTest(false)
-  }
+  // Every store consumer must produce bit-identical results with shared
+  // stages on and off — the driver's oracle only ever sees the isolated
+  // plan, so any shared-path divergence would ship unverified.
+  private def pinSharedEqualsIsolated(query: String, why: String): Unit =
+    test(s"$query over its shared store equals the isolated plan") {
+      val dir = "/root/testdata/sf0.001"
+      assume(new java.io.File(dir).isDirectory, s"$dir not present")
+      def rows() = TestdataQueries.all(query)(spark, dir)
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+      val isolated = rows()
+      TestdataQueries.setSharedStagesForTest(true)
+      try {
+        assert(rows() == isolated, why)
+        assert(isolated.nonEmpty)
+      } finally TestdataQueries.setSharedStagesForTest(false)
+    }
+
+  pinSharedEqualsIsolated("q97_entity_clusters",
+    "restricting the full-table ER pairs to the id prefix must equal " +
+      "running the fuzzy join on the subset directly")
+  pinSharedEqualsIsolated("q60_simhash_verified",
+    "pairing against the resident simhash fingerprint store must equal " +
+      "re-deriving the fingerprints from the corpus")
+  pinSharedEqualsIsolated("q63_incremental_dedup",
+    "slicing the resident signature store to the existing corpus must " +
+      "equal deriving the store slice from scratch")
 }
