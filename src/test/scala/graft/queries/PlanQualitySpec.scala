@@ -233,6 +233,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q103: the df window is term-partitioned, never a global window") {
+    // the r8 window-df rewrite must never regress to an unpartitioned
+    // window (single-task corpus sort at scale): every window spec in
+    // the plan carries a partition expression
+    val p = plan("q103_tfidf_join")
+    // a partitioned spec's first argument is a bare partition column;
+    // an unpartitioned one leads with an ordering (" ASC"/" DESC") or
+    // goes straight to the frame
+    val specs = "windowspecdefinition\\(([^,)]*)".r.findAllMatchIn(p)
+      .map(_.group(1).trim).toSeq
+    assert(specs.nonEmpty, p)
+    specs.foreach(first => assert(
+      first.nonEmpty && !first.contains(" ASC") && !first.contains(" DESC") &&
+        !first.startsWith("specifiedwindowframe"),
+      s"unpartitioned window spec '$first' in q103 plan"))
+  }
+
   test("q68/q69: posting cap and tf-idf ranking are map-side group limits") {
     // the inverted index's posting cap and the per-document tf-idf top-k
     // both rest on the same rewrite: without WindowGroupLimit a

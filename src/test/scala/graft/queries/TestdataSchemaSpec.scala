@@ -97,6 +97,40 @@ class TestdataSchemaSpec extends SparkSpec {
     "q26_asof_join", "q27_range_join", "q50_analytic_windows",
     "q51_pivot", "q91_series_motifs", "q92_series_outliers")
 
+  // The loader must normalize EVERY vintage the driver has shipped to
+  // microsecond TimestampType — including the ones the current testdata
+  // no longer exercises (int64 nanos through r6; a UTC-adjusted
+  // TIMESTAMP would also arrive if the generator ever sets
+  // isAdjustedToUTC). Synthesized fixtures keep those branches alive.
+  test("events loader: int64-nanos vintage truncates to micros") {
+    val dir = java.nio.file.Files.createTempDirectory("ev-nanos")
+    dir.toFile.deleteOnExit()
+    import spark.implicits._
+    // 2024-01-01T00:00:00.123456789Z in nanos — expect micros truncation
+    val nanos = 1704067200123456789L
+    Seq((1L, nanos)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = TestdataQueries.table(spark, dir.toString, "events")
+    assert(out.schema("ts").dataType == TimestampType)
+    val got = out.select(org.apache.spark.sql.functions.col("ts")
+      .cast("string")).head.getString(0)
+    assert(got == "2024-01-01 00:00:00.123456",
+      s"nanos vintage mis-truncated: $got")
+  }
+
+  test("events loader: UTC-adjusted timestamp vintage passes through") {
+    val dir = java.nio.file.Files.createTempDirectory("ev-utc")
+    dir.toFile.deleteOnExit()
+    import spark.implicits._
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00.123456")))
+      .toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = TestdataQueries.table(spark, dir.toString, "events")
+    assert(out.schema("ts").dataType == TimestampType)
+    assert(out.select(org.apache.spark.sql.functions.col("ts")
+        .cast("string")).head.getString(0) == "2024-01-01 00:00:00.123456")
+  }
+
   test("every events-family query analyzes against current testdata") {
     assume(available, s"$dir not present (driver-owned testdata)")
     val all = graft.SparkEntry.queries
