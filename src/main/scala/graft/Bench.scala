@@ -28,6 +28,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // every entry point pins UTC: the events loader's NTZ->Timestamp
+      // cast is session-timezone-dependent, so relying on the launcher's
+      // -D flag would silently shift event timestamps on a non-UTC host
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // The status listeners run even with the UI off and by default
       // retain every execution/job/stage of the sweep (148 executions,

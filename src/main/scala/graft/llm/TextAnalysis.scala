@@ -259,25 +259,26 @@ object TextAnalysis {
       if (terms == null) graft.llm.Dedup.shingles(col("text"), 3) else terms
     val tf = docs.select(id.as("doc_id"), explode(termCol).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // df via a term-partitioned window over tf (tf rows are distinct
-    // (doc, term), so count(*) over the term partition IS the document
-    // frequency): one exchange replaces the former df-aggregate PLUS its
-    // corpus-sized tf-join, and — since the window leaves the data
-    // hash-partitioned by term — the posting-group aggregation below
-    // reuses that partitioning instead of shuffling again. Not a
-    // single-partition hazard: the partition key is `term`, and the df
-    // cap means every surviving partition group is <= maxDf rows.
-    // The weight table feeds two subtrees (norms + the posting groups);
+    // df as a partial-aggregated count joined back onto tf — NOT a
+    // term-partitioned window, though that measures ~0.5 s faster at
+    // sf0.1: a window must buffer each term's ENTIRE group in one task
+    // BEFORE the df filter can drop it, so a stop-word shingle (df ~
+    // corpus size) becomes an O(corpus) single-task funnel at scale.
+    // The aggregate counts the same group map-side (partials), only
+    // (term, count) partials reach any reducer, and the df cap then
+    // keeps stop-word groups out of every later stage. The join leaves
+    // the data hash-partitioned by term, which the posting-group
+    // aggregation below reuses.
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+    // the weight table feeds two subtrees (norms + the posting groups);
     // NOT persisted: a one-JVM A/B at sf0.1 measured persist vs
     // no-persist identical (2.595 s vs 2.594 s best-of-3 warm — the
     // shared shuffle subtrees are cheap to replay), and an un-owned
     // persist leaks MEMORY_AND_DISK blocks on every call for a library
     // caller looping over corpora. Callers who want the weight stage
     // resident can persist `docs` (or a precomputed `terms`) themselves.
-    val w = tf
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("term")))
-      .filter(col("df") >= 2 && col("df") <= maxDf)
+    val w = tf.join(dfs, Seq("term"))
       .select(col("doc_id"), col("term"),
         expr("tf * (1000000L div df)").as("w"))
     val norms = w.groupBy("doc_id").agg(sum(expr("w * w")).as("norm2"))

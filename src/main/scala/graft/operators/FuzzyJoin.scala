@@ -83,7 +83,11 @@ object FuzzyJoin {
           .agg(sort_array(collect_list(
             struct(col("__id"), col("__len")))).as("ms"))
           .filter(size(col("ms")) >= 2))
-      .filter(abs(col("a.__len") - col("b.__len")) <= tau)
+      // strict <: positional a-before-b only implies a.__id < b.__id for
+      // unique ids — duplicate ids in dirty ER input would otherwise
+      // emit (id, id) self-pairs the self-join shape never produced
+      .filter(col("a.__id") < col("b.__id") &&
+        abs(col("a.__len") - col("b.__len")) <= tau)
       .select(col("a.__id").as("a_id"), col("b.__id").as("b_id")).distinct()
     cands
       .join(base.select(col("__id").as("a_id"), col("__s").as("__sa")), "a_id")

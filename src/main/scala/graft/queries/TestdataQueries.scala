@@ -784,18 +784,21 @@ object TestdataQueries {
     * loses nothing vs a full recompute. */
   def q63IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val cut = docs.agg(
-      expr("((max(doc_id) + 1) * 4) div 5").as("__cut"))
-    def below(df: DataFrame) = df.crossJoin(broadcast(cut))
-      .filter(col("doc_id") < col("__cut")).drop("__cut")
-    def atOrAbove(df: DataFrame) = df.crossJoin(broadcast(cut))
-      .filter(col("doc_id") >= col("__cut")).drop("__cut")
+    // the cut is a driver-side LITERAL (one bounded 1-row max, the
+    // GraphRank metadata-collect pattern) rather than a joined scalar:
+    // a crossJoin'd cut column cannot be pushed to the parquet scan,
+    // and at scale the "incremental batch" side would read the whole
+    // corpus before filtering — with a literal both slices keep
+    // PushedFilters row-group pruning
+    val maxRow = docs.agg(max(col("doc_id"))).head()
+    require(!maxRow.isNullAt(0), s"documents table in $dir is empty")
+    val cut = (maxRow.getLong(0) + 1L) * 4L / 5L
     // the store side IS the shared maintenance signature table (sliced
     // to the existing corpus); the NEW batch is hashed fresh — that
     // per-batch hashing is the incremental op being measured
     Dedup.incrementalMinhashCandidates(
-      below(portableSigs(s, dir)),
-      atOrAbove(docs),
+      portableSigs(s, dir).filter(col("doc_id") < cut),
+      docs.filter(col("doc_id") >= cut),
       numHashes = 32, bands = 8, k = 3, threshold = 0.4, portable = true)
   }
 

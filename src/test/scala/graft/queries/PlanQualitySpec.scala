@@ -233,21 +233,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("q103: the df window is term-partitioned, never a global window") {
-    // the r8 window-df rewrite must never regress to an unpartitioned
-    // window (single-task corpus sort at scale): every window spec in
-    // the plan carries a partition expression
+  test("q103: df is a partial-aggregated count — no window in the plan") {
+    // an r8 experiment computed df as count(*) over a term-partitioned
+    // window; it measured faster at sf0.1 but buffers a stop-word
+    // term's ENTIRE O(corpus) group in one task before the df cap can
+    // drop it, so it was reverted to the map-side-combining aggregate.
+    // Pin the skew-safe shape: no Window operator anywhere in q103.
     val p = plan("q103_tfidf_join")
-    // a partitioned spec's first argument is a bare partition column;
-    // an unpartitioned one leads with an ordering (" ASC"/" DESC") or
-    // goes straight to the frame
-    val specs = "windowspecdefinition\\(([^,)]*)".r.findAllMatchIn(p)
-      .map(_.group(1).trim).toSeq
-    assert(specs.nonEmpty, p)
-    specs.foreach(first => assert(
-      first.nonEmpty && !first.contains(" ASC") && !first.contains(" DESC") &&
-        !first.startsWith("specifiedwindowframe"),
-      s"unpartitioned window spec '$first' in q103 plan"))
+    assert(!p.contains("windowspecdefinition") && !p.contains("Window ("),
+      s"q103 must not compute df through a window:\n$p")
   }
 
   test("q68/q69: posting cap and tf-idf ranking are map-side group limits") {

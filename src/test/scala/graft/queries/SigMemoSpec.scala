@@ -1,7 +1,6 @@
 package graft.queries
 
 import graft.SparkSpec
-import java.nio.file.Files
 
 /** Pins the shared-signature-store memo's per-session keying.
   *
@@ -42,7 +41,13 @@ class SigMemoSpec extends SparkSpec {
       assert(TestdataQueries.portableSigsForTest(s1, dir) eq df1)
       // and the frames still compute (persisted, same contents)
       assert(df1.count() == df2.count() && df1.count() > 0)
-    } finally TestdataQueries.setSharedStagesForTest(false)
+    } finally {
+      TestdataQueries.setSharedStagesForTest(false)
+      // the memo persisted store frames on the JVM-wide shared session;
+      // drop them so later suites' plan-shape assertions never inspect
+      // an InMemoryTableScan where they expect the real parquet pipeline
+      spark.catalog.clearCache()
+    }
   }
 
   // Every store consumer must produce bit-identical results with shared
@@ -52,14 +57,19 @@ class SigMemoSpec extends SparkSpec {
     test(s"$query over its shared store equals the isolated plan") {
       val dir = "/root/testdata/sf0.001"
       assume(new java.io.File(dir).isDirectory, s"$dir not present")
+      // sorted multiset, not a Set: a duplicated row in one path must
+      // fail the pin (the driver's hash-compare sees multiplicity too)
       def rows() = TestdataQueries.all(query)(spark, dir)
-        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
       val isolated = rows()
       TestdataQueries.setSharedStagesForTest(true)
       try {
         assert(rows() == isolated, why)
         assert(isolated.nonEmpty)
-      } finally TestdataQueries.setSharedStagesForTest(false)
+      } finally {
+        TestdataQueries.setSharedStagesForTest(false)
+        spark.catalog.clearCache()
+      }
     }
 
   pinSharedEqualsIsolated("q97_entity_clusters",
