@@ -131,6 +131,31 @@ class TestdataSchemaSpec extends SparkSpec {
         .cast("string")).head.getString(0) == "2024-01-01 00:00:00.123456")
   }
 
+  // The driver verifies at sf0.01 and benches at sf0.1 — a PARTIAL
+  // regeneration could drift one sf dir while sf0.001 (pinned above)
+  // stays intact. Spot-pin the three drift-prone tables at every sf.
+  test("events/lineitem/documents load identically at every scale factor") {
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val d = s"/root/testdata/$sf"
+      assume(new java.io.File(d).isDirectory, s"$d not present")
+      assert(TestdataQueries.table(spark, d, "events")
+        .schema("ts").dataType == TimestampType, s"events.ts at $sf")
+      assert(TestdataQueries.table(spark, d, "lineitem")
+        .schema("l_shipdate").dataType == TimestampNTZType,
+        s"lineitem.l_shipdate at $sf")
+      assert(TestdataQueries.table(spark, d, "documents")
+        .schema("text").dataType == StringType, s"documents.text at $sf")
+    }
+  }
+
+  test("driver contract: every query has an oracle, every oracle a query") {
+    val qs = graft.SparkEntry.queries.keySet
+    val os = graft.SparkEntry.oracleSql.keySet
+    assert((qs -- os).isEmpty,
+      s"queries without an oracle (driver downgrades them to rows-only): ${qs -- os}")
+    assert((os -- qs).isEmpty, s"orphaned oracle SQL: ${os -- qs}")
+  }
+
   test("every events-family query analyzes against current testdata") {
     assume(available, s"$dir not present (driver-owned testdata)")
     val all = graft.SparkEntry.queries
