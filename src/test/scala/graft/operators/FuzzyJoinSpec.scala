@@ -70,6 +70,23 @@ class FuzzyJoinSpec extends SparkSpec {
     }
   }
 
+  test("duplicate ids never produce self-pairs") {
+    // dirty ER input: the same id appearing twice (even with different
+    // strings) must not pair with itself — the member-array blocking
+    // orders positionally, so only the strict a_id < b_id filter keeps
+    // (id, id) pairs out (regression pin for the r8 blocking rewrite)
+    val dirty = Seq(
+      (0L, "kitten"), (0L, "kitten"),      // exact dup id + string
+      (1L, "mitten"), (1L, "mittenx"),     // dup id, dist-1 strings
+      (2L, "bitten")
+    ).toDF("id", "s")
+    val got = blocked(dirty, 2)
+    assert(!got.exists { case (a, b, _) => a == b }, got)
+    // cross-id pairs still found exactly once each
+    assert(got.map { case (a, b, _) => (a, b) } ==
+      Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+
   test("partitioning-invariant; null ids and strings excluded") {
     val withNulls = names.unionByName(Seq(
       (null.asInstanceOf[java.lang.Long], "kitten"),
