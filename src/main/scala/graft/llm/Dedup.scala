@@ -497,6 +497,96 @@ object Dedup {
         (col("inter").cast("double") / col("uni").cast("double")).as("jaccard"))
   }
 
+  /** EXACT set-CONTAINMENT self-join via prefix filtering: every ORDERED
+    * pair (a, b), a != b, where containment
+    * `C(a in b) = |A ∩ B| / |A| >= tNum/tDen` — the asymmetric member of
+    * the set-similarity family (Jaccard = resemblance, this = Broder's
+    * containment). Resemblance misses a short document pasted into a long
+    * one (the union is dominated by the long side); containment is the
+    * operator that finds quotes, excerpts, and wrapped copies.
+    *
+    * Candidate generation adapts the prefix filter to asymmetry: tokens
+    * ordered by the SAME global (df asc, tok) order as [[jaccardJoin]];
+    * the PROBE side (a) may miss at most `n_a - ceil(t*n_a)` of its
+    * tokens, so its first `n_a - ceil(t*n_a) + 1` tokens must intersect
+    * B — but B's size is unconstrained by containment, so the b side
+    * joins its FULL token list (an inverted index), not a prefix. Two
+    * integer filters prune before verification:
+    *  - size: `|A ∩ B| <= n_b`, so `n_b * tDen >= n_a * tNum`;
+    *  - positional (PPJoin-style, sound for the pair's first common
+    *    token in the global order and only tightened by later ones):
+    *    `1 + min(n_a - pa, n_b - pb) >= ceil(t * n_a)`.
+    *
+    * Everything is integer arithmetic on a rational threshold
+    * (`ceil(t*n) = (tNum*n + tDen - 1) div tDen`;
+    * `inter * tDen >= n_a * tNum`), so the DuckDB oracle recomputes it
+    * brute-force all-pairs — a completeness proof on the driver data.
+    *
+    * Scale: same skeleton as [[jaccardJoin]] — one shuffle to (doc,
+    * token), a tiny df aggregate, per-doc sorts bounded by doc length.
+    * The asymmetric join is probe-prefix × full-index, so its cost is
+    * sum over prefix tokens of posting-list length; rare-first ordering
+    * keeps probe prefixes off the stop words, and the positional filter
+    * kills the long-posting matches a stop word would produce. */
+  def containmentJoin(docs: DataFrame, tNum: Int, tDen: Int, k: Int = 3,
+                      id: Column = col("doc_id"),
+                      text: Column = col("text")): DataFrame = {
+    require(0 < tNum && tNum <= tDen, s"$tNum/$tDen")
+    // tokens are xxhash64'd up front: the prefix filter only needs SOME
+    // consistent global total order, so (df, hash) serves as well as
+    // (df, string) — and every downstream stage (join keys, the pair
+    // distinct, the verification array_intersect) runs on longs instead
+    // of ~20-byte shingle strings. Outputs are set SIZES only, so the
+    // result is still engine-portable (a 64-bit collision, ~1e-11 at
+    // 1e5 distinct shingles, is the same accepted risk as the xxhash64
+    // fingerprint family).
+    val toks = docs
+      .select(id.as("doc_id"), explode(shingles(text, k)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    // cached for the same three-consumer reason as jaccardJoin (prefix
+    // probe, full-index side, and the two verification joins)
+    val sorted = toks.join(freq, "tok")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ts"))
+      .select(col("doc_id"),
+        transform(col("ts"), s => s.getField("tok")).as("toks"),
+        size(col("ts")).as("n"))
+      .cache()
+    val needA = // ceil(t * n_a), the overlap a qualifying pair must reach
+      ((lit(tNum) * col("a.n") + lit(tDen - 1)) / lit(tDen)).cast("long")
+    val prefixLen = col("n") -
+      floor((lit(tNum) * col("n") + lit(tDen - 1)).cast("double") / lit(tDen))
+        .cast("int") + lit(1)
+    val probe = sorted
+      .select(col("doc_id"), col("n"),
+        posexplode(slice(col("toks"), lit(1), prefixLen)).as(Seq("p0", "tok")))
+      .select(col("doc_id"), col("n"), col("tok"), (col("p0") + 1).as("p"))
+    val index = sorted
+      .select(col("doc_id"), col("n"),
+        posexplode(col("toks")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), col("n"), col("tok"), (col("p0") + 1).as("p"))
+    val cand = probe.alias("a")
+      .join(index.alias("b"),
+        col("a.tok") === col("b.tok") &&
+          col("a.doc_id") =!= col("b.doc_id") &&
+          col("b.n") * tDen >= col("a.n") * tNum &&
+          lit(1) + least(col("a.n") - col("a.p"), col("b.n") - col("b.p"))
+            >= needA)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(sorted.select(col("doc_id").as("id_a"), col("toks").as("t_a"),
+        col("n").as("n_a")), "id_a")
+      .join(sorted.select(col("doc_id").as("id_b"), col("toks").as("t_b")),
+        "id_b")
+      .withColumn("inter", size(array_intersect(col("t_a"), col("t_b"))))
+      .filter(col("inter") * tDen >= col("n_a") * tNum)
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / col("n_a").cast("double"))
+          .as("containment"))
+  }
+
   /** Embedding-cosine near-dup over LSH-bucketed candidates: vectors
     * sharing a random-hyperplane sign bucket are compared; pairs with
     * cosine >= `threshold` survive. Never all-pairs — the self-join is

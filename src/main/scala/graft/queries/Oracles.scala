@@ -1605,6 +1605,56 @@ object Oracles {
          |         AS padding
          |FROM r GROUP BY 1""".stripMargin,
 
+    // brute-force all-pairs ordered containment — completeness proof for
+    // the prefix-filter candidate generation in Dedup.containmentJoin
+    "q106_containment_join" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split($norm, ' ') AS t FROM documents),
+         |sets AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(range(1, len(t) - 1),
+         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+         |  FROM tk WHERE len(t) >= 3),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS n_a
+         |  FROM sets a JOIN sets b ON a.doc_id <> b.doc_id)
+         |SELECT id_a, id_b,
+         |       CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment
+         |FROM pairs WHERE inter * 5 >= n_a * 3""".stripMargin,
+
+    // chained sequential mins == the greedy-earliest fold (see
+    // operators/EventFunnel.scala for the equivalence argument)
+    "q107_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+        |  WHERE event_type IN ('signup', 'click', 'purchase')),
+        |s0 AS (SELECT user_id, min(us) AS t_0 FROM f
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |s1 AS (SELECT f.user_id, min(us) AS t_1 FROM f JOIN s0 USING (user_id)
+        |       WHERE event_type = 'click'
+        |         AND us > t_0 AND us <= t_0 + 86400000000
+        |       GROUP BY f.user_id),
+        |s2 AS (SELECT f.user_id, min(us) AS t_2 FROM f JOIN s1 USING (user_id)
+        |       WHERE event_type = 'purchase'
+        |         AND us > t_1 AND us <= t_1 + 86400000000
+        |       GROUP BY f.user_id)
+        |SELECT s0.user_id, t_0, t_1, t_2,
+        |       CASE WHEN t_2 IS NOT NULL THEN 3
+        |            WHEN t_1 IS NOT NULL THEN 2 ELSE 1 END AS steps_reached
+        |FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)"""
+        .stripMargin,
+
+    "q108_json_extract" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |            AS BIGINT) AS sum_k,
+        |       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |            AS BIGINT) AS min_k,
+        |       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |            AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+
     "q36_ann_brute_force" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
         |           WHERE vec_id < 5),

@@ -1353,7 +1353,43 @@ object TestdataQueries {
         (count(lit(1)) * max("n_tok") - sum("n_tok")).as("padding"))
   }
 
+  /** Exact set-CONTAINMENT join (X44): ordered pairs where >= 3/5 of the
+    * probe doc's shingles appear in the other doc — the asymmetric
+    * similarity that catches a short document pasted into a long one
+    * (resemblance's union denominator hides it). Integer threshold
+    * arithmetic end to end; the oracle is brute-force all-pairs, a
+    * completeness proof for the prefix-filter candidate generation. */
+  def q106ContainmentJoin(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentJoin(t(s, dir, "documents"), tNum = 3, tDen = 5)
+
+  /** Event funnel (X45): earliest signup -> click -> purchase chain per
+    * user, each step strictly after the previous and within 24 h of it.
+    * One groupBy + linear fold ([[graft.operators.EventFunnel]]); the
+    * oracle replays the equivalent chained sequential mins. Times are
+    * epoch-microsecond longs (engine-portable, no timestamp hashing). */
+  def q107Funnel(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventFunnel.funnel(t(s, dir, "events"),
+      Seq("signup", "click", "purchase"), maxGapMicros = 24L * 3600 * 1000000)
+
+  /** Semi-structured extraction (X46): typed field pulled out of the JSON
+    * `props` column with a schema'd `from_json` inside the scan
+    * projection, then a plain partial-aggregated rollup — the
+    * standard Spark lowering for JSON event payloads (no UDF, no
+    * driver-side parsing; the parse runs in the scan stage, so at 100 TB
+    * only `(event_type, k)` ever reaches the shuffle). */
+  def q108JsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL(
+          "k INT")).getField("k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_containment_join" -> q106ContainmentJoin _,
+    "q107_funnel" -> q107Funnel _,
+    "q108_json_extract" -> q108JsonExtract _,
     "q01_scan_project" -> q01ScanProject _,
     "q02_dynamic_filter" -> q02DynamicFilter _,
     "q03_topk" -> q03TopK _,

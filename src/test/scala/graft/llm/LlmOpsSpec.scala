@@ -824,6 +824,39 @@ class LlmOpsSpec extends SparkSpec {
     assert(want.nonEmpty && got == want)
   }
 
+  test("containment join: equals brute force; asymmetric; partition invariant") {
+    // doc 2i+1 embeds a prefix of doc 2i's text when i % 3 == 0 (short
+    // side contained in the long side but far from resemblance); other
+    // docs share nothing
+    val rows = (0 until 30).flatMap { i =>
+      val words = (0 until 24).map(j => s"w${i * 53 + j}")
+      if (i % 3 == 0)
+        Seq((2L * i, words.mkString(" ")),
+          (2L * i + 1, words.take(9).mkString(" ") + s" q$i r$i"))
+      else
+        Seq((2L * i, words.mkString(" ")),
+          (2L * i + 1, (0 until 24).map(j => s"v${i * 53 + j}").mkString(" ")))
+    }
+    val docs = rows.toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.containmentJoin(df, tNum = 3, tDen = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = run(docs)
+    val sets = rows.map { case (i, t) =>
+      i -> t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    }
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia != ib
+      inter = (sa & sb).size
+      if inter * 5 >= sa.size * 3
+    } yield (ia, ib, inter.toDouble / sa.size.toDouble)).toSet
+    assert(want.nonEmpty && got == want)
+    // the planted pairs are one-directional: short-in-long only
+    assert(got.exists { case (a, b, _) => a % 2 == 1 && b == a - 1 })
+    assert(!got.exists { case (a, b, _) => a % 2 == 0 && b == a + 1 })
+    assert(run(docs.repartition(7)) == got)
+  }
+
   test("token chunking: stride coverage, short-doc single chunk, empty doc none") {
     val d = Seq(
       (1L, (1 to 100).map(i => s"t$i").mkString(" ")),  // 100 tokens
