@@ -1655,6 +1655,37 @@ object Oracles {
         |            AS BIGINT) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
 
+    "q109_cohort_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |coh AS (SELECT user_id, min(d) AS cohort FROM act GROUP BY user_id)
+        |SELECT cohort,
+        |       CAST(date_diff('day', cohort, d) AS INTEGER) AS day_offset,
+        |       count(*) AS users
+        |FROM act JOIN coh USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q110_transitions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT prev AS from_type, event_type AS to_type, count(*) AS cnt
+        |FROM o WHERE prev IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q111_rolling_active" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |days AS (SELECT DISTINCT d AS report_d FROM act),
+        |contrib AS (
+        |  SELECT DISTINCT user_id, d + CAST(r.i AS INTEGER) AS report_d
+        |  FROM act, range(0, 7) r(i))
+        |SELECT report_d, count(*) AS active_users
+        |FROM contrib JOIN days USING (report_d)
+        |GROUP BY 1""".stripMargin,
+
     "q36_ann_brute_force" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
         |           WHERE vec_id < 5),

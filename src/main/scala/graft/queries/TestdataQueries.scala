@@ -1386,8 +1386,33 @@ object TestdataQueries {
       .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"),
         min("k").as("min_k"), max("k").as("max_k"))
 
+  /** Cohort retention matrix (X47): users bucketed by first-seen DATE,
+    * counted per (cohort, day-offset) active day. One real shuffle (the
+    * distinct (user, day) collapse); everything downstream is
+    * co-partitioned on the user key. */
+  def q109CohortRetention(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.cohortRetention(t(s, dir, "events"))
+
+  /** Event-type transition counts (X48): the empirical Markov chain of
+    * the event stream — consecutive pairs per user in deterministic
+    * (ts, event_id) order, formed in a narrow zip projection (no
+    * self-join, no corpus window). */
+  def q110Transitions(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.transitionCounts(t(s, dir, "events"))
+
+  /** Rolling 7-day distinct active users (X49): each (user, day)
+    * exploded onto the 7 report dates it serves, then a plain
+    * distinct-count per date — a rolling-DISTINCT window without the
+    * window (which cannot partial-aggregate a distinct frame). */
+  def q111RollingActive(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.rollingActiveUsers(t(s, dir, "events"),
+      windowDays = 7)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_containment_join" -> q106ContainmentJoin _,
+    "q109_cohort_retention" -> q109CohortRetention _,
+    "q110_transitions" -> q110Transitions _,
+    "q111_rolling_active" -> q111RollingActive _,
     "q107_funnel" -> q107Funnel _,
     "q108_json_extract" -> q108JsonExtract _,
     "q01_scan_project" -> q01ScanProject _,

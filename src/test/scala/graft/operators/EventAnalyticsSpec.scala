@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hand-computed pins for the event-analytics lowerings: retention
+  * offsets, transition order under ties, rolling-distinct windows. */
+class EventAnalyticsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // day(n) = 2024-01-(n+1) 12:00 + sec
+  private def ev(rows: Seq[(Long, Long, Int, Long, String)]): DataFrame =
+    rows.toDF("event_id", "user_id", "day", "sec", "event_type")
+      .select(col("event_id"), col("user_id"),
+        timestamp_seconds(lit(1704067200L) + col("day") * 86400 +
+          lit(43200) + col("sec")).as("ts"),
+        col("event_type"))
+
+  test("cohort retention: first-seen cohort, distinct day offsets") {
+    val df = ev(Seq(
+      // user 1: first on day 0; active day 0 (twice) and day 2
+      (1L, 1L, 0, 0L, "a"), (2L, 1L, 0, 5L, "b"), (3L, 1L, 2, 0L, "a"),
+      // user 2: first on day 0; active day 0 only
+      (4L, 2L, 0, 0L, "a"),
+      // user 3: first on day 2; active days 2 and 3
+      (5L, 3L, 2, 0L, "a"), (6L, 3L, 3, 0L, "a")))
+    val got = EventAnalytics.cohortRetention(df)
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(got == Set(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 2, 1L),
+      ("2024-01-03", 0, 1L), ("2024-01-03", 1, 1L)))
+  }
+
+  test("transitions: (ts, id) order, tie-deterministic, singletons drop") {
+    val df = ev(Seq(
+      // user 1: a -> b -> b (same ts for 2/3: event_id breaks the tie)
+      (1L, 1L, 0, 1L, "a"), (2L, 1L, 0, 2L, "b"), (3L, 1L, 0, 2L, "b"),
+      // user 2: b -> a
+      (4L, 2L, 0, 1L, "b"), (5L, 2L, 0, 9L, "a"),
+      // user 3: single event -> no transitions
+      (6L, 3L, 0, 0L, "a")))
+    val got = EventAnalytics.transitionCounts(df)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got == Set(("a", "b", 1L), ("b", "b", 1L), ("b", "a", 1L)))
+    // tie order flips with the ids: 3 before 2 makes b->b still 1 but
+    // a->b becomes a->b via id 3 — the SET is id-order sensitive only
+    // through determinism, so a repartition never changes it
+    assert(EventAnalytics.transitionCounts(df.repartition(5))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet == got)
+  }
+
+  test("rolling active users: trailing window, present days only") {
+    val df = ev(Seq(
+      (1L, 1L, 0, 0L, "a"),                       // u1 on day 0
+      (2L, 2L, 0, 0L, "a"), (3L, 2L, 1, 0L, "a"), // u2 on days 0,1
+      (4L, 3L, 3, 0L, "a")))                      // u3 on day 3
+    val got = EventAnalytics.rollingActiveUsers(df, windowDays = 2)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSet
+    // day 0: u1,u2; day 1: u1,u2 (both within 2-day window); day 2 has
+    // no events -> absent; day 3: u3 only
+    assert(got == Set(
+      ("2024-01-01", 2L), ("2024-01-02", 2L), ("2024-01-04", 1L)))
+  }
+}
