@@ -1686,6 +1686,38 @@ object Oracles {
         |FROM contrib JOIN days USING (report_d)
         |GROUP BY 1""".stripMargin,
 
+    // replays the full degree-ordered triangle enumeration — same
+    // canonical edges, same (deg, node) orientation, same wedge close
+    "q112_triangles" ->
+      """WITH pp AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_partkey < 3000),
+        |e AS (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+        |         greatest(a.l_partkey, b.l_partkey) AS b
+        |  FROM pp a JOIN pp b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (
+        |  SELECT n, count(*) AS d FROM (
+        |    SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+        |  GROUP BY n),
+        |o AS (
+        |  SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END
+        |           AS u,
+        |         CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END
+        |           AS v
+        |  FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b),
+        |o2 AS (SELECT o.u, o.v, d.d AS dv FROM o JOIN deg d ON d.n = o.v),
+        |w AS (
+        |  SELECT x.u, x.v AS p, y.v AS q FROM o2 x JOIN o2 y
+        |    ON x.u = y.u AND (x.dv, x.v) < (y.dv, y.v)),
+        |tri AS (SELECT w.u, w.p, w.q FROM w
+        |        JOIN o ON o.u = w.p AND o.v = w.q)
+        |SELECT n AS node, count(*) AS triangles FROM (
+        |  SELECT u AS n FROM tri UNION ALL SELECT p FROM tri
+        |  UNION ALL SELECT q FROM tri)
+        |GROUP BY 1""".stripMargin,
+
     "q36_ann_brute_force" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
         |           WHERE vec_id < 5),

@@ -1408,8 +1408,27 @@ object TestdataQueries {
     graft.operators.EventAnalytics.rollingActiveUsers(t(s, dir, "events"),
       windowDays = 7)
 
+  /** Per-node triangle counts (X50) on the part co-purchase graph
+    * (parts sharing an order; capped to `l_partkey < 3000` so the
+    * subgraph stays wedge-bounded at every sf). Edges come from
+    * per-order member arrays — the same no-self-join pattern as the
+    * fuzzy join's blocking — and the count uses degree-ordered wedge
+    * enumeration ([[graft.operators.GraphRank.triangleCounts]]). */
+  def q112Triangles(s: SparkSession, dir: String): DataFrame = {
+    val pp = t(s, dir, "lineitem").filter(col("l_partkey") < 3000)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = pp.groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .select(explode(flatten(transform(col("parts"), (x, i) =>
+        transform(slice(col("parts"), i + 2, size(col("parts"))),
+          y => struct(x.as("src"), y.as("dst")))))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+    graft.operators.GraphRank.triangleCounts(edges)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_containment_join" -> q106ContainmentJoin _,
+    "q112_triangles" -> q112Triangles _,
     "q109_cohort_retention" -> q109CohortRetention _,
     "q110_transitions" -> q110Transitions _,
     "q111_rolling_active" -> q111RollingActive _,

@@ -183,4 +183,42 @@ class GraphRankSpec extends SparkSpec {
     assert(bfsTracked.size == 4) // edges + level0 + 2 levels
     bfsTracked.foreach(_.unpersist(blocking = true))
   }
+
+  test("triangles: brute-force equality, loops/dupes/direction ignored") {
+    def tri(edges: Seq[(String, String)], parts: Int = 4) = {
+      val df = edges.toDF("src", "dst").repartition(parts)
+      GraphRank.triangleCounts(df).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    // K4 on a-d (every node in C(3,2)=3 triangles), one pendant hung
+    // off a, a triangle-free square w-x-y-z, a self loop and duplicate/
+    // reversed edges that must not change anything
+    val k4 = for {
+      Seq(u, v) <- Seq("a", "b", "c", "d").combinations(2).toSeq
+    } yield (u, v)
+    val edges = k4 ++ Seq(("a", "pend"),
+      ("w", "x"), ("x", "y"), ("y", "z"), ("z", "w"),
+      ("c", "c"), ("b", "a"), ("a", "b"), ("d", "c"))
+    val got = tri(edges)
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    assert(tri(edges, parts = 9) == got)
+    // brute force on a denser pseudo-random graph: i—j iff (i*31 + j*17)
+    // % 5 == 0 over 40 nodes
+    val rnd = for {
+      i <- 0 until 40; j <- i + 1 until 40
+      if (i * 31 + j * 17) % 5 == 0
+    } yield (s"n$i", s"n$j")
+    val es = rnd.toSet
+    def has(u: String, v: String) =
+      es.contains((u, v)) || es.contains((v, u))
+    val nodes = rnd.flatMap(e => Seq(e._1, e._2)).distinct
+    val brute = nodes.map { n =>
+      n -> (for {
+        Seq(u, v) <- nodes.filter(m => m != n && has(n, m))
+          .combinations(2).toSeq
+        if has(u, v)
+      } yield 1).size.toLong
+    }.filter(_._2 > 0).toMap
+    assert(brute.nonEmpty && tri(rnd) == brute)
+  }
 }
