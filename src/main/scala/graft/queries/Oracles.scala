@@ -1686,6 +1686,37 @@ object Oracles {
         |FROM contrib JOIN days USING (report_d)
         |GROUP BY 1""".stripMargin,
 
+    // one UNION ALL block per lineitem column, mirroring the profiler's
+    // single-pass metrics; dtype literals match Spark's simpleString
+    "q113_profile" -> {
+      def block(c: String, dt: String, mm: String): String = {
+        val (mn, mx) = mm match {
+          case "plain" => (s"CAST(min($c) AS VARCHAR)",
+            s"CAST(max($c) AS VARCHAR)")
+          case "date" => (s"CAST(CAST(min(CAST($c AS DATE)) AS DATE) AS VARCHAR)",
+            s"CAST(CAST(max(CAST($c AS DATE)) AS DATE) AS VARCHAR)")
+          case _ => ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        }
+        s"""SELECT '$c' AS col_name, '$dt' AS dtype,
+           |  count(*) - count($c) AS nulls,
+           |  count(DISTINCT $c) AS distincts,
+           |  $mn AS min_val, $mx AS max_val FROM lineitem""".stripMargin
+      }
+      Seq(
+        block("l_orderkey", "bigint", "plain"),
+        block("l_partkey", "bigint", "plain"),
+        block("l_suppkey", "bigint", "plain"),
+        block("l_linenumber", "int", "plain"),
+        block("l_quantity", "double", "none"),
+        block("l_extendedprice", "double", "none"),
+        block("l_discount", "double", "none"),
+        block("l_tax", "double", "none"),
+        block("l_returnflag", "string", "plain"),
+        block("l_linestatus", "string", "plain"),
+        block("l_shipdate", "timestamp_ntz", "date")
+      ).mkString("\nUNION ALL\n")
+    },
+
     // replays the full degree-ordered triangle enumeration — same
     // canonical edges, same (deg, node) orientation, same wedge close
     "q112_triangles" ->

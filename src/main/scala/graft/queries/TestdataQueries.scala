@@ -1426,8 +1426,16 @@ object TestdataQueries {
     graft.operators.GraphRank.triangleCounts(edges)
   }
 
+  /** One-pass column profile of lineitem (X51): the warehouse ANALYZE
+    * surface — null/distinct/min/max per column in a single aggregation
+    * ([[graft.etl.Profiler]]). Doubles carry no min/max string (binary
+    * rendering is engine-specific); timestamps profile through DATE. */
+  def q113Profile(s: SparkSession, dir: String): DataFrame =
+    graft.etl.Profiler.profile(t(s, dir, "lineitem"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_containment_join" -> q106ContainmentJoin _,
+    "q113_profile" -> q113Profile _,
     "q112_triangles" -> q112Triangles _,
     "q109_cohort_retention" -> q109CohortRetention _,
     "q110_transitions" -> q110Transitions _,
