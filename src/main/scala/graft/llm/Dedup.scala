@@ -404,15 +404,61 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
   }
 
+  /** Shared foundation of the prefix-filter joins ([[jaccardJoin]],
+    * [[containmentJoin]]): per-doc distinct shingle sets as arrays in
+    * ONE global total order, with set sizes.
+    *
+    * Tokens are xxhash64'd up front: the prefix filter only needs SOME
+    * consistent global total order, so (df, hash) serves as well as
+    * (df, string) — and every downstream stage (join keys, the pair
+    * distinct, the verification array_intersect) runs on longs instead
+    * of ~20-byte shingle strings. Outputs of both joins are set SIZES
+    * only, so results stay engine-portable (a 64-bit collision, ~1e-11
+    * at 1e5 distinct shingles, is the same accepted risk as the
+    * xxhash64 fingerprint family). Docs with no shingles have no set
+    * and join nothing.
+    *
+    * CACHED: each caller reads it three times (prefix/index generation
+    * and the two verification joins) — without the cache the whole
+    * shingle+df+sort pipeline would re-read the corpus three times.
+    * cache() deliberately, not localCheckpoint: the CacheManager
+    * dedupes by canonicalized plan, so repeated joins over the same
+    * corpus reuse one materialization, and blocks are evictable under
+    * storage-memory pressure. The trade is a session-lifetime catalog
+    * entry per distinct corpus — a long-running service cycling MANY
+    * corpora should spark.catalog.clearCache() between them (the bench
+    * does). */
+  private def dfOrderedSets(docs: DataFrame, k: Int, id: Column,
+                            text: Column): DataFrame = {
+    val toks = docs
+      .select(id.as("doc_id"), explode(shingles(text, k)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    toks.join(freq, "tok")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ts"))
+      .select(col("doc_id"),
+        transform(col("ts"), s => s.getField("tok")).as("toks"),
+        size(col("ts")).as("n"))
+      .cache()
+  }
+
+  /** `|d| - ceil(t * |d|) + 1` — the prefix-filter length for a
+    * rational threshold tNum/tDen over a set of size `n`. */
+  private def prefixFilterLen(tNum: Int, tDen: Int): Column =
+    col("n") -
+      floor((lit(tNum) * col("n") + lit(tDen - 1)).cast("double") / lit(tDen))
+        .cast("int") + lit(1)
+
   /** EXACT Jaccard set-similarity self-join via prefix filtering
     * (PPJoin-family; Chaudhuri et al. 2006, Xiao et al. 2008): every
     * pair of documents whose distinct-token Jaccard is >= tNum/tDen, and
     * ONLY those — no LSH approximation, no all-pairs blowup.
     *
     * Prefix-filter principle: order every document's tokens by one
-    * GLOBAL total order (document frequency asc, then token — rare
-    * tokens first, which minimizes candidates) and emit only its first
-    * `|d| - ceil(t*|d|) + 1` tokens as join keys. Any pair with
+    * GLOBAL total order (the (df asc, hash) order of [[dfOrderedSets]]
+    * — rare tokens first, which minimizes candidates) and emit only its
+    * first `|d| - ceil(t*|d|) + 1` tokens as join keys. Any pair with
     * J >= t must share at least one token within both prefixes, so the
     * equi-join on prefix tokens finds every qualifying pair; a length
     * filter (`min*tDen >= max*tNum`, necessary for J >= t) prunes
@@ -437,32 +483,9 @@ object Dedup {
                   text: Column = col("text")): DataFrame = {
     require(0 < tNum && tNum <= tDen, s"$tNum/$tDen")
     // set elements are the distinct k-shingles (same set the minhash
-    // family approximates — this operator is its exact counterpart);
-    // docs with no shingles have no set and join nothing
-    val toks = docs
-      .select(id.as("doc_id"), explode(shingles(text, k)).as("tok"))
-    val freq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-    // per-doc tokens in the global (df, tok) order; length + prefix
-    // slice. CACHED: three consumers read it (prefix generation and the
-    // two verification joins) — without the cache the whole
-    // shingle+df+sort pipeline would re-read the corpus three times.
-    // cache() deliberately, not localCheckpoint: the CacheManager
-    // dedupes by canonicalized plan, so repeated joins over the same
-    // corpus reuse one materialization, and blocks are evictable under
-    // storage-memory pressure. The trade is a session-lifetime catalog
-    // entry per distinct corpus — a long-running service cycling MANY
-    // corpora should spark.catalog.clearCache() between them (the bench
-    // does).
-    val sorted = toks.join(freq, "tok")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ts"))
-      .select(col("doc_id"),
-        transform(col("ts"), s => s.getField("tok")).as("toks"),
-        size(col("ts")).as("n"))
-      .cache()
-    val prefixLen = col("n") -
-      floor((lit(tNum) * col("n") + lit(tDen - 1)).cast("double") / lit(tDen))
-        .cast("int") + lit(1)
+    // family approximates — this operator is its exact counterpart)
+    val sorted = dfOrderedSets(docs, k, id, text)
+    val prefixLen = prefixFilterLen(tNum, tDen)
     val prefixes = sorted
       .select(col("doc_id"), col("n"),
         posexplode(slice(col("toks"), lit(1), prefixLen)).as(Seq("p0", "tok")))
@@ -506,7 +529,8 @@ object Dedup {
     * operator that finds quotes, excerpts, and wrapped copies.
     *
     * Candidate generation adapts the prefix filter to asymmetry: tokens
-    * ordered by the SAME global (df asc, tok) order as [[jaccardJoin]];
+    * ordered by the SAME global (df asc, hash) order as [[jaccardJoin]]
+    * (the shared [[dfOrderedSets]] state);
     * the PROBE side (a) may miss at most `n_a - ceil(t*n_a)` of its
     * tokens, so its first `n_a - ceil(t*n_a) + 1` tokens must intersect
     * B — but B's size is unconstrained by containment, so the b side
@@ -532,32 +556,10 @@ object Dedup {
                       id: Column = col("doc_id"),
                       text: Column = col("text")): DataFrame = {
     require(0 < tNum && tNum <= tDen, s"$tNum/$tDen")
-    // tokens are xxhash64'd up front: the prefix filter only needs SOME
-    // consistent global total order, so (df, hash) serves as well as
-    // (df, string) — and every downstream stage (join keys, the pair
-    // distinct, the verification array_intersect) runs on longs instead
-    // of ~20-byte shingle strings. Outputs are set SIZES only, so the
-    // result is still engine-portable (a 64-bit collision, ~1e-11 at
-    // 1e5 distinct shingles, is the same accepted risk as the xxhash64
-    // fingerprint family).
-    val toks = docs
-      .select(id.as("doc_id"), explode(shingles(text, k)).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("tok"))
-    val freq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-    // cached for the same three-consumer reason as jaccardJoin (prefix
-    // probe, full-index side, and the two verification joins)
-    val sorted = toks.join(freq, "tok")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ts"))
-      .select(col("doc_id"),
-        transform(col("ts"), s => s.getField("tok")).as("toks"),
-        size(col("ts")).as("n"))
-      .cache()
+    val sorted = dfOrderedSets(docs, k, id, text)
     val needA = // ceil(t * n_a), the overlap a qualifying pair must reach
       ((lit(tNum) * col("a.n") + lit(tDen - 1)) / lit(tDen)).cast("long")
-    val prefixLen = col("n") -
-      floor((lit(tNum) * col("n") + lit(tDen - 1)).cast("double") / lit(tDen))
-        .cast("int") + lit(1)
+    val prefixLen = prefixFilterLen(tNum, tDen)
     val probe = sorted
       .select(col("doc_id"), col("n"),
         posexplode(slice(col("toks"), lit(1), prefixLen)).as(Seq("p0", "tok")))

@@ -5,35 +5,45 @@ import org.apache.spark.sql.functions._
 
 /** Event-stream analytics over (user, ts, type) logs: cohort retention,
   * type-transition counts, rolling distinct actives. Each is a
-  * shuffle-minimal lowering — per-(user, day) partial aggregation before
-  * anything user-level, never a corpus-wide window — and all-integer
-  * (dates and counts), so every result is engine-portable and
+  * shuffle-minimal lowering — per-user set/array state bounded by that
+  * user's activity, never a corpus-wide window — and all-integer (dates
+  * and counts), so every result is engine-portable and
   * DuckDB-oracle-able bit-for-bit.
+  *
+  * Null hygiene: rows with a null timestamp (and, for transitions, a
+  * null type) are excluded up front. SQL replays of these ops (the
+  * oracles) drop nulls through `min`/`lag`-skipping/`WHERE` in ways
+  * Spark's `collect_set`/`sort_array` do not mirror — filtering at the
+  * scan makes both engines see the same stream.
   */
 object EventAnalytics {
+
+  /** The shared per-user active-day state: ONE shuffle (mergeable
+    * `collect_set` union, duplicate days collapse map-side before
+    * anything moves). Both date-grained ops below start here. */
+  private def perUserDays(events: DataFrame, user: Column,
+                          ts: Column): DataFrame =
+    events.filter(ts.isNotNull)
+      .select(user.as("user_id"), to_date(ts).as("d"))
+      .groupBy("user_id").agg(collect_set(col("d")).as("days"))
 
   /** Cohort retention matrix: users bucketed by the DATE of their first
     * event (the cohort), counted once per `(cohort, day-offset)` they
     * were active on. The classic product-analytics retention triangle.
     *
-    * Plan shape: ONE real shuffle — the per-user `collect_set` of
-    * active dates (mergeable set-union state, bounded by the calendar
-    * span, so partial aggregation collapses duplicate days map-side
-    * before anything moves). Cohort (the set min) and offsets then
-    * derive per row with array algebra, and the final rollup is
-    * metadata-sized (cohorts x offsets). A distinct-then-join lowering
-    * would exchange the activity table three times on different keys;
-    * this never re-shuffles it at all. Nothing here is a window.
+    * Plan shape: [[perUserDays]] is the only real shuffle; cohort (the
+    * set min) and offsets derive per row with array algebra, and the
+    * final rollup is metadata-sized (cohorts x offsets). A
+    * distinct-then-join lowering would exchange the activity table
+    * three times on different keys; this never re-shuffles it at all.
+    * Nothing here is a window.
     */
   def cohortRetention(events: DataFrame, user: Column = col("user_id"),
-                      ts: Column = col("ts")): DataFrame = {
-    val perUser = events.select(user.as("user_id"), to_date(ts).as("d"))
-      .groupBy("user_id").agg(collect_set(col("d")).as("days"))
-    perUser
+                      ts: Column = col("ts")): DataFrame =
+    perUserDays(events, user, ts)
       .select(array_min(col("days")).as("cohort"), explode(col("days")).as("d"))
       .groupBy(col("cohort"), datediff(col("d"), col("cohort")).as("day_offset"))
       .agg(count(lit(1)).as("users"))
-  }
 
   /** First-order transition counts between consecutive event types per
     * user (the empirical Markov chain of the event stream): how often
@@ -49,6 +59,7 @@ object EventAnalytics {
                        ts: Column = col("ts"), typ: Column = col("event_type"),
                        id: Column = col("event_id")): DataFrame = {
     val perUser = events
+      .filter(ts.isNotNull && typ.isNotNull)
       .select(user.as("user_id"), unix_micros(ts).as("us"), id.as("eid"),
         typ.as("t"))
       .groupBy("user_id")
@@ -72,24 +83,23 @@ object EventAnalytics {
     *
     * Lowering: a rolling-DISTINCT frame can't partial-aggregate as a
     * window (every frame re-scans `windowDays` of global history in
-    * one task), so each user's active-day set — the same single
-    * per-user `collect_set` shuffle as [[cohortRetention]] — expands
+    * one task), so each user's day set from [[perUserDays]] expands
     * with array algebra to the distinct report dates that user serves
     * (`flatten` the per-day windows, `array_distinct` so a user counts
     * ONCE per report date), and one plain count per date finishes it.
-    * The report-date set (dates with >= 1 event, tiny by nature — it's
-    * a calendar) broadcast-joins at the end. */
+    * The report-date set (dates with >= 1 event — a calendar, tiny by
+    * nature) aggregates straight off the scan projection and
+    * broadcast-joins at the end. */
   def rollingActiveUsers(events: DataFrame, windowDays: Int,
                          user: Column = col("user_id"),
                          ts: Column = col("ts")): DataFrame = {
     require(windowDays > 0, s"windowDays=$windowDays")
-    val perUser = events.select(user.as("user_id"), to_date(ts).as("d"))
-      .groupBy("user_id").agg(collect_set(col("d")).as("days"))
-    val contrib = perUser.select(explode(array_distinct(flatten(transform(
-      col("days"),
-      d => sequence(d, date_add(d, windowDays - 1)))))).as("report_d"))
-    val presentDays = perUser
-      .select(explode(col("days")).as("report_d")).distinct()
+    val contrib = perUserDays(events, user, ts)
+      .select(explode(array_distinct(flatten(transform(
+        col("days"),
+        d => sequence(d, date_add(d, windowDays - 1)))))).as("report_d"))
+    val presentDays = events.filter(ts.isNotNull)
+      .select(to_date(ts).as("report_d")).distinct()
     contrib.join(broadcast(presentDays), "report_d")
       .groupBy("report_d")
       .agg(count(lit(1)).as("active_users"))

@@ -56,8 +56,12 @@ object EventFunnel {
     val stepIdx = map(steps.zipWithIndex.flatMap {
       case (s, i) => Seq(lit(s), lit(i))
     }: _*)
+    // null ts excluded explicitly: without the filter, a user whose
+    // step-0 events ALL have null ts folds to a null t_0 here (dropped
+    // by the final filter) while a chained-min replay emits the user
+    // with t_0 NULL — same rows on clean data, divergent on dirty
     val relevant = events
-      .filter(typ.isInCollection(steps))
+      .filter(typ.isInCollection(steps) && ts.isNotNull)
       .select(user.as("user_id"), unix_micros(ts).as("us"), id.as("eid"),
         element_at(stepIdx, typ).as("step"))
     // sorted (us, eid, step) per user; the eid in the sort key makes the

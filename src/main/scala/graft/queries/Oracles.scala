@@ -1628,7 +1628,8 @@ object Oracles {
     "q107_funnel" ->
       """WITH f AS (
         |  SELECT user_id, epoch_us(ts) AS us, event_type FROM events
-        |  WHERE event_type IN ('signup', 'click', 'purchase')),
+        |  WHERE event_type IN ('signup', 'click', 'purchase')
+        |    AND ts IS NOT NULL),
         |s0 AS (SELECT user_id, min(us) AS t_0 FROM f
         |       WHERE event_type = 'signup' GROUP BY user_id),
         |s1 AS (SELECT f.user_id, min(us) AS t_1 FROM f JOIN s0 USING (user_id)
@@ -1657,7 +1658,8 @@ object Oracles {
 
     "q109_cohort_retention" ->
       """WITH act AS (
-        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        |  WHERE ts IS NOT NULL),
         |coh AS (SELECT user_id, min(d) AS cohort FROM act GROUP BY user_id)
         |SELECT cohort,
         |       CAST(date_diff('day', cohort, d) AS INTEGER) AS day_offset,
@@ -1670,14 +1672,15 @@ object Oracles {
         |  SELECT user_id, event_type,
         |         lag(event_type) OVER (PARTITION BY user_id
         |                               ORDER BY ts, event_id) AS prev
-        |  FROM events)
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL)
         |SELECT prev AS from_type, event_type AS to_type, count(*) AS cnt
         |FROM o WHERE prev IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
 
     "q111_rolling_active" ->
       """WITH act AS (
-        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        |  WHERE ts IS NOT NULL),
         |days AS (SELECT DISTINCT d AS report_d FROM act),
         |contrib AS (
         |  SELECT DISTINCT user_id, d + CAST(r.i AS INTEGER) AS report_d

@@ -1381,7 +1381,7 @@ object TestdataQueries {
     t(s, dir, "events")
       .select(col("event_type"),
         from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL(
-          "k INT")).getField("k").cast("long").as("k"))
+          "k BIGINT")).getField("k").as("k"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"),
         min("k").as("min_k"), max("k").as("max_k"))

@@ -95,7 +95,9 @@ class TestdataSchemaSpec extends SparkSpec {
     "q07_date_trend", "q16_low_value_filter", "q17_recent_window",
     "q21_stream_window", "q22_sessionize", "q25_salted_agg",
     "q26_asof_join", "q27_range_join", "q50_analytic_windows",
-    "q51_pivot", "q91_series_motifs", "q92_series_outliers")
+    "q51_pivot", "q91_series_motifs", "q92_series_outliers",
+    "q107_funnel", "q108_json_extract", "q109_cohort_retention",
+    "q110_transitions", "q111_rolling_active")
 
   // The loader must normalize EVERY vintage the driver has shipped to
   // microsecond TimestampType — including the ones the current testdata
