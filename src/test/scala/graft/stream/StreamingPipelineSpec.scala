@@ -211,6 +211,73 @@ class StreamingPipelineSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming funnel equals the batch funnel's completions across waves") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingFunnel._
+
+    val mem = MemoryStream[FEvent]
+    val steps = Seq("signup", "click", "purchase")
+    val gap = 3600L * 1000000 // 1 h in micros
+    val q = StreamingFunnel.completions(spark, mem.toDS(), steps, gap)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_stream").start()
+
+    def ev(id: Long, u: Long, s: String, t: String) =
+      FEvent(u, java.sql.Timestamp.valueOf(s"2024-01-01 $t"), id, s)
+    // wave 1: u1 signup+click; u2 signup; u3 full chain in ONE batch;
+    //         u4 purchase-first noise
+    mem.addData(
+      ev(1, 1, "signup", "10:00:00"), ev(2, 1, "click", "10:05:00"),
+      ev(3, 2, "signup", "10:00:00"),
+      ev(4, 3, "signup", "09:00:00"), ev(5, 3, "click", "09:10:00"),
+      ev(6, 3, "purchase", "09:20:00"),
+      ev(7, 4, "purchase", "08:00:00"))
+    q.processAllAvailable()
+    // wave 2: u1 completes; u2's click arrives OUTSIDE the gap (chain
+    //         stays broken); u4 signup after its noise
+    mem.addData(
+      ev(8, 1, "purchase", "10:30:00"),
+      ev(9, 2, "click", "12:30:00"),
+      ev(10, 4, "signup", "08:30:00"))
+    q.processAllAvailable()
+    // wave 3: replay of u3's whole chain (at-least-once source) must
+    //         NOT re-emit; u4 completes
+    mem.addData(
+      ev(4, 3, "signup", "09:00:00"), ev(5, 3, "click", "09:10:00"),
+      ev(6, 3, "purchase", "09:20:00"),
+      ev(11, 4, "click", "08:45:00"), ev(12, 4, "purchase", "09:15:00"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("funnel_stream").as[Completion].collect()
+    // exactly one completion row per completing user — the replayed
+    // chain must not re-emit (the Map below would mask a duplicate)
+    assert(rows.length == 3, rows.mkString(", "))
+    val streamed = rows.map(c => c.user_id -> c.step_times.toSeq).toMap
+    // batch reference over the SAME events (replays deduped by the
+    // batch distinct-id semantics: same event_id, same payload)
+    val all = Seq(
+      (1L, 1L, "10:00:00", "signup"), (2L, 1L, "10:05:00", "click"),
+      (3L, 2L, "10:00:00", "signup"), (4L, 3L, "09:00:00", "signup"),
+      (5L, 3L, "09:10:00", "click"), (6L, 3L, "09:20:00", "purchase"),
+      (7L, 4L, "08:00:00", "purchase"), (8L, 1L, "10:30:00", "purchase"),
+      (9L, 2L, "12:30:00", "click"), (10L, 4L, "08:30:00", "signup"),
+      (11L, 4L, "08:45:00", "click"), (12L, 4L, "09:15:00", "purchase"))
+    val batchDf = all.toDF("event_id", "user_id", "t", "event_type")
+      .select(col("event_id"), col("user_id"),
+        to_timestamp(concat(lit("2024-01-01 "), col("t"))).as("ts"),
+        col("event_type"))
+    val batch = graft.operators.EventFunnel.funnel(batchDf, steps, gap)
+      .filter(col("steps_reached") === 3)
+      .collect()
+      .map(r => r.getLong(0) -> Seq(r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(batch.keySet == Set(1L, 3L, 4L)) // u2 broken by the gap
+    assert(streamed == batch)
+  }
+
   test("JSON-lines files flow through the same ingest contract") {
     val wh = new Warehouse(spark, tmpDir("whj").toString)
     val pipe = new graft.etl.Pipeline(spark, wh)
