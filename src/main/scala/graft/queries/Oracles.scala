@@ -1467,6 +1467,41 @@ object Oracles {
         |SELECT src AS doc_id, min(dst) AS comp_id
         |FROM walk GROUP BY 1""".stripMargin,
 
+    // q97's cluster walk + survivorship aggregates: singletons keep
+    // their own id as entity, best member by (acctbal DESC, custkey
+    // DESC) donates the record-level fields
+    "q114_golden_records" ->
+      """WITH RECURSIVE pr AS (
+        |  SELECT a.c_custkey AS u, b.c_custkey AS v
+        |  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |  WHERE a.c_custkey < 4000 AND b.c_custkey < 4000
+        |    AND levenshtein(a.c_name, b.c_name) <= 1
+        |    AND substr(a.c_name, 1, length(a.c_name) - 1)
+        |      = substr(b.c_name, 1, length(b.c_name) - 1)),
+        |edges AS (SELECT u, v FROM pr UNION SELECT v, u FROM pr),
+        |verts AS (SELECT DISTINCT u AS id FROM edges),
+        |walk(src, dst) AS (
+        |  SELECT id, id FROM verts
+        |  UNION
+        |  SELECT w.src, e.v FROM walk w JOIN edges e ON e.u = w.dst),
+        |comp AS (SELECT src AS id, min(dst) AS comp_id FROM walk GROUP BY 1),
+        |m AS (
+        |  SELECT c.*, coalesce(comp.comp_id, c.c_custkey) AS entity_id
+        |  FROM customer c LEFT JOIN comp ON comp.id = c.c_custkey
+        |  WHERE c.c_custkey < 4000),
+        |best AS (
+        |  SELECT entity_id, c_nationkey, c_mktsegment,
+        |         row_number() OVER (PARTITION BY entity_id
+        |           ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+        |  FROM m)
+        |SELECT m.entity_id, count(*) AS n_members,
+        |       min(m.c_name) AS min_c_name,
+        |       max(m.c_acctbal) AS max_c_acctbal,
+        |       b.c_nationkey AS best_c_nationkey,
+        |       b.c_mktsegment AS best_c_mktsegment
+        |FROM m JOIN (SELECT * FROM best WHERE rn = 1) b USING (entity_id)
+        |GROUP BY m.entity_id, b.c_nationkey, b.c_mktsegment""".stripMargin,
+
     "q98_bfs_reach" -> {
       // unrolled frontier expansions: r_k holds min-distance nodes
       // within k hops

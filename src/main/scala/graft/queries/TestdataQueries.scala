@@ -1433,8 +1433,45 @@ object TestdataQueries {
   def q113Profile(s: SparkSession, dir: String): DataFrame =
     graft.etl.Profiler.profile(t(s, dir, "lineitem"))
 
+  /** ER survivorship (X53): golden customer records — the fuzzy-pair ->
+    * cluster chain of q96/q97 finished into one merged record per
+    * entity. The edit-distance candidates are BLOCKED on the name stem
+    * (equal up to the final character): TPC-H's sequential names make
+    * raw tau=1 pairs transitively chain the whole table into one
+    * entity, where the stem block is an equivalence relation — the
+    * standard ER move of a blocking key on top of the fuzzy band.
+    * Field rules: first name (min), top balance (max); record rules:
+    * nation + segment from the best member by (acctbal, custkey).
+    * Shared-stage mode reads the same ER pair store q97 consumes
+    * (pinned equal to the isolated plan in `SigMemoSpec`). */
+  def q114GoldenRecords(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_custkey") < 4000)
+    val pairs =
+      if (sharedStages)
+        customerFuzzyPairs(s, dir)
+          .filter(col("a_id") < 4000 && col("b_id") < 4000)
+      else
+        graft.operators.FuzzyJoin.editDistanceSelfJoin(
+          cust, tau = 1, id = col("c_custkey"), str = col("c_name"))
+    val names = cust.select(col("c_custkey"), col("c_name"))
+    val blocked = pairs
+      .join(names.select(col("c_custkey").as("a_id"),
+        col("c_name").as("__na")), "a_id")
+      .join(names.select(col("c_custkey").as("b_id"),
+        col("c_name").as("__nb")), "b_id")
+      .filter(expr("substring(__na, 1, length(__na) - 1)") ===
+        expr("substring(__nb, 1, length(__nb) - 1)"))
+    val clusters = Dedup.duplicateClusters(
+      blocked.select(col("a_id").as("id_a"), col("b_id").as("id_b")))
+    graft.operators.GoldenRecords.merge(cust, clusters,
+      id = col("c_custkey"), priority = col("c_acctbal"),
+      minFields = Seq("c_name"), maxFields = Seq("c_acctbal"),
+      bestFields = Seq("c_nationkey", "c_mktsegment"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_containment_join" -> q106ContainmentJoin _,
+    "q114_golden_records" -> q114GoldenRecords _,
     "q113_profile" -> q113Profile _,
     "q112_triangles" -> q112Triangles _,
     "q109_cohort_retention" -> q109CohortRetention _,

@@ -75,6 +75,9 @@ class SigMemoSpec extends SparkSpec {
   pinSharedEqualsIsolated("q97_entity_clusters",
     "restricting the full-table ER pairs to the id prefix must equal " +
       "running the fuzzy join on the subset directly")
+  pinSharedEqualsIsolated("q114_golden_records",
+    "survivorship over the shared ER pair store (restricted to the id " +
+      "prefix, then stem-blocked) must equal the direct subset fuzzy join")
   pinSharedEqualsIsolated("q60_simhash_verified",
     "pairing against the resident simhash fingerprint store must equal " +
       "re-deriving the fingerprints from the corpus")
