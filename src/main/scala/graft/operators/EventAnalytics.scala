@@ -76,6 +76,33 @@ object EventAnalytics {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Gap-filled (densified) daily series: per-group event counts with
+    * an explicit ZERO row for every calendar day the group was silent,
+    * over the table's full [min, max] date span — downstream
+    * time-series consumers (moving averages, trend fits, charting)
+    * need the dense grid, and an outer join against a generated
+    * calendar is the standard lowering.
+    *
+    * Scale shape: the sparse per-(group, day) counts are one
+    * partial-aggregated shuffle; the calendar is `sequence`-generated
+    * from a 1-row global span aggregate and cross-joined with the
+    * DISTINCT group list — both metadata-sized (days x groups), so the
+    * dense grid is built entirely from broadcast-scale frames and the
+    * fact table is never re-read or re-shuffled for it. */
+  def densifyDaily(events: DataFrame, group: Column = col("event_type"),
+                   ts: Column = col("ts")): DataFrame = {
+    val sparse = events.filter(ts.isNotNull && group.isNotNull)
+      .groupBy(group.as("g"), to_date(ts).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val span = sparse.agg(min("d").as("d0"), max("d").as("d1"))
+    val calendar = span
+      .select(explode(sequence(col("d0"), col("d1"))).as("d"))
+    val groups = sparse.select(col("g")).distinct()
+    broadcast(calendar).crossJoin(broadcast(groups))
+      .join(sparse, Seq("g", "d"), "left")
+      .select(col("g"), col("d"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
   /** Rolling `windowDays`-day distinct active users, reported for every
     * date that has at least one event: for date d, the number of
     * distinct users with an event in `[d - windowDays + 1, d]` (the

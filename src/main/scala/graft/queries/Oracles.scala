@@ -1502,6 +1502,21 @@ object Oracles {
         |FROM m JOIN (SELECT * FROM best WHERE rn = 1) b USING (entity_id)
         |GROUP BY m.entity_id, b.c_nationkey, b.c_mktsegment""".stripMargin,
 
+    "q115_densify" ->
+      """WITH sparse AS (
+        |  SELECT event_type AS g, CAST(ts AS DATE) AS d, count(*) AS cnt
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |span AS (SELECT min(d) AS d0, max(d) AS d1 FROM sparse),
+        |cal AS (
+        |  SELECT CAST(unnest(generate_series(d0, d1,
+        |    INTERVAL 1 DAY)) AS DATE) AS d FROM span),
+        |grps AS (SELECT DISTINCT g FROM sparse)
+        |SELECT grps.g, cal.d, coalesce(sparse.cnt, 0) AS cnt
+        |FROM cal CROSS JOIN grps
+        |LEFT JOIN sparse ON sparse.g = grps.g AND sparse.d = cal.d"""
+        .stripMargin,
+
     "q98_bfs_reach" -> {
       // unrolled frontier expansions: r_k holds min-distance nodes
       // within k hops

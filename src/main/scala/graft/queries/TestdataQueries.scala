@@ -1469,8 +1469,16 @@ object TestdataQueries {
       bestFields = Seq("c_nationkey", "c_mktsegment"))
   }
 
+  /** Densified per-type daily counts (X54): the sparse counts
+    * outer-joined onto a generated (calendar x types) grid, zeros
+    * explicit — the dense series every time-series consumer wants.
+    * Grid frames are broadcast-scale; the fact table shuffles once. */
+  def q115Densify(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.densifyDaily(t(s, dir, "events"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_containment_join" -> q106ContainmentJoin _,
+    "q115_densify" -> q115Densify _,
     "q114_golden_records" -> q114GoldenRecords _,
     "q113_profile" -> q113Profile _,
     "q112_triangles" -> q112Triangles _,

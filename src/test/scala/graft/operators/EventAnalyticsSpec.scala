@@ -54,6 +54,22 @@ class EventAnalyticsSpec extends SparkSpec {
       .toSet == got)
   }
 
+  test("densify: zero rows for silent days, full span x group grid") {
+    val df = ev(Seq(
+      (1L, 1L, 0, 0L, "a"), (2L, 1L, 0, 5L, "a"), // a: 2 on day 0
+      (3L, 1L, 3, 0L, "a"),                       // a: 1 on day 3
+      (4L, 2L, 1, 0L, "b")))                      // b: 1 on day 1 only
+    val got = EventAnalytics.densifyDaily(df)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2))).toSet
+    // span is day 0..3 from the data; every (group, day) cell present
+    assert(got == Set(
+      ("a", "2024-01-01", 2L), ("a", "2024-01-02", 0L),
+      ("a", "2024-01-03", 0L), ("a", "2024-01-04", 1L),
+      ("b", "2024-01-01", 0L), ("b", "2024-01-02", 1L),
+      ("b", "2024-01-03", 0L), ("b", "2024-01-04", 0L)))
+  }
+
   test("rolling active users: trailing window, present days only") {
     val df = ev(Seq(
       (1L, 1L, 0, 0L, "a"),                       // u1 on day 0
