@@ -103,6 +103,91 @@ object EventAnalytics {
       .select(col("g"), col("d"), coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
 
+  /** Censored time-to-conversion life table (the Kaplan–Meier input):
+    * for each user who emitted `startType`, the whole days until their
+    * first qualifying `endType` (strictly after the start, within
+    * `maxGapMicros` of it — [[EventFunnel]] semantics; the funnel IS
+    * the per-user stage), or until the observation horizon (the
+    * table's max event time) if they never converted — a censored
+    * observation, not a missing one. Rows are per day: `at_risk`
+    * (users still unconverted and observable entering the day),
+    * `converted`, `censored`. Survival estimates are a trivial
+    * client-side product over these integer counts; keeping the output
+    * at the count level keeps it exact and engine-portable.
+    *
+    * Plan shape: the funnel's one per-user shuffle, a 1-row horizon
+    * aggregate broadcast in, a day-granularity groupBy, and the
+    * reverse-cumulative `at_risk` window over the LIFE TABLE — bounded
+    * by the day domain like [[graft.llm.TextAnalysis.percentileTrim]]'s
+    * histogram window, never over users. */
+  def conversionLifeTable(events: DataFrame, startType: String,
+                          endType: String, maxGapMicros: Long,
+                          user: Column = col("user_id"),
+                          ts: Column = col("ts"),
+                          typ: Column = col("event_type"),
+                          id: Column = col("event_id")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayUs = 86400000000L
+    val fn = EventFunnel.funnel(events, Seq(startType, endType),
+      maxGapMicros, user, ts, typ, id)
+    val horizon = events.filter(ts.isNotNull)
+      .agg(max(unix_micros(ts)).as("h_us"))
+    val durations = fn.crossJoin(broadcast(horizon))
+      .select(
+        expr(s"coalesce(t_1, h_us) - t_0").as("dur_us"),
+        col("t_1").isNotNull.cast("long").as("c"))
+      .select(expr(s"dur_us div $dayUs").as("day"), col("c"))
+    val lifeRows = durations.groupBy("day")
+      .agg(sum(col("c")).as("converted"),
+        (count(lit(1)) - sum(col("c"))).as("censored"))
+    // at_risk(d) = everyone who leaves (converts or censors) on day >= d:
+    // a reverse running sum over the day histogram (bounded by the
+    // observation span in days, metadata-sized by nature)
+    val atRisk = Window.orderBy(col("day").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lifeRows.select(col("day"),
+      sum(col("converted") + col("censored")).over(atRisk).as("at_risk"),
+      col("converted"), col("censored"))
+  }
+
+  /** Per-slice distribution drift: for every slice (default: the event
+    * DATE), the exact total-variation distance of its group mix
+    * (default: event type) from the corpus-wide baseline mix — the
+    * pipeline-monitoring signal that a day's traffic, a crawl
+    * snapshot's language mix, or a shard's label mix has shifted.
+    * `TVD = drift_num / (2 * n * N)`; the numerator
+    * `sum_g |c_sg * N - C_g * n_s|` and both denominator factors are
+    * exact integers, so the report is engine-portable bit-for-bit and
+    * the ordering by drift is exact (same denominator scale per slice
+    * only when n_s is equal — consumers ranking across slices divide
+    * client-side). Long arithmetic holds to ~3e9 corpus rows per cell
+    * product (`c * N < 2^63`); beyond that the products move to
+    * decimal(38) unchanged in shape.
+    *
+    * Plan shape: ONE corpus shuffle (the sparse per-(slice, group)
+    * count); baseline counts, slice totals, and the dense
+    * slices x groups grid all re-aggregate or cross-join
+    * METADATA-sized frames from it (groups and slices are enumerable
+    * domains), broadcast back in. Absent cells matter (`|0 - C_g*n_s|`
+    * contributes), which is why the grid is dense — same move as
+    * [[densifyDaily]]. */
+  def mixDrift(events: DataFrame, slice: Column = to_date(col("ts")),
+               group: Column = col("event_type")): DataFrame = {
+    val sparse = events.filter(slice.isNotNull && group.isNotNull)
+      .groupBy(slice.as("d"), group.as("g"))
+      .agg(count(lit(1)).as("c"))
+    val perGroup = sparse.groupBy("g").agg(sum("c").as("cg"))
+    val perSlice = sparse.groupBy("d").agg(sum("c").as("nd"))
+    val total = sparse.agg(sum("c").as("n_total"))
+    broadcast(perSlice).crossJoin(broadcast(perGroup))
+      .join(sparse, Seq("d", "g"), "left")
+      .crossJoin(broadcast(total))
+      .groupBy(col("d"), col("nd").as("n"))
+      .agg(sum(abs(coalesce(col("c"), lit(0L)) * col("n_total") -
+        col("cg") * col("nd"))).as("drift_num"))
+      .select(col("d"), col("n"), col("drift_num"))
+  }
+
   /** Rolling `windowDays`-day distinct active users, reported for every
     * date that has at least one event: for date d, the number of
     * distinct users with an event in `[d - windowDays + 1, d]` (the

@@ -1502,6 +1502,154 @@ object Oracles {
         |FROM m JOIN (SELECT * FROM best WHERE rn = 1) b USING (entity_id)
         |GROUP BY m.entity_id, b.c_nationkey, b.c_mktsegment""".stripMargin,
 
+    // SCD2 run-collapse replayed with lag (run starts) + cumulative sum
+    // (version) + lead (valid_to = next run's valid_from)
+    "q116_scd2_history" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id AS eid,
+        |         event_type AS v
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+        |o AS (
+        |  SELECT *, lag(v) OVER w AS prev_v FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, eid)),
+        |r AS (
+        |  SELECT *, sum(CASE WHEN prev_v IS NULL OR prev_v <> v
+        |                     THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY us, eid) AS version
+        |  FROM o),
+        |agg AS (
+        |  SELECT user_id, CAST(version AS INTEGER) AS version,
+        |         min(v) AS value, min(us) AS valid_from_us,
+        |         count(*) AS n_events
+        |  FROM r GROUP BY 1, 2)
+        |SELECT user_id, version, value, valid_from_us,
+        |       lead(valid_from_us) OVER (PARTITION BY user_id
+        |                                 ORDER BY version) AS valid_to_us,
+        |       n_events
+        |FROM agg""".stripMargin,
+
+    // q96's candidate band dressed with field payloads, then the same
+    // integer agreement weights and cutoffs
+    "q117_linkage_score" ->
+      """WITH pr AS (
+        |  SELECT a.c_custkey AS a_id, b.c_custkey AS b_id
+        |  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |  WHERE length(a.c_name) <= 512 AND length(b.c_name) <= 512
+        |    AND levenshtein(a.c_name, b.c_name) <= 1),
+        |bits AS (
+        |  SELECT a_id, b_id,
+        |    CASE WHEN a.c_name IS NULL OR b.c_name IS NULL THEN NULL
+        |         WHEN substring(a.c_name, 1, length(a.c_name) - 1)
+        |            = substring(b.c_name, 1, length(b.c_name) - 1)
+        |         THEN 1 ELSE 0 END AS agree_c_name,
+        |    CASE WHEN a.c_nationkey IS NULL OR b.c_nationkey IS NULL
+        |         THEN NULL WHEN a.c_nationkey = b.c_nationkey
+        |         THEN 1 ELSE 0 END AS agree_c_nationkey,
+        |    CASE WHEN a.c_mktsegment IS NULL OR b.c_mktsegment IS NULL
+        |         THEN NULL WHEN a.c_mktsegment = b.c_mktsegment
+        |         THEN 1 ELSE 0 END AS agree_c_mktsegment,
+        |    CASE WHEN a.c_acctbal IS NULL OR b.c_acctbal IS NULL THEN NULL
+        |         WHEN abs(floor(a.c_acctbal * 100)
+        |                  - floor(b.c_acctbal * 100)) <= 10000
+        |         THEN 1 ELSE 0 END AS agree_c_acctbal
+        |  FROM pr JOIN customer a ON a.c_custkey = pr.a_id
+        |          JOIN customer b ON b.c_custkey = pr.b_id),
+        |sc AS (
+        |  SELECT *, CAST(
+        |      CASE coalesce(agree_c_name, -1)
+        |        WHEN 1 THEN 2000 WHEN 0 THEN -500 ELSE 0 END
+        |    + CASE coalesce(agree_c_nationkey, -1)
+        |        WHEN 1 THEN 1200 WHEN 0 THEN -1800 ELSE 0 END
+        |    + CASE coalesce(agree_c_mktsegment, -1)
+        |        WHEN 1 THEN 900 WHEN 0 THEN -600 ELSE 0 END
+        |    + CASE coalesce(agree_c_acctbal, -1)
+        |        WHEN 1 THEN 1500 WHEN 0 THEN -700 ELSE 0 END
+        |    AS BIGINT) AS score
+        |  FROM bits)
+        |SELECT a_id, b_id, agree_c_name, agree_c_nationkey,
+        |       agree_c_mktsegment, agree_c_acctbal, score,
+        |       CASE WHEN score >= 3500 THEN 'link'
+        |            WHEN score >= 1000 THEN 'possible'
+        |            ELSE 'nonlink' END AS band
+        |FROM sc""".stripMargin,
+
+    // last-touch replay: IGNORE NULLS windows pick the latest
+    // non-conversion row strictly before each conversion in (us, eid)
+    // order; the gap test nulls the credit exactly like the fold
+    "q118_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id AS eid,
+        |         event_type AS t
+        |  FROM events
+        |  WHERE ts IS NOT NULL
+        |    AND event_type IN ('purchase', 'click', 'view')),
+        |w AS (
+        |  SELECT user_id, us, eid, t,
+        |    last_value(CASE WHEN t <> 'purchase' THEN us END IGNORE NULLS)
+        |      OVER win AS t_us,
+        |    last_value(CASE WHEN t <> 'purchase' THEN eid END IGNORE NULLS)
+        |      OVER win AS t_eid,
+        |    last_value(CASE WHEN t <> 'purchase' THEN t END IGNORE NULLS)
+        |      OVER win AS t_t
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY us, eid
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING
+        |                          AND 1 PRECEDING))
+        |SELECT user_id, eid AS conv_eid, us AS conv_us,
+        |  CASE WHEN t_us IS NOT NULL AND us - t_us <= 259200000000
+        |       THEN t_eid END AS touch_eid,
+        |  CASE WHEN t_us IS NOT NULL AND us - t_us <= 259200000000
+        |       THEN t_t END AS touch_type,
+        |  CASE WHEN t_us IS NOT NULL AND us - t_us <= 259200000000
+        |       THEN us - t_us END AS gap_us
+        |FROM w WHERE t = 'purchase'""".stripMargin,
+
+    // funnel chained mins (2 steps, 40-day gap) -> censored durations
+    // vs the global horizon -> day histogram -> reverse running at_risk
+    "q119_life_table" ->
+      """WITH f AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+        |  WHERE event_type IN ('signup', 'purchase') AND ts IS NOT NULL),
+        |s0 AS (SELECT user_id, min(us) AS t_0 FROM f
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s1 AS (SELECT f.user_id, min(us) AS t_1 FROM f JOIN s0 USING (user_id)
+        |       WHERE event_type = 'purchase'
+        |         AND us > t_0 AND us <= t_0 + 3456000000000
+        |       GROUP BY 1),
+        |u AS (SELECT s0.user_id, t_0, t_1
+        |      FROM s0 LEFT JOIN s1 USING (user_id)),
+        |h AS (SELECT max(epoch_us(ts)) AS h_us FROM events
+        |      WHERE ts IS NOT NULL),
+        |d AS (SELECT (coalesce(t_1, h_us) - t_0) // 86400000000 AS day,
+        |             CASE WHEN t_1 IS NOT NULL THEN 1 ELSE 0 END AS c
+        |      FROM u, h),
+        |lt AS (SELECT day, CAST(sum(c) AS BIGINT) AS converted,
+        |              CAST(count(*) - sum(c) AS BIGINT) AS censored
+        |       FROM d GROUP BY 1)
+        |SELECT CAST(day AS BIGINT) AS day,
+        |       CAST(sum(converted + censored)
+        |            OVER (ORDER BY day DESC) AS BIGINT) AS at_risk,
+        |       converted, censored
+        |FROM lt""".stripMargin,
+
+    // dense slice x group grid so absent cells contribute |0 - Cg*nd|
+    "q120_mix_drift" ->
+      """WITH sp AS (
+        |  SELECT CAST(ts AS DATE) AS d, event_type AS g, count(*) AS c
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |gt AS (SELECT g, CAST(sum(c) AS BIGINT) AS cg FROM sp GROUP BY 1),
+        |st AS (SELECT d, CAST(sum(c) AS BIGINT) AS nd FROM sp GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM sp),
+        |cell AS (
+        |  SELECT st.d, gt.g, st.nd, gt.cg, coalesce(sp.c, 0) AS c
+        |  FROM st CROSS JOIN gt
+        |  LEFT JOIN sp ON sp.d = st.d AND sp.g = gt.g)
+        |SELECT cell.d AS d, cell.nd AS n,
+        |       CAST(sum(abs(c * n_total - cg * nd)) AS BIGINT) AS drift_num
+        |FROM cell, tot
+        |GROUP BY 1, 2""".stripMargin,
+
     "q115_densify" ->
       """WITH sparse AS (
         |  SELECT event_type AS g, CAST(ts AS DATE) AS d, count(*) AS cnt

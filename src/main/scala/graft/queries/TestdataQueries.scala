@@ -1476,7 +1476,72 @@ object TestdataQueries {
   def q115Densify(s: SparkSession, dir: String): DataFrame =
     graft.operators.EventAnalytics.densifyDaily(t(s, dir, "events"))
 
+  /** SCD2 history (X55): each user's event-type change-log collapsed
+    * into versioned `[valid_from, valid_to)` runs — one per-key groupBy
+    * + linear run-start array algebra
+    * ([[graft.operators.ChangeHistory]]); the oracle replays the
+    * collapse with lag/lead windows. Interval bounds are
+    * epoch-microsecond longs. */
+  def q116Scd2History(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ChangeHistory.scd2(t(s, dir, "events"))
+
+  /** Fellegi–Sunter linkage scoring (X56): q96's edit-distance
+    * candidate pairs banded link/possible/nonlink by integer
+    * field-agreement weights (name stem, nation, segment, balance
+    * within $100) — the probabilistic ER decision layered on the same
+    * shared pair store the cluster/survivorship queries consume. */
+  def q117LinkageScore(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Linkage
+    val pairs =
+      if (sharedStages) customerFuzzyPairs(s, dir)
+      else graft.operators.FuzzyJoin.editDistanceSelfJoin(
+        t(s, dir, "customer"), tau = 1,
+        id = col("c_custkey"), str = col("c_name"))
+    Linkage.score(t(s, dir, "customer"), pairs, col("c_custkey"),
+      Seq(
+        Linkage.LinkField("c_name", 2000, -500, (a, b) =>
+          a.substr(lit(1), length(a) - 1) ===
+            b.substr(lit(1), length(b) - 1)),
+        Linkage.LinkField("c_nationkey", 1200, -1800),
+        Linkage.LinkField("c_mktsegment", 900, -600),
+        Linkage.LinkField("c_acctbal", 1500, -700, (a, b) =>
+          abs(floor(a * 100) - floor(b * 100)) <= 10000)),
+      linkAt = 3500, possibleAt = 1000)
+  }
+
+  /** Last-touch attribution (X57): every purchase credited to the
+    * latest click/view strictly before it within 3 days — the fused
+    * single-stream as-of join ([[graft.operators.Attribution]]), one
+    * per-user running-frame window; unattributed conversions kept
+    * with null touch. */
+  def q118Attribution(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Attribution.lastTouch(t(s, dir, "events"),
+      conversionType = "purchase", touchTypes = Seq("click", "view"),
+      maxGapMicros = 3L * 86400000000L)
+
+  /** Censored time-to-conversion life table (X58): whole days from
+    * first signup to first qualifying purchase (40-day funnel gap), or
+    * to the observation horizon when censored; per-day at_risk /
+    * converted / censored integer counts — the exact Kaplan–Meier
+    * input ([[graft.operators.EventAnalytics.conversionLifeTable]]). */
+  def q119LifeTable(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.conversionLifeTable(t(s, dir, "events"),
+      startType = "signup", endType = "purchase",
+      maxGapMicros = 40L * 86400000000L)
+
+  /** Distribution-drift monitor (X59): per-day event-type mix vs the
+    * corpus baseline as an exact integer total-variation numerator
+    * (`TVD = drift_num / (2 n N)`) —
+    * [[graft.operators.EventAnalytics.mixDrift]]. */
+  def q120MixDrift(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.mixDrift(t(s, dir, "events"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_scd2_history" -> q116Scd2History _,
+    "q117_linkage_score" -> q117LinkageScore _,
+    "q118_attribution" -> q118Attribution _,
+    "q119_life_table" -> q119LifeTable _,
+    "q120_mix_drift" -> q120MixDrift _,
     "q106_containment_join" -> q106ContainmentJoin _,
     "q115_densify" -> q115Densify _,
     "q114_golden_records" -> q114GoldenRecords _,

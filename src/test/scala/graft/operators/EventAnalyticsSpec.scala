@@ -70,6 +70,42 @@ class EventAnalyticsSpec extends SparkSpec {
       ("b", "2024-01-03", 0L), ("b", "2024-01-04", 0L)))
   }
 
+  test("life table: conversion day, horizon censoring, reverse at_risk") {
+    val df = ev(Seq(
+      // u1: signup day 0, purchase day 2 -> converts on day 2
+      (1L, 1L, 0, 0L, "s"), (2L, 1L, 2, 0L, "p"),
+      // u2: signup day 0, never purchases -> censored at the horizon
+      (3L, 2L, 0, 0L, "s"),
+      // u3: a non-funnel event sets the horizon (day 3, +10s)
+      (4L, 3L, 3, 10L, "x"),
+      // u4: purchase only -> never at risk, excluded
+      (5L, 4L, 1, 0L, "p"),
+      // u5: purchase BEFORE signup ignored; converts day 0 (86395s later)
+      (6L, 5L, 0, 0L, "p"), (7L, 5L, 0, 5L, "s"), (8L, 5L, 1, 0L, "p")))
+    val got = EventAnalytics.conversionLifeTable(df, "s", "p",
+        maxGapMicros = 100L * 86400000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // u2's censor day: horizon (day 3 + 10s) minus signup (day 0) = day 3
+    assert(got == Set((0L, 3L, 1L, 0L), (2L, 2L, 1L, 0L),
+      (3L, 1L, 0L, 1L)))
+  }
+
+  test("mix drift: exact TVD numerator, absent cells contribute") {
+    val df = ev(Seq(
+      // day 0: a=3, b=1, c=1 (n=5); day 1: a=1, b=1, c ABSENT (n=2)
+      (1L, 1L, 0, 0L, "a"), (2L, 1L, 0, 1L, "a"), (3L, 1L, 0, 2L, "a"),
+      (4L, 1L, 0, 3L, "b"), (5L, 1L, 0, 4L, "c"),
+      (6L, 1L, 1, 0L, "a"), (7L, 1L, 1, 1L, "b")))
+    // C = (a:4, b:2, c:1), N = 7
+    // day 0: |3*7-4*5| + |1*7-2*5| + |1*7-1*5| = 1 + 3 + 2 = 6
+    // day 1: |1*7-4*2| + |1*7-2*2| + |0*7-1*2| = 1 + 3 + 2 = 6
+    val got = EventAnalytics.mixDrift(df)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2))).toSet
+    assert(got == Set(("2024-01-01", 5L, 6L), ("2024-01-02", 2L, 6L)))
+  }
+
   test("rolling active users: trailing window, present days only") {
     val df = ev(Seq(
       (1L, 1L, 0, 0L, "a"),                       // u1 on day 0
