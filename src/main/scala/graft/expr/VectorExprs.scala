@@ -287,6 +287,122 @@ case class CentroidArgMax(child: Expression, centroids: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Product-quantization encoder: the vector's `m` subspace windows each
+  * argmin-L2-matched against the codebook entries' SAME window —
+  * codebook entries are stored FULL-LENGTH (they are corpus vectors or
+  * Lloyd means of them), so window index `i` reads `v(i)` and
+  * `cent(i)` identically on both sides of the distance, and the SQL
+  * oracle can replay the windows by list index alone. Output: the `m`
+  * int codes. Distance accumulates left-to-right within the window;
+  * strict `<` keeps the first (= smallest-index) code on ties. One plan
+  * node for the whole encode — the per-row cost is one pass over the
+  * vector per codebook entry, and the output is `m` ints replacing
+  * `dim` floats (the 32x storage cut that makes 100 TB of vectors
+  * scannable). */
+case class PqCode(child: Expression, codebook: Array[Array[Double]], m: Int)
+    extends UnaryExpression {
+  require(codebook.nonEmpty && m >= 1 && codebook(0).length % m == 0,
+    s"codebook ${codebook.length}x${codebook.headOption.fold(0)(_.length)} " +
+      s"not divisible into $m subspaces")
+  private lazy val isFloat = VecOps.floatFlag(child)
+  private val dim = codebook(0).length
+  private val sub = dim / m
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "pq_code"
+
+  def compute(a: ArrayData): Any = {
+    val v = VecOps.toDoubles(a, isFloat)
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val off = j * sub
+      val end = math.min(off + sub, v.length)
+      var best = Double.PositiveInfinity
+      var bi = 0
+      var c = 0
+      while (c < codebook.length) {
+        val cent = codebook(c)
+        var acc = 0.0
+        var i = off
+        while (i < end) { val d = v(i) - cent(i); acc += d * d; i += 1 }
+        if (acc < best) { best = acc; bi = c }
+        c += 1
+      }
+      codes(j) = bi
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(codes)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqCode", this, "graft.expr.PqCode")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqCode =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance lookup table for one query vector: entry
+  * `j * ks + k` is the dot of the query's subspace-`j` window with
+  * codebook entry `k`'s same window (left-to-right accumulation, same
+  * index discipline as [[PqCode]]). Computed ONCE per query row; every
+  * (query, document) pair afterwards costs `m` array lookups + `m - 1`
+  * adds instead of a `dim`-term dot — the ADC trick that makes the
+  * scan's arithmetic proportional to the 8-byte codes it reads, not
+  * the vectors they replaced. */
+case class PqLut(child: Expression, codebook: Array[Array[Double]], m: Int)
+    extends UnaryExpression {
+  require(codebook.nonEmpty && m >= 1 && codebook(0).length % m == 0,
+    s"codebook ${codebook.length}x${codebook.headOption.fold(0)(_.length)} " +
+      s"not divisible into $m subspaces")
+  private lazy val isFloat = VecOps.floatFlag(child)
+  private val dim = codebook(0).length
+  private val sub = dim / m
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "pq_lut"
+
+  def compute(a: ArrayData): Any = {
+    val v = VecOps.toDoubles(a, isFloat)
+    val ks = codebook.length
+    val lut = new Array[Double](m * ks)
+    var j = 0
+    while (j < m) {
+      val off = j * sub
+      val end = math.min(off + sub, v.length)
+      var c = 0
+      while (c < ks) {
+        val cent = codebook(c)
+        var acc = 0.0
+        var i = off
+        while (i < end) { acc += v(i) * cent(i); i += 1 }
+        lut(j * ks + c) = acc
+        c += 1
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(lut)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqLut", this, "graft.expr.PqLut")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   def vecDot(a: Column, b: Column): Column =
     ColumnBridge.toColumn(VecDot(ColumnBridge.toExpression(a), ColumnBridge.toExpression(b)))
@@ -302,4 +418,10 @@ object VectorExprs {
 
   def rpBits(a: Column, dim: Int, nPlanes: Int): Column =
     ColumnBridge.toColumn(RpBits(ColumnBridge.toExpression(a), dim, nPlanes))
+
+  def pqCode(a: Column, codebook: Array[Array[Double]], m: Int): Column =
+    ColumnBridge.toColumn(PqCode(ColumnBridge.toExpression(a), codebook, m))
+
+  def pqLut(a: Column, codebook: Array[Array[Double]], m: Int): Column =
+    ColumnBridge.toColumn(PqLut(ColumnBridge.toExpression(a), codebook, m))
 }

@@ -306,6 +306,88 @@ object Similarity {
           (norm(col("q_emb")) * norm(col("c_emb")))).as("exact_cos"))
   }
 
+  /** Product-quantization codebook: `ks` FULL-LENGTH entries whose `m`
+    * subspace windows are trained independently — entry `k`'s window
+    * `j` is the Lloyd mean of the subvectors coded `k` in subspace `j`
+    * (`iters = 0` = the deterministic smallest-id seeds, the
+    * SQL-replayable configuration; each iteration refines every window
+    * with the same exact `floor(v*1e9+0.5)` integer-sum update as
+    * [[kmeansCentroids]], so trained codebooks are engine-portable
+    * too). `ks * dim` doubles of driver metadata. */
+  def pqCodebook(corpus: DataFrame, ks: Int, m: Int, iters: Int = 0,
+                 idCol: String = "vec_id", embCol: String = "embedding")
+      : Array[Array[Double]] = {
+    require(ks >= 1 && m >= 1 && iters >= 0, s"ks=$ks m=$m iters=$iters")
+    var cb: Array[Array[Double]] = corpus
+      .orderBy(col(idCol)).limit(ks)
+      .select(col(embCol)).collect()
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+    require(cb.nonEmpty, "pqCodebook needs a non-empty corpus")
+    val dim = cb(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    var it = 0
+    while (it < iters) {
+      val cells = corpus
+        .select(col(embCol).as("emb"),
+          graft.expr.VectorExprs.pqCode(col(embCol), cb, m).as("codes"))
+        .select(col("emb"), posexplode(col("codes")).as(Seq("j", "code")))
+        .select(col("j"), col("code"),
+          posexplode(slice(col("emb"), col("j") * lit(sub) + lit(1),
+            lit(sub))).as(Seq("p", "v")))
+        .groupBy("j", "code", "p")
+        .agg(sum(floor(col("v").cast("double") * lit(1e9) + lit(0.5))
+               .cast("decimal(38,0)")).as("s"),
+             count(lit(1)).as("c"))
+        .collect()
+      val next = cb.map(_.clone())
+      cells.foreach { r =>
+        next(r.getInt(1))(r.getInt(0) * sub + r.getInt(2)) =
+          (r.getDecimal(3).doubleValue() / 1e9) / r.getLong(4).toDouble
+      }
+      cb = next
+      it += 1
+    }
+    cb
+  }
+
+  /** PQ-ADC approximate top-k: documents live as `m` int codes (8 B/row
+    * at m=4 — the 32x storage cut), each query precomputes its
+    * `m * ks` asymmetric-distance lookup table ONCE
+    * ([[graft.expr.PqLut]]), and every (query, doc) pair costs `m`
+    * array lookups instead of a `dim`-term dot. The scan is exhaustive
+    * over codes (FAISS IndexPQ shape); compose with the IVF coarse
+    * quantizer ([[ivfTopK]]'s cell routing) for the IVF-PQ
+    * 100 TB path — the two prune independently. Survivors get an exact
+    * cosine rescore (broadcast-sized set, corpus never re-shuffles).
+    * Ranking is by ADC score (dot-product surrogate), ties to the
+    * smaller vec_id; deterministic end to end, and with `iters = 0`
+    * codebooks the whole pipeline — codes, LUTs, scores, ranks —
+    * replays in SQL. */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                ks: Int = 8, m: Int = 4, iters: Int = 0,
+                excludeSelf: Boolean = true): DataFrame = {
+    val cb = pqCodebook(corpus, ks, m, iters)
+    val enc = corpus.select(col("vec_id"),
+      graft.expr.VectorExprs.pqCode(col("embedding"), cb, m).as("codes"))
+    val q = queries.select(col("query_id"),
+      graft.expr.VectorExprs.pqLut(col("embedding"), cb, m).as("lut"))
+    val adc = (0 until m).map { j =>
+      element_at(col("lut"), lit(j * ks + 1) + element_at(col("codes"), j + 1))
+    }.reduce(_ + _)
+    val scored = enc.join(broadcast(q),
+        if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
+      .select(col("query_id"), col("vec_id"), adc.as("cosine"))
+    val top = topKPerQuery(scored, k).withColumnRenamed("cosine", "adc")
+    corpus.select(col("vec_id"), col("embedding").as("c_emb"))
+      .join(broadcast(top), "vec_id")
+      .join(broadcast(queries.select(col("query_id"),
+        col("embedding").as("q_emb"))), "query_id")
+      .select(col("query_id"), col("rank"), col("vec_id"), col("adc"),
+        (dot(col("q_emb"), col("c_emb")) /
+          (norm(col("q_emb")) * norm(col("c_emb")))).as("exact_cos"))
+  }
+
   /** Deterministic per-query top-k: (cosine desc, vec_id asc).
     *
     * Implemented with the bounded-heap [[TopKAggregator]] rather than a

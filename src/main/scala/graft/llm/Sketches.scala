@@ -204,6 +204,61 @@ object Sketches {
       .groupBy("item").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * threshold > lit(n))
   }
+
+  // ----------------------------------------------------------- count-min
+
+  /** Bucket of `item` in row `row` of a depth x width Count-Min grid:
+    * 28 bits of an md5 over the row-salted item, mod width. The same
+    * md5-derived family as KMV/minhash, so estimates — not just error
+    * bounds — replay bit-for-bit in any engine with md5. */
+  def cmBucket(item: Column, row: Int, width: Int): Column = {
+    require(width >= 2, s"width=$width")
+    conv(substring(md5(concat(lit(s"$row:"), item.cast("string"))), 1, 7),
+      16, 10).cast("long") % width
+  }
+
+  /** Build a Count-Min frequency sketch: `depth * width` counter cells
+    * (rows `0..depth-1`), each cell the number of item occurrences
+    * hashing to it. ONE partially-aggregated pass over the items (the
+    * explode fans each occurrence to its `depth` cells map-side; the
+    * shuffle carries at most `depth * width` groups), so the sketch
+    * costs the same at 60k rows and 100 TB. Cells are plain counts, so
+    * two sketches MERGE by adding cells — the mergeable-summary
+    * contract, same as KMV/MG: per-day sketches roll up to per-month
+    * by a `depth * width`-row union + sum, never re-reading the data. */
+  def countMinBuild(items: DataFrame, item: Column,
+                    depth: Int = 3, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth=$depth")
+    val cells = (0 until depth).map { r =>
+      struct(lit(r).as("row"), cmBucket(col("__i"), r, width).as("bucket"))
+    }
+    items.select(item.cast("string").as("__i"))
+      .filter(col("__i").isNotNull)
+      .select(explode(array(cells: _*)).as("rb"))
+      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates for `probes` against a built sketch:
+    * min over the `depth` row counters — the classic CM upper-bounding
+    * estimate (never an undercount; overcount bounded by collisions,
+    * E <= n/width per row). The sketch is at most `depth * width` rows
+    * regardless of corpus size, so it BROADCASTS to the probe side and
+    * the lookup never shuffles the probes. */
+  def countMinEstimate(probes: DataFrame, sketch: DataFrame, item: Column,
+                       depth: Int = 3, width: Int = 1024): DataFrame = {
+    val cells = (0 until depth).map { r =>
+      struct(lit(r).as("row"), cmBucket(col("item"), r, width).as("bucket"))
+    }
+    probes.select(item.cast("string").as("item")).distinct()
+      .filter(col("item").isNotNull)
+      .select(col("item"), explode(array(cells: _*)).as("rb"))
+      .select(col("item"), col("rb.row").as("row"),
+        col("rb.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy("item")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+  }
 }
 
 /** Misra-Gries frequent-items sketch: at most `k` (item, count) counters;

@@ -563,6 +563,182 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"), col("lm_score"), col("keep"))
   }
 
+  /** PMI collocation mining (phrase detection, word2vec-phrases style):
+    * adjacent token pairs scored by an integer pointwise-mutual-
+    * information surrogate — the UN-LOGGED PMI argument
+    * `P(ab) / (P(a) P(b)) = c_ab * N / (c_a * c_b)`, scaled by 1e6 and
+    * floor-divided in decimal(38). log is monotone, so the surrogate
+    * ranks identically to true PMI and needs no libm — scores and the
+    * ranking replay exactly in any engine.
+    *
+    * Shape at scale: bigrams form in the same narrow zip projection as
+    * [[bigramLmScore]] (no self-join, no window); pair and unigram
+    * counts partial-aggregate map-side, so the shuffles carry distinct
+    * pairs/terms, not occurrences; N is a 1-row broadcast. The two
+    * count joins are term-keyed shuffles of COUNT tables (vocab- and
+    * pair-vocab-sized — far below corpus size; broadcastable when the
+    * vocab fits). Final top-k is TakeOrderedAndProject, never a global
+    * sort. `minCount` is the standard phrase-mining noise floor — a
+    * 1-occurrence pair of two hapaxes would otherwise score N * 1e6.
+    *
+    * Overflow bound: `c_ab * 1e6 * N < N^2 * 1e6` needs decimal(38) up
+    * to N ~ 1e16 tokens — comfortably past 100 TB of text. */
+  def collocations(docs: DataFrame, minCount: Long = 5L, topK: Int = 100,
+                   text: Column = col("text")): DataFrame = {
+    require(minCount >= 1, s"minCount=$minCount")
+    val toks = docs.select(wsTokens(text).as("__t"))
+    val pairs = toks.select(explode(zip_with(
+        slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
+        slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__b"))
+      .groupBy(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+      .agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= minCount)
+    val uni = toks.select(explode(col("__t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum("c").as("n_tokens"))
+    pairs
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"),
+        Seq("w1"))
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"),
+        Seq("w2"))
+      .crossJoin(broadcast(n))
+      .withColumn("pmi_e6", expr(
+        "CAST(pair_n AS DECIMAL(38,0)) * 1000000 * n_tokens div (c1 * c2)"))
+      .select(col("w1"), col("w2"), col("pair_n"), col("pmi_e6"))
+      .orderBy(col("pmi_e6").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /** In-engine BPE merge learning (Sennrich et al. 2016) — the
+    * tokenizer-training step itself, run as `k` deterministic rounds
+    * over the WORD-FREQUENCY table (vocab-sized, aggregated once from
+    * the corpus — round cost is independent of corpus size, the reason
+    * BPE training scales to 100 TB at all):
+    *
+    *  - pair statistics: adjacent symbol pairs weighted by word count,
+    *    one map-side-combined aggregation per round;
+    *  - the winning pair is the 1-row `(count desc, lhs, rhs)` argmax —
+    *    bounded driver metadata, like the graph ops' rescale collects;
+    *  - the merge applies as a greedy left-to-right non-overlapping
+    *    fold over each word's symbol array (`aggregate` — "aaa" under
+    *    (a,a) becomes ["aa","a"], the standard BPE scan), so next
+    *    round's statistics see the merged symbols.
+    *
+    * Words are restricted to `^[a-z0-9]+$` (post-normalization): BPE
+    * character splitting is defined on code points, and keeping the
+    * alphabet ASCII keeps Spark's UTF-16 `split` and SQL's
+    * char-indexed `substr` in agreement — which is what lets the
+    * DuckDB oracle replay every round (pair counts, argmax, the
+    * replace-based merge) exactly. Ties on pair count break
+    * lexicographically, so the whole merge table is a pure function of
+    * the corpus. Returns (merge_rank, lhs, rhs, pair_n); fewer than
+    * `k` rows when the pair supply exhausts first. */
+  def bpeMerges(docs: DataFrame, k: Int,
+                text: Column = col("text")): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val spark = docs.sparkSession
+    val words = docs.select(explode(wsTokens(text)).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    var cur = words.withColumn("syms",
+      filter(split(col("w"), ""), s => length(s) > 0))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val best = cur.select(col("n"), explode(zip_with(
+          slice(col("syms"), lit(1), greatest(size(col("syms")) - 1, lit(0))),
+          slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0))),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("n").as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        merges += ((r, a, b, c))
+        val merged = a + b
+        cur = cur.withColumn("syms",
+          aggregate(col("syms"), array().cast("array<string>"), (acc, s) =>
+            when(size(acc) > 0 && element_at(acc, -1) === lit(a) &&
+                s === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+              .otherwise(concat(acc, array(s)))))
+        r += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_n")
+  }
+
+  /** Frequency-ranked vocabulary: `(term, c, token_id)` with ids
+    * assigned 1..V in `(count desc, term asc)` order — the tokenizer-
+    * training primitive (id tables for word-level models, candidate
+    * ranking for subword learners) and a corpus artifact that must be
+    * DETERMINISTIC: ids are a pure function of the corpus, no
+    * first-seen or partition order anywhere.
+    *
+    * The total order is materialized WITHOUT a global sort: the
+    * [[graft.llm.Sampling.lengthGroupedBatches]] two-phase shape —
+    * per-(count, term-prefix) summary counts, running offsets over the
+    * summary (a bounded window: distinct (c, prefix) pairs, not terms),
+    * then within-group `row_number` ordered by term. The prefix is the
+    * term's own leading chars, so (c desc, prefix asc, term asc)
+    * IS (c desc, term asc) — and the prefix splits the huge
+    * c = minCount long-tail group that a plain per-count partition
+    * would funnel into one task. */
+  def buildVocab(docs: DataFrame, minCount: Long = 1L,
+                 text: Column = col("text"),
+                 prefixLen: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minCount >= 1 && prefixLen >= 1, s"$minCount/$prefixLen")
+    val counts = docs.select(explode(wsTokens(text)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .withColumn("__p", substring(col("term"), 1, prefixLen))
+    val offsets = counts
+      .groupBy(col("c").as("__c"), col("__p").as("__pp"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(
+        sum(col("__n")).over(Window.orderBy(col("__c").desc, col("__pp"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__c"), col("__pp"), col("__off"))
+    val wIn = Window.partitionBy(col("c"), col("__p")).orderBy(col("term"))
+    counts.join(broadcast(offsets),
+        col("c") === col("__c") && col("__p") === col("__pp"))
+      .withColumn("token_id", col("__off") + row_number().over(wIn))
+      .select(col("term"), col("c"), col("token_id"))
+  }
+
+  /** Corpus encoding against a [[buildVocab]] table: each document's
+    * tokens as its vocabulary ids, out-of-vocabulary as -1, rendered as
+    * a space-joined id string (a canonical cross-engine rendering —
+    * array outputs don't stringify identically across engines, id
+    * strings do). One narrow posexplode + a term-keyed join against the
+    * vocab (broadcast when it fits — the planner's call via AQE) + one
+    * per-doc re-assembly groupBy; token order is restored by sorting
+    * the (pos, id) pairs, not by collection order, so the result is
+    * partitioning-independent. */
+  def encodeCorpus(docs: DataFrame, vocab: DataFrame,
+                   id: Column = col("doc_id"),
+                   text: Column = col("text")): DataFrame =
+    docs.select(id.as("doc_id"), posexplode_outer(wsTokens(text))
+        .as(Seq("pos", "term")))
+      .join(vocab.select(col("term"), col("token_id")), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("pos")).as("n_tok"),
+        // empty/null-text docs surface one all-null generator row
+        // (posexplode_outer); the `when` nulls it so collect_list skips
+        // it and they encode as n_tok = 0, ids = "" — not a ghost "-1"
+        array_join(transform(
+          array_sort(collect_list(when(col("pos").isNotNull,
+            struct(col("pos"), col("token_id"))))),
+          p => coalesce(p.getField("token_id"), lit(-1L)).cast("string")),
+          " ").as("ids"))
+
   /** Reciprocal-rank fusion of ranked candidate lists — the standard
     * hybrid-retrieval combiner (lexical + semantic + priors), kept
     * engine-portable: each system contributes

@@ -103,6 +103,43 @@ object EventAnalytics {
       .select(col("g"), col("d"), coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
 
+  /** Per-group daily-volume trend: exact ordinary-least-squares slope of
+    * each group's event count against the day index, over the DENSIFIED
+    * series ([[densifyDaily]] — silent days regress as true zeros, the
+    * difference between "volume fell" and "volume stopped being
+    * reported"). The closed-form OLS slope
+    * `(n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx)` is emitted as its EXACT
+    * integer numerator and denominator — no division at all, because
+    * floor-vs-truncate integer division diverges across engines for the
+    * negative numerators a falling trend produces. Clients (and the
+    * oracle) divide however they like; sign(slope_num) is the trend
+    * verdict as-is, since the denominator is nonnegative by
+    * Cauchy-Schwarz.
+    *
+    * Plan shape: densify's one sparse shuffle + broadcast grid, then a
+    * per-group aggregate of four running sums — x is `datediff` from
+    * the global min day (in the grid already), so no window and no
+    * second pass anywhere. Sums fit long arithmetic far past 100 TB:
+    * Sxy <= days^2 * max_daily_count ~ 1e8 * 1e10 at a 30-year span. */
+  def dailyTrend(events: DataFrame, group: Column = col("event_type"),
+                 ts: Column = col("ts")): DataFrame = {
+    val dense = densifyDaily(events, group, ts)
+    val d0 = dense.agg(min("d").as("d0"))
+    dense.crossJoin(broadcast(d0))
+      .withColumn("x", datediff(col("d"), col("d0")).cast("long"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_days"),
+        sum("cnt").as("sum_y"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("cnt")).as("sxy"))
+      .select(col("g"), col("n_days"), col("sum_y"),
+        (col("n_days") * col("sxy") - col("sx") * col("sum_y"))
+          .as("slope_num"),
+        (col("n_days") * col("sxx") - col("sx") * col("sx"))
+          .as("slope_den"))
+  }
+
   /** Censored time-to-conversion life table (the Kaplan–Meier input):
     * for each user who emitted `startType`, the whole days until their
     * first qualifying `endType` (strictly after the start, within

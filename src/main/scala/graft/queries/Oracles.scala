@@ -1633,6 +1633,227 @@ object Oracles {
         |FROM lt""".stripMargin,
 
     // dense slice x group grid so absent cells contribute |0 - Cg*nd|
+    "q129_bpe_merges" -> {
+      // Each BPE round unrolled as CTEs (the kmeansCtes pattern): the
+      // word table carries its symbol segmentation as a chr(1)-wrapped
+      // string (\1sym\1\1sym\1...), so the greedy left-to-right
+      // non-overlapping merge IS SQL replace(), and the separators stop
+      // any cross-symbol pattern bleed.
+      val k = 5
+      val rounds = (1 to k).map { r =>
+        s"""p$r AS (
+           |  SELECT sy[i] AS a, sy[i+1] AS b, sum(n) AS c FROM (
+           |    SELECT n, sy, unnest(range(1, len(sy))) AS i FROM (
+           |      SELECT n, string_split(trim(s, chr(1)),
+           |                             chr(1) || chr(1)) AS sy
+           |      FROM w${r - 1}))
+           |  GROUP BY 1, 2),
+           |m$r AS (SELECT a, b, CAST(c AS BIGINT) AS c FROM p$r
+           |        ORDER BY c DESC, a, b LIMIT 1),
+           |w$r AS (
+           |  SELECT w, n,
+           |         replace(s, chr(1) || a || chr(1) || chr(1) || b || chr(1),
+           |                 chr(1) || a || b || chr(1)) AS s
+           |  FROM w${r - 1} CROSS JOIN m$r)""".stripMargin
+      }.mkString(",\n")
+      val finals = (1 to k).map { r =>
+        if (r == 1)
+          s"SELECT 1 AS merge_rank, a AS lhs, b AS rhs, c AS pair_n FROM m1"
+        else s"SELECT $r, a, b, c FROM m$r"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH w0 AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS n,
+         |         regexp_replace(w, '(.)',
+         |           chr(1) || '\\1' || chr(1), 'g') AS s
+         |  FROM (SELECT unnest(list_filter(string_split($norm, ' '),
+         |          t -> len(t) > 0)) AS w FROM documents)
+         |  WHERE regexp_matches(w, '^[a-z0-9]+$$')
+         |  GROUP BY w),
+         |$rounds
+         |SELECT * FROM (
+         |  $finals)""".stripMargin
+    },
+
+    "q128_pq_adc" -> {
+      // subspace-windowed dot / squared-L2 with the engine's exact
+      // left-to-right accumulation (PqCode/PqLut read window index i on
+      // both sides, so full-length centroids replay by list index)
+      def subDot(a: String, b: String): String =
+        s"list_reduce(list_transform(range(16 * js.j + 1, 16 * js.j + 17), " +
+          s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
+      def subL2(a: String, b: String): String =
+        s"list_reduce(list_transform(range(16 * js.j + 1, 16 * js.j + 17), " +
+          s"i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * " +
+          s"($a[i]::DOUBLE - $b[i]::DOUBLE)), (x, y) -> x + y)"
+      s"""WITH cent AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+         |         embedding AS c
+         |  FROM embeddings ORDER BY vec_id LIMIT 8),
+         |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+         |enc AS (
+         |  SELECT vec_id, j, code FROM (
+         |    SELECT e.vec_id, js.j, cent.code,
+         |           row_number() OVER (PARTITION BY e.vec_id, js.j
+         |             ORDER BY ${subL2("e.embedding", "cent.c")} ASC,
+         |                      cent.code ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cent CROSS JOIN js)
+         |  WHERE rn = 1),
+         |lut AS (
+         |  SELECT q.vec_id AS query_id, js.j, cent.code,
+         |         ${subDot("q.embedding", "cent.c")} AS v
+         |  FROM embeddings q CROSS JOIN cent CROSS JOIN js
+         |  WHERE q.vec_id < 5),
+         |pairs AS (
+         |  SELECT l.query_id, e.vec_id,
+         |         list_reduce(list(l.v ORDER BY l.j), (x, y) -> x + y) AS adc
+         |  FROM enc e JOIN lut l ON e.j = l.j AND e.code = l.code
+         |  WHERE e.vec_id <> l.query_id
+         |  GROUP BY l.query_id, e.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, adc,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY adc DESC, vec_id ASC) AS rank
+         |  FROM pairs)
+         |SELECT r.query_id, CAST(r.rank AS INT) AS rank, r.vec_id, r.adc,
+         |       ${cosSql("q.embedding", "d.embedding")} AS exact_cos
+         |FROM ranked r
+         |JOIN embeddings q ON q.vec_id = r.query_id
+         |JOIN embeddings d ON d.vec_id = r.vec_id
+         |WHERE r.rank <= 10""".stripMargin
+    },
+
+    "q121_cm_freq" ->
+      s"""WITH t AS (
+         |  SELECT unnest(list_filter(string_split($norm, ' '),
+         |    x -> len(x) > 0)) AS item FROM documents),
+         |rows3 AS (SELECT unnest([0, 1, 2]) AS r),
+         |sk AS (
+         |  SELECT r,
+         |         ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || item),
+         |           1, 7))::BIGINT % 1024 AS bucket,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM t CROSS JOIN rows3 GROUP BY 1, 2),
+         |probes AS (SELECT DISTINCT item FROM (
+         |  SELECT unnest(list_filter(string_split($norm, ' '),
+         |    x -> len(x) > 0)) AS item
+         |  FROM documents WHERE doc_id < 10)),
+         |pe AS (
+         |  SELECT item, r,
+         |         ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || item),
+         |           1, 7))::BIGINT % 1024 AS bucket
+         |  FROM probes CROSS JOIN rows3)
+         |SELECT pe.item, min(coalesce(sk.cnt, 0)) AS cm_est
+         |FROM pe LEFT JOIN sk ON pe.r = sk.r AND pe.bucket = sk.bucket
+         |GROUP BY pe.item""".stripMargin,
+
+    "q122_collocations" ->
+      s"""WITH tk AS (
+         |  SELECT list_filter(string_split($norm, ' '),
+         |    t -> len(t) > 0) AS t FROM documents),
+         |bi AS (
+         |  SELECT t[i] AS w1, t[i+1] AS w2
+         |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM tk)),
+         |uni AS (SELECT unnest(t) AS w FROM tk),
+         |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM uni),
+         |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_n
+         |       FROM bi GROUP BY w1, w2 HAVING count(*) >= 5)
+         |SELECT w1, w2, pair_n,
+         |       CAST((CAST(pair_n AS HUGEINT) * 1000000 * n.n_tokens)
+         |         // (a.c * b.c) AS BIGINT) AS pmi_e6
+         |FROM c2 JOIN c1 a ON c2.w1 = a.w JOIN c1 b ON c2.w2 = b.w
+         |CROSS JOIN n
+         |ORDER BY pmi_e6 DESC, w1, w2 LIMIT 100""".stripMargin,
+
+    "q123_copurchase_sim" ->
+      """WITH inc AS (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |  FROM lineitem WHERE l_partkey < 3000),
+        |keptb AS (SELECT basket FROM inc GROUP BY basket
+        |          HAVING count(*) <= 64),
+        |kept AS (SELECT inc.basket, inc.item
+        |         FROM inc JOIN keptb USING (basket)),
+        |ic AS (SELECT item, CAST(count(*) AS BIGINT) AS c
+        |       FROM kept GROUP BY item),
+        |p AS (
+        |  SELECT a.item AS item_a, b.item AS item_b,
+        |         CAST(count(*) AS BIGINT) AS pair_n
+        |  FROM kept a JOIN kept b ON a.basket = b.basket AND a.item < b.item
+        |  GROUP BY a.item, b.item HAVING count(*) >= 2)
+        |SELECT item_a, item_b, pair_n,
+        |       CAST((CAST(pair_n AS HUGEINT) * pair_n * 1000000)
+        |         // (ca.c * cb.c) AS BIGINT) AS cos2_e6
+        |FROM p JOIN ic ca ON p.item_a = ca.item
+        |JOIN ic cb ON p.item_b = cb.item""".stripMargin,
+
+    "q124_daily_trend" ->
+      """WITH sparse AS (
+        |  SELECT event_type AS g, CAST(ts AS DATE) AS d, count(*) AS cnt
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |span AS (SELECT min(d) AS d0, max(d) AS d1 FROM sparse),
+        |cal AS (
+        |  SELECT CAST(unnest(generate_series(d0, d1,
+        |    INTERVAL 1 DAY)) AS DATE) AS d FROM span),
+        |grps AS (SELECT DISTINCT g FROM sparse),
+        |dense AS (
+        |  SELECT grps.g, cal.d, coalesce(sparse.cnt, 0) AS cnt
+        |  FROM cal CROSS JOIN grps
+        |  LEFT JOIN sparse ON sparse.g = grps.g AND sparse.d = cal.d),
+        |x AS (SELECT g, datediff('day', span.d0, d) AS x, cnt
+        |      FROM dense, span)
+        |SELECT g, CAST(count(*) AS BIGINT) AS n_days,
+        |       CAST(sum(cnt) AS BIGINT) AS sum_y,
+        |       CAST(count(*) * sum(x * cnt) - sum(x) * sum(cnt)
+        |         AS BIGINT) AS slope_num,
+        |       CAST(count(*) * sum(x * x) - sum(x) * sum(x)
+        |         AS BIGINT) AS slope_den
+        |FROM x GROUP BY g""".stripMargin,
+
+    "q125_skyline" ->
+      """WITH pts AS (
+        |  SELECT p_partkey AS id, CAST(p_size AS BIGINT) AS x,
+        |         CAST(p_retailprice * 100 AS BIGINT) AS y
+        |  FROM part)
+        |SELECT s.id, s.x, s.y FROM pts s
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts q
+        |  WHERE q.x <= s.x AND q.y <= s.y
+        |    AND (q.x < s.x OR q.y < s.y))""".stripMargin,
+
+    "q126_vocab" ->
+      s"""WITH tok AS (
+         |  SELECT unnest(list_filter(string_split($norm, ' '),
+         |    t -> len(t) > 0)) AS term FROM documents),
+         |cts AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+         |        FROM tok GROUP BY term HAVING count(*) >= 3)
+         |SELECT term, c,
+         |       row_number() OVER (ORDER BY c DESC, term) AS token_id
+         |FROM cts""".stripMargin,
+
+    "q127_encode" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter(string_split($norm, ' '),
+         |    t -> len(t) > 0) AS t FROM documents),
+         |tok AS (
+         |  SELECT doc_id, unnest(t) AS term,
+         |         unnest(range(len(t))) AS pos FROM tk),
+         |cts AS (SELECT term, count(*) AS c FROM tok
+         |        GROUP BY term HAVING count(*) >= 3),
+         |v AS (SELECT term,
+         |        row_number() OVER (ORDER BY c DESC, term) AS token_id
+         |      FROM cts),
+         |enc AS (
+         |  SELECT tok.doc_id, tok.pos, coalesce(v.token_id, -1) AS tid
+         |  FROM tok LEFT JOIN v ON tok.term = v.term),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         |         string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos) AS ids
+         |  FROM enc GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(agg.n_tok, 0) AS n_tok,
+         |       coalesce(agg.ids, '') AS ids
+         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
+
     "q120_mix_drift" ->
       """WITH sp AS (
         |  SELECT CAST(ts AS DATE) AS d, event_type AS g, count(*) AS c

@@ -1536,7 +1536,99 @@ object TestdataQueries {
   def q120MixDrift(s: SparkSession, dir: String): DataFrame =
     graft.operators.EventAnalytics.mixDrift(t(s, dir, "events"))
 
+  /** Count-Min frequency sketch (X60): term-frequency estimates for the
+    * probe vocabulary (terms of the first ten documents) from a 3x1024
+    * mergeable counter grid — md5-derived buckets, so the DuckDB oracle
+    * replays the ESTIMATES bit-for-bit, not just their error bound
+    * ([[graft.llm.Sketches.countMinBuild]]). */
+  def q121CmFreq(s: SparkSession, dir: String): DataFrame = {
+    val terms = t(s, dir, "documents")
+      .select(explode(Dedup.wsTokens(col("text"))).as("term"))
+    val probes = t(s, dir, "documents").filter(col("doc_id") < 10)
+      .select(explode(Dedup.wsTokens(col("text"))).as("term"))
+    val sketch = Sketches.countMinBuild(terms, col("term"))
+    Sketches.countMinEstimate(probes, sketch, col("term"))
+  }
+
+  /** PMI collocation mining (X61): adjacent-pair phrases scored by the
+    * integer un-logged PMI argument, top-100
+    * ([[graft.llm.TextAnalysis.collocations]]). */
+  def q122Collocations(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.collocations(t(s, dir, "documents"), minCount = 5L,
+      topK = 100)
+
+  /** Item-item co-occurrence similarity (X62): parts bought together,
+    * scored by the exact squared-cosine surrogate over order baskets
+    * ([[graft.operators.CoOccurrence.cosineSimilarity]]); same graph
+    * X50's triangle count walks. */
+  def q123CopurchaseSim(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CoOccurrence.cosineSimilarity(
+      t(s, dir, "lineitem").filter(col("l_partkey") < 3000),
+      basket = col("l_orderkey"), item = col("l_partkey"),
+      minPairs = 2L, maxBasket = 64)
+
+  /** Per-type daily-volume trend (X63): exact OLS slope
+    * numerator/denominator over the densified per-day counts
+    * ([[graft.operators.EventAnalytics.dailyTrend]]). */
+  def q124DailyTrend(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.dailyTrend(t(s, dir, "events"))
+
+  /** 2-D skyline (X64): the cheap-AND-small Pareto frontier of part on
+    * (size, retail price in exact cents), minimize both
+    * ([[graft.operators.Skyline.skyline2d]]); the oracle runs the
+    * quadratic NOT EXISTS definition. */
+  def q125Skyline(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skyline.skyline2d(
+      t(s, dir, "part"), id = col("p_partkey"), x = col("p_size"),
+      y = expr("CAST(p_retailprice * 100 AS BIGINT)"))
+
+  /** Frequency-ranked vocabulary (X65): deterministic term -> id table
+    * in (count desc, term) order, built with the two-phase
+    * summary-offset rank — no global sort
+    * ([[graft.llm.TextAnalysis.buildVocab]]). */
+  def q126Vocab(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.buildVocab(t(s, dir, "documents"), minCount = 3L)
+
+  /** Corpus encoding against the X65 vocabulary (X66): per-document
+    * token-id strings, OOV as -1
+    * ([[graft.llm.TextAnalysis.encodeCorpus]]). */
+  def q127Encode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.encodeCorpus(docs,
+      TextAnalysis.buildVocab(docs, minCount = 3L))
+  }
+
+  /** PQ-ADC approximate nearest neighbours (X67): documents as 4 int
+    * codes against an 8-entry seed codebook (`iters = 0` — the
+    * SQL-replayable configuration), per-query LUT, ADC ranking, exact
+    * rescore of survivors ([[graft.llm.Similarity.pqAdcTopK]]). Every
+    * double is produced by the same left-to-right accumulation in both
+    * engines, so codes, scores, ranks, and rescores are all bit-exact
+    * vs the oracle. */
+  def q128PqAdc(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.pqAdcTopK(emb, queries, k = 10, ks = 8, m = 4, iters = 0)
+  }
+
+  /** BPE merge learning (X68): five deterministic merge rounds over the
+    * word-frequency table ([[graft.llm.TextAnalysis.bpeMerges]]); the
+    * oracle unrolls each round (pair stats, lexicographic-tie argmax,
+    * greedy replace) as a CTE chain. */
+  def q129BpeMerges(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeMerges(t(s, dir, "documents"), k = 5)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_bpe_merges" -> q129BpeMerges _,
+    "q128_pq_adc" -> q128PqAdc _,
+    "q121_cm_freq" -> q121CmFreq _,
+    "q122_collocations" -> q122Collocations _,
+    "q123_copurchase_sim" -> q123CopurchaseSim _,
+    "q124_daily_trend" -> q124DailyTrend _,
+    "q125_skyline" -> q125Skyline _,
+    "q126_vocab" -> q126Vocab _,
+    "q127_encode" -> q127Encode _,
     "q116_scd2_history" -> q116Scd2History _,
     "q117_linkage_score" -> q117LinkageScore _,
     "q118_attribution" -> q118Attribution _,

@@ -1,0 +1,276 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.llm.{Sketches, TextAnalysis}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Count-Min sketch, PMI collocations, co-occurrence similarity, daily
+  * trend, skyline, vocabulary build/encode — each pinned against an
+  * independent reference (brute force, a hand replay, or a
+  * single-window global form). */
+class AnalyticsOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ count-min
+
+  private def termDf(words: Seq[String]): DataFrame = words.toDF("w")
+
+  test("count-min: never undercounts, exact when collision-free") {
+    val words = Seq.fill(40)("alpha") ++ Seq.fill(7)("beta") ++ Seq("gamma")
+    val items = termDf(new scala.util.Random(7).shuffle(words))
+    val exact = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    // tight width forces collisions -> estimates are upper bounds
+    val tight = Sketches.countMinEstimate(items, Sketches.countMinBuild(
+      items, $"w", depth = 2, width = 4), $"w", depth = 2, width = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (w, c) => assert(tight(w) >= c, w) }
+    // 3 distinct terms on a 4096-wide grid: collision probability ~0 for
+    // this fixed md5 family (verified by the equality itself)
+    val wide = Sketches.countMinEstimate(items, Sketches.countMinBuild(
+      items, $"w", width = 4096), $"w", width = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wide == exact)
+  }
+
+  test("count-min: sketches merge by adding cells") {
+    val a = termDf(Seq("x", "y", "x", "z"))
+    val b = termDf(Seq("y", "y", "w"))
+    val merged = Sketches.countMinBuild(a, $"w", depth = 2, width = 8)
+      .unionAll(Sketches.countMinBuild(b, $"w", depth = 2, width = 8))
+      .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+    val direct = Sketches.countMinBuild(a.unionAll(b), $"w",
+      depth = 2, width = 8)
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+  }
+
+  // --------------------------------------------------------- collocations
+
+  test("collocations: exact PMI surrogate, minCount floor, ordering") {
+    // "of the" appears 3x; tokens: of=3, the=4, cat=2, a=1, N=13
+    val docs = Seq(
+      (1L, "of the cat of the"),
+      (2L, "of the the cat a")).toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(docs, minCount = 2L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    // tokens: N=10; of=3, the=4, cat=2, a=1
+    // pairs with count >= 2: (of,the)=3, (the,cat)=2
+    // pmi(of,the)  = 3*1e6*10 div (3*4) = 2500000
+    // pmi(the,cat) = 2*1e6*10 div (4*2) = 2500000
+    // tie -> order (pmi desc, w1 asc): "of" < "the"
+    assert(got.toSeq == Seq(
+      ("of", "the", 3L, 2500000L),
+      ("the", "cat", 2L, 2500000L)))
+  }
+
+  // ------------------------------------------------------- co-occurrence
+
+  test("co-occurrence: exact cosine surrogate and wholesale basket cap") {
+    val inc = Seq(
+      (1L, "a"), (1L, "b"), (1L, "a"),          // dup (1,a) collapses
+      (2L, "a"), (2L, "b"), (2L, "c"),
+      (3L, "b"), (3L, "c"),
+      (9L, "a"), (9L, "b"), (9L, "c"), (9L, "d") // dropped: size 4 > cap 3
+    ).toDF("basket", "item")
+    val dropped = CoOccurrence.droppedBaskets(inc, $"basket", $"item", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dropped.toSeq == Seq((9L, 4L)))
+    val got = CoOccurrence.cosineSimilarity(inc, $"basket", $"item",
+        minPairs = 2L, maxBasket = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // on retained baskets {1,2,3}: c_a=2, c_b=3, c_c=2
+    // pairs: (a,b)=2, (b,c)=2, (a,c)=1 (below minPairs)
+    // cos2(a,b) = 4*1e6 div 6 = 666666; cos2(b,c) = 4*1e6 div 6 = 666666
+    assert(got == Set(("a", "b", 2L, 666666L), ("b", "c", 2L, 666666L)))
+  }
+
+  // --------------------------------------------------------- daily trend
+
+  test("daily trend: exact OLS sums over the densified series") {
+    val events = Seq(
+      ("up", "2024-01-01", 1), ("up", "2024-01-03", 3),
+      ("down", "2024-01-01", 3), ("down", "2024-01-02", 1)
+    ).flatMap { case (g, d, n) => Seq.fill(n)((g, java.sql.Timestamp.valueOf(
+      d + " 12:00:00"))) }.toDF("event_type", "ts")
+    val got = graft.operators.EventAnalytics.dailyTrend(events)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // span = 3 days (x = 0,1,2), densified: up = (1,0,3), down = (3,1,0)
+    // up:   n=3 Sy=4 Sx=3 Sxx=5 Sxy=6  -> num = 3*6-3*4  = 6,  den = 3*5-9 = 6
+    // down: n=3 Sy=4 Sx=3 Sxx=5 Sxy=1  -> num = 3*1-3*4  = -9, den = 6
+    assert(got("up") == ((3L, 4L, 6L, 6L)))
+    assert(got("down") == ((3L, 4L, -9L, 6L)))
+  }
+
+  test("daily trend: single-day group has zero denominator, flat is zero") {
+    val events = Seq(("only", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("event_type", "ts")
+    val Array(r) = graft.operators.EventAnalytics.dailyTrend(events).collect()
+    assert(r.getLong(3) == 0L && r.getLong(4) == 0L) // 1-point fit: 0/0
+  }
+
+  // ------------------------------------------------------------- skyline
+
+  private def bruteSkyline(pts: DataFrame): Set[(Long, Long, Long)] = {
+    val rows = pts.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.filter { case (_, x, y) =>
+      !rows.exists { case (_, qx, qy) =>
+        qx <= x && qy <= y && (qx < x || qy < y) }
+    }.toSet
+  }
+
+  test("skyline: equals brute-force NOT EXISTS on a pseudo-random cloud") {
+    val pts = (1L to 400L).map { i =>
+      val x = (i * 37) % 97; val y = (i * 53) % 89
+      (i, x, y)
+    }
+    val df = pts.toDF("id", "x", "y")
+    val expected = bruteSkyline(df)
+    val got = Skyline.skyline2d(df, $"id", $"x", $"y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("skyline: exact duplicates of a frontier point all survive") {
+    val df = Seq((1L, 0L, 5L), (2L, 5L, 0L), (3L, 0L, 5L), (4L, 3L, 3L),
+      (5L, 4L, 4L)).toDF("id", "x", "y")
+    // strict dominance: (0,5)==(0,5) don't dominate each other;
+    // (4,4) is dominated by (3,3)
+    val got = Skyline.skyline2d(df, $"id", $"x", $"y")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("skyline: bucket-count invariance (1 bucket == 256 buckets)") {
+    val df = (1L to 300L).map(i => (i, (i * 31) % 61, (i * 17) % 71))
+      .toDF("id", "x", "y")
+    val one = Skyline.skyline2d(df, $"id", $"x", $"y", buckets = 1)
+      .collect().map(_.getLong(0)).toSet
+    val many = Skyline.skyline2d(df, $"id", $"x", $"y", buckets = 256)
+      .collect().map(_.getLong(0)).toSet
+    assert(one == many && one == bruteSkyline(df).map(_._1))
+  }
+
+  // --------------------------------------------------------------- vocab
+
+  test("vocab: two-phase rank equals the global-window reference") {
+    val docs = Seq(
+      (1L, "red red red blue blue green green yellow zeta zeta"),
+      (2L, "red blue alpha beta gamma zeta")).toDF("doc_id", "text")
+    val got = TextAnalysis.buildVocab(docs, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._3)
+    // counts: red=4, blue=3, green=2, zeta=3, yellow=1(cut), singles cut
+    // order (c desc, term): red(4), blue(3), zeta(3), green(2)
+    assert(got.toSeq == Seq(("red", 4L, 1L), ("blue", 3L, 2L),
+      ("zeta", 3L, 3L), ("green", 2L, 4L)))
+  }
+
+  test("vocab: prefix split keeps ids dense and unique at prefixLen=1") {
+    val docs = (1L to 50L).map(i => (i, s"a${i % 7} b${i % 5} a${i % 7}"))
+      .toDF("doc_id", "text")
+    val v = TextAnalysis.buildVocab(docs, minCount = 1L, prefixLen = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val ids = v.map(_._3).sorted
+    assert(ids.toSeq == (1L to v.length).toSeq)
+    // ranks respect (c desc, term asc)
+    val sorted = v.sortBy { case (t, c, _) => (-c, t) }.map(_._3)
+    assert(sorted.toSeq == (1L to v.length).toSeq)
+  }
+
+  // ----------------------------------------------------------------- BPE
+
+  test("bpe: hand-replayed merges, frequency weighting, greedy scan") {
+    // words (post-filter): low x3, lowest x1  -> chars l,o,w,e,s,t
+    // round 1 pairs: (l,o)=4 (o,w)=4 (w,e)=1 (e,s)=1 (s,t)=1
+    //   tie 4: (l,o) < (o,w) lexicographically -> merge (l,o)
+    // round 2: (lo,w)=4 (w,e)=1 (e,s)=1 (s,t)=1 -> merge (lo,w)
+    // round 3: (low,e)=1 (e,s)=1 (s,t)=1 -> tie of 1s -> (e,s)
+    val docs = Seq((1L, "low low lowest"), (2L, "low")).toDF("doc_id", "text")
+    val got = graft.llm.TextAnalysis.bpeMerges(docs, k = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(got.toSeq == Seq((1, "l", "o", 4L), (2, "lo", "w", 4L),
+      (3, "e", "s", 1L)))
+  }
+
+  test("bpe: 'aaa' merges non-overlapping left-to-right") {
+    val docs = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    // round 1: pairs (a,a)=4 -> merge. round 2: each word is [aa, a] ->
+    // pair (aa,a)=2 -> merge. round 3: single symbol, supply exhausted.
+    val got = graft.llm.TextAnalysis.bpeMerges(docs, k = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(got.toSeq == Seq((1, "a", "a", 4L), (2, "aa", "a", 2L)))
+  }
+
+  test("bpe: non-ascii words are excluded from training") {
+    val docs = Seq((1L, "abc abé abc")).toDF("doc_id", "text")
+    val got = graft.llm.TextAnalysis.bpeMerges(docs, k = 1)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("a", "b", 2L))) // only the two "abc"
+  }
+
+  // ------------------------------------------------------------ PQ / ADC
+
+  private def vec(xs: Double*): Seq[Double] = xs.toSeq
+
+  test("pq: codes are per-window argmin-L2 with ties to the smallest code") {
+    import graft.expr.VectorExprs
+    // dim 4, m 2 (windows [0,1] and [2,3]); entries chosen so window
+    // winners differ and doc 3 ties exactly between codes 0 and 1
+    val cb = Array(Array(0.0, 0.0, 1.0, 1.0), Array(1.0, 1.0, 0.0, 0.0))
+    val docs = Seq(
+      (1L, vec(0.1, 0.0, 0.9, 1.0)),  // w0 -> code 0, w1 -> code 0
+      (2L, vec(1.0, 0.9, 0.1, 0.0)),  // w0 -> code 1, w1 -> code 1
+      (3L, vec(0.5, 0.5, 0.5, 0.5))   // equidistant -> code 0 twice
+    ).toDF("vec_id", "embedding")
+    val got = docs.select($"vec_id",
+        VectorExprs.pqCode($"embedding", cb, 2).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(got(1L) == List(0, 0) && got(2L) == List(1, 1) &&
+      got(3L) == List(0, 0))
+  }
+
+  test("pq: ADC equals the exact dot when vectors sit on codebook entries") {
+    val cb = Array(Array(1.0, 2.0, 3.0, 4.0), Array(-1.0, 0.5, 2.0, -2.0))
+    val corpus = Seq((10L, cb(0).toSeq), (11L, cb(1).toSeq))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((10L, vec(1.0, 1.0, 1.0, 1.0)))
+      .toDF("query_id", "embedding")
+    val got = graft.llm.Similarity.pqAdcTopK(corpus, queries, k = 5,
+        ks = 2, m = 2, iters = 0, excludeSelf = false)
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).toMap
+    // vectors ARE codebook entries -> reconstruction is exact, so
+    // adc == dot(q, x): dot(q, cb0) = 10, dot(q, cb1) = -0.5
+    assert(got(10L) == 10.0 && got(11L) == -0.5)
+  }
+
+  test("pq: one Lloyd iteration moves a window to its members' mean") {
+    val corpus = Seq(
+      (0L, vec(0.0, 0.0)), (1L, vec(10.0, 10.0)),   // the two seeds
+      (2L, vec(2.0, 0.0)), (3L, vec(12.0, 10.0))
+    ).toDF("vec_id", "embedding")
+    val cb = graft.llm.Similarity.pqCodebook(corpus, ks = 2, m = 1,
+      iters = 1)
+    // cluster 0 = {(0,0),(2,0)} -> mean (1,0); cluster 1 -> (11,10)
+    assert(cb(0).toSeq == Seq(1.0, 0.0) && cb(1).toSeq == Seq(11.0, 10.0))
+  }
+
+  test("encode: order restored, OOV -> -1, empty doc -> (0, \"\")") {
+    val docs = Seq(
+      (1L, "b a b rare"),
+      (2L, ""),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val vocab = TextAnalysis.buildVocab(docs, minCount = 2L) // b=1, a...
+    // counts: b=2, a=1(cut), rare=1(cut) -> vocab = {b -> 1}
+    val got = TextAnalysis.encodeCorpus(docs.repartition(5), vocab)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(got(1L) == ((4L, "1 -1 1 -1")))
+    assert(got(2L) == ((0L, "")))
+    assert(got(3L) == ((0L, "")))
+  }
+}
