@@ -388,6 +388,63 @@ object Similarity {
           (norm(col("q_emb")) * norm(col("c_emb")))).as("exact_cos"))
   }
 
+  /** IVF-PQ: the two ANN prunes composed — the 100 TB serving shape
+    * (FAISS IndexIVFPQ). The IVF coarse quantizer routes every corpus
+    * vector to its argmax-cosine cell in ONE shuffle-free native plan
+    * node ([[graft.expr.CentroidArgMax]] — the corpus never moves for
+    * assignment), queries probe their `nProbe` nearest cells, and only
+    * the probed cells' vectors are scored — as PQ codes via the m-lookup
+    * ADC, never as full vectors. The scan therefore touches
+    * `nProbe / nLists` of the corpus and reads 8-byte codes instead of
+    * 256-byte vectors: the two reductions multiply. Survivors get the
+    * exact rescore. Same determinism contract as [[pqAdcTopK]]: with
+    * `iters = 0` codebooks everything — cells, probes, codes, ADC
+    * scores, ranks, rescores — replays in SQL bit-for-bit. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nLists: Int = 16, nProbe: Int = 4,
+                ks: Int = 8, m: Int = 4, iters: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents: Array[Array[Double]] = corpus
+      .orderBy(col("vec_id")).limit(nLists)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+    val cb = pqCodebook(corpus, ks, m, iters)
+    val enc = corpus.select(col("vec_id"),
+      graft.expr.VectorExprs.centroidArgMax(col("embedding"), cents)
+        .getField("cluster").as("cell_id"),
+      graft.expr.VectorExprs.pqCode(col("embedding"), cb, m).as("codes"))
+    val centRows = broadcast(corpus.sparkSession.createDataFrame(
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq)
+      .toDF("cell_id", "centroid"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cell_id").asc)
+    val probes = queries
+      .select(col("query_id"),
+        graft.expr.VectorExprs.pqLut(col("embedding"), cb, m).as("lut"),
+        col("embedding").as("q_emb"))
+      .join(centRows)
+      .select(col("query_id"), col("lut"), col("cell_id"),
+        (dot(col("q_emb"), col("centroid")) /
+          (norm(col("q_emb")) * norm(col("centroid")))).as("sim"))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("lut"), col("cell_id"))
+    val adc = (0 until m).map { j =>
+      element_at(col("lut"), lit(j * ks + 1) + element_at(col("codes"), j + 1))
+    }.reduce(_ + _)
+    val scored = enc.join(broadcast(probes), Seq("cell_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), adc.as("cosine"))
+    val top = topKPerQuery(scored, k).withColumnRenamed("cosine", "adc")
+    corpus.select(col("vec_id"), col("embedding").as("c_emb"))
+      .join(broadcast(top), "vec_id")
+      .join(broadcast(queries.select(col("query_id"),
+        col("embedding").as("q_emb"))), "query_id")
+      .select(col("query_id"), col("rank"), col("vec_id"), col("adc"),
+        (dot(col("q_emb"), col("c_emb")) /
+          (norm(col("q_emb")) * norm(col("c_emb")))).as("exact_cos"))
+  }
+
   /** Deterministic per-query top-k: (cosine desc, vec_id asc).
     *
     * Implemented with the bounded-heap [[TopKAggregator]] rather than a

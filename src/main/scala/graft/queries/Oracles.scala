@@ -1633,6 +1633,78 @@ object Oracles {
         |FROM lt""".stripMargin,
 
     // dense slice x group grid so absent cells contribute |0 - Cg*nd|
+    "q130_ivf_pq" -> {
+      // q40's IVF cell/probe CTEs composed with q128's PQ code/LUT CTEs;
+      // scoring restricted to probed cells, then the exact rescore
+      def subDot(a: String, b: String): String =
+        s"list_reduce(list_transform(range(16 * js.j + 1, 16 * js.j + 17), " +
+          s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
+      def subL2(a: String, b: String): String =
+        s"list_reduce(list_transform(range(16 * js.j + 1, 16 * js.j + 17), " +
+          s"i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * " +
+          s"($a[i]::DOUBLE - $b[i]::DOUBLE)), (x, y) -> x + y)"
+      s"""WITH ivf AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id,
+         |         embedding AS c
+         |  FROM embeddings ORDER BY vec_id LIMIT 16),
+         |pq AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+         |         embedding AS c
+         |  FROM embeddings ORDER BY vec_id LIMIT 8),
+         |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+         |cells AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT e.vec_id, ivf.cell_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.embedding", "ivf.c")} DESC,
+         |                      ivf.cell_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN ivf)
+         |  WHERE rn = 1),
+         |enc AS (
+         |  SELECT vec_id, j, code FROM (
+         |    SELECT e.vec_id, js.j, pq.code,
+         |           row_number() OVER (PARTITION BY e.vec_id, js.j
+         |             ORDER BY ${subL2("e.embedding", "pq.c")} ASC,
+         |                      pq.code ASC) AS rn
+         |    FROM embeddings e CROSS JOIN pq CROSS JOIN js)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, cell_id FROM (
+         |    SELECT q.vec_id AS query_id, ivf.cell_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${cosSql("q.embedding", "ivf.c")} DESC,
+         |                      ivf.cell_id ASC) AS rn
+         |    FROM embeddings q CROSS JOIN ivf
+         |    WHERE q.vec_id < 5)
+         |  WHERE rn <= 4),
+         |lut AS (
+         |  SELECT q.vec_id AS query_id, js.j, pq.code,
+         |         ${subDot("q.embedding", "pq.c")} AS v
+         |  FROM embeddings q CROSS JOIN pq CROSS JOIN js
+         |  WHERE q.vec_id < 5),
+         |pairs AS (
+         |  SELECT l.query_id, e.vec_id,
+         |         list_reduce(list(l.v ORDER BY l.j), (x, y) -> x + y) AS adc
+         |  FROM probes pr
+         |  JOIN cells ce ON ce.cell_id = pr.cell_id
+         |  JOIN enc e ON e.vec_id = ce.vec_id
+         |  JOIN lut l ON l.query_id = pr.query_id
+         |             AND l.j = e.j AND l.code = e.code
+         |  WHERE e.vec_id <> pr.query_id
+         |  GROUP BY l.query_id, e.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, adc,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY adc DESC, vec_id ASC) AS rank
+         |  FROM pairs)
+         |SELECT r.query_id, CAST(r.rank AS INT) AS rank, r.vec_id, r.adc,
+         |       ${cosSql("q.embedding", "d.embedding")} AS exact_cos
+         |FROM ranked r
+         |JOIN embeddings q ON q.vec_id = r.query_id
+         |JOIN embeddings d ON d.vec_id = r.vec_id
+         |WHERE r.rank <= 10""".stripMargin
+    },
+
     "q129_bpe_merges" -> {
       // Each BPE round unrolled as CTEs (the kmeansCtes pattern): the
       // word table carries its symbol segmentation as a chr(1)-wrapped

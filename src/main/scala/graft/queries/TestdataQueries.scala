@@ -1619,7 +1619,20 @@ object TestdataQueries {
   def q129BpeMerges(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeMerges(t(s, dir, "documents"), k = 5)
 
+  /** IVF-PQ ANN (X69): the IVF cell routing (16 cells, 4 probes) and
+    * the PQ-ADC code scan composed — the multiplied-pruning 100 TB
+    * serving shape ([[graft.llm.Similarity.ivfPqTopK]]); every stage
+    * replays bit-exact in the oracle. */
+  def q130IvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.ivfPqTopK(emb, queries, k = 10, nLists = 16, nProbe = 4,
+      ks = 8, m = 4, iters = 0)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_ivf_pq" -> q130IvfPq _,
     "q129_bpe_merges" -> q129BpeMerges _,
     "q128_pq_adc" -> q128PqAdc _,
     "q121_cm_freq" -> q121CmFreq _,

@@ -1,0 +1,72 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import graft.etl.Warehouse
+import graft.llm.{Dedup, Sketches}
+
+/** Streaming Count-Min maintenance: documents land as JSON-lines files;
+  * each micro-batch's term occurrences are sketched
+  * ([[Sketches.countMinBuild]] — the batch operator verbatim, so batch
+  * and streaming sketches cannot drift) and MERGED into the warehouse
+  * sketch by cell addition — the mergeable-summary contract doing real
+  * work: the stream never re-reads history, the sketch never exceeds
+  * `depth * width` rows, and the merged table always equals the
+  * one-shot sketch of everything ever streamed.
+  *
+  * Cell addition is NOT naturally idempotent (unlike the dedup sinks'
+  * keyed append-if-absent), so effectively-once here leans entirely on
+  * the transactional high-water mark: the merged sketch and the
+  * [[StreamCommits]] record flip in ONE [[Warehouse.transact]] catalog
+  * rename — a crash inside the batch publishes neither, a replayed
+  * batch short-circuits on `alreadyCommitted` and adds nothing twice.
+  * That makes this the additive-state member of the streaming family
+  * (dedup = keyed-idempotent sinks, funnel/sessionize = operator
+  * state, sketch = transactional accumulator).
+  */
+final class StreamingSketch(spark: SparkSession, wh: Warehouse,
+                            landingDir: String, checkpointDir: String,
+                            depth: Int = 3, width: Int = 1024) {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+  val sketchSchema: StructType = StructType(Seq(
+    StructField("row", IntegerType), StructField("bucket", LongType),
+    StructField("cnt", LongType)))
+
+  def start(availableNow: Boolean = false): StreamingQuery = {
+    val docs = spark.readStream.schema(docSchema).json(landingDir)
+    val writer = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  private[stream] def processBatch(batch: DataFrame, batchId: Long): Unit =
+    wh.transact {
+      if (!StreamCommits.alreadyCommitted(wh, checkpointDir, batchId)) {
+        if (!batch.isEmpty) {
+          val terms = batch
+            .filter(col("doc_id").isNotNull && col("text").isNotNull)
+            .select(explode(Dedup.wsTokens(col("text"))).as("term"))
+          val batchSketch =
+            Sketches.countMinBuild(terms, col("term"), depth, width)
+          val merged =
+            if (!wh.exists("cm_sketch")) batchSketch
+            else wh.read("cm_sketch", sketchSchema)
+              .unionByName(batchSketch)
+              .groupBy("row", "bucket")
+              .agg(sum("cnt").as("cnt"))
+          wh.replace("cm_sketch", merged.select(
+            col("row").cast("int").as("row"), col("bucket"),
+            col("cnt").cast("long").as("cnt")))
+        }
+        StreamCommits.record(spark, wh, checkpointDir, batchId)
+      }
+    }
+}

@@ -259,6 +259,30 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(cb(0).toSeq == Seq(1.0, 0.0) && cb(1).toSeq == Seq(11.0, 10.0))
   }
 
+  test("pq: IVF-PQ with every cell probed equals the exhaustive ADC scan") {
+    // deterministic pseudo-random corpus, dim 4
+    val corpus = (0L until 40L).map { i =>
+      (i, vec(((i * 37) % 19).toDouble / 19.0, ((i * 53) % 23).toDouble / 23.0,
+        ((i * 71) % 29).toDouble / 29.0, 1.0 + (i % 3).toDouble))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val full = key(graft.llm.Similarity.ivfPqTopK(corpus, queries, k = 5,
+      nLists = 4, nProbe = 4, ks = 4, m = 2))
+    val exhaustive = key(graft.llm.Similarity.pqAdcTopK(corpus, queries,
+      k = 5, ks = 4, m = 2))
+    assert(full == exhaustive && full.nonEmpty)
+    // and a partial probe returns a subset of the per-query candidates
+    val partial = graft.llm.Similarity.ivfPqTopK(corpus, queries, k = 5,
+      nLists = 4, nProbe = 1, ks = 4, m = 2)
+      .select($"query_id", $"vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(partial.nonEmpty)
+  }
+
   test("encode: order restored, OOV -> -1, empty doc -> (0, \"\")") {
     val docs = Seq(
       (1L, "b a b rare"),

@@ -423,4 +423,34 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(rows.head.getAs[String]("calib_id") == "cal-in-window")
     q.stop()
   }
+
+  test("streaming count-min: merged cells equal the one-shot sketch; " +
+      "replay adds nothing twice") {
+    import graft.llm.Sketches
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("whcm").toString)
+    val ckpt = tmpDir("ckpt-cm").toString
+    val ss = new StreamingSketch(spark, wh, tmpDir("landing-cm").toString,
+      ckpt, depth = 2, width = 16)
+    def batch(ids: Range) =
+      ids.map(i => (i.toLong, s"tok${i % 5} tok${i % 3} shared"))
+        .toDF("doc_id", "text")
+
+    ss.processBatch(batch(0 until 20), 0L)
+    ss.processBatch(batch(20 until 50), 1L)
+
+    def cells = wh.read("cm_sketch", ss.sketchSchema)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val oneShot = Sketches.countMinBuild(
+        batch(0 until 50).select(explode(
+          graft.llm.Dedup.wsTokens(col("text"))).as("term")),
+        col("term"), depth = 2, width = 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cells == oneShot)
+
+    // whole-batch replay: the additive merge MUST NOT run again
+    ss.processBatch(batch(20 until 50), 1L)
+    assert(cells == oneShot)
+  }
 }
