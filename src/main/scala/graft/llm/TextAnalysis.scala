@@ -638,9 +638,14 @@ object TextAnalysis {
                 text: Column = col("text")): DataFrame = {
     require(k >= 1, s"k=$k")
     val spark = docs.sparkSession
+    // The corpus is read ONCE: the word-frequency table is persisted
+    // before the round loop, so each round's pair-stats action replays
+    // only vocab-sized folds, never the corpus explode (5 rounds would
+    // otherwise mean 5 full corpus scans through the growing lineage).
     val words = docs.select(explode(wsTokens(text)).as("w"))
       .filter(col("w").rlike("^[a-z0-9]+$"))
       .groupBy("w").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cur = words.withColumn("syms",
       filter(split(col("w"), ""), s => length(s) > 0))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
@@ -670,6 +675,7 @@ object TextAnalysis {
         r += 1
       }
     }
+    words.unpersist()
     import spark.implicits._
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_n")
   }
