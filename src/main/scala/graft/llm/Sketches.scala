@@ -205,6 +205,22 @@ object Sketches {
       .filter(col("cnt") * threshold > lit(n))
   }
 
+  /** Sketch-algebra rollup: per-fine-group KMV sketches merged into
+    * coarser groups WITHOUT re-reading the data — the mergeable-summary
+    * contract as an operator. Exploding each sketch's <= k mins and
+    * re-aggregating through the same [[KmvAggregator]] yields exactly
+    * the k smallest distinct hashes of the union (any hash in the
+    * union's top-k is in its own group's top-k), so the rolled-up
+    * estimate EQUALS the estimate a direct scan of the coarse group
+    * would produce — which is what the oracle recomputes. Input is
+    * `fine-groups` rows; the shuffle carries <= k longs per fine group. */
+  def kmvRollup(sketches: DataFrame, mins: Column, coarse: Seq[Column],
+                k: Int): DataFrame = {
+    val exploded = sketches.select(coarse :+ explode(mins).as("__h"): _*)
+    exploded.groupBy(coarse.map(c => exploded(c.toString)): _*)
+      .agg(kmvMins(k)(col("__h")).as("mins"))
+  }
+
   // ----------------------------------------------------------- count-min
 
   /** Bucket of `item` in row `row` of a depth x width Count-Min grid:

@@ -103,6 +103,76 @@ object EventAnalytics {
       .select(col("g"), col("d"), coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
 
+  /** Top event paths (journey mining): the most common length-`n` runs
+    * of consecutive event types across user timelines — the "what do
+    * users actually do" product-analytics staple. ONE per-user shuffle
+    * builds each timeline (types in `(ts, event_id)` order — the id
+    * tiebreak keeps equal-timestamp runs deterministic), n-grams form
+    * in a narrow projection (`slice` windows over the per-user array,
+    * no self-join chain, no corpus window), counts partial-aggregate,
+    * and the final top-k is TakeOrderedAndProject. Paths render as
+    * `a>b>c` strings — callers with `>` inside type names pick a
+    * different separator. */
+  def topPaths(events: DataFrame, n: Int = 3, topK: Int = 50,
+               sep: String = ">",
+               user: Column = col("user_id"), ts: Column = col("ts"),
+               typ: Column = col("event_type"),
+               id: Column = col("event_id")): DataFrame = {
+    require(n >= 2 && topK >= 1, s"n=$n topK=$topK")
+    events
+      .filter(user.isNotNull && ts.isNotNull && typ.isNotNull)
+      .select(user.as("user_id"),
+        struct(unix_micros(ts).as("us"), id.as("eid"), typ.as("t")).as("e"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(col("e"))).as("evs"))
+      .select(transform(col("evs"), e => e.getField("t")).as("types"))
+      .filter(size(col("types")) >= n)
+      .select(explode(transform(
+        sequence(lit(1), size(col("types")) - lit(n - 1)),
+        i => concat_ws(sep, slice(col("types"), i, lit(n))))).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("path"))
+      .limit(topK)
+  }
+
+  /** Experiment readout: deterministic 50/50 assignment (md5 bucket of
+    * the unit id — portable, uncorrelated with id order, the same hash
+    * family the stratified sampler uses) crossed with funnel completion
+    * ([[EventFunnel]] is the outcome stage). Emits the 2x2 table as
+    * EXACT integers plus the two cross-product effect terms —
+    * `uplift_num = s1*n0 - s0*n1` (sign = direction of variant 1's
+    * conversion-rate difference) and `or_num = s1*f0 - s0*f1` (the
+    * odds-ratio / chi-square numerator term) — and NO derived
+    * statistic: every float stat (z, chi-square, CI) is a driver-side
+    * O(1) formula over these counts, while emitting them as floats
+    * would cost engine portability. Longs are exact to ~1e9 users per
+    * arm. One row out; everything after the funnel's shuffle is a
+    * metadata-sized aggregate. */
+  def experimentReadout(events: DataFrame, steps: Seq[String],
+                        maxGapMicros: Long,
+                        user: Column = col("user_id")): DataFrame = {
+    val users = events.filter(user.isNotNull)
+      .select(user.as("user_id")).distinct()
+      .withColumn("variant",
+        conv(substring(md5(col("user_id").cast("string")), 1, 7), 16, 10)
+          .cast("long") % 2)
+    val converted = EventFunnel.funnel(events, steps, maxGapMicros)
+      .filter(col("steps_reached") === steps.length)
+      .select(col("user_id"), lit(1L).as("conv"))
+    users.join(converted, Seq("user_id"), "left")
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("conv"), lit(0L))).as("s"))
+      .agg(
+        sum(when(col("variant") === 0, col("n"))).as("n0"),
+        sum(when(col("variant") === 0, col("s"))).as("s0"),
+        sum(when(col("variant") === 1, col("n"))).as("n1"),
+        sum(when(col("variant") === 1, col("s"))).as("s1"))
+      .select(col("n0"), col("s0"), col("n1"), col("s1"),
+        (col("s1") * col("n0") - col("s0") * col("n1")).as("uplift_num"),
+        (col("s1") * (col("n0") - col("s0")) -
+          col("s0") * (col("n1") - col("s1"))).as("or_num"))
+  }
+
   /** Per-group daily-volume trend: exact ordinary-least-squares slope of
     * each group's event count against the day index, over the DENSIFIED
     * series ([[densifyDaily]] — silent days regress as true zeros, the

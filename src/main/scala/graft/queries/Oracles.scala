@@ -1633,6 +1633,86 @@ object Oracles {
         |FROM lt""".stripMargin,
 
     // dense slice x group grid so absent cells contribute |0 - Cg*nd|
+    "q131_top_paths" ->
+      """WITH s AS (
+        |  SELECT user_id, list(event_type ORDER BY ts, event_id) AS t
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL
+        |  GROUP BY user_id),
+        |g AS (
+        |  SELECT array_to_string(t[i:i+2], '>') AS path
+        |  FROM (SELECT t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM s WHERE len(t) >= 3))
+        |SELECT path, CAST(count(*) AS BIGINT) AS cnt
+        |FROM g GROUP BY path
+        |ORDER BY cnt DESC, path LIMIT 50""".stripMargin,
+
+    "q132_kmv_rollup" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type AS g,
+        |         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |r AS (SELECT g, hv,
+        |        row_number() OVER (PARTITION BY g ORDER BY hv) AS rn
+        |      FROM h),
+        |a AS (SELECT g, count(*) AS nd,
+        |        max(CASE WHEN rn = 64 THEN hv END) AS kth
+        |      FROM r GROUP BY 1),
+        |hg AS (SELECT DISTINCT hv FROM h),
+        |rg AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM hg),
+        |ag AS (SELECT count(*) AS nd,
+        |         max(CASE WHEN rn = 64 THEN hv END) AS kth
+        |       FROM rg)
+        |SELECT g,
+        |       CASE WHEN nd < 64 THEN nd::DOUBLE
+        |            ELSE 63.0 / (kth::DOUBLE / 1152921504606846976.0)
+        |       END AS kmv_est
+        |FROM a
+        |UNION ALL
+        |SELECT '__all__' AS g,
+        |       CASE WHEN nd < 64 THEN nd::DOUBLE
+        |            ELSE 63.0 / (kth::DOUBLE / 1152921504606846976.0)
+        |       END AS kmv_est
+        |FROM ag""".stripMargin,
+
+    "q133_ab_readout" ->
+      """WITH f AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+        |  WHERE event_type IN ('signup', 'click', 'purchase')
+        |    AND ts IS NOT NULL),
+        |s0 AS (SELECT user_id, min(us) AS t_0 FROM f
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |s1 AS (SELECT f.user_id, min(us) AS t_1 FROM f JOIN s0 USING (user_id)
+        |       WHERE event_type = 'click'
+        |         AND us > t_0 AND us <= t_0 + 86400000000
+        |       GROUP BY f.user_id),
+        |s2 AS (SELECT f.user_id, min(us) AS t_2 FROM f JOIN s1 USING (user_id)
+        |       WHERE event_type = 'purchase'
+        |         AND us > t_1 AND us <= t_1 + 86400000000
+        |       GROUP BY f.user_id),
+        |u AS (
+        |  SELECT DISTINCT user_id,
+        |         ('0x' || substr(md5(user_id::VARCHAR), 1, 7))::BIGINT % 2
+        |           AS variant
+        |  FROM events WHERE user_id IS NOT NULL),
+        |per AS (
+        |  SELECT u.variant, count(*) AS n,
+        |         sum(CASE WHEN s2.user_id IS NOT NULL THEN 1 ELSE 0 END) AS s
+        |  FROM u LEFT JOIN s2 ON u.user_id = s2.user_id
+        |  GROUP BY u.variant),
+        |w AS (
+        |  SELECT CAST(sum(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n0,
+        |         CAST(sum(CASE WHEN variant = 0 THEN s END) AS BIGINT) AS s0,
+        |         CAST(sum(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n1,
+        |         CAST(sum(CASE WHEN variant = 1 THEN s END) AS BIGINT) AS s1
+        |  FROM per)
+        |SELECT n0, s0, n1, s1,
+        |       s1 * n0 - s0 * n1 AS uplift_num,
+        |       s1 * (n0 - s0) - s0 * (n1 - s1) AS or_num
+        |FROM w""".stripMargin,
+
     "q130_ivf_pq" -> {
       // q40's IVF cell/probe CTEs composed with q128's PQ code/LUT CTEs;
       // scoring restricted to probed cells, then the exact rescore

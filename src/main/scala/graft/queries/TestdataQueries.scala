@@ -1631,7 +1631,42 @@ object TestdataQueries {
       ks = 8, m = 4, iters = 0)
   }
 
+  /** Journey mining (X71): top 3-step event paths across user timelines
+    * ([[graft.operators.EventAnalytics.topPaths]]). */
+  def q131TopPaths(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.topPaths(t(s, dir, "events"), n = 3,
+      topK = 50)
+
+  /** KMV sketch-algebra rollup (X72): per-event-type distinct-user
+    * sketches merged to the global estimate WITHOUT re-reading events
+    * ([[graft.llm.Sketches.kmvRollup]]); the oracle recomputes both
+    * levels directly from rows — equality IS the merge proof. */
+  def q132KmvRollup(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val ev = t(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+    val perType = ev.groupBy(col("event_type"))
+      .agg(Sketches.kmvMins(k)(Sketches.kmvHash(col("user_id"))).as("mins"))
+    val typed = perType.select(col("event_type").as("g"),
+      Sketches.kmvEstimate(k, col("mins")).as("kmv_est"))
+    val global = Sketches.kmvRollup(perType, col("mins"), Nil, k)
+      .select(lit("__all__").as("g"),
+        Sketches.kmvEstimate(k, col("mins")).as("kmv_est"))
+    typed.unionByName(global)
+  }
+
+  /** Experiment readout (X73): md5-bucket 50/50 assignment x funnel
+    * conversion as an exact 2x2 table with integer effect numerators
+    * ([[graft.operators.EventAnalytics.experimentReadout]]). */
+  def q133AbReadout(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.experimentReadout(t(s, dir, "events"),
+      Seq("signup", "click", "purchase"),
+      maxGapMicros = 24L * 3600 * 1000000)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_top_paths" -> q131TopPaths _,
+    "q132_kmv_rollup" -> q132KmvRollup _,
+    "q133_ab_readout" -> q133AbReadout _,
     "q130_ivf_pq" -> q130IvfPq _,
     "q129_bpe_merges" -> q129BpeMerges _,
     "q128_pq_adc" -> q128PqAdc _,

@@ -180,6 +180,72 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(sorted.toSeq == (1L to v.length).toSeq)
   }
 
+  // ------------------------------------------------- paths / ab / rollup
+
+  private def ev(u: Long, t: String, typ: String, eid: Long) =
+    (eid, java.sql.Timestamp.valueOf(t), u, typ)
+
+  test("top paths: timeline order, eid tiebreak, short users excluded") {
+    val events = Seq(
+      ev(1, "2024-01-01 10:00:00", "a", 1),
+      ev(1, "2024-01-01 10:01:00", "b", 2),
+      ev(1, "2024-01-01 10:02:00", "c", 3),
+      ev(1, "2024-01-01 10:03:00", "b", 4),
+      // user 2: equal timestamps — order fixed by event_id
+      ev(2, "2024-01-01 09:00:00", "a", 10),
+      ev(2, "2024-01-01 09:00:00", "b", 11),
+      ev(2, "2024-01-01 09:00:00", "c", 12),
+      // user 3: too short for a 3-gram
+      ev(3, "2024-01-01 08:00:00", "a", 20),
+      ev(3, "2024-01-01 08:01:00", "b", 21)
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventAnalytics.topPaths(events, n = 3, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // user 1: a>b>c, b>c>b; user 2: a>b>c
+    assert(got.toSeq == Seq(("a>b>c", 2L), ("b>c>b", 1L)))
+  }
+
+  test("kmv rollup: merged sketches equal a direct coarse-group sketch") {
+    import graft.llm.Sketches
+    val rows = (1L to 500L).map(i => (s"g${i % 5}", i % 137))
+      .toDF("g", "v")
+    val k = 16
+    val fine = rows.groupBy("g")
+      .agg(Sketches.kmvMins(k)(Sketches.kmvHash($"v")).as("mins"))
+    val rolled = Sketches.kmvRollup(fine, $"mins", Nil, k)
+      .select(Sketches.kmvEstimate(k, $"mins").as("est"))
+      .collect().head.getDouble(0)
+    val direct = rows.agg(
+        Sketches.kmvMins(k)(Sketches.kmvHash($"v")).as("mins"))
+      .select(Sketches.kmvEstimate(k, $"mins").as("est"))
+      .collect().head.getDouble(0)
+    assert(rolled == direct) // bit-equal: same k smallest distinct hashes
+  }
+
+  test("experiment readout: exact 2x2 table and effect numerators") {
+    // conversions: user completes signup -> click within the gap
+    val events = (
+      (0L until 8L).flatMap { u =>
+        Seq(ev(u, "2024-01-01 10:00:00", "signup", u * 10),
+          ev(u, "2024-01-01 10:30:00", "click", u * 10 + 1))
+      } ++ Seq( // users 100..103: signup only (no conversion)
+        ev(100, "2024-01-01 10:00:00", "signup", 9000),
+        ev(101, "2024-01-01 10:00:00", "signup", 9001),
+        ev(102, "2024-01-01 10:00:00", "signup", 9002),
+        ev(103, "2024-01-01 10:00:00", "signup", 9003))
+      ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventAnalytics.experimentReadout(events,
+      Seq("signup", "click"), maxGapMicros = 3600L * 1000000).collect().head
+    val (n0, s0, n1, s1) =
+      (got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3))
+    // the md5 assignment splits somehow, but the totals are invariant:
+    assert(n0 + n1 == 12L && s0 + s1 == 8L)
+    // every converter is an exposed user in its own arm
+    assert(s0 <= n0 && s1 <= n1 && n0 > 0 && n1 > 0)
+    assert(got.getLong(4) == s1 * n0 - s0 * n1)
+    assert(got.getLong(5) == s1 * (n0 - s0) - s0 * (n1 - s1))
+  }
+
   // ----------------------------------------------------------------- BPE
 
   test("bpe: hand-replayed merges, frequency weighting, greedy scan") {
