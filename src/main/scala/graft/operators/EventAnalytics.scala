@@ -173,6 +173,70 @@ object EventAnalytics {
           col("s0") * (col("n1") - col("s1"))).as("or_num"))
   }
 
+  /** Time-weighted average (TWAP) of an irregular series: each
+    * observation's value holds until the next observation, so the mean
+    * is `sum(v_i * (t_{i+1} - t_i)) / (t_last - t_first)` — the
+    * standard finance/telemetry integral, NOT the row mean (a sensor
+    * that reports 1000x/min while healthy must not drown the hours it
+    * spent failing). Values quantize to exact `floor(v * 1e6 + 0.5)`
+    * integers first, so the numerator is an exact decimal sum
+    * (order-independent, engine-portable) and is EMITTED as num/den —
+    * no division, same contract as [[dailyTrend]]. The numerator
+    * renders as a string: its magnitude (duration-microseconds x
+    * micro-units) exceeds int64, and a decimal-vs-HUGEINT column would
+    * not survive a cross-engine stringify.
+    *
+    * Lowering: per-group ordered neighbor access is the one thing a
+    * flat aggregation can't do, and a per-group window funnels the
+    * whole group through one task — so the integral splits on time
+    * buckets: within-bucket terms from a sorted per-(group, bucket)
+    * array (zip-consecutive, one shuffle), cross-bucket boundary terms
+    * from a `lead` window over the BUCKET SUMMARY (one row per
+    * non-empty bucket — a gap of empty buckets correctly bills its
+    * whole span to the last observation before it). `bucketUs` trades
+    * per-task array size against summary size; both ends are bounded. */
+  def twap(events: DataFrame, bucketUs: Long = 86400000000L,
+           group: Column = col("event_type"), ts: Column = col("ts"),
+           value: Column = col("value"),
+           id: Column = col("event_id")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketUs > 0, s"bucketUs=$bucketUs")
+    val rows = events
+      .filter(group.isNotNull && ts.isNotNull && value.isNotNull)
+      .select(group.as("g"), unix_micros(ts).as("us"), id.as("eid"),
+        floor(value.cast("double") * lit(1e6) + lit(0.5)).cast("long")
+          .as("vs"))
+      .withColumn("b", expr(s"us div ${bucketUs}L"))
+    val dec0 = lit(0).cast("decimal(38,0)")
+    val perBucket = rows
+      .groupBy("g", "b")
+      .agg(sort_array(collect_list(struct(col("us"), col("eid"),
+        col("vs")))).as("a"), count(lit(1)).as("cnt"))
+      .select(col("g"), col("b"), col("cnt"),
+        aggregate(
+          zip_with(
+            slice(col("a"), lit(1), greatest(size(col("a")) - 1, lit(0))),
+            slice(col("a"), lit(2), greatest(size(col("a")) - 1, lit(0))),
+            (x, y) => (y.getField("us") - x.getField("us"))
+              .cast("decimal(38,0)") * x.getField("vs")),
+          dec0, (acc, t) => acc + t).as("local_num"),
+        element_at(col("a"), 1).getField("us").as("first_us"),
+        element_at(col("a"), -1).getField("us").as("last_us"),
+        element_at(col("a"), -1).getField("vs").as("last_vs"))
+    val wNext = Window.partitionBy("g").orderBy("b")
+    perBucket
+      .withColumn("next_first", lead(col("first_us"), 1).over(wNext))
+      .groupBy("g")
+      .agg(sum("cnt").as("n_events"),
+        (coalesce(sum(col("local_num")), dec0) +
+          coalesce(sum(when(col("next_first").isNotNull,
+            (col("next_first") - col("last_us")).cast("decimal(38,0)") *
+              col("last_vs"))), dec0)).as("num"),
+        (max("last_us") - min("first_us")).as("twap_den"))
+      .select(col("g"), col("n_events"),
+        col("num").cast("string").as("twap_num"), col("twap_den"))
+  }
+
   /** Per-group daily-volume trend: exact ordinary-least-squares slope of
     * each group's event count against the day index, over the DENSIFIED
     * series ([[densifyDaily]] — silent days regress as true zeros, the

@@ -1633,6 +1633,55 @@ object Oracles {
         |FROM lt""".stripMargin,
 
     // dense slice x group grid so absent cells contribute |0 - Cg*nd|
+    "q135_twap" ->
+      """WITH rows_ AS (
+        |  SELECT event_type AS g, epoch_us(ts) AS us, event_id AS eid,
+        |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vs
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |w AS (
+        |  SELECT g, us, vs,
+        |         lead(us) OVER (PARTITION BY g ORDER BY us, eid) AS nxt
+        |  FROM rows_)
+        |SELECT g, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(coalesce(sum(CASE WHEN nxt IS NOT NULL
+        |         THEN (nxt - us)::HUGEINT * vs END), 0) AS VARCHAR)
+        |         AS twap_num,
+        |       CAST(max(us) - min(us) AS BIGINT) AS twap_den
+        |FROM w GROUP BY g""".stripMargin,
+
+    "q134_pit_enrich" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id AS eid,
+        |         event_type AS v
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+        |o AS (
+        |  SELECT *, lag(v) OVER w AS prev_v FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, eid)),
+        |r AS (
+        |  SELECT *, sum(CASE WHEN prev_v IS NULL OR prev_v <> v
+        |                     THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY us, eid) AS version
+        |  FROM o),
+        |hist AS (
+        |  SELECT user_id, CAST(version AS INTEGER) AS version,
+        |         min(v) AS value, min(us) AS valid_from_us
+        |  FROM r GROUP BY user_id, version),
+        |sel AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+        |  WHERE event_type = 'purchase' AND ts IS NOT NULL
+        |    AND user_id IS NOT NULL),
+        |pit AS (
+        |  SELECT s.event_id, s.user_id, s.us, h.version, h.value,
+        |         row_number() OVER (PARTITION BY s.event_id
+        |           ORDER BY h.valid_from_us DESC NULLS LAST) AS rn
+        |  FROM sel s LEFT JOIN hist h
+        |    ON h.user_id = s.user_id AND h.valid_from_us <= s.us - 1)
+        |SELECT event_id, user_id, us, version AS prior_version,
+        |       value AS prior_state
+        |FROM pit WHERE rn = 1""".stripMargin,
+
     "q131_top_paths" ->
       """WITH s AS (
         |  SELECT user_id, list(event_type ORDER BY ts, event_id) AS t

@@ -1663,7 +1663,39 @@ object TestdataQueries {
       Seq("signup", "click", "purchase"),
       maxGapMicros = 24L * 3600 * 1000000)
 
+  /** Point-in-time enrichment (X74): X55's SCD2 history joined back to
+    * the purchase events with X1's backward as-of join, probed at
+    * `t - 1us` — STRICTLY-BEFORE semantics, the feature-store
+    * label-leakage guard: the state attached to each label event is
+    * provably derived only from earlier events (a user's first-ever
+    * event enriches to NULL, not to itself). */
+  def q134PitEnrich(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val hist = graft.operators.ChangeHistory.scd2(ev)
+      .withColumnRenamed("user_id", "h_user")
+    val probes = ev
+      .filter(col("event_type") === "purchase" && col("ts").isNotNull &&
+        col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("asof_us", col("us") - 1)
+    graft.operators.AsofJoin.backward(probes, hist,
+        leftKey = "user_id", rightKey = "h_user",
+        leftTime = "asof_us", rightTime = "valid_from_us",
+        payload = Seq("version", "value"))
+      .select(col("event_id"), col("user_id"), col("us"),
+        col("version").as("prior_version"), col("value").as("prior_state"))
+  }
+
+  /** Time-weighted average (X75): per-type TWAP of `events.value` as
+    * exact integer num/den via the two-phase bucket integral
+    * ([[graft.operators.EventAnalytics.twap]]); the oracle runs the
+    * flat lead-window formulation — equality proves the split. */
+  def q135Twap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.twap(t(s, dir, "events"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_twap" -> q135Twap _,
+    "q134_pit_enrich" -> q134PitEnrich _,
     "q131_top_paths" -> q131TopPaths _,
     "q132_kmv_rollup" -> q132KmvRollup _,
     "q133_ab_readout" -> q133AbReadout _,

@@ -246,6 +246,57 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got.getLong(5) == s1 * (n0 - s0) - s0 * (n1 - s1))
   }
 
+  // ------------------------------------------------------------ pit/twap
+
+  test("twap: exact integral, bucket-width invariance, 1-event group") {
+    def e(id: Long, t: String, typ: String, v: Double) =
+      (id, java.sql.Timestamp.valueOf(t), 1L, typ, v)
+    val events = Seq(
+      // "m": 10.0 for 60 s, then 20.0 for 30 s, last obs open (excluded)
+      e(1, "2024-01-01 00:00:00", "m", 10.0),
+      e(2, "2024-01-01 00:01:00", "m", 20.0),
+      e(3, "2024-01-01 00:01:30", "m", 7.0),
+      e(4, "2024-01-01 00:00:00", "solo", 5.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    def run(bucketUs: Long) = EventAnalytics.twap(events, bucketUs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    val got = run(86400000000L)
+    // num = 10e6 * 60e6 + 20e6 * 30e6 = 6e14 + 6e14 = 1.2e15
+    assert(got("m") == ((3L, "1200000000000000", 90000000L)))
+    assert(got("solo") == ((1L, "0", 0L)))
+    // a 10-second bucket forces cross-bucket boundary terms -> same sums
+    assert(run(10000000L) == got)
+  }
+
+  test("pit semantics: strictly-before as-of never attaches the event's own run") {
+    import graft.operators.{AsofJoin, ChangeHistory}
+    def e(id: Long, t: String, typ: String) =
+      (id, java.sql.Timestamp.valueOf(t), 7L, typ)
+    val events = Seq(
+      e(1, "2024-01-01 10:00:00", "signup"),
+      e(2, "2024-01-01 11:00:00", "purchase"),  // prior state: signup run
+      e(3, "2024-01-01 12:00:00", "purchase")   // prior: purchase run (e2)
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val hist = ChangeHistory.scd2(events).withColumnRenamed("user_id", "h_user")
+    val probes = events.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("us"))
+      .withColumn("asof_us", $"us" - 1)
+    val got = AsofJoin.backward(probes, hist, "user_id", "h_user",
+        "asof_us", "valid_from_us", Seq("version", "value"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(5))).toMap
+    assert(got(2L) == Some("signup"))   // not its own purchase run
+    assert(got(3L) == Some("purchase")) // e2's run, which started earlier
+    // a first-ever event would see NULL: probe strictly before signup
+    val first = AsofJoin.backward(
+      events.filter($"event_id" === 1)
+        .select($"event_id", $"user_id", unix_micros($"ts").as("us"))
+        .withColumn("asof_us", $"us" - 1),
+      hist, "user_id", "h_user", "asof_us", "valid_from_us",
+      Seq("version", "value")).collect()
+    assert(first.length == 1 && first.head.isNullAt(5))
+  }
+
   // ----------------------------------------------------------------- BPE
 
   test("bpe: hand-replayed merges, frequency weighting, greedy scan") {
