@@ -191,6 +191,41 @@ object TextAnalysis {
     dfs.filter(col("df") >= minDf).join(postings, Seq("term"))
   }
 
+  /** Positional phrase search — exact multi-word match over the corpus,
+    * the positional-index complement to [[bm25TopK]]'s bag-of-words
+    * retrieval. Set-based, not a join chain: each phrase pre-tokenizes
+    * on the driver into (phrase, offset, term) rows that BROADCAST-join
+    * the corpus' positional postings; a posting for (phrase, offset)
+    * votes for anchor `pos - offset`, and an anchor where the DISTINCT
+    * offsets seen equal the phrase length is a match ("a b a" works:
+    * one term may carry several offsets). One narrow posexplode + one
+    * broadcast join + one aggregation — m-word phrases cost the same
+    * plan as 2-word phrases, where the classic adjacency-join lowering
+    * is m-1 shuffled self-joins. Postings not in ANY phrase die at the
+    * scan (the join is inner), so the aggregated stream is query-sized,
+    * not corpus-sized. Returns (phrase, doc_id, hits). */
+  def phraseSearch(docs: DataFrame, phrases: Seq[String],
+                   id: Column = col("doc_id"),
+                   text: Column = col("text")): DataFrame = {
+    require(phrases.nonEmpty, "no phrases")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val meta = phrases.flatMap { p =>
+      val ts = p.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      require(ts.size >= 2, s"phrase '$p' needs >= 2 words")
+      ts.zipWithIndex.map { case (t, off) => (p, off, t, ts.size.toLong) }
+    }.toDF("phrase", "off", "term", "len")
+    docs.select(id.as("doc_id"),
+        posexplode(wsTokens(text)).as(Seq("pos", "term")))
+      .join(broadcast(meta), Seq("term"))
+      .groupBy(col("phrase"), col("doc_id"),
+        (col("pos") - col("off")).as("anchor"))
+      .agg(count_distinct(col("off")).as("seen"), first(col("len")).as("len"))
+      .filter(col("seen") === col("len") && col("anchor") >= 0)
+      .groupBy("phrase", "doc_id")
+      .agg(count(lit(1)).as("hits"))
+  }
+
   /** Per-document top-k terms by tf-idf, with the idf kept in EXACT
     * integer arithmetic — `score = tf * 1_000_000 div df` — so the
     * ranking is bit-identical across engines (a float idf's `ln` is

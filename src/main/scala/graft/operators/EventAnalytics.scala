@@ -173,6 +173,77 @@ object EventAnalytics {
           col("s0") * (col("n1") - col("s1"))).as("or_num"))
   }
 
+  /** Exact equi-depth bin cutoffs of a long column: cutoff `k` is the
+    * smallest value whose cumulative count reaches `ceil(k*n/bins)` —
+    * tested as the integer cross-multiplication `bins*cum >= k*n`, no
+    * floats. The cumulative window runs over the VALUE HISTOGRAM
+    * (bounded by the value domain), never over rows — the
+    * [[graft.llm.TextAnalysis.percentileTrim]] shape, returned as a
+    * `bins`-row cutoff table for broadcasting. */
+  def exactBins(df: DataFrame, value: Column, bins: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bins >= 2, s"bins=$bins")
+    val hist = df.select(value.as("v")).filter(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
+    val n = hist.agg(sum("c").as("n"))
+    hist.crossJoin(broadcast(n))
+      .select(col("v"), col("cum"), col("n"),
+        explode(sequence(lit(1), lit(bins))).as("k"))
+      .filter(lit(bins) * col("cum") >= col("k") * col("n"))
+      .groupBy("k").agg(min(col("v")).as("cut"))
+  }
+
+  /** RFM (recency / frequency / monetary) customer scoring — the
+    * marketing-segmentation staple, kept engine-portable: metrics are
+    * exact integers (whole days via integral `div`, cents via
+    * `floor(v*100+0.5)`), bins come from [[exactBins]] equi-depth
+    * cutoffs (1..bins ascending BY VALUE — so f/m high = heavy user,
+    * r high = long-lapsed; flip client-side if preferred), and a
+    * user's bin is the smallest cutoff at or above their metric. One
+    * per-user shuffle builds the metrics; the three cutoff tables are
+    * histogram-sized plans broadcast back — users never re-shuffle for
+    * scoring. The observation horizon is the corpus' max event time
+    * (1-row broadcast), so "recency" is data-relative and
+    * reproducible. */
+  def rfmScores(events: DataFrame, purchaseType: String = "purchase",
+                bins: Int = 5,
+                user: Column = col("user_id"), ts: Column = col("ts"),
+                typ: Column = col("event_type"),
+                value: Column = col("value")): DataFrame = {
+    val horizon = events.filter(ts.isNotNull)
+      .agg(max(unix_micros(ts)).as("h_us"))
+    val metrics = events
+      .filter(typ === purchaseType && user.isNotNull && ts.isNotNull &&
+        value.isNotNull)
+      .select(user.as("user_id"), unix_micros(ts).as("us"),
+        floor(value.cast("double") * lit(100) + lit(0.5)).cast("long")
+          .as("cents"))
+      .groupBy("user_id")
+      .agg(max("us").as("last_us"), count(lit(1)).as("frequency"),
+        sum("cents").as("monetary_cents"))
+      .crossJoin(broadcast(horizon))
+      .withColumn("recency_days",
+        expr("(h_us - last_us) div 86400000000L"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary_cents"))
+    def bin(metric: String, out: String): DataFrame => DataFrame = df => {
+      val cuts = broadcast(exactBins(metrics, col(metric), bins)
+        .select(col("k").as(s"__k_$out"), col("cut").as(s"__c_$out")))
+      df.join(cuts, col(metric) <= col(s"__c_$out"))
+        .groupBy(df.columns.map(col): _*)
+        .agg(min(col(s"__k_$out")).as(out))
+    }
+    val scored = Seq(
+      bin("recency_days", "r_bin"),
+      bin("frequency", "f_bin"),
+      bin("monetary_cents", "m_bin")
+    ).foldLeft(metrics)((df, f) => f(df))
+    scored.select(col("user_id"), col("recency_days"), col("frequency"),
+      col("monetary_cents"), col("r_bin"), col("f_bin"), col("m_bin"))
+  }
+
   /** Time-weighted average (TWAP) of an irregular series: each
     * observation's value holds until the next observation, so the mean
     * is `sum(v_i * (t_{i+1} - t_i)) / (t_last - t_first)` — the

@@ -1633,6 +1633,71 @@ object Oracles {
         |FROM lt""".stripMargin,
 
     // dense slice x group grid so absent cells contribute |0 - Cg*nd|
+    "q137_rfm" -> {
+      // equi-depth cutoffs replayed per metric: smallest value whose
+      // cumulative count crosses k/5 of users (integer cross-multiply)
+      def binCtes(m: String): String =
+        s"""h_$m AS (SELECT $m AS v, count(*) AS c FROM met GROUP BY 1),
+           |c_$m AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+           |                (SELECT sum(c) FROM h_$m) AS n FROM h_$m),
+           |k_$m AS (SELECT k, min(v) AS cut
+           |         FROM c_$m, (SELECT unnest([1, 2, 3, 4, 5]) AS k)
+           |         WHERE 5 * cum >= k * n GROUP BY k),
+           |b_$m AS (SELECT user_id, CAST(min(k) AS INTEGER) AS b
+           |         FROM met JOIN k_$m ON met.$m <= cut GROUP BY user_id)"""
+          .stripMargin
+      s"""WITH hor AS (
+         |  SELECT max(epoch_us(ts)) AS h_us FROM events
+         |  WHERE ts IS NOT NULL),
+         |met AS (
+         |  SELECT user_id,
+         |         CAST((h_us - max(epoch_us(ts))) // 86400000000 AS BIGINT)
+         |           AS recency_days,
+         |         CAST(count(*) AS BIGINT) AS frequency,
+         |         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+         |           AS BIGINT) AS monetary_cents
+         |  FROM events CROSS JOIN hor
+         |  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+         |    AND ts IS NOT NULL AND value IS NOT NULL
+         |  GROUP BY user_id, h_us),
+         |${binCtes("recency_days")},
+         |${binCtes("frequency")},
+         |${binCtes("monetary_cents")}
+         |SELECT met.user_id, recency_days, frequency, monetary_cents,
+         |       br.b AS r_bin, bf.b AS f_bin, bm.b AS m_bin
+         |FROM met
+         |JOIN b_recency_days br ON br.user_id = met.user_id
+         |JOIN b_frequency bf ON bf.user_id = met.user_id
+         |JOIN b_monetary_cents bm ON bm.user_id = met.user_id""".stripMargin
+    },
+
+    "q136_phrase_search" -> {
+      val metaRows = TestdataQueries.PhraseQueries.flatMap { p =>
+        val ts = p.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        ts.zipWithIndex.map { case (t, off) =>
+          s"('${p}', $off, '${t}', ${ts.size})"
+        }
+      }.mkString(",\n         |    ")
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter(string_split($norm, ' '),
+         |    t -> len(t) > 0) AS t FROM documents),
+         |tok AS (
+         |  SELECT doc_id, unnest(t) AS term,
+         |         unnest(range(len(t))) AS pos FROM tk),
+         |meta(phrase, off, term, len) AS (VALUES
+         |    $metaRows),
+         |v AS (
+         |  SELECT m.phrase, t.doc_id, t.pos - m.off AS anchor, m.off, m.len
+         |  FROM tok t JOIN meta m ON t.term = m.term),
+         |a AS (
+         |  SELECT phrase, doc_id, anchor, count(DISTINCT off) AS seen,
+         |         min(len) AS len
+         |  FROM v GROUP BY 1, 2, 3)
+         |SELECT phrase, doc_id, CAST(count(*) AS BIGINT) AS hits
+         |FROM a WHERE seen = len AND anchor >= 0
+         |GROUP BY 1, 2""".stripMargin
+    },
+
     "q135_twap" ->
       """WITH rows_ AS (
         |  SELECT event_type AS g, epoch_us(ts) AS us, event_id AS eid,

@@ -1693,7 +1693,26 @@ object TestdataQueries {
   def q135Twap(s: SparkSession, dir: String): DataFrame =
     graft.operators.EventAnalytics.twap(t(s, dir, "events"))
 
+  /** The q136 phrase set — shared with the oracle generator so the two
+    * sides can never drift. */
+  val PhraseQueries: Seq[String] =
+    Seq("table hash", "customer join", "key agg row")
+
+  /** Positional phrase search (X76): exact multi-word matches via
+    * anchor voting over positional postings
+    * ([[graft.llm.TextAnalysis.phraseSearch]]). */
+  def q136PhraseSearch(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.phraseSearch(t(s, dir, "documents"), PhraseQueries)
+
+  /** RFM customer scoring (X77): exact integer recency/frequency/
+    * monetary metrics + equi-depth quintile bins from histogram-sized
+    * cutoff plans ([[graft.operators.EventAnalytics.rfmScores]]). */
+  def q137Rfm(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.rfmScores(t(s, dir, "events"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_rfm" -> q137Rfm _,
+    "q136_phrase_search" -> q136PhraseSearch _,
     "q135_twap" -> q135Twap _,
     "q134_pit_enrich" -> q134PitEnrich _,
     "q131_top_paths" -> q131TopPaths _,

@@ -246,6 +246,51 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got.getLong(5) == s1 * (n0 - s0) - s0 * (n1 - s1))
   }
 
+  // ------------------------------------------------------ phrase / rfm
+
+  test("phrase search: exact anchors, repeats, overlaps, repeated-term phrase") {
+    val docs = Seq(
+      (1L, "big table hash small table hash"),   // 2 hits
+      (2L, "table small hash"),                  // words present, no phrase
+      (3L, "a b a b a"),                         // "a b a": overlapping x2
+      (4L, "table hash")                         // exact doc
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.phraseSearch(docs, Seq("table hash", "a b a"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(
+      ("table hash", 1L) -> 2L,
+      ("table hash", 4L) -> 1L,
+      ("a b a", 3L) -> 2L))
+  }
+
+  test("exact bins: equi-depth cutoffs and full coverage") {
+    val df = (1L to 100L).map(i => Tuple1(i)).toDF("v")
+    val cuts = EventAnalytics.exactBins(df, $"v", 5)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(cuts == Map(1 -> 20L, 2 -> 40L, 3 -> 60L, 4 -> 80L, 5 -> 100L))
+  }
+
+  test("rfm: exact metrics and ascending value bins") {
+    def e(id: Long, u: Long, t: String, typ: String, v: Double) =
+      (id, java.sql.Timestamp.valueOf(t), u, typ, v)
+    val events = Seq(
+      e(1, 1, "2024-01-01 00:00:00", "purchase", 10.0),
+      e(2, 1, "2024-01-05 00:00:00", "purchase", 5.5),
+      e(3, 2, "2024-01-09 00:00:00", "purchase", 100.0),
+      e(4, 9, "2024-01-11 00:00:00", "browse", 0.0) // horizon, not a buyer
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.operators.EventAnalytics.rfmScores(events, bins = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4), r.getInt(5), r.getInt(6)))).toMap
+    // horizon = Jan 11; u1: last Jan 5 -> 6 days, f=2, m=1550
+    // u2: last Jan 9 -> 2 days, f=1, m=10000
+    // recency bins over {6, 2}: cut1=2, cut2=6 -> u2 bin1, u1 bin2
+    // frequency {2, 1}: u2 bin1, u1 bin2; monetary {1550, 10000}: u1=1, u2=2
+    assert(got(1L) == ((6L, 2L, 1550L, 2, 2, 1)))
+    assert(got(2L) == ((2L, 1L, 10000L, 1, 1, 2)))
+  }
+
   // ------------------------------------------------------------ pit/twap
 
   test("twap: exact integral, bucket-width invariance, 1-event group") {
