@@ -244,6 +244,98 @@ object EventAnalytics {
       col("monetary_cents"), col("r_bin"), col("f_bin"), col("m_bin"))
   }
 
+  /** Single-changepoint detection over the densified daily series: the
+    * split day maximizing the between-segment mean difference
+    * `|S_t/t - (S-S_t)/(n-t)|` — the classic CUSUM-style "when did
+    * this metric shift" readout. The comparison ratio is
+    * `num/den` with EXACT integer num = `|S_t*(n-t) - (S-S_t)*t|` and
+    * den = `t*(n-t)`; the double division is the one float (identical
+    * long->double arithmetic in any engine, so the argmax replays),
+    * ties to the earliest day, and the exact num/den ship in the
+    * output. Windows run per group over DAYS (domain-bounded, the
+    * densify grid), never over events; `change_day` is the last day of
+    * the left segment. Groups with a single day emit nothing (no valid
+    * split). */
+  def changepoint(events: DataFrame, group: Column = col("event_type"),
+                  ts: Column = col("ts")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dense = densifyDaily(events, group, ts)
+    val wOrd = Window.partitionBy("g").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy("g")
+    val scored = dense
+      .withColumn("t", count(lit(1)).over(
+        Window.partitionBy("g").orderBy("d")))
+      .withColumn("st", sum("cnt").over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s", sum("cnt").over(wAll))
+      .filter(col("t") < col("n")) // a split needs a non-empty right side
+      .withColumn("num", abs(col("st") * (col("n") - col("t")) -
+        (col("s") - col("st")) * col("t")))
+      .withColumn("den", col("t") * (col("n") - col("t")))
+      .withColumn("ratio",
+        col("num").cast("double") / col("den").cast("double"))
+    scored.groupBy("g")
+      .agg(max_by(struct(col("d"), col("num"), col("den"), col("n")),
+        struct(col("ratio"), lit(-1) * col("t"))).as("best"))
+      .select(col("g"), col("best.d").as("change_day"),
+        col("best.num").as("shift_num"), col("best.den").as("shift_den"),
+        col("best.n").as("n_days"))
+  }
+
+  /** Day-of-week seasonality profile over the densified series: per
+    * (group, ISO weekday) the exact integer seasonality index
+    * `idx_e6 = sum_dow * n_total * 1e6 div (n_dow * sum_total)` —
+    * the un-logged ratio of the weekday's mean to the group's overall
+    * mean (1e6 = flat). Everything aggregates over the day grid
+    * (domain-bounded); decimal(38) keeps the cross-product exact far
+    * past any real span. Weekday is ISO (1 = Monday .. 7 = Sunday). */
+  def weekdayProfile(events: DataFrame, group: Column = col("event_type"),
+                     ts: Column = col("ts")): DataFrame = {
+    val dense = densifyDaily(events, group, ts)
+      .withColumn("dow", weekday(col("d")) + lit(1))
+    val per = dense.groupBy("g", "dow")
+      .agg(count(lit(1)).as("n_days"), sum("cnt").as("sum_cnt"))
+    val tot = dense.groupBy("g")
+      .agg(count(lit(1)).as("n_tot"), sum("cnt").as("sum_tot"))
+    per.join(broadcast(tot), Seq("g"))
+      .filter(col("sum_tot") > 0)
+      .withColumn("idx_e6", expr(
+        "CAST(sum_cnt AS DECIMAL(38,0)) * n_tot * 1000000" +
+          " div (n_days * sum_tot)"))
+      .select(col("g"), col("dow"), col("n_days"), col("sum_cnt"),
+        col("idx_e6"))
+  }
+
+  /** Segment-overlap matrix via bitmap algebra — the audience-overlap
+    * kernel: each segment's distinct-user set lives as a bitmap
+    * (64 users per word; `words = user-id domain / 64` rows per
+    * segment, built with one map-side-combined `bit_or`), and pairwise
+    * overlap = popcount of the word-wise AND — users shuffle ONCE into
+    * bitmaps, and every subsequent set operation (here |segments|^2
+    * intersections; union/difference work the same way) runs on the
+    * word tables, never re-touching users. Only pairs with >= 1 common
+    * user emit (pairs sharing no bitmap word never meet the join).
+    * Requires non-negative integral user ids. */
+  def segmentOverlap(events: DataFrame, segment: Column = col("event_type"),
+                     user: Column = col("user_id")): DataFrame = {
+    val bitmaps = events
+      .filter(segment.isNotNull && user.isNotNull)
+      .select(segment.as("seg"), user.cast("long").as("u")).distinct()
+      .select(col("seg"), expr("u div 64").as("word"),
+        expr("shiftleft(1L, CAST(pmod(u, 64) AS INT))").as("mask"))
+      .groupBy("seg", "word").agg(expr("bit_or(mask)").as("bits"))
+    val a = bitmaps.select(col("seg").as("type_a"), col("word"),
+      col("bits").as("ba"))
+    val b = bitmaps.select(col("seg").as("type_b"), col("word"),
+      col("bits").as("bb"))
+    a.join(b, Seq("word"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(sum(bit_count(col("ba").bitwiseAND(col("bb")))).as("overlap"))
+      .filter(col("overlap") > 0)
+  }
+
   /** Time-weighted average (TWAP) of an irregular series: each
     * observation's value holds until the next observation, so the mean
     * is `sum(v_i * (t_{i+1} - t_i)) / (t_last - t_first)` — the

@@ -1633,6 +1633,80 @@ object Oracles {
         |FROM lt""".stripMargin,
 
     // dense slice x group grid so absent cells contribute |0 - Cg*nd|
+    "q138_changepoint" ->
+      """WITH sparse AS (
+        |  SELECT event_type AS g, CAST(ts AS DATE) AS d, count(*) AS cnt
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |span AS (SELECT min(d) AS d0, max(d) AS d1 FROM sparse),
+        |cal AS (
+        |  SELECT CAST(unnest(generate_series(d0, d1,
+        |    INTERVAL 1 DAY)) AS DATE) AS d FROM span),
+        |grps AS (SELECT DISTINCT g FROM sparse),
+        |dense AS (
+        |  SELECT grps.g, cal.d, coalesce(sparse.cnt, 0) AS cnt
+        |  FROM cal CROSS JOIN grps
+        |  LEFT JOIN sparse ON sparse.g = grps.g AND sparse.d = cal.d),
+        |w AS (
+        |  SELECT g, d, cnt,
+        |         row_number() OVER (PARTITION BY g ORDER BY d) AS t,
+        |         sum(cnt) OVER (PARTITION BY g ORDER BY d) AS st,
+        |         count(*) OVER (PARTITION BY g) AS n,
+        |         sum(cnt) OVER (PARTITION BY g) AS s
+        |  FROM dense),
+        |sc AS (
+        |  SELECT g, d, n, t,
+        |         abs(st * (n - t) - (s - st) * t) AS num,
+        |         t * (n - t) AS den,
+        |         CAST(abs(st * (n - t) - (s - st) * t) AS DOUBLE) /
+        |           CAST(t * (n - t) AS DOUBLE) AS ratio
+        |  FROM w WHERE t < n),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY g
+        |            ORDER BY ratio DESC, t ASC) AS rn
+        |  FROM sc)
+        |SELECT g, d AS change_day, CAST(num AS BIGINT) AS shift_num,
+        |       CAST(den AS BIGINT) AS shift_den, CAST(n AS BIGINT) AS n_days
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    "q139_weekday_profile" ->
+      """WITH sparse AS (
+        |  SELECT event_type AS g, CAST(ts AS DATE) AS d, count(*) AS cnt
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |span AS (SELECT min(d) AS d0, max(d) AS d1 FROM sparse),
+        |cal AS (
+        |  SELECT CAST(unnest(generate_series(d0, d1,
+        |    INTERVAL 1 DAY)) AS DATE) AS d FROM span),
+        |grps AS (SELECT DISTINCT g FROM sparse),
+        |dense AS (
+        |  SELECT grps.g, cal.d, coalesce(sparse.cnt, 0) AS cnt
+        |  FROM cal CROSS JOIN grps
+        |  LEFT JOIN sparse ON sparse.g = grps.g AND sparse.d = cal.d),
+        |per AS (
+        |  SELECT g, CAST(isodow(d) AS INTEGER) AS dow,
+        |         CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(sum(cnt) AS BIGINT) AS sum_cnt
+        |  FROM dense GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n_tot,
+        |         CAST(sum(cnt) AS BIGINT) AS sum_tot
+        |  FROM dense GROUP BY 1)
+        |SELECT per.g, dow, n_days, sum_cnt,
+        |       CAST((CAST(sum_cnt AS HUGEINT) * n_tot * 1000000)
+        |         // (n_days * sum_tot) AS BIGINT) AS idx_e6
+        |FROM per JOIN tot ON per.g = tot.g
+        |WHERE sum_tot > 0""".stripMargin,
+
+    "q140_segment_overlap" ->
+      """WITH inc AS (
+        |  SELECT DISTINCT event_type AS seg, user_id AS u FROM events
+        |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL)
+        |SELECT a.seg AS type_a, b.seg AS type_b,
+        |       CAST(count(*) AS BIGINT) AS overlap
+        |FROM inc a JOIN inc b ON a.u = b.u AND a.seg < b.seg
+        |GROUP BY 1, 2""".stripMargin,
+
     "q137_rfm" -> {
       // equi-depth cutoffs replayed per metric: smallest value whose
       // cumulative count crosses k/5 of users (integer cross-multiply)

@@ -1710,7 +1710,29 @@ object TestdataQueries {
   def q137Rfm(s: SparkSession, dir: String): DataFrame =
     graft.operators.EventAnalytics.rfmScores(t(s, dir, "events"))
 
+  /** Changepoint detection (X78): per-type day of largest mean shift
+    * over the densified series, exact num/den shipped
+    * ([[graft.operators.EventAnalytics.changepoint]]). */
+  def q138Changepoint(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.changepoint(t(s, dir, "events"))
+
+  /** Weekday seasonality profile (X79): exact integer per-(type, ISO
+    * weekday) seasonality index over the densified series
+    * ([[graft.operators.EventAnalytics.weekdayProfile]]). */
+  def q139WeekdayProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.weekdayProfile(t(s, dir, "events"))
+
+  /** Bitmap segment overlap (X80): pairwise distinct-user overlap of
+    * event-type audiences via word-wise AND + popcount
+    * ([[graft.operators.EventAnalytics.segmentOverlap]]); the oracle
+    * counts the set intersections directly. */
+  def q140SegmentOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.segmentOverlap(t(s, dir, "events"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_changepoint" -> q138Changepoint _,
+    "q139_weekday_profile" -> q139WeekdayProfile _,
+    "q140_segment_overlap" -> q140SegmentOverlap _,
     "q137_rfm" -> q137Rfm _,
     "q136_phrase_search" -> q136PhraseSearch _,
     "q135_twap" -> q135Twap _,

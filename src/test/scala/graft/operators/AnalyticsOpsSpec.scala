@@ -246,6 +246,52 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got.getLong(5) == s1 * (n0 - s0) - s0 * (n1 - s1))
   }
 
+  // --------------------------------------- changepoint / seasonality / bitmap
+
+  test("changepoint: step series found exactly, earliest-day tie-break") {
+    // g "step": days 1-3 at 0, days 4-6 at 6 -> best split after day 3
+    val events = (4 to 6).flatMap(day => Seq.fill(6)(
+      ("step", java.sql.Timestamp.valueOf(f"2024-01-0$day 10:00:00")))) ++
+      Seq(("step", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))) // 1 on day 1
+    val got = EventAnalytics.changepoint(events.toDF("event_type", "ts"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    // dense: (1,0,0,6,6,6), n=6, S=19
+    // t=3: st=1, num=|1*3 - 18*3| = 51, den=9, ratio 5.67 (max)
+    assert(got.toSeq == Seq(("step", "2024-01-03", 51L, 9L, 6L)))
+  }
+
+  test("weekday profile: exact seasonality index") {
+    // 14 days starting Mon 2024-01-01; Mondays get 3 events, rest 1
+    val events = (0 until 14).flatMap { off =>
+      val day = java.time.LocalDate.of(2024, 1, 1).plusDays(off)
+      val n = if (day.getDayOfWeek.getValue == 1) 3 else 1
+      Seq.fill(n)(("m", java.sql.Timestamp.valueOf(day.atTime(9, 0))))
+    }.toDF("event_type", "ts")
+    val got = EventAnalytics.weekdayProfile(events)
+      .collect().map(r => r.getInt(1) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // totals: 14 days, 2*3 + 12*1 = 18 events
+    // Monday (dow 1): n=2, sum=6 -> 6*14*1e6 div (2*18) = 2333333
+    // others: n=2, sum=2 -> 2*14*1e6 div (2*18) = 777777
+    assert(got(1) == ((2L, 6L, 2333333L)))
+    (2 to 7).foreach(d => assert(got(d) == ((2L, 2L, 777777L)), s"dow $d"))
+  }
+
+  test("segment overlap: bitmap AND equals direct set intersection") {
+    // users straddle word boundaries (63/64/128); c shares nobody
+    val inc = Seq(
+      ("a", 1L), ("a", 63L), ("a", 64L), ("a", 128L),
+      ("b", 63L), ("b", 64L), ("b", 999L),
+      ("c", 5000L)
+    ).map { case (s, u) => (1L, new java.sql.Timestamp(0), u, s) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventAnalytics.segmentOverlap(inc)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(("a", "b") -> 2L)) // 63 and 64; c-pairs absent
+  }
+
   // ------------------------------------------------------ phrase / rfm
 
   test("phrase search: exact anchors, repeats, overlaps, repeated-term phrase") {
