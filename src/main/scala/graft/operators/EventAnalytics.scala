@@ -174,25 +174,52 @@ object EventAnalytics {
   }
 
   /** Exact equi-depth bin cutoffs of a long column: cutoff `k` is the
-    * smallest value whose cumulative count reaches `ceil(k*n/bins)` —
-    * tested as the integer cross-multiplication `bins*cum >= k*n`, no
-    * floats. The cumulative window runs over the VALUE HISTOGRAM
-    * (bounded by the value domain), never over rows — the
-    * [[graft.llm.TextAnalysis.percentileTrim]] shape, returned as a
-    * `bins`-row cutoff table for broadcasting. */
-  def exactBins(df: DataFrame, value: Column, bins: Int): DataFrame = {
+    * `ceil(k*n/bins)`-th smallest value (equivalently, the smallest
+    * value whose cumulative count reaches that rank) — exact order
+    * statistics, no floats anywhere.
+    *
+    * TWO-PHASE, because a distinct-value histogram of a near-unique
+    * column (cents, ids) is row-sized and a cumulative window over it
+    * is a one-task scan of everything: range-bucket the values off a
+    * 1-row min/max broadcast, take per-bucket counts (a bounded
+    * summary), prefix-sum over the SUMMARY to locate each rank's
+    * boundary bucket, then compute the rank's order statistic inside
+    * that one bucket via a per-k `row_number` — only boundary buckets
+    * ever sort, the [[graft.llm.Sampling.tokenBudgetMix]] discipline.
+    * Equal values make the statistic well-defined regardless of
+    * within-tie order. Returns a `bins`-row (k, cut) table. */
+  def exactBins(df: DataFrame, value: Column, bins: Int,
+                buckets: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(bins >= 2, s"bins=$bins")
-    val hist = df.select(value.as("v")).filter(col("v").isNotNull)
-      .groupBy("v").agg(count(lit(1)).as("c"))
+    require(bins >= 2 && buckets >= 1, s"bins=$bins buckets=$buckets")
+    val vals = df.select(value.as("v")).filter(col("v").isNotNull)
+    val stats = vals.agg(min("v").as("v0"), max("v").as("v1"),
+      count(lit(1)).as("n"))
+    val bucketed = vals.crossJoin(broadcast(stats))
+      .withColumn("b", expr(
+        s"(v - v0) div greatest((v1 - v0) div $buckets, 1L)"))
+      .select(col("v"), col("b"))
+    val summary = bucketed.groupBy("b").agg(count(lit(1)).as("c"))
       .withColumn("cum", sum(col("c")).over(
-        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
-    val n = hist.agg(sum("c").as("n"))
-    hist.crossJoin(broadcast(n))
-      .select(col("v"), col("cum"), col("n"),
+        Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)))
+    // rank targets: ceil(k*n/bins) as integer arithmetic
+    val targets = stats.select(col("n"),
         explode(sequence(lit(1), lit(bins))).as("k"))
-      .filter(lit(bins) * col("cum") >= col("k") * col("n"))
-      .groupBy("k").agg(min(col("v")).as("cut"))
+      .withColumn("target", expr(s"(k * n + $bins - 1) div $bins"))
+      .filter(col("target") >= 1)
+    // each rank's boundary bucket + the rank's offset within it
+    val spec = summary.join(broadcast(targets),
+        col("cum") >= col("target"))
+      .groupBy("k", "target")
+      .agg(min_by(struct(col("b"), col("cum"), col("c")), col("b"))
+        .as("bb"))
+      .select(col("k"), col("bb.b").as("b"),
+        (col("target") - (col("bb.cum") - col("bb.c"))).as("need"))
+    val wIn = Window.partitionBy("k").orderBy("v")
+    bucketed.join(broadcast(spec), Seq("b"))
+      .withColumn("rn", row_number().over(wIn))
+      .filter(col("rn") === col("need"))
+      .select(col("k"), col("v").as("cut"))
   }
 
   /** RFM (recency / frequency / monetary) customer scoring — the

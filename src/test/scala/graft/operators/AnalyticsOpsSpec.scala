@@ -317,6 +317,25 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(cuts == Map(1 -> 20L, 2 -> 40L, 3 -> 60L, 4 -> 80L, 5 -> 100L))
   }
 
+  test("exact bins: bucket-count invariance, duplicates, tiny input") {
+    val dup = (Seq.fill(30)(7L) ++ Seq.fill(10)(9L) ++ (100L to 159L))
+      .map(Tuple1(_)).toDF("v")
+    def cuts(buckets: Int) =
+      EventAnalytics.exactBins(dup, $"v", 4, buckets)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val one = cuts(1)
+    assert(one == cuts(1024) && one == cuts(7))
+    // n=100, ranks 25/50/75/100 over sorted
+    // [7 x30, 9 x10, 100..159]: v25=7, v50=109, v75=134, v100=159
+    assert(one == Map(1 -> 7L, 2 -> 109L, 3 -> 134L, 4 -> 159L))
+    // fewer rows than bins still yields total coverage
+    val tiny = Seq(5L, 6L).map(Tuple1(_)).toDF("v")
+    val t = EventAnalytics.exactBins(tiny, $"v", 5)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // ranks ceil(k*2/5) = 1,1,2,2,2
+    assert(t == Map(1 -> 5L, 2 -> 5L, 3 -> 6L, 4 -> 6L, 5 -> 6L))
+  }
+
   test("rfm: exact metrics and ascending value bins") {
     def e(id: Long, u: Long, t: String, typ: String, v: Double) =
       (id, java.sql.Timestamp.valueOf(t), u, typ, v)
