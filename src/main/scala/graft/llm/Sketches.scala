@@ -221,6 +221,31 @@ object Sketches {
       .agg(kmvMins(k)(col("__h")).as("mins"))
   }
 
+  /** Pairwise distinct-set overlap estimates from per-group KMV
+    * sketches — the sketch-space answer to the bitmap overlap kernel,
+    * for when exact bitmaps don't fit (user domain too large, groups
+    * too many): `|A ∩ B| ≈ est(A) + est(B) - est(A ∪ B)` by
+    * inclusion–exclusion, with the union sketch formed by pure column
+    * algebra (k smallest of the two sorted-distinct min arrays — no
+    * UDAF, no data re-read). All O(groups^2 * k) work happens on the
+    * SKETCH table; negative estimates are possible for near-disjoint
+    * sets and are the caller's noise floor, as with any sketch. */
+  def kmvIntersectEstimates(sketches: DataFrame, group: Column,
+                            mins: Column, k: Int): DataFrame = {
+    val a = sketches.select(group.as("type_a"), mins.as("ma"))
+    val b = sketches.select(group.as("type_b"), mins.as("mb"))
+    a.join(b, col("type_a") < col("type_b"))
+      .withColumn("mu",
+        slice(array_sort(array_distinct(concat(col("ma"), col("mb")))),
+          1, k))
+      .select(col("type_a"), col("type_b"),
+        kmvEstimate(k, col("ma")).as("est_a"),
+        kmvEstimate(k, col("mb")).as("est_b"),
+        kmvEstimate(k, col("mu")).as("est_union"),
+        (kmvEstimate(k, col("ma")) + kmvEstimate(k, col("mb")) -
+          kmvEstimate(k, col("mu"))).as("est_intersect"))
+  }
+
   // ----------------------------------------------------------- count-min
 
   /** Bucket of `item` in row `row` of a depth x width Count-Min grid:

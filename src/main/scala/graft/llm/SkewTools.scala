@@ -16,6 +16,27 @@ import org.apache.spark.sql.functions._
   */
 object SkewTools {
 
+  /** Join-key skew audit — the measurement step BEFORE reaching for the
+    * salting tools below: the top-k heaviest keys with their exact
+    * share of the table (`share_e6 = cnt * 1e6 div n`), plus the row
+    * and distinct-key totals on every row for context. One map-side-
+    * combined count shuffle + a TakeOrderedAndProject over the COUNT
+    * table (never the rows) + two 1-row aggregates broadcast back. A
+    * top-1 share near 1e6/partitions is the "this key becomes a
+    * straggler" signal that motivates [[saltedAggregate]]. */
+  def keySkewAudit(df: DataFrame, key: Column, topK: Int = 5): DataFrame = {
+    require(topK >= 1, s"topK=$topK")
+    val counts = df.filter(key.isNotNull)
+      .select(key.cast("string").as("key"))
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum("cnt").as("n"),
+      count(lit(1)).as("n_keys"))
+    counts.orderBy(col("cnt").desc, col("key")).limit(topK)
+      .crossJoin(broadcast(totals))
+      .select(col("key"), col("cnt"), col("n"), col("n_keys"),
+        expr("cnt * 1000000L div n").as("share_e6"))
+  }
+
   /** Two-phase skew-safe aggregation: salt the group key into `salts`
     * sub-keys, partially aggregate, then combine the partials. The caller
     * provides partial and final aggregate lists; for algebraic aggregates

@@ -1633,6 +1633,59 @@ object Oracles {
         |FROM lt""".stripMargin,
 
     // dense slice x group grid so absent cells contribute |0 - Cg*nd|
+    "q141_skew_audit" ->
+      """WITH c AS (
+        |  SELECT CAST(event_type AS VARCHAR) AS key,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+        |             CAST(count(*) AS BIGINT) AS n_keys FROM c)
+        |SELECT key, cnt, n, n_keys,
+        |       CAST(cnt * 1000000 // n AS BIGINT) AS share_e6
+        |FROM c, t ORDER BY cnt DESC, key LIMIT 5""".stripMargin,
+
+    "q142_kmv_intersect" -> {
+      val est = (nd: String, kth: String) =>
+        s"CASE WHEN $nd < 64 THEN CAST($nd AS DOUBLE) " +
+          s"ELSE 63.0 / (CAST($kth AS DOUBLE) / 1152921504606846976.0) END"
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type AS g,
+         |         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT
+         |           AS hv
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+         |r AS (SELECT g, hv,
+         |        row_number() OVER (PARTITION BY g ORDER BY hv) AS rn
+         |      FROM h),
+         |a AS (SELECT g, count(*) AS nd,
+         |        max(CASE WHEN rn = 64 THEN hv END) AS kth
+         |      FROM r GROUP BY 1),
+         |prs AS (
+         |  SELECT x.g AS ga, y.g AS gb
+         |  FROM (SELECT DISTINCT g FROM h) x
+         |  JOIN (SELECT DISTINCT g FROM h) y ON x.g < y.g),
+         |hu AS (
+         |  SELECT p.ga, p.gb, h.hv FROM prs p
+         |  JOIN h ON h.g = p.ga OR h.g = p.gb
+         |  GROUP BY 1, 2, 3),
+         |ru AS (SELECT ga, gb, hv,
+         |         row_number() OVER (PARTITION BY ga, gb ORDER BY hv) AS rn
+         |       FROM hu),
+         |au AS (SELECT ga, gb, count(*) AS nd,
+         |         max(CASE WHEN rn = 64 THEN hv END) AS kth
+         |       FROM ru GROUP BY 1, 2)
+         |SELECT prs.ga AS type_a, prs.gb AS type_b,
+         |       ${est("aa.nd", "aa.kth")} AS est_a,
+         |       ${est("ab.nd", "ab.kth")} AS est_b,
+         |       ${est("au.nd", "au.kth")} AS est_union,
+         |       (${est("aa.nd", "aa.kth")} + ${est("ab.nd", "ab.kth")})
+         |         - ${est("au.nd", "au.kth")} AS est_intersect
+         |FROM prs
+         |JOIN a aa ON aa.g = prs.ga
+         |JOIN a ab ON ab.g = prs.gb
+         |JOIN au ON au.ga = prs.ga AND au.gb = prs.gb""".stripMargin
+    },
+
     "q138_changepoint" ->
       """WITH sparse AS (
         |  SELECT event_type AS g, CAST(ts AS DATE) AS d, count(*) AS cnt

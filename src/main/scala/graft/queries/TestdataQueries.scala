@@ -1729,7 +1729,29 @@ object TestdataQueries {
   def q140SegmentOverlap(s: SparkSession, dir: String): DataFrame =
     graft.operators.EventAnalytics.segmentOverlap(t(s, dir, "events"))
 
+  /** Join-key skew audit (X81): top heavy keys of the event stream with
+    * exact shares ([[graft.llm.SkewTools.keySkewAudit]]). */
+  def q141SkewAudit(s: SparkSession, dir: String): DataFrame =
+    graft.llm.SkewTools.keySkewAudit(t(s, dir, "events"),
+      col("event_type"), topK = 5)
+
+  /** KMV intersection estimates (X82): pairwise event-type audience
+    * overlap from the q132 sketches by inclusion-exclusion
+    * ([[graft.llm.Sketches.kmvIntersectEstimates]]) — the sketch-space
+    * twin of q140's exact bitmap overlap. */
+  def q142KmvIntersect(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val ev = t(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+    val perType = ev.groupBy(col("event_type"))
+      .agg(Sketches.kmvMins(k)(Sketches.kmvHash(col("user_id"))).as("mins"))
+    Sketches.kmvIntersectEstimates(perType, col("event_type"),
+      col("mins"), k)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_skew_audit" -> q141SkewAudit _,
+    "q142_kmv_intersect" -> q142KmvIntersect _,
     "q138_changepoint" -> q138Changepoint _,
     "q139_weekday_profile" -> q139WeekdayProfile _,
     "q140_segment_overlap" -> q140SegmentOverlap _,

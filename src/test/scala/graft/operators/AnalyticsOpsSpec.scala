@@ -292,6 +292,34 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got == Map(("a", "b") -> 2L)) // 63 and 64; c-pairs absent
   }
 
+  // ------------------------------------------------- skew / kmv-intersect
+
+  test("skew audit: exact top keys, shares, and totals") {
+    val df = (Seq.fill(60)("hot") ++ Seq.fill(30)("warm") ++
+      (1 to 10).map(i => s"cold$i")).toDF("k")
+    val got = graft.llm.SkewTools.keySkewAudit(df, $"k", topK = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("hot", 60L, 100L, 12L, 600000L),
+      ("warm", 30L, 100L, 12L, 300000L),
+      ("cold1", 1L, 100L, 12L, 10000L)))
+  }
+
+  test("kmv intersect: exact below k, near-true overlap above") {
+    import graft.llm.Sketches
+    // A = 1..30, B = 21..50 -> |A∩B| = 10, all < k=64 -> sketches exact
+    val rows = ((1L to 30L).map(("A", _)) ++ (21L to 50L).map(("B", _)))
+      .toDF("g", "u")
+    val sk = rows.groupBy("g")
+      .agg(Sketches.kmvMins(64)(Sketches.kmvHash($"u")).as("mins"))
+    val Array(r) = Sketches.kmvIntersectEstimates(sk, $"g", $"mins", 64)
+      .collect()
+    assert((r.getString(0), r.getString(1)) == (("A", "B")))
+    assert(r.getDouble(2) == 30.0 && r.getDouble(3) == 30.0 &&
+      r.getDouble(4) == 50.0 && r.getDouble(5) == 10.0)
+  }
+
   // ------------------------------------------------------ phrase / rfm
 
   test("phrase search: exact anchors, repeats, overlaps, repeated-term phrase") {
