@@ -292,18 +292,10 @@ object Similarity {
         (VectorExprs.vecDotInt(col("q_qv"), col("qv")).cast("double") /
           (sqrt(col("q_qn").cast("double")) * sqrt(col("qn").cast("double"))))
           .as("cosine"))
-    val top = topKPerQuery(scored, k)
-      .withColumnRenamed("cosine", "approx_cos")
-    // exact rescore of the <= |queries| * k survivors only: the tiny
-    // top-k set is the broadcast side both times — the corpus never
-    // shuffles for the rescore.
-    corpus.select(col("vec_id"), col("embedding").as("c_emb"))
-      .join(broadcast(top), "vec_id")
-      .join(broadcast(queries.select(col("query_id"), col("embedding").as("q_emb"))),
-        "query_id")
-      .select(col("query_id"), col("rank"), col("vec_id"), col("approx_cos"),
-        (dot(col("q_emb"), col("c_emb")) /
-          (norm(col("q_emb")) * norm(col("c_emb")))).as("exact_cos"))
+    // exact rescore of the <= |queries| * k survivors only (the shared
+    // broadcast-side rescore; the corpus never shuffles for it)
+    exactRescore(corpus, queries,
+      topKPerQuery(scored, k).withColumnRenamed("cosine", "approx_cos"))
   }
 
   /** Product-quantization codebook: `ks` FULL-LENGTH entries whose `m`
@@ -368,24 +360,38 @@ object Similarity {
                 ks: Int = 8, m: Int = 4, iters: Int = 0,
                 excludeSelf: Boolean = true): DataFrame = {
     val cb = pqCodebook(corpus, ks, m, iters)
+    // a corpus smaller than ks yields a short codebook; the LUT stride
+    // is the ACTUAL entry count, not the requested one
+    val stride = cb.length
     val enc = corpus.select(col("vec_id"),
       graft.expr.VectorExprs.pqCode(col("embedding"), cb, m).as("codes"))
     val q = queries.select(col("query_id"),
       graft.expr.VectorExprs.pqLut(col("embedding"), cb, m).as("lut"))
     val adc = (0 until m).map { j =>
-      element_at(col("lut"), lit(j * ks + 1) + element_at(col("codes"), j + 1))
+      element_at(col("lut"),
+        lit(j * stride + 1) + element_at(col("codes"), j + 1))
     }.reduce(_ + _)
     val scored = enc.join(broadcast(q),
         if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
       .select(col("query_id"), col("vec_id"), adc.as("cosine"))
-    val top = topKPerQuery(scored, k).withColumnRenamed("cosine", "adc")
+    exactRescore(corpus, queries,
+      topKPerQuery(scored, k).withColumnRenamed("cosine", "adc"))
+  }
+
+  /** Shared exact-cosine rescore of a broadcast-sized top-k table: the
+    * corpus never shuffles — survivors and queries are the broadcast
+    * side both times. Appends `exact_cos` to whatever columns `top`
+    * carries. */
+  private def exactRescore(corpus: DataFrame, queries: DataFrame,
+                           top: DataFrame): DataFrame = {
+    val keep = top.columns.map(col).toSeq
     corpus.select(col("vec_id"), col("embedding").as("c_emb"))
       .join(broadcast(top), "vec_id")
       .join(broadcast(queries.select(col("query_id"),
         col("embedding").as("q_emb"))), "query_id")
-      .select(col("query_id"), col("rank"), col("vec_id"), col("adc"),
+      .select(keep :+
         (dot(col("q_emb"), col("c_emb")) /
-          (norm(col("q_emb")) * norm(col("c_emb")))).as("exact_cos"))
+          (norm(col("q_emb")) * norm(col("c_emb")))).as("exact_cos"): _*)
   }
 
   /** IVF-PQ: the two ANN prunes composed — the 100 TB serving shape
@@ -402,7 +408,8 @@ object Similarity {
     * scores, ranks, rescores — replays in SQL bit-for-bit. */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 nLists: Int = 16, nProbe: Int = 4,
-                ks: Int = 8, m: Int = 4, iters: Int = 0): DataFrame = {
+                ks: Int = 8, m: Int = 4, iters: Int = 0,
+                excludeSelf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents: Array[Array[Double]] = corpus
       .orderBy(col("vec_id")).limit(nLists)
@@ -429,20 +436,17 @@ object Similarity {
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nProbe)
       .select(col("query_id"), col("lut"), col("cell_id"))
+    val stride = cb.length // actual codebook size, not the requested ks
     val adc = (0 until m).map { j =>
-      element_at(col("lut"), lit(j * ks + 1) + element_at(col("codes"), j + 1))
+      element_at(col("lut"),
+        lit(j * stride + 1) + element_at(col("codes"), j + 1))
     }.reduce(_ + _)
     val scored = enc.join(broadcast(probes), Seq("cell_id"))
-      .filter(col("query_id") =!= col("vec_id"))
+      .filter(if (excludeSelf) col("query_id") =!= col("vec_id")
+        else lit(true))
       .select(col("query_id"), col("vec_id"), adc.as("cosine"))
-    val top = topKPerQuery(scored, k).withColumnRenamed("cosine", "adc")
-    corpus.select(col("vec_id"), col("embedding").as("c_emb"))
-      .join(broadcast(top), "vec_id")
-      .join(broadcast(queries.select(col("query_id"),
-        col("embedding").as("q_emb"))), "query_id")
-      .select(col("query_id"), col("rank"), col("vec_id"), col("adc"),
-        (dot(col("q_emb"), col("c_emb")) /
-          (norm(col("q_emb")) * norm(col("c_emb")))).as("exact_cos"))
+    exactRescore(corpus, queries,
+      topKPerQuery(scored, k).withColumnRenamed("cosine", "adc"))
   }
 
   /** Deterministic per-query top-k: (cosine desc, vec_id asc).

@@ -217,7 +217,12 @@ object Sketches {
   def kmvRollup(sketches: DataFrame, mins: Column, coarse: Seq[Column],
                 k: Int): DataFrame = {
     val exploded = sketches.select(coarse :+ explode(mins).as("__h"): _*)
-    exploded.groupBy(coarse.map(c => exploded(c.toString)): _*)
+    // group by the projection's OWN columns (everything but __h): a
+    // derived coarse expression like date_trunc(...).as("month") keeps
+    // its alias through the projection, where re-resolving the raw
+    // Column's toString would throw
+    val keys = exploded.columns.filterNot(_ == "__h").map(col).toSeq
+    exploded.groupBy(keys: _*)
       .agg(kmvMins(k)(col("__h")).as("mins"))
   }
 

@@ -639,7 +639,8 @@ object TextAnalysis {
         Seq("w2"))
       .crossJoin(broadcast(n))
       .withColumn("pmi_e6", expr(
-        "CAST(pair_n AS DECIMAL(38,0)) * 1000000 * n_tokens div (c1 * c2)"))
+        "CAST(pair_n AS DECIMAL(38,0)) * 1000000 * n_tokens" +
+          " div (CAST(c1 AS DECIMAL(38,0)) * c2)"))
       .select(col("w1"), col("w2"), col("pair_n"), col("pmi_e6"))
       .orderBy(col("pmi_e6").desc, col("w1"), col("w2"))
       .limit(topK)

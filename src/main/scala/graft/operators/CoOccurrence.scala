@@ -69,7 +69,8 @@ object CoOccurrence {
       .join(itemCounts.select(col("item").as("item_b"), col("c").as("cb")),
         Seq("item_b"))
       .withColumn("cos2_e6", expr(
-        "CAST(pair_n AS DECIMAL(38,0)) * pair_n * 1000000 div (ca * cb)"))
+        "CAST(pair_n AS DECIMAL(38,0)) * pair_n * 1000000" +
+          " div (CAST(ca AS DECIMAL(38,0)) * cb)"))
       .select(col("item_a"), col("item_b"), col("pair_n"), col("cos2_e6"))
   }
 }

@@ -156,7 +156,8 @@ object EventAnalytics {
       .withColumn("variant",
         conv(substring(md5(col("user_id").cast("string")), 1, 7), 16, 10)
           .cast("long") % 2)
-    val converted = EventFunnel.funnel(events, steps, maxGapMicros)
+    val converted = EventFunnel.funnel(events, steps, maxGapMicros,
+        user = user)
       .filter(col("steps_reached") === steps.length)
       .select(col("user_id"), lit(1L).as("conv"))
     users.join(converted, Seq("user_id"), "left")
@@ -259,10 +260,12 @@ object EventAnalytics {
                 value: Column = col("value")): DataFrame = {
     val horizon = events.filter(ts.isNotNull)
       .agg(max(unix_micros(ts)).as("h_us"))
-    // the user-metrics table feeds seven plan branches (itself + three
-    // cutoff derivations + three bin joins); persisting it keeps the
-    // event scan + per-user shuffle to one execution (it is user-sized,
-    // far below the event stream it summarizes)
+    // the user-metrics table feeds every branch of the melted cutoff
+    // computation below; persisting it for that multi-branch collect
+    // keeps the event scan + per-user shuffle to one execution there.
+    // It is unpersisted before returning (no residency left behind), so
+    // the caller's eventual action recomputes metrics once from events
+    // — one scan, the deliberate trade.
     val metrics = events
       .filter(typ === purchaseType && user.isNotNull && ts.isNotNull &&
         value.isNotNull)
@@ -369,7 +372,7 @@ object EventAnalytics {
       .filter(col("sum_tot") > 0)
       .withColumn("idx_e6", expr(
         "CAST(sum_cnt AS DECIMAL(38,0)) * n_tot * 1000000" +
-          " div (n_days * sum_tot)"))
+          " div (CAST(n_days AS DECIMAL(38,0)) * sum_tot)"))
       .select(col("g"), col("dow"), col("n_days"), col("sum_cnt"),
         col("idx_e6"))
   }

@@ -538,6 +538,33 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(partial.nonEmpty)
   }
 
+  test("pq: corpus smaller than ks uses the short codebook's LUT stride") {
+    // 3 vectors, ks = 8 -> codebook has 3 entries; vectors ARE the
+    // codebook, so ADC must still equal the exact dot
+    val corpus = Seq(
+      (0L, vec(1.0, 0.0, 0.0, 2.0)),
+      (1L, vec(0.0, 3.0, 1.0, 0.0)),
+      (2L, vec(2.0, 2.0, 2.0, 2.0))).toDF("vec_id", "embedding")
+    val queries = Seq((0L, vec(1.0, 1.0, 1.0, 1.0)))
+      .toDF("query_id", "embedding")
+    val got = graft.llm.Similarity.pqAdcTopK(corpus, queries, k = 3,
+        ks = 8, m = 2, iters = 0, excludeSelf = false)
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    assert(got == Map(0L -> 3.0, 1L -> 4.0, 2L -> 8.0))
+  }
+
+  test("kmv rollup: derived/aliased coarse columns resolve") {
+    import graft.llm.Sketches
+    val rows = (1L to 60L).map(i => (java.sql.Date.valueOf(
+      f"2024-0${i % 3 + 1}%d-15"), i % 37)).toDF("d", "v")
+    val fine = rows.groupBy("d")
+      .agg(Sketches.kmvMins(16)(Sketches.kmvHash($"v")).as("mins"))
+    val monthly = Sketches.kmvRollup(fine, $"mins",
+      Seq(date_trunc("month", $"d").as("month")), 16)
+    assert(monthly.columns.toSeq == Seq("month", "mins") &&
+      monthly.count() == 3)
+  }
+
   test("encode: order restored, OOV -> -1, empty doc -> (0, \"\")") {
     val docs = Seq(
       (1L, "b a b rare"),
