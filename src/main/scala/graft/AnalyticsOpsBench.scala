@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{EventAnalytics, Skyline}
+import graft.llm.TextAnalysis
+
+/** Corpus-scale soak for the round-8 analytics operators — the scale
+  * check the sf0.1 driver bench can't give, one JSON line per phase,
+  * each with an EXACT expected answer constructed into the data:
+  *
+  *  1. skyline over N points: a dense dominated cloud plus a planted
+  *     1000-step staircase strictly below the cloud in both dims — the
+  *     staircase dominates every cloud point and is mutually
+  *     non-dominating, so the exact skyline IS the staircase; the
+  *     operator must return precisely those 1000 ids (phase-2 bucket
+  *     pruning has to kill ~N points without a self-join);
+  *  2. phrase search over N word-salad documents with the phrase
+  *     "alpha bravo charlie" planted at a known position in every
+  *     200th document — hits must be exactly the planted docs, one
+  *     anchor each (anchor voting must not produce false positives
+  *     from the phrase words appearing separately, which they do
+  *     throughout the salad);
+  *  3. bitmap segment overlap over U users x 8 residue-class segments
+  *     (user u in segment i iff u % (i+2) == 0): every pairwise
+  *     overlap has the closed form |{u < U : u % lcm == 0}|, checked
+  *     for all 28 pairs.
+  *
+  * Usage: `runMain graft.AnalyticsOpsBench [nPoints] [nDocs] [nUsers]`
+  * (defaults 2e6 / 200k / 1e6).
+  */
+object AnalyticsOpsBench {
+  def main(args: Array[String]): Unit = {
+    val nPoints = args.headOption.map(_.toLong).getOrElse(2000000L)
+    val nDocs = args.lift(1).map(_.toLong).getOrElse(200000L)
+    val nUsers = args.lift(2).map(_.toLong).getOrElse(1000000L)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def phase(name: String)(body: => (Boolean, String)): Unit = {
+      val t0 = System.nanoTime()
+      val (ok, detail) = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"phase":"$name","ok":$ok,"sec":$sec%.2f,$detail}""")
+      require(ok, s"$name FAILED: $detail")
+    }
+
+    phase("skyline") {
+      // cloud in [2e6, 3e6)^2; staircase x = i*10, y = (1000-i)*10
+      val cloud = spark.range(nPoints).select(col("id"),
+        (pmod(col("id") * 48271L, lit(999983L)) + 2000000L).as("x"),
+        (pmod(col("id") * 69621L, lit(999979L)) + 2000000L).as("y"))
+      val stairs = spark.range(1000).select((col("id") + nPoints).as("id"),
+        (col("id") * 10L).as("x"), ((lit(1000L) - col("id")) * 10L).as("y"))
+      val got = Skyline.skyline2d(cloud.unionByName(stairs),
+          col("id"), col("x"), col("y"))
+        .select("id").collect().map(_.getLong(0)).toSet
+      val want = (nPoints until nPoints + 1000L).toSet
+      (got == want, s""""skyline_size":${got.size}""")
+    }
+
+    phase("phrase-search") {
+      val vocab = 997
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        concat_ws(" ",
+          (0 until 30).map(j =>
+            concat(lit("w"), pmod(col("id") * (j * 2 + 7) + j, lit(vocab))))
+            :+ when(pmod(col("id"), lit(200)) === 0,
+              lit("alpha bravo charlie")).otherwise(lit("alpha charlie")): _*
+        ).as("text"))
+      val got = TextAnalysis.phraseSearch(docs, Seq("alpha bravo charlie"))
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      val want = (0L until nDocs by 200L).map(_ -> 1L).toMap
+      (got == want, s""""phrase_hits":${got.size}""")
+    }
+
+    phase("bitmap-overlap") {
+      val segs = (0 until 8).map(i => i + 2)
+      val inc = spark.range(nUsers).select(col("id").as("user_id"))
+        .select(col("user_id"), explode(array(segs.map(m =>
+          when(pmod(col("user_id"), lit(m)) === 0, lit(s"seg$m"))): _*))
+          .as("event_type"))
+        .filter(col("event_type").isNotNull)
+      val got = EventAnalytics.segmentOverlap(inc)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      def lcm(a: Long, b: Long): Long = {
+        @annotation.tailrec def gcd(x: Long, y: Long): Long =
+          if (y == 0) x else gcd(y, x % y)
+        a / gcd(a, b) * b
+      }
+      val want = (for {
+        i <- segs; j <- segs if s"seg$i" < s"seg$j"
+      } yield (s"seg$i", s"seg$j") ->
+        ((nUsers - 1) / lcm(i, j) + 1)).toMap
+      (got == want, s""""pairs":${got.size}""")
+    }
+
+    spark.stop()
+  }
+}
