@@ -191,6 +191,46 @@ object TextAnalysis {
     dfs.filter(col("df") >= minDf).join(postings, Seq("term"))
   }
 
+  /** Per-slice keyness: the terms most over-represented in each slice
+    * of the corpus relative to everything else — the "what makes this
+    * source different" readout (corpus-linguistics keyness; the
+    * class-based cousin of tf-idf). Scored by the exact integer
+    * rate-ratio surrogate
+    * `score_e6 = a * (n_other + 1) * 1e6 div ((b + 1) * n_slice)`
+    * (a/b = term count in/out of the slice, n = token totals;
+    * add-one keeps slice-exclusive terms finite, and log-free integer
+    * arithmetic keeps the ranking engine-portable). One (term, slice)
+    * count shuffle; term totals re-aggregate from it (b = total - a,
+    * never a second corpus pass); slice totals are a broadcast; the
+    * per-slice top-k rewrites to WindowGroupLimit so the map side
+    * prunes before the shuffle. */
+  def keyTerms(docs: DataFrame, k: Int = 10,
+               slice: Column = col("source"),
+               text: Column = col("text")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k=$k")
+    val ts = docs.filter(slice.isNotNull)
+      .select(slice.as("src"), explode(wsTokens(text)).as("term"))
+    val perSlice = ts.groupBy("src", "term").agg(count(lit(1)).as("a"))
+    val termTot = perSlice.groupBy("term").agg(sum("a").as("tot"))
+    val sliceTot = perSlice.groupBy("src").agg(sum("a").as("n_slice"))
+    val grand = sliceTot.agg(sum("n_slice").as("n_all"))
+    val scored = perSlice
+      .join(termTot, Seq("term"))
+      .join(broadcast(sliceTot), Seq("src"))
+      .crossJoin(broadcast(grand))
+      .withColumn("b", col("tot") - col("a"))
+      .withColumn("score_e6", expr(
+        "CAST(a AS DECIMAL(38,0)) * (n_all - n_slice + 1) * 1000000" +
+          " div (CAST(b + 1 AS DECIMAL(38,0)) * n_slice)"))
+    val w = Window.partitionBy("src")
+      .orderBy(col("score_e6").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("rank"), col("term"), col("a"), col("b"),
+        col("score_e6"))
+  }
+
   /** Positional phrase search — exact multi-word match over the corpus,
     * the positional-index complement to [[bm25TopK]]'s bag-of-words
     * retrieval. Set-based, not a join chain: each phrase pre-tokenizes

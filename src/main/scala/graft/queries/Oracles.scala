@@ -1633,6 +1633,34 @@ object Oracles {
         |FROM lt""".stripMargin,
 
     // dense slice x group grid so absent cells contribute |0 - Cg*nd|
+    "q143_keyness" ->
+      s"""WITH ts AS (
+         |  SELECT source AS src,
+         |         unnest(list_filter(string_split($norm, ' '),
+         |           t -> len(t) > 0)) AS term
+         |  FROM documents WHERE source IS NOT NULL),
+         |ps AS (SELECT src, term, CAST(count(*) AS BIGINT) AS a
+         |       FROM ts GROUP BY 1, 2),
+         |tt AS (SELECT term, CAST(sum(a) AS BIGINT) AS tot
+         |       FROM ps GROUP BY 1),
+         |st AS (SELECT src, CAST(sum(a) AS BIGINT) AS n_slice
+         |       FROM ps GROUP BY 1),
+         |g AS (SELECT CAST(sum(n_slice) AS BIGINT) AS n_all FROM st),
+         |sc AS (
+         |  SELECT ps.src, ps.term, ps.a, tt.tot - ps.a AS b,
+         |         CAST((CAST(ps.a AS HUGEINT)
+         |             * (g.n_all - st.n_slice + 1) * 1000000)
+         |           // (CAST(tt.tot - ps.a + 1 AS HUGEINT) * st.n_slice)
+         |           AS BIGINT) AS score_e6
+         |  FROM ps JOIN tt ON tt.term = ps.term
+         |  JOIN st ON st.src = ps.src CROSS JOIN g),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY src
+         |            ORDER BY score_e6 DESC, term) AS rank
+         |  FROM sc)
+         |SELECT src, CAST(rank AS INT) AS rank, term, a, b, score_e6
+         |FROM r WHERE rank <= 10""".stripMargin,
+
     "q141_skew_audit" ->
       """WITH c AS (
         |  SELECT CAST(event_type AS VARCHAR) AS key,

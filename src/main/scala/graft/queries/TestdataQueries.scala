@@ -1749,7 +1749,14 @@ object TestdataQueries {
       col("mins"), k)
   }
 
+  /** Per-source keyness (X83): each source's most over-represented
+    * terms vs the rest of the corpus
+    * ([[graft.llm.TextAnalysis.keyTerms]]). */
+  def q143Keyness(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.keyTerms(t(s, dir, "documents"), k = 10)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_keyness" -> q143Keyness _,
     "q141_skew_audit" -> q141SkewAudit _,
     "q142_kmv_intersect" -> q142KmvIntersect _,
     "q138_changepoint" -> q138Changepoint _,

@@ -292,6 +292,28 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got == Map(("a", "b") -> 2L)) // 63 and 64; c-pairs absent
   }
 
+  // -------------------------------------------------------------- keyness
+
+  test("keyness: exact rate-ratio scores and per-slice ranking") {
+    val docs = Seq(
+      (1L, "jargon jargon common", "tech"),
+      (2L, "common common plain", "news")).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.keyTerms(docs, k = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // totals: tech n=3, news n=3, n_all=6
+    // tech/jargon: a=2 b=0 -> 2*(3+1)*1e6 div (1*3) = 2666666
+    // tech/common: a=1 b=2 -> 1*4*1e6 div (3*3)   = 444444
+    // news/plain:  a=1 b=0 -> 1*4*1e6 div (1*3)   = 1333333
+    // news/common: a=2 b=1 -> 2*4*1e6 div (2*3)   = 1333333
+    // news tie 1333333 -> term asc: "common" before "plain"
+    assert(got.sortBy(r => (r._1, r._2)).toSeq == Seq(
+      ("news", 1, "common", 2L, 1L, 1333333L),
+      ("news", 2, "plain", 1L, 0L, 1333333L),
+      ("tech", 1, "jargon", 2L, 0L, 2666666L),
+      ("tech", 2, "common", 1L, 2L, 444444L)))
+  }
+
   // ------------------------------------------------- skew / kmv-intersect
 
   test("skew audit: exact top keys, shares, and totals") {
