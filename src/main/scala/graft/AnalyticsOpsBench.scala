@@ -18,9 +18,9 @@ import graft.llm.TextAnalysis
   *  2. phrase search over N word-salad documents with the phrase
   *     "alpha bravo charlie" planted at a known position in every
   *     200th document — hits must be exactly the planted docs, one
-  *     anchor each (anchor voting must not produce false positives
-  *     from the phrase words appearing separately, which they do
-  *     throughout the salad);
+  *     anchor each (every NON-planted doc instead carries the broken
+  *     adjacent pair "alpha charlie", so anchor voting is stressed
+  *     against near-miss false positives corpus-wide);
   *  3. bitmap segment overlap over U users x 8 residue-class segments
   *     (user u in segment i iff u % (i+2) == 0): every pairwise
   *     overlap has the closed form |{u < U : u % lcm == 0}|, checked

@@ -1632,7 +1632,6 @@ object Oracles {
         |       converted, censored
         |FROM lt""".stripMargin,
 
-    // dense slice x group grid so absent cells contribute |0 - Cg*nd|
     "q143_keyness" ->
       s"""WITH ts AS (
          |  SELECT source AS src,
@@ -1775,7 +1774,7 @@ object Oracles {
         |  FROM dense GROUP BY 1)
         |SELECT per.g, dow, n_days, sum_cnt,
         |       CAST((CAST(sum_cnt AS HUGEINT) * n_tot * 1000000)
-        |         // (n_days * sum_tot) AS BIGINT) AS idx_e6
+        |         // (CAST(n_days AS HUGEINT) * sum_tot) AS BIGINT) AS idx_e6
         |FROM per JOIN tot ON per.g = tot.g
         |WHERE sum_tot > 0""".stripMargin,
 
@@ -2181,7 +2180,7 @@ object Oracles {
          |       FROM bi GROUP BY w1, w2 HAVING count(*) >= 5)
          |SELECT w1, w2, pair_n,
          |       CAST((CAST(pair_n AS HUGEINT) * 1000000 * n.n_tokens)
-         |         // (a.c * b.c) AS BIGINT) AS pmi_e6
+         |         // (CAST(a.c AS HUGEINT) * b.c) AS BIGINT) AS pmi_e6
          |FROM c2 JOIN c1 a ON c2.w1 = a.w JOIN c1 b ON c2.w2 = b.w
          |CROSS JOIN n
          |ORDER BY pmi_e6 DESC, w1, w2 LIMIT 100""".stripMargin,
@@ -2203,7 +2202,7 @@ object Oracles {
         |  GROUP BY a.item, b.item HAVING count(*) >= 2)
         |SELECT item_a, item_b, pair_n,
         |       CAST((CAST(pair_n AS HUGEINT) * pair_n * 1000000)
-        |         // (ca.c * cb.c) AS BIGINT) AS cos2_e6
+        |         // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS cos2_e6
         |FROM p JOIN ic ca ON p.item_a = ca.item
         |JOIN ic cb ON p.item_b = cb.item""".stripMargin,
 
@@ -2275,6 +2274,7 @@ object Oracles {
          |       coalesce(agg.ids, '') AS ids
          |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
 
+    // dense slice x group grid so absent cells contribute |0 - Cg*nd|
     "q120_mix_drift" ->
       """WITH sp AS (
         |  SELECT CAST(ts AS DATE) AS d, event_type AS g, count(*) AS c
