@@ -241,6 +241,81 @@ object EventAnalytics {
       .select(col("m").as("metric"), col("k"), col("v").as("cut"))
   }
 
+  /** Exact per-group percentiles (order statistics) WITHOUT buffering
+    * groups: Spark's exact `percentile` aggregate materializes every
+    * group's values in one buffer (the q47 surface — fine until a
+    * group outgrows an executor), and the GK sketch trades exactness
+    * for mergeability. This is the third point on that curve: exact
+    * answers through the [[exactBinsMulti]] two-phase shape with the
+    * group key threaded through — per-(group, bucket) summaries,
+    * prefix sums over the summary, rank order-statistics computed only
+    * inside boundary buckets. `pct` targets rank `ceil(p*n_g/100)`
+    * (quantile_disc semantics, exact integers end to end).
+    *
+    * Cardinality contract: the group-stats and boundary-spec tables
+    * broadcast, so group cardinality must be dashboard-dimension-sized
+    * (thousands); for per-key order stats beyond that, use
+    * [[graft.llm.Sketches.approxQuantiles]]. */
+  def exactGroupQuantiles(df: DataFrame, group: Column, value: Column,
+                          percents: Seq[Int],
+                          buckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents=$percents")
+    require(percents.distinct.size == percents.size, s"$percents")
+    val vals = df.select(group.as("g"), value.cast("long").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+    val stats = vals.groupBy("g").agg(min("v").as("v0"), max("v").as("v1"),
+      count(lit(1)).as("n"))
+    val bucketed = vals.join(broadcast(stats), Seq("g"))
+      .withColumn("b", expr(
+        s"(v - v0) div greatest((v1 - v0) div $buckets, 1L)"))
+      .select(col("g"), col("v"), col("b"))
+    val summary = bucketed.groupBy("g", "b").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy("g").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val targets = stats.select(col("g").as("tg"), col("n"),
+        explode(typedLit(percents)).as("pct"))
+      .withColumn("target", expr("(pct * n + 99) div 100"))
+      .filter(col("target") >= 1)
+    val spec = summary.join(broadcast(targets),
+        col("g") === col("tg") && col("cum") >= col("target"))
+      .groupBy("g", "pct", "target")
+      .agg(min_by(struct(col("b"), col("cum"), col("c")), col("b"))
+        .as("bb"))
+      .select(col("g"), col("pct"), col("bb.b").as("b"),
+        (col("target") - (col("bb.cum") - col("bb.c"))).as("need"))
+    val wIn = Window.partitionBy("g", "pct").orderBy("v")
+    bucketed.join(broadcast(spec), Seq("g", "b"))
+      .withColumn("rn", row_number().over(wIn))
+      .filter(col("rn") === col("need"))
+      .select(col("g"), col("pct"), col("v").as("cut"))
+  }
+
+  /** Funnel step-latency report: for each completed funnel transition,
+    * the exact whole-second latency percentiles — "how long do users
+    * take between steps" as order statistics, not means (latencies are
+    * heavy-tailed; the median and p90 are the readout). Composes X45's
+    * funnel (per-user step times, one shuffle) with
+    * [[exactGroupQuantiles]] over the melted (transition, seconds)
+    * pairs; only users who REACHED each pair of steps contribute to
+    * that transition. */
+  def funnelLatency(events: DataFrame, steps: Seq[String],
+                    maxGapMicros: Long,
+                    percents: Seq[Int] = Seq(25, 50, 90)): DataFrame = {
+    require(steps.size >= 2, s"need >= 2 steps: $steps")
+    val f = EventFunnel.funnel(events, steps, maxGapMicros)
+    val deltas = f.select(explode(array((0 until steps.size - 1).map { i =>
+      struct(lit(s"${steps(i)}->${steps(i + 1)}").as("transition"),
+        expr(s"(t_${i + 1} - t_$i) div 1000000L").as("secs"))
+    }: _*)).as("e"))
+      .select(col("e.transition").as("transition"), col("e.secs").as("secs"))
+      .filter(col("secs").isNotNull)
+    exactGroupQuantiles(deltas, col("transition"), col("secs"), percents)
+      .select(col("g").as("transition"), col("pct"), col("cut").as("secs"))
+  }
+
   /** RFM (recency / frequency / monetary) customer scoring — the
     * marketing-segmentation staple, kept engine-portable: metrics are
     * exact integers (whole days via integral `div`, cents via

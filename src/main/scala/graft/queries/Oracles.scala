@@ -1632,6 +1632,54 @@ object Oracles {
         |       converted, censored
         |FROM lt""".stripMargin,
 
+    "q144_group_quantiles" ->
+      """WITH m AS (
+        |  SELECT l_returnflag AS g,
+        |         CAST(l_extendedprice * 100 AS BIGINT) AS v
+        |  FROM lineitem),
+        |r AS (SELECT g, v,
+        |        row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |        count(*) OVER (PARTITION BY g) AS n
+        |      FROM m),
+        |t AS (SELECT DISTINCT g, n, unnest([25, 50, 90]) AS pct FROM r)
+        |SELECT r.g, CAST(t.pct AS INT) AS pct, r.v AS cut
+        |FROM r JOIN t ON r.g = t.g
+        |  AND r.rn = (t.pct * t.n + 99) // 100""".stripMargin,
+
+    "q145_funnel_latency" ->
+      """WITH f AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+        |  WHERE event_type IN ('signup', 'click', 'purchase')
+        |    AND ts IS NOT NULL),
+        |s0 AS (SELECT user_id, min(us) AS t_0 FROM f
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |s1 AS (SELECT f.user_id, min(us) AS t_1 FROM f JOIN s0 USING (user_id)
+        |       WHERE event_type = 'click'
+        |         AND us > t_0 AND us <= t_0 + 86400000000
+        |       GROUP BY f.user_id),
+        |s2 AS (SELECT f.user_id, min(us) AS t_2 FROM f JOIN s1 USING (user_id)
+        |       WHERE event_type = 'purchase'
+        |         AND us > t_1 AND us <= t_1 + 86400000000
+        |       GROUP BY f.user_id),
+        |d AS (
+        |  SELECT 'signup->click' AS transition,
+        |         (t_1 - t_0) // 1000000 AS secs
+        |  FROM s0 JOIN s1 USING (user_id)
+        |  UNION ALL
+        |  SELECT 'click->purchase', (t_2 - t_1) // 1000000
+        |  FROM s1 JOIN s2 USING (user_id)),
+        |r AS (SELECT transition, secs,
+        |        row_number() OVER (PARTITION BY transition
+        |                           ORDER BY secs) AS rn,
+        |        count(*) OVER (PARTITION BY transition) AS n
+        |      FROM d),
+        |t AS (SELECT DISTINCT transition, n, unnest([25, 50, 90]) AS pct
+        |      FROM r)
+        |SELECT r.transition, CAST(t.pct AS INT) AS pct,
+        |       CAST(r.secs AS BIGINT) AS secs
+        |FROM r JOIN t ON r.transition = t.transition
+        |  AND r.rn = (t.pct * t.n + 99) // 100""".stripMargin,
+
     "q143_keyness" ->
       s"""WITH ts AS (
          |  SELECT source AS src,

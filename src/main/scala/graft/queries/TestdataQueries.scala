@@ -1755,7 +1755,28 @@ object TestdataQueries {
   def q143Keyness(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.keyTerms(t(s, dir, "documents"), k = 10)
 
+  /** Exact per-group percentiles at scale (X84): p25/p50/p90 of the
+    * extended price (cents) per return flag via the two-phase
+    * order-statistic path — the exact-without-group-buffering member of
+    * the quantile family (q47 = buffered exact, q104 = GK sketch)
+    * ([[graft.operators.EventAnalytics.exactGroupQuantiles]]). */
+  def q144GroupQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.exactGroupQuantiles(
+      t(s, dir, "lineitem"), col("l_returnflag"),
+      expr("CAST(l_extendedprice * 100 AS BIGINT)"), Seq(25, 50, 90))
+
+  /** Funnel step-latency percentiles (X85): exact whole-second p25/p50/
+    * p90 per transition, composing the funnel with the grouped
+    * order-statistic path
+    * ([[graft.operators.EventAnalytics.funnelLatency]]). */
+  def q145FunnelLatency(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.funnelLatency(t(s, dir, "events"),
+      Seq("signup", "click", "purchase"),
+      maxGapMicros = 24L * 3600 * 1000000)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_group_quantiles" -> q144GroupQuantiles _,
+    "q145_funnel_latency" -> q145FunnelLatency _,
     "q143_keyness" -> q143Keyness _,
     "q141_skew_audit" -> q141SkewAudit _,
     "q142_kmv_intersect" -> q142KmvIntersect _,

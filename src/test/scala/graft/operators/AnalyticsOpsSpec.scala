@@ -292,6 +292,49 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got == Map(("a", "b") -> 2L)) // 63 and 64; c-pairs absent
   }
 
+  // --------------------------------------------- grouped exact quantiles
+
+  test("group quantiles: order statistics per group, bucket invariance") {
+    val df = ((1L to 100L).map(("a", _)) ++ Seq(("b", 5L), ("b", 7L),
+      ("b", 7L), ("b", 9L))).toDF("g", "v")
+    def run(buckets: Int) =
+      EventAnalytics.exactGroupQuantiles(df, $"g", $"v", Seq(25, 50, 90),
+          buckets)
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+        .toMap
+    val got = run(1024)
+    // a: ranks 25/50/90 of 1..100; b (n=4): ranks 1/2/4 -> 5, 7, 9
+    assert(got == Map(("a", 25) -> 25L, ("a", 50) -> 50L, ("a", 90) -> 90L,
+      ("b", 25) -> 5L, ("b", 50) -> 7L, ("b", 90) -> 9L))
+    assert(run(1) == got && run(3) == got)
+  }
+
+  test("funnel latency: exact per-transition second percentiles") {
+    def e(id: Long, u: Long, t: String, typ: String) =
+      (id, java.sql.Timestamp.valueOf(t), u, typ)
+    // three completers with click latencies 60s, 120s, 600s;
+    // one converter with purchase latency 30s
+    val events = Seq(
+      e(1, 1, "2024-01-01 10:00:00", "signup"),
+      e(2, 1, "2024-01-01 10:01:00", "click"),
+      e(3, 2, "2024-01-01 10:00:00", "signup"),
+      e(4, 2, "2024-01-01 10:02:00", "click"),
+      e(5, 2, "2024-01-01 10:02:30", "purchase"),
+      e(6, 3, "2024-01-01 10:00:00", "signup"),
+      e(7, 3, "2024-01-01 10:10:00", "click")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventAnalytics.funnelLatency(events,
+        Seq("signup", "click", "purchase"), 3600L * 1000000,
+        percents = Seq(50, 100))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    // signup->click secs {60, 120, 600}: p50 = rank 2 = 120, p100 = 600
+    // click->purchase secs {30}: both ranks -> 30
+    assert(got == Map(("signup->click", 50) -> 120L,
+      ("signup->click", 100) -> 600L,
+      ("click->purchase", 50) -> 30L, ("click->purchase", 100) -> 30L))
+  }
+
   // -------------------------------------------------------------- keyness
 
   test("keyness: exact rate-ratio scores and per-slice ranking") {
