@@ -81,6 +81,46 @@ object AnalyticsOpsBench {
       (got == want, s""""phrase_hits":${got.size}""")
     }
 
+    phase("changepoint") {
+      // 60 days x 50 groups, ~nPoints/3000 events/day baseline; each
+      // group g's rate triples from day 20+g%20 on — the split with the
+      // largest mean difference is the day before the jump, exactly
+      val perDay = math.max(nPoints / 3000L, 50L)
+      val events = spark.range(50L * 60L * perDay)
+        .select(pmod(col("id"), lit(50L)).as("g_num"),
+          pmod(expr("id div 50"), lit(60L)).as("day"),
+          expr("id div 3000").as("block"))
+        .withColumn("jump", lit(20L) + pmod(col("g_num"), lit(20L)))
+        // keep 1/3 of pre-jump rows, all post-jump rows -> a 3x step
+        .filter(col("day") >= col("jump") ||
+          pmod(col("block"), lit(3L)) === 0)
+        .select(concat(lit("g"), col("g_num")).as("event_type"),
+          timestamp_micros(lit(1704067200000000L) +
+            col("day") * 86400000000L).as("ts"))
+      val got = EventAnalytics.changepoint(events)
+        .collect().map(r => r.getString(0) ->
+          (r.getDate(1).toLocalDate.toEpochDay -
+            java.time.LocalDate.of(2024, 1, 1).toEpochDay))
+        .toMap
+      val want = (0 until 50).map(g => s"g$g" -> (20L + g % 20 - 1)).toMap
+      (got == want, s""""groups":${got.size}""")
+    }
+
+    phase("vocab-rank") {
+      // term w_i appears exactly (1000 - i) times -> token_id = i + 1
+      val rows = spark.range(1000).select(
+        concat(lit("w"), format_string("%04d", col("id"))).as("term"),
+        (lit(1000L) - col("id")).as("reps"))
+        .select(explode(sequence(lit(1L), col("reps"))).as("j"), col("term"))
+        .select(monotonically_increasing_id().as("doc_id"),
+          col("term").as("text"))
+      val got = TextAnalysis.buildVocab(rows, minCount = 1L)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      val want = (0 until 1000)
+        .map(i => f"w$i%04d" -> (i + 1L)).toMap
+      (got == want, s""""vocab":${got.size}""")
+    }
+
     phase("bitmap-overlap") {
       val segs = (0 until 8).map(i => i + 2)
       val inc = spark.range(nUsers).select(col("id").as("user_id"))
