@@ -259,6 +259,54 @@ object GraphRank {
       .groupBy("node").agg(count(lit(1)).as("triangles"))
   }
 
+  /** Bounded-round weighted shortest paths (min-plus Bellman–Ford /
+    * SPFA): exact minimum path WEIGHT from the seed set within
+    * `rounds` relaxations — [[bfsDistances]]' weighted sibling, for
+    * "how strongly connected, not just how many hops" questions over
+    * integer edge weights. Frontier-restricted relaxation is exact: a
+    * node whose distance did not improve last round already
+    * contributed its relaxations when it last improved (the standard
+    * SPFA argument), so each round joins only the improved set against
+    * the edge table and min-combines into the node-sized `best` —
+    * per-round shuffles are frontier- and node-sized, edges are
+    * partitioned and persisted once. All-long arithmetic, so distances
+    * replay exactly in SQL. */
+  def weightedDistances(edges: DataFrame, seeds: Seq[Long], rounds: Int,
+                        src: Column = col("src"), dst: Column = col("dst"),
+                        weight: Column = col("w"),
+                        onPersist: DataFrame => Unit = _ => ()): DataFrame = {
+    require(rounds >= 0 && seeds.nonEmpty, s"rounds=$rounds seeds=$seeds")
+    import org.apache.spark.storage.StorageLevel
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(src.cast("long").as("src"),
+        dst.cast("long").as("dst"), weight.cast("long").as("w"))
+      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    onPersist(e)
+    val dist0 = seeds.distinct.toDF("node").withColumn("dist", lit(0L))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    onPersist(dist0)
+    var best = dist0
+    var frontier = dist0
+    for (_ <- 1 to rounds) {
+      val cand = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("d"))
+        .groupBy("node").agg(min("d").as("d"))
+      val improved = cand.join(best, Seq("node"), "left")
+        .filter(col("dist").isNull || col("d") < col("dist"))
+        .select(col("node"), col("d").as("dist"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      onPersist(improved)
+      val merged = best.unionByName(improved)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      onPersist(merged)
+      best = merged
+      frontier = improved
+    }
+    best
+  }
+
   def bfsDistances(edges: DataFrame, seeds: Seq[String], hops: Int,
                    src: Column = col("src"),
                    dst: Column = col("dst"),

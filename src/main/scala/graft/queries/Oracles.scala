@@ -1632,6 +1632,42 @@ object Oracles {
         |       converted, censored
         |FROM lt""".stripMargin,
 
+    "q146_weighted_paths" -> {
+      // min-plus relaxation unrolled; the oracle relaxes from ALL known
+      // nodes each round — provably equal to the engine's
+      // frontier-restricted SPFA after the same round count
+      val rounds = (1 to 3).map { r =>
+        s"""d$r AS (
+           |  SELECT node, min(dist) AS dist FROM (
+           |    SELECT node, dist FROM d${r - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS node, d.dist + e.w AS dist
+           |    FROM d${r - 1} d JOIN ed e ON e.src = d.node)
+           |  GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH inc AS (
+         |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+         |  FROM lineitem WHERE l_partkey < 3000),
+         |keptb AS (SELECT basket FROM inc GROUP BY basket
+         |          HAVING count(*) <= 64),
+         |kept AS (SELECT inc.basket, inc.item
+         |         FROM inc JOIN keptb USING (basket)),
+         |p AS (
+         |  SELECT a.item AS item_a, b.item AS item_b,
+         |         CAST(count(*) AS BIGINT) AS pair_n
+         |  FROM kept a JOIN kept b ON a.basket = b.basket AND a.item < b.item
+         |  GROUP BY a.item, b.item HAVING count(*) >= 2),
+         |ed AS (
+         |  SELECT item_a AS src, item_b AS dst,
+         |         CAST(1000000 // pair_n AS BIGINT) AS w FROM p
+         |  UNION ALL
+         |  SELECT item_b, item_a, CAST(1000000 // pair_n AS BIGINT) FROM p),
+         |d0 AS (SELECT CAST(unnest([1, 2]) AS BIGINT) AS node,
+         |              CAST(0 AS BIGINT) AS dist),
+         |$rounds
+         |SELECT node, CAST(dist AS BIGINT) AS dist FROM d3""".stripMargin
+    },
+
     "q144_group_quantiles" ->
       """WITH m AS (
         |  SELECT l_returnflag AS g,

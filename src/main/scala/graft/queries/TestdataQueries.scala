@@ -1774,7 +1774,25 @@ object TestdataQueries {
       Seq("signup", "click", "purchase"),
       maxGapMicros = 24L * 3600 * 1000000)
 
+  /** Weighted shortest paths (X86): min-plus Bellman-Ford over the
+    * co-purchase graph, edge weight `1e6 div pair_n` (stronger
+    * co-purchase = shorter edge), 3 relaxation rounds from parts
+    * {1, 2} ([[graft.operators.GraphRank.weightedDistances]]). */
+  def q146WeightedPaths(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.operators.CoOccurrence.cosineSimilarity(
+      t(s, dir, "lineitem").filter(col("l_partkey") < 3000),
+      basket = col("l_orderkey"), item = col("l_partkey"),
+      minPairs = 2L, maxBasket = 64)
+    val edges = pairs.select(col("item_a").as("src"), col("item_b").as("dst"),
+        expr("1000000L div pair_n").as("w"))
+      .unionByName(pairs.select(col("item_b").as("src"),
+        col("item_a").as("dst"), expr("1000000L div pair_n").as("w")))
+    graft.operators.GraphRank.weightedDistances(edges, Seq(1L, 2L),
+      rounds = 3)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_weighted_paths" -> q146WeightedPaths _,
     "q144_group_quantiles" -> q144GroupQuantiles _,
     "q145_funnel_latency" -> q145FunnelLatency _,
     "q143_keyness" -> q143Keyness _,

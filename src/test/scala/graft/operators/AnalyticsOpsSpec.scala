@@ -292,6 +292,23 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got == Map(("a", "b") -> 2L)) // 63 and 64; c-pairs absent
   }
 
+  // ------------------------------------------------- weighted shortest paths
+
+  test("weighted paths: multi-hop shortcut beats direct edge, horizon bound") {
+    import graft.operators.GraphRank
+    // 1 -(10)-> 2; 1 -(2)-> 3 -(2)-> 2  => dist(2) = 4 via the shortcut,
+    // found only at round 2; 4 is 3 hops out (dist 6), beyond round 2
+    val edges = Seq((1L, 2L, 10L), (1L, 3L, 2L), (3L, 2L, 2L),
+      (2L, 4L, 2L)).toDF("src", "dst", "w")
+    def run(rounds: Int) =
+      GraphRank.weightedDistances(edges, Seq(1L), rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(1) == Map(1L -> 0L, 2L -> 10L, 3L -> 2L))
+    assert(run(2) == Map(1L -> 0L, 2L -> 4L, 3L -> 2L, 4L -> 12L))
+    // round 3 improves 4 through the shortcut path found at round 2
+    assert(run(3) == Map(1L -> 0L, 2L -> 4L, 3L -> 2L, 4L -> 6L))
+  }
+
   // --------------------------------------------- grouped exact quantiles
 
   test("group quantiles: order statistics per group, bucket invariance") {
