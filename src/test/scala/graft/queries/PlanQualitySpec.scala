@@ -277,4 +277,42 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.matches("(?s).*Filter.*df.*"), p)
     spark.catalog.clearCache()
   }
+
+  test("q136: phrase meta broadcasts; postings never sort-merge for it") {
+    val p = plan("q136_phrase_search")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q143: keyness top-k is a map-side window group limit") {
+    val p = plan("q143_keyness")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q125: skyline is summary-pruned — no self-join of the points") {
+    val p = plan("q125_skyline")
+    // the only nested-loop shapes allowed are the 1-row min/max stats
+    // broadcasts (Cross with a 1-row side); a points-level product
+    // would surface as CartesianProduct
+    assert(!p.contains("CartesianProduct"), p)
+    // the prune summary reaches the points as a broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q140: bitmap overlap joins on words, never a user-level product") {
+    val p = plan("q140_segment_overlap")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+    // popcount of the word-wise AND is in the plan
+    assert(p.contains("bit_count"), p)
+  }
+
+  test("q144: grouped quantiles meet the corpus only through broadcasts") {
+    val p = plan("q144_group_quantiles")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    spark.catalog.clearCache()
+  }
 }
