@@ -21,7 +21,15 @@ import graft.llm.TextAnalysis
   *     anchor each (every NON-planted doc instead carries the broken
   *     adjacent pair "alpha charlie", so anchor voting is stressed
   *     against near-miss false positives corpus-wide);
-  *  3. bitmap segment overlap over U users x 8 residue-class segments
+  *  3. changepoint over 50 groups x 60 days of step-rate events: each
+  *     group's rate triples at a known per-group day (the keep-filter
+  *     is uniform per (group, day) block, so the step is clean at any
+  *     scale) — every group's detected day must be exactly the day
+  *     before its jump;
+  *  4. vocabulary rank over a corpus where term w_i appears exactly
+  *     (1000 - i) times — the two-phase rank must assign
+  *     token_id(w_i) == i + 1 for all 1000 terms;
+  *  5. bitmap segment overlap over U users x 8 residue-class segments
   *     (user u in segment i iff u % (i+2) == 0): every pairwise
   *     overlap has the closed form |{u < U : u % lcm == 0}|, checked
   *     for all 28 pairs.

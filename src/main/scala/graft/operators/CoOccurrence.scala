@@ -40,30 +40,43 @@ object CoOccurrence {
       .groupBy("basket").agg(count(lit(1)).as("basket_size"))
       .filter(col("basket_size") > maxBasket)
 
-  /** Pair similarity table: (item_a, item_b, pair_n, cos2_e6) for every
-    * co-occurring pair with `pair_n >= minPairs`, item_a < item_b. */
-  def cosineSimilarity(df: DataFrame, basket: Column, item: Column,
-                       minPairs: Long = 2L,
-                       maxBasket: Int = 64): DataFrame = {
-    require(minPairs >= 1, s"minPairs=$minPairs")
-    require(maxBasket >= 2, s"maxBasket=$maxBasket")
-    val incidence = df.select(basket.as("basket"), item.as("item"))
+  /** The retained (cap-filtered) per-basket member arrays — shared by
+    * the pair and denominator stages. */
+  private def members(df: DataFrame, basket: Column, item: Column,
+                      maxBasket: Int): DataFrame =
+    df.select(basket.as("basket"), item.as("item"))
       .filter(col("item").isNotNull && col("basket").isNotNull)
       .distinct()
-    val members = incidence.groupBy("basket")
+      .groupBy("basket")
       .agg(sort_array(collect_set(col("item"))).as("items"))
       .filter(size(col("items")) <= maxBasket)
-    val itemCounts = members
-      .select(explode(col("items")).as("item"))
-      .groupBy("item").agg(count(lit(1)).as("c"))
-    val pairs = members
+
+  /** Raw co-occurrence pair counts: (item_a, item_b, pair_n) with
+    * item_a < item_b and `pair_n >= minPairs` — the graph-edge form
+    * consumers that don't need similarity scores (X50 triangles, X86
+    * weighted paths) use directly, skipping the denominator joins. */
+  def pairCounts(df: DataFrame, basket: Column, item: Column,
+                 minPairs: Long = 2L, maxBasket: Int = 64): DataFrame = {
+    require(minPairs >= 1, s"minPairs=$minPairs")
+    require(maxBasket >= 2, s"maxBasket=$maxBasket")
+    members(df, basket, item, maxBasket)
       .select(explode(flatten(transform(col("items"), (x, i) =>
         transform(slice(col("items"), i + 2, size(col("items"))),
           y => struct(x.as("a"), y.as("b")))))).as("p"))
       .groupBy(col("p.a").as("item_a"), col("p.b").as("item_b"))
       .agg(count(lit(1)).as("pair_n"))
       .filter(col("pair_n") >= minPairs)
-    pairs
+  }
+
+  /** Pair similarity table: (item_a, item_b, pair_n, cos2_e6) for every
+    * co-occurring pair with `pair_n >= minPairs`, item_a < item_b. */
+  def cosineSimilarity(df: DataFrame, basket: Column, item: Column,
+                       minPairs: Long = 2L,
+                       maxBasket: Int = 64): DataFrame = {
+    val itemCounts = members(df, basket, item, maxBasket)
+      .select(explode(col("items")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("c"))
+    pairCounts(df, basket, item, minPairs, maxBasket)
       .join(itemCounts.select(col("item").as("item_a"), col("c").as("ca")),
         Seq("item_a"))
       .join(itemCounts.select(col("item").as("item_b"), col("c").as("cb")),

@@ -202,43 +202,76 @@ object EventAnalytics {
     * (metric, k, cut). */
   def exactBinsMulti(df: DataFrame, metrics: Seq[(String, Column)],
                      bins: Int, buckets: Int = 1024): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(bins >= 2 && buckets >= 1 && metrics.nonEmpty,
       s"bins=$bins buckets=$buckets metrics=${metrics.size}")
     val vals = df.select(explode(array(metrics.map { case (n, c) =>
-        struct(lit(n).as("m"), c.cast("long").as("v"))
+        struct(lit(n).as("g"), c.cast("long").as("v"))
       }: _*)).as("e"))
-      .select(col("e.m").as("m"), col("e.v").as("v"))
+      .select(col("e.g").as("g"), col("e.v").as("v"))
       .filter(col("v").isNotNull)
-    val stats = vals.groupBy("m").agg(min("v").as("v0"), max("v").as("v1"),
+    rankStatistics(vals, bins, tag => expr(s"($tag * n + $bins - 1) div $bins"),
+        buckets)
+      .select(col("g").as("metric"), col("tag").as("k"), col("cut"))
+  }
+
+  /** The shared two-phase order-statistic core behind
+    * [[exactBinsMulti]] and [[exactGroupQuantiles]]. `vals` is (g, v)
+    * with v long; for each group and each tag in 1..nTags, finds the
+    * exact `rankOf(tag)`-th smallest value (rankOf is evaluated with
+    * `n` = the group's count in scope).
+    *
+    * Scale shape, stage by stage:
+    *  - per-group min/max/count in one aggregation, broadcast back
+    *    (group cardinality must be broadcastable);
+    *  - range-bucket ids in decimal(38) arithmetic — a group whose
+    *    values span more than a long (sentinels mixed with data) must
+    *    not wrap the bucket order;
+    *  - per-(group, bucket) counts with a prefix sum over that bounded
+    *    summary locate each rank's boundary bucket;
+    *  - the finish runs on the boundary bucket's VALUE HISTOGRAM, not
+    *    its rows: per-(group, bucket, v) masses aggregate map-side, so
+    *    a bucket holding a billion copies of one hot value contributes
+    *    ONE histogram row, and the in-bucket cumulative window is
+    *    bounded by the bucket's distinct-value count — never by its
+    *    row count. The rank's cut is the smallest v whose in-bucket
+    *    cumulative mass reaches the rank's offset. */
+  private def rankStatistics(vals: DataFrame, nTags: Int,
+                             rankOf: String => Column,
+                             buckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = vals.groupBy("g").agg(min("v").as("v0"), max("v").as("v1"),
       count(lit(1)).as("n"))
-    val bucketed = vals.join(broadcast(stats), Seq("m"))
+    // value histogram first: every later stage works on (g, v, mass)
+    val hist = vals.groupBy("g", "v").agg(count(lit(1)).as("mass"))
+      .join(broadcast(stats), Seq("g"))
       .withColumn("b", expr(
-        s"(v - v0) div greatest((v1 - v0) div $buckets, 1L)"))
-      .select(col("m"), col("v"), col("b"))
-    val summary = bucketed.groupBy("m", "b").agg(count(lit(1)).as("c"))
+        s"CAST((CAST(v AS DECIMAL(38,0)) - v0) div " +
+          s"greatest((CAST(v1 AS DECIMAL(38,0)) - v0) div $buckets, 1)" +
+          s" AS BIGINT)"))
+      .select(col("g"), col("v"), col("mass"), col("b"))
+    val summary = hist.groupBy("g", "b").agg(sum("mass").as("c"))
       .withColumn("cum", sum(col("c")).over(
-        Window.partitionBy("m").orderBy("b")
+        Window.partitionBy("g").orderBy("b")
           .rowsBetween(Window.unboundedPreceding, 0)))
-    // rank targets: ceil(k*n/bins) as integer arithmetic
-    val targets = stats.select(col("m"), col("n"),
-        explode(sequence(lit(1), lit(bins))).as("k"))
-      .withColumn("target", expr(s"(k * n + $bins - 1) div $bins"))
+    val targets = stats.select(col("g").as("tg"), col("n"),
+        explode(sequence(lit(1), lit(nTags))).as("tag"))
+      .withColumn("target", rankOf("tag"))
       .filter(col("target") >= 1)
-      .select(col("m").as("tm"), col("k"), col("target"))
-    // each rank's boundary bucket + the rank's offset within it
+      .select(col("tg"), col("tag"), col("target"))
     val spec = summary.join(broadcast(targets),
-        col("m") === col("tm") && col("cum") >= col("target"))
-      .groupBy("m", "k", "target")
+        col("g") === col("tg") && col("cum") >= col("target"))
+      .groupBy("g", "tag", "target")
       .agg(min_by(struct(col("b"), col("cum"), col("c")), col("b"))
         .as("bb"))
-      .select(col("m"), col("k"), col("bb.b").as("b"),
+      .select(col("g"), col("tag"), col("bb.b").as("b"),
         (col("target") - (col("bb.cum") - col("bb.c"))).as("need"))
-    val wIn = Window.partitionBy("m", "k").orderBy("v")
-    bucketed.join(broadcast(spec), Seq("m", "b"))
-      .withColumn("rn", row_number().over(wIn))
-      .filter(col("rn") === col("need"))
-      .select(col("m").as("metric"), col("k"), col("v").as("cut"))
+    val wIn = Window.partitionBy("g", "tag").orderBy("v")
+    hist.join(broadcast(spec), Seq("g", "b"))
+      .withColumn("vcum", sum(col("mass")).over(
+        wIn.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("vcum") >= col("need") &&
+        col("vcum") - col("mass") < col("need"))
+      .select(col("g"), col("tag"), col("v").as("cut"))
   }
 
   /** Exact per-group percentiles (order statistics) WITHOUT buffering
@@ -259,39 +292,22 @@ object EventAnalytics {
   def exactGroupQuantiles(df: DataFrame, group: Column, value: Column,
                           percents: Seq[Int],
                           buckets: Int = 1024): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
       s"percents=$percents")
     require(percents.distinct.size == percents.size, s"$percents")
     val vals = df.select(group.as("g"), value.cast("long").as("v"))
       .filter(col("g").isNotNull && col("v").isNotNull)
-    val stats = vals.groupBy("g").agg(min("v").as("v0"), max("v").as("v1"),
-      count(lit(1)).as("n"))
-    val bucketed = vals.join(broadcast(stats), Seq("g"))
-      .withColumn("b", expr(
-        s"(v - v0) div greatest((v1 - v0) div $buckets, 1L)"))
-      .select(col("g"), col("v"), col("b"))
-    val summary = bucketed.groupBy("g", "b").agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum(col("c")).over(
-        Window.partitionBy("g").orderBy("b")
-          .rowsBetween(Window.unboundedPreceding, 0)))
-    val targets = stats.select(col("g").as("tg"), col("n"),
-        explode(typedLit(percents)).as("pct"))
-      .withColumn("target", expr("(pct * n + 99) div 100"))
-      .filter(col("target") >= 1)
-    val spec = summary.join(broadcast(targets),
-        col("g") === col("tg") && col("cum") >= col("target"))
-      .groupBy("g", "pct", "target")
-      .agg(min_by(struct(col("b"), col("cum"), col("c")), col("b"))
-        .as("bb"))
-      .select(col("g"), col("pct"), col("bb.b").as("b"),
-        (col("target") - (col("bb.cum") - col("bb.c"))).as("need"))
-    val wIn = Window.partitionBy("g", "pct").orderBy("v")
-    bucketed.join(broadcast(spec), Seq("g", "b"))
-      .withColumn("rn", row_number().over(wIn))
-      .filter(col("rn") === col("need"))
-      .select(col("g"), col("pct"), col("v").as("cut"))
+    val pctArr = typedLit(percents)
+    rankStatistics(vals, percents.size,
+        tag => expr(s"(element_at(${pctLitSql(percents)}, CAST($tag AS INT))" +
+          s" * n + 99) div 100"),
+        buckets)
+      .withColumn("pct", element_at(pctArr, col("tag").cast("int")))
+      .select(col("g"), col("pct"), col("cut"))
   }
+
+  private def pctLitSql(ps: Seq[Int]): String =
+    ps.mkString("array(", ", ", ")")
 
   /** Funnel step-latency report: for each completed funnel transition,
     * the exact whole-second latency percentiles — "how long do users

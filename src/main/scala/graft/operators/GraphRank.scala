@@ -286,6 +286,12 @@ object GraphRank {
     val dist0 = seeds.distinct.toDF("node").withColumn("dist", lit(0L))
       .persist(StorageLevel.MEMORY_AND_DISK)
     onPersist(dist0)
+    // Unlike bfsDistances (whose levels all feed the result union),
+    // each round's merged table SUPERSEDES the previous one — so the
+    // loop materializes the new state (one count per round, the same
+    // bounded action shape as the graph ops' rescale collects) and
+    // releases the superseded caches in-loop; only the edge table and
+    // the final state stay resident.
     var best = dist0
     var frontier = dist0
     for (_ <- 1 to rounds) {
@@ -301,8 +307,13 @@ object GraphRank {
         .groupBy("node").agg(min("dist").as("dist"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       onPersist(merged)
+      merged.count() // materialize before releasing what built it
+      val prevBest = best
+      val prevFrontier = frontier
       best = merged
       frontier = improved
+      prevBest.unpersist()
+      if (prevFrontier ne prevBest) prevFrontier.unpersist()
     }
     best
   }

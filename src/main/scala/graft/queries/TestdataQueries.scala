@@ -1779,7 +1779,7 @@ object TestdataQueries {
     * co-purchase = shorter edge), 3 relaxation rounds from parts
     * {1, 2} ([[graft.operators.GraphRank.weightedDistances]]). */
   def q146WeightedPaths(s: SparkSession, dir: String): DataFrame = {
-    val pairs = graft.operators.CoOccurrence.cosineSimilarity(
+    val pairs = graft.operators.CoOccurrence.pairCounts(
       t(s, dir, "lineitem").filter(col("l_partkey") < 3000),
       basket = col("l_orderkey"), item = col("l_partkey"),
       minPairs = 2L, maxBasket = 64)
