@@ -14,6 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  // Plan-shape telemetry: counts LSH candidate-pass CONSTRUCTIONS (full
+  // and incremental), so a maintenance pipeline's pass budget is
+  // spec-assertable — q67's compaction regression (a third full pass
+  // over pairs both batch legs had already emitted) is pinned out via
+  // this counter in PlanQualitySpec. Test-only observability; never
+  // read on an executor or a query path.
+  private val candidatePassCount = new java.util.concurrent.atomic.AtomicLong
+  private[graft] def candidatePasses: Long = candidatePassCount.get()
+  private[graft] def resetCandidatePasses(): Unit = candidatePassCount.set(0L)
+
   /** Canonical text form shared by all fingerprints: lowercase, collapsed
     * whitespace. */
   def normalized(text: Column): Column =
@@ -210,6 +220,7 @@ object Dedup {
                                 bands: Int = 8, threshold: Double = 0.5,
                                 portable: Boolean = false,
                                 maxBucket: Int = MaxBucketMembers): DataFrame = {
+    candidatePassCount.incrementAndGet()
     val rowsPerBand = numHashes / bands
     bucketPairs(sigBuckets(sigs, bands, rowsPerBand, portable),
         Seq("band", "bucket"), struct(col("doc_id"), col("sig")), maxBucket)
@@ -282,6 +293,7 @@ object Dedup {
                                            portable: Boolean = false,
                                            maxBucket: Int = MaxBucketMembers,
                                            broadcastNewSide: Boolean = true): DataFrame = {
+    candidatePassCount.incrementAndGet()
     val rowsPerBand = numHashes / bands
     val newBuckets = sigBuckets(newSigs, bands, rowsPerBand, portable)
       .withColumn("is_new", lit(true))

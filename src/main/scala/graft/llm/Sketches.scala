@@ -220,7 +220,12 @@ object Sketches {
     // group by the projection's OWN columns (everything but __h): a
     // derived coarse expression like date_trunc(...).as("month") keeps
     // its alias through the projection, where re-resolving the raw
-    // Column's toString would throw
+    // Column's toString would throw. The internal alias must not
+    // collide with a coarse column's name (a coarse column actually
+    // named __h would silently merge into the hash column and break
+    // the grouping) — fail loudly instead.
+    require(exploded.columns.count(_ == "__h") == 1,
+      "kmvRollup reserves the column name __h; rename the coarse column")
     val keys = exploded.columns.filterNot(_ == "__h").map(col).toSeq
     exploded.groupBy(keys: _*)
       .agg(kmvMins(k)(col("__h")).as("mins"))

@@ -493,12 +493,18 @@ object EventAnalytics {
     * intersections; union/difference work the same way) runs on the
     * word tables, never re-touching users. Only pairs with >= 1 common
     * user emit (pairs sharing no bitmap word never meet the join).
-    * Requires non-negative integral user ids. */
+    * Requires non-negative integral user ids — enforced: a negative id
+    * fails the job loudly (`u div 64` truncates toward zero, so -1
+    * would land in word 0 / bit 63 and silently collide with user 63,
+    * inflating overlaps instead of erroring). */
   def segmentOverlap(events: DataFrame, segment: Column = col("event_type"),
                      user: Column = col("user_id")): DataFrame = {
     val bitmaps = events
       .filter(segment.isNotNull && user.isNotNull)
       .select(segment.as("seg"), user.cast("long").as("u")).distinct()
+      .select(col("seg"), when(col("u") < 0, raise_error(concat(
+          lit("segmentOverlap requires non-negative user ids, got "),
+          col("u")))).otherwise(col("u")).as("u"))
       .select(col("seg"), expr("u div 64").as("word"),
         expr("shiftleft(1L, CAST(pmod(u, 64) AS INT))").as("mask"))
       .groupBy("seg", "word").agg(expr("bit_or(mask)").as("bits"))

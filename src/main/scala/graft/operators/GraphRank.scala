@@ -315,6 +315,9 @@ object GraphRank {
       prevBest.unpersist()
       if (prevFrontier ne prevBest) prevFrontier.unpersist()
     }
+    // the last round's improved-frontier cache is superseded too — only
+    // the edge table and the final state may stay resident
+    if (frontier ne best) frontier.unpersist()
     best
   }
 

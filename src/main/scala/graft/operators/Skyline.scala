@@ -24,10 +24,11 @@ import org.apache.spark.sql.functions._
   *     survivors is already impossible (a surviving dominator in an
   *     earlier bucket would have pruned the point via the summary —
   *     dominance chains collapse transitively onto phase 2), so only
-  *     SAME-BUCKET dominance remains: a range-frame running
-  *     `min(y)` over `x' < x` plus a per-(bucket, x) `min(y)` for the
-  *     equal-x column, both windows partitioned per bucket over
-  *     survivors only.
+  *     SAME-BUCKET dominance remains: per-(bucket, x) `min(y)` summary
+  *     rows, a ROW-frame running `min` over the summary giving the
+  *     strictly-smaller-x minimum (no RANGE frame — its `x - 1` bound
+  *     overflows at Long.MinValue), joined back to survivors on
+  *     (bucket, x).
   *
   * Ties are strict-dominance ties: exact duplicates of a frontier point
   * all survive (no row "dominates itself" through a copy), matching the
@@ -49,9 +50,19 @@ object Skyline {
         y.cast("long").as("y"))
       .filter(col("x").isNotNull && col("y").isNotNull)
     val span = pts.agg(min("x").as("x0"), max("x").as("x1"))
+    // Overflow-safe LONG bucketing (the rankStatistics form): `x1 - x0`
+    // wraps when the x span exceeds Long.MaxValue (sentinel mins mixed
+    // with large positives), making bucket ids non-monotone in x and the
+    // phase-2 "earlier bucket implies strictly smaller x" invariant
+    // silently false. The width derives from HALF-spans so it cannot
+    // wrap, and `x div w - x0 div w` is monotone in x for any positive
+    // w (truncating division included) with equal x always mapping to
+    // equal b — the only two properties the prune needs.
+    val half = math.max(buckets / 2, 1)
     val bucketed = pts.crossJoin(broadcast(span))
       .withColumn("b", expr(
-        s"(x - x0) div (greatest((x1 - x0) div $buckets, 1L))"))
+        s"(x div greatest(((x1 div 2) - (x0 div 2)) div $half, 1L))" +
+          s" - (x0 div greatest(((x1 div 2) - (x0 div 2)) div $half, 1L))"))
       .drop("x0", "x1")
     val summary = bucketed.groupBy("b").agg(min("y").as("bmin"))
       .withColumn("prefix_min", min(col("bmin")).over(
@@ -61,12 +72,17 @@ object Skyline {
       .join(broadcast(summary), Seq("b"))
       .filter(col("prefix_min").isNull || col("y") < col("prefix_min"))
       .drop("prefix_min")
+    // same-bucket dominance on survivors via the distinct-x summary: a
+    // ROW frame over one row per (bucket, x) gives "min y at strictly
+    // smaller x" with no frame-boundary arithmetic (a RANGE frame's
+    // `x - 1` bound overflows at Long.MinValue), and the window runs
+    // over the staircase summary, never the survivor rows themselves
     val ltX = Window.partitionBy("b").orderBy("x")
-      .rangeBetween(Window.unboundedPreceding, -1)
-    val eqX = Window.partitionBy("b", "x")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perX = survivors.groupBy("b", "x").agg(min("y").as("min_eq"))
+      .withColumn("min_lt", min(col("min_eq")).over(ltX))
     survivors
-      .withColumn("min_lt", min(col("y")).over(ltX))
-      .withColumn("min_eq", min(col("y")).over(eqX))
+      .join(perX, Seq("b", "x"))
       .filter((col("min_lt").isNull || col("y") < col("min_lt")) &&
         col("y") <= col("min_eq"))
       .select(col("id"), col("x"), col("y"))

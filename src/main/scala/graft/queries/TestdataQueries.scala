@@ -824,61 +824,71 @@ object TestdataQueries {
       defaultBudget = 500L)
   }
 
-  /** Store compaction end-to-end: the corpus arrives in three batches and
-    * is maintained incrementally (each batch hashed once, survivors and
-    * signatures accumulate — the [[q63IncrementalDedup]] nightly shape),
-    * then COMPACTED: clusters are recomputed from the accumulated
-    * signature store alone — never re-shingling a document — and any
-    * survivor that a one-shot dedup would have dropped (a late arrival
-    * bridged two earlier clusters) is retracted. The oracle recomputes
-    * the one-shot portable dedup of everything directly, so the green
-    * hash proves maintained+compacted == one-shot. */
+  /** Store compaction end-to-end: the corpus arrives in batches and is
+    * maintained incrementally (each batch hashed once, survivors,
+    * signatures and candidate edges accumulate — the
+    * [[q63IncrementalDedup]] nightly shape), then COMPACTED: clusters are
+    * recomputed from the accumulated candidate edges alone — never
+    * re-shingling a document, never re-running candidate generation — and
+    * any survivor that a one-shot dedup would have dropped (a late
+    * arrival bridged two earlier clusters) is retracted. The oracle
+    * recomputes the one-shot portable dedup of everything directly, so
+    * the green hash proves maintained+compacted == one-shot. */
   def q67CompactedCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    // Every document is shingled+hashed exactly ONCE: the signature store
-    // at any point of the arrival history is a doc_id-prefix of this one
-    // cached table (signatures are per-doc deterministic), so each
-    // maintenance step and the final compaction are filters over it — the
-    // no-re-hashing property the incremental path guarantees in
-    // production, expressed in one plan.
-    val sigs = Dedup.minhashTable(docs, numHashes = 32, k = 3,
-      portable = true).cache()
-    // The three dedup stages (initial batch, incremental batch, full-store
-    // recompaction clustering) are mutually independent until the final
-    // anti-joins, and each runs an eager bounded cluster probe during
-    // construction — submit them from separate threads, the production
-    // shape for independent maintenance stages sharing one cluster
-    // (Spark's scheduler is built for concurrent job submission; the
-    // shared signature cache materializes once under either thread).
+    // The store IS the shared maintenance signature table (each document
+    // shingled+hashed exactly once — the no-re-hashing property the
+    // incremental path guarantees in production); keep it resident across
+    // the consumers below even when the bench harness isn't sharing it.
+    val sigs = portableSigs(s, dir)
+    if (sigs.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    def sigsBelow(hi: Long) = sigs.filter(col("doc_id") < hi)
-    val bounds = Seq(0L, 400L, Long.MaxValue)
-    val parts = (1 until bounds.length).map { i => Future {
-      val (lo, hi) = (bounds(i - 1), bounds(i))
-      val batch = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
-      val batchSigs = sigs.filter(col("doc_id") >= lo && col("doc_id") < hi)
-      val edges =
-        if (i == 1) Dedup.minhashCandidatesFromSigs(batchSigs,
-          numHashes = 32, bands = 8, threshold = 0.4, portable = true)
-        else Dedup.incrementalMinhashCandidatesFromSigs(sigsBelow(lo),
-          batchSigs, numHashes = 32, bands = 8, threshold = 0.4,
-          portable = true)
-      Dedup.dedupCorpus(batch, edges)
-    }}
-    // recompaction's clustering reads only the signature store — launch it
-    // alongside the batch stages, apply its drop-set to their union after
+    val cut = 400L
+    val sigs1 = sigs.filter(col("doc_id") < cut)
+    val sigs2 = sigs.filter(col("doc_id") >= cut)
+    // Each arrival batch's candidate edges are generated exactly ONCE and
+    // cached (bounded near-dup pair tables, far smaller than the corpus):
+    // the initial batch in-store, the later batch incrementally against it.
+    val edges1 = Dedup.minhashCandidatesFromSigs(sigs1, numHashes = 32,
+        bands = 8, threshold = 0.4, portable = true)
+      .select(col("id_a"), col("id_b")).cache()
+    val edges2 = Dedup.incrementalMinhashCandidatesFromSigs(sigs1, sigs2,
+        numHashes = 32, bands = 8, threshold = 0.4, portable = true)
+      .select(col("id_a"), col("id_b")).cache()
+    // The two maintenance legs are independent until the final anti-joins
+    // and each runs an eager bounded cluster probe during construction —
+    // submit them from separate threads, the production shape for
+    // independent maintenance stages sharing one cluster.
+    val parts = Seq(
+      (docs.filter(col("doc_id") < cut), edges1),
+      (docs.filter(col("doc_id") >= cut), edges2)
+    ).map { case (batch, edges) => Future { Dedup.dedupCorpus(batch, edges) } }
+    // COMPACTION: clusters recomputed from accumulated state WITHOUT a
+    // third candidate pass — the incremental contract
+    // `candidates(all) == candidates(old) ∪ incremental(store, new)`
+    // (pinned by LlmOpsSpec, cap behavior included) means the full-store
+    // pair set is exactly the union of the batch legs' cached edge
+    // tables, so the drop-set clusters over edges already generated.
+    // (Round 8 ran a third full `minhashCandidatesFromSigs(sigs)` here —
+    // 2.3x the query's cost for pairs both legs had already emitted.)
     val drop = Future {
-      Dedup.duplicateClusters(Dedup.minhashCandidatesFromSigs(sigs,
-          numHashes = 32, bands = 8, threshold = 0.4, portable = true))
+      Dedup.duplicateClusters(edges1.unionByName(edges2))
         .filter(col("doc_id") =!= col("comp_id")).select(col("doc_id"))
     }
     val corpus = parts.map(Await.result(_, Duration.Inf))
       .reduce(_.unionByName(_))
     val dropDf = Await.result(drop, Duration.Inf)
-    corpus.join(dropDf, corpus("doc_id") === dropDf("doc_id"), "left_anti")
+    val out = corpus
+      .join(dropDf, corpus("doc_id") === dropDf("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), length(col("text")).as("n_chars"))
+    // the cluster drop-sets are driver-local by now (bounded probes), so
+    // the edge caches are no longer referenced by any returned plan
+    edges1.unpersist()
+    edges2.unpersist()
+    out
   }
 
   /** Per-group top-k: the 3 longest documents per language, rank exposed.

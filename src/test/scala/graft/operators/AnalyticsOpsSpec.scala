@@ -143,6 +143,20 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got == Set(1L, 2L, 3L, 4L))
   }
 
+  test("skyline: x span wider than Long stays exact (overflow-safe buckets)") {
+    // Long.MinValue sentinels mixed with large positives: `x1 - x0`
+    // wraps, so the pre-fix bucket ids were non-monotone in x and the
+    // phase-2 prune silently dropped frontier points
+    val df = Seq(
+      (1L, Long.MinValue, 50L), (2L, Long.MinValue + 7, 40L),
+      (3L, -1000L, 30L), (4L, 0L, 25L), (5L, 1000L, 24L),
+      (6L, Long.MaxValue - 7, 1L), (7L, Long.MaxValue, 0L),
+      (8L, Long.MaxValue, 99L), (9L, 5L, 60L)).toDF("id", "x", "y")
+    val got = Skyline.skyline2d(df, $"id", $"x", $"y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == bruteSkyline(df) && got.map(_._1).contains(7L))
+  }
+
   test("skyline: bucket-count invariance (1 bucket == 256 buckets)") {
     val df = (1L to 300L).map(i => (i, (i * 31) % 61, (i * 17) % 71))
       .toDF("id", "x", "y")
@@ -290,6 +304,20 @@ class AnalyticsOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
       .toMap
     assert(got == Map(("a", "b") -> 2L)) // 63 and 64; c-pairs absent
+  }
+
+  test("segment overlap: a negative user id fails loudly, never collides") {
+    // -1 would truncate into word 0 / bit 63 and silently merge with
+    // user 63's bit — the operator must error instead
+    val inc = Seq(("a", -1L), ("a", 63L), ("b", 63L))
+      .map { case (s, u) => (1L, new java.sql.Timestamp(0), u, s) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val ex = intercept[Exception] {
+      EventAnalytics.segmentOverlap(inc).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("non-negative user ids")), ex)
   }
 
   // ------------------------------------------------- weighted shortest paths
@@ -645,6 +673,17 @@ class AnalyticsOpsSpec extends SparkSpec {
       Seq(date_trunc("month", $"d").as("month")), 16)
     assert(monthly.columns.toSeq == Seq("month", "mins") &&
       monthly.count() == 3)
+  }
+
+  test("kmv rollup: a coarse column named __h is rejected, not merged") {
+    import graft.llm.Sketches
+    val rows = (1L to 40L).map(i => (s"g${i % 2}", i % 17)).toDF("__h", "v")
+    val fine = rows.groupBy("__h")
+      .agg(Sketches.kmvMins(8)(Sketches.kmvHash($"v")).as("mins"))
+    val ex = intercept[IllegalArgumentException] {
+      Sketches.kmvRollup(fine, $"mins", Seq($"__h"), 8)
+    }
+    assert(ex.getMessage.contains("__h"))
   }
 
   test("encode: order restored, OOV -> -1, empty doc -> (0, \"\")") {

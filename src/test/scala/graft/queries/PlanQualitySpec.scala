@@ -315,4 +315,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     spark.catalog.clearCache()
   }
+
+  test("q67: exactly two LSH candidate passes — compaction reuses batch edges") {
+    // the r8 regression ran a THIRD full minhashCandidatesFromSigs over
+    // the whole store to derive the compaction drop-set, re-emitting
+    // pairs the two batch legs had already generated; the incremental
+    // contract (candidates(all) == candidates(old) ∪ incremental) makes
+    // that pass pure waste, so its return is pinned out here
+    graft.llm.Dedup.resetCandidatePasses()
+    val df = graft.SparkEntry.queries("q67_compacted_corpus")(spark, dir)
+    assert(df.count() > 0)
+    assert(graft.llm.Dedup.candidatePasses == 2L,
+      s"q67 ran ${graft.llm.Dedup.candidatePasses} candidate passes; " +
+        "the compaction drop-set must derive from the batch legs' edges")
+    spark.catalog.clearCache()
+  }
 }
