@@ -150,14 +150,24 @@ object EventAnalytics {
     * metadata-sized aggregate. */
   def experimentReadout(events: DataFrame, steps: Seq[String],
                         maxGapMicros: Long,
-                        user: Column = col("user_id")): DataFrame = {
+                        user: Column = col("user_id")): DataFrame =
+    experimentReadoutFrom(events,
+      EventFunnel.funnel(events, steps, maxGapMicros, user = user),
+      steps, user)
+
+  /** [[experimentReadout]] starting from a precomputed
+    * [[EventFunnel.funnel]] step-times table — same motivation as
+    * [[funnelLatencyFrom]]: the funnel lands once, every readout
+    * consumes it. */
+  def experimentReadoutFrom(events: DataFrame, funnel: DataFrame,
+                            steps: Seq[String],
+                            user: Column = col("user_id")): DataFrame = {
     val users = events.filter(user.isNotNull)
       .select(user.as("user_id")).distinct()
       .withColumn("variant",
         conv(substring(md5(col("user_id").cast("string")), 1, 7), 16, 10)
           .cast("long") % 2)
-    val converted = EventFunnel.funnel(events, steps, maxGapMicros,
-        user = user)
+    val converted = funnel
       .filter(col("steps_reached") === steps.length)
       .select(col("user_id"), lit(1L).as("conv"))
     users.join(converted, Seq("user_id"), "left")
@@ -335,9 +345,17 @@ object EventAnalytics {
     * that transition. */
   def funnelLatency(events: DataFrame, steps: Seq[String],
                     maxGapMicros: Long,
-                    percents: Seq[Int] = Seq(25, 50, 90)): DataFrame = {
+                    percents: Seq[Int] = Seq(25, 50, 90)): DataFrame =
+    funnelLatencyFrom(EventFunnel.funnel(events, steps, maxGapMicros),
+      steps, percents)
+
+  /** [[funnelLatency]] starting from a precomputed [[EventFunnel.funnel]]
+    * step-times table — the entry point when the funnel already landed
+    * (in production every downstream report reads the one funnel table;
+    * re-deriving it per report would re-scan events each time). */
+  def funnelLatencyFrom(f: DataFrame, steps: Seq[String],
+                        percents: Seq[Int] = Seq(25, 50, 90)): DataFrame = {
     require(steps.size >= 2, s"need >= 2 steps: $steps")
-    val f = EventFunnel.funnel(events, steps, maxGapMicros)
     val deltas = f.select(explode(array((0 until steps.size - 1).map { i =>
       struct(lit(s"${steps(i)}->${steps(i + 1)}").as("transition"),
         expr(s"(t_${i + 1} - t_$i) div 1000000L").as("secs"))

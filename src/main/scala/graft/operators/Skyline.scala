@@ -24,11 +24,11 @@ import org.apache.spark.sql.functions._
   *     survivors is already impossible (a surviving dominator in an
   *     earlier bucket would have pruned the point via the summary —
   *     dominance chains collapse transitively onto phase 2), so only
-  *     SAME-BUCKET dominance remains: per-(bucket, x) `min(y)` summary
-  *     rows, a ROW-frame running `min` over the summary giving the
-  *     strictly-smaller-x minimum (no RANGE frame — its `x - 1` bound
-  *     overflows at Long.MinValue), joined back to survivors on
-  *     (bucket, x).
+  *     SAME-BUCKET dominance remains: one b-partitioned shuffle, a
+  *     `dense_rank` over x, the strictly-smaller-x running `min(y)` as
+  *     a RANGE frame on the RANK (a frame on x itself computes `x - 1`
+  *     and overflows at Long.MinValue; `rnk - 1` cannot wrap), and the
+  *     equal-x `min(y)` as the degenerate [0, 0] range frame on x.
   *
   * Ties are strict-dominance ties: exact duplicates of a frontier point
   * all survive (no row "dominates itself" through a copy), matching the
@@ -72,17 +72,21 @@ object Skyline {
       .join(broadcast(summary), Seq("b"))
       .filter(col("prefix_min").isNull || col("y") < col("prefix_min"))
       .drop("prefix_min")
-    // same-bucket dominance on survivors via the distinct-x summary: a
-    // ROW frame over one row per (bucket, x) gives "min y at strictly
-    // smaller x" with no frame-boundary arithmetic (a RANGE frame's
-    // `x - 1` bound overflows at Long.MinValue), and the window runs
-    // over the staircase summary, never the survivor rows themselves
-    val ltX = Window.partitionBy("b").orderBy("x")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val perX = survivors.groupBy("b", "x").agg(min("y").as("min_eq"))
-      .withColumn("min_lt", min(col("min_eq")).over(ltX))
+    // same-bucket dominance on survivors, ONE shuffle (partition by b):
+    // a RANGE frame directly on x computes `x - 1` for its bound and
+    // overflows at Long.MinValue, so the strictly-smaller-x frame rides
+    // on dense_rank instead — ranks are small positives, `rnk - 1` can
+    // never wrap, and rnk' < rnk iff x' < x. The equal-x minimum is the
+    // degenerate [0, 0] range frame on x (no offset arithmetic). Both
+    // x-ordered windows share one sort; the rnk-ordered window re-sorts
+    // data already in rnk order (rnk is monotone in x — a no-op pass).
+    val wx = Window.partitionBy("b").orderBy("x")
+    val ltRnk = Window.partitionBy("b").orderBy("rnk")
+      .rangeBetween(Window.unboundedPreceding, -1)
     survivors
-      .join(perX, Seq("b", "x"))
+      .withColumn("rnk", dense_rank().over(wx))
+      .withColumn("min_eq", min(col("y")).over(wx.rangeBetween(0, 0)))
+      .withColumn("min_lt", min(col("y")).over(ltRnk))
       .filter((col("min_lt").isNull || col("y") < col("min_lt")) &&
         col("y") <= col("min_eq"))
       .select(col("id"), col("x"), col("y"))

@@ -316,6 +316,14 @@ class PlanQualitySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q14: rn <= 2 filter plans as WindowGroupLimit (map-side group cap)") {
+    // the rank filter must push into a WindowGroupLimit so each task
+    // keeps k rows per group before the window's sort — without it a
+    // hot order key buffers its whole group through one task
+    val p = plan("q14_row_number")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q67: exactly two LSH candidate passes — compaction reuses batch edges") {
     // the r8 regression ran a THIRD full minhashCandidatesFromSigs over
     // the whole store to derive the compaction drop-set, re-emitting

@@ -78,6 +78,12 @@ class SigMemoSpec extends SparkSpec {
   pinSharedEqualsIsolated("q114_golden_records",
     "survivorship over the shared ER pair store (restricted to the id " +
       "prefix, then stem-blocked) must equal the direct subset fuzzy join")
+  pinSharedEqualsIsolated("q145_funnel_latency",
+    "latency percentiles over the shared funnel step-times table must " +
+      "equal the per-query funnel derivation")
+  pinSharedEqualsIsolated("q133_ab_readout",
+    "the experiment 2x2 table over the shared funnel step-times table " +
+      "must equal the per-query funnel derivation")
   pinSharedEqualsIsolated("q60_simhash_verified",
     "pairing against the resident simhash fingerprint store must equal " +
       "re-deriving the fingerprints from the corpus")
