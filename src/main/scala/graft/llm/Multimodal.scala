@@ -17,11 +17,15 @@ import org.apache.spark.sql.functions._
   * rescale. AUDIO decode is REAL too: `javax.sound.sampled` ships
   * WAV/AIFF/AU PCM readers, so `kind == "audio"` payloads are decoded
   * to normalized mono samples for duration/RMS/zero-crossing/energy
-  * features. Video decode stays STUBBED with a deterministic fake
-  * (no video codec ships with the JDK) behind the same batch
-  * plumbing — swap `decodeStub`/`resizeStub` for a codec-backed
-  * implementation (JNI or `mapInArrow` to a worker) without touching the
-  * plan shape.
+  * features. VIDEO decode is REAL for the JPEG-frame family: the
+  * container parsers here are pure JVM (AVI/MJPG via RIFF chunks,
+  * MP4/ISO-BMFF with a JPEG sample entry via the box+sample tables,
+  * raw concatenated-JPEG MJPEG streams via SOI scanning) and each
+  * extracted frame decodes through the JDK's ImageIO JPEG reader.
+  * Inter-frame codecs (H.264/H.265/VP9/AV1) have no JDK decoder and
+  * are genuinely unsupported — those payloads fall back to the
+  * deterministic byte-histogram stub; swap in a codec-backed decoder
+  * (JNI or `mapInArrow` to a worker) without touching the plan shape.
   */
 object Multimodal {
 
@@ -65,6 +69,7 @@ object Multimodal {
             case "image" => decodeImage(r.bytes).map(imageFeatures(_, featureDim))
             case "audio" => decodeAudio(r.bytes)
               .map { case (rate, samples) => audioFeatures(rate, samples, featureDim) }
+            case "video" => decodeVideo(r.bytes).map(videoFeatures(_, featureDim))
             case _ => None
           }).getOrElse(decodeStub(r.bytes, featureDim))
           Feature(r.media_id, r.kind, r.bytes.length.toLong,
@@ -228,6 +233,285 @@ object Multimodal {
           out(5 + w) = math.sqrt(ss / (hi - lo)).toFloat
         }
         w += 1
+      }
+    }
+    out
+  }
+
+  // --------------------------------------------------------------- video
+
+  /** A decoded video: total frame payloads the container declares, the
+    * container frame rate (0 when the container carries none — raw MJPEG
+    * streams), and the decoded sample frames — evenly strided over the
+    * payloads, at most [[MaxDecodedFrames]], so feature extraction cost
+    * is bounded per record regardless of clip length. */
+  private[llm] final case class DecodedVideo(totalFrames: Int, fps: Float,
+      frames: Seq[java.awt.image.BufferedImage])
+
+  private[llm] val MaxDecodedFrames = 16
+
+  /** Pure-JVM video decode for the JPEG-frame family. Containers parsed
+    * natively: AVI with an MJPG stream (RIFF chunk walk), MP4/ISO-BMFF
+    * whose video track carries a JPEG sample entry (box walk + the
+    * stsc/stsz/stco sample tables), and raw MJPEG byte streams
+    * (SOI-marker scan). Every extracted frame payload is a standalone
+    * JPEG and decodes through the JDK's ImageIO reader. Inter-frame
+    * codecs (H.264/H.265/VP9/AV1) have no JDK decoder — those parse to
+    * zero decodable frames and return None, so the caller's stub
+    * fallback fires only for genuinely unsupported codecs. */
+  private[llm] def decodeVideo(bytes: Array[Byte],
+                               maxFrames: Int = MaxDecodedFrames)
+      : Option[DecodedVideo] =
+    try {
+      val parsed =
+        if (bytes.length >= 12 && fourcc(bytes, 0) == "RIFF" &&
+            fourcc(bytes, 8) == "AVI ") parseAvi(bytes)
+        else if (bytes.length >= 12 && fourcc(bytes, 4) == "ftyp")
+          parseMp4(bytes)
+        else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
+            (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff)
+          parseMjpegStream(bytes)
+        else None
+      parsed.flatMap { case (fps, payloads) =>
+        if (payloads.isEmpty) None
+        else {
+          val n = payloads.size
+          val k = math.min(maxFrames, n)
+          // even deterministic stride: frame i of k samples payload
+          // floor(i * n / k) — first frame always included
+          val frames = (0 until k).flatMap { i =>
+            val (off, len) = payloads((i.toLong * n / k).toInt)
+            if (off < 0 || len <= 0 || off + len > bytes.length) None
+            else decodeImage(java.util.Arrays.copyOfRange(
+              bytes, off, off + len))
+          }
+          if (frames.isEmpty) None
+          else Some(DecodedVideo(n, fps, frames))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+  private def leU32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+  private def beU32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+  private def beU64(b: Array[Byte], off: Int): Long =
+    (beU32(b, off) << 32) | beU32(b, off + 4)
+
+  /** AVI (RIFF) parse: `avih` gives the frame interval, the `movi` LIST
+    * holds the frame chunks (`##dc`/`##db`, possibly nested in `rec `
+    * lists). Returns (fps, frame payload ranges). */
+  private def parseAvi(b: Array[Byte]): Option[(Float, Vector[(Int, Int)])] = {
+    var microSecPerFrame = 0L
+    val payloads = Vector.newBuilder[(Int, Int)]
+    def walk(start: Long, end: Long, inMovi: Boolean): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val id = fourcc(b, off.toInt)
+        val size = leU32(b, off.toInt + 4)
+        val dataStart = off + 8
+        val dataEnd = math.min(dataStart + size, end)
+        if (id == "LIST" && size >= 4) {
+          val listType = fourcc(b, dataStart.toInt)
+          // only hdrl (for avih) and movi/rec (for frames) matter; other
+          // lists (strl detail, odml index) are skipped wholesale
+          if (listType == "hdrl" || listType == "movi" || listType == "rec ")
+            walk(dataStart + 4, dataEnd, inMovi || listType == "movi" ||
+              listType == "rec ")
+        } else if (id == "avih" && size >= 4) {
+          microSecPerFrame = leU32(b, dataStart.toInt)
+        } else if (inMovi && id.length == 4 &&
+            (id.endsWith("dc") || id.endsWith("db")) && size > 0 &&
+            dataEnd <= b.length) {
+          payloads += ((dataStart.toInt, (dataEnd - dataStart).toInt))
+        }
+        off = dataStart + size + (size & 1L) // chunks pad to even sizes
+      }
+    }
+    walk(12L, math.min(8L + leU32(b, 4), b.length.toLong), inMovi = false)
+    val fps = if (microSecPerFrame > 0) (1e6 / microSecPerFrame).toFloat
+              else 0.0f
+    Some((fps, payloads.result()))
+  }
+
+  /** MP4 (ISO-BMFF) parse: walk moov → the `vide`-handler trak → stbl;
+    * accept a JPEG-family sample entry in stsd; resolve each sample's
+    * byte range through stsc (samples per chunk) + stco/co64 (chunk
+    * offsets) + stsz (sample sizes); fps from mdhd timescale/duration.
+    * A non-JPEG codec yields None — no JDK decoder exists for it. */
+  private def parseMp4(b: Array[Byte]): Option[(Float, Vector[(Int, Int)])] = {
+    final case class Box(typ: String, start: Long, end: Long)
+    def boxes(start: Long, end: Long): Vector[Box] = {
+      val out = Vector.newBuilder[Box]
+      var off = start
+      while (off + 8 <= end) {
+        val size0 = beU32(b, off.toInt)
+        val typ = fourcc(b, off.toInt + 4)
+        val (dataStart, boxEnd) =
+          if (size0 == 1 && off + 16 <= end)
+            (off + 16, math.min(off + beU64(b, off.toInt + 8), end))
+          else if (size0 == 0) (off + 8, end)
+          else (off + 8, math.min(off + size0, end))
+        if (boxEnd <= off) return out.result() // corrupt size: stop
+        out += Box(typ, dataStart, boxEnd)
+        off = boxEnd
+      }
+      out.result()
+    }
+    def child(bs: Vector[Box], typ: String): Option[Box] =
+      bs.find(_.typ == typ)
+    val JpegEntries = Set("jpeg", "mjpa", "mjpb", "mjpg", "MJPG", "AVDJ")
+    val root = boxes(0L, b.length.toLong)
+    for {
+      moov <- child(root, "moov")
+      moovKids = boxes(moov.start, moov.end)
+      trak <- moovKids.filter(_.typ == "trak").find { t =>
+        (for {
+          mdia <- child(boxes(t.start, t.end), "mdia")
+          hdlr <- child(boxes(mdia.start, mdia.end), "hdlr")
+        } yield fourcc(b, hdlr.start.toInt + 8) == "vide").getOrElse(false)
+      }
+      mdia <- child(boxes(trak.start, trak.end), "mdia")
+      mdiaKids = boxes(mdia.start, mdia.end)
+      minf <- child(mdiaKids, "minf")
+      stbl <- child(boxes(minf.start, minf.end), "stbl")
+      stblKids = boxes(stbl.start, stbl.end)
+      stsd <- child(stblKids, "stsd")
+      // first sample entry: 4B ver/flags + 4B count, then size+format
+      if beU32(b, stsd.start.toInt + 4) >= 1 &&
+        JpegEntries.contains(fourcc(b, stsd.start.toInt + 12))
+      stsz <- child(stblKids, "stsz")
+      stsc <- child(stblKids, "stsc")
+      stco <- child(stblKids, "stco").orElse(child(stblKids, "co64"))
+    } yield {
+      val co64 = stco.typ == "co64"
+      val fixedSize = beU32(b, stsz.start.toInt + 4)
+      val nSamples = beU32(b, stsz.start.toInt + 8).toInt
+      def sampleSize(i: Int): Long =
+        if (fixedSize != 0) fixedSize
+        else beU32(b, stsz.start.toInt + 12 + 4 * i)
+      val nChunks = beU32(b, stco.start.toInt + 4).toInt
+      def chunkOffset(c: Int): Long =
+        if (co64) beU64(b, stco.start.toInt + 8 + 8 * c)
+        else beU32(b, stco.start.toInt + 8 + 4 * c)
+      val nStsc = beU32(b, stsc.start.toInt + 4).toInt
+      def stscEntry(i: Int): (Long, Long) = // (first_chunk, samples_per)
+        (beU32(b, stsc.start.toInt + 8 + 12 * i),
+          beU32(b, stsc.start.toInt + 12 + 12 * i))
+      val payloads = Vector.newBuilder[(Int, Int)]
+      var sample = 0
+      var entry = 0
+      var chunk = 1L
+      while (sample < nSamples && chunk <= nChunks) {
+        while (entry + 1 < nStsc && stscEntry(entry + 1)._1 <= chunk)
+          entry += 1
+        val perChunk = stscEntry(entry)._2
+        var off = chunkOffset(chunk.toInt - 1)
+        var s = 0L
+        while (s < perChunk && sample < nSamples) {
+          val len = sampleSize(sample)
+          payloads += ((off.toInt, len.toInt))
+          off += len
+          sample += 1
+          s += 1
+        }
+        chunk += 1
+      }
+      val fps = (for {
+        mdhd <- child(mdiaKids, "mdhd")
+      } yield {
+        val v = b(mdhd.start.toInt) & 0xff
+        val (ts, dur) =
+          if (v == 1) (beU32(b, mdhd.start.toInt + 20),
+            beU64(b, mdhd.start.toInt + 24))
+          else (beU32(b, mdhd.start.toInt + 12),
+            beU32(b, mdhd.start.toInt + 16))
+        if (dur > 0) (nSamples.toDouble * ts / dur).toFloat else 0.0f
+      }).getOrElse(0.0f)
+      (fps, payloads.result())
+    }
+  }
+
+  /** Raw MJPEG stream parse: standalone JPEGs back to back. Frame starts
+    * are SOI markers (FF D8 FF); JPEG byte-stuffing guarantees the
+    * marker cannot occur inside entropy-coded data, so the scan is
+    * exact for baseline streams. No container, so no frame rate. */
+  private def parseMjpegStream(b: Array[Byte])
+      : Option[(Float, Vector[(Int, Int)])] = {
+    val starts = Vector.newBuilder[Int]
+    var i = 0
+    while (i + 2 < b.length) {
+      if ((b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xd8 &&
+          (b(i + 2) & 0xff) == 0xff) starts += i
+      i += 1
+    }
+    val s = starts.result()
+    if (s.isEmpty || s.head != 0) None
+    else Some((0.0f, s.zipAll(s.drop(1), 0, b.length)
+      .map { case (a, e) => (a, e - a) }))
+  }
+
+  /** Deterministic features from decoded video:
+    * `[totalFrames, fps, width, height, meanLuma, meanFrameDiff,
+    * lumaHistogram...]` — meanLuma and the `dim - 6` histogram slots
+    * aggregate 8-bit ITU-R 601 luma over the sampled frames (same
+    * weights as [[imageFeatures]]), meanFrameDiff is the mean absolute
+    * luma delta between consecutive sampled frames (a motion proxy);
+    * both normalized to [0, 1]. Plain integer pixel reads —
+    * bit-identical across runs and partitionings. */
+  private[llm] def videoFeatures(v: DecodedVideo, dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    if (dim > 0) out(0) = v.totalFrames.toFloat
+    if (dim > 1) out(1) = v.fps
+    val first = v.frames.head
+    if (dim > 2) out(2) = first.getWidth.toFloat
+    if (dim > 3) out(3) = first.getHeight.toFloat
+    val nHist = dim - 6
+    val hist = new Array[Long](math.max(nHist, 1))
+    var lumaSum = 0L
+    var lumaN = 0L
+    var diffSum = 0L
+    var diffN = 0L
+    var prev: Array[Int] = null
+    v.frames.foreach { img =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      val lumas = new Array[Int](w * h)
+      val row = new Array[Int](math.max(w, 1))
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val rgb = row(x)
+          val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+            + 114 * (rgb & 0xff)) / 1000
+          lumas(y * w + x) = luma
+          lumaSum += luma
+          if (nHist > 0) hist(luma * nHist / 256) += 1
+          x += 1
+        }
+        y += 1
+      }
+      lumaN += lumas.length
+      if (prev != null && prev.length == lumas.length) {
+        var i = 0
+        while (i < lumas.length) {
+          diffSum += math.abs(lumas(i) - prev(i)); i += 1
+        }
+        diffN += lumas.length
+      }
+      prev = lumas
+    }
+    if (dim > 4 && lumaN > 0) out(4) = (lumaSum.toDouble / lumaN / 255.0).toFloat
+    if (dim > 5 && diffN > 0) out(5) = (diffSum.toDouble / diffN / 255.0).toFloat
+    if (nHist > 0 && lumaN > 0) {
+      var j = 0
+      while (j < nHist) {
+        out(6 + j) = (hist(j).toDouble / lumaN).toFloat; j += 1
       }
     }
     out

@@ -681,6 +681,106 @@ class LlmOpsSpec extends SparkSpec {
     assert(feats(3L).toSeq == feats(4L).toSeq)
   }
 
+  test("multimodal video kind decodes REAL frames (AVI/MJPG, MP4/jpeg, MJPEG stream)") {
+    import java.awt.image.BufferedImage
+    def jpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    // ------- byte-builder helpers (spec-correct containers, not echoes
+    // of the parser: field layouts follow the AVI RIFF registry and
+    // ISO/IEC 14496-12 box definitions)
+    def le32(v: Long): Array[Byte] = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def be32(v: Long): Array[Byte] = Array[Byte](
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+    def aviChunk(id: String, data: Array[Byte]): Array[Byte] =
+      cc(id) ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    def aviList(listType: String, inner: Array[Byte]): Array[Byte] =
+      aviChunk("LIST", cc(listType) ++ inner)
+    def aviMjpg(frames: Seq[Array[Byte]], usPerFrame: Int): Array[Byte] = {
+      val avih = le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(frames.size) ++ Array.fill(36)(0.toByte) // dwTotalFrames @16
+      val hdrl = aviList("hdrl", aviChunk("avih", avih))
+      val movi = aviList("movi",
+        frames.map(f => aviChunk("00dc", f)).reduce(_ ++ _))
+      val body = cc("AVI ") ++ hdrl ++ movi
+      cc("RIFF") ++ le32(body.length) ++ body
+    }
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8) ++ cc(typ) ++ payload
+    def mp4Jpeg(frames: Seq[Array[Byte]], codec: String,
+                timescale: Int): Array[Byte] = {
+      val ftyp = box("ftyp", cc("isom") ++ be32(512) ++ cc("isom"))
+      val mdat = box("mdat", frames.reduce(_ ++ _))
+      val mdatPayloadOff = ftyp.length + 8
+      val mdhd = box("mdhd", be32(0) ++ be32(0) ++ be32(0) ++
+        be32(timescale) ++ be32(frames.size) ++ be32(0x55c40000L))
+      val hdlr = box("hdlr", be32(0) ++ be32(0) ++ cc("vide") ++
+        Array.fill(13)(0.toByte))
+      val sampleEntry = be32(86) ++ cc(codec) ++ Array.fill(78)(0.toByte)
+      val stsd = box("stsd", be32(0) ++ be32(1) ++ sampleEntry)
+      val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(frames.size) ++
+        frames.flatMap(f => be32(f.length)).toArray)
+      val stsc = box("stsc", be32(0) ++ be32(1) ++ be32(1) ++
+        be32(frames.size) ++ be32(1))
+      val stco = box("stco", be32(0) ++ be32(1) ++ be32(mdatPayloadOff))
+      val stbl = box("stbl", stsd ++ stsz ++ stsc ++ stco)
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+      val trak = box("trak", mdia)
+      val moov = box("moov", trak)
+      ftyp ++ mdat ++ moov
+    }
+    val gray = jpeg(8, 6, 0x808080)
+    val bright = jpeg(8, 6, 0xf0f0f0)
+    val avi = aviMjpg(Seq(gray, gray, bright), usPerFrame = 40000) // 25 fps
+    val mp4 = mp4Jpeg(Seq(gray, bright), codec = "jpeg", timescale = 30)
+    val mjpegStream = gray ++ bright
+    val h264 = mp4Jpeg(Seq(gray), codec = "avc1", timescale = 30)
+    val junk = "definitely not video".getBytes("UTF-8")
+    val media = Seq((1L, "video", avi), (2L, "video", mp4),
+        (3L, "video", mjpegStream), (4L, "video", h264),
+        (5L, "video", junk))
+      .toDF("media_id", "kind", "bytes")
+      .select(col("media_id"), col("kind"), col("bytes"),
+        lit(0).as("width"), lit(0).as("height"))
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+      .map(f => f.media_id -> f.feature).toMap
+
+    val a = feats(1L)
+    assert(a(0) == 3.0f && a(1) == 25.0f)       // frames, container fps
+    assert(a(2) == 8.0f && a(3) == 6.0f)        // REAL decoded dimensions
+    // 2 gray (luma 128) + 1 near-white frame: mean luma in between,
+    // inter-frame motion strictly positive (gray -> bright transition)
+    assert(a(4) > 0.45f && a(4) < 0.75f, a.toSeq)
+    assert(a(5) > 0.0f, a.toSeq)
+    val m = feats(2L)
+    assert(m(0) == 2.0f && m(1) == 30.0f)       // mdhd: 2 frames @ 30/s
+    assert(m(2) == 8.0f && m(3) == 6.0f)
+    val s = feats(3L)
+    assert(s(0) == 2.0f && s(1) == 0.0f)        // raw stream: no fps
+    assert(s(2) == 8.0f && s(3) == 6.0f)
+    // H.264 sample entry has no JDK decoder; junk matches no container:
+    // both take the deterministic stub (same features as a non-media
+    // kind over the same bytes), NOT zero features
+    val stubbed = Multimodal.extractFeatures(spark,
+      Seq((4L, "other", h264), (5L, "other", junk))
+        .toDF("media_id", "kind", "bytes")
+        .select(col("media_id"), col("kind"), col("bytes"),
+          lit(0).as("width"), lit(0).as("height"))).collect()
+      .map(f => f.media_id -> f.feature).toMap
+    assert(feats(4L).toSeq == stubbed(4L).toSeq)
+    assert(feats(5L).toSeq == stubbed(5L).toSeq)
+  }
+
   // 20 vectors in two well-separated directions (plus id-0/1 seeds in
   // each): k-means with k=2 must split them cleanly.
   private lazy val twoBlobs = (0L until 20L).map { i =>
