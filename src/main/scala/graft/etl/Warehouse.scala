@@ -514,6 +514,28 @@ final class Warehouse(spark: SparkSession, val root: String,
       }
     }
 
+  /** Drop a table: ONE commit removes it from committed resolution (the
+    * catalog-manifest entry when transaction-managed, plus the per-table
+    * `_current` pointer). Generations pinned by retained catalog
+    * versions stay on disk, so time travel to a pre-drop version still
+    * reads the data; everything unpinned is GC'd. Returns whether the
+    * table existed. Refused inside a transaction: the manifest-minus-
+    * entry commit would race the transaction's own deferred flip. */
+  def drop(table: String): Boolean = {
+    require(txn.get() == null, "drop inside a transaction is not supported")
+    withTableLock(table) {
+      val existed = committedCurrentDir(table).isDefined
+      if (existed) {
+        if (catalogManifest().contains(table)) withCatalogLock {
+          writeCatalogVersion(catalogManifest() - table)
+        }
+        Files.deleteIfExists(ptrPath(table))
+        gcTable(table, Set.empty)
+      }
+      existed
+    }
+  }
+
   /** Idempotent append: `INSERT ... ON CONFLICT (keys) DO NOTHING`.
     *
     * Within-batch duplicates keep the FIRST row by `orderCol` (Postgres

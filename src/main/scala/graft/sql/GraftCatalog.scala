@@ -33,11 +33,19 @@ import scala.jdk.CollectionConverters._
   * parquet DSv2 table over that one immutable directory — full filter
   * pushdown, column pruning, and vectorized reads for free.
   *
-  * The catalog is deliberately READ-ONLY: warehouse mutations must go
-  * through [[Warehouse]]'s append/merge/replace commits, which enforce
-  * the single-writer lock, generation flips, and transactional catalog.
-  * A SQL `INSERT` writing parquet straight into a generation directory
-  * would bypass all three, so every write path here refuses loudly.
+  * WRITES route through [[Warehouse]], never around it: `INSERT INTO`
+  * lowers to [[Warehouse.append]], `INSERT OVERWRITE` to
+  * [[Warehouse.replace]], `CREATE TABLE` / CTAS commit an empty
+  * generation then insert, and `DROP TABLE` is [[Warehouse.drop]] — so
+  * every SQL mutation gets the same single-writer lock, fresh-
+  * generation write, and atomic pointer/catalog flip as the
+  * programmatic API, and time travel keeps working across SQL commits.
+  * The lowering is the DSv2 V1Write bridge: the insert arrives as one
+  * DataFrame and the Warehouse owns the actual file layout (a writer
+  * that streamed parquet straight into a generation directory would
+  * bypass the commit protocol). Schema evolution (`ALTER TABLE`),
+  * renames, and partition transforms in `CREATE TABLE` stay
+  * unsupported and refuse loudly.
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -104,29 +112,50 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier,
                          privileges: util.Set[TableWritePrivilege]): Table =
-    throw new UnsupportedOperationException(
-      s"catalog '$catalogName' is read-only: write through graft.etl.Warehouse " +
-        "(append/merge/replace), which enforces the single-writer lock and " +
-        "atomic generation commits")
+    loadTable(ident)
 
   private def resolved(ident: Identifier, dir: Option[Path]): Table = {
     requireDefaultNs(ident.namespace())
     dir match {
       case Some(d) =>
-        ParquetTableBridge.create(s"$catalogName.${ident.name()}",
-          SparkSession.active, d.toString, format)
+        new WritableGraftTable(
+          ParquetTableBridge.create(s"$catalogName.${ident.name()}",
+            SparkSession.active, d.toString, format),
+          ident.name(), () => wh)
       case None => throw new NoSuchTableException(ident)
     }
   }
 
   private def readOnly: Nothing = throw new UnsupportedOperationException(
-    s"catalog '$catalogName' is read-only: mutate through graft.etl.Warehouse")
+    s"catalog '$catalogName' does not support this operation: mutate " +
+      "through graft.etl.Warehouse")
 
+  /** `CREATE TABLE` / the create leg of CTAS: commit an EMPTY generation
+    * carrying the declared schema through the normal Warehouse commit
+    * (FileFormatWriter always emits at least one schema-bearing file, so
+    * the parquet footer IS the stored schema); CTAS's insert then lands
+    * through the returned table's write path. Partition transforms are
+    * refused — partitioned layouts are a Warehouse write option, not a
+    * table property the SQL surface can guarantee on later inserts. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table = readOnly
+                           properties: util.Map[String, String]): Table = {
+    requireDefaultNs(ident.namespace())
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      s"catalog '$catalogName' does not support partition transforms in " +
+        "CREATE TABLE; write partitioned data through Warehouse.append/replace")
+    if (tableExists(ident)) throw new org.apache.spark.sql.catalyst.analysis
+      .TableAlreadyExistsException(Seq(catalogName, ident.name()))
+    val spark = SparkSession.active
+    wh.replace(ident.name(),
+      spark.createDataFrame(new util.ArrayList[org.apache.spark.sql.Row](),
+        schema))
+    loadTable(ident)
+  }
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table = readOnly
-  override def dropTable(ident: Identifier): Boolean = readOnly
+  override def dropTable(ident: Identifier): Boolean =
+    ident.namespace().isEmpty && wh.drop(ident.name())
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = readOnly
 
   // single flat namespace: the warehouse root
@@ -146,4 +175,60 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def alterNamespace(namespace: Array[String],
                               changes: NamespaceChange*): Unit = readOnly
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = readOnly
+}
+
+/** The catalog's table handle: reads delegate wholesale to the stock
+  * file-source table pinned at its one immutable generation directory;
+  * writes go through the DSv2 V1Write bridge, where the insert arrives
+  * as a single DataFrame and lowers onto [[Warehouse.append]] (INSERT
+  * INTO) or [[Warehouse.replace]] (INSERT OVERWRITE / truncate) — the
+  * Warehouse, not Spark's file committer, owns file layout, locking and
+  * the atomic generation flip. `BATCH_WRITE` is deliberately absent from
+  * the capability set (and `V1_BATCH_WRITE` present) so planning can
+  * only ever choose the bridge path. */
+private final class WritableGraftTable(delegate: Table, tableName: String,
+                                       wh: () => Warehouse)
+    extends Table with SupportsRead with SupportsWrite {
+  import org.apache.spark.sql.connector.write._
+  import org.apache.spark.sql.connector.read.ScanBuilder
+
+  override def name(): String = delegate.name()
+  override def schema(): StructType = delegate.schema()
+  override def partitioning(): Array[Transform] = delegate.partitioning()
+  override def properties(): util.Map[String, String] = delegate.properties()
+
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = new util.HashSet[TableCapability](delegate.capabilities())
+    caps.remove(TableCapability.BATCH_WRITE)
+    caps.add(TableCapability.V1_BATCH_WRITE)
+    caps.add(TableCapability.TRUNCATE)
+    caps.add(TableCapability.OVERWRITE_BY_FILTER)
+    caps
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsOverwrite {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter])
+          : WriteBuilder =
+        if (filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue))
+          truncate()
+        else throw new UnsupportedOperationException(
+          "graft tables support whole-table INSERT OVERWRITE only; " +
+            "row-level overwrites go through Warehouse.mergeReplace")
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation
+            : org.apache.spark.sql.sources.InsertableRelation =
+          new org.apache.spark.sql.sources.InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                                ignored: Boolean): Unit =
+              if (overwrite) wh().replace(tableName, data)
+              else wh().append(tableName, data)
+          }
+      }
+    }
 }

@@ -8,8 +8,12 @@ import org.apache.spark.sql.AnalysisException
 /** The warehouse as a SQL catalog: `graft.<table>` must resolve the live
   * snapshot, `VERSION AS OF n` must resolve retained catalog-manifest
   * versions (cross-table consistently), `SHOW TABLES` must enumerate,
-  * and every write path must refuse — SQL writes would bypass the
-  * single-writer lock and the atomic generation commits. */
+  * and SQL writes must route through the Warehouse commit protocol —
+  * INSERT INTO as append, INSERT OVERWRITE as replace, CREATE/CTAS as a
+  * fresh-generation commit, DROP as the pointer-removing commit — with
+  * time travel still resolving across the SQL commits. Unsupported
+  * mutations (ALTER, partition transforms, row-level overwrite) refuse
+  * loudly. */
 class GraftCatalogSpec extends SparkSpec {
 
   test("warehouse tables resolve in SQL, with VERSION AS OF time travel; writes refuse") {
@@ -63,13 +67,53 @@ class GraftCatalogSpec extends SparkSpec {
 
       intercept[AnalysisException] { sql.sql("SELECT * FROM graft.nope").collect() }
 
-      // every write path refuses: the warehouse's commit discipline is
-      // not reachable from SQL
+      // ---- SQL writes ride the Warehouse commit protocol ----
+
+      // INSERT INTO == transactional append: a new generation committed
+      // under the same catalog machinery, so the PRE-insert version is
+      // still resolvable afterwards
+      sql.sql("INSERT INTO graft.a VALUES (99, 99)")
+      assert(sql.sql("SELECT count(*) FROM graft.a").head.getLong(0) == 26)
+      assert(sql.sql("SELECT max(v) FROM graft.a").head.getInt(0) == 99)
+      assert(sql.sql("SELECT count(*) FROM graft.a VERSION AS OF 2")
+        .head.getLong(0) == 25)
+
+      // INSERT OVERWRITE == replace (whole-table), same protections
+      sql.sql("INSERT OVERWRITE graft.b VALUES (7, 70), (8, 80)")
+      assert(sql.sql("SELECT count(*) FROM graft.b").head.getLong(0) == 2)
+
+      // CTAS: create + insert in the standard two-step; reads back
+      sql.sql("CREATE TABLE graft.c AS SELECT id, v * 10 AS v10 FROM graft.a WHERE id < 3")
+      assert(sql.sql("SELECT count(*) FROM graft.c").head.getLong(0) == 3)
+      assert(sql.sql("SELECT max(v10) FROM graft.c").head.getInt(0) == 20)
+
+      // CREATE TABLE with an explicit schema commits an empty generation
+      // whose parquet footer carries the schema; INSERT then lands
+      sql.sql("CREATE TABLE graft.d (id INT, label STRING)")
+      assert(sql.sql("SELECT count(*) FROM graft.d").head.getLong(0) == 0)
+      sql.sql("INSERT INTO graft.d VALUES (1, 'x'), (2, 'y')")
+      assert(sql.sql("SELECT count(*) FROM graft.d").head.getLong(0) == 2)
+      val names2 = sql.sql("SHOW TABLES IN graft").collect()
+        .map(_.getAs[String]("tableName")).sorted.toSeq
+      assert(names2 == Seq("a", "b", "c", "d"))
+
+      // the programmatic API sees the SQL commits (one warehouse, one
+      // commit protocol)
+      assert(wh.read("a", sql.table("graft.a").schema).count() == 26)
+
+      // DROP TABLE: pointer-removing commit; enumeration forgets it
+      sql.sql("DROP TABLE graft.c")
+      intercept[AnalysisException] { sql.sql("SELECT * FROM graft.c").collect() }
+      assert(sql.sql("SHOW TABLES IN graft").collect()
+        .map(_.getAs[String]("tableName")).sorted.toSeq == Seq("a", "b", "d"))
+
+      // still-unsupported mutations refuse loudly
+      intercept[Exception] { sql.sql("ALTER TABLE graft.a ADD COLUMN z INT") }
       intercept[Exception] {
-        sql.sql("INSERT INTO graft.a VALUES (99, 99)")
+        sql.sql("CREATE TABLE graft.p (id INT) PARTITIONED BY (id)")
       }
-      intercept[Exception] { sql.sql("DROP TABLE graft.a") }
-      assert(wh.read("a", sql.table("graft.a").schema).count() == 25)
+      // duplicate create refuses
+      intercept[Exception] { sql.sql("CREATE TABLE graft.d (id INT)") }
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
