@@ -154,7 +154,9 @@ object Sampling {
     *
     * Engine-portable by construction: IEEE-754 requires sqrt to be
     * correctly rounded (unlike pow/exp/ln, which vary by libm — the
-    * reason a general-alpha power law is NOT offered), the scaled
+    * reason THIS alpha carries the DuckDB oracle while the
+    * general-alpha path [[temperatureMixAlpha]] is spec-pinned
+    * in-Spark only), the scaled
     * weights become integers so their SUM is exact regardless of
     * order, and the rate is a fixed left-associated chain of double
     * operations both engines evaluate identically. The per-stratum
@@ -165,13 +167,47 @@ object Sampling {
     * per row, exact only in expectation); strata whose rate clamps at 1
     * contribute all their rows. */
   def temperatureMix(df: DataFrame, stratum: Column, id: Column,
-                     targetRows: Long): DataFrame = {
+                     targetRows: Long): DataFrame =
+    temperatureMixWeighted(df, stratum, id, targetRows,
+      n => math.sqrt(n.toDouble))
+
+  /** Temperature-scaled mixture sampling with a GENERAL alpha in (0, 1]:
+    * stratum i is sampled proportionally to `n_i^alpha` (alpha = 1 is
+    * the raw mix, smaller alpha flattens toward uniform — the mT5/XLM-R
+    * rebalance knob). alpha = 0.5 takes the [[temperatureMix]] sqrt
+    * path unchanged.
+    *
+    * NOT DuckDB-oracled, deliberately: IEEE-754 requires CORRECT
+    * rounding only of sqrt — `pow` is libm-implementation-defined, so a
+    * cross-engine replay of `n^alpha` can differ in the final ulp and
+    * flip a floor/threshold, which the driver's hash-compare would
+    * read as corruption. Within the JVM the weights use
+    * `StrictMath.pow` (fdlibm semantics, bit-identical on every
+    * platform), so the operator itself is deterministic and
+    * spec-pinned in-Spark ([[LlmOpsSpec]]) instead of oracle-pinned. */
+  def temperatureMixAlpha(df: DataFrame, stratum: Column, id: Column,
+                          targetRows: Long, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha $alpha outside (0, 1]")
+    if (alpha == 0.5) temperatureMix(df, stratum, id, targetRows)
+    else temperatureMixWeighted(df, stratum, id, targetRows,
+      n => StrictMath.pow(n.toDouble, alpha))
+  }
+
+  /** Shared rate derivation: per-stratum keep rates
+    * `rate_i = min(1, targetRows * w_i / W / n_i)` with
+    * `w_i = floor(weight(n_i) * 1e6)` — integer weights so W is an
+    * exact order-independent sum — applied through [[stratified]]'s
+    * deterministic hash filter. The count pass collects |strata| rows
+    * of metadata; null strata fall to rate 0. */
+  private def temperatureMixWeighted(df: DataFrame, stratum: Column,
+                                     id: Column, targetRows: Long,
+                                     weight: Long => Double): DataFrame = {
     require(targetRows >= 0, s"targetRows $targetRows")
     val counts = df.filter(stratum.isNotNull)
       .groupBy(stratum.cast("string").as("__s")).agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
     val weights = counts.map { case (s, n) =>
-      (s, n, math.floor(math.sqrt(n.toDouble) * 1e6).toLong)
+      (s, n, math.floor(weight(n) * 1e6).toLong)
     }
     val totalW = weights.map(_._3).sum
     val rates = weights.map { case (s, n, w) =>

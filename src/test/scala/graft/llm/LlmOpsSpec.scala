@@ -1380,6 +1380,52 @@ class LlmOpsSpec extends SparkSpec {
     assert(kept2 == 1)
   }
 
+  test("temperature mix: general alpha — exact pow-weighted rates, limits") {
+    import java.security.MessageDigest
+    def bucket(id: Long): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 7), 16)
+    }
+    val d = (0L until 900L).map(i => (i, if (i < 800) "big" else "small"))
+      .toDF("doc_id", "lang")
+    // the documented chain with StrictMath.pow — replayed exactly
+    def expect(alpha: Double, target: Long): Set[Long] = {
+      val wb = math.floor(StrictMath.pow(800.0, alpha) * 1e6).toLong
+      val ws = math.floor(StrictMath.pow(100.0, alpha) * 1e6).toLong
+      val tw = wb + ws
+      def rate(w: Long, n: Long) = math.min(1.0, target.toDouble * w / tw / n)
+      (0L until 900L).filter { i =>
+        val r = if (i < 800) rate(wb, 800) else rate(ws, 100)
+        bucket(i) < r * 268435456.0
+      }.toSet
+    }
+    def got(alpha: Double, target: Long): Set[Long] =
+      Sampling.temperatureMixAlpha(d, col("lang"), col("doc_id"),
+        targetRows = target, alpha = alpha)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got(0.3, 300) == expect(0.3, 300))
+    assert(got(1.0, 300) == expect(1.0, 300))
+    // alpha = 1 is the raw mix: both strata share one keep rate, so the
+    // small stratum's expected share stays its raw 1/9
+    val g1 = got(1.0, 300)
+    val smallShare1 = g1.count(_ >= 800).toDouble / g1.size
+    // smaller alpha flattens: the small stratum's share must GROW
+    val g03 = got(0.3, 300)
+    val smallShare03 = g03.count(_ >= 800).toDouble / g03.size
+    assert(smallShare03 > smallShare1, s"$smallShare03 !> $smallShare1")
+    // alpha = 0.5 delegates to the oracled sqrt path, bit-identically
+    assert(got(0.5, 300) ==
+      Sampling.temperatureMix(d, col("lang"), col("doc_id"), 300)
+        .select("doc_id").collect().map(_.getLong(0)).toSet)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMixAlpha(d, col("lang"), col("doc_id"), 300, 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMixAlpha(d, col("lang"), col("doc_id"), 300, 1.5)
+    }
+  }
+
   test("null text tokenizes to empty: stats, scrub, repetition report zeros") {
     val d = Seq((0L, "a b c d e"), (1L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
