@@ -323,6 +323,49 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** CROSS-corpus near-dup candidates — fuzzy decontamination: every LSH
+    * candidate pair with one side in `aSigs` and the other in `bSigs`
+    * (both [[minhashTable]] outputs); within-corpus pairs are NOT
+    * emitted. The near-dup complement of [[decontaminate]]'s exact
+    * k-gram containment — MinHash catches eval rewrites that no longer
+    * share any exact k-gram with their training-set source. Emits
+    * `(id_a from A, id_b from B, est_jaccard)`.
+    *
+    * Scale shape: the same banded one-shuffle bucketing as
+    * [[minhashCandidatesFromSigs]] — the corpora meet ONLY inside shared
+    * (band, bucket) keys through the capped expansion (never a
+    * corpus-level join), same-side pairs are discarded after expansion,
+    * and the cap sees the bucket's COMBINED two-corpus size, so a
+    * degenerate bucket drops-and-counts exactly as a joint recompute
+    * would. Neither side is assumed small: both shuffle once on the
+    * bucket key. For a tiny eval side against a resident train store,
+    * [[incrementalMinhashCandidatesFromSigs]] (then keeping only
+    * new-old pairs) avoids shuffling the store at all. */
+  def crossMinhashCandidates(aSigs: DataFrame, bSigs: DataFrame,
+                             numHashes: Int = 32, bands: Int = 8,
+                             threshold: Double = 0.5,
+                             portable: Boolean = false,
+                             maxBucket: Int = MaxBucketMembers): DataFrame = {
+    candidatePassCount.incrementAndGet()
+    val rowsPerBand = numHashes / bands
+    val a = sigBuckets(aSigs, bands, rowsPerBand, portable)
+      .withColumn("is_b", lit(false))
+    val b = sigBuckets(bSigs, bands, rowsPerBand, portable)
+      .withColumn("is_b", lit(true))
+    bucketPairs(a.unionByName(b), Seq("band", "bucket"),
+        struct(col("doc_id"), col("sig"), col("is_b")), maxBucket)
+      .filter(col("a.is_b") =!= col("b.is_b"))
+      .select(
+        when(col("a.is_b"), col("b.doc_id")).otherwise(col("a.doc_id"))
+          .as("id_a"),
+        when(col("a.is_b"), col("a.doc_id")).otherwise(col("b.doc_id"))
+          .as("id_b"),
+        estJaccard(col("a.sig"), col("b.sig"), numHashes).as("est_jaccard"))
+      .groupBy("id_a", "id_b")            // same pair can match in >1 band
+      .agg(max("est_jaccard").as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   // --------------------------------------------------------------- simhash
 
   /** 64-bit SimHash per document: bit i of the fingerprint is the sign of

@@ -216,6 +216,34 @@ object Sampling {
     stratified(df, stratum.cast("string"), id, rates, defaultRate = 0.0)
   }
 
+  /** Deterministic per-group k-sample — the "pull k examples of every
+    * class for inspection / eval" op: each group keeps its k smallest
+    * rows by `(md5-bucket(id), id)`, so the pick is pseudo-random but
+    * reproducible across runs, partitionings and engines (no RNG, no
+    * seed plumbing — the [[stratified]] discipline applied to a fixed
+    * COUNT instead of a rate), and re-running after an append only
+    * changes a group's sample where new ids hash below its old cut.
+    * Emits the input columns plus the 1-based `sample_rank`; rows with
+    * a null group or id have no deterministic place and are excluded.
+    *
+    * Scale shape: ONE group-partitioned shuffle, and the rank filter
+    * plans as WindowGroupLimit (pinned), so every map task forwards at
+    * most k rows per group — a hot group never buffers more than the k
+    * rows it keeps in any task. */
+  def groupSample(df: DataFrame, group: Column, id: Column,
+                  k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k=$k")
+    val outCols = df.columns.toSeq.map(col)
+    val w = Window.partitionBy(col("__g")).orderBy(col("__hb"), id)
+    df.filter(group.isNotNull && id.isNotNull)
+      .withColumn("__g", group)
+      .withColumn("__hb", hashBucket(id))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+      .select(outCols :+ col("sample_rank"): _*)
+  }
+
   /** Deterministic shuffle-and-shard: the last stage of a training-data
     * pipeline — spread documents pseudo-randomly across `nShards` output
     * shards and give each a dense position within its shard, with no RNG

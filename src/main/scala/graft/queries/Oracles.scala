@@ -208,6 +208,26 @@ object Oracles {
 
   val all: Map[String, String] = Map(
 
+    "q147_group_sample" ->
+      """SELECT doc_id, lang, sample_rank FROM (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT,
+        |                    doc_id) AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 5""".stripMargin,
+
+    // the two slices partition the corpus, so the joint bucketing (cap
+    // included) equals the full recompute's and the cross pairs are
+    // exactly est restricted to one-side-each; id_a is the train side
+    "q148_cross_neardup" ->
+      s"""WITH $minhashPortableCtes
+         |SELECT CASE WHEN id_a >= 400 THEN id_a ELSE id_b END AS id_a,
+         |       CASE WHEN id_a >= 400 THEN id_b ELSE id_a END AS id_b,
+         |       est_jaccard
+         |FROM est
+         |WHERE est_jaccard >= 0.4 AND ((id_a < 400) <> (id_b < 400))""".stripMargin,
+
     "q01_scan_project" ->
       """SELECT p_partkey, trim(p_name) AS name_trim, p_retailprice
         |FROM part WHERE p_size >= 25""".stripMargin,

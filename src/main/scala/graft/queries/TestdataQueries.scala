@@ -1813,7 +1813,30 @@ object TestdataQueries {
       rounds = 3)
   }
 
+  /** Deterministic per-group k-sample (X87): 5 inspection documents per
+    * language by `(md5-bucket(doc_id), doc_id)` order — reproducible
+    * with no RNG, rank filter as WindowGroupLimit
+    * ([[graft.llm.Sampling.groupSample]]). */
+  def q147GroupSample(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Sampling.groupSample(
+      t(s, dir, "documents").select(col("doc_id"), col("lang")),
+      col("lang"), col("doc_id"), k = 5)
+
+  /** Cross-corpus near-dup candidates (X88): fuzzy decontamination of
+    * the doc_id < 400 slice ("eval") against the rest ("train") — LSH
+    * pairs with exactly one side in each corpus, both sides sliced from
+    * the shared portable signature store
+    * ([[graft.llm.Dedup.crossMinhashCandidates]]). */
+  def q148CrossNeardup(s: SparkSession, dir: String): DataFrame = {
+    val sigs = portableSigs(s, dir)
+    Dedup.crossMinhashCandidates(
+      sigs.filter(col("doc_id") >= 400), sigs.filter(col("doc_id") < 400),
+      numHashes = 32, bands = 8, threshold = 0.4, portable = true)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_group_sample" -> q147GroupSample _,
+    "q148_cross_neardup" -> q148CrossNeardup _,
     "q146_weighted_paths" -> q146WeightedPaths _,
     "q144_group_quantiles" -> q144GroupQuantiles _,
     "q145_funnel_latency" -> q145FunnelLatency _,

@@ -399,6 +399,56 @@ class LlmOpsSpec extends SparkSpec {
     assert(f(3L).getAs[Int]("stop_hits") >= 2)
   }
 
+  test("group sample: deterministic k smallest by hash order, short groups whole") {
+    import java.security.MessageDigest
+    def bucket(id: Long): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 7), 16)
+    }
+    val rows = (0L until 40L).map(i => (i, if (i % 2 == 0) "a" else "b")) ++
+      Seq((100L, "tiny"), (101L, "tiny"),
+        (999L, null.asInstanceOf[String]))
+    val d = rows.toDF("doc_id", "lang")
+    def got(df: org.apache.spark.sql.DataFrame) =
+      Sampling.groupSample(df, col("lang"), col("doc_id"), k = 3)
+        .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(2))).toSet
+    val g = got(d)
+    // driver replay of the documented order: k smallest (bucket, id)
+    val expected = rows.filter(_._2 != null).groupBy(_._2).flatMap {
+      case (lang, rs) =>
+        rs.map(_._1).sortBy(i => (bucket(i), i)).take(3).zipWithIndex
+          .map { case (id, j) => (lang, id, j + 1) }
+    }.toSet
+    assert(g == expected)
+    assert(g.count(_._1 == "a") == 3 && g.count(_._1 == "b") == 3)
+    assert(g.count(_._1 == "tiny") == 2)          // short group: all rows
+    assert(!g.exists(_._2 == 999L))               // null group excluded
+    assert(got(d.repartition(7)) == g)            // partitioning-invariant
+  }
+
+  test("cross-corpus candidates: exactly the full recompute's cross pairs") {
+    val corpus = (0 until 60).map { i =>
+      val base = s"crosscorpus doc ${i / 3} about subject ${i / 3} with plenty " +
+        "of shared filler words to build overlapping shingles for the family"
+      (i.toLong, if (i % 3 == 2) base + " slightly edited" else base)
+    }.toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val full = pairSet(Dedup.minhashCandidates(corpus, numHashes = 32,
+      bands = 8, k = 3, threshold = 0.3))
+    val cross = pairSet(Dedup.crossMinhashCandidates(
+      Dedup.minhashTable(corpus.filter(col("doc_id") < 40), numHashes = 32, k = 3),
+      Dedup.minhashTable(corpus.filter(col("doc_id") >= 40), numHashes = 32, k = 3),
+      numHashes = 32, bands = 8, threshold = 0.3))
+    // the slices partition the corpus, so joint bucketing == full
+    // bucketing and the cross set is exactly full restricted to
+    // one-side-each, with identical estimates; id_a is always the A side
+    assert(cross == full.filter { case ((a, b), _) => a < 40 && b >= 40 })
+    assert(cross.nonEmpty)
+    assert(cross.keySet.forall { case (a, b) => a < 40 && b >= 40 })
+  }
+
   test("stratified sampling is exact, reproducible, and nested in the rate") {
     import java.security.MessageDigest
     def bucket(id: Long): Long = {

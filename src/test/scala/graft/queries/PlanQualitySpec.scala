@@ -324,6 +324,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q147: per-group sample rank plans as WindowGroupLimit") {
+    val p = plan("q147_group_sample")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q148: cross-corpus candidates expand buckets, never join corpora") {
+    val p = plan("q148_cross_neardup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Generate"), p)     // capped bucket expansion
+  }
+
   test("q67: exactly two LSH candidate passes — compaction reuses batch edges") {
     // the r8 regression ran a THIRD full minhashCandidatesFromSigs over
     // the whole store to derive the compaction drop-set, re-emitting
