@@ -335,6 +335,49 @@ object EventAnalytics {
   private def pctLitSql(ps: Seq[Int]): String =
     ps.mkString("array(", ", ", ")")
 
+  /** Exact per-row rank transform — [[exactGroupQuantiles]]' inverse
+    * direction (quantile-NORMALIZE every row instead of cutting named
+    * percentiles): each surviving row gains `rank` (SQL `rank()`
+    * semantics — 1 + the count of strictly smaller values in its group;
+    * ties share the min rank) and `n_group`, the feature-preprocessing
+    * primitive behind rank/quantile normalization and exact percentile
+    * scores. Rows with a null group or value are excluded.
+    *
+    * Scale shape — NEVER a per-group window over the rows (one hot
+    * group = one task): the group's value domain range-buckets off a
+    * broadcast min/max (overflow-safe half-span widths, the
+    * rankStatistics form), per-(group, bucket) counts prefix into
+    * bucket offsets over the metadata-sized summary, and the in-bucket
+    * window ranks only a 1/buckets slice of any group. Equal values
+    * land in equal buckets, so offset + in-bucket rank IS the global
+    * min-rank. Group stats broadcast — same dashboard-dimension
+    * cardinality contract as [[exactGroupQuantiles]]. */
+  def rankTransform(df: DataFrame, group: Column, value: Column,
+                    buckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 1, s"buckets=$buckets")
+    val outCols = df.columns.toSeq.map(col)
+    val base = df.filter(group.isNotNull && value.isNotNull)
+      .withColumn("__g", group).withColumn("__v", value.cast("long"))
+    val stats = base.groupBy("__g").agg(min("__v").as("v0"),
+      max("__v").as("v1"), count(lit(1)).as("n_group"))
+    val half = math.max(buckets / 2, 1)
+    val bucketExpr = expr(
+      s"(__v div greatest(((v1 div 2) - (v0 div 2)) div $half, 1L))" +
+        s" - (v0 div greatest(((v1 div 2) - (v0 div 2)) div $half, 1L))")
+    val bucketed = base.join(broadcast(stats), "__g")
+      .withColumn("__b", bucketExpr)
+    val offsets = bucketed.groupBy("__g", "__b").agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(
+        sum(col("__c")).over(Window.partitionBy("__g").orderBy("__b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__g"), col("__b"), col("__off"))
+    val wIn = Window.partitionBy("__g", "__b").orderBy("__v")
+    bucketed.join(broadcast(offsets), Seq("__g", "__b"))
+      .withColumn("rank", col("__off") + rank().over(wIn).cast("long"))
+      .select(outCols ++ Seq(col("rank"), col("n_group")): _*)
+  }
+
   /** Funnel step-latency report: for each completed funnel transition,
     * the exact whole-second latency percentiles — "how long do users
     * take between steps" as order statistics, not means (latencies are

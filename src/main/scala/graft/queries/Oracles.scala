@@ -228,6 +228,15 @@ object Oracles {
          |FROM est
          |WHERE est_jaccard >= 0.4 AND ((id_a < 400) <> (id_b < 400))""".stripMargin,
 
+    "q149_rank_transform" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, cents,
+        |       rank() OVER (PARTITION BY l_returnflag ORDER BY cents)
+        |         AS rank,
+        |       count(*) OVER (PARTITION BY l_returnflag) AS n_group
+        |FROM (SELECT l_orderkey, l_linenumber, l_returnflag,
+        |             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |      FROM lineitem WHERE l_partkey < 2000)""".stripMargin,
+
     "q01_scan_project" ->
       """SELECT p_partkey, trim(p_name) AS name_trim, p_retailprice
         |FROM part WHERE p_size >= 25""".stripMargin,
@@ -1691,7 +1700,7 @@ object Oracles {
     "q144_group_quantiles" ->
       """WITH m AS (
         |  SELECT l_returnflag AS g,
-        |         CAST(l_extendedprice * 100 AS BIGINT) AS v
+        |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
         |  FROM lineitem),
         |r AS (SELECT g, v,
         |        row_number() OVER (PARTITION BY g ORDER BY v) AS rn,

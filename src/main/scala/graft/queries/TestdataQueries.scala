@@ -1786,7 +1786,7 @@ object TestdataQueries {
   def q144GroupQuantiles(s: SparkSession, dir: String): DataFrame =
     graft.operators.EventAnalytics.exactGroupQuantiles(
       t(s, dir, "lineitem"), col("l_returnflag"),
-      expr("CAST(l_extendedprice * 100 AS BIGINT)"), Seq(25, 50, 90))
+      expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"), Seq(25, 50, 90))
 
   /** Funnel step-latency percentiles (X85): exact whole-second p25/p50/
     * p90 per transition, composing the funnel with the grouped
@@ -1834,9 +1834,21 @@ object TestdataQueries {
       numHashes = 32, bands = 8, threshold = 0.4, portable = true)
   }
 
+  /** Exact per-row rank transform (X89): every (capped) lineitem row's
+    * exact price rank and group size within its return flag — quantile
+    * normalization without a per-group sort, via the two-phase bucket
+    * discipline ([[graft.operators.EventAnalytics.rankTransform]]). */
+  def q149RankTransform(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.rankTransform(
+      t(s, dir, "lineitem").filter(col("l_partkey") < 2000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents")),
+      col("l_returnflag"), col("cents"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q147_group_sample" -> q147GroupSample _,
     "q148_cross_neardup" -> q148CrossNeardup _,
+    "q149_rank_transform" -> q149RankTransform _,
     "q146_weighted_paths" -> q146WeightedPaths _,
     "q144_group_quantiles" -> q144GroupQuantiles _,
     "q145_funnel_latency" -> q145FunnelLatency _,

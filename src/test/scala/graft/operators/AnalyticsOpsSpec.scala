@@ -306,6 +306,26 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got == Map(("a", "b") -> 2L)) // 63 and 64; c-pairs absent
   }
 
+  test("rank transform: exact min-rank with ties, bucket-count invariant, wide spans") {
+    // ties (10,10), a wide-span group with Long extremes (the half-span
+    // bucket form), and a null row to exclude
+    val rows = Seq(("a", 1L, 10L), ("a", 2L, 10L), ("a", 3L, 7L),
+      ("a", 4L, 99L), ("b", 5L, Long.MinValue), ("b", 6L, Long.MaxValue),
+      ("b", 7L, 0L), ("c", 8L, 5L))
+    val d = (rows :+ (null.asInstanceOf[String], 9L, 1L))
+      .toDF("g", "id", "v")
+    def expected: Set[(Long, Long, Long)] = rows.groupBy(_._1).flatMap {
+      case (_, rs) => rs.map { case (_, id, v) =>
+        (id, 1L + rs.count(_._3 < v), rs.size.toLong) }
+    }.toSet
+    def got(buckets: Int) = EventAnalytics.rankTransform(
+        d, col("g"), col("v"), buckets)
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getLong(4))).toSet
+    assert(got(1024) == expected)
+    assert(got(1) == expected)            // single bucket == pure window
+    assert(!got(1024).exists(_._1 == 9L)) // null group excluded
+  }
+
   test("segment overlap: a negative user id fails loudly, never collides") {
     // -1 would truncate into word 0 / bit 63 and silently merge with
     // user 63's bit — the operator must error instead
