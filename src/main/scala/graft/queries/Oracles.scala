@@ -2346,7 +2346,7 @@ object Oracles {
     "q125_skyline" ->
       """WITH pts AS (
         |  SELECT p_partkey AS id, CAST(p_size AS BIGINT) AS x,
-        |         CAST(p_retailprice * 100 AS BIGINT) AS y
+        |         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS y
         |  FROM part)
         |SELECT s.id, s.x, s.y FROM pts s
         |WHERE NOT EXISTS (

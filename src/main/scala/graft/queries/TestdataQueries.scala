@@ -142,6 +142,20 @@ object TestdataQueries {
         Seq("signup", "click", "purchase"),
         maxGapMicros = 24L * 3600 * 1000000))
 
+  // Fifth shared artifact: the co-purchase pair-count table (the scored
+  // producer is q123's similarity readout; the weighted-paths consumer
+  // q146 reads the landed edge table instead of re-enumerating basket
+  // pairs — the recommender-pipeline production shape). Deterministic
+  // per-basket reduction of lineitem, so results are bit-identical
+  // either way.
+  private val pairsMemo = new Memo()
+  private def copurchasePairCounts(s: SparkSession, dir: String): DataFrame =
+    memoShared(pairsMemo, s, dir)(
+      graft.operators.CoOccurrence.pairCounts(
+        t(s, dir, "lineitem").filter(col("l_partkey") < 3000),
+        basket = col("l_orderkey"), item = col("l_partkey"),
+        minPairs = 2L, maxBasket = 64))
+
   // ------------------------------------------------------------------ scans
 
   /** S1/P1: projection + trim + pushed-down filter. */
@@ -1604,7 +1618,7 @@ object TestdataQueries {
   def q125Skyline(s: SparkSession, dir: String): DataFrame =
     graft.operators.Skyline.skyline2d(
       t(s, dir, "part"), id = col("p_partkey"), x = col("p_size"),
-      y = expr("CAST(p_retailprice * 100 AS BIGINT)"))
+      y = expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)"))
 
   /** Frequency-ranked vocabulary (X65): deterministic term -> id table
     * in (count desc, term) order, built with the two-phase
@@ -1801,10 +1815,7 @@ object TestdataQueries {
     * co-purchase = shorter edge), 3 relaxation rounds from parts
     * {1, 2} ([[graft.operators.GraphRank.weightedDistances]]). */
   def q146WeightedPaths(s: SparkSession, dir: String): DataFrame = {
-    val pairs = graft.operators.CoOccurrence.pairCounts(
-      t(s, dir, "lineitem").filter(col("l_partkey") < 3000),
-      basket = col("l_orderkey"), item = col("l_partkey"),
-      minPairs = 2L, maxBasket = 64)
+    val pairs = copurchasePairCounts(s, dir)
     val edges = pairs.select(col("item_a").as("src"), col("item_b").as("dst"),
         expr("1000000L div pair_n").as("w"))
       .unionByName(pairs.select(col("item_b").as("src"),

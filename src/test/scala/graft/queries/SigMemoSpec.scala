@@ -84,6 +84,9 @@ class SigMemoSpec extends SparkSpec {
   pinSharedEqualsIsolated("q133_ab_readout",
     "the experiment 2x2 table over the shared funnel step-times table " +
       "must equal the per-query funnel derivation")
+  pinSharedEqualsIsolated("q146_weighted_paths",
+    "SPFA over the shared co-purchase pair table must equal the " +
+      "per-query pair enumeration")
   pinSharedEqualsIsolated("q60_simhash_verified",
     "pairing against the resident simhash fingerprint store must equal " +
       "re-deriving the fingerprints from the corpus")
