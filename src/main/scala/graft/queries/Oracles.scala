@@ -237,6 +237,22 @@ object Oracles {
         |             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
         |      FROM lineitem WHERE l_partkey < 2000)""".stripMargin,
 
+    "q150_expectations" ->
+      """WITH a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS total,
+        |         CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS o0,
+        |         CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS o1,
+        |         CAST(count(*) FILTER (WHERE o_totalprice IS NOT NULL
+        |           AND (o_totalprice < 0 OR o_totalprice > 300000)) AS BIGINT) AS o2,
+        |         CAST(count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+        |           AND o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT) AS o3
+        |  FROM orders)
+        |SELECT 'custkey_not_null' AS expectation, o0 AS observed, total, o0 = 0 AS passed FROM a
+        |UNION ALL SELECT 'orderkey_unique', o1, total, o1 = 0 FROM a
+        |UNION ALL SELECT 'price_in_range', o2, total, o2 = 0 FROM a
+        |UNION ALL SELECT 'status_known', o3, total, o3 = 0 FROM a
+        |UNION ALL SELECT 'row_count', total, total, total BETWEEN 1 AND 10000000 FROM a""".stripMargin,
+
     "q01_scan_project" ->
       """SELECT p_partkey, trim(p_name) AS name_trim, p_retailprice
         |FROM part WHERE p_size >= 25""".stripMargin,

@@ -1856,10 +1856,25 @@ object TestdataQueries {
           expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents")),
       col("l_returnflag"), col("cents"))
 
+  /** Declarative data-quality expectations (X90): five constraints over
+    * orders evaluated in ONE aggregate pass and melted to a per-
+    * expectation report ([[graft.operators.Expectations]]) — the
+    * general operator behind the reference's fixed quality rules. */
+  def q150Expectations(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Expectations._
+    evaluate(t(s, dir, "orders"), Seq(
+      NotNull("custkey_not_null", "o_custkey"),
+      Unique("orderkey_unique", "o_orderkey"),
+      InRange("price_in_range", "o_totalprice", 0L, 300000L),
+      InSet("status_known", "o_orderstatus", Seq("O", "F", "P")),
+      RowCountBetween("row_count", 1L, 10000000L)))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q147_group_sample" -> q147GroupSample _,
     "q148_cross_neardup" -> q148CrossNeardup _,
     "q149_rank_transform" -> q149RankTransform _,
+    "q150_expectations" -> q150Expectations _,
     "q146_weighted_paths" -> q146WeightedPaths _,
     "q144_group_quantiles" -> q144GroupQuantiles _,
     "q145_funnel_latency" -> q145FunnelLatency _,
