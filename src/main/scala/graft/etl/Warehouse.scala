@@ -199,8 +199,18 @@ final class Warehouse(spark: SparkSession, val root: String,
   private def genName(p: Path): String = p.getFileName.toString
 
   private def nextGenDir(table: String): Path = {
-    val seq = currentDir(table)
-      .map(d => genName(d).stripPrefix("g").toLong + 1).getOrElse(1L)
+    // numbering advances past every generation ON DISK, not just the
+    // live pointer's: after a drop the pointer is gone but generations
+    // pinned by retained catalog versions remain, and restarting at g1
+    // would deleteRecursively a pinned directory — time travel to a
+    // pre-drop version would then silently read the NEW table's data
+    val onDisk = listDir(tableRoot(table))
+      .map(_.getFileName.toString)
+      .filter(n => n.length == 10 && n.startsWith("g") &&
+        n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toLong)
+    val live = currentDir(table).map(d => genName(d).stripPrefix("g").toLong)
+    val seq = (onDisk ++ live).foldLeft(0L)(math.max) + 1
     tableRoot(table).resolve(f"g$seq%09d")
   }
 
@@ -357,7 +367,21 @@ final class Warehouse(spark: SparkSession, val root: String,
   }
 
   // one open transaction per thread per warehouse; nesting is refused
-  private val txn = new ThreadLocal[Warehouse.TxnState]
+  // Transaction state is keyed per (thread, warehouse ROOT) in the
+  // companion — NOT per instance: the SQL catalog constructs a fresh
+  // Warehouse per statement over the same root, and an instance-level
+  // ThreadLocal would let that instance's drop/commit run blind inside
+  // another instance's open transaction on this thread (the in-process
+  // table lock is reentrant by design, so it would not save us).
+  private val txnKey: String =
+    Paths.get(root).toAbsolutePath.normalize.toString
+  private object txn {
+    def get(): Warehouse.TxnState =
+      Warehouse.openTxns.get().getOrElse(txnKey, null)
+    def set(tx: Warehouse.TxnState): Unit =
+      Warehouse.openTxns.get().update(txnKey, tx)
+    def remove(): Unit = Warehouse.openTxns.get().remove(txnKey)
+  }
 
   /** Run `body` as ONE atomic multi-table commit.
     *
@@ -518,19 +542,25 @@ final class Warehouse(spark: SparkSession, val root: String,
     * catalog-manifest entry when transaction-managed, plus the per-table
     * `_current` pointer). Generations pinned by retained catalog
     * versions stay on disk, so time travel to a pre-drop version still
-    * reads the data; everything unpinned is GC'd. Returns whether the
-    * table existed. Refused inside a transaction: the manifest-minus-
-    * entry commit would race the transaction's own deferred flip. */
+    * reads the data; the just-dropped LIVE generation is kept too (the
+    * same one-flip retention every commit grants — a reader that
+    * resolved it just before the drop finishes its scan); everything
+    * else unpinned is GC'd, and a later re-create numbers PAST every
+    * surviving directory ([[nextGenDir]] scans disk). Returns whether
+    * the table existed. Refused inside a transaction: the
+    * manifest-minus-entry commit would race the transaction's own
+    * deferred flip. */
   def drop(table: String): Boolean = {
     require(txn.get() == null, "drop inside a transaction is not supported")
     withTableLock(table) {
-      val existed = committedCurrentDir(table).isDefined
+      val live = committedCurrentDir(table)
+      val existed = live.isDefined
       if (existed) {
         if (catalogManifest().contains(table)) withCatalogLock {
           writeCatalogVersion(catalogManifest() - table)
         }
         Files.deleteIfExists(ptrPath(table))
-        gcTable(table, Set.empty)
+        gcTable(table, live.map(genName).toSet)
       }
       existed
     }
@@ -776,6 +806,14 @@ object Warehouse {
   // one reentrant lock per table path, process-wide: threads of the same
   // process serialize on a table; separate processes go through the lock
   // file in withTableLock
+  // open transactions of the current thread, keyed by normalized
+  // warehouse root — shared across Warehouse instances over one root
+  private val openTxns =
+    new ThreadLocal[scala.collection.mutable.Map[String, TxnState]] {
+      override def initialValue() =
+        scala.collection.mutable.Map.empty[String, TxnState]
+    }
+
   private val localLocks =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
   private def localLock(key: String): java.util.concurrent.locks.ReentrantLock =

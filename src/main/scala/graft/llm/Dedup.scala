@@ -340,7 +340,13 @@ object Dedup {
     * would. Neither side is assumed small: both shuffle once on the
     * bucket key. For a tiny eval side against a resident train store,
     * [[incrementalMinhashCandidatesFromSigs]] (then keeping only
-    * new-old pairs) avoids shuffling the store at all. */
+    * new-old pairs) avoids shuffling the store at all.
+    *
+    * Id-space note: a doc_id present in BOTH corpora is two distinct
+    * rows to this operator and emits the (id, id) pair (est 1.0 when
+    * the texts match) — the correct "this exact document is in the
+    * training set" signal; callers treating ids as globally unique
+    * should slice disjoint id ranges, as q148 does. */
   def crossMinhashCandidates(aSigs: DataFrame, bSigs: DataFrame,
                              numHashes: Int = 32, bands: Int = 8,
                              threshold: Double = 0.5,

@@ -436,23 +436,71 @@ object Multimodal {
     }
   }
 
-  /** Raw MJPEG stream parse: standalone JPEGs back to back. Frame starts
-    * are SOI markers (FF D8 FF); JPEG byte-stuffing guarantees the
-    * marker cannot occur inside entropy-coded data, so the scan is
-    * exact for baseline streams. No container, so no frame rate. */
+  /** Raw MJPEG stream parse: standalone JPEGs back to back, split by a
+    * STRUCTURAL marker walk — never a bare SOI grep: an embedded JPEG
+    * inside a metadata segment (an EXIF APP1 thumbnail) contains
+    * FF D8 FF too, and splitting there would truncate the real frame
+    * and surface the thumbnail as a bogus extra frame. Per frame:
+    * length-carrying segments (APPn/DQT/DHT/SOF/...) are skipped
+    * WHOLESALE (thumbnails inside never surface), entropy-coded data
+    * after SOS is scanned for the next true marker (FF xx with xx
+    * neither 00-stuffing nor an RST), and EOI closes the frame. Bytes
+    * between frames (padding) are skipped to the next SOI; a frame
+    * whose structure is corrupt or truncated is kept as one trailing
+    * segment for the decoder to salvage or drop. No container, so no
+    * frame rate. */
   private def parseMjpegStream(b: Array[Byte])
       : Option[(Float, Vector[(Int, Int)])] = {
-    val starts = Vector.newBuilder[Int]
-    var i = 0
-    while (i + 2 < b.length) {
-      if ((b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xd8 &&
-          (b(i + 2) & 0xff) == 0xff) starts += i
-      i += 1
+    val n = b.length
+    def u8(i: Int) = b(i) & 0xff
+    val frames = Vector.newBuilder[(Int, Int)]
+    var off = 0
+    var corrupt = false
+    while (!corrupt && off + 1 < n && u8(off) == 0xff && u8(off + 1) == 0xd8) {
+      val start = off
+      var i = off + 2
+      var end = -1
+      while (!corrupt && end < 0) {
+        if (i + 1 >= n || u8(i) != 0xff) corrupt = true
+        else u8(i + 1) match {
+          case 0xd9 => end = i + 2                       // EOI
+          case 0xd8 => corrupt = true                    // stray SOI at marker level
+          case 0x01 => i += 2                            // TEM, parameterless
+          case m if m >= 0xd0 && m <= 0xd7 => i += 2     // bare RST
+          case 0xda =>                                   // SOS -> entropy scan
+            if (i + 3 >= n) corrupt = true
+            else {
+              var j = i + 2 + ((u8(i + 2) << 8) | u8(i + 3))
+              var found = -1
+              while (found < 0 && !corrupt) {
+                if (j + 1 >= n) corrupt = true
+                else if (u8(j) != 0xff) j += 1
+                else {
+                  val m2 = u8(j + 1)
+                  if (m2 == 0x00 || (m2 >= 0xd0 && m2 <= 0xd7)) j += 2
+                  else found = j
+                }
+              }
+              if (found >= 0) i = found
+            }
+          case _ =>                                      // length-carrying
+            if (i + 3 >= n) corrupt = true
+            else {
+              val len = (u8(i + 2) << 8) | u8(i + 3)
+              if (len < 2) corrupt = true else i += 2 + len
+            }
+        }
+      }
+      if (end >= 0) {
+        frames += ((start, end - start))
+        off = end
+        // skip inter-frame padding to the next SOI
+        while (off + 1 < n && !(u8(off) == 0xff && u8(off + 1) == 0xd8))
+          off += 1
+      } else frames += ((start, n - start))              // corrupt tail
     }
-    val s = starts.result()
-    if (s.isEmpty || s.head != 0) None
-    else Some((0.0f, s.zipAll(s.drop(1), 0, b.length)
-      .map { case (a, e) => (a, e - a) }))
+    val fs = frames.result()
+    if (fs.isEmpty) None else Some((0.0f, fs))
   }
 
   /** Deterministic features from decoded video:

@@ -234,6 +234,11 @@ object Sampling {
                   k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"k=$k")
+    // reserved internals must not silently collide with input columns
+    // (the kmvRollup __h lesson): fail loudly instead
+    Seq("__g", "__hb", "sample_rank").foreach(r =>
+      require(!df.columns.contains(r),
+        s"groupSample reserves the column name $r; rename the input column"))
     val outCols = df.columns.toSeq.map(col)
     val w = Window.partitionBy(col("__g")).orderBy(col("__hb"), id)
     df.filter(group.isNotNull && id.isNotNull)

@@ -251,17 +251,11 @@ object EventAnalytics {
     import org.apache.spark.sql.expressions.Window
     val stats = vals.groupBy("g").agg(min("v").as("v0"), max("v").as("v1"),
       count(lit(1)).as("n"))
-    // Overflow-safe LONG bucketing (decimal(38) arithmetic here costs
-    // ~4 s of plan compilation per construction — measured): the width
-    // derives from HALF-spans so a group spanning more than a long
-    // cannot wrap, and `v div width - v0 div width` is monotone in v
-    // for any positive width (truncating division included), which is
-    // the only property the rank search needs — bucket boundaries
-    // don't have to be evenly placed, just ordered.
-    val half = math.max(buckets / 2, 1)
-    val bucketExpr = expr(
-      s"(v div greatest(((v1 div 2) - (v0 div 2)) div $half, 1L))" +
-        s" - (v0 div greatest(((v1 div 2) - (v0 div 2)) div $half, 1L))")
+    // Overflow-safe LONG bucketing — the shared
+    // [[BucketMath.halfSpanBucketSql]] form: wrap-safe on Long-wide
+    // group spans, monotone in v, equal values share a bucket; bucket
+    // boundaries don't have to be evenly placed, just ordered.
+    val bucketExpr = expr(BucketMath.halfSpanBucketSql("v", "v0", "v1", buckets))
     val bucketed = vals.join(broadcast(stats), Seq("g"))
       .withColumn("b", bucketExpr)
       .select(col("g"), col("v"), col("b"))
@@ -356,15 +350,18 @@ object EventAnalytics {
                     buckets: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(buckets >= 1, s"buckets=$buckets")
+    // reserved internals must not silently collide with input columns
+    // (the kmvRollup __h lesson): fail loudly instead
+    Seq("__g", "__v", "__b", "__c", "__off", "v0", "v1", "rank", "n_group")
+      .foreach(r => require(!df.columns.contains(r),
+        s"rankTransform reserves the column name $r; rename the input column"))
     val outCols = df.columns.toSeq.map(col)
     val base = df.filter(group.isNotNull && value.isNotNull)
       .withColumn("__g", group).withColumn("__v", value.cast("long"))
     val stats = base.groupBy("__g").agg(min("__v").as("v0"),
       max("__v").as("v1"), count(lit(1)).as("n_group"))
-    val half = math.max(buckets / 2, 1)
-    val bucketExpr = expr(
-      s"(__v div greatest(((v1 div 2) - (v0 div 2)) div $half, 1L))" +
-        s" - (v0 div greatest(((v1 div 2) - (v0 div 2)) div $half, 1L))")
+    val bucketExpr =
+      expr(BucketMath.halfSpanBucketSql("__v", "v0", "v1", buckets))
     val bucketed = base.join(broadcast(stats), "__g")
       .withColumn("__b", bucketExpr)
     val offsets = bucketed.groupBy("__g", "__b").agg(count(lit(1)).as("__c"))

@@ -50,19 +50,15 @@ object Skyline {
         y.cast("long").as("y"))
       .filter(col("x").isNotNull && col("y").isNotNull)
     val span = pts.agg(min("x").as("x0"), max("x").as("x1"))
-    // Overflow-safe LONG bucketing (the rankStatistics form): `x1 - x0`
-    // wraps when the x span exceeds Long.MaxValue (sentinel mins mixed
-    // with large positives), making bucket ids non-monotone in x and the
-    // phase-2 "earlier bucket implies strictly smaller x" invariant
-    // silently false. The width derives from HALF-spans so it cannot
-    // wrap, and `x div w - x0 div w` is monotone in x for any positive
-    // w (truncating division included) with equal x always mapping to
-    // equal b — the only two properties the prune needs.
-    val half = math.max(buckets / 2, 1)
+    // Overflow-safe LONG bucketing ([[BucketMath.halfSpanBucketSql]]):
+    // `x1 - x0` wraps when the x span exceeds Long.MaxValue, making
+    // bucket ids non-monotone in x and the phase-2 "earlier bucket
+    // implies strictly smaller x" invariant silently false; the shared
+    // half-span form is monotone with equal x mapping to equal b — the
+    // only two properties the prune needs.
     val bucketed = pts.crossJoin(broadcast(span))
       .withColumn("b", expr(
-        s"(x div greatest(((x1 div 2) - (x0 div 2)) div $half, 1L))" +
-          s" - (x0 div greatest(((x1 div 2) - (x0 div 2)) div $half, 1L))"))
+        BucketMath.halfSpanBucketSql("x", "x0", "x1", buckets)))
       .drop("x0", "x1")
     val summary = bucketed.groupBy("b").agg(min("y").as("bmin"))
       .withColumn("prefix_min", min(col("bmin")).over(

@@ -903,6 +903,14 @@ object TestdataQueries {
     // tables, so the drop-set clusters over edges already generated.
     // (Round 8 ran a third full `minhashCandidatesFromSigs(sigs)` here —
     // 2.3x the query's cost for pairs both legs had already emitted.)
+    // Cap boundary: the contract (hence one-shot equality) assumes no
+    // LSH bucket CROSSES maxBucket between arrivals (under-cap at batch
+    // 1, over-cap combined) — a bucket the joint recompute drops whose
+    // early pairs batch 1 already emitted. That is a property of
+    // incremental maintenance itself (old-old pairs are never revisited
+    // by ANY scheme that hashes each batch once — round 8's third full
+    // pass had the same exposure through its batch-leg survivors), and
+    // the degenerate-bucket drop metrics are the audit hook for it.
     val drop = Future {
       Dedup.duplicateClusters(edges1.unionByName(edges2))
         .filter(col("doc_id") =!= col("comp_id")).select(col("doc_id"))
@@ -1839,7 +1847,11 @@ object TestdataQueries {
     * the shared portable signature store
     * ([[graft.llm.Dedup.crossMinhashCandidates]]). */
   def q148CrossNeardup(s: SparkSession, dir: String): DataFrame = {
+    // both slices read the one signature store; keep it resident so the
+    // isolated (Verify) path hashes the corpus once, not once per slice
     val sigs = portableSigs(s, dir)
+    if (sigs.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Dedup.crossMinhashCandidates(
       sigs.filter(col("doc_id") >= 400), sigs.filter(col("doc_id") < 400),
       numHashes = 32, bands = 8, threshold = 0.4, portable = true)

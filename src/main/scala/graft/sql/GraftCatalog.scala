@@ -52,19 +52,26 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
   private var root: String = _
   private var format: String = "parquet"
+  private var retention: Int = 2
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     root = Option(options.get("root")).getOrElse(throw new IllegalArgumentException(
       s"set spark.sql.catalog.$name.root to a graft warehouse directory"))
     format = Option(options.get("format")).getOrElse("parquet")
+    // MUST match the programmatic writers' retention: every commit GCs
+    // manifest versions past its own horizon, so a catalog committing
+    // with a shorter one would age out versions a longer-retention
+    // Warehouse handle still promises for time travel
+    retention = Option(options.get("retention")).map(_.toInt).getOrElse(2)
   }
 
   override def name(): String = catalogName
 
   // resolution state lives on disk; the Warehouse handle is stateless and
   // cheap, so construct per call against the active session
-  private def wh = new Warehouse(SparkSession.active, root, format = format)
+  private def wh = new Warehouse(SparkSession.active, root,
+    catalogRetention = retention, format = format)
 
   private def requireDefaultNs(ns: Array[String]): Unit =
     if (ns.nonEmpty) throw new NoSuchNamespaceException(ns)
@@ -144,6 +151,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (partitions.nonEmpty) throw new UnsupportedOperationException(
       s"catalog '$catalogName' does not support partition transforms in " +
         "CREATE TABLE; write partitioned data through Warehouse.append/replace")
+    // TBLPROPERTIES have nowhere to live (generations carry data, not
+    // metadata) — refusing loudly beats dropping them on the floor.
+    // Spark itself injects reserved keys (provider/owner) on every
+    // CREATE; only those pass.
+    val userProps = properties.keySet().asScala
+      .filterNot(Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER))
+    if (userProps.nonEmpty) throw new UnsupportedOperationException(
+      s"catalog '$catalogName' does not support table properties: " +
+        userProps.toSeq.sorted.mkString(", "))
     if (tableExists(ident)) throw new org.apache.spark.sql.catalyst.analysis
       .TableAlreadyExistsException(Seq(catalogName, ident.name()))
     val spark = SparkSession.active

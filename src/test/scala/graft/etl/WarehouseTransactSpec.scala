@@ -128,4 +128,26 @@ class WarehouseTransactSpec extends SparkSpec {
     } finally { held.release(); foreign.close() }
     assert(readV(wh, "a") == Set(1) && readV(wh, "b") == Set(1))
   }
+
+  test("transaction state is visible across instances over one root") {
+    val root = tmpDir("whxinst").toString
+    val wh = new Warehouse(spark, root)
+    wh.transact { wh.replace("a", batch(1)) }
+    wh.transact {
+      wh.replace("a", batch(2))
+      // a FRESH instance over the same root (the SQL catalog constructs
+      // one per statement) must see this thread's open transaction:
+      // nesting refuses, and drop refuses rather than committing a
+      // manifest-minus-entry that races the deferred flip
+      val other = new Warehouse(spark, root)
+      intercept[IllegalArgumentException] { other.transact { () } }
+      intercept[IllegalArgumentException] { other.drop("a") }
+    }
+    assert(readV(wh, "a") == Set(2))
+    // and the state is gone once the block closes: the fresh instance
+    // can transact (and drop) normally afterwards
+    val other2 = new Warehouse(spark, root)
+    other2.transact { other2.replace("b", batch(3)) }
+    assert(other2.drop("b") && !other2.exists("b"))
+  }
 }

@@ -793,7 +793,15 @@ class LlmOpsSpec extends SparkSpec {
     val bright = jpeg(8, 6, 0xf0f0f0)
     val avi = aviMjpg(Seq(gray, gray, bright), usPerFrame = 40000) // 25 fps
     val mp4 = mp4Jpeg(Seq(gray, bright), codec = "jpeg", timescale = 30)
-    val mjpegStream = gray ++ bright
+    // frame 1 carries an EXIF-style APP1 segment EMBEDDING a whole tiny
+    // JPEG (a thumbnail): a naive SOI grep would split the frame there
+    // — the structural walker must keep it as ONE frame
+    val thumb = jpeg(2, 2, 0x102030)
+    val app1 = Array[Byte](0xff.toByte, 0xe1.toByte,
+      (((thumb.length + 2) >> 8) & 0xff).toByte,
+      ((thumb.length + 2) & 0xff).toByte) ++ thumb
+    val grayWithThumb = gray.take(2) ++ app1 ++ gray.drop(2)
+    val mjpegStream = grayWithThumb ++ bright
     val h264 = mp4Jpeg(Seq(gray), codec = "avc1", timescale = 30)
     val junk = "definitely not video".getBytes("UTF-8")
     val media = Seq((1L, "video", avi), (2L, "video", mp4),

@@ -34,6 +34,7 @@ class GraftCatalogSpec extends SparkSpec {
     val sql = SparkSession.builder()
       .config("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
       .config("spark.sql.catalog.graft.root", root)
+      .config("spark.sql.catalog.graft.retention", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     try {
@@ -107,6 +108,19 @@ class GraftCatalogSpec extends SparkSpec {
       assert(sql.sql("SHOW TABLES IN graft").collect()
         .map(_.getAs[String]("tableName")).sorted.toSeq == Seq("a", "b", "d"))
 
+      // DROP + re-CREATE must not cannibalize pinned generations: the
+      // pre-drop version keeps reading the OLD data even after the new
+      // incarnation writes (generation numbering advances past every
+      // directory on disk, so the pinned g-dir is never overwritten)
+      sql.sql("DROP TABLE graft.a")
+      sql.sql("CREATE TABLE graft.a (id INT, v INT)")
+      sql.sql("INSERT INTO graft.a VALUES (7, 777)")
+      assert(sql.sql("SELECT count(*) FROM graft.a").head.getLong(0) == 1)
+      assert(sql.sql("SELECT count(*) FROM graft.a VERSION AS OF 2")
+        .head.getLong(0) == 25)
+      assert(sql.sql("SELECT max(v) FROM graft.a VERSION AS OF 2")
+        .head.getInt(0) == 2)
+
       // still-unsupported mutations refuse loudly
       intercept[Exception] { sql.sql("ALTER TABLE graft.a ADD COLUMN z INT") }
       intercept[Exception] {
@@ -114,6 +128,11 @@ class GraftCatalogSpec extends SparkSpec {
       }
       // duplicate create refuses
       intercept[Exception] { sql.sql("CREATE TABLE graft.d (id INT)") }
+      // TBLPROPERTIES refuse loudly (nowhere to store them) instead of
+      // silently dropping; Spark's own reserved provider/owner keys pass
+      intercept[Exception] {
+        sql.sql("CREATE TABLE graft.p2 (id INT) TBLPROPERTIES ('x'='1')")
+      }
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
