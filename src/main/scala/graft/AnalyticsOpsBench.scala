@@ -32,7 +32,14 @@ import graft.llm.TextAnalysis
   *  5. bitmap segment overlap over U users x 8 residue-class segments
   *     (user u in segment i iff u % (i+2) == 0): every pairwise
   *     overlap has the closed form |{u < U : u % lcm == 0}|, checked
-  *     for all 28 pairs.
+  *     for all 28 pairs;
+  *  6. rank transform over N rows in 4 groups with every value planted
+  *     exactly 5 times in-group — every row's min-rank must equal
+  *     5k + 1, verified DISTRIBUTED (no N-row collect);
+  *  7. expectations over N rows with closed-form planted violations
+  *     (nulls every 1000th id, every u-value duplicated once, 99
+  *     out-of-range v residues per 500-block) — each kind's observed
+  *     count must equal its closed form exactly.
   *
   * Usage: `runMain graft.AnalyticsOpsBench [nPoints] [nDocs] [nUsers]`
   * (defaults 2e6 / 200k / 1e6).
@@ -149,6 +156,52 @@ object AnalyticsOpsBench {
       } yield (s"seg$i", s"seg$j") ->
         ((nUsers - 1) / lcm(i, j) + 1)).toMap
       (got == want, s""""pairs":${got.size}""")
+    }
+
+    phase("rank-transform") {
+      // 4 groups, each value planted exactly 5 times in-group: the
+      // min-rank of value k is 5k + 1 for every row, n_group = n/4 —
+      // checked DISTRIBUTED (a 2M-row collect would be the anti-pattern
+      // the operator exists to avoid)
+      val n = nPoints - nPoints % 20
+      val df = spark.range(n).select(
+        pmod(col("id"), lit(4L)).as("g"),
+        ((col("id") / lit(4L)).cast("long") / lit(5L)).cast("long").as("v"))
+      val got = EventAnalytics.rankTransform(df, col("g"), col("v"))
+      val bad = got.filter(col("rank") =!= col("v") * 5L + 1L ||
+        col("n_group") =!= lit(n / 4)).count()
+      val cnt = got.count()
+      (bad == 0 && cnt == n, s""""rows":$cnt,"bad":$bad""")
+    }
+
+    phase("expectations") {
+      import graft.operators.Expectations
+      import graft.operators.Expectations._
+      // violation counts planted with closed forms over n rows:
+      // nulls at multiples of 1000; u = id div 2 duplicates every value
+      // once; v = id mod 500 out of [0, 400] on residues 401..499
+      val n = nPoints
+      val df = spark.range(n).select(
+        when(pmod(col("id"), lit(1000L)) === 0, lit(null))
+          .otherwise(col("id")).cast("long").as("k"),
+        (col("id") / lit(2L)).cast("long").as("u"),
+        pmod(col("id"), lit(500L)).as("v"))
+      val got = Expectations.evaluate(df, Seq(
+          NotNull("k_not_null", "k"),
+          Unique("u_unique", "u"),
+          InRange("v_range", "v", 0L, 400L),
+          RowCountBetween("rows", 1L, n)))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getBoolean(3)))).toMap
+      val wantNulls = (n - 1) / 1000 + 1
+      val wantDup = n - (n + 1) / 2   // u never null; each value twice
+      val wantRange = (n / 500) * 99 + math.max(0L, n % 500 - 401)
+      val ok = got("k_not_null") == ((wantNulls, false)) &&
+        got("u_unique") == ((wantDup, false)) &&
+        got("v_range") == ((wantRange, false)) &&
+        got("rows") == ((n, true))
+      (ok, s""""nulls":${got("k_not_null")._1},"dups":$wantDup,""" +
+        s""""range":${got("v_range")._1}""")
     }
 
     spark.stop()
