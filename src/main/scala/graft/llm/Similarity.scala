@@ -161,6 +161,33 @@ object Similarity {
     * Returns the assignment DataFrame (vec_id, cluster, cosine-to-final-
     * centroid) computed with the final centroids.
     */
+  /** Top-k agreement (recall@k) report — the tuning readout every
+    * approximate index needs against the exact scan (the y-axis of the
+    * FAISS recall-vs-nProbe curve): per query, how many of the exact
+    * top-k the approximate candidate list recovered. Pure integer join
+    * algebra over two k-rows-per-query tables — the corpus is never
+    * re-touched, so the report costs O(queries x k): per-side counts
+    * partial-aggregate map-side, the hit join is an equi-join on
+    * (query, neighbor). Queries the approximate side missed entirely
+    * still report (hits = 0). `recall@k = hits / n_exact`, left to the
+    * caller so the report stays exact-integer. */
+  def topKAgreement(exact: DataFrame, approx: DataFrame,
+                    query: Column = col("query_id"),
+                    neighbor: Column = col("vec_id")): DataFrame = {
+    val e = exact.select(query.as("query_id"), neighbor.as("__n"))
+    val a = approx.select(query.as("query_id"), neighbor.as("__n"))
+    val nE = e.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+    val nA = a.groupBy("query_id").agg(count(lit(1)).as("n_approx"))
+    val hits = e.join(a, Seq("query_id", "__n"))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    nE.join(nA, Seq("query_id"), "full_outer")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_approx"), lit(0L)).as("n_approx"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+  }
+
   def kmeansAssign(corpus: DataFrame, k: Int, iters: Int,
                    idCol: String = "vec_id", embCol: String = "embedding")
       : DataFrame =

@@ -253,6 +253,68 @@ object Oracles {
         |UNION ALL SELECT 'status_known', o3, total, o3 = 0 FROM a
         |UNION ALL SELECT 'row_count', total, total, total BETWEEN 1 AND 10000000 FROM a""".stripMargin,
 
+    // replays the brute chain (q36's) and the IVF chain (q40's, starved
+    // to one probe) and joins the two rank<=10 sets — only set
+    // membership matters, so the floats never surface
+    "q151_ann_recall" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+         |           WHERE vec_id < 5),
+         |bscored AS (
+         |  SELECT q.query_id, c.vec_id,
+         |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |                                CAST(c.embedding AS DOUBLE[])) AS cos
+         |  FROM q CROSS JOIN embeddings c
+         |  WHERE c.vec_id <> q.query_id),
+         |bsel AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cos DESC, vec_id ASC) AS rank
+         |    FROM bscored) WHERE rank <= 10),
+         |cent AS (
+         |  SELECT vec_id AS cell_id, embedding AS centroid
+         |  FROM embeddings ORDER BY vec_id LIMIT 16),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cell_id FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.embedding", "c.centroid")} DESC,
+         |                      c.cell_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, q_emb, cell_id FROM (
+         |    SELECT qq.vec_id AS query_id, qq.embedding AS q_emb, c.cell_id,
+         |           row_number() OVER (PARTITION BY qq.vec_id
+         |             ORDER BY ${cosSql("qq.embedding", "c.centroid")} DESC,
+         |                      c.cell_id ASC) AS rn
+         |    FROM embeddings qq CROSS JOIN cent c
+         |    WHERE qq.vec_id < 5)
+         |  WHERE rn <= 1),
+         |iscored AS (
+         |  SELECT p.query_id, a.vec_id,
+         |         ${cosSql("p.q_emb", "a.embedding")} AS cos
+         |  FROM probes p JOIN assigned a USING (cell_id)
+         |  WHERE a.vec_id <> p.query_id),
+         |isel AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cos DESC, vec_id ASC) AS rank
+         |    FROM iscored) WHERE rank <= 10),
+         |ne AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+         |       FROM bsel GROUP BY 1),
+         |na AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_approx
+         |       FROM isel GROUP BY 1),
+         |h AS (SELECT b.query_id, CAST(count(*) AS BIGINT) AS hits
+         |      FROM bsel b JOIN isel i
+         |        ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+         |      GROUP BY 1)
+         |SELECT ne.query_id, n_exact,
+         |       CAST(coalesce(n_approx, 0) AS BIGINT) AS n_approx,
+         |       CAST(coalesce(hits, 0) AS BIGINT) AS hits
+         |FROM ne LEFT JOIN na USING (query_id) LEFT JOIN h USING (query_id)""".stripMargin,
+
     "q01_scan_project" ->
       """SELECT p_partkey, trim(p_name) AS name_trim, p_retailprice
         |FROM part WHERE p_size >= 25""".stripMargin,

@@ -1882,11 +1882,25 @@ object TestdataQueries {
       RowCountBetween("row_count", 1L, 10000000L)))
   }
 
+  /** ANN recall report (X92): the exact brute-force top-10 vs a
+    * deliberately starved IVF probe (nProbe = 1) per query — the
+    * recall@k tuning readout, exact integers
+    * ([[graft.llm.Similarity.topKAgreement]]). */
+  def q151AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.topKAgreement(
+      Similarity.bruteForceTopK(emb, queries, k = 10),
+      Similarity.ivfTopK(emb, queries, k = 10, nLists = 16, nProbe = 1))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q147_group_sample" -> q147GroupSample _,
     "q148_cross_neardup" -> q148CrossNeardup _,
     "q149_rank_transform" -> q149RankTransform _,
     "q150_expectations" -> q150Expectations _,
+    "q151_ann_recall" -> q151AnnRecall _,
     "q146_weighted_paths" -> q146WeightedPaths _,
     "q144_group_quantiles" -> q144GroupQuantiles _,
     "q145_funnel_latency" -> q145FunnelLatency _,

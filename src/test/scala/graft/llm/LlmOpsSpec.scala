@@ -848,6 +848,20 @@ class LlmOpsSpec extends SparkSpec {
     (i, v)
   }.toDF("vec_id", "embedding")
 
+  test("top-k agreement: exact hit counts, zero-hit and missing queries kept") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 20L), (2L, 21L), (3L, 30L)).toDF("query_id", "vec_id")
+    val approx = Seq((1L, 11L), (1L, 12L), (1L, 99L),
+      (2L, 77L), (2L, 78L)).toDF("query_id", "vec_id")
+    val got = Similarity.topKAgreement(exact, approx)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((3L, 3L, 2L)))   // recall 2/3
+    assert(got(2L) == ((2L, 2L, 0L)))   // approx found nothing real
+    assert(got(3L) == ((1L, 0L, 0L)))   // approx missed the query entirely
+    assert(got.size == 3)
+  }
+
   test("kmeans: deterministic across partitionings, splits separated blobs") {
     val a = Similarity.kmeansAssign(twoBlobs, k = 2, iters = 2)
       .orderBy("vec_id").collect()

@@ -336,6 +336,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Generate"), p)     // capped bucket expansion
   }
 
+  test("q149: rank transform meets the corpus only through broadcasts") {
+    // group stats and bucket offsets are metadata-sized broadcasts; the
+    // corpus itself must never enter a sort-merge join or a product
+    val p = plan("q149_rank_transform")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q150: the expectation report is ONE scan of the table") {
+    // formatted explain prints each node once in the tree and once in
+    // the detail section — count distinct scan NODE ids
+    val p = plan("q150_expectations")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q67: exactly two LSH candidate passes — compaction reuses batch edges") {
     // the r8 regression ran a THIRD full minhashCandidatesFromSigs over
     // the whole store to derive the compaction drop-set, re-emitting
