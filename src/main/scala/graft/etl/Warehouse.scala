@@ -556,15 +556,33 @@ final class Warehouse(spark: SparkSession, val root: String,
       val live = committedCurrentDir(table)
       val existed = live.isDefined
       if (existed) {
+        // ORDER matters for crash safety on a catalog-managed table:
+        // the mirror pointer dies FIRST (the table still resolves
+        // through the manifest — the drop has not happened), then the
+        // manifest flip is the one commit point. The reverse order
+        // leaves a crash window where the manifest flip landed but the
+        // stale pointer silently resurrects the dropped table forever.
+        // For a pointer-only table the delete IS the commit.
+        Files.deleteIfExists(ptrPath(table))
         if (catalogManifest().contains(table)) withCatalogLock {
           writeCatalogVersion(catalogManifest() - table)
         }
-        Files.deleteIfExists(ptrPath(table))
         gcTable(table, live.map(genName).toSet)
       }
       existed
     }
   }
+
+  /** CREATE-exclusive commit: publish `df` as the table's first
+    * generation iff the table does not exist, the existence check and
+    * the commit under ONE hold of the table's writer lock — two racing
+    * creators cannot both pass (the SQL catalog's CREATE/CTAS path).
+    * Returns whether this call created the table. */
+  def createIfAbsent(table: String, df: DataFrame): Boolean =
+    withTableLock(table) {
+      if (committedCurrentDir(table).isDefined) false
+      else { replace(table, df); true }
+    }
 
   /** Idempotent append: `INSERT ... ON CONFLICT (keys) DO NOTHING`.
     *

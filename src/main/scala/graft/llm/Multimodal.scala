@@ -463,6 +463,7 @@ object Multimodal {
       while (!corrupt && end < 0) {
         if (i + 1 >= n || u8(i) != 0xff) corrupt = true
         else u8(i + 1) match {
+          case 0xff => i += 1                            // legal fill byte run
           case 0xd9 => end = i + 2                       // EOI
           case 0xd8 => corrupt = true                    // stray SOI at marker level
           case 0x01 => i += 2                            // TEM, parameterless

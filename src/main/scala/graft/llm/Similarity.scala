@@ -174,8 +174,11 @@ object Similarity {
   def topKAgreement(exact: DataFrame, approx: DataFrame,
                     query: Column = col("query_id"),
                     neighbor: Column = col("vec_id")): DataFrame = {
-    val e = exact.select(query.as("query_id"), neighbor.as("__n"))
-    val a = approx.select(query.as("query_id"), neighbor.as("__n"))
+    // distinct: a caller passing a raw candidate list (a multi-probe
+    // union, not a topK output) must not double-count hits through the
+    // join's multiplicity — recall can never exceed 1
+    val e = exact.select(query.as("query_id"), neighbor.as("__n")).distinct()
+    val a = approx.select(query.as("query_id"), neighbor.as("__n")).distinct()
     val nE = e.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
     val nA = a.groupBy("query_id").agg(count(lit(1)).as("n_approx"))
     val hits = e.join(a, Seq("query_id", "__n"))

@@ -19,7 +19,10 @@ private[graft] object BucketMath {
                         buckets: Int): String = {
     require(buckets >= 1, s"buckets=$buckets")
     val half = math.max(buckets / 2, 1)
-    val w = s"greatest((($hi div 2) - ($lo div 2)) div $half, 1L)"
-    s"($v div $w) - ($lo div $w)"
+    // every operand is parenthesized: a compound expression like
+    // "a + b" must not rebind through div's precedence into a silently
+    // non-monotone bucket id
+    val w = s"greatest(((($hi) div 2) - (($lo) div 2)) div $half, 1L)"
+    s"(($v) div $w) - (($lo) div $w)"
   }
 }

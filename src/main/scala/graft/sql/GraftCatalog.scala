@@ -128,7 +128,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
         new WritableGraftTable(
           ParquetTableBridge.create(s"$catalogName.${ident.name()}",
             SparkSession.active, d.toString, format),
-          ident.name(), () => wh)
+          ident.name(), () => wh, d)
       case None => throw new NoSuchTableException(ident)
     }
   }
@@ -160,18 +160,22 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (userProps.nonEmpty) throw new UnsupportedOperationException(
       s"catalog '$catalogName' does not support table properties: " +
         userProps.toSeq.sorted.mkString(", "))
-    if (tableExists(ident)) throw new org.apache.spark.sql.catalyst.analysis
-      .TableAlreadyExistsException(Seq(catalogName, ident.name()))
     val spark = SparkSession.active
-    wh.replace(ident.name(),
+    // exists-check and first-generation commit under ONE lock hold —
+    // two racing CREATE/CTAS statements must not both pass and merge
+    val created = wh.createIfAbsent(ident.name(),
       spark.createDataFrame(new util.ArrayList[org.apache.spark.sql.Row](),
         schema))
+    if (!created) throw new org.apache.spark.sql.catalyst.analysis
+      .TableAlreadyExistsException(Seq(catalogName, ident.name()))
     loadTable(ident)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = readOnly
-  override def dropTable(ident: Identifier): Boolean =
-    ident.namespace().isEmpty && wh.drop(ident.name())
+  override def dropTable(ident: Identifier): Boolean = {
+    requireDefaultNs(ident.namespace())   // same error surface as loads
+    wh.drop(ident.name())
+  }
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = readOnly
 
   // single flat namespace: the warehouse root
@@ -203,7 +207,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * the capability set (and `V1_BATCH_WRITE` present) so planning can
   * only ever choose the bridge path. */
 private final class WritableGraftTable(delegate: Table, tableName: String,
-                                       wh: () => Warehouse)
+                                       wh: () => Warehouse, genDir: Path)
     extends Table with SupportsRead with SupportsWrite {
   import org.apache.spark.sql.connector.write._
   import org.apache.spark.sql.connector.read.ScanBuilder
@@ -225,7 +229,20 @@ private final class WritableGraftTable(delegate: Table, tableName: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // a partitioned generation (col=value subdirectories, written
+    // programmatically with partitionBy) cannot take an unpartitioned
+    // SQL batch: the new files would land at the generation root beside
+    // the partition dirs — a mixed layout partition discovery rejects,
+    // with the old rows' partition values living only in dir names.
+    // Refuse loudly, like createTable refuses partition transforms.
+    val partitioned = Files.isDirectory(genDir) &&
+      Warehouse.listDir(genDir).exists(p =>
+        Files.isDirectory(p) && p.getFileName.toString.contains("="))
+    if (partitioned) throw new UnsupportedOperationException(
+      s"table '$tableName' has a partitioned layout; SQL INSERT cannot " +
+        "preserve it — write through Warehouse.append/replace with " +
+        "partitionBy")
     new WriteBuilder with SupportsOverwrite {
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
@@ -247,4 +264,5 @@ private final class WritableGraftTable(delegate: Table, tableName: String,
           }
       }
     }
+  }
 }

@@ -801,7 +801,13 @@ class LlmOpsSpec extends SparkSpec {
       (((thumb.length + 2) >> 8) & 0xff).toByte,
       ((thumb.length + 2) & 0xff).toByte) ++ thumb
     val grayWithThumb = gray.take(2) ++ app1 ++ gray.drop(2)
-    val mjpegStream = grayWithThumb ++ bright
+    // frame 2 carries a legal 0xFF fill byte before its EOI (ISO 10918-1
+    // B.1.1.2) and the frames are separated by padding — the walker must
+    // handle both
+    val brightWithFill = bright.dropRight(2) ++
+      Array(0xff.toByte, 0xff.toByte, 0xd9.toByte)
+    val mjpegStream = grayWithThumb ++ Array.fill(3)(0.toByte) ++
+      brightWithFill
     val h264 = mp4Jpeg(Seq(gray), codec = "avc1", timescale = 30)
     val junk = "definitely not video".getBytes("UTF-8")
     val media = Seq((1L, "video", avi), (2L, "video", mp4),

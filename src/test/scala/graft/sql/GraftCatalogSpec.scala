@@ -133,6 +133,13 @@ class GraftCatalogSpec extends SparkSpec {
       intercept[Exception] {
         sql.sql("CREATE TABLE graft.p2 (id INT) TBLPROPERTIES ('x'='1')")
       }
+      // a partitioned layout refuses SQL INSERT (an unpartitioned batch
+      // beside col=value dirs is a mixed layout readers reject) but
+      // still READS fine through the catalog
+      wh.replace("pt", batch(1), partitionBy = Seq("v"))
+      assert(sql.sql("SELECT count(*) FROM graft.pt").head.getLong(0) == 25)
+      intercept[Exception] { sql.sql("INSERT INTO graft.pt VALUES (9, 9)") }
+      assert(sql.sql("SELECT count(*) FROM graft.pt").head.getLong(0) == 25)
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
