@@ -372,6 +372,32 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Candidate-set quality report — the LSH analogue of the ANN recall
+    * readout: precision/recall raw counts of a candidate pair generator
+    * against an exact similarity join over the same corpus, as ONE row
+    * `(n_true, n_candidates, hits)` of exact integers (recall =
+    * hits/n_true, precision = hits/n_candidates, client-side). This is
+    * how banding parameters are actually tuned: sweep (bands, rows) and
+    * read the recall.
+    *
+    * Pure integer join algebra over the two PAIR tables — the corpus is
+    * never re-touched. Pairs normalize to unordered (least, greatest)
+    * form and dedup, so orientation or multiplicity differences between
+    * the generators cannot fake or miss hits. The three 1-row
+    * aggregates cross-join trivially. */
+  def pairAgreement(exact: DataFrame, candidates: DataFrame,
+                    idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    def norm(df: DataFrame) = df.select(
+        least(col(idA), col(idB)).as("a"),
+        greatest(col(idA), col(idB)).as("b"))
+      .distinct()
+    val e = norm(exact)
+    val c = norm(candidates)
+    e.agg(count(lit(1)).as("n_true"))
+      .crossJoin(c.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(e.join(c, Seq("a", "b")).agg(count(lit(1)).as("hits")))
+  }
+
   // --------------------------------------------------------------- simhash
 
   /** 64-bit SimHash per document: bit i of the fingerprint is the sign of

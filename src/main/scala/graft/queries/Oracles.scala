@@ -315,6 +315,28 @@ object Oracles {
          |       CAST(coalesce(hits, 0) AS BIGINT) AS hits
          |FROM ne LEFT JOIN na USING (query_id) LEFT JOIN h USING (query_id)""".stripMargin,
 
+    // exact prefix-join pairs (q79's CTE shape at >= 3/5) vs the
+    // portable LSH screen (est >= 0.4), counted — pair orientation is
+    // a < b on both sides
+    "q152_lsh_quality" ->
+      s"""WITH $minhashPortableCtes,
+         |sets AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(range(1, len(t) - 1),
+         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+         |  FROM tk WHERE len(t) >= 3),
+         |ex AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s)) * 5 >=
+         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 3),
+         |ca AS (SELECT id_a AS a, id_b AS b FROM est
+         |       WHERE est_jaccard >= 0.4)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_true,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM ca) AS n_candidates,
+         |       (SELECT CAST(count(*) AS BIGINT)
+         |        FROM ex JOIN ca ON ex.a = ca.a AND ex.b = ca.b) AS hits""".stripMargin,
+
     "q01_scan_project" ->
       """SELECT p_partkey, trim(p_name) AS name_trim, p_retailprice
         |FROM part WHERE p_size >= 25""".stripMargin,

@@ -156,6 +156,31 @@ object TestdataQueries {
         basket = col("l_orderkey"), item = col("l_partkey"),
         minPairs = 2L, maxBasket = 64))
 
+  // Sixth shared artifact: the portable LSH candidate-pair table at the
+  // blessed (32 hashes, 8 bands, est >= 0.4) operating point. q44, the
+  // oracle-pinned producer, always computes the full banding chain; the
+  // component / dedup / verification / quality consumers (q53, q58,
+  // q59, q152) read the landed pairs instead of re-banding the
+  // signature store — the production shape, where candidate pairs land
+  // once per corpus snapshot and every downstream job joins against
+  // them.
+  private val candMemo = new Memo()
+  private def portableCandidatePairs(s: SparkSession, dir: String): DataFrame =
+    memoShared(candMemo, s, dir)(
+      Dedup.minhashCandidatesFromSigs(portableSigs(s, dir), numHashes = 32,
+        bands = 8, threshold = 0.4, portable = true))
+
+  // Seventh shared artifact: the EXACT verified near-dup pair table
+  // (prefix-filtered PPJoin at Jaccard >= 3/5). Like the signature
+  // store, the artifact is oracle-pinned THROUGH its consumer: q79
+  // exposes the frame itself and its oracle brute-forces all pairs
+  // independently, so the landed table is fully verified; q152 reads
+  // the same landed pairs as its ground-truth side.
+  private val exactPairsMemo = new Memo()
+  private def exactJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    memoShared(exactPairsMemo, s, dir)(
+      Dedup.jaccardJoin(t(s, dir, "documents"), tNum = 3, tDen = 5))
+
   // ------------------------------------------------------------------ scans
 
   /** S1/P1: projection + trim + pushed-down filter. */
@@ -702,9 +727,7 @@ object TestdataQueries {
     * components (min-label propagation). The DuckDB oracle re-derives the
     * same edges and recomputes the components with a recursive CTE. */
   def q53DupClusters(s: SparkSession, dir: String): DataFrame =
-    Dedup.duplicateClusters(
-      Dedup.minhashCandidatesFromSigs(portableSigs(s, dir), numHashes = 32,
-        bands = 8, threshold = 0.4, portable = true))
+    Dedup.duplicateClusters(portableCandidatePairs(s, dir))
 
   /** Vocabulary building: document frequency and total term frequency of
     * the top-100 tokens (integer counts only — no log/IDF float drift;
@@ -748,9 +771,7 @@ object TestdataQueries {
     * minimum id of each cluster). */
   def q58DedupCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    Dedup.dedupCorpus(docs,
-        Dedup.minhashCandidatesFromSigs(portableSigs(s, dir), numHashes = 32,
-          bands = 8, threshold = 0.4, portable = true))
+    Dedup.dedupCorpus(docs, portableCandidatePairs(s, dir))
       .select(col("doc_id"), col("lang"))
   }
 
@@ -761,9 +782,7 @@ object TestdataQueries {
     * -> exact set Jaccard) independently. */
   def q59LshVerified(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val cand = Dedup.minhashCandidatesFromSigs(portableSigs(s, dir),
-        numHashes = 32, bands = 8, threshold = 0.4, portable = true)
-      .select(col("id_a"), col("id_b"))
+    val cand = portableCandidatePairs(s, dir).select(col("id_a"), col("id_b"))
     Dedup.ngramJaccard(docs, cand, k = 3).filter(col("jaccard") >= 0.5)
   }
 
@@ -1067,7 +1086,7 @@ object TestdataQueries {
     * 3/5) — the oracle recomputes it brute-force all-pairs, so a green
     * row is a completeness proof for the prefix filter on real data. */
   def q79JaccardJoin(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardJoin(t(s, dir, "documents"), tNum = 3, tDen = 5)
+    exactJaccardPairs(s, dir)
 
   /** Per-label mean-embedding centroids (exact scaled-integer sums ->
     * bit-portable doubles), exploded to scalar rows for the compare. */
@@ -1895,12 +1914,23 @@ object TestdataQueries {
       Similarity.ivfTopK(emb, queries, k = 10, nLists = 16, nProbe = 1))
   }
 
+  /** LSH candidate-quality report (X93): the portable MinHash screen
+    * (est >= 0.4) measured against the EXACT prefix-filtered Jaccard
+    * join at >= 3/5 — one row of precision/recall raw counts, the
+    * banding-parameter tuning readout
+    * ([[graft.llm.Dedup.pairAgreement]]). */
+  def q152LshQuality(s: SparkSession, dir: String): DataFrame =
+    Dedup.pairAgreement(
+      exactJaccardPairs(s, dir),
+      portableCandidatePairs(s, dir))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q147_group_sample" -> q147GroupSample _,
     "q148_cross_neardup" -> q148CrossNeardup _,
     "q149_rank_transform" -> q149RankTransform _,
     "q150_expectations" -> q150Expectations _,
     "q151_ann_recall" -> q151AnnRecall _,
+    "q152_lsh_quality" -> q152LshQuality _,
     "q146_weighted_paths" -> q146WeightedPaths _,
     "q144_group_quantiles" -> q144GroupQuantiles _,
     "q145_funnel_latency" -> q145FunnelLatency _,

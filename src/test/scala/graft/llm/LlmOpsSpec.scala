@@ -868,6 +868,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  test("pair agreement: orientation- and multiplicity-insensitive counts") {
+    val exact = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    // candidates: (2,1) is (1,2) reversed, (3,4) appears twice, (7,8) is
+    // a false positive; (5,6) is the one miss
+    val cand = Seq((2L, 1L), (3L, 4L), (4L, 3L), (7L, 8L))
+      .toDF("id_a", "id_b")
+    val r = Dedup.pairAgreement(exact, cand).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_true") == 3L)
+    assert(row.getAs[Long]("n_candidates") == 3L) // dedup'd to {1,2},{3,4},{7,8}
+    assert(row.getAs[Long]("hits") == 2L)         // {1,2} and {3,4}
+  }
+
+  test("pair agreement: empty candidate set still yields one row") {
+    val exact = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val cand = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val row = Dedup.pairAgreement(exact, cand).collect().head
+    assert(row.getAs[Long]("n_true") == 1L)
+    assert(row.getAs[Long]("n_candidates") == 0L)
+    assert(row.getAs[Long]("hits") == 0L)
+  }
+
   test("kmeans: deterministic across partitionings, splits separated blobs") {
     val a = Similarity.kmeansAssign(twoBlobs, k = 2, iters = 2)
       .orderBy("vec_id").collect()

@@ -93,4 +93,19 @@ class SigMemoSpec extends SparkSpec {
   pinSharedEqualsIsolated("q63_incremental_dedup",
     "slicing the resident signature store to the existing corpus must " +
       "equal deriving the store slice from scratch")
+  pinSharedEqualsIsolated("q53_dup_clusters",
+    "components over the shared candidate-pair store must equal " +
+      "re-banding the signature store per query")
+  pinSharedEqualsIsolated("q58_dedup_corpus",
+    "corpus dedup over the shared candidate-pair store must equal " +
+      "re-banding the signature store per query")
+  pinSharedEqualsIsolated("q59_lsh_verified",
+    "exact verification over the shared candidate-pair store must " +
+      "equal re-banding the signature store per query")
+  pinSharedEqualsIsolated("q79_jaccard_join",
+    "the landed exact-pair table must equal running the prefix-filtered " +
+      "PPJoin directly")
+  pinSharedEqualsIsolated("q152_lsh_quality",
+    "the precision/recall counts over the two landed pair stores must " +
+      "equal deriving both pair sets from the corpus")
 }
