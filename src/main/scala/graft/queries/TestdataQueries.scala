@@ -101,10 +101,13 @@ object TestdataQueries {
       Dedup.minhashTable(t(s, dir, "documents"), numHashes = 32,
         k = 3, portable = true))
 
-  // Third shared artifact: the simhash fingerprint store (q45's
-  // output). Its verified consumer (q60) pairs against the resident
-  // fingerprints instead of re-shingling + re-bit-summing the corpus;
-  // q45 itself, the producer, always computes the full plan.
+  // Third shared artifact: the simhash fingerprint store. Both the
+  // candidate producer (q45) and the verified consumer (q60) pair
+  // against the resident fingerprints instead of re-shingling +
+  // re-bit-summing the corpus. Producers consuming their own store is
+  // sound because memoShared hands back the IDENTICAL plan (only
+  // persistence differs), the DuckDB oracle recomputes every chain
+  // independently, and SigMemoSpec pins shared == isolated.
   private val simhashMemo = new Memo()
   private def portableSimhashFps(s: SparkSession, dir: String): DataFrame =
     memoShared(simhashMemo, s, dir)(
@@ -112,9 +115,9 @@ object TestdataQueries {
 
   // The customer ER pair table (q96's output) is the second shared
   // production artifact: entity CLUSTERING consumes the maintained pair
-  // table, it does not re-run entity resolution. q96 itself always
-  // computes the full plan — producing the pair table IS that query —
-  // only the downstream consumer (q97) reads the store. Restricting the
+  // table, it does not re-run entity resolution. q96 exposes the landed
+  // table itself (producing the pair table IS that query); the
+  // downstream consumers (q97, q114) read the store. Restricting the
   // full-table pairs to a key subset equals running the fuzzy join on
   // the subset directly: a candidate pair inside the subset shares a
   // deletion variant there iff it shares one in the full table, and the
@@ -157,13 +160,12 @@ object TestdataQueries {
         minPairs = 2L, maxBasket = 64))
 
   // Sixth shared artifact: the portable LSH candidate-pair table at the
-  // blessed (32 hashes, 8 bands, est >= 0.4) operating point. q44, the
-  // oracle-pinned producer, always computes the full banding chain; the
-  // component / dedup / verification / quality consumers (q53, q58,
-  // q59, q152) read the landed pairs instead of re-banding the
-  // signature store — the production shape, where candidate pairs land
-  // once per corpus snapshot and every downstream job joins against
-  // them.
+  // blessed (32 hashes, 8 bands, est >= 0.4) operating point. q44
+  // exposes the landed table itself; the component / dedup /
+  // verification / quality consumers (q53, q58, q59, q152) read the
+  // landed pairs instead of re-banding the signature store — the
+  // production shape, where candidate pairs land once per corpus
+  // snapshot and every downstream job joins against them.
   private val candMemo = new Memo()
   private def portableCandidatePairs(s: SparkSession, dir: String): DataFrame =
     memoShared(candMemo, s, dir)(
@@ -514,8 +516,7 @@ object TestdataQueries {
     * DuckDB oracle, pinning the LSH logic end-to-end. q31 keeps the
     * faster xxhash64 family for production. */
   def q44MinhashPortable(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashCandidatesFromSigs(portableSigs(s, dir), numHashes = 32,
-      bands = 8, threshold = 0.4, portable = true)
+    portableCandidatePairs(s, dir)
 
   /** SimHash near-dup candidates with the production xxhash64 hash. NOT
     * in the driver query surface (same reasoning as [[q31MinhashLsh]]):
@@ -527,8 +528,8 @@ object TestdataQueries {
     * 56 bit-sums, block-permutation LSH, and Hamming filtering all
     * recomputed independently by the DuckDB oracle (q32 keeps xxhash64). */
   def q45SimhashPortable(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashCandidates(t(s, dir, "documents"), maxHammingDistance = 3,
-      portable = true)
+    Dedup.simhashCandidatesFromSigs(portableSimhashFps(s, dir),
+      maxHammingDistance = 3, portable = true)
 
   /** Exact n-gram Jaccard on a deterministic pair set (adjacent doc ids). */
   def q33NgramJaccard(s: SparkSession, dir: String): DataFrame = {
@@ -1264,9 +1265,7 @@ object TestdataQueries {
     * quadratic; tau=2 exactness is pinned on realistic data in
     * FuzzyJoinSpec. */
   def q96FuzzyJoin(s: SparkSession, dir: String): DataFrame =
-    graft.operators.FuzzyJoin.editDistanceSelfJoin(
-      t(s, dir, "customer"), tau = 1,
-      id = col("c_custkey"), str = col("c_name"))
+    customerFuzzyPairs(s, dir)
 
   /** Entity clustering: fuzzy-join pairs become connected components —
     * "these customer records are all the same entity". Reuses the dedup

@@ -108,4 +108,13 @@ class SigMemoSpec extends SparkSpec {
   pinSharedEqualsIsolated("q152_lsh_quality",
     "the precision/recall counts over the two landed pair stores must " +
       "equal deriving both pair sets from the corpus")
+  pinSharedEqualsIsolated("q44_minhash_portable",
+    "the landed candidate-pair table must equal banding the signature " +
+      "store directly")
+  pinSharedEqualsIsolated("q45_simhash_portable",
+    "blocking over the resident fingerprint store must equal " +
+      "re-fingerprinting the corpus")
+  pinSharedEqualsIsolated("q96_fuzzy_join",
+    "the landed ER pair table must equal running the deletion-blocked " +
+      "edit-distance self-join directly")
 }
