@@ -183,6 +183,16 @@ object TestdataQueries {
     memoShared(exactPairsMemo, s, dir)(
       Dedup.jaccardJoin(t(s, dir, "documents"), tNum = 3, tDen = 5))
 
+  // Eighth shared artifact: the BM25 top-10 ranking table (q93's
+  // output). The hybrid-fusion readout (q99) fuses the SAME landed
+  // ranking with its prior instead of re-running retrieval — in
+  // production the ranking lands once per (corpus, query-set) snapshot
+  // and every fusion/eval job reads it.
+  private val bm25Memo = new Memo()
+  private def bm25Rankings(s: SparkSession, dir: String): DataFrame =
+    memoShared(bm25Memo, s, dir)(
+      TextAnalysis.bm25TopK(t(s, dir, "documents"), Bm25Queries, k = 10))
+
   // ------------------------------------------------------------------ scans
 
   /** S1/P1: projection + trim + pushed-down filter. */
@@ -1217,7 +1227,7 @@ object TestdataQueries {
     * kernel (rational idf surrogate + cleared-denominator length
     * normalization) — the oracle recomputes every score. */
   def q93Bm25(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.bm25TopK(t(s, dir, "documents"), Bm25Queries, k = 10)
+    bm25Rankings(s, dir)
 
   /** q94's keep threshold — shared with the oracle SQL so the two sides
     * can never drift. */
@@ -1309,7 +1319,7 @@ object TestdataQueries {
   def q99HybridRrf(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val bm25 = q93Bm25(s, dir).select("query_id", "doc_id", "rank")
+    val bm25 = bm25Rankings(s, dir).select("query_id", "doc_id", "rank")
     // top-10 prior: TakeOrderedAndProject, then rank the 10 survivors
     val prior = t(s, dir, "documents")
       .orderBy(col("n_chars").desc, col("doc_id").asc).limit(10)

@@ -117,4 +117,9 @@ class SigMemoSpec extends SparkSpec {
   pinSharedEqualsIsolated("q96_fuzzy_join",
     "the landed ER pair table must equal running the deletion-blocked " +
       "edit-distance self-join directly")
+  pinSharedEqualsIsolated("q93_bm25",
+    "the landed BM25 ranking table must equal running retrieval directly")
+  pinSharedEqualsIsolated("q99_hybrid_rrf",
+    "fusion over the landed BM25 ranking table must equal re-running " +
+      "retrieval inside the fusion query")
 }
