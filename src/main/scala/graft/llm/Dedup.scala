@@ -398,6 +398,56 @@ object Dedup {
       .crossJoin(e.join(c, Seq("a", "b")).agg(count(lit(1)).as("hits")))
   }
 
+  /** Banding-parameter sweep: [[pairAgreement]] evaluated at several
+    * LSH operating points in one job — the full tuning curve (recall
+    * and precision vs bands) a corpus owner reads before committing a
+    * banding config for a 100 TB dedup run. Each setting re-bands the
+    * SAME signature table (the expensive shingle+hash stage is paid
+    * once, typically against a persisted store) and joins its candidate
+    * set against the one exact pair table; output is one row per
+    * setting, `(bands, n_true, n_candidates, hits)`, all exact
+    * integers. Work per setting is bounded by the banding + bucket-join
+    * cost — the corpus text is never touched. */
+  def bandingSweep(sigs: DataFrame, exact: DataFrame, bandSettings: Seq[Int],
+                   numHashes: Int = 32, threshold: Double = 0.5,
+                   portable: Boolean = false): DataFrame = {
+    require(bandSettings.nonEmpty, "no band settings")
+    require(bandSettings.forall(b => b > 0 && numHashes % b == 0),
+      s"each bands value must divide numHashes=$numHashes: $bandSettings")
+    bandSettings.map { b =>
+      pairAgreement(exact,
+          minhashCandidatesFromSigs(sigs, numHashes, b, threshold, portable))
+        .select(lit(b).as("bands"), col("n_true"), col("n_candidates"),
+          col("hits"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Cross-slice duplication matrix: candidate (or verified) near-dup
+    * pairs counted by the unordered pair of slices (e.g. crawl source)
+    * their endpoints belong to — the "which sources duplicate each
+    * other" corpus-health readout that decides what to crawl less of.
+    * Two equi-joins of the bounded pair table against the `(id, slice)`
+    * projection (never the text), then a count over at most
+    * `slices²` unordered keys; slices compare as strings with the
+    * smaller name first, so the matrix is triangular regardless of
+    * pair orientation. */
+  def crossSlicePairCounts(pairs: DataFrame, docs: DataFrame,
+                           slice: Column = col("source"),
+                           id: Column = col("doc_id"),
+                           idA: String = "id_a", idB: String = "id_b")
+      : DataFrame = {
+    val m = docs.select(id.as("__sid"), slice.as("__slice"))
+    pairs
+      .join(m.select(col("__sid"), col("__slice").as("__sa")),
+        col(idA) === col("__sid")).drop("__sid")
+      .join(m.select(col("__sid"), col("__slice").as("__sb")),
+        col(idB) === col("__sid")).drop("__sid")
+      .select(least(col("__sa"), col("__sb")).as("slice_a"),
+        greatest(col("__sa"), col("__sb")).as("slice_b"))
+      .groupBy("slice_a", "slice_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   // --------------------------------------------------------------- simhash
 
   /** 64-bit SimHash per document: bit i of the fingerprint is the sign of

@@ -14,7 +14,7 @@ object Oracles {
     * (shingles -> md5-derived signatures -> banding -> candidate pairs ->
     * estimated Jaccard) — used by q44 and, with a recursive-CTE
     * connected-components tail, by q53. */
-  private lazy val minhashPortableCtes: String =
+  private lazy val minhashSigCtes: String =
     raw"""tk AS (
        |  SELECT doc_id, string_split($norm, ' ') AS t FROM documents),
        |sh AS (
@@ -29,22 +29,31 @@ object Oracles {
        |sig AS (
        |  SELECT doc_id, r.i AS i, min((h1 + r.i * h2) % 268435399) AS m
        |  FROM h, range(0, 32) r(i)
-       |  GROUP BY 1, 2),
-       |band AS (
-       |  SELECT doc_id, i // 4 AS band,
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** Banding -> candidate pairs -> estimated Jaccard off the shared
+    * `sig` CTE, with `rowsPerBand` rows per band (bands =
+    * 32 / rowsPerBand) and every CTE name suffixed so several operating
+    * points can coexist in one query (q153). */
+  private def bandChainCtes(rowsPerBand: Int, sfx: String): String =
+    raw"""band$sfx AS (
+       |  SELECT doc_id, i // $rowsPerBand AS band,
        |         string_agg(m::VARCHAR, ',' ORDER BY i) AS bucket
        |  FROM sig GROUP BY 1, 2),
-       |pairs AS (
+       |pairs$sfx AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM band a JOIN band b
+       |  FROM band$sfx a JOIN band$sfx b
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-       |est AS (
+       |est$sfx AS (
        |  SELECT p.id_a, p.id_b,
        |         (count(*) FILTER (WHERE sa.m = sb.m)) / 32.0 AS est_jaccard
-       |  FROM pairs p
+       |  FROM pairs$sfx p
        |  JOIN sig sa ON sa.doc_id = p.id_a
        |  JOIN sig sb ON sb.doc_id = p.id_b AND sb.i = sa.i
        |  GROUP BY 1, 2)""".stripMargin
+
+  private lazy val minhashPortableCtes: String =
+    minhashSigCtes + ",\n" + bandChainCtes(4, "")
 
   /** Shared CTE chain recomputing the exact-integer BM25 pipeline up to
     * the per-query ranking (`bmranked`) — used by q93 and, as the
@@ -336,6 +345,63 @@ object Oracles {
          |       (SELECT CAST(count(*) AS BIGINT) FROM ca) AS n_candidates,
          |       (SELECT CAST(count(*) AS BIGINT)
          |        FROM ex JOIN ca ON ex.a = ca.a AND ex.b = ca.b) AS hits""".stripMargin,
+
+    // three band chains off the ONE sig CTE (bands = 32/rowsPerBand),
+    // each screened at est >= 0.4 and scored against the same exact
+    // pair set — the tuning curve q153 computes
+    "q153_banding_sweep" ->
+      s"""WITH $minhashSigCtes,
+         |${bandChainCtes(8, "_b4")},
+         |${bandChainCtes(4, "_b8")},
+         |${bandChainCtes(2, "_b16")},
+         |sets AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(range(1, len(t) - 1),
+         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+         |  FROM tk WHERE len(t) >= 3),
+         |ex AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s)) * 5 >=
+         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 3),
+         |ca4 AS (SELECT id_a AS a, id_b AS b FROM est_b4
+         |        WHERE est_jaccard >= 0.4),
+         |ca8 AS (SELECT id_a AS a, id_b AS b FROM est_b8
+         |        WHERE est_jaccard >= 0.4),
+         |ca16 AS (SELECT id_a AS a, id_b AS b FROM est_b16
+         |         WHERE est_jaccard >= 0.4)
+         |SELECT 4 AS bands,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_true,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM ca4) AS n_candidates,
+         |       (SELECT CAST(count(*) AS BIGINT)
+         |        FROM ex JOIN ca4 ON ex.a = ca4.a AND ex.b = ca4.b) AS hits
+         |UNION ALL
+         |SELECT 8 AS bands,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_true,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM ca8) AS n_candidates,
+         |       (SELECT CAST(count(*) AS BIGINT)
+         |        FROM ex JOIN ca8 ON ex.a = ca8.a AND ex.b = ca8.b) AS hits
+         |UNION ALL
+         |SELECT 16 AS bands,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_true,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM ca16) AS n_candidates,
+         |       (SELECT CAST(count(*) AS BIGINT)
+         |        FROM ex JOIN ca16 ON ex.a = ca16.a AND ex.b = ca16.b) AS hits
+         |""".stripMargin,
+
+    // candidate pairs at the blessed operating point, labelled by the
+    // unordered source pair of their endpoints
+    "q154_dup_source_matrix" ->
+      s"""WITH $minhashPortableCtes,
+         |ca AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.4),
+         |lab AS (SELECT doc_id, source FROM documents)
+         |SELECT least(a.source, b.source) AS slice_a,
+         |       greatest(a.source, b.source) AS slice_b,
+         |       CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM ca
+         |JOIN lab a ON ca.id_a = a.doc_id
+         |JOIN lab b ON ca.id_b = b.doc_id
+         |GROUP BY 1, 2""".stripMargin,
 
     "q01_scan_project" ->
       """SELECT p_partkey, trim(p_name) AS name_trim, p_retailprice

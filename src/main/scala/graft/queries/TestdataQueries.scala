@@ -1933,7 +1933,27 @@ object TestdataQueries {
       exactJaccardPairs(s, dir),
       portableCandidatePairs(s, dir))
 
+  /** Banding-parameter sweep (X94): the X93 readout at curve
+    * granularity — recall/precision raw counts of the portable MinHash
+    * screen at bands = 4, 8, 16 (same est >= 0.4 cut), re-banding the
+    * landed signature store against the landed exact pair table
+    * ([[graft.llm.Dedup.bandingSweep]]). */
+  def q153BandingSweep(s: SparkSession, dir: String): DataFrame =
+    Dedup.bandingSweep(portableSigs(s, dir), exactJaccardPairs(s, dir),
+      bandSettings = Seq(4, 8, 16), numHashes = 32, threshold = 0.4,
+      portable = true)
+
+  /** Cross-source duplication matrix (X95): near-dup candidate pairs
+    * from the landed (32,8,>=0.4) store counted by the unordered pair
+    * of crawl sources — "which sources duplicate each other"
+    * ([[graft.llm.Dedup.crossSlicePairCounts]]). */
+  def q154DupSourceMatrix(s: SparkSession, dir: String): DataFrame =
+    Dedup.crossSlicePairCounts(portableCandidatePairs(s, dir),
+      t(s, dir, "documents"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_banding_sweep" -> q153BandingSweep _,
+    "q154_dup_source_matrix" -> q154DupSourceMatrix _,
     "q147_group_sample" -> q147GroupSample _,
     "q148_cross_neardup" -> q148CrossNeardup _,
     "q149_rank_transform" -> q149RankTransform _,

@@ -891,6 +891,40 @@ class LlmOpsSpec extends SparkSpec {
     assert(row.getAs[Long]("hits") == 0L)
   }
 
+  test("banding sweep: nested settings give monotone candidate sets") {
+    val sigs = Dedup.minhashTable(docs, numHashes = 32, k = 3,
+      portable = true)
+    val exact = Dedup.jaccardJoin(docs, tNum = 3, tDen = 5)
+    val rows = Dedup.bandingSweep(sigs, exact, Seq(4, 8, 16),
+        numHashes = 32, threshold = 0.4, portable = true)
+      .collect().map(r => r.getAs[Int]("bands") ->
+        ((r.getAs[Long]("n_true"), r.getAs[Long]("n_candidates"),
+          r.getAs[Long]("hits")))).toMap
+    assert(rows.keySet == Set(4, 8, 16))
+    // n_true is setting-independent (one exact pair table)
+    assert(rows.values.map(_._1).toSet.size == 1)
+    // a band of 2k matching rows contains two matching k-row bands, so
+    // nested settings nest their candidate sets: more bands -> looser
+    assert(rows(4)._2 <= rows(8)._2 && rows(8)._2 <= rows(16)._2)
+    assert(rows(4)._3 <= rows(8)._3 && rows(8)._3 <= rows(16)._3)
+    // the fixture's exact dup (0,3) estimates 1.0 -> a hit everywhere
+    assert(rows(4)._3 >= 1L)
+    intercept[IllegalArgumentException] {
+      Dedup.bandingSweep(sigs, exact, Seq(5), numHashes = 32)
+    }
+  }
+
+  test("cross-slice pair counts: unordered slice keys, triangular matrix") {
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val meta = Seq((1L, "a"), (2L, "b"), (3L, "b"), (4L, "a"),
+      (5L, "a"), (6L, "a")).toDF("doc_id", "source")
+    val got = Dedup.crossSlicePairCounts(pairs, meta)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("n_pairs")).toMap
+    // (1,2)=a-b and (3,4)=b-a both land on the unordered (a,b) key
+    assert(got == Map(("a", "b") -> 2L, ("a", "a") -> 1L))
+  }
+
   test("kmeans: deterministic across partitionings, splits separated blobs") {
     val a = Similarity.kmeansAssign(twoBlobs, k = 2, iters = 2)
       .orderBy("vec_id").collect()
