@@ -183,6 +183,23 @@ object TestdataQueries {
     memoShared(exactPairsMemo, s, dir)(
       Dedup.jaccardJoin(t(s, dir, "documents"), tNum = 3, tDen = 5))
 
+  // Ninth shared artifact: the trained k-means centroid model over the
+  // embeddings table at (k = 8, iters = 2) — the "train once,
+  // assign/dedup many" shape: the clustering readout (q73) and
+  // SemDeDup (q74) consume the same trained model, as an incremental
+  // maintainer does in production. The model is bounded plain data
+  // (k × dim doubles on the driver), so the memo keys by dir alone —
+  // no SparkSession binding to respect.
+  private val centroidMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+  private def embeddingCentroids(s: SparkSession, dir: String)
+      : Array[Array[Double]] = {
+    def train() =
+      Similarity.kmeansCentroids(t(s, dir, "embeddings"), k = 8, iters = 2)
+    if (!sharedStages) train()
+    else centroidMemo.computeIfAbsent(dir, _ => train())
+  }
+
   // Eighth shared artifact: the BM25 top-10 ranking table (q93's
   // output). The hybrid-fusion readout (q99) fuses the SAME landed
   // ranking with its prior instead of re-running retrieval — in
@@ -1046,14 +1063,15 @@ object TestdataQueries {
     * replays the whole algorithm). Assignment is a shuffle-free argmax
     * projection against broadcast-literal centroids. */
   def q73Kmeans(s: SparkSession, dir: String): DataFrame =
-    Similarity.kmeansAssign(t(s, dir, "embeddings"), k = 8, iters = 2)
+    Similarity.assignTo(t(s, dir, "embeddings"), embeddingCentroids(s, dir))
       .select(col("vec_id"), col("cluster"), round(col("cosine"), 6).as("cosine"))
 
   /** SemDeDup: k-means clusters -> within-cluster cosine near-dup ->
     * drop the higher id of every pair above the threshold. Returns the
     * kept corpus. */
   def q74Semdedup(s: SparkSession, dir: String): DataFrame =
-    Dedup.semDedup(t(s, dir, "embeddings"), k = 8, iters = 2, tau = 0.22)
+    Dedup.semDedupWith(t(s, dir, "embeddings"), embeddingCentroids(s, dir),
+      tau = 0.22)
 
   /** Quantized ANN: int8 symmetric quantization, candidates ranked by
     * the EXACT-integer dot cosine (native VecDotInt), float rescore of

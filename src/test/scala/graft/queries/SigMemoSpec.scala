@@ -122,4 +122,10 @@ class SigMemoSpec extends SparkSpec {
   pinSharedEqualsIsolated("q99_hybrid_rrf",
     "fusion over the landed BM25 ranking table must equal re-running " +
       "retrieval inside the fusion query")
+  pinSharedEqualsIsolated("q73_kmeans",
+    "assignment against the landed centroid model must equal training " +
+      "inside the query")
+  pinSharedEqualsIsolated("q74_semdedup",
+    "SemDeDup over the landed centroid model must equal training " +
+      "inside the query")
 }
