@@ -383,19 +383,25 @@ object Dedup {
     * Pure integer join algebra over the two PAIR tables — the corpus is
     * never re-touched. Pairs normalize to unordered (least, greatest)
     * form and dedup, so orientation or multiplicity differences between
-    * the generators cannot fake or miss hits. The three 1-row
-    * aggregates cross-join trivially. */
+    * the generators cannot fake or miss hits.
+    *
+    * Shape: union the flagged pair tables, ONE shuffle on the pair key
+    * folds dedup + set intersection into a single groupBy, then a 1-row
+    * partial aggregate. Each input plan executes exactly once —
+    * separate count/intersection aggregates would re-run the candidate
+    * GENERATOR (often a whole LSH chain) per readout. */
   def pairAgreement(exact: DataFrame, candidates: DataFrame,
                     idA: String = "id_a", idB: String = "id_b"): DataFrame = {
-    def norm(df: DataFrame) = df.select(
-        least(col(idA), col(idB)).as("a"),
-        greatest(col(idA), col(idB)).as("b"))
-      .distinct()
-    val e = norm(exact)
-    val c = norm(candidates)
-    e.agg(count(lit(1)).as("n_true"))
-      .crossJoin(c.agg(count(lit(1)).as("n_candidates")))
-      .crossJoin(e.join(c, Seq("a", "b")).agg(count(lit(1)).as("hits")))
+    def norm(df: DataFrame, t: Int, c: Int) = df.select(
+      least(col(idA), col(idB)).as("a"),
+      greatest(col(idA), col(idB)).as("b"),
+      lit(t.toLong).as("t"), lit(c.toLong).as("c"))
+    norm(exact, 1, 0).unionByName(norm(candidates, 0, 1))
+      .groupBy("a", "b")
+      .agg(max("t").as("t"), max("c").as("c"))
+      .agg(coalesce(sum("t"), lit(0L)).as("n_true"),
+        coalesce(sum("c"), lit(0L)).as("n_candidates"),
+        coalesce(sum(col("t") * col("c")), lit(0L)).as("hits"))
   }
 
   /** Banding-parameter sweep: [[pairAgreement]] evaluated at several

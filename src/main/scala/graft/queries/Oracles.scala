@@ -31,15 +31,16 @@ object Oracles {
        |  FROM h, range(0, 32) r(i)
        |  GROUP BY 1, 2)""".stripMargin
 
-  /** Banding -> candidate pairs -> estimated Jaccard off the shared
-    * `sig` CTE, with `rowsPerBand` rows per band (bands =
-    * 32 / rowsPerBand) and every CTE name suffixed so several operating
-    * points can coexist in one query (q153). */
-  private def bandChainCtes(rowsPerBand: Int, sfx: String): String =
+  /** Banding -> candidate pairs -> estimated Jaccard off a signature
+    * CTE (default the shared `sig`), with `rowsPerBand` rows per band
+    * (bands = 32 / rowsPerBand) and every CTE name suffixed so several
+    * operating points can coexist in one query (q153). */
+  private def bandChainCtes(rowsPerBand: Int, sfx: String,
+                            sigTable: String = "sig"): String =
     raw"""band$sfx AS (
        |  SELECT doc_id, i // $rowsPerBand AS band,
        |         string_agg(m::VARCHAR, ',' ORDER BY i) AS bucket
-       |  FROM sig GROUP BY 1, 2),
+       |  FROM $sigTable GROUP BY 1, 2),
        |pairs$sfx AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM band$sfx a JOIN band$sfx b
@@ -48,8 +49,8 @@ object Oracles {
        |  SELECT p.id_a, p.id_b,
        |         (count(*) FILTER (WHERE sa.m = sb.m)) / 32.0 AS est_jaccard
        |  FROM pairs$sfx p
-       |  JOIN sig sa ON sa.doc_id = p.id_a
-       |  JOIN sig sb ON sb.doc_id = p.id_b AND sb.i = sa.i
+       |  JOIN $sigTable sa ON sa.doc_id = p.id_a
+       |  JOIN $sigTable sb ON sb.doc_id = p.id_b AND sb.i = sa.i
        |  GROUP BY 1, 2)""".stripMargin
 
   private lazy val minhashPortableCtes: String =
@@ -346,19 +347,21 @@ object Oracles {
          |       (SELECT CAST(count(*) AS BIGINT)
          |        FROM ex JOIN ca ON ex.a = ca.a AND ex.b = ca.b) AS hits""".stripMargin,
 
-    // three band chains off the ONE sig CTE (bands = 32/rowsPerBand),
-    // each screened at est >= 0.4 and scored against the same exact
+    // three band chains off the ONE sig CTE restricted to the same 25%
+    // sample the Spark side uses (bands = 32/rowsPerBand), each
+    // screened at est >= 0.4 and scored against the sample's exact
     // pair set — the tuning curve q153 computes
     "q153_banding_sweep" ->
       s"""WITH $minhashSigCtes,
-         |${bandChainCtes(8, "_b4")},
-         |${bandChainCtes(4, "_b8")},
-         |${bandChainCtes(2, "_b16")},
+         |ssig AS (SELECT * FROM sig WHERE doc_id % 4 = 0),
+         |${bandChainCtes(8, "_b4", "ssig")},
+         |${bandChainCtes(4, "_b8", "ssig")},
+         |${bandChainCtes(2, "_b16", "ssig")},
          |sets AS (
          |  SELECT doc_id,
          |         list_distinct(list_transform(range(1, len(t) - 1),
          |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-         |  FROM tk WHERE len(t) >= 3),
+         |  FROM tk WHERE len(t) >= 3 AND doc_id % 4 = 0),
          |ex AS (
          |  SELECT a.doc_id AS a, b.doc_id AS b
          |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id

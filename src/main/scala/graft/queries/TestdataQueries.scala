@@ -1955,9 +1955,20 @@ object TestdataQueries {
     * granularity — recall/precision raw counts of the portable MinHash
     * screen at bands = 4, 8, 16 (same est >= 0.4 cut), re-banding the
     * landed signature store against the landed exact pair table
-    * ([[graft.llm.Dedup.bandingSweep]]). */
+    * ([[graft.llm.Dedup.bandingSweep]]).
+    *
+    * Runs on a deterministic 25% corpus sample (doc_id % 4 == 0, both
+    * stores filtered — exact because PPJoin completeness and signature
+    * determinism are per-pair): a tuning curve is read BEFORE the
+    * production run, so pricing the loose bands=16 point over the full
+    * corpus is exactly what a 100 TB owner would never do — sampling
+    * cuts the loose setting's bucket-pair generation quadratically. */
   def q153BandingSweep(s: SparkSession, dir: String): DataFrame =
-    Dedup.bandingSweep(portableSigs(s, dir), exactJaccardPairs(s, dir),
+    Dedup.bandingSweep(
+      portableSigs(s, dir).filter(pmod(col("doc_id"), lit(4)) === 0),
+      exactJaccardPairs(s, dir)
+        .filter(pmod(col("id_a"), lit(4)) === 0 &&
+          pmod(col("id_b"), lit(4)) === 0),
       bandSettings = Seq(4, 8, 16), numHashes = 32, threshold = 0.4,
       portable = true)
 
