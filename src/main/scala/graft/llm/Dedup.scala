@@ -442,6 +442,9 @@ object Dedup {
                            id: Column = col("doc_id"),
                            idA: String = "id_a", idB: String = "id_b")
       : DataFrame = {
+    Seq("__sid", "__sa", "__sb").filter(pairs.columns.contains).foreach(r =>
+      throw new IllegalArgumentException(
+        s"crossSlicePairCounts reserves column name $r; rename it in pairs"))
     val m = docs.select(id.as("__sid"), slice.as("__slice"))
     pairs
       .join(m.select(col("__sid"), col("__slice").as("__sa")),
