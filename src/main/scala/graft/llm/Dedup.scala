@@ -409,23 +409,51 @@ object Dedup {
     * and precision vs bands) a corpus owner reads before committing a
     * banding config for a 100 TB dedup run. Each setting re-bands the
     * SAME signature table (the expensive shingle+hash stage is paid
-    * once, typically against a persisted store) and joins its candidate
-    * set against the one exact pair table; output is one row per
-    * setting, `(bands, n_true, n_candidates, hits)`, all exact
-    * integers. Work per setting is bounded by the banding + bucket-join
-    * cost — the corpus text is never touched. */
+    * once, typically against a persisted store); the exact pair plan
+    * is planned ONCE and fanned out to the settings with an explode
+    * (not re-executed per setting); everything meets in a single
+    * (bands, pair)-key groupBy. Output is one row per setting —
+    * guaranteed even on empty inputs — `(bands, n_true, n_candidates,
+    * hits)`, all exact integers.
+    *
+    * Caveat shared with the generators themselves: the degenerate-
+    * bucket cap (`maxBucket`) means a loose setting that saturates a
+    * bucket under-reports candidates there by design, so capped
+    * candidate sets need not nest across settings on boilerplate-heavy
+    * data — the sweep SURFACES that via the n_candidates column. */
   def bandingSweep(sigs: DataFrame, exact: DataFrame, bandSettings: Seq[Int],
                    numHashes: Int = 32, threshold: Double = 0.5,
-                   portable: Boolean = false): DataFrame = {
+                   portable: Boolean = false,
+                   maxBucket: Int = MaxBucketMembers): DataFrame = {
     require(bandSettings.nonEmpty, "no band settings")
     require(bandSettings.forall(b => b > 0 && numHashes % b == 0),
       s"each bands value must divide numHashes=$numHashes: $bandSettings")
-    bandSettings.map { b =>
-      pairAgreement(exact,
-          minhashCandidatesFromSigs(sigs, numHashes, b, threshold, portable))
-        .select(lit(b).as("bands"), col("n_true"), col("n_candidates"),
-          col("hits"))
+    val settingsArr = array(bandSettings.map(b => lit(b)): _*)
+    def norm(df: DataFrame, t: Int, c: Int, bands: Column) = df.select(
+      bands.as("bands"),
+      least(col("id_a"), col("id_b")).as("a"),
+      greatest(col("id_a"), col("id_b")).as("b"),
+      lit(t.toLong).as("t"), lit(c.toLong).as("c"))
+    val exTagged = norm(exact, 1, 0, explode(settingsArr))
+    val candTagged = bandSettings.map { b =>
+      norm(minhashCandidatesFromSigs(sigs, numHashes, b, threshold, portable,
+        maxBucket), 0, 1, lit(b))
     }.reduce(_.unionByName(_))
+    val agg = exTagged.unionByName(candTagged)
+      .groupBy("bands", "a", "b")
+      .agg(max("t").as("t"), max("c").as("c"))
+      .groupBy("bands")
+      .agg(sum("t").as("n_true"), sum("c").as("n_candidates"),
+        sum(expr("t * c")).as("hits"))
+    // one row per requested setting even when a setting (or everything)
+    // is empty — the curve's x-axis is the request, not the data
+    val settingsDf = exact.sparkSession.range(1)
+      .select(explode(settingsArr).as("bands"))
+    settingsDf.join(agg, Seq("bands"), "left")
+      .select(col("bands"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
   }
 
   /** Cross-slice duplication matrix: candidate (or verified) near-dup

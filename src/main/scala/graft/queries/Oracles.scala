@@ -34,16 +34,28 @@ object Oracles {
   /** Banding -> candidate pairs -> estimated Jaccard off a signature
     * CTE (default the shared `sig`), with `rowsPerBand` rows per band
     * (bands = 32 / rowsPerBand) and every CTE name suffixed so several
-    * operating points can coexist in one query (q153). */
+    * operating points can coexist in one query (q153). Mirrors the
+    * engine's degenerate-bucket guard (buckets with more than
+    * `Dedup.MaxBucketMembers` members contribute no pairs) so the
+    * oracle can never silently diverge on boilerplate-heavy data where
+    * a loose banding saturates a bucket — invisible at the tested
+    * scales (no bucket comes close to the cap), semantics-preserving
+    * everywhere. */
   private def bandChainCtes(rowsPerBand: Int, sfx: String,
                             sigTable: String = "sig"): String =
     raw"""band$sfx AS (
        |  SELECT doc_id, i // $rowsPerBand AS band,
        |         string_agg(m::VARCHAR, ',' ORDER BY i) AS bucket
        |  FROM $sigTable GROUP BY 1, 2),
+       |keep$sfx AS (
+       |  SELECT band, bucket FROM band$sfx
+       |  GROUP BY 1, 2
+       |  HAVING count(*) <= ${graft.llm.Dedup.MaxBucketMembers}),
        |pairs$sfx AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM band$sfx a JOIN band$sfx b
+       |  FROM band$sfx a
+       |  JOIN keep$sfx k ON k.band = a.band AND k.bucket = a.bucket
+       |  JOIN band$sfx b
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
        |est$sfx AS (
        |  SELECT p.id_a, p.id_b,
@@ -55,6 +67,24 @@ object Oracles {
 
   private lazy val minhashPortableCtes: String =
     minhashSigCtes + ",\n" + bandChainCtes(4, "")
+
+  /** Exact trigram-set pairs at Jaccard >= 3/5 — the ground-truth side
+    * of the candidate-quality readouts (the brute-force counterpart of
+    * q79's prefix-filtered join), as `sets`/`ex` CTE text over the `tk`
+    * tokenization. `extraWhere` restricts the doc population (q153's
+    * sample); ONE definition so the q152/q153 ground truth can never
+    * drift from itself. */
+  private def exactPairCtes(extraWhere: String = ""): String =
+    raw"""sets AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(range(1, len(t) - 1),
+       |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       |  FROM tk WHERE len(t) >= 3$extraWhere),
+       |ex AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b
+       |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.s, b.s)) * 5 >=
+       |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 3)""".stripMargin
 
   /** Shared CTE chain recomputing the exact-integer BM25 pipeline up to
     * the per-query ranking (`bmranked`) — used by q93 and, as the
@@ -330,16 +360,7 @@ object Oracles {
     // a < b on both sides
     "q152_lsh_quality" ->
       s"""WITH $minhashPortableCtes,
-         |sets AS (
-         |  SELECT doc_id,
-         |         list_distinct(list_transform(range(1, len(t) - 1),
-         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-         |  FROM tk WHERE len(t) >= 3),
-         |ex AS (
-         |  SELECT a.doc_id AS a, b.doc_id AS b
-         |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-         |  WHERE len(list_intersect(a.s, b.s)) * 5 >=
-         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 3),
+         |${exactPairCtes()},
          |ca AS (SELECT id_a AS a, id_b AS b FROM est
          |       WHERE est_jaccard >= 0.4)
          |SELECT (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_true,
@@ -357,16 +378,7 @@ object Oracles {
          |${bandChainCtes(8, "_b4", "ssig")},
          |${bandChainCtes(4, "_b8", "ssig")},
          |${bandChainCtes(2, "_b16", "ssig")},
-         |sets AS (
-         |  SELECT doc_id,
-         |         list_distinct(list_transform(range(1, len(t) - 1),
-         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-         |  FROM tk WHERE len(t) >= 3 AND doc_id % 4 = 0),
-         |ex AS (
-         |  SELECT a.doc_id AS a, b.doc_id AS b
-         |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-         |  WHERE len(list_intersect(a.s, b.s)) * 5 >=
-         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 3),
+         |${exactPairCtes(" AND doc_id % 4 = 0")},
          |ca4 AS (SELECT id_a AS a, id_b AS b FROM est_b4
          |        WHERE est_jaccard >= 0.4),
          |ca8 AS (SELECT id_a AS a, id_b AS b FROM est_b8

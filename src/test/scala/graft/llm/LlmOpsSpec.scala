@@ -914,6 +914,19 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("banding sweep: empty inputs still yield one zero row per setting") {
+    val sigs = Dedup.minhashTable(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      numHashes = 32, k = 3, portable = true)
+    val exact = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val rows = Dedup.bandingSweep(sigs, exact, Seq(4, 8),
+        numHashes = 32, portable = true)
+      .collect().map(r => r.getAs[Int]("bands") ->
+        ((r.getAs[Long]("n_true"), r.getAs[Long]("n_candidates"),
+          r.getAs[Long]("hits")))).toMap
+    assert(rows == Map(4 -> ((0L, 0L, 0L)), 8 -> ((0L, 0L, 0L))))
+  }
+
   test("cross-slice pair counts: unordered slice keys, triangular matrix") {
     val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
     val meta = Seq((1L, "a"), (2L, "b"), (3L, "b"), (4L, "a"),

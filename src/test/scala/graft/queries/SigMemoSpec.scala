@@ -128,4 +128,10 @@ class SigMemoSpec extends SparkSpec {
   pinSharedEqualsIsolated("q74_semdedup",
     "SemDeDup over the landed centroid model must equal training " +
       "inside the query")
+  pinSharedEqualsIsolated("q153_banding_sweep",
+    "the tuning curve over the landed sig + exact-pair stores must " +
+      "equal deriving both from the corpus")
+  pinSharedEqualsIsolated("q154_dup_source_matrix",
+    "the source matrix over the landed candidate-pair store must " +
+      "equal re-banding the signature store")
 }
