@@ -156,10 +156,16 @@ object Oracles {
        |  SELECT doc_id, fp, r.blk AS blk,
        |         (fp >> (r.blk * 14)) & 16383 AS key
        |  FROM fp, range(0, 4) r(blk)),
+       |keepb AS (
+       |  SELECT blk, key FROM blocked
+       |  GROUP BY 1, 2
+       |  HAVING count(*) <= ${graft.llm.Dedup.MaxBucketMembers}),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |         bit_count(xor(a.fp, b.fp)) AS hamming
-       |  FROM blocked a JOIN blocked b
+       |  FROM blocked a
+       |  JOIN keepb k ON k.blk = a.blk AND k.key = a.key
+       |  JOIN blocked b
        |    ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
 
   /** Sequential dot product over 64-dim embeddings — `list_reduce` is an
