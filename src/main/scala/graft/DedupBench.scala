@@ -145,6 +145,32 @@ object DedupBench {
     assert(scrub.getLong(0) == 2 * nPairs &&
       scrub.getLong(1) == (n - 2 * nPairs) * 50,
       s"scrub=$scrub expected ${2 * nPairs} emptied docs")
+
+    // phase 6: the candidate-quality machinery itself at corpus scale —
+    // the planted pair table IS the ground truth, so the banding sweep
+    // must report hits == n_true == nPairs at EVERY operating point
+    // (planted copies are exact: identical text -> identical signature
+    // -> same bucket under any banding, and a 2-member bucket can never
+    // hit the degenerate cap). Also exercises the one-groupBy
+    // pairAgreement shape over pair tables of corpus-scale cardinality.
+    val t5 = System.nanoTime()
+    val planted = spark.range(n)
+      .filter(col("id") % 20 === 0 && col("id") > 0)
+      .select((col("id") - 1).as("id_a"), col("id").as("id_b"))
+    val sweep = Dedup.bandingSweep(
+        Dedup.minhashTable(docs, numHashes = 32, k = 3),
+        planted, Seq(4, 8, 16), numHashes = 32, threshold = 0.5)
+      .orderBy("bands").collect()
+    val sec6 = (System.nanoTime() - t5) / 1e9
+    val candTotal = sweep.map(_.getAs[Long]("n_candidates")).sum
+    println(f"""{"phase":"banding_quality","docs":$n,"settings":${sweep.length},"planted":$nPairs,"candidates_total":$candTotal,"sec":$sec6%.2f,"docs_per_sec":${(n / sec6).toLong}}""")
+    sweep.foreach { r =>
+      assert(r.getAs[Long]("n_true") == nPairs,
+        s"bands=${r.getAs[Int]("bands")}: n_true=${r.getAs[Long]("n_true")}")
+      assert(r.getAs[Long]("hits") == nPairs,
+        s"bands=${r.getAs[Int]("bands")}: planted recall must be 100%, " +
+          s"hits=${r.getAs[Long]("hits")} of $nPairs")
+    }
     spark.stop()
   }
 }
