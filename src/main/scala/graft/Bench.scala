@@ -72,13 +72,17 @@ object Bench {
     // somewhere rather than vanish from the report. (Post-pair
     // clearCache still re-materializes a store inside the next family
     // query's cold run; best-of-pair prices the warm, store-backed run.)
-    val storeBuildSec =
-      graft.queries.TestdataQueries.warmSharedStages(spark, sfDir)
     // Dev-loop filter, mirroring Verify: SPARK_GRAFT_ONLY=q97_x,q100_y
     // times just those queries (solo A/B without the sweep's cache and
     // GC context). Unset for the driver's full run.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Full sweeps only: a solo A/B shouldn't pay 25+ s building all
+    // nine stores when its query may touch none of them (the first
+    // touched store still materializes lazily inside the solo pair).
+    val storeBuildSec =
+      if (only.isDefined) 0.0
+      else graft.queries.TestdataQueries.warmSharedStages(spark, sfDir)
     val names = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // One measurement = a back-to-back pair; run 2 reuses run 1's JIT,
