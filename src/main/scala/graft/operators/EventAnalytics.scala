@@ -791,4 +791,43 @@ object EventAnalytics {
       .groupBy("report_d")
       .agg(count(lit(1)).as("active_users"))
   }
+
+  /** Per-key union length of (possibly overlapping) intervals — the
+    * classic gaps-and-islands aggregation: "how long was this user
+    * active / this device up / this incident covered", counting
+    * overlapping spans ONCE. Exact integer arithmetic over
+    * `[start, end)` half-open long intervals (end >= start; null
+    * endpoints excluded; spans must fit a long — epoch-microsecond
+    * data is 48 bits, nowhere near the edge).
+    *
+    * Shape: one shuffle on the key; the running max-end window is
+    * partitioned BY KEY and ordered by (start, end), so its state is
+    * bounded by that key's interval count, never the table — a per-row
+    * contribution `max(0, end - max(start, prev_max_end))` sums to the
+    * union length without materializing merged islands, and the sum is
+    * tie-order invariant (equal (start, end) rows contribute through
+    * the same running max). `n_islands` counts maximal merged runs
+    * (a new island starts where start > prev_max_end). */
+  def intervalCoverage(intervals: DataFrame, key: Column,
+                       start: Column, end: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = intervals
+      .filter(key.isNotNull && start.isNotNull && end.isNotNull &&
+        end >= start)
+      .select(key.as("k"), start.as("s"), end.as("e"))
+    val w = Window.partitionBy(col("k")).orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    rows
+      .withColumn("__pmax", max(col("e")).over(w))
+      .select(col("k"),
+        greatest(lit(0L),
+          col("e") - greatest(col("s"), coalesce(col("__pmax"), col("s"))))
+          .as("__c"),
+        when(col("__pmax").isNull || col("s") > col("__pmax"), 1L)
+          .otherwise(0L).as("__i"))
+      .groupBy("k")
+      .agg(sum(col("__c")).as("covered"),
+        sum(col("__i")).as("n_islands"),
+        count(lit(1)).as("n_intervals"))
+  }
 }

@@ -374,6 +374,27 @@ object Oracles {
          |       (SELECT CAST(count(*) AS BIGINT)
          |        FROM ex JOIN ca ON ex.a = ca.a AND ex.b = ca.b) AS hits""".stripMargin,
 
+    // running-max-end window replay of the interval-union aggregation:
+    // contribution = max(0, e - max(s, prev_max_end)), islands start
+    // where s clears the running max
+    "q155_interval_coverage" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s,
+        |         epoch_us(ts) + 3600000000 AS e
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |m AS (
+        |  SELECT user_id, s, e,
+        |         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv)
+        |SELECT user_id,
+        |       CAST(sum(greatest(0, e - greatest(s, coalesce(pmax, s))))
+        |            AS BIGINT) AS covered,
+        |       CAST(sum(CASE WHEN pmax IS NULL OR s > pmax
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_islands,
+        |       CAST(count(*) AS BIGINT) AS n_intervals
+        |FROM m GROUP BY user_id""".stripMargin,
+
     // three band chains off the ONE sig CTE restricted to the same 25%
     // sample the Spark side uses (bands = 32/rowsPerBand), each
     // screened at est >= 0.4 and scored against the sample's exact

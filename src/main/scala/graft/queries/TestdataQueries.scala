@@ -1996,7 +1996,25 @@ object TestdataQueries {
     Dedup.crossSlicePairCounts(portableCandidatePairs(s, dir),
       t(s, dir, "documents"))
 
+  /** Interval coverage (X96): per-user total ACTIVE time — every event
+    * opens a one-hour activity window `[ts, ts + 1h)` and overlapping
+    * windows count once — plus the island count (distinct activity
+    * bursts) and raw interval count
+    * ([[graft.operators.EventAnalytics.intervalCoverage]]). Epoch-
+    * microsecond long arithmetic end to end (engine-portable). */
+  def q155IntervalCoverage(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val iv = t(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) + hourUs).as("e"))
+    graft.operators.EventAnalytics.intervalCoverage(iv,
+        key = col("user_id"), start = col("s"), end = col("e"))
+      .select(col("k").as("user_id"), col("covered"), col("n_islands"),
+        col("n_intervals"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_interval_coverage" -> q155IntervalCoverage _,
     "q153_banding_sweep" -> q153BandingSweep _,
     "q154_dup_source_matrix" -> q154DupSourceMatrix _,
     "q147_group_sample" -> q147GroupSample _,

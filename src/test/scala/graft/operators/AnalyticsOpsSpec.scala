@@ -720,4 +720,47 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got(2L) == ((0L, "")))
     assert(got(3L) == ((0L, "")))
   }
+
+  // ---------------------------------------------------- interval coverage
+
+  test("interval coverage: overlap, nesting, touch, ties, zero-length") {
+    val iv = Seq(
+      // user 1: [0,10) ∪ [5,20) merge -> [0,20); [20,30) touches (half-
+      // open: contiguous, same island, no gap); [40,50) is a new island
+      (1L, 0L, 10L), (1L, 5L, 20L), (1L, 20L, 30L), (1L, 40L, 50L),
+      // user 2: nested [0,100) ⊃ [10,20) ⊃ [12,18); duplicate [0,100)
+      // tie contributes zero; zero-length [50,50) adds nothing
+      (2L, 0L, 100L), (2L, 10L, 20L), (2L, 12L, 18L), (2L, 0L, 100L),
+      (2L, 50L, 50L),
+      // user 3: single interval
+      (3L, 7L, 9L)
+    ).toDF("u", "s", "e")
+    val got = EventAnalytics.intervalCoverage(iv,
+        key = col("u"), start = col("s"), end = col("e"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((40L, 2L, 4L)))   // [0,30) + [40,50); two islands
+    assert(got(2L) == ((100L, 1L, 5L)))  // everything inside [0,100)
+    assert(got(3L) == ((2L, 1L, 1L)))
+    // invariant under physical partitioning (window is per-key)
+    val b = EventAnalytics.intervalCoverage(iv.repartition(7),
+        key = col("u"), start = col("s"), end = col("e"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(b == got)
+  }
+
+  test("interval coverage: null endpoints and inverted spans excluded") {
+    val iv = Seq(
+      (Some(1L), Some(0L), Some(10L)),
+      (Some(1L), None, Some(5L)),        // null start -> excluded
+      (Some(1L), Some(3L), None),        // null end -> excluded
+      (None, Some(0L), Some(5L)),        // null key -> excluded
+      (Some(1L), Some(9L), Some(4L))     // end < start -> excluded
+    ).toDF("u", "s", "e")
+    val got = EventAnalytics.intervalCoverage(iv,
+        key = col("u"), start = col("s"), end = col("e")).collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(1) == 10L && got.head.getLong(3) == 1L)
+  }
 }
