@@ -80,9 +80,17 @@ object Bench {
     // Full sweeps only: a solo A/B shouldn't pay 25+ s building all
     // nine stores when its query may touch none of them (the first
     // touched store still materializes lazily inside the solo pair).
+    // A warm-up failure must not lose the sweep: the stores also
+    // materialize lazily inside each consumer's pair(), whose catch
+    // records the failure per-query — so swallow here (reported as
+    // -1) and let the sweep produce its line either way.
     val storeBuildSec =
       if (only.isDefined) 0.0
-      else graft.queries.TestdataQueries.warmSharedStages(spark, sfDir)
+      else try graft.queries.TestdataQueries.warmSharedStages(spark, sfDir)
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] store warm-up failed: ${e.getMessage}")
+        -1.0
+      }
     val names = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // One measurement = a back-to-back pair; run 2 reuses run 1's JIT,

@@ -428,6 +428,8 @@ object Dedup {
     require(bandSettings.nonEmpty, "no band settings")
     require(bandSettings.forall(b => b > 0 && numHashes % b == 0),
       s"each bands value must divide numHashes=$numHashes: $bandSettings")
+    require(bandSettings.distinct.size == bandSettings.size,
+      s"duplicate band settings would duplicate output rows: $bandSettings")
     val settingsArr = array(bandSettings.map(b => lit(b)): _*)
     def norm(df: DataFrame, t: Int, c: Int, bands: Column) = df.select(
       bands.as("bands"),

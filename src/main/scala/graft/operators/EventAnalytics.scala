@@ -796,9 +796,12 @@ object EventAnalytics {
     * classic gaps-and-islands aggregation: "how long was this user
     * active / this device up / this incident covered", counting
     * overlapping spans ONCE. Exact integer arithmetic over
-    * `[start, end)` half-open long intervals (end >= start; null
-    * endpoints excluded; spans must fit a long — epoch-microsecond
-    * data is 48 bits, nowhere near the edge).
+    * `[start, end)` half-open long intervals (null endpoints, inverted
+    * spans, AND zero-length intervals excluded — `[x, x)` is the empty
+    * set, so it must neither count as an interval nor extend the
+    * running max, where it could bridge two separate islands into one;
+    * spans must fit a long — epoch-microsecond data is 48 bits,
+    * nowhere near the edge).
     *
     * Shape: one shuffle on the key; the running max-end window is
     * partitioned BY KEY and ordered by (start, end), so its state is
@@ -813,7 +816,7 @@ object EventAnalytics {
     import org.apache.spark.sql.expressions.Window
     val rows = intervals
       .filter(key.isNotNull && start.isNotNull && end.isNotNull &&
-        end >= start)
+        end > start)
       .select(key.as("k"), start.as("s"), end.as("e"))
     val w = Window.partitionBy(col("k")).orderBy(col("s"), col("e"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -68,23 +68,25 @@ object Oracles {
   private lazy val minhashPortableCtes: String =
     minhashSigCtes + ",\n" + bandChainCtes(4, "")
 
-  /** Exact trigram-set pairs at Jaccard >= 3/5 — the ground-truth side
-    * of the candidate-quality readouts (the brute-force counterpart of
-    * q79's prefix-filtered join), as `sets`/`ex` CTE text over the `tk`
-    * tokenization. `extraWhere` restricts the doc population (q153's
-    * sample); ONE definition so the q152/q153 ground truth can never
-    * drift from itself. */
+  /** Exact trigram-set pairs at Jaccard >= 3/5 — the brute-force
+    * ground truth behind q79 (which exposes the jaccard value from
+    * `ex`'s inter/uni) and the candidate-quality readouts q152/q153
+    * (which use only the pair columns), as `sets`/`ex` CTE text over
+    * the `tk` tokenization. `extraWhere` restricts the doc population
+    * (q153's sample); ONE definition so none of the three can drift
+    * from the others. */
   private def exactPairCtes(extraWhere: String = ""): String =
     raw"""sets AS (
        |  SELECT doc_id,
        |         list_distinct(list_transform(range(1, len(t) - 1),
        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
        |  FROM tk WHERE len(t) >= 3$extraWhere),
-       |ex AS (
-       |  SELECT a.doc_id AS a, b.doc_id AS b
-       |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-       |  WHERE len(list_intersect(a.s, b.s)) * 5 >=
-       |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 3)""".stripMargin
+       |exraw AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b,
+       |         len(list_intersect(a.s, b.s)) AS inter,
+       |         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+       |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id),
+       |ex AS (SELECT * FROM exraw WHERE inter * 5 >= uni * 3)""".stripMargin
 
   /** Shared CTE chain recomputing the exact-integer BM25 pipeline up to
     * the per-query ranking (`bmranked`) — used by q93 and, as the
@@ -381,7 +383,8 @@ object Oracles {
       """WITH iv AS (
         |  SELECT user_id, epoch_us(ts) AS s,
         |         epoch_us(ts) + 3600000000 AS e
-        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND epoch_us(ts) + 3600000000 > epoch_us(ts)),
         |m AS (
         |  SELECT user_id, s, e,
         |         max(e) OVER (PARTITION BY user_id ORDER BY s, e
@@ -1299,22 +1302,15 @@ object Oracles {
          |       CAST(start % 512 AS BIGINT) AS bin_pos
          |FROM c""".stripMargin,
 
+    // the shared exact-pair CTEs (same definition q152/q153 score
+    // against), exposing the jaccard value from ex's inter/uni
     "q79_jaccard_join" ->
       s"""WITH tk AS (
          |  SELECT doc_id, string_split($norm, ' ') AS t FROM documents),
-         |sets AS (
-         |  SELECT doc_id,
-         |         list_distinct(list_transform(range(1, len(t) - 1),
-         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-         |  FROM tk WHERE len(t) >= 3),
-         |pairs AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |         len(list_intersect(a.s, b.s)) AS inter,
-         |         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
-         |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
-         |SELECT id_a, id_b,
+         |${exactPairCtes()}
+         |SELECT a AS id_a, b AS id_b,
          |       CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
-         |FROM pairs WHERE inter * 5 >= uni * 3""".stripMargin,
+         |FROM ex""".stripMargin,
 
     "q80_label_centroids" ->
       """SELECT label, r.i - 1 AS pos,

@@ -912,6 +912,10 @@ class LlmOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.bandingSweep(sigs, exact, Seq(5), numHashes = 32)
     }
+    // duplicate settings would duplicate output rows -> rejected
+    intercept[IllegalArgumentException] {
+      Dedup.bandingSweep(sigs, exact, Seq(8, 8), numHashes = 32)
+    }
   }
 
   test("banding sweep: empty inputs still yield one zero row per setting") {

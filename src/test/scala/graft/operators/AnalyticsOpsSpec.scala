@@ -729,19 +729,25 @@ class AnalyticsOpsSpec extends SparkSpec {
       // open: contiguous, same island, no gap); [40,50) is a new island
       (1L, 0L, 10L), (1L, 5L, 20L), (1L, 20L, 30L), (1L, 40L, 50L),
       // user 2: nested [0,100) ⊃ [10,20) ⊃ [12,18); duplicate [0,100)
-      // tie contributes zero; zero-length [50,50) adds nothing
+      // tie contributes zero; zero-length [50,50) is the empty set and
+      // is excluded entirely (n_intervals counts 4, not 5)
       (2L, 0L, 100L), (2L, 10L, 20L), (2L, 12L, 18L), (2L, 0L, 100L),
       (2L, 50L, 50L),
       // user 3: single interval
-      (3L, 7L, 9L)
+      (3L, 7L, 9L),
+      // user 4: a zero-length [12,12) sits in the gap between [0,10)
+      // and [12,20) — it must NOT bridge them into one island (it
+      // covers nothing), nor count as an interval
+      (4L, 0L, 10L), (4L, 12L, 12L), (4L, 12L, 20L)
     ).toDF("u", "s", "e")
     val got = EventAnalytics.intervalCoverage(iv,
         key = col("u"), start = col("s"), end = col("e"))
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(got(1L) == ((40L, 2L, 4L)))   // [0,30) + [40,50); two islands
-    assert(got(2L) == ((100L, 1L, 5L)))  // everything inside [0,100)
+    assert(got(2L) == ((100L, 1L, 4L)))  // everything inside [0,100)
     assert(got(3L) == ((2L, 1L, 1L)))
+    assert(got(4L) == ((18L, 2L, 2L)))   // two separate runs, no bridge
     // invariant under physical partitioning (window is per-key)
     val b = EventAnalytics.intervalCoverage(iv.repartition(7),
         key = col("u"), start = col("s"), end = col("e"))
