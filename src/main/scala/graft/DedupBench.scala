@@ -16,7 +16,10 @@ import graft.llm.Dedup
   * corpus would use, verifying the shuffle volume stays signatures-only
   * and the planted duplicates are the ones that disappear.
   *
-  * Three phases, one JSON line each:
+  * Phases, one JSON line each (later phases below reuse the same
+  * corpus: span scrub, banding quality, and cluster-aware governance —
+  * leak-safe split + keep-best canonical — each against closed-form
+  * planted answers):
   *  1. one-shot dedup of the full corpus (shingle+hash everything);
   *  2. the nightly incremental shape — 80% of the corpus pre-exists as a
   *     signature store, 20% arrives as a batch: only the batch is
@@ -171,6 +174,40 @@ object DedupBench {
         s"bands=${r.getAs[Int]("bands")}: planted recall must be 100%, " +
           s"hits=${r.getAs[Long]("hits")} of $nPairs")
     }
+
+    // phase 7: cluster-aware governance over the planted pair graph —
+    // the split that can never leak a planted dup across the train/eval
+    // boundary, and keep-best selection. Closed forms: each planted
+    // (i-1, i) pair is a disjoint 2-cluster with representative i-1, so
+    // (a) no cluster may straddle splits (checked DISTRIBUTED via a
+    // countDistinct per cluster, no collect), (b) every doc's cluster id
+    // has the closed form below, and (c) with equal-length copies the
+    // canonical falls to the min id with n_members exactly 2.
+    val t6 = System.nanoTime()
+    val split = Dedup.leakSafeSplit(docs, planted,
+      cuts = Seq("train" -> 80, "validation" -> 90), lastSplit = "test")
+      .cache()
+    val straddled = split.groupBy("cluster_id")
+      .agg(countDistinct("split").as("ns")).filter(col("ns") > 1).count()
+    // doc i (i%20==0, i>0) joins representative i-1; everyone else —
+    // including the i-1 members, who ARE the representative — keeps
+    // its own id as cluster
+    val expectedCluster =
+      when(col("doc_id") > 0 && col("doc_id") % 20 === 0, col("doc_id") - 1)
+        .otherwise(col("doc_id"))
+    val misl = split.filter(col("cluster_id") =!= expectedCluster).count()
+    val canon = Dedup.canonicalDocs(docs, planted,
+      score = length(col("text"))).cache()
+    val badCanon = canon.filter(col("canonical_id") =!= col("cluster_id") ||
+      col("n_members") =!= 2).count()
+    val nClusters = canon.count()
+    val sec7 = (System.nanoTime() - t6) / 1e9
+    split.unpersist(); canon.unpersist()
+    println(f"""{"phase":"governance","docs":$n,"clusters":$nClusters,"straddled":$straddled,"mislabelled":$misl,"bad_canonical":$badCanon,"sec":$sec7%.2f,"docs_per_sec":${(n / sec7).toLong}}""")
+    assert(straddled == 0, s"$straddled clusters straddle splits")
+    assert(misl == 0, s"$misl docs carry a wrong cluster id")
+    assert(badCanon == 0 && nClusters == nPairs,
+      s"canonical: bad=$badCanon clusters=$nClusters expected=$nPairs")
     spark.stop()
   }
 }

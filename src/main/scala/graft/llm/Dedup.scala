@@ -993,6 +993,110 @@ object Dedup {
     docs.join(drop, docs(id.toString) === drop("doc_id"), "left_anti")
   }
 
+  /** Leakage-free train/validation/test split: every document is
+    * assigned a split by the md5 bucket of its duplicate-CLUSTER
+    * representative, not of its own id — so all members of a near-dup
+    * cluster land in the SAME split by construction. A per-doc hash
+    * split (the q55 shape) leaks: two near-identical documents hash
+    * independently and straddle the train/eval boundary, which is
+    * exactly the contamination a decontamination pass later has to
+    * claw back. Splitting on the cluster id closes that hole at
+    * assignment time.
+    *
+    * `cuts` are ascending exclusive upper bounds over the md5 bucket
+    * mod 100 (e.g. `Seq("train" -> 80, "validation" -> 90)`); buckets
+    * at or above the last cut fall to `lastSplit`. Documents in no
+    * near-dup pair are their own singleton cluster, so the assignment
+    * law marginally matches the per-doc split on clean data.
+    *
+    * Scale shape: cluster labels come from [[duplicateClusters]] over
+    * the (LSH-sized, far-sub-corpus) edge list; the corpus itself sees
+    * ONE left equi-join against that membership table and a scan-local
+    * hash CASE. Deterministic across runs, engines, and partitionings
+    * — the DuckDB oracle replays label + bucket + CASE exactly.
+    */
+  def leakSafeSplit(docs: DataFrame, edges: DataFrame,
+                    cuts: Seq[(String, Int)], lastSplit: String,
+                    id: Column = col("doc_id")): DataFrame = {
+    require(cuts.nonEmpty, "at least one cut")
+    require(cuts.map(_._2) == cuts.map(_._2).sorted &&
+      cuts.map(_._2).distinct == cuts.map(_._2),
+      s"cuts must be strictly ascending: ${cuts.map(_._2)}")
+    require(cuts.last._2 <= 100, "cuts are percentages over bucket mod 100")
+    val comps = duplicateClusters(edges)
+      .select(col("doc_id").as("__cid"), col("comp_id"))
+    val withCluster = docs.select(id.cast("long").as("doc_id"))
+      .join(comps, col("doc_id") === col("__cid"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp_id"), col("doc_id")).as("cluster_id"))
+    val b = Sampling.hashBucket(col("cluster_id")) % 100
+    val split = cuts.foldRight(lit(lastSplit)) { case ((name, cut), tail) =>
+      when(b < cut, lit(name)).otherwise(tail)
+    }
+    withCluster.withColumn("split", split)
+  }
+
+  /** Quality-aware canonical selection: one row per duplicate cluster
+    * naming the member that wins on (score DESC, doc id ASC) — the
+    * "keep the BEST copy" dedup policy, where [[dedupCorpus]] keeps the
+    * minimum id. The score must be integral (exactness across engines);
+    * length, token count, or a quality grade all fit.
+    *
+    * Scale shape: cluster labels over the edge list, one equi-join
+    * moving only (id, score) — never text — and one groupBy whose
+    * struct-max partial-aggregates map-side. No per-cluster window, no
+    * sort: a struct max of (score, -id) IS the argmax with the id
+    * tiebreak, and a billion-member cluster costs one combiner cell.
+    */
+  def canonicalDocs(docs: DataFrame, edges: DataFrame, score: Column,
+                    id: Column = col("doc_id")): DataFrame = {
+    val comps = duplicateClusters(edges)
+    val members = docs
+      .select(id.cast("long").as("doc_id"), score.cast("long").as("__score"))
+      .join(comps, "doc_id")
+    members.groupBy(col("comp_id").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("__score").as("s"), (-col("doc_id")).as("negid")))
+          .as("__best"))
+      .select(col("cluster_id"), (-col("__best.negid")).as("canonical_id"),
+        col("__best.s").as("best_score"), col("n_members"))
+  }
+
+  /** Per-document contamination fraction (the GPT-3 appendix-C
+    * "dirtiness" readout): for every training document, how many of its
+    * DISTINCT word k-grams also occur anywhere in the eval corpus —
+    * exact integer numerator and denominator (`n_hit`, `n_grams`); the
+    * fraction itself is the caller's division. [[decontaminate]] answers
+    * "which docs overlap at all"; this grades HOW MUCH, which is what
+    * thresholded scrub policies ("drop if >X% dirty") act on.
+    *
+    * Scale shape: the per-doc denominator is the shingle-array
+    * cardinality computed INSIDE the scan (no shuffle); candidate grams
+    * Bloom-prune inside their scan tasks against a constant-size bitmap
+    * of the eval grams (no false negatives, so the exact join result is
+    * unchanged); only the surviving sliver meets the eval gram set, and
+    * one count groupBy lands the numerator. The eval side is read twice
+    * (bloom build + verify join) — cache it when it is expensive.
+    */
+  def contaminationFraction(train: DataFrame, eval: DataFrame, k: Int = 5,
+                            numBits: Int = 1 << 20, numHashes: Int = 4,
+                            trainId: Column = col("doc_id"),
+                            evalText: Column = col("text"),
+                            trainText: Column = col("text")): DataFrame = {
+    val evalGrams = eval.select(explode(shingles(evalText, k)).as("g")).distinct()
+    val bits = Sketches.bloomBuild(evalGrams, col("g"), numBits, numHashes)
+    val totals = train.select(trainId.as("train_id"),
+      coalesce(size(shingles(trainText, k)), lit(0)).cast("long").as("n_grams"))
+    val hits = train
+      .select(trainId.as("train_id"), explode(shingles(trainText, k)).as("g"))
+      .filter(Sketches.bloomMightContain(bits, col("g"), numHashes))
+      .join(evalGrams, Seq("g"), "left_semi")
+      .groupBy("train_id").agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq("train_id"), "left")
+      .select(col("train_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+  }
+
   // -------------------------------------------------- decontamination
 
   /** Benchmark decontamination at corpus scale: every (train doc, eval

@@ -249,6 +249,33 @@ object Sampling {
       .select(outCols :+ col("sample_rank"): _*)
   }
 
+  /** Global top-k under a per-group diversity cap: the best `k` rows by
+    * `order`, but never more than `perGroup` from any one group — the
+    * eval-set / few-shot-example selection shape ("the 20 best docs, at
+    * most 2 per language"), where a plain top-k collapses onto the
+    * dominant group.
+    *
+    * Scale shape: the per-group rank plans as WindowGroupLimit (a hot
+    * group never buffers past `perGroup` rows per task — pinned in
+    * PlanQualitySpec) and the global cut as TakeOrderedAndProject; no
+    * full sort, no corpus-wide window. The caller must make `order`
+    * total (tie columns down to a unique key) or the result is
+    * partition-dependent.
+    */
+  def diversifiedTopK(df: DataFrame, group: Column, order: Seq[Column],
+                      k: Int, perGroup: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && perGroup >= 1, s"k=$k perGroup=$perGroup")
+    require(!df.columns.contains("__rn"),
+      "diversifiedTopK reserves the column name __rn; rename the input column")
+    val w = Window.partitionBy(group).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perGroup)
+      .drop("__rn")
+      .sort(order: _*)
+      .limit(k)
+  }
+
   /** Deterministic shuffle-and-shard: the last stage of a training-data
     * pipeline — spread documents pseudo-randomly across `nShards` output
     * shards and give each a dense position within its shard, with no RNG

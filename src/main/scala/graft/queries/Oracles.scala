@@ -379,6 +379,97 @@ object Oracles {
     // running-max-end window replay of the interval-union aggregation:
     // contribution = max(0, e - max(s, prev_max_end)), islands start
     // where s clears the running max
+    // cluster labels replayed with the q53 recursive walk, split by the
+    // md5 bucket of the CLUSTER id (singletons = own id) — the
+    // leakage-free split law
+    "q156_leak_safe_split" ->
+      s"""WITH RECURSIVE $minhashPortableCtes,
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM est WHERE est_jaccard >= 0.4
+         |  UNION
+         |  SELECT id_b, id_a FROM est WHERE est_jaccard >= 0.4),
+         |verts AS (SELECT DISTINCT u AS id FROM edges),
+         |walk(src, dst) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT w.src, e.v FROM walk w JOIN edges e ON e.u = w.dst),
+         |comp AS (SELECT src AS doc_id, min(dst) AS comp_id
+         |         FROM walk GROUP BY 1),
+         |lab AS (
+         |  SELECT d.doc_id, coalesce(c.comp_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+         |SELECT doc_id, cluster_id,
+         |       CASE WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)),
+         |                    1, 7))::BIGINT % 100 < 80 THEN 'train'
+         |            WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)),
+         |                    1, 7))::BIGINT % 100 < 90 THEN 'validation'
+         |            ELSE 'test' END AS split
+         |FROM lab""".stripMargin,
+
+    // per-cluster argmax on (length DESC, doc_id ASC) over the same
+    // recursive component labels
+    "q157_canonical_docs" ->
+      s"""WITH RECURSIVE $minhashPortableCtes,
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM est WHERE est_jaccard >= 0.4
+         |  UNION
+         |  SELECT id_b, id_a FROM est WHERE est_jaccard >= 0.4),
+         |verts AS (SELECT DISTINCT u AS id FROM edges),
+         |walk(src, dst) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT w.src, e.v FROM walk w JOIN edges e ON e.u = w.dst),
+         |comp AS (SELECT src AS doc_id, min(dst) AS comp_id
+         |         FROM walk GROUP BY 1),
+         |m AS (
+         |  SELECT c.comp_id, d.doc_id, length(d.text) AS score
+         |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+         |r AS (
+         |  SELECT comp_id, doc_id, score,
+         |         row_number() OVER (PARTITION BY comp_id
+         |           ORDER BY score DESC, doc_id ASC) AS rn,
+         |         count(*) OVER (PARTITION BY comp_id) AS n_members
+         |  FROM m)
+         |SELECT comp_id AS cluster_id, doc_id AS canonical_id,
+         |       score AS best_score, n_members
+         |FROM r WHERE rn = 1""".stripMargin,
+
+    // distinct-5-gram denominator straight off the per-doc gram list,
+    // numerator = grams also present anywhere in the eval slice
+    "q158_contamination_fraction" ->
+      raw"""WITH tk AS (
+         |  SELECT doc_id, string_split($norm, ' ') AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 3),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+         |         || ' ' || t[i+4])) AS gs
+         |  FROM tk),
+         |ev AS (SELECT DISTINCT unnest(gs) AS eg FROM g WHERE doc_id < 10),
+         |tr AS (SELECT doc_id, gs FROM g WHERE doc_id >= 10),
+         |hit AS (
+         |  SELECT doc_id, count(*) AS n_hit
+         |  FROM (SELECT doc_id, unnest(gs) AS tg FROM tr) x
+         |  WHERE tg IN (SELECT eg FROM ev)
+         |  GROUP BY 1)
+         |SELECT tr.doc_id AS train_id,
+         |       coalesce(len(tr.gs), 0)::BIGINT AS n_grams,
+         |       coalesce(hit.n_hit, 0)::BIGINT AS n_hit
+         |FROM tr LEFT JOIN hit ON hit.doc_id = tr.doc_id""".stripMargin,
+
+    // per-lang row_number cap then the global ordered cut — the
+    // diversity-capped top-k law
+    "q159_diversified_topk" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, length(text)::BIGINT AS n_chars
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM d)
+        |SELECT doc_id, lang, n_chars FROM r WHERE rn <= 2
+        |ORDER BY n_chars DESC, doc_id ASC LIMIT 20""".stripMargin,
+
     "q155_interval_coverage" ->
       """WITH iv AS (
         |  SELECT user_id, epoch_us(ts) AS s,

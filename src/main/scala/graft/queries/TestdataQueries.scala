@@ -2013,7 +2013,50 @@ object TestdataQueries {
         col("n_intervals"))
   }
 
+  /** Leakage-free split (X97): split assignment by the md5 bucket of
+    * the duplicate-CLUSTER representative off the landed candidate
+    * store — near-dup docs can never straddle the train/eval boundary
+    * ([[graft.llm.Dedup.leakSafeSplit]]); q55 is the per-doc form this
+    * hardens. */
+  def q156LeakSafeSplit(s: SparkSession, dir: String): DataFrame =
+    Dedup.leakSafeSplit(t(s, dir, "documents"),
+      portableCandidatePairs(s, dir),
+      cuts = Seq("train" -> 80, "validation" -> 90), lastSplit = "test")
+
+  /** Keep-best canonical selection (X98): per duplicate cluster, the
+    * member winning on (length DESC, doc_id ASC) — the quality-aware
+    * alternative to keep-minimum-id
+    * ([[graft.llm.Dedup.canonicalDocs]]). */
+  def q157CanonicalDocs(s: SparkSession, dir: String): DataFrame =
+    Dedup.canonicalDocs(t(s, dir, "documents"),
+      portableCandidatePairs(s, dir), score = length(col("text")))
+
+  /** Contamination fraction (X99): per training doc, exact distinct
+    * 5-gram denominator and eval-overlap numerator — the graded form of
+    * q56's boolean overlap ([[graft.llm.Dedup.contaminationFraction]]).
+    * Same stand-in eval set as q56 (doc_id < 10). */
+  def q158ContaminationFraction(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.contaminationFraction(docs.filter(col("doc_id") >= 10),
+      docs.filter(col("doc_id") < 10), k = 5)
+  }
+
+  /** Diversified top-k (X100): the 20 longest documents with at most 2
+    * per language — WindowGroupLimit + TakeOrderedAndProject, no full
+    * sort ([[graft.llm.Sampling.diversifiedTopK]]). */
+  def q159DiversifiedTopK(s: SparkSession, dir: String): DataFrame =
+    Sampling.diversifiedTopK(
+      t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars")),
+      group = col("lang"),
+      order = Seq(col("n_chars").desc, col("doc_id").asc),
+      k = 20, perGroup = 2)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_leak_safe_split" -> q156LeakSafeSplit _,
+    "q157_canonical_docs" -> q157CanonicalDocs _,
+    "q158_contamination_fraction" -> q158ContaminationFraction _,
+    "q159_diversified_topk" -> q159DiversifiedTopK _,
     "q155_interval_coverage" -> q155IntervalCoverage _,
     "q153_banding_sweep" -> q153BandingSweep _,
     "q154_dup_source_matrix" -> q154DupSourceMatrix _,

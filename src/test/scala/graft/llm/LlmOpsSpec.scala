@@ -1716,4 +1716,115 @@ class LlmOpsSpec extends SparkSpec {
         (r.getAs[Long]("score"), r.getAs[Int]("rank"))).toMap
     assert(again == got)
   }
+
+  test("leak-safe split: clusters never straddle splits; singletons " +
+    "match the per-doc hash assignment") {
+    import java.security.MessageDigest
+    def bucket(id: Long): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 7), 16) % 100
+    }
+    // 40 docs; edges chain {0,1,2}, pair {10,11}, star {20,21,22,23}
+    val d = (0L until 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val edges = Seq((0L, 1L), (1L, 2L), (10L, 11L),
+      (20L, 21L), (20L, 22L), (20L, 23L)).toDF("id_a", "id_b")
+    val got = Dedup.leakSafeSplit(d, edges,
+        cuts = Seq("train" -> 80, "validation" -> 90), lastSplit = "test")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(got.size == 40)
+    // every cluster member shares the representative's split
+    for (cluster <- Seq(Seq(0L, 1L, 2L), Seq(10L, 11L),
+      Seq(20L, 21L, 22L, 23L))) {
+      val assigns = cluster.map(got)
+      assert(assigns.toSet.size == 1, s"cluster $cluster split ${assigns}")
+      assert(assigns.head._1 == cluster.min) // min-id representative
+    }
+    // singleton docs: own cluster id, per-doc hash law
+    for (i <- (3L until 10L) ++ (12L until 20L) ++ (24L until 40L)) {
+      val (cid, split) = got(i)
+      assert(cid == i)
+      val b = bucket(i)
+      val want = if (b < 80) "train" else if (b < 90) "validation" else "test"
+      assert(split == want, s"doc $i bucket $b")
+    }
+    // a clustered doc's split follows the CLUSTER id's bucket, not its own
+    val b20 = bucket(20L)
+    val want20 =
+      if (b20 < 80) "train" else if (b20 < 90) "validation" else "test"
+    assert(got(23L)._2 == want20)
+    // cuts must ascend strictly
+    intercept[IllegalArgumentException] {
+      Dedup.leakSafeSplit(d, edges, Seq("a" -> 90, "b" -> 80), "c")
+    }
+  }
+
+  test("canonical docs: best score wins, ties break to the smaller id") {
+    val d = Seq(
+      (0L, "aaaa"), (1L, "aaaaaaaa"), (2L, "aaaaaa"),    // cluster 0: 1 wins
+      (10L, "bbbb"), (11L, "bbbb"),                      // tie -> 10 wins
+      (20L, "solo untouched doc")                        // no edges
+    ).toDF("doc_id", "text")
+    val edges = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.canonicalDocs(d, edges, score = length(col("text")))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      0L -> ((1L, 8L, 3L)),    // longest member of {0,1,2}
+      10L -> ((10L, 4L, 2L)))) // equal lengths -> smaller id
+    // repartitioning cannot change the argmax (struct-max is order-free)
+    val again = Dedup.canonicalDocs(d.repartition(7), edges,
+        score = length(col("text")))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(again == got)
+  }
+
+  test("contamination fraction: exact distinct-gram counts, zero rows " +
+    "kept, short docs report n_grams 0") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),      // eval: 2 grams
+      (10L, "x alpha beta gamma delta epsilon zeta y"), // 4 grams, 2 dirty
+      (11L, "alpha beta gamma delta epsilon"),          // 1 gram, 1 dirty
+      (12L, "totally unrelated content with no overlap at all"), // clean
+      (13L, "too short")                                 // < 5 tokens
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationFraction(
+        docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+        k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == Map(
+      10L -> ((4L, 2L)), 11L -> ((1L, 1L)),
+      12L -> ((4L, 0L)), 13L -> ((0L, 0L))))
+    // the boolean overlap view agrees with decontaminate's doc set
+    val dirty = got.filter(_._2._2 > 0).keySet
+    val decon = Dedup.decontaminate(docs.filter(col("doc_id") >= 10),
+        docs.filter(col("doc_id") < 10), k = 5)
+      .select("train_id").collect().map(_.getLong(0)).toSet
+    assert(dirty == decon)
+  }
+
+  test("diversified top-k: per-group cap then global cut, deterministic") {
+    val d = Seq(
+      (0L, "en", 100L), (1L, "en", 90L), (2L, "en", 80L), (3L, "en", 70L),
+      (10L, "de", 60L), (11L, "de", 50L), (12L, "de", 40L),
+      (20L, "fr", 30L), (21L, "fr", 20L)
+    ).toDF("doc_id", "lang", "n")
+    def run(df: org.apache.spark.sql.DataFrame, k: Int) =
+      Sampling.diversifiedTopK(df, col("lang"),
+          Seq(col("n").desc, col("doc_id").asc), k = k, perGroup = 2)
+        .collect().map(_.getLong(0)).toSet
+    // cap drops en's 3rd/4th and de's 3rd before the global cut
+    assert(run(d, 6) == Set(0L, 1L, 10L, 11L, 20L, 21L))
+    // tighter k keeps the globally best capped rows only
+    assert(run(d, 3) == Set(0L, 1L, 10L))
+    assert(run(d.repartition(5), 3) == Set(0L, 1L, 10L))
+    // reserved internal name refused
+    intercept[IllegalArgumentException] {
+      Sampling.diversifiedTopK(d.withColumnRenamed("n", "__rn"),
+        col("lang"), Seq(col("doc_id")), k = 1, perGroup = 1)
+    }
+  }
 }

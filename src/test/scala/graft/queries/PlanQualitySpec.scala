@@ -329,6 +329,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q159: diversified top-k caps groups map-side and cuts with a " +
+    "true top-k") {
+    // the per-group cap must plan as WindowGroupLimit (a hot language
+    // never buffers past perGroup rows per task) and the global cut as
+    // TakeOrderedAndProject — a Sort+Limit would sort the survivors
+    // globally
+    val p = plan("q159_diversified_topk")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q148: cross-corpus candidates expand buckets, never join corpora") {
     val p = plan("q148_cross_neardup")
     assert(!p.contains("CartesianProduct") &&

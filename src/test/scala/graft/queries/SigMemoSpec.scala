@@ -134,4 +134,10 @@ class SigMemoSpec extends SparkSpec {
   pinSharedEqualsIsolated("q154_dup_source_matrix",
     "the source matrix over the landed candidate-pair store must " +
       "equal re-banding the signature store")
+  pinSharedEqualsIsolated("q156_leak_safe_split",
+    "split assignment over the landed candidate-pair store must " +
+      "equal re-banding the signature store per query")
+  pinSharedEqualsIsolated("q157_canonical_docs",
+    "keep-best selection over the landed candidate-pair store must " +
+      "equal re-banding the signature store per query")
 }
