@@ -1097,6 +1097,61 @@ object Dedup {
         coalesce(col("n_hit"), lit(0L)).as("n_hit"))
   }
 
+  /** Dedup impact report: per slice (language, crawl source, shard…),
+    * how many documents and how much weight (chars, tokens, bytes) the
+    * keep-minimum-id dedup policy would drop — the "what did dedup buy
+    * us, and where" readout that decides whether a source is worth
+    * crawling at its current rate before anything is actually deleted.
+    *
+    * Output per slice: total docs, docs dropped, total weight, weight
+    * dropped. Weight must be integral (exact sums in any engine).
+    *
+    * Scale shape: the drop set (non-representative cluster members) is
+    * LSH-candidate-sized, far below the corpus; the corpus sees one
+    * left join against it — only (id, slice, weight) move, never text —
+    * and one groupBy over ≤|slices| keys with map-side partials.
+    */
+  def dedupSavings(docs: DataFrame, edges: DataFrame, slice: Column,
+                   weight: Column, id: Column = col("doc_id")): DataFrame = {
+    val drops = duplicateClusters(edges)
+      .filter(col("doc_id") =!= col("comp_id"))
+      .select(col("doc_id").as("__drop_id"))
+    docs.select(id.cast("long").as("__id"), slice.as("slice"),
+        weight.cast("long").as("__w"))
+      .join(drops, col("__id") === col("__drop_id"), "left")
+      .groupBy("slice")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("__drop_id")).as("n_dropped"),
+        sum(col("__w")).as("weight_total"),
+        sum(when(col("__drop_id").isNotNull, col("__w")).otherwise(0L))
+          .as("weight_dropped"))
+  }
+
+  /** Duplicate-cluster size distribution: how many clusters of each
+    * size the near-dup graph contains, INCLUDING the singleton count
+    * (docs untouched by any pair) — the dedup-health histogram whose
+    * heavy tail says "boilerplate family" and whose singleton mass says
+    * "mostly clean". Clusters from edges always have size >= 2, so the
+    * size-1 row never collides with a computed one.
+    *
+    * Scale shape: two groupBys over the (small) cluster-membership
+    * table, plus two scalar counts crossed into the singleton row —
+    * the corpus contributes one count(), nothing else.
+    */
+  def clusterSizeHistogram(docs: DataFrame, edges: DataFrame,
+                           id: Column = col("doc_id")): DataFrame = {
+    val sizes = duplicateClusters(edges)
+      .groupBy("comp_id").agg(count(lit(1)).as("cluster_size"))
+    val multi = sizes.groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+    val singles = docs.agg(count(id).as("__nd"))
+      .crossJoin(sizes.agg(coalesce(sum(col("cluster_size")), lit(0L))
+        .as("__nc")))
+      .select(lit(1L).as("cluster_size"),
+        (col("__nd") - col("__nc")).as("n_clusters"))
+    multi.unionByName(singles)
+  }
+
   // -------------------------------------------------- decontamination
 
   /** Benchmark decontamination at corpus scale: every (train doc, eval

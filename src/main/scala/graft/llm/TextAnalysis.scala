@@ -638,6 +638,43 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"), col("lm_score"), col("keep"))
   }
 
+  /** Per-slice n-gram diversity (the type–token ratio generalized to
+    * n-grams — the Self-BLEU-family "is this slice repetitive?" corpus
+    * readout): for each requested n, the slice's total n-gram
+    * occurrence count and its DISTINCT n-gram count, both exact
+    * integers; the diversity ratio is the caller's division. A slice
+    * whose distinct/total collapses as n grows is template-generated
+    * text; a diverse one keeps the ratio near 1.
+    *
+    * Scale shape: totals come from token COUNTS inside the scan (never
+    * an explode — `max(0, tokens − n + 1)` per doc, summed map-side);
+    * only the distinct count pays a gram shuffle, carrying per-doc
+    * DISTINCT grams with partial-aggregate dedup map-side. Exactness
+    * costs that shuffle by nature; at 100 TB swap the distinct leg for
+    * [[Sketches.kmvDistinct]] when ±2% suffices. One totals + one
+    * distinct pass per n over ≤|slices| result rows.
+    */
+  def ngramDiversity(docs: DataFrame, slice: Column, ns: Seq[Int],
+                     text: Column = col("text")): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1) && ns.distinct == ns,
+      s"ns must be distinct and >= 1: $ns")
+    val frames = ns.map { n =>
+      val toks = size(split(Dedup.normalized(text), " "))
+      val totals = docs
+        .select(slice.as("slice"),
+          greatest(lit(0), coalesce(toks, lit(0)) - lit(n - 1))
+            .cast("long").as("__t"))
+        .groupBy("slice").agg(sum(col("__t")).as("total_ngrams"))
+      val distincts = docs
+        .select(slice.as("slice"), explode(Dedup.shingles(text, n)).as("g"))
+        .groupBy("slice").agg(countDistinct(col("g")).as("distinct_ngrams"))
+      totals.join(distincts, Seq("slice"), "left")
+        .select(col("slice"), lit(n).as("n"), col("total_ngrams"),
+          coalesce(col("distinct_ngrams"), lit(0L)).as("distinct_ngrams"))
+    }
+    frames.reduce(_ unionByName _)
+  }
+
   /** PMI collocation mining (phrase detection, word2vec-phrases style):
     * adjacent token pairs scored by an integer pointwise-mutual-
     * information surrogate — the UN-LOGGED PMI argument

@@ -379,6 +379,90 @@ object Oracles {
     // running-max-end window replay of the interval-union aggregation:
     // contribution = max(0, e - max(s, prev_max_end)), islands start
     // where s clears the running max
+    // the q58 drop set aggregated per crawl source with conditional sums
+    "q160_dedup_savings" ->
+      s"""WITH RECURSIVE $minhashPortableCtes,
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM est WHERE est_jaccard >= 0.4
+         |  UNION
+         |  SELECT id_b, id_a FROM est WHERE est_jaccard >= 0.4),
+         |verts AS (SELECT DISTINCT u AS id FROM edges),
+         |walk(src, dst) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT w.src, e.v FROM walk w JOIN edges e ON e.u = w.dst),
+         |drop_ids AS (
+         |  SELECT src FROM walk GROUP BY src HAVING min(dst) <> src)
+         |SELECT source,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(*) FILTER (WHERE doc_id IN
+         |         (SELECT src FROM drop_ids)) AS BIGINT) AS n_dropped,
+         |       CAST(sum(n_chars) AS BIGINT) AS weight_total,
+         |       CAST(coalesce(sum(n_chars) FILTER (WHERE doc_id IN
+         |         (SELECT src FROM drop_ids)), 0) AS BIGINT)
+         |         AS weight_dropped
+         |FROM documents GROUP BY source""".stripMargin,
+
+    // component sizes off the recursive walk, plus the singleton row
+    // (total docs minus clustered docs) at size 1
+    "q161_cluster_sizes" ->
+      s"""WITH RECURSIVE $minhashPortableCtes,
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM est WHERE est_jaccard >= 0.4
+         |  UNION
+         |  SELECT id_b, id_a FROM est WHERE est_jaccard >= 0.4),
+         |verts AS (SELECT DISTINCT u AS id FROM edges),
+         |walk(src, dst) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT w.src, e.v FROM walk w JOIN edges e ON e.u = w.dst),
+         |comp AS (SELECT src AS doc_id, min(dst) AS comp_id
+         |         FROM walk GROUP BY 1),
+         |sizes AS (SELECT comp_id, count(*) AS cluster_size
+         |          FROM comp GROUP BY 1)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM sizes GROUP BY 1
+         |UNION ALL
+         |SELECT 1 AS cluster_size,
+         |       CAST((SELECT count(*) FROM documents)
+         |         - coalesce((SELECT sum(cluster_size) FROM sizes), 0)
+         |         AS BIGINT) AS n_clusters""".stripMargin,
+
+    // per n: totals from token counts, distincts from the per-doc
+    // distinct gram lists — three blocks UNION ALL
+    "q162_ngram_diversity" ->
+      raw"""WITH tk AS (
+         |  SELECT lang, string_split($norm, ' ') AS t FROM documents),
+         |g1 AS (SELECT lang, unnest(list_distinct(t)) AS g FROM tk),
+         |g2 AS (SELECT lang, unnest(list_distinct(list_transform(
+         |  range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS g FROM tk),
+         |g3 AS (SELECT lang, unnest(list_distinct(list_transform(
+         |  range(1, len(t) - 1),
+         |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g FROM tk),
+         |t1 AS (SELECT lang, CAST(sum(greatest(0, len(t))) AS BIGINT)
+         |         AS total_ngrams FROM tk GROUP BY 1),
+         |t2 AS (SELECT lang, CAST(sum(greatest(0, len(t) - 1)) AS BIGINT)
+         |         AS total_ngrams FROM tk GROUP BY 1),
+         |t3 AS (SELECT lang, CAST(sum(greatest(0, len(t) - 2)) AS BIGINT)
+         |         AS total_ngrams FROM tk GROUP BY 1),
+         |d1 AS (SELECT lang, count(DISTINCT g) AS distinct_ngrams
+         |       FROM g1 GROUP BY 1),
+         |d2 AS (SELECT lang, count(DISTINCT g) AS distinct_ngrams
+         |       FROM g2 GROUP BY 1),
+         |d3 AS (SELECT lang, count(DISTINCT g) AS distinct_ngrams
+         |       FROM g3 GROUP BY 1)
+         |SELECT t1.lang, 1 AS n, total_ngrams,
+         |       coalesce(distinct_ngrams, 0) AS distinct_ngrams
+         |FROM t1 LEFT JOIN d1 USING (lang)
+         |UNION ALL
+         |SELECT t2.lang, 2 AS n, total_ngrams,
+         |       coalesce(distinct_ngrams, 0)
+         |FROM t2 LEFT JOIN d2 USING (lang)
+         |UNION ALL
+         |SELECT t3.lang, 3 AS n, total_ngrams,
+         |       coalesce(distinct_ngrams, 0)
+         |FROM t3 LEFT JOIN d3 USING (lang)""".stripMargin,
+
     // cluster labels replayed with the q53 recursive walk, split by the
     // md5 bucket of the CLUSTER id (singletons = own id) — the
     // leakage-free split law

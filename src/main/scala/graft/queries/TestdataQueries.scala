@@ -2052,7 +2052,35 @@ object TestdataQueries {
       order = Seq(col("n_chars").desc, col("doc_id").asc),
       k = 20, perGroup = 2)
 
+  /** Dedup savings report (X101): per crawl source, docs and chars the
+    * keep-min-id policy drops off the landed candidate store — the
+    * "what did dedup buy us, and where" readout
+    * ([[graft.llm.Dedup.dedupSavings]]). */
+  def q160DedupSavings(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupSavings(t(s, dir, "documents"),
+        portableCandidatePairs(s, dir),
+        slice = col("source"), weight = col("n_chars"))
+      .withColumnRenamed("slice", "source")
+
+  /** Cluster-size histogram (X102): the duplicate-family size
+    * distribution including the singleton mass — dedup health at a
+    * glance ([[graft.llm.Dedup.clusterSizeHistogram]]). */
+  def q161ClusterSizes(s: SparkSession, dir: String): DataFrame =
+    Dedup.clusterSizeHistogram(t(s, dir, "documents"),
+      portableCandidatePairs(s, dir))
+
+  /** N-gram diversity (X103): per-language exact type–token ratios at
+    * n = 1, 2, 3 — the "is this slice template-generated?" readout
+    * ([[graft.llm.TextAnalysis.ngramDiversity]]). */
+  def q162NgramDiversity(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ngramDiversity(t(s, dir, "documents"),
+        slice = col("lang"), ns = Seq(1, 2, 3))
+      .withColumnRenamed("slice", "lang")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_dedup_savings" -> q160DedupSavings _,
+    "q161_cluster_sizes" -> q161ClusterSizes _,
+    "q162_ngram_diversity" -> q162NgramDiversity _,
     "q156_leak_safe_split" -> q156LeakSafeSplit _,
     "q157_canonical_docs" -> q157CanonicalDocs _,
     "q158_contamination_fraction" -> q158ContaminationFraction _,

@@ -1806,6 +1806,64 @@ class LlmOpsSpec extends SparkSpec {
     assert(dirty == decon)
   }
 
+  test("dedup savings: per-slice drop counts and weights are exact") {
+    val d = Seq(
+      (0L, "a", 100L), (1L, "a", 50L), (2L, "a", 30L),  // cluster {0,1,2}
+      (10L, "b", 20L), (11L, "b", 25L),                 // cluster {10,11}
+      (20L, "a", 7L), (21L, "b", 9L)                    // singletons
+    ).toDF("doc_id", "src", "w")
+    val edges = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.dedupSavings(d, edges, slice = col("src"),
+        weight = col("w"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // keep-min-id drops 1,2 (cluster 0) and 11 (cluster 10)
+    assert(got == Map(
+      "a" -> ((4L, 2L, 187L, 80L)),
+      "b" -> ((3L, 1L, 54L, 25L))))
+    // no edges: nothing dropped, totals intact
+    val clean = Dedup.dedupSavings(d, edges.limit(0), col("src"), col("w"))
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(4)))
+      .toMap
+    assert(clean == Map("a" -> ((0L, 0L)), "b" -> ((0L, 0L))))
+  }
+
+  test("cluster size histogram: sizes from components plus the " +
+    "singleton mass") {
+    val d = (0L until 10L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    // one 3-cluster {0,1,2}, one 2-cluster {5,6} -> 5 singletons
+    val edges = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.clusterSizeHistogram(d, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(3L -> 1L, 2L -> 1L, 1L -> 5L))
+    // no edges at all: every doc is a singleton
+    val none = Dedup.clusterSizeHistogram(d, edges.limit(0))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(none == Map(1L -> 10L))
+  }
+
+  test("ngram diversity: exact totals and distinct counts per slice") {
+    val d = Seq(
+      (0L, "en", "a b a b"),      // 4 toks: uni 4/2, bi 3/2 (ab,ba,ab), tri 2/2
+      (1L, "en", "a b"),          // +2 toks: uni distinct stays {a,b}; bi +1 total
+      (2L, "de", "x x x"),        // uni 3/1, bi 2/1, tri 1/1
+      (3L, "de", null)            // null text: contributes nothing
+    ).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.ngramDiversity(d, slice = col("lang"),
+        ns = Seq(1, 2, 3))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      ("en", 1) -> ((6L, 2L)), ("en", 2) -> ((4L, 2L)),
+      ("en", 3) -> ((2L, 2L)),
+      ("de", 1) -> ((3L, 1L)), ("de", 2) -> ((2L, 1L)),
+      ("de", 3) -> ((1L, 1L))))
+    // ns must be distinct and positive
+    intercept[IllegalArgumentException] {
+      TextAnalysis.ngramDiversity(d, col("lang"), Seq(2, 2))
+    }
+  }
+
   test("diversified top-k: per-group cap then global cut, deterministic") {
     val d = Seq(
       (0L, "en", 100L), (1L, "en", 90L), (2L, "en", 80L), (3L, "en", 70L),

@@ -140,4 +140,10 @@ class SigMemoSpec extends SparkSpec {
   pinSharedEqualsIsolated("q157_canonical_docs",
     "keep-best selection over the landed candidate-pair store must " +
       "equal re-banding the signature store per query")
+  pinSharedEqualsIsolated("q160_dedup_savings",
+    "the per-source savings report over the landed candidate-pair " +
+      "store must equal re-banding the signature store per query")
+  pinSharedEqualsIsolated("q161_cluster_sizes",
+    "the cluster-size histogram over the landed candidate-pair store " +
+      "must equal re-banding the signature store per query")
 }
