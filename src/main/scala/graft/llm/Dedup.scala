@@ -1022,7 +1022,10 @@ object Dedup {
     require(cuts.map(_._2) == cuts.map(_._2).sorted &&
       cuts.map(_._2).distinct == cuts.map(_._2),
       s"cuts must be strictly ascending: ${cuts.map(_._2)}")
-    require(cuts.last._2 <= 100, "cuts are percentages over bucket mod 100")
+    // a non-positive first cut is an unreachable split — a typo'd
+    // percentage must fail fast, not silently empty a split
+    require(cuts.head._2 >= 1 && cuts.last._2 <= 100,
+      s"cuts are percentages in [1, 100]: ${cuts.map(_._2)}")
     val comps = duplicateClusters(edges)
       .select(col("doc_id").as("__cid"), col("comp_id"))
     val withCluster = docs.select(id.cast("long").as("doc_id"))
@@ -1050,6 +1053,7 @@ object Dedup {
     */
   def canonicalDocs(docs: DataFrame, edges: DataFrame, score: Column,
                     id: Column = col("doc_id")): DataFrame = {
+    requireIntegral(docs, score, "canonicalDocs score")
     val comps = duplicateClusters(edges)
     val members = docs
       .select(id.cast("long").as("doc_id"), score.cast("long").as("__score"))
@@ -1083,7 +1087,11 @@ object Dedup {
                             trainId: Column = col("doc_id"),
                             evalText: Column = col("text"),
                             trainText: Column = col("text")): DataFrame = {
-    val evalGrams = eval.select(explode(shingles(evalText, k)).as("g")).distinct()
+    // no distinct on the eval grams (the bloomSemiJoin convention):
+    // bit-or makes duplicate keys a no-op in the bloom build, and a
+    // left_semi output is per-train-row regardless of build-side
+    // multiplicity — a distinct would only add a gram-set shuffle
+    val evalGrams = eval.select(explode(shingles(evalText, k)).as("g"))
     val bits = Sketches.bloomBuild(evalGrams, col("g"), numBits, numHashes)
     val totals = train.select(trainId.as("train_id"),
       coalesce(size(shingles(trainText, k)), lit(0)).cast("long").as("n_grams"))
@@ -1111,8 +1119,20 @@ object Dedup {
     * left join against it — only (id, slice, weight) move, never text —
     * and one groupBy over ≤|slices| keys with map-side partials.
     */
+  /** Both contract-documented "integral" inputs fail FAST on a
+    * fractional column: a silent cast("long") truncation would flip
+    * argmaxes / skew sums with no error (floor(2.9) == floor(2.1)). */
+  private def requireIntegral(df: DataFrame, c: Column, what: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val t = df.select(c.as("__probe")).schema.head.dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
+      s"$what must be an integral column (got $t); " +
+        "quantize explicitly (e.g. floor(x * 100 + 0.5)) before passing")
+  }
+
   def dedupSavings(docs: DataFrame, edges: DataFrame, slice: Column,
                    weight: Column, id: Column = col("doc_id")): DataFrame = {
+    requireIntegral(docs, weight, "dedupSavings weight")
     val drops = duplicateClusters(edges)
       .filter(col("doc_id") =!= col("comp_id"))
       .select(col("doc_id").as("__drop_id"))
@@ -1140,7 +1160,15 @@ object Dedup {
     */
   def clusterSizeHistogram(docs: DataFrame, edges: DataFrame,
                            id: Column = col("doc_id")): DataFrame = {
-    val sizes = duplicateClusters(edges)
+    // membership restricted to docs: an edge list wider than the doc
+    // slice (the natural misuse — global pairs against a filtered
+    // corpus) would otherwise subtract foreign members from the
+    // singleton mass and report a negative count; sizes are measured
+    // WITHIN docs, so members ⊆ docs and the arithmetic stays sound
+    val members = duplicateClusters(edges)
+      .join(docs.select(id.cast("long").as("doc_id")), Seq("doc_id"),
+        "left_semi")
+    val sizes = members
       .groupBy("comp_id").agg(count(lit(1)).as("cluster_size"))
     val multi = sizes.groupBy("cluster_size")
       .agg(count(lit(1)).as("n_clusters"))
@@ -1149,7 +1177,10 @@ object Dedup {
         .as("__nc")))
       .select(lit(1L).as("cluster_size"),
         (col("__nd") - col("__nc")).as("n_clusters"))
+    // a sliced cluster can shrink to one in-docs member — merge that
+    // size-1 mass with the singleton row instead of emitting two keys
     multi.unionByName(singles)
+      .groupBy("cluster_size").agg(sum(col("n_clusters")).as("n_clusters"))
   }
 
   // -------------------------------------------------- decontamination

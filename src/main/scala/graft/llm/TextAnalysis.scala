@@ -646,33 +646,42 @@ object TextAnalysis {
     * whose distinct/total collapses as n grows is template-generated
     * text; a diverse one keeps the ratio near 1.
     *
-    * Scale shape: totals come from token COUNTS inside the scan (never
-    * an explode — `max(0, tokens − n + 1)` per doc, summed map-side);
-    * only the distinct count pays a gram shuffle, carrying per-doc
-    * DISTINCT grams with partial-aggregate dedup map-side. Exactness
-    * costs that shuffle by nature; at 100 TB swap the distinct leg for
-    * [[Sketches.kmvDistinct]] when ±2% suffices. One totals + one
-    * distinct pass per n over ≤|slices| result rows.
+    * Scale shape: ONE totals scan for every n together — the token
+    * count is computed once per doc and each n's total is a conditional
+    * sum `max(0, tokens − n + 1)` off it, summed map-side, then melted
+    * with stack — and ONE gram scan for every n's distinct leg: each
+    * doc's per-n DISTINCT shingle lists are tagged with n and exploded
+    * through a single generator, so the only gram shuffle carries
+    * (slice, n, gram) with map-side dedup partials. |ns| never
+    * multiplies the corpus scans. Exactness costs that one shuffle by
+    * nature; at 100 TB swap the distinct leg for
+    * [[Sketches.kmvDistinct]] when ±2% suffices.
     */
   def ngramDiversity(docs: DataFrame, slice: Column, ns: Seq[Int],
                      text: Column = col("text")): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1) && ns.distinct == ns,
       s"ns must be distinct and >= 1: $ns")
-    val frames = ns.map { n =>
-      val toks = size(split(Dedup.normalized(text), " "))
-      val totals = docs
-        .select(slice.as("slice"),
-          greatest(lit(0), coalesce(toks, lit(0)) - lit(n - 1))
-            .cast("long").as("__t"))
-        .groupBy("slice").agg(sum(col("__t")).as("total_ngrams"))
-      val distincts = docs
-        .select(slice.as("slice"), explode(Dedup.shingles(text, n)).as("g"))
-        .groupBy("slice").agg(countDistinct(col("g")).as("distinct_ngrams"))
-      totals.join(distincts, Seq("slice"), "left")
-        .select(col("slice"), lit(n).as("n"), col("total_ngrams"),
-          coalesce(col("distinct_ngrams"), lit(0L)).as("distinct_ngrams"))
-    }
-    frames.reduce(_ unionByName _)
+    val toks = size(split(Dedup.normalized(text), " "))
+    val perN = ns.map(n =>
+      sum(greatest(lit(0), coalesce(toks, lit(0)) - lit(n - 1))
+        .cast("long")).as(s"__t$n"))
+    val wide = docs.groupBy(slice.as("slice"))
+      .agg(perN.head, perN.tail: _*)
+    val totals = wide.select(col("slice"),
+      expr(s"stack(${ns.length}, " +
+        ns.map(n => s"$n, __t$n").mkString(", ") + ") AS (n, total_ngrams)"))
+    // null text -> null shingle arrays -> flatten yields null -> the
+    // explode drops the row, matching the zero totals above
+    val tagged = docs.select(slice.as("slice"),
+      explode(flatten(array(ns.map(n =>
+        transform(Dedup.shingles(text, n),
+          g => struct(lit(n).as("n"), g.as("g")))): _*))).as("tg"))
+    val distincts = tagged
+      .select(col("slice"), col("tg.n").as("n"), col("tg.g").as("g"))
+      .groupBy("slice", "n").agg(countDistinct(col("g")).as("distinct_ngrams"))
+    totals.join(distincts, Seq("slice", "n"), "left")
+      .select(col("slice"), col("n"), col("total_ngrams"),
+        coalesce(col("distinct_ngrams"), lit(0L)).as("distinct_ngrams"))
   }
 
   /** PMI collocation mining (phrase detection, word2vec-phrases style):

@@ -376,9 +376,6 @@ object Oracles {
          |       (SELECT CAST(count(*) AS BIGINT)
          |        FROM ex JOIN ca ON ex.a = ca.a AND ex.b = ca.b) AS hits""".stripMargin,
 
-    // running-max-end window replay of the interval-union aggregation:
-    // contribution = max(0, e - max(s, prev_max_end)), islands start
-    // where s clears the running max
     // the q58 drop set aggregated per crawl source with conditional sums
     "q160_dedup_savings" ->
       s"""WITH RECURSIVE $minhashPortableCtes,
@@ -554,6 +551,9 @@ object Oracles {
         |SELECT doc_id, lang, n_chars FROM r WHERE rn <= 2
         |ORDER BY n_chars DESC, doc_id ASC LIMIT 20""".stripMargin,
 
+    // running-max-end window replay of the interval-union aggregation:
+    // contribution = max(0, e - max(s, prev_max_end)), islands start
+    // where s clears the running max
     "q155_interval_coverage" ->
       """WITH iv AS (
         |  SELECT user_id, epoch_us(ts) AS s,

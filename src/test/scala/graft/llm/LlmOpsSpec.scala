@@ -1754,9 +1754,13 @@ class LlmOpsSpec extends SparkSpec {
     val want20 =
       if (b20 < 80) "train" else if (b20 < 90) "validation" else "test"
     assert(got(23L)._2 == want20)
-    // cuts must ascend strictly
+    // cuts must ascend strictly, and a non-positive cut (an unreachable
+    // split) must fail fast
     intercept[IllegalArgumentException] {
       Dedup.leakSafeSplit(d, edges, Seq("a" -> 90, "b" -> 80), "c")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.leakSafeSplit(d, edges, Seq("a" -> -5, "b" -> 90), "c")
     }
   }
 
@@ -1779,6 +1783,11 @@ class LlmOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(again == got)
+    // a fractional score must fail fast, not silently floor (2.9 and
+    // 2.1 would tie and flip the argmax to the id tiebreak)
+    intercept[IllegalArgumentException] {
+      Dedup.canonicalDocs(d, edges, score = length(col("text")) / 2.0)
+    }
   }
 
   test("contamination fraction: exact distinct-gram counts, zero rows " +
@@ -1826,6 +1835,10 @@ class LlmOpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(4)))
       .toMap
     assert(clean == Map("a" -> ((0L, 0L)), "b" -> ((0L, 0L))))
+    // fractional weights must fail fast (silent floor skews the sums)
+    intercept[IllegalArgumentException] {
+      Dedup.dedupSavings(d, edges, col("src"), col("w") * 1.5)
+    }
   }
 
   test("cluster size histogram: sizes from components plus the " +
@@ -1840,6 +1853,14 @@ class LlmOpsSpec extends SparkSpec {
     val none = Dedup.clusterSizeHistogram(d, edges.limit(0))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(none == Map(1L -> 10L))
+    // an edge list WIDER than the doc slice (global pairs vs a filtered
+    // corpus) must not corrupt the singleton mass: sizes are measured
+    // within docs, and a cluster sliced down to one member merges into
+    // the size-1 row instead of duplicating the key
+    val sliced = Dedup.clusterSizeHistogram(d.filter(col("doc_id") <= 5),
+        edges) // {0,1,2} intact, {5,6} loses 6 -> 5 becomes a singleton
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sliced == Map(3L -> 1L, 1L -> 3L)) // docs 3,4 + sliced 5
   }
 
   test("ngram diversity: exact totals and distinct counts per slice") {
