@@ -340,6 +340,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q162: every n-gram size shares ONE tagged generator") {
+    // the one-pass law from the round-9 review: |ns| must not multiply
+    // the corpus scans — all distinct legs ride a single explode of
+    // per-n tagged shingle lists, and totals are conditional sums in
+    // one aggregate (no generator at all on that leg)
+    val p = plan("q162_ngram_diversity")
+    // exactly two generators: ONE corpus-side explode carrying every
+    // n's tagged shingles, plus the metadata-sized stack melt of the
+    // per-slice totals row (the AQE wrapper hides the plan tree from a
+    // direct executedPlan collect, so count explain-detail nodes)
+    val gens = raw"\(\d+\) Generate\b".r.findAllIn(p).size
+    assert(gens == 2, s"expected explode + stack only, got $gens:\n$p")
+    assert("Arguments: explode".r.findAllIn(p).size == 1, p)
+    assert("Arguments: stack".r.findAllIn(p).size == 1, p)
+  }
+
   test("q148: cross-corpus candidates expand buckets, never join corpora") {
     val p = plan("q148_cross_neardup")
     assert(!p.contains("CartesianProduct") &&
