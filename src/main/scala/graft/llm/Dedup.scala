@@ -1018,6 +1018,17 @@ object Dedup {
   def leakSafeSplit(docs: DataFrame, edges: DataFrame,
                     cuts: Seq[(String, Int)], lastSplit: String,
                     id: Column = col("doc_id")): DataFrame = {
+    validateCuts(cuts)
+    val comps = duplicateClusters(edges)
+      .select(col("doc_id").as("__cid"), col("comp_id"))
+    val withCluster = docs.select(id.cast("long").as("doc_id"))
+      .join(comps, col("doc_id") === col("__cid"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp_id"), col("doc_id")).as("cluster_id"))
+    withCluster.withColumn("split", hashSplit(col("cluster_id"), cuts, lastSplit))
+  }
+
+  private def validateCuts(cuts: Seq[(String, Int)]): Unit = {
     require(cuts.nonEmpty, "at least one cut")
     require(cuts.map(_._2) == cuts.map(_._2).sorted &&
       cuts.map(_._2).distinct == cuts.map(_._2),
@@ -1026,17 +1037,79 @@ object Dedup {
     // percentage must fail fast, not silently empty a split
     require(cuts.head._2 >= 1 && cuts.last._2 <= 100,
       s"cuts are percentages in [1, 100]: ${cuts.map(_._2)}")
-    val comps = duplicateClusters(edges)
-      .select(col("doc_id").as("__cid"), col("comp_id"))
-    val withCluster = docs.select(id.cast("long").as("doc_id"))
-      .join(comps, col("doc_id") === col("__cid"), "left")
-      .select(col("doc_id"),
-        coalesce(col("comp_id"), col("doc_id")).as("cluster_id"))
-    val b = Sampling.hashBucket(col("cluster_id")) % 100
-    val split = cuts.foldRight(lit(lastSplit)) { case ((name, cut), tail) =>
+  }
+
+  /** The shared md5-bucket split law: `bucket(key) mod 100` against the
+    * ascending cut chain. */
+  private def hashSplit(key: Column, cuts: Seq[(String, Int)],
+                        lastSplit: String): Column = {
+    val b = Sampling.hashBucket(key) % 100
+    cuts.foldRight(lit(lastSplit)) { case ((name, cut), tail) =>
       when(b < cut, lit(name)).otherwise(tail)
     }
-    withCluster.withColumn("split", split)
+  }
+
+  /** Incremental leak-safe split — the ASSIGNMENT-STABLE production
+    * form of [[leakSafeSplit]]. The one-shot law is not stable under
+    * corpus growth: a cluster's min-id representative (and so its hash
+    * bucket) can change when a later batch merges clusters, silently
+    * FLIPPING already-published splits — poison for any consumer that
+    * has trained on them. Here prior assignments are immutable inputs:
+    *
+    *  - a batch doc whose near-dup component touches the store INHERITS
+    *    a stored split (the split of the smallest stored member id —
+    *    deterministic under any partitioning), never re-hashes;
+    *  - if the component touches stored docs with CONFLICTING splits
+    *    (two stored clusters, previously split apart, merged by a new
+    *    bridge doc — boundary leakage that already materialized), the
+    *    batch doc still takes the deterministic pick and the row is
+    *    flagged with `n_store_splits > 1` so the caller can quarantine
+    *    or retrain instead of discovering the leak downstream;
+    *  - a component with no stored member is new: its members hash by
+    *    the batch-local cluster representative, exactly the one-shot
+    *    law (the two agree on a fresh store — spec-pinned).
+    *
+    * Inputs: `assigned` is the persisted (doc_id, split) store; `edges`
+    * are candidate pairs with endpoints in batch ∪ store (the
+    * [[incrementalMinhashCandidates]] output — batch-only hashing, the
+    * store never re-shingles). Output: one row per batch doc
+    * (doc_id, cluster_id, split, inherited, n_store_splits).
+    *
+    * Scale shape: components over the (batch-sized) incremental edge
+    * list; ONE join against the assignment store restricted to those
+    * components' members (store rows outside touched components never
+    * move); per-component inheritance is a groupBy over the touched
+    * members, broadcast back over the batch. Nothing rescans the corpus.
+    */
+  def incrementalLeakSafeSplit(assigned: DataFrame, batchDocs: DataFrame,
+                               edges: DataFrame, cuts: Seq[(String, Int)],
+                               lastSplit: String,
+                               id: Column = col("doc_id")): DataFrame = {
+    validateCuts(cuts)
+    val comps = duplicateClusters(edges) // (doc_id, comp_id) for edge docs
+    // stored members of touched components -> per-component inherited
+    // split: the split of the smallest stored member id. min(struct) is
+    // the argmin with one combiner cell per component.
+    val inherited = comps
+      .join(assigned.select(col("doc_id"),
+        col("split").as("__stored_split")), "doc_id")
+      .groupBy(col("comp_id"))
+      .agg(min(struct(col("doc_id").as("i"), col("__stored_split").as("s")))
+          .as("__m"),
+        countDistinct(col("__stored_split")).as("n_store_splits"))
+      .select(col("comp_id"), col("__m.s").as("__inherit"),
+        col("n_store_splits"))
+    val b = batchDocs.select(id.cast("long").as("doc_id"))
+      .join(comps.select(col("doc_id").as("__cid"), col("comp_id")),
+        col("doc_id") === col("__cid"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp_id"), col("doc_id")).as("cluster_id"))
+    b.join(inherited, b("cluster_id") === inherited("comp_id"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+        coalesce(col("__inherit"),
+          hashSplit(col("cluster_id"), cuts, lastSplit)).as("split"),
+        col("__inherit").isNotNull.as("inherited"),
+        coalesce(col("n_store_splits"), lit(0L)).as("n_store_splits"))
   }
 
   /** Quality-aware canonical selection: one row per duplicate cluster

@@ -1764,6 +1764,50 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental leak-safe split: inherits stored splits, flags " +
+    "merge conflicts, matches the one-shot law on a fresh store") {
+    import java.security.MessageDigest
+    def bucket(id: Long): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 7), 16) % 100
+    }
+    def law(id: Long): String = {
+      val b = bucket(id)
+      if (b < 80) "train" else if (b < 90) "validation" else "test"
+    }
+    val cuts = Seq("train" -> 80, "validation" -> 90)
+    def run(store: Seq[(Long, String)], batch: Seq[Long],
+            edges: Seq[(Long, Long)]) =
+      Dedup.incrementalLeakSafeSplit(
+          store.toDF("doc_id", "split"), batch.toDF("doc_id"),
+          edges.toDF("id_a", "id_b"), cuts, "test")
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(2), r.getBoolean(3), r.getLong(4))).toMap
+
+    // 1) fresh store: every batch doc follows the one-shot hash law,
+    //    clustered docs by their batch-local representative
+    val fresh = run(Seq.empty, Seq(0L, 1L, 2L, 9L), Seq((0L, 1L)))
+    assert(fresh(0L) == ((law(0L), false, 0L)))
+    assert(fresh(1L) == ((law(0L), false, 0L))) // rep 0, not own hash
+    assert(fresh(2L) == ((law(2L), false, 0L)))
+    // 2) inheritance beats re-hashing: stored doc 5 was published as
+    //    "validation" (whatever its hash says); a new near-dup of it
+    //    must land there too
+    val inh = run(Seq(5L -> "validation"), Seq(100L), Seq((5L, 100L)))
+    assert(inh(100L) == (("validation", true, 1L)))
+    // 3) a bridge doc merging two stored clusters with different splits
+    //    takes the smallest stored member's split and is FLAGGED
+    val conf = run(Seq(5L -> "validation", 7L -> "train"), Seq(100L),
+      Seq((5L, 100L), (7L, 100L)))
+    assert(conf(100L) == (("validation", true, 2L)))
+    // 4) the stability win over the one-shot law: doc 100 published,
+    //    then a SMALLER-id near-dup arrives; one-shot would re-hash the
+    //    cluster under rep 50, incremental keeps 100's published split
+    val stab = run(Seq(100L -> law(100L)), Seq(50L), Seq((50L, 100L)))
+    assert(stab(50L) == ((law(100L), true, 1L)))
+  }
+
   test("canonical docs: best score wins, ties break to the smaller id") {
     val d = Seq(
       (0L, "aaaa"), (1L, "aaaaaaaa"), (2L, "aaaaaa"),    // cluster 0: 1 wins
