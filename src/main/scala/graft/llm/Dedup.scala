@@ -1063,8 +1063,15 @@ object Dedup {
     *    (two stored clusters, previously split apart, merged by a new
     *    bridge doc — boundary leakage that already materialized), the
     *    batch doc still takes the deterministic pick and the row is
-    *    flagged with `n_store_splits > 1` so the caller can quarantine
-    *    or retrain instead of discovering the leak downstream;
+    *    flagged `conflicted` (with the raw `n_store_splits` count) so
+    *    the caller can quarantine or retrain instead of discovering the
+    *    leak downstream. Conflict is STICKY across batches when the
+    *    caller feeds back `conflictedIds` (the member ids of previously
+    *    conflicted components, e.g. [[graft.stream.StreamingSplitRouter]]'s
+    *    `split_conflicts` table): any component touching one is flagged
+    *    even when the splits it directly sees agree — without this, a
+    *    later near-dup of ONE side of a flagged merge sails through
+    *    unflagged;
     *  - a component with no stored member is new: its members hash by
     *    the batch-local cluster representative, exactly the one-shot
     *    law (the two agree on a fresh store — spec-pinned).
@@ -1073,7 +1080,7 @@ object Dedup {
     * are candidate pairs with endpoints in batch ∪ store (the
     * [[incrementalMinhashCandidates]] output — batch-only hashing, the
     * store never re-shingles). Output: one row per batch doc
-    * (doc_id, cluster_id, split, inherited, n_store_splits).
+    * (doc_id, cluster_id, split, inherited, n_store_splits, conflicted).
     *
     * Scale shape: components over the (batch-sized) incremental edge
     * list; ONE join against the assignment store restricted to those
@@ -1084,7 +1091,9 @@ object Dedup {
   def incrementalLeakSafeSplit(assigned: DataFrame, batchDocs: DataFrame,
                                edges: DataFrame, cuts: Seq[(String, Int)],
                                lastSplit: String,
-                               id: Column = col("doc_id")): DataFrame = {
+                               id: Column = col("doc_id"),
+                               conflictedIds: Option[DataFrame] = None)
+      : DataFrame = {
     validateCuts(cuts)
     val comps = duplicateClusters(edges) // (doc_id, comp_id) for edge docs
     // stored members of touched components -> per-component inherited
@@ -1099,17 +1108,55 @@ object Dedup {
         countDistinct(col("__stored_split")).as("n_store_splits"))
       .select(col("comp_id"), col("__m.s").as("__inherit"),
         col("n_store_splits"))
+    // components touching a known-compromised doc id: the conflict flag
+    // must PROPAGATE — a doc joining a cluster whose boundary leak was
+    // flagged in an earlier batch is itself compromised, even when the
+    // stored splits it directly touches agree (the review-found hole:
+    // batch 1 flags the bridge, batch 2's near-dup of one side sees one
+    // split and sailed through unflagged)
+    val tainted = conflictedIds.map(c => comps
+      .join(c.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("comp_id")).distinct()
+      .withColumn("__tainted", lit(true)))
     val b = batchDocs.select(id.cast("long").as("doc_id"))
       .join(comps.select(col("doc_id").as("__cid"), col("comp_id")),
         col("doc_id") === col("__cid"), "left")
       .select(col("doc_id"),
         coalesce(col("comp_id"), col("doc_id")).as("cluster_id"))
-    b.join(inherited, b("cluster_id") === inherited("comp_id"), "left")
-      .select(col("doc_id"), col("cluster_id"),
-        coalesce(col("__inherit"),
-          hashSplit(col("cluster_id"), cuts, lastSplit)).as("split"),
-        col("__inherit").isNotNull.as("inherited"),
-        coalesce(col("n_store_splits"), lit(0L)).as("n_store_splits"))
+    val joined = b
+      .join(inherited, b("cluster_id") === inherited("comp_id"), "left")
+    val withTaint = tainted match {
+      case None => joined.withColumn("__tainted", lit(false))
+      case Some(t) =>
+        joined.join(t, joined("cluster_id") === t("comp_id"), "left")
+          .withColumn("__tainted", coalesce(col("__tainted"), lit(false)))
+    }
+    withTaint.select(col("doc_id"), col("cluster_id"),
+      coalesce(col("__inherit"),
+        hashSplit(col("cluster_id"), cuts, lastSplit)).as("split"),
+      col("__inherit").isNotNull.as("inherited"),
+      coalesce(col("n_store_splits"), lit(0L)).as("n_store_splits"),
+      (coalesce(col("n_store_splits"), lit(0L)) > 1 || col("__tainted"))
+        .as("conflicted"))
+  }
+
+  /** Content-hash split for documents TOO SHORT to shingle (< k
+    * tokens): the md5 bucket of the NORMALIZED text decides the split,
+    * so byte-identical (and whitespace/case-variant) short documents
+    * always land in the same split with no store and no pairing —
+    * closing the hole where shingle-less docs can never form a MinHash
+    * candidate edge and two identical copies would hash independently
+    * by id to opposite sides of the train/eval boundary. Near-identical
+    * (not identical after normalization) short docs can still straddle;
+    * with fewer than k tokens n-gram similarity is undefined, so that
+    * residual is inherent to the representation, not the law.
+    */
+  def contentHashSplit(docs: DataFrame, cuts: Seq[(String, Int)],
+                       lastSplit: String, id: Column = col("doc_id"),
+                       text: Column = col("text")): DataFrame = {
+    validateCuts(cuts)
+    docs.select(id.cast("long").as("doc_id"),
+      hashSplit(normalized(text), cuts, lastSplit).as("split"))
   }
 
   /** Quality-aware canonical selection: one row per duplicate cluster

@@ -1,7 +1,7 @@
 package graft.stream
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 import graft.etl.Warehouse
@@ -15,9 +15,18 @@ import graft.llm.Dedup
   * already-routed document inherits that document's published split
   * (never re-hashes, so nothing a consumer already trained on can
   * flip), cross-split cluster merges land flagged in the assignment
-  * table (`n_store_splits > 1`) for quarantine, and genuinely new
-  * clusters hash by their representative exactly like the one-shot
-  * [[Dedup.leakSafeSplit]].
+  * table AND their whole membership is recorded in `split_conflicts`,
+  * so the flag is STICKY: a later near-dup of any member of a
+  * compromised cluster is flagged too, even when the stored splits it
+  * directly touches agree. Genuinely new clusters hash by their
+  * representative exactly like the one-shot [[Dedup.leakSafeSplit]].
+  *
+  * Documents too short to shingle (< k tokens) can never form a
+  * MinHash candidate edge, so they route by the md5 bucket of their
+  * NORMALIZED CONTENT ([[Dedup.contentHashSplit]]) — byte-identical
+  * short docs always agree on a split with no store lookup at all.
+  * They carry no signature, so they are not appended to the store
+  * (nothing could ever pair against it).
   *
   * Micro-batch bodies reuse the batch operators verbatim through
   * `foreachBatch`, so streaming and batch routing semantics cannot
@@ -26,12 +35,19 @@ import graft.llm.Dedup
   *
   * Effectively-once under at-least-once delivery, the
   * [[StreamingCorpusDedup]] discipline: one [[Warehouse.transact]]
-  * block per batch (assignments, signatures, and the high-water commit
-  * record flip atomically), [[StreamCommits]] makes whole-batch
-  * replays no-ops, and both sinks go through
+  * block per batch (assignments, signatures, conflict members, and the
+  * high-water commit record flip atomically), [[StreamCommits]] makes
+  * whole-batch replays no-ops, and all sinks go through
   * [[Warehouse.appendIfAbsent]] on doc_id — which doubles as the
   * IMMUTABILITY guarantee the stability law needs: a published
   * assignment row can never be overwritten, by replay or by bug.
+  *
+  * Streams sharing one warehouse's `sig_store` (e.g. this router next
+  * to a [[StreamingCorpusDedup]]) MUST agree on (numHashes, k): the
+  * signature width is validated against the store on every batch and a
+  * mismatch fails loudly, but an equal-width different-k store is
+  * undetectable from the data — the table-name parameters exist so
+  * disagreeing pipelines can keep separate stores instead.
   *
   * At scale per micro-batch: only the batch is hashed, only store
   * signature rows in batch-touched LSH buckets shuffle, and the
@@ -42,7 +58,10 @@ final class StreamingSplitRouter(spark: SparkSession, wh: Warehouse,
                                  landingDir: String, checkpointDir: String,
                                  cuts: Seq[(String, Int)], lastSplit: String,
                                  numHashes: Int = 32, bands: Int = 8,
-                                 k: Int = 3, threshold: Double = 0.5) {
+                                 k: Int = 3, threshold: Double = 0.5,
+                                 sigStoreTable: String = "sig_store",
+                                 assignTable: String = "split_assign",
+                                 conflictTable: String = "split_conflicts") {
 
   private val docSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType)))
@@ -55,7 +74,10 @@ final class StreamingSplitRouter(spark: SparkSession, wh: Warehouse,
     StructField("cluster_id", LongType),
     StructField("split", StringType),
     StructField("inherited", BooleanType),
-    StructField("n_store_splits", LongType)))
+    StructField("n_store_splits", LongType),
+    StructField("conflicted", BooleanType)))
+  private val conflictSchema = StructType(Seq(
+    StructField("doc_id", LongType)))
 
   def start(availableNow: Boolean = false): StreamingQuery = {
     val docs = spark.readStream.schema(docSchema).json(landingDir)
@@ -75,31 +97,69 @@ final class StreamingSplitRouter(spark: SparkSession, wh: Warehouse,
           // corrupt JSON lines surface as null rows — skip, don't poison
           val docs = batch
             .filter(col("doc_id").isNotNull && col("text").isNotNull).cache()
-          val sigs = Dedup.minhashTable(docs, numHashes, k).cache()
+          // shingle-less docs (< k tokens) route by content hash; only
+          // shingled docs enter the MinHash path and the store
+          val shingled =
+            docs.filter(size(Dedup.shingles(col("text"), k)) > 0)
+          val short = docs.filter(size(Dedup.shingles(col("text"), k)) === 0)
+          val sigs = Dedup.minhashTable(shingled, numHashes, k).cache()
           try {
+            val storeExists = wh.exists(sigStoreTable)
+            if (storeExists) {
+              // fail loudly on a store written with a different hash
+              // family width — banding a 64-wide store at 32 silently
+              // misses every near-dup (see class doc; k mismatches are
+              // undetectable and must be kept apart by table name)
+              val w = wh.read(sigStoreTable, sigSchema)
+                .select(size(col("sig")).as("w")).limit(1).collect()
+              w.headOption.foreach(r => require(r.getInt(0) == numHashes,
+                s"$sigStoreTable holds ${r.getInt(0)}-wide signatures, " +
+                  s"this router hashes $numHashes — mixed hash families " +
+                  "can never pair; use a separate sigStoreTable"))
+            }
             val edges =
-              if (!wh.exists("sig_store"))
+              if (!storeExists)
                 Dedup.minhashCandidatesFromSigs(sigs, numHashes, bands,
                   threshold)
               else Dedup.incrementalMinhashCandidatesFromSigs(
-                wh.read("sig_store", sigSchema), sigs, numHashes, bands,
+                wh.read(sigStoreTable, sigSchema), sigs, numHashes, bands,
                 threshold)
-            val assigned =
-              if (!wh.exists("split_assign"))
-                spark.createDataFrame(
-                  new java.util.ArrayList[org.apache.spark.sql.Row](),
-                  assignSchema)
-              else wh.read("split_assign", assignSchema)
-            wh.appendIfAbsent("split_assign", assignSchema,
-              Dedup.incrementalLeakSafeSplit(assigned, docs, edges,
-                cuts, lastSplit),
+            // Warehouse.read of an absent table is the empty frame with
+            // the declared schema, so first-batch reads need no guard
+            val assignments = Dedup.incrementalLeakSafeSplit(
+              wh.read(assignTable, assignSchema), shingled, edges,
+              cuts, lastSplit,
+              conflictedIds = Some(wh.read(conflictTable, conflictSchema)))
+              .unionByName(Dedup.contentHashSplit(short, cuts, lastSplit)
+                .select(col("doc_id"), col("doc_id").as("cluster_id"),
+                  col("split"), lit(false).as("inherited"),
+                  lit(0L).as("n_store_splits"),
+                  lit(false).as("conflicted")))
+              .cache()
+            // conflict stickiness: record the WHOLE membership of every
+            // conflicted component (stored + batch docs), so future
+            // batches touching any member inherit the flag. Component
+            // labels are recomputed here — the edge list is batch-sized,
+            // so this is a second small pass, not a corpus scan.
+            val conflictedClusters = assignments
+              .filter(col("conflicted")).select(col("cluster_id")).distinct()
+            val newConflictMembers = Dedup.duplicateClusters(edges)
+              .join(conflictedClusters,
+                col("comp_id") === col("cluster_id"), "left_semi")
+              .select(col("doc_id"))
+            wh.appendIfAbsent(assignTable, assignSchema, assignments,
               keys = Seq("doc_id"), orderCol = "doc_id",
               dedupWithinBatch = false)
-            // dropped-or-kept, every doc's signature enters the store: a
-            // later near-dup of ANY routed doc must still be recognized
-            wh.appendIfAbsent("sig_store", sigSchema, sigs,
+            wh.appendIfAbsent(conflictTable, conflictSchema,
+              newConflictMembers, keys = Seq("doc_id"), orderCol = "doc_id",
+              dedupWithinBatch = false)
+            // dropped-or-kept, every shingled doc's signature enters the
+            // store: a later near-dup of ANY routed doc must still be
+            // recognized
+            wh.appendIfAbsent(sigStoreTable, sigSchema, sigs,
               keys = Seq("doc_id"), orderCol = "doc_id",
               dedupWithinBatch = false)
+            assignments.unpersist()
           } finally { sigs.unpersist(); docs.unpersist() }
         }
         StreamCommits.record(spark, wh, checkpointDir, batchId)

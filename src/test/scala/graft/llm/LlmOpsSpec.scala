@@ -1778,34 +1778,47 @@ class LlmOpsSpec extends SparkSpec {
     }
     val cuts = Seq("train" -> 80, "validation" -> 90)
     def run(store: Seq[(Long, String)], batch: Seq[Long],
-            edges: Seq[(Long, Long)]) =
+            edges: Seq[(Long, Long)],
+            conflicted: Option[Seq[Long]] = None) =
       Dedup.incrementalLeakSafeSplit(
           store.toDF("doc_id", "split"), batch.toDF("doc_id"),
-          edges.toDF("id_a", "id_b"), cuts, "test")
+          edges.toDF("id_a", "id_b"), cuts, "test",
+          conflictedIds = conflicted.map(_.toDF("doc_id")))
         .collect().map(r => r.getLong(0) ->
-          (r.getString(2), r.getBoolean(3), r.getLong(4))).toMap
+          ((r.getString(2), r.getBoolean(3), r.getLong(4), r.getBoolean(5))))
+        .toMap
 
     // 1) fresh store: every batch doc follows the one-shot hash law,
     //    clustered docs by their batch-local representative
     val fresh = run(Seq.empty, Seq(0L, 1L, 2L, 9L), Seq((0L, 1L)))
-    assert(fresh(0L) == ((law(0L), false, 0L)))
-    assert(fresh(1L) == ((law(0L), false, 0L))) // rep 0, not own hash
-    assert(fresh(2L) == ((law(2L), false, 0L)))
+    assert(fresh(0L) == ((law(0L), false, 0L, false)))
+    assert(fresh(1L) == ((law(0L), false, 0L, false))) // rep 0, not own hash
+    assert(fresh(2L) == ((law(2L), false, 0L, false)))
     // 2) inheritance beats re-hashing: stored doc 5 was published as
     //    "validation" (whatever its hash says); a new near-dup of it
     //    must land there too
     val inh = run(Seq(5L -> "validation"), Seq(100L), Seq((5L, 100L)))
-    assert(inh(100L) == (("validation", true, 1L)))
+    assert(inh(100L) == (("validation", true, 1L, false)))
     // 3) a bridge doc merging two stored clusters with different splits
     //    takes the smallest stored member's split and is FLAGGED
     val conf = run(Seq(5L -> "validation", 7L -> "train"), Seq(100L),
       Seq((5L, 100L), (7L, 100L)))
-    assert(conf(100L) == (("validation", true, 2L)))
+    assert(conf(100L) == (("validation", true, 2L, true)))
     // 4) the stability win over the one-shot law: doc 100 published,
     //    then a SMALLER-id near-dup arrives; one-shot would re-hash the
     //    cluster under rep 50, incremental keeps 100's published split
     val stab = run(Seq(100L -> law(100L)), Seq(50L), Seq((50L, 100L)))
-    assert(stab(50L) == ((law(100L), true, 1L)))
+    assert(stab(50L) == ((law(100L), true, 1L, false)))
+    // 5) conflict stickiness: doc 7 belongs to a previously-flagged
+    //    merge; a later near-dup touching ONLY doc 7 sees one stored
+    //    split (n_store_splits = 1) yet must still come back flagged
+    val sticky = run(Seq(7L -> "train"), Seq(101L), Seq((7L, 101L)),
+      conflicted = Some(Seq(5L, 7L, 100L)))
+    assert(sticky(101L) == (("train", true, 1L, true)))
+    //    ...and an untainted doc in the same batch stays clean
+    val clean2 = run(Seq(7L -> "train"), Seq(101L, 300L),
+      Seq((7L, 101L)), conflicted = Some(Seq(5L, 7L, 100L)))
+    assert(clean2(300L) == ((law(300L), false, 0L, false)))
   }
 
   test("canonical docs: best score wins, ties break to the smaller id") {

@@ -9,14 +9,16 @@ import org.apache.spark.sql.types.StructType
   * in waves through one checkpoint, asserting the assignment-stability
   * law that the one-shot split cannot give — a later near-dup (even a
   * SMALLER id, which would re-hash the one-shot cluster under a new
-  * representative) inherits the published split, and published rows are
-  * immutable across batches and replays. */
+  * representative) inherits the published split, published rows are
+  * immutable across batches and replays, shingle-less docs route by
+  * content so identical short docs can never straddle, and the
+  * cross-split conflict flag is sticky across batches. */
 class StreamingSplitRouterSpec extends SparkSpec {
   import spark.implicits._
 
   private val assignDDL =
     "doc_id BIGINT, cluster_id BIGINT, split STRING, " +
-      "inherited BOOLEAN, n_store_splits BIGINT"
+      "inherited BOOLEAN, n_store_splits BIGINT, conflicted BOOLEAN"
 
   test("waves route once, near-dups inherit published splits, replays " +
     "are no-ops") {
@@ -31,26 +33,32 @@ class StreamingSplitRouterSpec extends SparkSpec {
     def assignments() = wh.read("split_assign",
         StructType.fromDDL(assignDDL))
       .collect().map(r => r.getLong(0) ->
-        (r.getString(2), r.getBoolean(3), r.getLong(4))).toMap
+        ((r.getString(2), r.getBoolean(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
 
-    // wave 1: three unrelated docs
+    // wave 1: three unrelated docs plus one too short to shingle
     Seq(
       (100L, "the quick brown fox jumps over the lazy dog"),
       (200L, "completely different content about spark engines"),
-      (300L, "a third unrelated document with its own words"))
+      (300L, "a third unrelated document with its own words"),
+      (900L, "tiny  Doc"))
       .toDF("doc_id", "text")
       .coalesce(1).write.mode("append").json(landing.toString)
     runOnce()
     val w1 = assignments()
-    assert(w1.keySet == Set(100L, 200L, 300L))
-    assert(w1.values.forall { case (_, inh, ns) => !inh && ns == 0L })
+    assert(w1.keySet == Set(100L, 200L, 300L, 900L))
+    assert(w1.values.forall { case (_, inh, ns, c) =>
+      !inh && ns == 0L && !c })
 
     // wave 2: doc 50 is a near-dup (identical text) of published doc
     // 100 — a SMALLER id, so the one-shot law would re-hash the merged
     // cluster under representative 50; the router must inherit 100's
-    // published split instead, and 100's row must stay byte-identical
+    // published split instead, and 100's row must stay byte-identical.
+    // Doc 901 is byte-identical (mod case/whitespace) to short doc 900:
+    // no signature can ever pair them, so the content law must agree.
     Seq((50L, "the quick brown fox jumps over the lazy dog"),
-        (400L, "yet another fresh document nothing like the others"))
+        (400L, "yet another fresh document nothing like the others"),
+        (901L, "TINY doc"))
       .toDF("doc_id", "text")
       .coalesce(1).write.mode("append").json(landing.toString)
     runOnce()
@@ -58,19 +66,87 @@ class StreamingSplitRouterSpec extends SparkSpec {
     assert(w2(100L) == w1(100L), "published assignment flipped")
     assert(w2(50L)._1 == w1(100L)._1, "near-dup must inherit the split")
     assert(w2(50L)._2, "inheritance must be flagged")
-    assert(w2(50L)._3 == 1L)
+    assert(w2(50L)._3 == 1L && !w2(50L)._4)
     assert(!w2(400L)._2 && w2(400L)._3 == 0L)
-    assert(w2.size == 5)
+    assert(w2(901L)._1 == w1(900L)._1,
+      "identical short docs must share a split without any store")
+    assert(w2.size == 7)
 
     // replay: nothing new to read -> committed state unchanged
     runOnce()
     assert(assignments() == w2)
 
-    // the signature store kept every doc (dropped-or-kept signatures
-    // both land), so future waves can recognize near-dups of ANY of them
+    // the signature store kept every SHINGLED doc (dropped-or-kept both
+    // land; short docs carry no signature by construction)
     val sigDDL = "doc_id BIGINT, sig ARRAY<BIGINT>"
     assert(wh.read("sig_store", StructType.fromDDL(sigDDL))
       .select("doc_id").collect().map(_.getLong(0)).toSet ==
       Set(50L, 100L, 200L, 300L, 400L))
+  }
+
+  test("cross-split merges flag their whole membership and the flag " +
+    "sticks for later arrivals") {
+    val landing = tmpDir("confland")
+    val wh = new Warehouse(spark, tmpDir("whconf").toString)
+    val ckpt = tmpDir("ckptconf").toString
+    // cuts chosen so the two seed docs land in DIFFERENT splits: md5
+    // bucket of 1 is 47, of 8 is 93 (precomputed) -> cut at 50
+    // separates them. The bridge shares only ~1/3 of its shingles with
+    // each seed, so this router instance bands at rowsPerBand = 1
+    // (bands = 32: any matching signature position collides) with a
+    // 0.2 screen — the standard loose-banding operating point for
+    // catching partial-overlap bridges.
+    val router = new StreamingSplitRouter(spark, wh, landing.toString,
+      ckpt, cuts = Seq("train" -> 50), lastSplit = "test",
+      bands = 32, threshold = 0.2)
+    def runOnce(): Unit =
+      router.start(availableNow = true).awaitTermination()
+    def assignments() = wh.read("split_assign",
+        StructType.fromDDL(assignDDL))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(2), r.getBoolean(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+
+    // wave 1: two unrelated docs -> different splits (asserted, not
+    // assumed: the scenario needs a real boundary)
+    Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+        (8L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").json(landing.toString)
+    runOnce()
+    val w1 = assignments()
+    assert(w1(1L)._1 != w1(8L)._1,
+      s"fixture broke: seeds must straddle, got $w1")
+
+    // wave 2: a bridge doc near BOTH seeds (first 8 tokens of each,
+    // true Jaccard 6/18 = 1/3 to either side) -> flagged, and the whole
+    // membership recorded
+    Seq((20L, "alpha beta gamma delta epsilon zeta eta theta " +
+        "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").json(landing.toString)
+    runOnce()
+    val w2 = assignments()
+    assert(w2(20L)._4, "bridge must be flagged conflicted")
+    assert(w2(20L)._3 == 2L)
+    val conflictMembers = wh.read("split_conflicts",
+        StructType.fromDDL("doc_id BIGINT"))
+      .collect().map(_.getLong(0)).toSet
+    assert(conflictMembers == Set(1L, 8L, 20L))
+
+    // wave 3: an identical copy of seed 8 — whatever subset of
+    // {8, bridge} it candidates against, its cluster is compromised and
+    // the recorded membership must flag it; without stickiness a copy
+    // pairing only with 8 (one stored split) sails through unflagged
+    Seq((30L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").json(landing.toString)
+    runOnce()
+    val w3 = assignments()
+    assert(w3(30L)._1 == w1(8L)._1, "still inherits 8's split")
+    assert(w3(30L)._4, "conflict flag must stick to later arrivals")
+    // and 30 itself joins the recorded membership for future waves
+    assert(wh.read("split_conflicts", StructType.fromDDL("doc_id BIGINT"))
+      .collect().map(_.getLong(0)).toSet == Set(1L, 8L, 20L, 30L))
   }
 }
