@@ -208,6 +208,57 @@ object DedupBench {
     assert(misl == 0, s"$misl docs carry a wrong cluster id")
     assert(badCanon == 0 && nClusters == nPairs,
       s"canonical: bad=$badCanon clusters=$nClusters expected=$nPairs")
+
+    // phase 8: the STREAMING split router end-to-end at corpus scale —
+    // the same corpus arrives in waves and every document is routed
+    // with the assignment-stable law against the warehouse stores.
+    // Closed forms: every planted (i-1, i) pair must share a split
+    // (checked distributed over the full table — the leak-safety law);
+    // pairs cut by a wave boundary must resolve by INHERITANCE (the
+    // later member reads the earlier member's published split through
+    // the store); planted clusters are homogeneous, so no row may come
+    // back conflicted; and every doc gets exactly one assignment.
+    val whRoot2 = Files.createTempDirectory("dedupbench-route-wh")
+    val landing2 = Files.createTempDirectory("dedupbench-route-landing")
+    val ckpt2 = Files.createTempDirectory("dedupbench-route-ckpt")
+    val wh2 = new graft.etl.Warehouse(spark, whRoot2.toString)
+    val routerCuts = Seq("train" -> 80, "validation" -> 90)
+    val router = new graft.stream.StreamingSplitRouter(spark, wh2,
+      landing2.toString, ckpt2.toString, routerCuts, "test")
+    val t7 = System.nanoTime()
+    (0 until waves).foreach { w =>
+      docs.filter(col("doc_id") >= n * w / waves &&
+          col("doc_id") < n * (w + 1) / waves)
+        .coalesce(4).write.mode("append").json(landing2.toString)
+      router.start(availableNow = true).awaitTermination()
+    }
+    val sec8 = (System.nanoTime() - t7) / 1e9
+    val assignSchema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("cluster_id", "long").add("split", "string")
+      .add("inherited", "boolean").add("n_store_splits", "long")
+      .add("conflicted", "boolean")
+    val routed = wh2.read("split_assign", assignSchema).cache()
+    val nRouted = routed.count()
+    val a = routed.select(col("doc_id").as("a_id"), col("split").as("a_split"))
+    val bSide = routed
+      .filter(col("doc_id") % 20 === 0 && col("doc_id") > 0)
+      .select(col("doc_id").as("b_id"), col("split").as("b_split"),
+        col("inherited").as("b_inh"))
+    val pairRows = bSide.join(a, col("b_id") - 1 === col("a_id")).cache()
+    val leaked = pairRows.filter(col("a_split") =!= col("b_split")).count()
+    // wave-boundary pairs: the copy arrived a wave after its original
+    val crossWave = pairRows
+      .filter(pmod(col("b_id"), lit(n / waves)) === 0)
+    val crossWaveNotInherited = crossWave.filter(!col("b_inh")).count()
+    val nCrossWave = crossWave.count()
+    val conflicted2 = routed.filter(col("conflicted")).count()
+    routed.unpersist(); pairRows.unpersist()
+    println(f"""{"phase":"streaming_router","docs":$n,"waves":$waves,"routed":$nRouted,"leaked_pairs":$leaked,"cross_wave_pairs":$nCrossWave,"cross_wave_not_inherited":$crossWaveNotInherited,"conflicted":$conflicted2,"sec":$sec8%.2f,"docs_per_sec":${(n / sec8).toLong}}""")
+    assert(nRouted == n, s"routed=$nRouted expected=$n")
+    assert(leaked == 0, s"$leaked planted pairs straddle the split boundary")
+    assert(nCrossWave > 0 && crossWaveNotInherited == 0,
+      s"$crossWaveNotInherited of $nCrossWave wave-boundary pairs not inherited")
+    assert(conflicted2 == 0, s"$conflicted2 rows flagged in a conflict-free corpus")
     spark.stop()
   }
 }
