@@ -56,11 +56,18 @@ object Sampling {
     * holds at corpus scale. Rows with weight <= 0 are excluded.
     */
   def weightedPriority(df: DataFrame, id: Column, weight: Column,
-                       k: Int): DataFrame =
-    df.filter(weight > 0)
+                       k: Int): DataFrame = {
+    require(!df.columns.contains("__prio"),
+      "weightedPriority reserves the column name __prio; rename the input")
+    // null ids have no hash: their null __prio would sort NULLS FIRST
+    // ahead of every real row with no usable tie-break — exclude them
+    // like every other id-keyed op here, instead of sampling garbage
+    // partition-dependently
+    df.filter(weight > 0 && id.isNotNull)
       .withColumn("__prio", hashBucket(id).cast("double") / weight)
       .orderBy(col("__prio").asc, id.asc)
       .limit(k)
+  }
 
   /** Deterministic data-mix construction by TOKEN budget: within each
     * stratum, documents are ranked by their id hash (the same stable
@@ -92,7 +99,8 @@ object Sampling {
     * the old single-window form used, the selected set is IDENTICAL —
     * pinned by LlmOpsSpec against a literal windowed reference.
     *
-    * @param tokens   per-row token count column (pre-computed upstream)
+    * @param tokens   per-row token count column (pre-computed upstream);
+    *                 null-token rows are excluded explicitly
     * @param nBuckets hash-range buckets per stratum; raise for larger
     *                 corpora (max boundary-task rows ~ |stratum|/nBuckets)
     */
@@ -101,12 +109,20 @@ object Sampling {
                      defaultBudget: Long = 0L,
                      nBuckets: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    Seq("__strat", "__hb", "__bkt").foreach(r =>
+      require(!df.columns.contains(r),
+        s"tokenBudgetMix reserves the column name $r; rename the input"))
     val outCols = df.columns.toSeq.map(col)
     def budgetOf(s: Column): Column =
       budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
         case (acc, (value, b)) => when(s === value, lit(b)).otherwise(acc)
       }
-    val rows = df.withColumn("__strat", stratum)
+    // null-token rows have no place on the token axis and are excluded
+    // EXPLICITLY (the packSequences convention): leaving them in makes
+    // an all-null bucket's __btok sum NULL, which fails BOTH boundary
+    // filters and silently drops rows the windowed reference kept
+    val rows = df.filter(tokens.isNotNull)
+      .withColumn("__strat", stratum)
       .withColumn("__hb", hashBucket(id))
       .withColumn("__bkt",
         floor(col("__hb") / lit(BucketSpace / nBuckets)).cast("int"))
@@ -301,6 +317,9 @@ object Sampling {
                   nBuckets: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nShards > 0 && nBuckets > 0, s"$nShards/$nBuckets")
+    Seq("__hb", "__bkt", "shard", "pos").foreach(r =>
+      require(!df.columns.contains(r),
+        s"shardAssign reserves the column name $r; rename the input"))
     val outCols = df.columns.toSeq.map(col)
     val rows = df.filter(id.isNotNull)
       .withColumn("__hb", hashBucket(id))
@@ -347,6 +366,9 @@ object Sampling {
                     bucketWidth: Long = 1L << 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(ctx > 0 && bucketWidth > 0, s"$ctx/$bucketWidth")
+    Seq("__id", "__n", "__bkt", "__start", "bin", "bin_pos").foreach(r =>
+      require(!df.columns.contains(r),
+        s"packSequences reserves the column name $r; rename the input"))
     val outCols = df.columns.toSeq.map(col)
     // bucket by INTEGER floor-division (pmod keeps the floor semantics
     // for negative ids): a double division would round above 2^53 and

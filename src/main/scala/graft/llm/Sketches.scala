@@ -31,24 +31,41 @@ object Sketches {
   def kmvHash(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
-  /** Aggregation column: the k smallest distinct hashes, ascending. */
+  /** Aggregation column: the k smallest distinct hashes, ascending.
+    * k >= 2: the estimator divides by the k-th min and its numerator is
+    * k-1, so k = 1 estimates 0 for every saturated group and k = 0
+    * crashes inside executor tasks — fail on the driver instead. */
   def kmvMins(k: Int)(h: Column): Column = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
     val fn = udaf(new KmvAggregator(k))
     fn(h)
   }
 
   /** Estimate from the sketch column produced by [[kmvMins]]. */
-  def kmvEstimate(k: Int, mins: Column): Column =
+  def kmvEstimate(k: Int, mins: Column): Column = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
     when(size(mins) < k, size(mins).cast("double"))
       .otherwise(lit((k - 1).toDouble) /
         (element_at(mins, k).cast("double") / lit(HashDomain)))
+  }
 
-  /** One-stop: distinct-count estimate of `value` per `keys` group. */
+  /** One-stop: distinct-count estimate of `value` per `keys` group.
+    * Null values are excluded before the aggregator (the countMinBuild
+    * convention): `kmvHash(null)` is null, which the primitive-Long
+    * aggregator would read as hash 0 — the global minimum — silently
+    * corrupting every group containing a null. Grouping goes through a
+    * named projection so derived/aliased key expressions resolve (the
+    * kmvRollup discipline; re-resolving a raw Column's toString throws). */
   def kmvDistinct(df: DataFrame, keys: Seq[Column], value: Column,
                   k: Int = 64): DataFrame = {
-    val sketch = df.groupBy(keys: _*).agg(kmvMins(k)(kmvHash(value)).as("mins"))
-    sketch.select(keys.map(c => sketch(c.toString)) :+
-      kmvEstimate(k, col("mins")).as("kmv_est"): _*)
+    val projected = df.select(keys :+ value.as("__kmv_v"): _*)
+    require(projected.columns.count(_ == "__kmv_v") == 1,
+      "kmvDistinct reserves the column name __kmv_v; rename the key column")
+    val keyCols = projected.columns.dropRight(1).map(col).toSeq
+    projected.filter(col("__kmv_v").isNotNull)
+      .groupBy(keyCols: _*)
+      .agg(kmvMins(k)(kmvHash(col("__kmv_v"))).as("mins"))
+      .select(keyCols :+ kmvEstimate(k, col("mins")).as("kmv_est"): _*)
   }
 
   /** Bloom semi-join reduction — the generic form of the
@@ -298,6 +315,19 @@ object Sketches {
     * the lookup never shuffles the probes. */
   def countMinEstimate(probes: DataFrame, sketch: DataFrame, item: Column,
                        depth: Int = 3, width: Int = 1024): DataFrame = {
+    // the sketch is depth*width metadata, so one bounded lookup can
+    // validate the probe depth against what was actually built: a
+    // deeper probe reads absent rows, coalesces them to 0, and returns
+    // cm_est = 0 for items that ARE present — a silent violation of the
+    // no-undercount guarantee. A width mismatch is undetectable from
+    // the data (buckets are mod-width hashes) and stays a documented
+    // build/probe contract. An empty sketch (nothing counted) passes:
+    // every true count is 0 and 0 is the correct estimate.
+    val builtMax = sketch.agg(max(col("row"))).head()
+    if (!builtMax.isNullAt(0))
+      require(builtMax.getInt(0) + 1 == depth,
+        s"sketch built with depth ${builtMax.getInt(0) + 1}, probed with " +
+          s"$depth — probing absent rows would return false-zero estimates")
     val cells = (0 until depth).map { r =>
       struct(lit(r).as("row"), cmBucket(col("item"), r, width).as("bucket"))
     }
