@@ -13,7 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace-delimited token count (cheap, exact for single-space text). */
+  /** Whitespace-delimited token count (cheap, exact for single-space
+    * text). Deliberately RAW split semantics: leading/trailing
+    * whitespace contributes an empty edge token (" a b" counts 3), the
+    * same tokenization the q34/q42 DuckDB oracles replay — a cheap
+    * upper bound, not a linguistic count. Use [[Dedup.wsTokens]] where
+    * empty tokens must not count (the span/index family does). */
   def tokenCount(text: Column): Column =
     when(length(text) === 0, 0)
       .otherwise(size(split(text, "\\s+")))
@@ -62,7 +67,9 @@ object TextAnalysis {
 
   /** N-gram-heuristic language ID: score per language = hits of that
     * language's marker function words; argmax wins, "und" when no hits.
-    * Deterministic tie-break by score desc then language code asc. */
+    * Deterministic tie-break: equal scores go to the lexicographically
+    * GREATEST language code (`array_max` over (score, lang) structs —
+    * the q35 oracle replays exactly this desc order). */
   val Markers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "is", "with", "that"),
     "de" -> Seq("der", "die", "das", "und", "ist", "mit"),
@@ -132,7 +139,13 @@ object TextAnalysis {
     * alphabetic, >=2 stopword hits, <=30% duplicate bigrams. */
   def curationFlags(docs: DataFrame, text: Column = col("text"),
                     minWords: Int = 20, maxWords: Int = 100000): DataFrame = {
-    val raw = split(Dedup.normalized(text), " ")       // matches WordShingles tokens
+    // null text tokenizes to the EMPTY array (the wsTokens law): the
+    // raw split of null is null, which would make every metric AND the
+    // keep flag null — a doc that vanishes from both sides of the
+    // curation decision. With the coalesce it reports n_words 0 and
+    // keep 0 like any other empty document.
+    val raw = coalesce(split(Dedup.normalized(text), " "),
+      array().cast("array<string>"))                   // matches WordShingles tokens
     val arrs = docs.select(col("doc_id"), text.as("__text"), raw.as("__raw"),
       filter(raw, t => length(t) > 0).as("__toks"))
     val toks = col("__toks")

@@ -21,9 +21,24 @@ object EventAnalytics {
   /** The shared per-user active-day state: ONE shuffle (mergeable
     * `collect_set` union, duplicate days collapse map-side before
     * anything moves). Both date-grained ops below start here. */
+  /** Documented-integral inputs fail FAST on a fractional or string
+    * column: a silent cast("long") nulls strings (dropping rows) and
+    * truncates doubles (colliding distinct values) with no error. */
+  private def requireIntegral(df: DataFrame, c: Column, what: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val t = df.select(c.as("__probe")).schema.head.dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
+      s"$what must be an integral column (got $t); " +
+        "cast or quantize explicitly before passing")
+  }
+
+  // a null user is NOT a user: grouping null-user rows together would
+  // stitch unrelated anonymous events into one synthetic timeline and
+  // fabricate transitions/retention no real user produced (topPaths
+  // already filtered; the per-user kernels now agree)
   private def perUserDays(events: DataFrame, user: Column,
                           ts: Column): DataFrame =
-    events.filter(ts.isNotNull)
+    events.filter(ts.isNotNull && user.isNotNull)
       .select(user.as("user_id"), to_date(ts).as("d"))
       .groupBy("user_id").agg(collect_set(col("d")).as("days"))
 
@@ -59,7 +74,7 @@ object EventAnalytics {
                        ts: Column = col("ts"), typ: Column = col("event_type"),
                        id: Column = col("event_id")): DataFrame = {
     val perUser = events
-      .filter(ts.isNotNull && typ.isNotNull)
+      .filter(ts.isNotNull && typ.isNotNull && user.isNotNull)
       .select(user.as("user_id"), unix_micros(ts).as("us"), id.as("eid"),
         typ.as("t"))
       .groupBy("user_id")
@@ -174,10 +189,12 @@ object EventAnalytics {
       .groupBy("variant")
       .agg(count(lit(1)).as("n"), sum(coalesce(col("conv"), lit(0L))).as("s"))
       .agg(
-        sum(when(col("variant") === 0, col("n"))).as("n0"),
-        sum(when(col("variant") === 0, col("s"))).as("s0"),
-        sum(when(col("variant") === 1, col("n"))).as("n1"),
-        sum(when(col("variant") === 1, col("s"))).as("s1"))
+        // an empty hash arm (possible on tiny cohorts) is a 0-count
+        // arm, not a null one — the exact-integer output contract
+        coalesce(sum(when(col("variant") === 0, col("n"))), lit(0L)).as("n0"),
+        coalesce(sum(when(col("variant") === 0, col("s"))), lit(0L)).as("s0"),
+        coalesce(sum(when(col("variant") === 1, col("n"))), lit(0L)).as("n1"),
+        coalesce(sum(when(col("variant") === 1, col("s"))), lit(0L)).as("s1"))
       .select(col("n0"), col("s0"), col("n1"), col("s1"),
         (col("s1") * col("n0") - col("s0") * col("n1")).as("uplift_num"),
         (col("s1") * (col("n0") - col("s0")) -
@@ -214,6 +231,10 @@ object EventAnalytics {
                      bins: Int, buckets: Int = 1024): DataFrame = {
     require(bins >= 2 && buckets >= 1 && metrics.nonEmpty,
       s"bins=$bins buckets=$buckets metrics=${metrics.size}")
+    // the percentileTrim discipline: a double metric would silently
+    // truncate (prices in [0,1) all cut at 0) — quantize explicitly
+    metrics.foreach { case (n, c) =>
+      requireIntegral(df, c, s"exactBins metric '$n'") }
     val vals = df.select(explode(array(metrics.map { case (n, c) =>
         struct(lit(n).as("g"), c.cast("long").as("v"))
       }: _*)).as("e"))
@@ -350,6 +371,9 @@ object EventAnalytics {
                     buckets: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(buckets >= 1, s"buckets=$buckets")
+    // the percentileTrim discipline: a double value would silently
+    // truncate and merge distinct ranks — quantize explicitly
+    requireIntegral(df, value, "rankTransform value")
     // reserved internals must not silently collide with input columns
     // (the kmvRollup __h lesson): fail loudly instead
     Seq("__g", "__v", "__b", "__c", "__off", "v0", "v1", "rank", "n_group")
@@ -557,6 +581,11 @@ object EventAnalytics {
     * inflating overlaps instead of erroring). */
   def segmentOverlap(events: DataFrame, segment: Column = col("event_type"),
                      user: Column = col("user_id")): DataFrame = {
+    // the negative-id guard below only sees values that SURVIVE the
+    // long cast — a string id would cast to null (dropping every user
+    // silently) and a double would truncate 3.2 and 3.9 onto one bit;
+    // refuse non-integral id columns outright instead
+    requireIntegral(events, user, "segmentOverlap user ids")
     val bitmaps = events
       .filter(segment.isNotNull && user.isNotNull)
       .select(segment.as("seg"), user.cast("long").as("u")).distinct()
@@ -598,7 +627,14 @@ object EventAnalytics {
     * from a `lead` window over the BUCKET SUMMARY (one row per
     * non-empty bucket — a gap of empty buckets correctly bills its
     * whole span to the last observation before it). `bucketUs` trades
-    * per-task array size against summary size; both ends are bounded. */
+    * per-task array size against summary size; both ends are bounded.
+    *
+    * Degenerate groups: a group with one observation (or all
+    * observations at a single timestamp) has no time span, so its row
+    * ships `twap_den = 0` — the caller's `num/den` division MUST guard
+    * it (there is no time-weighted average of a point; the group's
+    * plain value is in `twap_num`'s single term). Emitting the row
+    * beats dropping it: the caller sees the group exists. */
   def twap(events: DataFrame, bucketUs: Long = 86400000000L,
            group: Column = col("event_type"), ts: Column = col("ts"),
            value: Column = col("value"),

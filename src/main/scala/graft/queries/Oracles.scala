@@ -2991,7 +2991,7 @@ object Oracles {
     "q109_cohort_retention" ->
       """WITH act AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
-        |  WHERE ts IS NOT NULL),
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
         |coh AS (SELECT user_id, min(d) AS cohort FROM act GROUP BY user_id)
         |SELECT cohort,
         |       CAST(date_diff('day', cohort, d) AS INTEGER) AS day_offset,
@@ -3004,7 +3004,9 @@ object Oracles {
         |  SELECT user_id, event_type,
         |         lag(event_type) OVER (PARTITION BY user_id
         |                               ORDER BY ts, event_id) AS prev
-        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL)
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |    AND user_id IS NOT NULL)
         |SELECT prev AS from_type, event_type AS to_type, count(*) AS cnt
         |FROM o WHERE prev IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
@@ -3012,7 +3014,7 @@ object Oracles {
     "q111_rolling_active" ->
       """WITH act AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
-        |  WHERE ts IS NOT NULL),
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
         |days AS (SELECT DISTINCT d AS report_d FROM act),
         |contrib AS (
         |  SELECT DISTINCT user_id, d + CAST(r.i AS INTEGER) AS report_d
