@@ -26,11 +26,21 @@ object Similarity {
 
   def norm(a: Column): Column = VectorExprs.vecNorm(a)
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Guarded cosine: a zero-norm side has no direction, so the score is
+    * -2.0 — strictly below every real cosine, so zero vectors never win
+    * a top-k and never cross a tau — instead of an ANSI divide-by-zero
+    * crash (Spark 4 default) or a null poisoning the top-k aggregator's
+    * non-nullable buffer. Nonzero inputs evaluate the identical
+    * arithmetic, so the SQL oracle replays are unchanged. */
+  def cosine(a: Column, b: Column): Column =
+    when(norm(a) === 0.0 || norm(b) === 0.0, lit(-2.0))
+      .otherwise(dot(a, b) / (norm(a) * norm(b)))
 
-  /** cosine from a precomputed-norm pair: one dot per pair. */
+  /** cosine from a precomputed-norm pair: one dot per pair; same
+    * zero-norm guard as [[cosine]]. */
   private def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
-    dot(a, b) / (na * nb)
+    when(na === 0.0 || nb === 0.0, lit(-2.0))
+      .otherwise(dot(a, b) / (na * nb))
 
   /** Brute-force cosine top-k per query vector.
     * `queries`: (query_id, embedding); `corpus`: (vec_id, embedding).
@@ -64,7 +74,7 @@ object Similarity {
     * approximate; increase `nPlanes` for smaller buckets or probe flips for
     * higher recall. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-              nPlanes: Int = 8): DataFrame = {
+              nPlanes: Int = 8, excludeSelf: Boolean = true): DataFrame = {
     val c = corpus.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("c_nrm"),
       rpBucket(col("embedding"), dim, nPlanes).as("bucket"))
@@ -72,7 +82,8 @@ object Similarity {
       norm(col("embedding")).as("q_nrm"),
       rpBucket(col("embedding"), dim, nPlanes).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
-      .filter(col("query_id") =!= col("vec_id"))
+      .filter(if (excludeSelf) col("query_id") =!= col("vec_id")
+        else lit(true))
       .select(col("query_id"), col("vec_id"),
         cosinePre(col("q_emb"), col("embedding"), col("q_nrm"), col("c_nrm"))
           .as("cosine"))
@@ -87,7 +98,8 @@ object Similarity {
     * probing bounds query cost — the standard coarse-quantizer trade
     * without any ML dependency. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+              nLists: Int = 16, nProbe: Int = 4,
+              excludeSelf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val centroids = broadcast(
       corpus.orderBy(col("vec_id")).limit(nLists)
@@ -126,7 +138,8 @@ object Similarity {
       .filter(col("rn") <= nProbe)
       .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cell_id"))
     val scored = assigned.join(broadcast(probes), Seq("cell_id"))
-      .filter(col("query_id") =!= col("vec_id"))
+      .filter(if (excludeSelf) col("query_id") =!= col("vec_id")
+        else lit(true))
       .select(col("query_id"), col("vec_id"),
         cosinePre(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm"))
           .as("cosine"))
@@ -216,14 +229,29 @@ object Similarity {
     * centroids — the fixed coarse structure an incremental maintainer
     * (e.g. [[Dedup.semDedupIncremental]]) assigns later arrivals
     * against. `k * dim` doubles on the driver (bounded metadata). */
+  /** The deterministic smallest-id seed vectors as driver metadata —
+    * the ONE seed-collect shared by k-means, the PQ codebook, and the
+    * IVF-PQ coarse quantizer (three verbatim copies before). */
+  private def seedVectors(corpus: DataFrame, n: Int, idCol: String,
+                          embCol: String): Array[Array[Double]] =
+    corpus.orderBy(col(idCol)).limit(n).select(col(embCol)).collect()
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+
+  /** ADC score: sum over the m subspaces of the query LUT entry the
+    * corpus code selects — one copy of the 1-based stride arithmetic
+    * (it has already been bug-fixed once; two verbatim copies could
+    * silently diverge). */
+  private def adcScore(lut: Column, codes: Column, m: Int,
+                       stride: Int): Column =
+    (0 until m).map { j =>
+      element_at(lut, lit(j * stride + 1) + element_at(codes, j + 1))
+    }.reduce(_ + _)
+
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int,
                       idCol: String = "vec_id", embCol: String = "embedding")
       : Array[Array[Double]] = {
     require(k >= 1 && iters >= 0, s"k=$k iters=$iters")
-    val seeds: Array[Array[Double]] = corpus
-      .orderBy(col(idCol)).limit(k)
-      .select(col(embCol)).collect()
-      .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+    val seeds = seedVectors(corpus, k, idCol, embCol)
     require(seeds.nonEmpty, "kmeans needs a non-empty corpus")
     var centroids = seeds
     var it = 0
@@ -319,8 +347,13 @@ object Similarity {
     val scored = c.join(broadcast(q),
         if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
       .select(col("query_id"), col("vec_id"),
-        (VectorExprs.vecDotInt(col("q_qv"), col("qv")).cast("double") /
-          (sqrt(col("q_qn").cast("double")) * sqrt(col("qn").cast("double"))))
+        // zero vectors quantize to zeros (qn = 0): same -2.0 law as
+        // [[cosine]] instead of an ANSI division crash
+        when(col("q_qn") === 0 || col("qn") === 0, lit(-2.0))
+          .otherwise(
+            VectorExprs.vecDotInt(col("q_qv"), col("qv")).cast("double") /
+              (sqrt(col("q_qn").cast("double")) *
+                sqrt(col("qn").cast("double"))))
           .as("cosine"))
     // exact rescore of the <= |queries| * k survivors only (the shared
     // broadcast-side rescore; the corpus never shuffles for it)
@@ -340,10 +373,7 @@ object Similarity {
                  idCol: String = "vec_id", embCol: String = "embedding")
       : Array[Array[Double]] = {
     require(ks >= 1 && m >= 1 && iters >= 0, s"ks=$ks m=$m iters=$iters")
-    var cb: Array[Array[Double]] = corpus
-      .orderBy(col(idCol)).limit(ks)
-      .select(col(embCol)).collect()
-      .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+    var cb: Array[Array[Double]] = seedVectors(corpus, ks, idCol, embCol)
     require(cb.nonEmpty, "pqCodebook needs a non-empty corpus")
     val dim = cb(0).length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
@@ -397,10 +427,7 @@ object Similarity {
       graft.expr.VectorExprs.pqCode(col("embedding"), cb, m).as("codes"))
     val q = queries.select(col("query_id"),
       graft.expr.VectorExprs.pqLut(col("embedding"), cb, m).as("lut"))
-    val adc = (0 until m).map { j =>
-      element_at(col("lut"),
-        lit(j * stride + 1) + element_at(col("codes"), j + 1))
-    }.reduce(_ + _)
+    val adc = adcScore(col("lut"), col("codes"), m, stride)
     val scored = enc.join(broadcast(q),
         if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
       .select(col("query_id"), col("vec_id"), adc.as("cosine"))
@@ -419,9 +446,7 @@ object Similarity {
       .join(broadcast(top), "vec_id")
       .join(broadcast(queries.select(col("query_id"),
         col("embedding").as("q_emb"))), "query_id")
-      .select(keep :+
-        (dot(col("q_emb"), col("c_emb")) /
-          (norm(col("q_emb")) * norm(col("c_emb")))).as("exact_cos"): _*)
+      .select(keep :+ cosine(col("q_emb"), col("c_emb")).as("exact_cos"): _*)
   }
 
   /** IVF-PQ: the two ANN prunes composed — the 100 TB serving shape
@@ -441,36 +466,34 @@ object Similarity {
                 ks: Int = 8, m: Int = 4, iters: Int = 0,
                 excludeSelf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents: Array[Array[Double]] = corpus
-      .orderBy(col("vec_id")).limit(nLists)
-      .select(col("embedding")).collect()
-      .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+    val cents = seedVectors(corpus, nLists, "vec_id", "embedding")
     val cb = pqCodebook(corpus, ks, m, iters)
     val enc = corpus.select(col("vec_id"),
       graft.expr.VectorExprs.centroidArgMax(col("embedding"), cents)
         .getField("cluster").as("cell_id"),
       graft.expr.VectorExprs.pqCode(col("embedding"), cb, m).as("codes"))
+    // centroid norms ride the broadcast row, query norms the probe
+    // projection — each computed ONCE (the module invariant), not per
+    // (query, cell) pair
     val centRows = broadcast(corpus.sparkSession.createDataFrame(
       cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq)
-      .toDF("cell_id", "centroid"))
+      .toDF("cell_id", "centroid")
+      .withColumn("cent_nrm", norm(col("centroid"))))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cell_id").asc)
     val probes = queries
       .select(col("query_id"),
         graft.expr.VectorExprs.pqLut(col("embedding"), cb, m).as("lut"),
-        col("embedding").as("q_emb"))
+        col("embedding").as("q_emb"), norm(col("embedding")).as("q_nrm"))
       .join(centRows)
       .select(col("query_id"), col("lut"), col("cell_id"),
-        (dot(col("q_emb"), col("centroid")) /
-          (norm(col("q_emb")) * norm(col("centroid")))).as("sim"))
+        cosinePre(col("q_emb"), col("centroid"), col("q_nrm"),
+          col("cent_nrm")).as("sim"))
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nProbe)
       .select(col("query_id"), col("lut"), col("cell_id"))
     val stride = cb.length // actual codebook size, not the requested ks
-    val adc = (0 until m).map { j =>
-      element_at(col("lut"),
-        lit(j * stride + 1) + element_at(col("codes"), j + 1))
-    }.reduce(_ + _)
+    val adc = adcScore(col("lut"), col("codes"), m, stride)
     val scored = enc.join(broadcast(probes), Seq("cell_id"))
       .filter(if (excludeSelf) col("query_id") =!= col("vec_id")
         else lit(true))
@@ -503,6 +526,9 @@ object Similarity {
 final class TopKAggregator(k: Int)
     extends org.apache.spark.sql.expressions.Aggregator[
       TopKAggregator.In, Seq[TopKAggregator.In], Seq[TopKAggregator.In]] {
+  // driver-side: k = 0 would otherwise hit Vector.empty.last inside an
+  // executor task with an opaque stack trace
+  require(k >= 1, s"top-k needs k >= 1, got $k")
   import TopKAggregator.In
 
   override def zero: Seq[In] = Vector.empty

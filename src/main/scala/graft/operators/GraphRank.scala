@@ -79,6 +79,14 @@ object GraphRank {
           lit(teleport) +
             expr(s"$dampNum * coalesce(inc, 0L) div $dampDen"))
         .select(col("node"), col("rank"))
+      // residency note: each localCheckpoint materializes the rank RDD
+      // to MEMORY_AND_DISK; a SUPERSEDED checkpoint's blocks are freed
+      // by Spark's ContextCleaner once the old frame is unreferenced
+      // (GC-driven, not immediate), so a long run can transiently hold
+      // a few node-sized tables beyond the live one. That is bounded
+      // metadata at graph-node scale; callers needing deterministic
+      // release should raise checkpointEvery rather than rely on GC
+      // timing.
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
         ranks = ranks.localCheckpoint()
     }
@@ -130,6 +138,13 @@ object GraphRank {
     val e = edges.select(src.as("src"), dst.as("dst"))
       .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
     onPersist(e)
+    // the hub half-step joins on dst — without a dst-partitioned copy
+    // every rescale job re-exchanges the whole edge table by dst,
+    // paying ~iters edge-sized shuffles the per-half-step contract
+    // ("only a node-sized score table moves") forbids
+    val eByDst = e.repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    onPersist(eByDst)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -177,7 +192,7 @@ object GraphRank {
         .join(e, hub("node") === e("src"))
         .groupBy(col("dst").as("node")).agg(sumDec)
       val hSum0 = (a: DataFrame) => a
-        .join(e, a("node") === e("dst"))
+        .join(eByDst, a("node") === eByDst("dst"))
         .groupBy(col("src").as("node")).agg(sumDec)
       if (doRescale) {
         val (a, aRaw) = rescaled(aSum)
@@ -229,7 +244,8 @@ object GraphRank {
     * is engine-portable bit-for-bit.
     */
   def triangleCounts(edges: DataFrame, src: Column = col("src"),
-                     dst: Column = col("dst")): DataFrame = {
+                     dst: Column = col("dst"),
+                     onPersist: DataFrame => Unit = _ => ()): DataFrame = {
     val e = edges
       .select(least(src, dst).as("a"), greatest(src, dst).as("b"))
       .filter(col("a") =!= col("b")).distinct()
@@ -247,8 +263,11 @@ object GraphRank {
       when(ra < rb, col("a")).otherwise(col("b")).as("u"),
       when(ra < rb, rb).otherwise(ra).as("rv"))
     // persisted once: three consumers (both wedge sides + the closing
-    // join) would otherwise rebuild edges+degrees three times
+    // join) would otherwise rebuild edges+degrees three times; reported
+    // through onPersist like every other persist in this file, so a
+    // caller looping over graphs can free it
     val oc = o.cache()
+    onPersist(oc)
     val wedges = oc.alias("x").join(oc.alias("y"),
         col("x.u") === col("y.u") && col("x.rv") < col("y.rv"))
       .select(col("x.u").as("u"), col("x.rv.n").as("p"),
@@ -294,7 +313,9 @@ object GraphRank {
     // the final state stay resident.
     var best = dist0
     var frontier = dist0
-    for (_ <- 1 to rounds) {
+    var round = 0
+    var converged = false
+    while (round < rounds && !converged) {
       val cand = frontier.join(e, frontier("node") === e("src"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("d"))
         .groupBy("node").agg(min("d").as("d"))
@@ -308,12 +329,19 @@ object GraphRank {
         .persist(StorageLevel.MEMORY_AND_DISK)
       onPersist(merged)
       merged.count() // materialize before releasing what built it
+      // an empty improved set is a FIXED POINT — no later round can
+      // relax anything — so stop instead of running the remaining
+      // rounds' joins, persists, and counts over identical state. The
+      // extra count here prices a frontier the merged.count() already
+      // materialized (cached), not a recomputation.
+      converged = improved.count() == 0
       val prevBest = best
       val prevFrontier = frontier
       best = merged
       frontier = improved
       prevBest.unpersist()
       if (prevFrontier ne prevBest) prevFrontier.unpersist()
+      round += 1
     }
     // the last round's improved-frontier cache is superseded too — only
     // the edge table and the final state may stay resident

@@ -173,9 +173,10 @@ class GraphRankSpec extends SparkSpec {
     val got = GraphRank.hits(edges, iters = 2, onPersist = tracked += _)
       .collect().toSet
     assert(got == base)
-    // edges + nodes + the final iteration's two half-step caches
+    // edges (by src AND the dst-partitioned copy the hub half-step
+    // joins) + nodes + the final iteration's two half-step caches
     // (earlier iterations' caches unpersist in-loop)
-    assert(tracked.size == 4)
+    assert(tracked.size == 5)
     tracked.foreach(_.unpersist(blocking = true))
     val bfsTracked = mutable.Buffer[org.apache.spark.sql.DataFrame]()
     GraphRank.bfsDistances(edges, Seq("h1"), hops = 2,
