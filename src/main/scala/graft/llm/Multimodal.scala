@@ -59,22 +59,32 @@ object Multimodal {
     * plumbing contract until those codecs exist. */
   def extractFeatures(spark: SparkSession, media: DataFrame,
                       featureDim: Int = 8): Dataset[Feature] = {
+    require(featureDim >= 1, s"featureDim=$featureDim")
     import spark.implicits._
     media.select(col("media_id").cast("long"), col("kind"),
         col("bytes"), col("width").cast("int"), col("height").cast("int"))
       .as[MediaRow]
       .mapPartitions { rows =>
+        // loop-invariant: the JVM-global ImageIO cache flag is set once
+        // per partition (not per record — it is a synchronized global
+        // setter), and ONE digest instance serves every row (digest()
+        // resets it; getInstance does a provider lookup per call)
+        javax.imageio.ImageIO.setUseCache(false)
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
         rows.map { r =>
+          // a null payload is an EMPTY payload: the file contract is
+          // one bad record falls back to the stub, never an executor
+          // NPE that fails the batch
+          val bytes = if (r.bytes == null) Array.emptyByteArray else r.bytes
           val feat = (r.kind match {
-            case "image" => decodeImage(r.bytes).map(imageFeatures(_, featureDim))
-            case "audio" => decodeAudio(r.bytes)
+            case "image" => decodeImage(bytes).map(imageFeatures(_, featureDim))
+            case "audio" => decodeAudio(bytes)
               .map { case (rate, samples) => audioFeatures(rate, samples, featureDim) }
-            case "video" => decodeVideo(r.bytes).map(videoFeatures(_, featureDim))
+            case "video" => decodeVideo(bytes).map(videoFeatures(_, featureDim))
             case _ => None
-          }).getOrElse(decodeStub(r.bytes, featureDim))
-          Feature(r.media_id, r.kind, r.bytes.length.toLong,
-            java.security.MessageDigest.getInstance("SHA-256")
-              .digest(r.bytes).take(8).map("%02x".format(_)).mkString,
+          }).getOrElse(decodeStub(bytes, featureDim))
+          Feature(r.media_id, r.kind, bytes.length.toLong,
+            sha.digest(bytes).take(8).map("%02x".format(_)).mkString,
             feat)
         }
       }
@@ -86,6 +96,9 @@ object Multimodal {
     * per-record tmp file inside an executor task loop would be an I/O
     * hazard. */
   private[llm] def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    if (bytes == null || bytes.isEmpty) return None
+    // (callers hoist ImageIO.setUseCache(false) to partition scope; the
+    // direct-call path sets it here once more — idempotent)
     javax.imageio.ImageIO.setUseCache(false)
     // NonFatal, not just IOException: the JDK readers throw unchecked
     // exceptions (AIOOBE, IllegalArgument, NegativeArraySize) on
@@ -100,6 +113,14 @@ object Multimodal {
     * channel means in [0,1] and the remaining `dim - 5` slots a
     * normalized luma histogram (ITU-R 601 weights). Plain per-pixel
     * integer reads — bit-identical across runs and partitionings. */
+  /** 8-bit ITU-R 601 luma of a packed RGB pixel — THE luma definition
+    * shared by the image and video feature loops (one copy: a weight or
+    * rounding change in one modality silently diverging the other is
+    * the copy-paste failure this guards against). */
+  @inline private def luma601(rgb: Int): Int =
+    (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+      + 114 * (rgb & 0xff)) / 1000
+
   private[llm] def imageFeatures(img: java.awt.image.BufferedImage,
                                  dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
@@ -121,11 +142,7 @@ object Multimodal {
         val rgb = row(x)
         val (r, g, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
         sumR += r; sumG += g; sumB += b
-        if (nHist > 0) {
-          // 8-bit ITU-R 601 luma, bucketed over [0, 256)
-          val luma = (299 * r + 587 * g + 114 * b) / 1000
-          hist(luma * nHist / 256) += 1
-        }
+        if (nHist > 0) hist(luma601(rgb) * nHist / 256) += 1
         x += 1
       }
       y += 1
@@ -281,7 +298,10 @@ object Multimodal {
           // floor(i * n / k) — first frame always included
           val frames = (0 until k).flatMap { i =>
             val (off, len) = payloads((i.toLong * n / k).toInt)
-            if (off < 0 || len <= 0 || off + len > bytes.length) None
+            // long arithmetic: a corrupt sample table with off ~ 2e9
+            // would overflow off + len negative and SLIP PAST the bound
+            // check, turning skip-one-bad-frame into whole-clip fallback
+            if (off < 0 || len <= 0 || off.toLong + len.toLong > bytes.length) None
             else decodeImage(java.util.Arrays.copyOfRange(
               bytes, off, off + len))
           }
@@ -535,9 +555,7 @@ object Multimodal {
         img.getRGB(0, y, w, 1, row, 0, w)
         var x = 0
         while (x < w) {
-          val rgb = row(x)
-          val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
-            + 114 * (rgb & 0xff)) / 1000
+          val luma = luma601(row(x))
           lumas(y * w + x) = luma
           lumaSum += luma
           if (nHist > 0) hist(luma * nHist / 256) += 1
@@ -588,15 +606,19 @@ object Multimodal {
     * (audio/video codecs are not in this container). */
   def resize(spark: SparkSession, media: DataFrame,
              targetW: Int, targetH: Int): Dataset[MediaRow] = {
+    require(targetW >= 1 && targetH >= 1, s"target ${targetW}x$targetH")
     import spark.implicits._
     media.select(col("media_id").cast("long"), col("kind"),
         col("bytes"), col("width").cast("int"), col("height").cast("int"))
       .as[MediaRow]
       .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
         rows.map { r =>
-          val resized = (if (r.kind == "image") decodeImage(r.bytes) else None)
+          // null payload = empty payload, same contract as extractFeatures
+          val bytes = if (r.bytes == null) Array.emptyByteArray else r.bytes
+          val resized = (if (r.kind == "image") decodeImage(bytes) else None)
             .map(img => encodePng(scaleImage(img, targetW, targetH)))
-            .getOrElse(resizeStub(r.bytes, targetW * targetH))
+            .getOrElse(resizeStub(bytes, targetW * targetH))
           MediaRow(r.media_id, r.kind, resized, targetW, targetH)
         }
       }
@@ -636,9 +658,15 @@ object Multimodal {
   /** Frame-sampling plan shape for video: pick every `stride`-th frame
     * index below `maxFrames` — pure metadata op until decode runs. */
   def frameSamplePlan(media: DataFrame, fps: Int, stride: Int,
-                      maxFrames: Int): DataFrame =
+                      maxFrames: Int): DataFrame = {
+    // maxFrames = 0 would make sequence(0, -1) DESCEND ([0, -1] — Spark
+    // defaults the step to -1 when start > stop) and claim frame 0;
+    // stride = 0 is an ANSI modulo-by-zero. Fail fast on both.
+    require(maxFrames >= 1, s"maxFrames=$maxFrames")
+    require(stride >= 1, s"stride=$stride")
     media.select(col("media_id"),
       filter(sequence(lit(0), lit(maxFrames - 1)),
         i => i % stride === 0).as("frame_indices"),
       (octet_length(col("bytes")) / (fps.toLong max 1L)).as("approx_frame_bytes"))
+  }
 }

@@ -26,8 +26,12 @@ object SkewTools {
     * straggler" signal that motivates [[saltedAggregate]]. */
   def keySkewAudit(df: DataFrame, key: Column, topK: Int = 5): DataFrame = {
     require(topK >= 1, s"topK=$topK")
-    val counts = df.filter(key.isNotNull)
-      .select(key.cast("string").as("key"))
+    // null IS a key here — a hot null is the single most classic skew
+    // culprit (failed joins, defaulted columns), and an audit that
+    // filters it out both hides the straggler and inflates every other
+    // key's share. It surfaces as the literal string below.
+    val counts = df
+      .select(coalesce(key.cast("string"), lit("<null>")).as("key"))
       .groupBy("key").agg(count(lit(1)).as("cnt"))
     val totals = counts.agg(sum("cnt").as("n"),
       count(lit(1)).as("n_keys"))
@@ -51,6 +55,7 @@ object SkewTools {
     */
   def saltedAgg(df: DataFrame, keys: Seq[Column], saltSource: Column,
                 salts: Int, partial: Seq[Column], fin: Seq[Column]): DataFrame = {
+    require(salts >= 1, s"salts=$salts (pmod by 0 yields null salts)")
     val salted = df.withColumn("__salt", pmod(xxhash64(saltSource), lit(salts)))
     val phase1 = salted
       .groupBy(keys :+ col("__salt"): _*)
@@ -68,6 +73,9 @@ object SkewTools {
     * cluster. */
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
                  salts: Int, saltSource: Column): DataFrame = {
+    // salts = 0 would explode an EMPTY replication array and silently
+    // return zero rows — every match lost with no error
+    require(salts >= 1, s"salts=$salts")
     val saltedBig = skewed.withColumn("__salt", pmod(xxhash64(saltSource), lit(salts)))
     val replicated = other.withColumn("__salt",
       explode(array((0 until salts).map(lit(_)): _*)))

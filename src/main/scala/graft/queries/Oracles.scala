@@ -2154,9 +2154,9 @@ object Oracles {
 
     "q141_skew_audit" ->
       """WITH c AS (
-        |  SELECT CAST(event_type AS VARCHAR) AS key,
+        |  SELECT coalesce(CAST(event_type AS VARCHAR), '<null>') AS key,
         |         CAST(count(*) AS BIGINT) AS cnt
-        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+        |  FROM events GROUP BY 1),
         |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
         |             CAST(count(*) AS BIGINT) AS n_keys FROM c)
         |SELECT key, cnt, n, n_keys,
