@@ -63,6 +63,22 @@ object Quality {
   def landReports(wh: Warehouse, reports: DataFrame): Unit =
     if (!reports.isEmpty) wh.append("data_quality_reports", reports)
 
+  /** Replay-idempotent report landing for STREAMING job ids: stream jobs
+    * derive a DETERMINISTIC id from the file name, so a redelivered
+    * micro-batch would land the identical report rows twice through the
+    * plain append — keyed append-if-absent on (job_id, rule_name) makes
+    * the replay a no-op. The batch pipeline keeps [[landReports]]: its
+    * uuid job ids never collide, and the reference semantics there are
+    * a plain append. */
+  def landReportsIfAbsent(wh: Warehouse, reports: DataFrame): Unit =
+    if (!reports.isEmpty)
+      wh.appendIfAbsent("data_quality_reports",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "job_id STRING, rule_name STRING, severity STRING, " +
+            "affected_rows BIGINT"),
+        reports, keys = Seq("job_id", "rule_name"), orderCol = "rule_name",
+        dedupWithinBatch = false)
+
   /** Generic rule engine the reference-specific counts above are an
     * instance of: declare named per-row predicates, get one report row
     * per violated rule. ALL rules evaluate in a single aggregation pass

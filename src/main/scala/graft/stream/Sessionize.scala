@@ -43,7 +43,13 @@ object Sessionize {
             times.foreach { t =>
               cur match {
                 case Some(s) if t - s.lastSeen <= gapMillis =>
-                  cur = Some(s.copy(lastSeen = math.max(s.lastSeen, t),
+                  // a late cross-batch event inside the gap can PREDATE
+                  // the open session's start (the watermark, held by
+                  // other users, still admits it): the session absorbs
+                  // it, so its start must extend backwards too — or the
+                  // emitted boundary is wrong by up to the gap
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    lastSeen = math.max(s.lastSeen, t),
                     nEvents = s.nEvents + 1))
                 case Some(s) => // gap exceeded within the data itself
                   closed ::= Session(userId, new Timestamp(s.start),

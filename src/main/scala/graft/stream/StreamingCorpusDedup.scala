@@ -77,9 +77,8 @@ final class StreamingCorpusDedup(spark: SparkSession, wh: Warehouse,
     // so a crash anywhere inside the batch publishes nothing and the
     // replay starts from a clean slate — corpus rows can never land
     // without their signatures or without the commit record.
-    wh.transact {
-      if (!StreamCommits.alreadyCommitted(wh, checkpointDir, batchId)) {
-        if (!batch.isEmpty) {
+    StreamCommits.effectivelyOnce(spark, wh, checkpointDir, batchId, batch) {
+      batch => {
           // corrupt JSON lines surface as null doc_id/text rows from the file
           // source — skip them rather than poison the store (one bad line must
           // not fail the batch, matching the pipeline's one-job-not-the-service
@@ -90,8 +89,22 @@ final class StreamingCorpusDedup(spark: SparkSession, wh: Warehouse,
             .filter(col("doc_id").isNotNull && col("text").isNotNull).cache()
           val sigs = Dedup.minhashTable(docs, numHashes, k).cache()
           try {
+            val storeExists = wh.exists("sig_store")
+            if (storeExists) {
+              // the split router's guard, mirrored: a store written with
+              // a different hash width silently NEVER pairs (bands slice
+              // past the array; zip_with null-pads the estimate), so
+              // near-dups would append to the corpus forever
+              val w = wh.read("sig_store", sigSchema)
+                .select(org.apache.spark.sql.functions.size(col("sig"))
+                  .as("w")).limit(1).collect()
+              w.headOption.foreach(r => require(r.getInt(0) == numHashes,
+                s"sig_store holds ${r.getInt(0)}-wide signatures, this " +
+                  s"stream hashes $numHashes — mixed hash families can " +
+                  "never pair; align numHashes or use a separate store"))
+            }
             val edges =
-              if (!wh.exists("sig_store"))
+              if (!storeExists)
                 Dedup.minhashCandidatesFromSigs(sigs, numHashes, bands, threshold)
               else Dedup.incrementalMinhashCandidatesFromSigs(
                 wh.read("sig_store", sigSchema), sigs, numHashes, bands, threshold)
@@ -104,7 +117,5 @@ final class StreamingCorpusDedup(spark: SparkSession, wh: Warehouse,
         // the appendIfAbsent sinks would heal a replayed batch row-by-row
         // even WITHOUT the transaction (anti-join on doc_id); with it they
         // are belt-and-braces for streams sharing tables
-        StreamCommits.record(spark, wh, checkpointDir, batchId)
-      }
     }
 }

@@ -40,22 +40,25 @@ object StreamingExpectations {
       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
      else writer)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!StreamCommits.alreadyCommitted(wh, checkpoint, batchId)) {
-          batch.persist()
+        // the shared effectively-once frame: replay guard INSIDE the
+        // transaction (this sink's hand-rolled copy had drifted it
+        // outside) and empty batches skipped — a zero-row bookkeeping
+        // batch must not fail RowCountBetween and pollute the quality
+        // history with a phantom quarantined "batch"
+        StreamCommits.effectivelyOnce(spark, wh, checkpoint, batchId,
+          batch) { b =>
+          b.persist()
           try {
-            val rep = Expectations.evaluate(batch, expectations)
+            val rep = Expectations.evaluate(b, expectations)
               .withColumn("batch_id", lit(batchId))
             val verdicts = rep.select(col("expectation"), col("observed"),
               col("total"), col("passed"), col("batch_id")).collect()
             val passed = verdicts.forall(_.getBoolean(3))
             val repDf = spark.createDataFrame(
               java.util.Arrays.asList(verdicts: _*), rep.schema)
-            wh.transact {
-              wh.append(report, repDf)
-              wh.append(if (passed) table else quarantine, batch)
-              StreamCommits.record(spark, wh, checkpoint, batchId)
-            }
-          } finally batch.unpersist()
+            wh.append(report, repDf)
+            wh.append(if (passed) table else quarantine, b)
+          } finally b.unpersist()
         }
         ()
       }

@@ -81,7 +81,11 @@ final class StreamingPipeline(spark: SparkSession, wh: Warehouse,
         Dims.upsertForJob(wh, stagingRows)
         val processed = Transform.processedRows(stagingRows)
         Transform.landInProcessed(wh, processed)
-        Quality.landReports(wh, Quality.ruleCounts(spark, withIds, jobId))
+        // the one non-idempotent sink under redelivery: stream job ids
+        // are deterministic per file, so a replayed micro-batch would
+        // duplicate the report rows through the plain append
+        Quality.landReportsIfAbsent(wh,
+          Quality.ruleCounts(spark, withIds, jobId))
         Aggregate.mergeIntoWarehouse(wh, Aggregate.buildForJob(processed, jobId))
         pipeline.markStatus(jobId, "completed", None, Some(filename))
       } finally withIds.unpersist()

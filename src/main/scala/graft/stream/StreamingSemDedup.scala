@@ -58,9 +58,8 @@ final class StreamingSemDedup(spark: SparkSession, wh: Warehouse,
   }
 
   private[stream] def processBatch(batch: DataFrame, batchId: Long): Unit =
-    wh.transact {
-      if (!StreamCommits.alreadyCommitted(wh, checkpointDir, batchId)) {
-        if (!batch.isEmpty) {
+    StreamCommits.effectivelyOnce(spark, wh, checkpointDir, batchId, batch) {
+      batch => {
           // corrupt lines parse to null rows — skip, never poison the store
           val vecs = batch
             .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
@@ -78,7 +77,5 @@ final class StreamingSemDedup(spark: SparkSession, wh: Warehouse,
               dedupWithinBatch = false)
           } finally asg.unpersist()
         }
-        StreamCommits.record(spark, wh, checkpointDir, batchId)
-      }
     }
 }

@@ -48,9 +48,8 @@ final class StreamingSketch(spark: SparkSession, wh: Warehouse,
   }
 
   private[stream] def processBatch(batch: DataFrame, batchId: Long): Unit =
-    wh.transact {
-      if (!StreamCommits.alreadyCommitted(wh, checkpointDir, batchId)) {
-        if (!batch.isEmpty) {
+    StreamCommits.effectivelyOnce(spark, wh, checkpointDir, batchId, batch) {
+      batch => {
           val terms = batch
             .filter(col("doc_id").isNotNull && col("text").isNotNull)
             .select(explode(Dedup.wsTokens(col("text"))).as("term"))
@@ -58,15 +57,35 @@ final class StreamingSketch(spark: SparkSession, wh: Warehouse,
             Sketches.countMinBuild(terms, col("term"), depth, width)
           val merged =
             if (!wh.exists("cm_sketch")) batchSketch
-            else wh.read("cm_sketch", sketchSchema)
-              .unionByName(batchSketch)
-              .groupBy("row", "bucket")
-              .agg(sum("cnt").as("cnt"))
+            else {
+              val store = wh.read("cm_sketch", sketchSchema)
+              // geometry guard (the sig_store width lesson): merging a
+              // batch sketched at a different depth/width into the
+              // accumulated cells mixes two hash moduli — estimates
+              // become garbage INCLUDING undercounts, silently, forever.
+              // The stored geometry is readable from the cells: depth =
+              // max(row)+1 exactly; width must exceed every stored
+              // bucket (a lower probe width is provably wrong, a higher
+              // one unverifiable from data — document-level contract).
+              val g = store.agg(max(col("row")).as("d"),
+                max(col("bucket")).as("b")).collect()(0)
+              if (!g.isNullAt(0)) {
+                require(g.getInt(0) + 1 == depth,
+                  s"cm_sketch was accumulated at depth ${g.getInt(0) + 1}, " +
+                    s"this stream sketches depth $depth — restart with the " +
+                    "original geometry or start a fresh sketch table")
+                require(g.getLong(1) < width,
+                  s"cm_sketch holds bucket ${g.getLong(1)} >= width $width " +
+                    "— the stored sketch used a wider modulus")
+              }
+              store
+                .unionByName(batchSketch)
+                .groupBy("row", "bucket")
+                .agg(sum("cnt").as("cnt"))
+            }
           wh.replace("cm_sketch", merged.select(
             col("row").cast("int").as("row"), col("bucket"),
             col("cnt").cast("long").as("cnt")))
         }
-        StreamCommits.record(spark, wh, checkpointDir, batchId)
-      }
     }
 }

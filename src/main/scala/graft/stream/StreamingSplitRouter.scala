@@ -91,18 +91,20 @@ final class StreamingSplitRouter(spark: SparkSession, wh: Warehouse,
   }
 
   private[stream] def processBatch(batch: DataFrame, batchId: Long): Unit =
-    wh.transact {
-      if (!StreamCommits.alreadyCommitted(wh, checkpointDir, batchId)) {
-        if (!batch.isEmpty) {
-          // corrupt JSON lines surface as null rows — skip, don't poison
+    StreamCommits.effectivelyOnce(spark, wh, checkpointDir, batchId, batch) {
+      batch => {
+          // corrupt JSON lines surface as null rows — skip, don't poison.
+          // The shingle count is computed ONCE into a column (the class
+          // doc's "shingled exactly once" covers hashing; the split
+          // predicate must not re-run the shingle expression per filter)
           val docs = batch
-            .filter(col("doc_id").isNotNull && col("text").isNotNull).cache()
-          // shingle-less docs (< k tokens) route by content hash; only
-          // shingled docs enter the MinHash path and the store
-          val shingled =
-            docs.filter(size(Dedup.shingles(col("text"), k)) > 0)
-          val short = docs.filter(size(Dedup.shingles(col("text"), k)) === 0)
+            .filter(col("doc_id").isNotNull && col("text").isNotNull)
+            .withColumn("__n_shingles", size(Dedup.shingles(col("text"), k)))
+            .cache()
+          val shingled = docs.filter(col("__n_shingles") > 0)
+          val short = docs.filter(col("__n_shingles") === 0)
           val sigs = Dedup.minhashTable(shingled, numHashes, k).cache()
+          var assignments: DataFrame = null
           try {
             val storeExists = wh.exists(sigStoreTable)
             if (storeExists) {
@@ -126,32 +128,64 @@ final class StreamingSplitRouter(spark: SparkSession, wh: Warehouse,
                 threshold)
             // Warehouse.read of an absent table is the empty frame with
             // the declared schema, so first-batch reads need no guard
-            val assignments = Dedup.incrementalLeakSafeSplit(
+            val knownConflicts = wh.read(conflictTable, conflictSchema)
+            assignments = Dedup.incrementalLeakSafeSplit(
               wh.read(assignTable, assignSchema), shingled, edges,
-              cuts, lastSplit,
-              conflictedIds = Some(wh.read(conflictTable, conflictSchema)))
+              cuts, lastSplit, conflictedIds = Some(knownConflicts))
               .unionByName(Dedup.contentHashSplit(short, cuts, lastSplit)
                 .select(col("doc_id"), col("doc_id").as("cluster_id"),
                   col("split"), lit(false).as("inherited"),
                   lit(0L).as("n_store_splits"),
                   lit(false).as("conflicted")))
               .cache()
-            // conflict stickiness: record the WHOLE membership of every
-            // conflicted component (stored + batch docs), so future
-            // batches touching any member inherit the flag. Component
-            // labels are recomputed here — the edge list is batch-sized,
-            // so this is a second small pass, not a corpus scan.
+            // conflict stickiness, CLOSED over the assignment store: a
+            // conflicted component's membership must include docs that
+            // inherited through its members in EARLIER batches (chains
+            // A <- A2 <- A3 where only (A, A2) and (A2, A3) edges were
+            // ever observed — near-dup candidates are not transitive,
+            // so this batch's edge components alone under-record).
+            // Stored rows point at their batch-time cluster_id, so the
+            // closure walks doc_id <-> cluster_id links in the store;
+            // conflict sets are tiny and chains short, each step is two
+            // semi-joins on the store, and the loop stops at fixpoint.
             val conflictedClusters = assignments
               .filter(col("conflicted")).select(col("cluster_id")).distinct()
-            val newConflictMembers = Dedup.duplicateClusters(edges)
-              .join(conflictedClusters,
-                col("comp_id") === col("cluster_id"), "left_semi")
-              .select(col("doc_id"))
-            wh.appendIfAbsent(assignTable, assignSchema, assignments,
+            if (!conflictedClusters.isEmpty) {
+              val store = wh.read(assignTable, assignSchema)
+                .select(col("doc_id"), col("cluster_id")).cache()
+              var members = Dedup.duplicateClusters(edges)
+                .join(conflictedClusters,
+                  col("comp_id") === col("cluster_id"), "left_semi")
+                .select(col("doc_id")).cache()
+              var size0 = members.count()
+              var grown = true
+              var steps = 0
+              while (grown && steps < 20) {
+                val viaCluster = store
+                  .join(members.select(col("doc_id").as("__m")),
+                    col("cluster_id") === col("__m"), "left_semi")
+                  .select(col("doc_id"))
+                val viaDoc = store
+                  .join(members.select(col("doc_id").as("__m")),
+                    col("doc_id") === col("__m"), "left_semi")
+                  .select(col("cluster_id").as("doc_id"))
+                val next = members.unionByName(viaCluster)
+                  .unionByName(viaDoc).distinct().cache()
+                val size1 = next.count()
+                members.unpersist()
+                members = next
+                grown = size1 > size0
+                size0 = size1
+                steps += 1
+              }
+              wh.appendIfAbsent(conflictTable, conflictSchema, members,
+                keys = Seq("doc_id"), orderCol = "doc_id",
+                dedupWithinBatch = false)
+              members.unpersist(); store.unpersist()
+            }
+            wh.appendIfAbsent(assignTable, assignSchema,
+              assignments.drop("__n_shingles"),
               keys = Seq("doc_id"), orderCol = "doc_id",
-              dedupWithinBatch = false)
-            wh.appendIfAbsent(conflictTable, conflictSchema,
-              newConflictMembers, keys = Seq("doc_id"), orderCol = "doc_id",
               dedupWithinBatch = false)
             // dropped-or-kept, every shingled doc's signature enters the
             // store: a later near-dup of ANY routed doc must still be
@@ -159,10 +193,13 @@ final class StreamingSplitRouter(spark: SparkSession, wh: Warehouse,
             wh.appendIfAbsent(sigStoreTable, sigSchema, sigs,
               keys = Seq("doc_id"), orderCol = "doc_id",
               dedupWithinBatch = false)
-            assignments.unpersist()
-          } finally { sigs.unpersist(); docs.unpersist() }
+          } finally {
+            // unpersist in finally: a failed append (width guard, disk,
+            // writer lock) must not leak the cached frames for the
+            // lifetime of a per-batch-retrying stream
+            if (assignments != null) assignments.unpersist()
+            sigs.unpersist(); docs.unpersist()
+          }
         }
-        StreamCommits.record(spark, wh, checkpointDir, batchId)
-      }
     }
 }

@@ -149,4 +149,82 @@ class StreamingSplitRouterSpec extends SparkSpec {
     assert(wh.read("split_conflicts", StructType.fromDDL("doc_id BIGINT"))
       .collect().map(_.getLong(0)).toSet == Set(1L, 8L, 20L, 30L))
   }
+
+  test("conflict membership closes over the assignment store: an " +
+    "earlier-batch inheritor with no edge this batch is still recorded") {
+    val landing = tmpDir("closland")
+    val wh = new Warehouse(spark, tmpDir("whclos").toString)
+    val ckpt = tmpDir("ckptclos").toString
+    val router = new StreamingSplitRouter(spark, wh, landing.toString,
+      ckpt, cuts = Seq("train" -> 50), lastSplit = "test",
+      bands = 32, threshold = 0.2)
+    def runOnce(): Unit =
+      router.start(availableNow = true).awaitTermination()
+
+    // wave 1: the two straddling seeds
+    Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+        (8L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").json(landing.toString)
+    runOnce()
+    // doc 40 inherited seed 1's split in some EARLIER incarnation whose
+    // signature never landed (the LSH-miss / lost-sig case the closure
+    // exists for): seed its assignment row directly — no signature, so
+    // no future edge can ever reach it; only the store walk can
+    val seeded = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(40L, 1L, "train", true, 1L, false)),
+      StructType.fromDDL(assignDDL))
+    wh.appendIfAbsent("split_assign", StructType.fromDDL(assignDDL),
+      seeded, keys = Seq("doc_id"), orderCol = "doc_id",
+      dedupWithinBatch = false)
+
+    // wave 2: the bridge flags component {1, 8, 20}; the closure over
+    // split_assign must pull doc 40 in through its cluster_id = 1 link
+    Seq((20L, "alpha beta gamma delta epsilon zeta eta theta " +
+        "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").json(landing.toString)
+    runOnce()
+    assert(wh.read("split_conflicts", StructType.fromDDL("doc_id BIGINT"))
+      .collect().map(_.getLong(0)).toSet == Set(1L, 8L, 20L, 40L),
+      "the store-closure must record the edgeless earlier inheritor")
+  }
+
+  test("a wiped checkpoint is a NEW stream identity: fresh batches are " +
+    "not no-oped by the old high-water mark") {
+    val landing = tmpDir("wipeland")
+    val wh = new Warehouse(spark, tmpDir("whwipe").toString)
+    val ckpt = tmpDir("ckptwipe")
+    def route(): Unit =
+      new StreamingSplitRouter(spark, wh, landing.toString,
+        ckpt.toString, cuts = Seq("train" -> 80, "validation" -> 90),
+        lastSplit = "test")
+        .start(availableNow = true).awaitTermination()
+    Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").json(landing.toString)
+    route()
+    def routed() = wh.read("split_assign", StructType.fromDDL(assignDDL))
+      .collect().map(_.getLong(0)).toSet
+    assert(routed() == Set(100L))
+    // operator wipes the checkpoint (corruption recovery): batch ids
+    // restart at 0 — identity-by-path alone would read the old
+    // high-water mark and silently no-op the fresh data
+    def rm(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    rm(ckpt)
+    Seq((200L, "completely different content about spark engines"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").json(landing.toString)
+    route()
+    // the new incarnation re-reads everything (fresh file-source
+    // offsets); replayed doc 100 heals via append-if-absent, NEW doc
+    // 200 must land — before the identity marker it was silently lost
+    assert(routed() == Set(100L, 200L))
+  }
 }
