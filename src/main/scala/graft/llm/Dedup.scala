@@ -1353,44 +1353,75 @@ object Dedup {
     * only (doc_id, pos, hash) — the hash is computed in the projection
     * BEFORE any shuffle, so text never moves. The occurrence count
     * partial-aggregates map-side; marking is one equi-join on the hash
-    * (only positions, never text, shuffle back); and the span merge is a
-    * per-document window over the MARKED positions only — task size is
-    * bounded by the longest document's duplicated region, never by the
-    * corpus. No stage is quadratic and nothing is collected.
+    * (only positions, never text, shuffle back); and the span merge is
+    * ONE doc-keyed aggregation of the MARKED positions (sorted per doc,
+    * islands cut where the gap exceeds k by an index-aware filter over
+    * the position array) — per-task state is bounded by the longest
+    * document's duplicated region, never by the corpus, exactly the
+    * bound the former per-doc window had, minus the window's extra
+    * sort + second shuffle. No stage is quadratic, nothing collected.
     *
     * `portable = true` hashes the joined window text with md5 (the form
     * a SQL oracle can replay); production keeps the default xxhash64 of
-    * the token-array slice — no string is ever built per window. */
+    * the token-array slice — no string is ever built per window.
+    *
+    * The gram table feeds TWO consumers (the occurrence count and the
+    * mark-back join), so without materialization the corpus is
+    * tokenized and window-hashed twice. `persistGrams = true` persists
+    * it MEMORY_AND_DISK for the duration of the computation — the
+    * Lee et al. production shape, where the suffix/window table is
+    * written once and reread (it is ~1.5x the corpus; executor-local
+    * spill, never the driver). The handle is reported through
+    * `onPersist` so a long-lived caller can unpersist after the spans
+    * are consumed; one-action callers (a query, a report) can leave the
+    * default no-op and let session cache hygiene reclaim it. */
   def dupSpans(docs: DataFrame, k: Int = 8, minCount: Int = 2,
                id: Column = col("doc_id"), text: Column = col("text"),
-               portable: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+               portable: Boolean = false, persistGrams: Boolean = false,
+               onPersist: DataFrame => Unit = _ => ()): DataFrame = {
     require(k >= 1 && minCount >= 2, s"k=$k minCount=$minCount")
     val toks = docs.select(id.as("doc_id"), wsTokens(text).as("__t"))
     val n = size(col("__t"))
     val win = slice(col("__t"), col("pos") + 1, lit(k))
-    val grams = toks
+    val grams0 = toks
       .select(col("doc_id"), col("__t"),
         explode(when(n >= k, sequence(lit(0), n - k))
           .otherwise(array().cast("array<int>"))).as("pos"))
       .select(col("doc_id"), col("pos"),
         (if (portable) md5(array_join(win, " ")) else xxhash64(win)).as("__h"))
+    val grams =
+      if (!persistGrams) grams0
+      else {
+        val g = grams0.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        onPersist(g)
+        g
+      }
     val dup = grams.groupBy(col("__h"))
       .agg(count(lit(1)).as("__c")).filter(col("__c") >= minCount)
     val seeds = grams.join(dup, "__h").select(col("doc_id"), col("pos"))
     // islands: a new span starts where the gap to the previous seed
-    // exceeds k (seed windows [p, p+k-1] overlap or touch iff gap <= k)
-    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    seeds
-      .withColumn("__brk",
-        when(col("pos") - lag(col("pos"), 1).over(wDoc) > k, 1).otherwise(0))
-      .withColumn("__isl", sum(col("__brk"))
-        .over(wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("doc_id"), col("__isl"))
-      .agg(min(col("pos")).as("span_start"), max(col("pos")).as("__mx"))
-      .select(col("doc_id"), col("span_start"),
-        (col("__mx") + lit(k - 1)).as("span_end"),
-        (col("__mx") + lit(k) - col("span_start")).as("span_tokens"))
+    // exceeds k (seed windows [p, p+k-1] overlap or touch iff gap <= k).
+    // One doc-keyed aggregation instead of a per-doc window + second
+    // groupBy: the sorted per-doc position list (bounded by the doc's
+    // own length — the same buffer the window version held per frame)
+    // yields island starts/ends with two index-aware filters, which zip
+    // 1:1 in order. element_at is 1-based: at 0-based index i, the
+    // previous position is element_at(ps, i) and the next is
+    // element_at(ps, i + 2).
+    seeds.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("__ps"))
+      .withColumn("__st", filter(col("__ps"),
+        (p, i) => i === 0 || p - element_at(col("__ps"), i) > k))
+      .withColumn("__en", filter(col("__ps"),
+        (p, i) => i === size(col("__ps")) - 1 ||
+          element_at(col("__ps"), i + 2) - p > k))
+      .select(col("doc_id"),
+        explode(arrays_zip(col("__st"), col("__en"))).as("__sp"))
+      .select(col("doc_id"),
+        col("__sp.__st").as("span_start"),
+        (col("__sp.__en") + lit(k - 1)).as("span_end"),
+        (col("__sp.__en") + lit(k) - col("__sp.__st")).as("span_tokens"))
   }
 
   /** Per-document duplicated-token coverage from [[dupSpans]]: how much
@@ -1401,8 +1432,10 @@ object Dedup {
   def dupSpanStats(docs: DataFrame, k: Int = 8, minCount: Int = 2,
                    maxDupFrac: Double = 0.5,
                    id: Column = col("doc_id"), text: Column = col("text"),
-                   portable: Boolean = false): DataFrame = {
-    val perDoc = dupSpans(docs, k, minCount, id, text, portable)
+                   portable: Boolean = false, persistGrams: Boolean = false,
+                   onPersist: DataFrame => Unit = _ => ()): DataFrame = {
+    val perDoc = dupSpans(docs, k, minCount, id, text, portable,
+      persistGrams, onPersist)
       .groupBy(col("doc_id")).agg(sum(col("span_tokens")).as("__dup"))
     val base = docs.select(id.as("doc_id"), size(wsTokens(text)).as("n_tokens"))
     base.join(perDoc, Seq("doc_id"), "left")
@@ -1431,8 +1464,10 @@ object Dedup {
     * normalized tokens, so output text is uniformly normalized. */
   def scrubSpans(docs: DataFrame, k: Int = 8, minCount: Int = 2,
                  id: Column = col("doc_id"), text: Column = col("text"),
-                 portable: Boolean = false): DataFrame = {
-    val spans = dupSpans(docs, k, minCount, id, text, portable)
+                 portable: Boolean = false, persistGrams: Boolean = false,
+                 onPersist: DataFrame => Unit = _ => ()): DataFrame = {
+    val spans = dupSpans(docs, k, minCount, id, text, portable,
+      persistGrams, onPersist)
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__sp"))
     val toks = docs.select(id.as("doc_id"), wsTokens(text).as("__t"))

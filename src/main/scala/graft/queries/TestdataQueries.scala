@@ -1168,8 +1168,12 @@ object TestdataQueries {
     * spans per document. Portable md5 window hash so the oracle replays
     * the whole pipeline; production uses xxhash64 of the array slice. */
   def q83DupSpans(s: SparkSession, dir: String): DataFrame =
+    // persistGrams: the gram table feeds both the occurrence count and
+    // the mark-back join; materializing it once (executor-local
+    // MEMORY_AND_DISK, the Lee et al. write-the-window-table shape)
+    // halves the corpus tokenize+hash work
     Dedup.dupSpans(t(s, dir, "documents"), k = 8, minCount = 2,
-      portable = true)
+      portable = true, persistGrams = true)
 
   /** Per-document duplicated-token coverage + curation keep decision
     * (drop documents that are mostly corpus-duplicated spans). */
@@ -1217,7 +1221,7 @@ object TestdataQueries {
     * detection is q83's, the rewrite is one index-aware filter. */
   def q89ScrubSpans(s: SparkSession, dir: String): DataFrame =
     Dedup.scrubSpans(t(s, dir, "documents"), k = 8, minCount = 2,
-      portable = true)
+      portable = true, persistGrams = true)
 
   /** Temperature-scaled (alpha = 0.5) language rebalance: keep rates
     * derived from per-language corpus counts via integer-scaled sqrt
