@@ -1,0 +1,91 @@
+package graft.stream
+
+import graft.SparkSpec
+import graft.etl.Warehouse
+import graft.llm.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Streaming inverted-index maintenance end-to-end: a real file-source
+  * stream in waves through one checkpoint, asserting the mergeable-
+  * summary law — the maintained index equals the ONE-SHOT index of
+  * everything ever streamed, df and posting arrays included — plus the
+  * replay no-op and the posting-cap geometry guard. */
+class StreamingIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def collected(df: org.apache.spark.sql.DataFrame) =
+    df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2).toList))
+      .toSet
+
+  test("the maintained index equals the one-shot index of every wave, " +
+    "posting arrays included") {
+    val landing = tmpDir("idxland")
+    val wh = new Warehouse(spark, tmpDir("whidx").toString)
+    val ckpt = tmpDir("ckptidx").toString
+    val idx = new StreamingIndex(spark, wh, landing.toString, ckpt,
+      maxPostings = 3)
+    def runOnce(): Unit =
+      idx.start(availableNow = true).awaitTermination()
+
+    // interleaved doc ids across waves so min-k merging is exercised:
+    // "shared" appears in docs 2, 9 (wave 1) and 1, 5 (wave 2) — the
+    // capped posting list of the merged index must be [1, 2, 5], which
+    // neither wave's own top-3 equals
+    val wave1 = Seq(
+      (2L, "shared alpha beta"),
+      (9L, "shared gamma"),
+      (4L, "alpha delta"))
+    val wave2 = Seq(
+      (1L, "shared epsilon"),
+      (5L, "shared zeta alpha"),
+      (7L, "eta theta"))
+    wave1.toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").json(landing.toString)
+    runOnce()
+    wave2.toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").json(landing.toString)
+    runOnce()
+
+    val oneShot = TextAnalysis.invertedIndex(
+      (wave1 ++ wave2).toDF("doc_id", "text"), minDf = 1, maxPostings = 3)
+    assert(collected(idx.index()) == collected(oneShot))
+    assert(collected(idx.index()).exists {
+      case ("shared", df, ps) => df == 4L && ps == List(1L, 2L, 5L)
+      case _ => false
+    }, collected(idx.index()))
+    // df floor applies at read time without losing merge history
+    assert(collected(idx.index(minDf = 2)) ==
+      collected(oneShot.filter(col("df") >= 2)))
+  }
+
+  test("a replayed batch adds nothing twice") {
+    val landing = tmpDir("idxreplayland")
+    val wh = new Warehouse(spark, tmpDir("whidxreplay").toString)
+    val ckpt = tmpDir("ckptidxreplay").toString
+    val idx = new StreamingIndex(spark, wh, landing.toString, ckpt)
+    val batch = Seq((1L, "alpha beta"), (2L, "alpha")).toDF("doc_id", "text")
+    idx.processBatch(batch, batchId = 0L)
+    val first = collected(idx.index())
+    idx.processBatch(batch, batchId = 0L) // redelivery of the same batch
+    assert(collected(idx.index()) == first,
+      "df addition must short-circuit on the commit record")
+    assert(first.exists { case ("alpha", df, _) => df == 2L; case _ => false })
+  }
+
+  test("a store capped wider than the stream's maxPostings fails loudly") {
+    val landing = tmpDir("idxcapland")
+    val wh = new Warehouse(spark, tmpDir("whidxcap").toString)
+    val wide = new StreamingIndex(spark, wh, landing.toString,
+      tmpDir("ckptidxw").toString, maxPostings = 4)
+    wide.processBatch(
+      Seq((1L, "t"), (2L, "t"), (3L, "t"), (4L, "t")).toDF("doc_id", "text"),
+      batchId = 0L)
+    val narrow = new StreamingIndex(spark, wh, landing.toString,
+      tmpDir("ckptidxn").toString, maxPostings = 2)
+    val e = intercept[IllegalArgumentException] {
+      narrow.processBatch(Seq((5L, "t")).toDF("doc_id", "text"), batchId = 0L)
+    }
+    assert(e.getMessage.contains("posting list"), e.getMessage)
+  }
+}
