@@ -149,15 +149,15 @@ object Bench {
           val best0 = math.min(cold, warm)
           // Up to two post-sweep re-pairs: host stall windows here span
           // many seconds, so a single fresh pair can itself land inside
-          // one; a suspect still over 1 s after the first re-pair gets
-          // one more. Each round only ever lowers the reported number
-          // toward the steady state.
+          // one; a suspect still over the 0.4 s trigger after the first
+          // re-pair gets one more. Each round only ever lowers the
+          // reported number toward the steady state.
           var best = best0
           var round = 0
           while (round < 2 && !errors.contains(name) &&
               (if (round == 0)
                  math.abs(cold - warm) > 0.25 * best0 || best0 > 0.4
-               else best > 0.7)) {
+               else best > 0.4)) {
             val (c2, w2, err2) = pair(SparkEntry.queries(name))
             err2 match {
               case Some(m) => errors(name) = m

@@ -45,7 +45,8 @@ import scala.jdk.CollectionConverters._
   * Fact tables are partitioned by `study_id` so a merge or selective
   * read touches only the studies present in the incoming batch.
   */
-final class Warehouse(spark: SparkSession, val root: String,
+final class Warehouse(private[graft] val spark: SparkSession,
+                      val root: String,
                       catalogRetention: Int = 2,
                       format: String = "parquet") {
   require(catalogRetention >= 2,

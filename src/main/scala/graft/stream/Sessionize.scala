@@ -37,31 +37,37 @@ object Sessionize {
             Iterator.single(Session(userId, new Timestamp(s.start),
               new Timestamp(s.lastSeen), s.nEvents))
           } else {
-            val times = batch.map(_.ts.getTime).toArray.sorted
+            // A late cross-batch event can land ANYWHERE relative to the
+            // open session (the watermark, held back by other users,
+            // still admits it): inside the gap below start (extends the
+            // session backwards), far below start (a distinct EARLIER
+            // session the gap law must keep separate), or bridging an
+            // old event cluster into the open session. Interval merging
+            // over the sorted union of {open session} ∪ {events} is the
+            // one rule that matches the batch sessionizer for every
+            // arrival order — absorb-if-within-gap-of-lastSeen alone
+            // would glue a t << start - gap event onto the session.
+            val items = (batch.map(e =>
+                SessionState(e.ts.getTime, e.ts.getTime, 1)) ++
+              state.getOption.iterator).toArray
+              .sortBy(s => (s.start, s.lastSeen))
             var closed = List.empty[Session]
-            var cur = state.getOption
-            times.foreach { t =>
-              cur match {
-                case Some(s) if t - s.lastSeen <= gapMillis =>
-                  // a late cross-batch event inside the gap can PREDATE
-                  // the open session's start (the watermark, held by
-                  // other users, still admits it): the session absorbs
-                  // it, so its start must extend backwards too — or the
-                  // emitted boundary is wrong by up to the gap
-                  cur = Some(s.copy(start = math.min(s.start, t),
-                    lastSeen = math.max(s.lastSeen, t),
-                    nEvents = s.nEvents + 1))
-                case Some(s) => // gap exceeded within the data itself
-                  closed ::= Session(userId, new Timestamp(s.start),
-                    new Timestamp(s.lastSeen), s.nEvents)
-                  cur = Some(SessionState(t, t, 1))
-                case None =>
-                  cur = Some(SessionState(t, t, 1))
+            var cur: SessionState = null
+            items.foreach { s =>
+              if (cur == null) cur = s
+              else if (s.start - cur.lastSeen <= gapMillis)
+                cur = SessionState(cur.start,
+                  math.max(cur.lastSeen, s.lastSeen),
+                  cur.nEvents + s.nEvents)
+              else {
+                closed ::= Session(userId, new Timestamp(cur.start),
+                  new Timestamp(cur.lastSeen), cur.nEvents)
+                cur = s
               }
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.lastSeen + gapMillis)
+            if (cur != null) {
+              state.update(cur)
+              state.setTimeoutTimestamp(cur.lastSeen + gapMillis)
             }
             closed.reverseIterator
           }

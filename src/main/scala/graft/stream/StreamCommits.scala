@@ -17,6 +17,17 @@ import graft.etl.Warehouse
   * clothes). The marker file gives every checkpoint incarnation a fresh
   * uuid, so a recreated checkpoint is a NEW stream; replays of the old
   * incarnation's data heal through the sinks' keyed appends.
+  *
+  * ADDITIVE sinks (the Count-Min grid, the inverted index — state
+  * merged by addition, not keyed append) cannot heal a re-read: after a
+  * checkpoint wipe the file source re-delivers everything and addition
+  * would double-count history, silently and permanently. For those,
+  * `effectivelyOnce(additive = true)` REFUSES a new incarnation whose
+  * path already has commit records from an older incarnation — the
+  * operator must reset the accumulated table together with the
+  * checkpoint (or keep the checkpoint intact), and the refusal says so
+  * instead of corrupting counts.
+  *
   * The merge-upsert runs under the table's writer lock, so streams
   * sharing a warehouse never clobber each other's mark. */
 private[stream] object StreamCommits {
@@ -24,23 +35,39 @@ private[stream] object StreamCommits {
   val schema: StructType = StructType(Seq(
     StructField("stream_id", StringType), StructField("batch_id", LongType)))
 
-  /** checkpoint path + the incarnation uuid persisted INSIDE it. */
-  private def streamId(checkpointDir: String): String = {
-    val p = java.nio.file.Paths.get(checkpointDir)
-    java.nio.file.Files.createDirectories(p)
-    val marker = p.resolve("_graft_stream_identity")
-    if (!java.nio.file.Files.exists(marker))
-      try java.nio.file.Files.write(marker,
-        java.util.UUID.randomUUID().toString.getBytes("UTF-8"),
-        java.nio.file.StandardOpenOption.CREATE_NEW)
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
-    checkpointDir + "#" +
-      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim
+  /** checkpoint path + the incarnation uuid persisted INSIDE it. The
+    * marker lives on the CHECKPOINT's filesystem (Hadoop FS API, like
+    * Spark's own checkpoint files) — a driver-local marker for an
+    * hdfs:// or s3a:// checkpoint would survive a wipe of the real
+    * checkpoint (resurrecting the stale high-water mark, the exact
+    * data-loss bug the marker exists to fix) and would invent a fresh
+    * identity whenever the driver moves hosts. Exclusive create keeps
+    * concurrent racers agreeing on one uuid. */
+  private def streamId(spark: SparkSession, checkpointDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p)
+    val marker = new org.apache.hadoop.fs.Path(p, "_graft_stream_identity")
+    if (!fs.exists(marker))
+      try {
+        val out = fs.create(marker, /* overwrite = */ false)
+        try out.write(
+          java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
+        finally out.close()
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      }
+    val in = fs.open(marker)
+    val uuid =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    checkpointDir + "#" + uuid
   }
 
   def alreadyCommitted(wh: Warehouse, checkpointDir: String,
                        batchId: Long): Boolean = {
-    val id = streamId(checkpointDir)
+    val id = streamId(wh.spark, checkpointDir)
     wh.exists("_stream_commits") &&
       !wh.read("_stream_commits", schema)
         .filter(col("stream_id") === id && col("batch_id") >= batchId)
@@ -50,10 +77,52 @@ private[stream] object StreamCommits {
   def record(spark: SparkSession, wh: Warehouse,
              checkpointDir: String, batchId: Long): Unit =
     wh.mergeReplace("_stream_commits", schema,
-      spark.range(1).select(lit(streamId(checkpointDir)).as("stream_id"),
+      spark.range(1).select(
+        lit(streamId(spark, checkpointDir)).as("stream_id"),
         lit(batchId).as("batch_id")),
       (old, incoming) => old.unionByName(incoming)
         .groupBy("stream_id").agg(max("batch_id").as("batch_id")))
+
+  /** For additive sinks: a NEW checkpoint incarnation over a path that
+    * already recorded commits under an OLDER incarnation means the
+    * source will re-deliver history that addition cannot deduplicate —
+    * refuse loudly (one tiny-table scan per batch). */
+  private def requireNoOlderIncarnation(wh: Warehouse,
+                                        checkpointDir: String): Unit = {
+    if (wh.exists("_stream_commits")) {
+      val id = streamId(wh.spark, checkpointDir)
+      val stale = !wh.read("_stream_commits", schema)
+        .filter(col("stream_id").startsWith(checkpointDir + "#") &&
+          col("stream_id") =!= id)
+        .isEmpty
+      require(!stale,
+        s"checkpoint $checkpointDir was wiped and recreated, but this " +
+          "sink accumulates by ADDITION — re-reading the source would " +
+          "double-count everything already merged. Reset the accumulated " +
+          "table together with the checkpoint, or restore the original " +
+          "checkpoint (keyed-append sinks heal re-reads; additive sinks " +
+          "cannot).")
+    }
+  }
+
+  /** Shared store-geometry guard for the MinHash signature stores: a
+    * store written with a different hash-family width silently NEVER
+    * pairs (bands slice past the array; zip_with null-pads the
+    * estimate), so near-dups would pass unrecognized forever. One
+    * stored row's width is representative — every writer runs this
+    * guard, so the store is width-uniform by induction. (Shingle-k
+    * mismatches are undetectable from the data and must be kept apart
+    * by table name — document-level contract.) */
+  def requireSigWidth(wh: Warehouse, table: String, sigSchema: StructType,
+                      numHashes: Int, context: String): Unit = {
+    val w = wh.read(table, sigSchema)
+      .select(org.apache.spark.sql.functions.size(col("sig")).as("w"))
+      .limit(1).collect()
+    w.headOption.foreach(r => require(r.getInt(0) == numHashes,
+      s"$table holds ${r.getInt(0)}-wide signatures, $context hashes " +
+        s"$numHashes — mixed hash families can never pair; align " +
+        "numHashes or use a separate store table"))
+  }
 
   /** The effectively-once micro-batch frame every streaming sink in this
     * package shares: ONE warehouse transaction wrapping the replay
@@ -61,12 +130,15 @@ private[stream] object StreamCommits {
     * reports or empty generations), and the high-water record. Extracted
     * because five hand-rolled copies had drifted (one kept the guard
     * OUTSIDE the transaction); the guard's placement is now
-    * un-driftable. */
+    * un-driftable. `additive = true` adds the wiped-checkpoint refusal
+    * for sinks whose merge is addition (see the object doc). */
   def effectivelyOnce(spark: SparkSession, wh: Warehouse,
                       checkpointDir: String, batchId: Long,
-                      batch: DataFrame)(body: DataFrame => Unit): Unit =
+                      batch: DataFrame, additive: Boolean = false)
+                     (body: DataFrame => Unit): Unit =
     wh.transact {
       if (!alreadyCommitted(wh, checkpointDir, batchId)) {
+        if (additive) requireNoOlderIncarnation(wh, checkpointDir)
         if (!batch.isEmpty) body(batch)
         record(spark, wh, checkpointDir, batchId)
       }

@@ -90,19 +90,9 @@ final class StreamingCorpusDedup(spark: SparkSession, wh: Warehouse,
           val sigs = Dedup.minhashTable(docs, numHashes, k).cache()
           try {
             val storeExists = wh.exists("sig_store")
-            if (storeExists) {
-              // the split router's guard, mirrored: a store written with
-              // a different hash width silently NEVER pairs (bands slice
-              // past the array; zip_with null-pads the estimate), so
-              // near-dups would append to the corpus forever
-              val w = wh.read("sig_store", sigSchema)
-                .select(org.apache.spark.sql.functions.size(col("sig"))
-                  .as("w")).limit(1).collect()
-              w.headOption.foreach(r => require(r.getInt(0) == numHashes,
-                s"sig_store holds ${r.getInt(0)}-wide signatures, this " +
-                  s"stream hashes $numHashes — mixed hash families can " +
-                  "never pair; align numHashes or use a separate store"))
-            }
+            if (storeExists)
+              StreamCommits.requireSigWidth(wh, "sig_store", sigSchema,
+                numHashes, "this stream")
             val edges =
               if (!storeExists)
                 Dedup.minhashCandidatesFromSigs(sigs, numHashes, bands, threshold)

@@ -40,6 +40,11 @@ final class StreamingIndex(spark: SparkSession, wh: Warehouse,
                            maxPostings: Int = 10) {
   require(maxPostings >= 1, s"maxPostings=$maxPostings")
 
+  // the posting-cap geometry only changes when the stream is
+  // reconfigured, so one store scan per StreamingIndex instance
+  // validates it — not one per micro-batch
+  @volatile private var capChecked = false
+
   private val docSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType)))
   val indexSchema: StructType = StructType(Seq(
@@ -62,37 +67,39 @@ final class StreamingIndex(spark: SparkSession, wh: Warehouse,
   }
 
   private[stream] def processBatch(batch: DataFrame, batchId: Long): Unit =
-    StreamCommits.effectivelyOnce(spark, wh, checkpointDir, batchId, batch) {
+    // additive = true: df addition cannot heal a checkpoint-wipe
+    // re-read the way keyed appends do, so a new incarnation over an
+    // existing commit history refuses instead of double-counting
+    StreamCommits.effectivelyOnce(spark, wh, checkpointDir, batchId, batch,
+      additive = true) {
       batch => {
         // corrupt JSON lines surface as null rows — skip, don't poison
         val docs = batch
           .filter(col("doc_id").isNotNull && col("text").isNotNull)
         val batchIdx = TextAnalysis.invertedIndex(docs, minDf = 1,
           maxPostings = maxPostings)
-        val merged =
-          if (!wh.exists("inverted_index")) batchIdx
-          else {
-            val store = wh.read("inverted_index", indexSchema)
-            // geometry guard (the cm_sketch lesson): a store capped at a
-            // LARGER maxPostings than this stream's would be silently
-            // truncated below its own cap on every touched term; a
-            // store observed to hold more than this cap is provably
-            // from a wider configuration. A store whose arrays all
-            // happen to be shorter than a wider historical cap is
-            // indistinguishable from data — document-level contract.
-            val g = store.agg(max(size(col("postings"))).as("w")).collect()(0)
-            if (!g.isNullAt(0)) require(g.getInt(0) <= maxPostings,
-              s"inverted_index holds a ${g.getInt(0)}-id posting list, " +
-                s"this stream caps at $maxPostings — restart with the " +
-                "original cap or start a fresh index table")
-            store.unionByName(batchIdx)
-              .groupBy("term")
-              .agg(sum("df").as("df"),
-                slice(sort_array(flatten(collect_list(col("postings")))),
-                  1, maxPostings).as("postings"))
-          }
-        wh.replace("inverted_index", merged.select(col("term"),
-          col("df").cast("long").as("df"), col("postings")))
+        if (!capChecked && wh.exists("inverted_index")) {
+          // geometry guard (the cm_sketch lesson): a store capped at a
+          // LARGER maxPostings than this stream's would be silently
+          // truncated below its own cap on every touched term; a store
+          // observed to hold more than this cap is provably from a
+          // wider configuration. A store whose arrays all happen to be
+          // shorter than a wider historical cap is indistinguishable
+          // from data — document-level contract.
+          val g = wh.read("inverted_index", indexSchema)
+            .agg(max(size(col("postings"))).as("w")).collect()(0)
+          if (!g.isNullAt(0)) require(g.getInt(0) <= maxPostings,
+            s"inverted_index holds a ${g.getInt(0)}-id posting list, " +
+              s"this stream caps at $maxPostings — restart with the " +
+              "original cap or start a fresh index table")
+        }
+        capChecked = true
+        wh.mergeReplace("inverted_index", indexSchema, batchIdx,
+          (old, incoming) => old.unionByName(incoming)
+            .groupBy("term")
+            .agg(sum("df").as("df"),
+              slice(sort_array(flatten(collect_list(col("postings")))),
+                1, maxPostings).as("postings")))
       }
     }
 }

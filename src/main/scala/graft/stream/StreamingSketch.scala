@@ -48,17 +48,21 @@ final class StreamingSketch(spark: SparkSession, wh: Warehouse,
   }
 
   private[stream] def processBatch(batch: DataFrame, batchId: Long): Unit =
-    StreamCommits.effectivelyOnce(spark, wh, checkpointDir, batchId, batch) {
+    // additive = true: cell addition cannot heal a checkpoint-wipe
+    // re-read the way keyed appends do, so a new incarnation over an
+    // existing commit history refuses instead of double-counting
+    StreamCommits.effectivelyOnce(spark, wh, checkpointDir, batchId, batch,
+      additive = true) {
       batch => {
           val terms = batch
             .filter(col("doc_id").isNotNull && col("text").isNotNull)
             .select(explode(Dedup.wsTokens(col("text"))).as("term"))
           val batchSketch =
             Sketches.countMinBuild(terms, col("term"), depth, width)
-          val merged =
-            if (!wh.exists("cm_sketch")) batchSketch
-            else {
-              val store = wh.read("cm_sketch", sketchSchema)
+            .select(col("row").cast("int").as("row"), col("bucket"),
+              col("cnt").cast("long").as("cnt"))
+          wh.mergeReplace("cm_sketch", sketchSchema, batchSketch,
+            (store, incoming) => {
               // geometry guard (the sig_store width lesson): merging a
               // batch sketched at a different depth/width into the
               // accumulated cells mixes two hash moduli — estimates
@@ -67,6 +71,8 @@ final class StreamingSketch(spark: SparkSession, wh: Warehouse,
               // max(row)+1 exactly; width must exceed every stored
               // bucket (a lower probe width is provably wrong, a higher
               // one unverifiable from data — document-level contract).
+              // The store is depth x width cells, so the extra scan is
+              // bounded metadata.
               val g = store.agg(max(col("row")).as("d"),
                 max(col("bucket")).as("b")).collect()(0)
               if (!g.isNullAt(0)) {
@@ -78,14 +84,10 @@ final class StreamingSketch(spark: SparkSession, wh: Warehouse,
                   s"cm_sketch holds bucket ${g.getLong(1)} >= width $width " +
                     "— the stored sketch used a wider modulus")
               }
-              store
-                .unionByName(batchSketch)
+              store.unionByName(incoming)
                 .groupBy("row", "bucket")
                 .agg(sum("cnt").as("cnt"))
-            }
-          wh.replace("cm_sketch", merged.select(
-            col("row").cast("int").as("row"), col("bucket"),
-            col("cnt").cast("long").as("cnt")))
+            })
         }
     }
 }

@@ -107,18 +107,9 @@ final class StreamingSplitRouter(spark: SparkSession, wh: Warehouse,
           var assignments: DataFrame = null
           try {
             val storeExists = wh.exists(sigStoreTable)
-            if (storeExists) {
-              // fail loudly on a store written with a different hash
-              // family width — banding a 64-wide store at 32 silently
-              // misses every near-dup (see class doc; k mismatches are
-              // undetectable and must be kept apart by table name)
-              val w = wh.read(sigStoreTable, sigSchema)
-                .select(size(col("sig")).as("w")).limit(1).collect()
-              w.headOption.foreach(r => require(r.getInt(0) == numHashes,
-                s"$sigStoreTable holds ${r.getInt(0)}-wide signatures, " +
-                  s"this router hashes $numHashes — mixed hash families " +
-                  "can never pair; use a separate sigStoreTable"))
-            }
+            if (storeExists)
+              StreamCommits.requireSigWidth(wh, sigStoreTable, sigSchema,
+                numHashes, "this router")
             val edges =
               if (!storeExists)
                 Dedup.minhashCandidatesFromSigs(sigs, numHashes, bands,
@@ -160,7 +151,13 @@ final class StreamingSplitRouter(spark: SparkSession, wh: Warehouse,
               var size0 = members.count()
               var grown = true
               var steps = 0
-              while (grown && steps < 20) {
+              // each step adds >= 1 doc while growing, so maxSteps only
+              // binds on a >= 64-hop inheritance chain; exiting while
+              // STILL growing would silently under-record membership
+              // (the exact leak the closure exists to prevent), so that
+              // case fails the batch loudly instead
+              val maxSteps = 64
+              while (grown && steps < maxSteps) {
                 val viaCluster = store
                   .join(members.select(col("doc_id").as("__m")),
                     col("cluster_id") === col("__m"), "left_semi")
@@ -178,13 +175,16 @@ final class StreamingSplitRouter(spark: SparkSession, wh: Warehouse,
                 size0 = size1
                 steps += 1
               }
+              require(!grown,
+                s"conflict closure still growing after $maxSteps store " +
+                  "walks — inheritance chains deeper than the step bound; " +
+                  "raise the bound rather than under-record membership")
               wh.appendIfAbsent(conflictTable, conflictSchema, members,
                 keys = Seq("doc_id"), orderCol = "doc_id",
                 dedupWithinBatch = false)
               members.unpersist(); store.unpersist()
             }
-            wh.appendIfAbsent(assignTable, assignSchema,
-              assignments.drop("__n_shingles"),
+            wh.appendIfAbsent(assignTable, assignSchema, assignments,
               keys = Seq("doc_id"), orderCol = "doc_id",
               dedupWithinBatch = false)
             // dropped-or-kept, every shingled doc's signature enters the

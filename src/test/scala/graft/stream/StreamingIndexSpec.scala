@@ -73,6 +73,28 @@ class StreamingIndexSpec extends SparkSpec {
     assert(first.exists { case ("alpha", df, _) => df == 2L; case _ => false })
   }
 
+  test("a wiped checkpoint REFUSES instead of double-counting: df " +
+    "addition cannot heal a re-read") {
+    val landing = tmpDir("idxwipeland")
+    val wh = new Warehouse(spark, tmpDir("whidxwipe").toString)
+    val ckpt = tmpDir("ckptidxwipe").toString
+    val idx = new StreamingIndex(spark, wh, landing.toString, ckpt)
+    idx.processBatch(Seq((1L, "alpha")).toDF("doc_id", "text"), batchId = 0L)
+    val before = collected(idx.index())
+    // operator wipes the checkpoint: the incarnation marker goes with it
+    // and batch ids restart at 0 — the keyed sinks heal such a re-read,
+    // but an additive merge would re-add history; the frame must refuse
+    val marker = java.nio.file.Paths.get(ckpt, "_graft_stream_identity")
+    java.nio.file.Files.delete(marker)
+    val e = intercept[IllegalArgumentException] {
+      idx.processBatch(Seq((1L, "alpha")).toDF("doc_id", "text"),
+        batchId = 0L)
+    }
+    assert(e.getMessage.contains("double-count"), e.getMessage)
+    assert(collected(idx.index()) == before,
+      "the refused batch must publish nothing")
+  }
+
   test("a store capped wider than the stream's maxPostings fails loudly") {
     val landing = tmpDir("idxcapland")
     val wh = new Warehouse(spark, tmpDir("whidxcap").toString)

@@ -211,6 +211,39 @@ class StreamingPipelineSpec extends SparkSpec {
     q.stop()
   }
 
+  test("sessionize: a late event cluster older than the open session's " +
+    "gap stays a separate session (interval merge, not blind absorb)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import Sessionize._
+
+    val mem = MemoryStream[Event]
+    val q = Sessionize.sessions(spark, mem.toDS(), gapMillis = 60000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("late_sessions").start()
+    def ev(u: Long, s: String) = Event(u, java.sql.Timestamp.valueOf(s))
+    mem.addData(ev(1, "2024-01-01 12:00:00"))
+    q.processAllAvailable()
+    // a very late event, a full hour before the open session: whether
+    // the watermark admits it or drops it, the one FORBIDDEN outcome is
+    // a single merged session spanning the hour of silence
+    mem.addData(ev(1, "2024-01-01 11:00:00"))
+    q.processAllAvailable()
+    // flush via timeout
+    mem.addData(ev(2, "2024-01-01 14:00:00"))
+    q.processAllAvailable()
+    mem.addData(ev(2, "2024-01-01 15:00:00"))
+    q.processAllAvailable()
+    val out = spark.table("late_sessions").as[Session].collect()
+      .filter(_.user_id == 1L)
+    assert(out.nonEmpty)
+    assert(!out.exists(s =>
+      s.session_end.getTime - s.session_start.getTime > 60000L),
+      s"a session glued across the gap: ${out.mkString(", ")}")
+    q.stop()
+  }
+
   test("streaming funnel equals the batch funnel's completions across waves") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
