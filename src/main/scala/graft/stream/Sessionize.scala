@@ -21,6 +21,37 @@ object Sessionize {
   final case class Session(user_id: Long, session_start: Timestamp,
                            session_end: Timestamp, n_events: Long)
 
+  /** The per-group merge step, pure for property testing: fold the open
+    * session (if any) and the batch's event times into gap-merged
+    * intervals; all but the LATEST stay closed, the latest is the new
+    * open state. A late cross-batch event can land ANYWHERE relative to
+    * the open session — inside the gap below start (extends the session
+    * backwards), far below start (a distinct EARLIER session the gap law
+    * must keep separate), or bridging an old event cluster into the
+    * session — and interval merging over the sorted union is the one
+    * rule that matches the batch sessionizer for every arrival order
+    * (absorb-if-within-gap-of-lastSeen alone would glue a
+    * t << start - gap event onto the session). */
+  private[stream] def mergeStep(state: Option[SessionState], times: Seq[Long],
+                                gapMillis: Long)
+      : (List[SessionState], Option[SessionState]) = {
+    val items = (times.map(t => SessionState(t, t, 1)) ++ state)
+      .sortBy(s => (s.start, s.lastSeen))
+    var closed = List.empty[SessionState]
+    var cur: SessionState = null
+    items.foreach { s =>
+      if (cur == null) cur = s
+      else if (s.start - cur.lastSeen <= gapMillis)
+        cur = SessionState(cur.start, math.max(cur.lastSeen, s.lastSeen),
+          cur.nEvents + s.nEvents)
+      else {
+        closed ::= cur
+        cur = s
+      }
+    }
+    (closed.reverse, Option(cur))
+  }
+
   def sessions(spark: SparkSession, events: Dataset[Event],
                gapMillis: Long): Dataset[Session] = {
     import spark.implicits._
@@ -37,39 +68,14 @@ object Sessionize {
             Iterator.single(Session(userId, new Timestamp(s.start),
               new Timestamp(s.lastSeen), s.nEvents))
           } else {
-            // A late cross-batch event can land ANYWHERE relative to the
-            // open session (the watermark, held back by other users,
-            // still admits it): inside the gap below start (extends the
-            // session backwards), far below start (a distinct EARLIER
-            // session the gap law must keep separate), or bridging an
-            // old event cluster into the open session. Interval merging
-            // over the sorted union of {open session} ∪ {events} is the
-            // one rule that matches the batch sessionizer for every
-            // arrival order — absorb-if-within-gap-of-lastSeen alone
-            // would glue a t << start - gap event onto the session.
-            val items = (batch.map(e =>
-                SessionState(e.ts.getTime, e.ts.getTime, 1)) ++
-              state.getOption.iterator).toArray
-              .sortBy(s => (s.start, s.lastSeen))
-            var closed = List.empty[Session]
-            var cur: SessionState = null
-            items.foreach { s =>
-              if (cur == null) cur = s
-              else if (s.start - cur.lastSeen <= gapMillis)
-                cur = SessionState(cur.start,
-                  math.max(cur.lastSeen, s.lastSeen),
-                  cur.nEvents + s.nEvents)
-              else {
-                closed ::= Session(userId, new Timestamp(cur.start),
-                  new Timestamp(cur.lastSeen), cur.nEvents)
-                cur = s
-              }
+            val (closed, open) = mergeStep(state.getOption,
+              batch.map(_.ts.getTime).toSeq, gapMillis)
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastSeen + gapMillis)
             }
-            if (cur != null) {
-              state.update(cur)
-              state.setTimeoutTimestamp(cur.lastSeen + gapMillis)
-            }
-            closed.reverseIterator
+            closed.iterator.map(s => Session(userId, new Timestamp(s.start),
+              new Timestamp(s.lastSeen), s.nEvents))
           }
       }
   }
