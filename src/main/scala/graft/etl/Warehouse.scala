@@ -48,7 +48,7 @@ import scala.jdk.CollectionConverters._
 final class Warehouse(private[graft] val spark: SparkSession,
                       val root: String,
                       catalogRetention: Int = 2,
-                      format: String = "parquet") {
+                      private[graft] val format: String = "parquet") {
   require(catalogRetention >= 2,
     "catalogRetention < 2 would GC the version in-flight readers resolved")
   // every generation/pointer/catalog mechanism is format-agnostic (they

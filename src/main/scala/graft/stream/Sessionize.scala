@@ -52,6 +52,21 @@ object Sessionize {
     (closed.reverse, Option(cur))
   }
 
+  /** Closed sessions of `events`, append mode.
+    *
+    * Cross-batch lateness residual (by design of append-mode emission):
+    * closed-session rows are FINAL — mergeStep closes every non-latest
+    * interval at the end of its micro-batch, so a late event arriving
+    * in a LATER batch within `gapMillis` of an already-emitted closed
+    * session starts a new (possibly overlapping) session rather than
+    * retracting and extending the emitted one. Batch-equivalence with
+    * the one-shot sessionizer therefore holds exactly for late data
+    * arriving within the same micro-batch (any arrival ORDER inside a
+    * batch is handled — see [[mergeStep]]); across batches the
+    * watermark (`gapMillis`) bounds how late an event can land at all.
+    * Consumers needing exact batch parity under cross-batch lateness
+    * should widen the watermark or re-sessionize the emitted rows
+    * offline (the gap-merge law is associative over intervals). */
   def sessions(spark: SparkSession, events: Dataset[Event],
                gapMillis: Long): Dataset[Session] = {
     import spark.implicits._

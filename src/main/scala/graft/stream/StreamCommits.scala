@@ -30,7 +30,7 @@ import graft.etl.Warehouse
   *
   * The merge-upsert runs under the table's writer lock, so streams
   * sharing a warehouse never clobber each other's mark. */
-private[stream] object StreamCommits {
+object StreamCommits {
 
   val schema: StructType = StructType(Seq(
     StructField("stream_id", StringType), StructField("batch_id", LongType)))
@@ -98,11 +98,40 @@ private[stream] object StreamCommits {
       require(!stale,
         s"checkpoint $checkpointDir was wiped and recreated, but this " +
           "sink accumulates by ADDITION — re-reading the source would " +
-          "double-count everything already merged. Reset the accumulated " +
-          "table together with the checkpoint, or restore the original " +
-          "checkpoint (keyed-append sinks heal re-reads; additive sinks " +
-          "cannot).")
+          "double-count everything already merged. Either restore the " +
+          "original checkpoint, or reset the accumulated table via " +
+          "StreamCommits.resetAdditiveSink (a bare table wipe is NOT " +
+          "enough: the old incarnation's commit rows keyed on this path " +
+          "would keep refusing every batch).")
     }
+  }
+
+  /** Operator-confirmed reset of an additive sink: wipe the accumulated
+    * table(s) AND the old incarnations' commit rows for `checkpointDir`
+    * in ONE transaction, so the next incarnation starts from genuinely
+    * empty state. This is the remediation [[requireNoOlderIncarnation]]'s
+    * refusal points at — dropping the table alone would leave the stale
+    * `_stream_commits` rows (keyed on the old incarnation id) refusing
+    * every batch of the new incarnation forever. The CURRENT
+    * incarnation's row (if any) is cleared too: with the tables empty,
+    * its high-water mark would silently no-op the re-read that is the
+    * whole point of the reset. */
+  def resetAdditiveSink(wh: Warehouse, checkpointDir: String,
+                        tables: String*): Unit = wh.transact {
+    tables.foreach { t =>
+      // drop() is refused inside a transaction (it would race the
+      // deferred catalog flip), so the wipe is a replace-with-empty on
+      // the live schema — same one-flip visibility as the commit rows
+      if (wh.exists(t)) {
+        val cur = wh.currentDir(t).get
+        val empty = wh.spark.read.format(wh.format).load(cur.toString).limit(0)
+        wh.replace(t, empty)
+      }
+    }
+    if (wh.exists("_stream_commits"))
+      wh.replace("_stream_commits",
+        wh.read("_stream_commits", schema)
+          .filter(!col("stream_id").startsWith(checkpointDir + "#")))
   }
 
   /** Shared store-geometry guard for the MinHash signature stores: a
@@ -115,13 +144,27 @@ private[stream] object StreamCommits {
     * by table name — document-level contract.) */
   def requireSigWidth(wh: Warehouse, table: String, sigSchema: StructType,
                       numHashes: Int, context: String): Unit = {
-    val w = wh.read(table, sigSchema)
-      .select(org.apache.spark.sql.functions.size(col("sig")).as("w"))
-      .limit(1).collect()
-    w.headOption.foreach(r => require(r.getInt(0) == numHashes,
-      s"$table holds ${r.getInt(0)}-wide signatures, $context hashes " +
-        s"$numHashes — mixed hash families can never pair; align " +
-        "numHashes or use a separate store table"))
+    import org.apache.spark.sql.functions.{min, size, sum, when}
+    // min AND max over the whole store, not one sampled row: a store
+    // that became width-mixed before this guard existed must not pass
+    // because the sampled row happened to match. One bounded aggregate
+    // on a signature-sized table (ints, not text). Null sig rows are
+    // counted separately so they surface as their own message instead
+    // of a confusing "-1-wide signatures".
+    val r = wh.read(table, sigSchema)
+      .agg(min(size(col("sig"))).as("lo"), max(size(col("sig"))).as("hi"),
+        sum(when(col("sig").isNull, 1L).otherwise(0L)).as("nulls"))
+      .collect()(0)
+    if (!r.isNullAt(2) && r.getLong(2) > 0) throw new IllegalArgumentException(
+      s"$table holds ${r.getLong(2)} null-signature rows — the store is " +
+        "corrupt; repair or rebuild it before streaming against it")
+    if (!r.isNullAt(0)) {
+      val (lo, hi) = (r.getInt(0), r.getInt(1))
+      require(lo == numHashes && hi == numHashes,
+        s"$table holds ${if (lo == hi) s"$lo-wide" else s"mixed $lo..$hi-wide"} " +
+          s"signatures, $context hashes $numHashes — mixed hash families " +
+          "can never pair; align numHashes or use a separate store table")
+    }
   }
 
   /** The effectively-once micro-batch frame every streaming sink in this

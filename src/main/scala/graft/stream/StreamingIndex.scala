@@ -97,8 +97,18 @@ final class StreamingIndex(spark: SparkSession, wh: Warehouse,
         wh.mergeReplace("inverted_index", indexSchema, batchIdx,
           (old, incoming) => old.unionByName(incoming)
             .groupBy("term")
+            // array_distinct before the slice: the disjoint-batch
+            // contract (class doc) makes duplicates impossible in a
+            // correct run, but if a doc_id IS re-delivered in a later
+            // committed batch the commit guard cannot see it — without
+            // the distinct the duplicate id would displace a real
+            // posting from the min-k slice, silently. df stays the
+            // documented additive contract (a violation still
+            // double-counts df; at least the posting lists cannot
+            // corrupt). Cheap: <= 2*maxPostings elements per group.
             .agg(sum("df").as("df"),
-              slice(sort_array(flatten(collect_list(col("postings")))),
+              slice(array_distinct(
+                  sort_array(flatten(collect_list(col("postings"))))),
                 1, maxPostings).as("postings")))
       }
     }

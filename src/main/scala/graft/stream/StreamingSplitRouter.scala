@@ -94,11 +94,19 @@ final class StreamingSplitRouter(spark: SparkSession, wh: Warehouse,
     StreamCommits.effectivelyOnce(spark, wh, checkpointDir, batchId, batch) {
       batch => {
           // corrupt JSON lines surface as null rows — skip, don't poison.
+          // dropDuplicates on doc_id: the same document landing in two
+          // files picked up by ONE micro-batch would otherwise flow as
+          // two rows into all three appendIfAbsent sinks — whose
+          // anti-join drops only keys already IN the table, not keys
+          // duplicated within the batch — inflating counts and
+          // multiplying rows for downstream joins. Map-side-combining
+          // aggregate, one row per doc through the shuffle.
           // The shingle count is computed ONCE into a column (the class
           // doc's "shingled exactly once" covers hashing; the split
           // predicate must not re-run the shingle expression per filter)
           val docs = batch
             .filter(col("doc_id").isNotNull && col("text").isNotNull)
+            .dropDuplicates("doc_id")
             .withColumn("__n_shingles", size(Dedup.shingles(col("text"), k)))
             .cache()
           val shingled = docs.filter(col("__n_shingles") > 0)

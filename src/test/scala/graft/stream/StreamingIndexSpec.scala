@@ -110,4 +110,45 @@ class StreamingIndexSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("posting list"), e.getMessage)
   }
+
+  test("resetAdditiveSink unblocks a wiped-checkpoint incarnation: table " +
+    "AND stale commit rows clear in one transaction") {
+    val landing = tmpDir("idxresetland")
+    val wh = new Warehouse(spark, tmpDir("whidxreset").toString)
+    val ckpt = tmpDir("ckptidxreset").toString
+    val idx = new StreamingIndex(spark, wh, landing.toString, ckpt)
+    idx.processBatch(Seq((1L, "alpha beta")).toDF("doc_id", "text"), 0L)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(ckpt, "_graft_stream_identity"))
+    intercept[IllegalArgumentException] {
+      idx.processBatch(Seq((1L, "alpha beta")).toDF("doc_id", "text"), 0L)
+    }
+    // a bare table wipe is NOT enough: stale commit rows keyed on the
+    // old incarnation keep refusing (the ADVICE dead-end) — the helper
+    // clears both in one transaction, and the CURRENT incarnation's
+    // high-water too, so batch 0 re-processes instead of no-oping
+    StreamCommits.resetAdditiveSink(wh, ckpt, "inverted_index")
+    idx.processBatch(Seq((1L, "alpha beta")).toDF("doc_id", "text"), 0L)
+    val rebuilt = collected(idx.index())
+    assert(rebuilt == collected(TextAnalysis.invertedIndex(
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"), minDf = 1,
+      maxPostings = 10)), rebuilt)
+  }
+
+  test("duplicate doc ids from a contract violation cannot corrupt the " +
+    "min-k posting slice") {
+    val landing = tmpDir("idxdupland")
+    val wh = new Warehouse(spark, tmpDir("whidxdup").toString)
+    val idx = new StreamingIndex(spark, wh, landing.toString,
+      tmpDir("ckptidxdup").toString, maxPostings = 2)
+    // doc 1 re-delivered in a LATER (uncommitted) batch — the commit
+    // guard cannot see it; without array_distinct the duplicate id 1
+    // would displace doc 3 from the 2-slot posting list
+    idx.processBatch(Seq((1L, "t"), (3L, "t")).toDF("doc_id", "text"), 0L)
+    idx.processBatch(Seq((1L, "t")).toDF("doc_id", "text"), 1L)
+    val row = collected(idx.index()).find(_._1 == "t").get
+    assert(row._3 == List(1L, 3L), row)
+    // df double-counts under the violation — the documented residual
+    assert(row._2 == 3L, row)
+  }
 }

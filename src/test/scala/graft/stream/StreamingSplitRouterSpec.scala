@@ -227,4 +227,52 @@ class StreamingSplitRouterSpec extends SparkSpec {
     // 200 must land — before the identity marker it was silently lost
     assert(routed() == Set(100L, 200L))
   }
+
+  test("the width guard catches a MIXED-width store and null sigs, not " +
+    "just a lucky sampled row") {
+    import org.apache.spark.sql.types.StructType
+    val wh = new Warehouse(spark, tmpDir("whmixw").toString)
+    val sigSchema = StructType.fromDDL("doc_id BIGINT, sig ARRAY<BIGINT>")
+    // a store that became width-mixed BEFORE the guard existed: one row
+    // matches numHashes=2, one does not — a single-row sample can pass
+    wh.replace("sig_store", Seq(
+      (1L, Seq(11L, 12L)), (2L, Seq(21L, 22L, 23L))).toDF("doc_id", "sig"))
+    val e = intercept[IllegalArgumentException] {
+      StreamCommits.requireSigWidth(wh, "sig_store", sigSchema, 2, "test")
+    }
+    assert(e.getMessage.contains("mixed 2..3"), e.getMessage)
+    // null sig rows get their own message, not a confusing width
+    wh.replace("sig_store",
+      Seq((1L, Seq(11L, 12L))).toDF("doc_id", "sig")
+        .unionByName(Seq(3L).toDF("doc_id")
+          .selectExpr("doc_id", "CAST(NULL AS ARRAY<BIGINT>) AS sig")))
+    val e2 = intercept[IllegalArgumentException] {
+      StreamCommits.requireSigWidth(wh, "sig_store", sigSchema, 2, "test")
+    }
+    assert(e2.getMessage.contains("null-signature"), e2.getMessage)
+    // a uniform store at the right width passes
+    wh.replace("sig_store", Seq(
+      (1L, Seq(11L, 12L)), (2L, Seq(21L, 22L))).toDF("doc_id", "sig"))
+    StreamCommits.requireSigWidth(wh, "sig_store", sigSchema, 2, "test")
+  }
+
+  test("the same doc in two files of ONE micro-batch lands once in " +
+    "every sink") {
+    val landing = tmpDir("dupland")
+    val wh = new Warehouse(spark, tmpDir("whdup").toString)
+    val ckpt = tmpDir("ckptdup").toString
+    val router = new StreamingSplitRouter(spark, wh, landing.toString,
+      ckpt, cuts = Seq("train" -> 90), lastSplit = "test")
+    val doc = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    // two landing files, one availableNow pass -> one micro-batch
+    doc.coalesce(1).write.mode("append").json(landing.toString)
+    doc.coalesce(1).write.mode("append").json(landing.toString)
+    router.start(availableNow = true).awaitTermination()
+    assert(wh.read("split_assign", StructType.fromDDL(assignDDL))
+      .count() == 1L, "duplicate assignment rows within one batch")
+    assert(wh.read("sig_store",
+      StructType.fromDDL("doc_id BIGINT, sig ARRAY<BIGINT>"))
+      .count() == 1L, "duplicate signature rows within one batch")
+  }
 }
