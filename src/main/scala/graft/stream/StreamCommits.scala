@@ -35,6 +35,22 @@ object StreamCommits {
   val schema: StructType = StructType(Seq(
     StructField("stream_id", StringType), StructField("batch_id", LongType)))
 
+  /** One canonical spelling per checkpoint directory: qualified against
+    * its filesystem (scheme + authority added, trailing slash and `.`/
+    * `..` segments collapsed, relative paths resolved against the FS
+    * working directory). Every consumer of the path-as-identity —
+    * [[streamId]], the older-incarnation refusal, and
+    * [[resetAdditiveSink]] — goes through this, so `dir`, `dir/` and
+    * `file:///...dir` all name the SAME stream. Without it, a reset
+    * called with a differently-spelled path would wipe the accumulated
+    * tables yet delete zero commit rows, leaving the incarnation
+    * refusal in place after the data is already gone. */
+  private def canonical(spark: SparkSession, checkpointDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.makeQualified(p).toString
+  }
+
   /** checkpoint path + the incarnation uuid persisted INSIDE it. The
     * marker lives on the CHECKPOINT's filesystem (Hadoop FS API, like
     * Spark's own checkpoint files) — a driver-local marker for an
@@ -62,7 +78,7 @@ object StreamCommits {
     val uuid =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
-    checkpointDir + "#" + uuid
+    canonical(spark, checkpointDir) + "#" + uuid
   }
 
   def alreadyCommitted(wh: Warehouse, checkpointDir: String,
@@ -92,7 +108,8 @@ object StreamCommits {
     if (wh.exists("_stream_commits")) {
       val id = streamId(wh.spark, checkpointDir)
       val stale = !wh.read("_stream_commits", schema)
-        .filter(col("stream_id").startsWith(checkpointDir + "#") &&
+        .filter(col("stream_id")
+            .startsWith(canonical(wh.spark, checkpointDir) + "#") &&
           col("stream_id") =!= id)
         .isEmpty
       require(!stale,
@@ -131,26 +148,29 @@ object StreamCommits {
     if (wh.exists("_stream_commits"))
       wh.replace("_stream_commits",
         wh.read("_stream_commits", schema)
-          .filter(!col("stream_id").startsWith(checkpointDir + "#")))
+          .filter(!col("stream_id")
+            .startsWith(canonical(wh.spark, checkpointDir) + "#")))
   }
 
   /** Shared store-geometry guard for the MinHash signature stores: a
     * store written with a different hash-family width silently NEVER
     * pairs (bands slice past the array; zip_with null-pads the
-    * estimate), so near-dups would pass unrecognized forever. One
-    * stored row's width is representative — every writer runs this
-    * guard, so the store is width-uniform by induction. (Shingle-k
-    * mismatches are undetectable from the data and must be kept apart
-    * by table name — document-level contract.) */
+    * estimate), so near-dups would pass unrecognized forever. The scan
+    * is whole-store min/max width plus a null count — NOT one sampled
+    * row, because a store that became width-mixed before this guard
+    * existed could pass on whichever row the sample happened to hit.
+    * That makes it O(store), so sinks run it ONCE per instance via
+    * [[sigWidthGuard]] and rely on induction afterwards: every writer
+    * verifies the store before its first append and only ever appends
+    * its own verified width, so a store that passes once stays uniform
+    * under this JVM's writers. (Shingle-k mismatches are undetectable
+    * from the data and must be kept apart by table name —
+    * document-level contract.) */
   def requireSigWidth(wh: Warehouse, table: String, sigSchema: StructType,
                       numHashes: Int, context: String): Unit = {
     import org.apache.spark.sql.functions.{min, size, sum, when}
-    // min AND max over the whole store, not one sampled row: a store
-    // that became width-mixed before this guard existed must not pass
-    // because the sampled row happened to match. One bounded aggregate
-    // on a signature-sized table (ints, not text). Null sig rows are
-    // counted separately so they surface as their own message instead
-    // of a confusing "-1-wide signatures".
+    // Null sig rows are counted separately so they surface as their own
+    // message instead of a confusing "-1-wide signatures".
     val r = wh.read(table, sigSchema)
       .agg(min(size(col("sig"))).as("lo"), max(size(col("sig"))).as("hi"),
         sum(when(col("sig").isNull, 1L).otherwise(0L)).as("nulls"))
@@ -165,6 +185,28 @@ object StreamCommits {
           s"signatures, $context hashes $numHashes — mixed hash families " +
           "can never pair; align numHashes or use a separate store table")
     }
+  }
+
+  /** Once-per-sink-instance wrapper for [[requireSigWidth]] (the
+    * StreamingIndex `capChecked` pattern): the whole-store scan is
+    * O(store) and the store grows one row per document, so running it
+    * inside every micro-batch's transaction would rescan the corpus
+    * per batch — exactly the scale contract the streaming sinks
+    * promise not to break. The first batch that observes the store
+    * pays the full scan; later batches skip it on the induction
+    * argument in [[requireSigWidth]]'s doc. A sink holds ONE guard for
+    * the lifetime of its stream, so a reconfigured restart re-checks. */
+  final class SigWidthGuard(table: String, sigSchema: StructType,
+                            numHashes: Int, context: String) {
+    @volatile private var checked = false
+    def check(wh: Warehouse): Unit =
+      if (!checked) {
+        if (wh.exists(table))
+          requireSigWidth(wh, table, sigSchema, numHashes, context)
+        // absent store: this instance creates it at its own width —
+        // verified-by-construction, same induction as a passed scan
+        checked = true
+      }
   }
 
   /** The effectively-once micro-batch frame every streaming sink in this

@@ -60,6 +60,11 @@ final class StreamingCorpusDedup(spark: SparkSession, wh: Warehouse,
     StructField("doc_id", LongType),
     StructField("sig", ArrayType(LongType, containsNull = false))))
 
+  // whole-store width scan once per stream instance, induction after —
+  // see StreamCommits.SigWidthGuard for why not per micro-batch
+  private val sigWidthGuard = new StreamCommits.SigWidthGuard(
+    "sig_store", sigSchema, numHashes, "this stream")
+
   def start(availableNow: Boolean = false): StreamingQuery = {
     val docs = spark.readStream.schema(docSchema).json(landingDir)
     val writer = docs.writeStream
@@ -90,9 +95,7 @@ final class StreamingCorpusDedup(spark: SparkSession, wh: Warehouse,
           val sigs = Dedup.minhashTable(docs, numHashes, k).cache()
           try {
             val storeExists = wh.exists("sig_store")
-            if (storeExists)
-              StreamCommits.requireSigWidth(wh, "sig_store", sigSchema,
-                numHashes, "this stream")
+            sigWidthGuard.check(wh)
             val edges =
               if (!storeExists)
                 Dedup.minhashCandidatesFromSigs(sigs, numHashes, bands, threshold)

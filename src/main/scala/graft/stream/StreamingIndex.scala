@@ -16,7 +16,11 @@ import graft.llm.TextAnalysis
   *  - `df` is additive over disjoint document sets (the stream's
   *    contract: a doc_id arrives in exactly one batch — replays are
   *    healed by the commit guard, and re-sending a document in a LATER
-  *    batch would double-count df in the one-shot index too);
+  *    batch would double-count df in the one-shot index too). A
+  *    contract violation the merge can SEE — a re-delivered doc_id
+  *    surviving in both posting lists — fails the batch loudly
+  *    instead of corrupting df (see the merge comment for the
+  *    detection floor the posting cap imposes);
   *  - `postings` is the min-k of the term's doc ids, and min-k is
   *    exactly mergeable: the k smallest of a union is the k smallest
   *    of the per-side k-smallest lists — so the merged index equals
@@ -97,19 +101,31 @@ final class StreamingIndex(spark: SparkSession, wh: Warehouse,
         wh.mergeReplace("inverted_index", indexSchema, batchIdx,
           (old, incoming) => old.unionByName(incoming)
             .groupBy("term")
-            // array_distinct before the slice: the disjoint-batch
-            // contract (class doc) makes duplicates impossible in a
-            // correct run, but if a doc_id IS re-delivered in a later
-            // committed batch the commit guard cannot see it — without
-            // the distinct the duplicate id would displace a real
-            // posting from the min-k slice, silently. df stays the
-            // documented additive contract (a violation still
-            // double-counts df; at least the posting lists cannot
-            // corrupt). Cheap: <= 2*maxPostings elements per group.
+            // The disjoint-batch contract (class doc) makes duplicate
+            // doc_ids impossible in a correct run, but the commit guard
+            // cannot see a doc_id RE-DELIVERED in a later committed
+            // batch — and addition would then double-count df silently
+            // and permanently. So the merge fails FAST on the evidence
+            // it can see: a duplicate id in the posting union (checked
+            // pre-slice on <= 2*maxPostings elements per group). The
+            // residual stays documented: a re-delivered doc whose id
+            // was already capped OUT of the stored min-k list is
+            // invisible here and still double-counts df — the cap
+            // trades that detection floor for bounded merge state.
             .agg(sum("df").as("df"),
-              slice(array_distinct(
-                  sort_array(flatten(collect_list(col("postings"))))),
-                1, maxPostings).as("postings")))
+              sort_array(flatten(collect_list(col("postings"))))
+                .as("__all"))
+            .select(col("term"), col("df"),
+              when(size(array_distinct(col("__all"))) < size(col("__all")),
+                raise_error(concat(
+                  lit("inverted_index merge saw a duplicate doc_id for " +
+                    "term '"), col("term"),
+                  lit("' — a document was re-delivered in a later " +
+                    "committed batch, which the commit guard cannot " +
+                    "heal for additive df; fix the source contract or " +
+                    "rebuild the index"))))
+                .otherwise(slice(col("__all"), 1, maxPostings))
+                .as("postings")))
       }
     }
 }

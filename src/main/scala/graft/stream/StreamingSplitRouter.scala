@@ -79,6 +79,11 @@ final class StreamingSplitRouter(spark: SparkSession, wh: Warehouse,
   private val conflictSchema = StructType(Seq(
     StructField("doc_id", LongType)))
 
+  // whole-store width scan once per router instance, induction after —
+  // see StreamCommits.SigWidthGuard for why not per micro-batch
+  private val sigWidthGuard = new StreamCommits.SigWidthGuard(
+    sigStoreTable, sigSchema, numHashes, "this router")
+
   def start(availableNow: Boolean = false): StreamingQuery = {
     val docs = spark.readStream.schema(docSchema).json(landingDir)
     val writer = docs.writeStream
@@ -94,19 +99,23 @@ final class StreamingSplitRouter(spark: SparkSession, wh: Warehouse,
     StreamCommits.effectivelyOnce(spark, wh, checkpointDir, batchId, batch) {
       batch => {
           // corrupt JSON lines surface as null rows — skip, don't poison.
-          // dropDuplicates on doc_id: the same document landing in two
-          // files picked up by ONE micro-batch would otherwise flow as
-          // two rows into all three appendIfAbsent sinks — whose
-          // anti-join drops only keys already IN the table, not keys
-          // duplicated within the batch — inflating counts and
-          // multiplying rows for downstream joins. Map-side-combining
-          // aggregate, one row per doc through the shuffle.
+          // One row per doc_id: the same document landing in two files
+          // picked up by ONE micro-batch would otherwise flow as two
+          // rows into all three appendIfAbsent sinks — whose anti-join
+          // drops only keys already IN the table, not keys duplicated
+          // within the batch — inflating counts and multiplying rows
+          // for downstream joins. min(text), not dropDuplicates: when
+          // the batch carries the same doc_id with DIFFERENT text the
+          // winner must be deterministic, or the routed signature (and
+          // therefore the published split) could differ across a
+          // replay that recomputes the batch. Same map-side-combining
+          // aggregate shape, one row per doc through the shuffle.
           // The shingle count is computed ONCE into a column (the class
           // doc's "shingled exactly once" covers hashing; the split
           // predicate must not re-run the shingle expression per filter)
           val docs = batch
             .filter(col("doc_id").isNotNull && col("text").isNotNull)
-            .dropDuplicates("doc_id")
+            .groupBy(col("doc_id")).agg(min(col("text")).as("text"))
             .withColumn("__n_shingles", size(Dedup.shingles(col("text"), k)))
             .cache()
           val shingled = docs.filter(col("__n_shingles") > 0)
@@ -115,9 +124,7 @@ final class StreamingSplitRouter(spark: SparkSession, wh: Warehouse,
           var assignments: DataFrame = null
           try {
             val storeExists = wh.exists(sigStoreTable)
-            if (storeExists)
-              StreamCommits.requireSigWidth(wh, sigStoreTable, sigSchema,
-                numHashes, "this router")
+            sigWidthGuard.check(wh)
             val edges =
               if (!storeExists)
                 Dedup.minhashCandidatesFromSigs(sigs, numHashes, bands,

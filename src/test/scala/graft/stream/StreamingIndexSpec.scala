@@ -135,20 +135,65 @@ class StreamingIndexSpec extends SparkSpec {
       maxPostings = 10)), rebuilt)
   }
 
-  test("duplicate doc ids from a contract violation cannot corrupt the " +
-    "min-k posting slice") {
+  test("resetAdditiveSink with a differently-spelled checkpoint path " +
+    "(trailing slash, relative segments) still clears the commit rows") {
+    val landing = tmpDir("idxresetnland")
+    val wh = new Warehouse(spark, tmpDir("whidxresetn").toString)
+    val ckpt = tmpDir("ckptidxresetn").toString
+    val idx = new StreamingIndex(spark, wh, landing.toString, ckpt)
+    idx.processBatch(Seq((1L, "alpha beta")).toDF("doc_id", "text"), 0L)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(ckpt, "_graft_stream_identity"))
+    intercept[IllegalArgumentException] {
+      idx.processBatch(Seq((1L, "alpha beta")).toDF("doc_id", "text"), 0L)
+    }
+    // the ADVICE failure mode: a path spelled differently from what the
+    // sink used would wipe the table yet delete ZERO commit rows,
+    // leaving the refusal in place with the data already gone —
+    // canonicalization makes `dir/` and `dir/./` the same stream
+    StreamCommits.resetAdditiveSink(wh, ckpt + "/./", "inverted_index")
+    idx.processBatch(Seq((1L, "alpha beta")).toDF("doc_id", "text"), 0L)
+    val rebuilt = collected(idx.index())
+    assert(rebuilt == collected(TextAnalysis.invertedIndex(
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"), minDf = 1,
+      maxPostings = 10)), rebuilt)
+  }
+
+  test("a re-delivered doc_id in a later committed batch fails the merge " +
+    "loudly instead of silently double-counting df") {
     val landing = tmpDir("idxdupland")
     val wh = new Warehouse(spark, tmpDir("whidxdup").toString)
     val idx = new StreamingIndex(spark, wh, landing.toString,
       tmpDir("ckptidxdup").toString, maxPostings = 2)
-    // doc 1 re-delivered in a LATER (uncommitted) batch — the commit
-    // guard cannot see it; without array_distinct the duplicate id 1
-    // would displace doc 3 from the 2-slot posting list
+    // doc 1 re-delivered in a LATER (new-batch-id) batch — the commit
+    // guard cannot see it, and additive df cannot heal it; the merge
+    // must detect the duplicate id in the posting union and refuse the
+    // batch rather than publish a double-counted df
     idx.processBatch(Seq((1L, "t"), (3L, "t")).toDF("doc_id", "text"), 0L)
-    idx.processBatch(Seq((1L, "t")).toDF("doc_id", "text"), 1L)
+    val e = intercept[Exception] {
+      idx.processBatch(Seq((1L, "t")).toDF("doc_id", "text"), 1L)
+    }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ::: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("re-delivered")), e.toString)
+    // the refused batch published NOTHING — the committed wave-0 index
+    // is intact (the transaction rolled back, df not double-counted)
     val row = collected(idx.index()).find(_._1 == "t").get
-    assert(row._3 == List(1L, 3L), row)
-    // df double-counts under the violation — the documented residual
-    assert(row._2 == 3L, row)
+    assert(row._2 == 2L && row._3 == List(1L, 3L), row)
+  }
+
+  test("a re-delivered doc_id beyond the posting cap is the documented " +
+    "detection floor: df double-counts undetected") {
+    val landing = tmpDir("idxfloorland")
+    val wh = new Warehouse(spark, tmpDir("whidxfloor").toString)
+    val idx = new StreamingIndex(spark, wh, landing.toString,
+      tmpDir("ckptidxfloor").toString, maxPostings = 1)
+    // doc 3 is capped OUT of the stored 1-slot posting list, so its
+    // re-delivery is invisible to the duplicate check — the residual
+    // the merge comment documents, pinned so a future fix flips this
+    idx.processBatch(Seq((1L, "t"), (3L, "t")).toDF("doc_id", "text"), 0L)
+    idx.processBatch(Seq((3L, "t")).toDF("doc_id", "text"), 1L)
+    val row = collected(idx.index()).find(_._1 == "t").get
+    assert(row._2 == 3L && row._3 == List(1L), row)
   }
 }
