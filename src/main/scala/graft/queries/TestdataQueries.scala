@@ -2081,10 +2081,50 @@ object TestdataQueries {
         slice = col("lang"), ns = Seq(1, 2, 3))
       .withColumnRenamed("slice", "lang")
 
+  /** Incremental leak-safe split (X104): the ASSIGNMENT-STABLE
+    * production form of q156 ([[graft.llm.Dedup.incrementalLeakSafeSplit]]).
+    * The corpus is sliced at the q63 fractional doc-id cut: the bottom
+    * four fifths are the EXISTING corpus whose splits were already
+    * published by the one-shot X97 law (store edges read off the landed
+    * candidate-pair table, restricted to old-old pairs); the top fifth
+    * is the arriving batch, hashed fresh and near-dup-checked
+    * incrementally against the signature store. A batch doc whose
+    * component touches the store INHERITS the stored split of the
+    * smallest stored member id (never re-hashes — nothing a consumer
+    * already trained on can flip); a component seeing >1 distinct
+    * stored split is flagged `conflicted`; untouched components hash
+    * by their representative exactly like the one-shot law. The oracle
+    * replays store construction, incremental components, inheritance,
+    * and the conflict law in SQL — proving the stability semantics,
+    * not just the row count. */
+  def q163IncrementalSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // driver-side literal cut (the q63 pattern): a joined scalar could
+    // not be pushed to the parquet scan of either slice
+    val maxRow = docs.agg(max(col("doc_id"))).head()
+    require(!maxRow.isNullAt(0), s"documents table in $dir is empty")
+    val cut = (maxRow.getLong(0) + 1L) * 4L / 5L
+    val cuts = Seq("train" -> 80, "validation" -> 90)
+    val assigned = Dedup.leakSafeSplit(
+      docs.filter(col("doc_id") < cut),
+      portableCandidatePairs(s, dir)
+        .filter(col("id_a") < cut && col("id_b") < cut),
+      cuts, lastSplit = "test")
+    // only the new batch is hashed; the store side is the shared
+    // maintenance signature table sliced to the existing corpus
+    val edges = Dedup.incrementalMinhashCandidates(
+      portableSigs(s, dir).filter(col("doc_id") < cut),
+      docs.filter(col("doc_id") >= cut),
+      numHashes = 32, bands = 8, k = 3, threshold = 0.4, portable = true)
+    Dedup.incrementalLeakSafeSplit(assigned,
+      docs.filter(col("doc_id") >= cut), edges, cuts, lastSplit = "test")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q160_dedup_savings" -> q160DedupSavings _,
     "q161_cluster_sizes" -> q161ClusterSizes _,
     "q162_ngram_diversity" -> q162NgramDiversity _,
+    "q163_incremental_split" -> q163IncrementalSplit _,
     "q156_leak_safe_split" -> q156LeakSafeSplit _,
     "q157_canonical_docs" -> q157CanonicalDocs _,
     "q158_contamination_fraction" -> q158ContaminationFraction _,
