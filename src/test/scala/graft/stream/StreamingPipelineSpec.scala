@@ -244,6 +244,87 @@ class StreamingPipelineSpec extends SparkSpec {
     q.stop()
   }
 
+  test("sessionsExact: a cross-batch late event landing inside a " +
+    "previously-open session still yields the batch sessionization") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import Sessionize._
+
+    val mem = MemoryStream[Event]
+    val q = Sessionize.sessionsExact(spark, mem.toDS(), gapMillis = 60000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("exact_sessions").start()
+    def ev(u: Long, s: String) = Event(u, java.sql.Timestamp.valueOf(s))
+    def ms(s: String) = java.sql.Timestamp.valueOf(s).getTime
+
+    // batch 1: two bursts 90 s apart (gap 60 s) — the EAGER mode would
+    // emit [10:00:00] closed right here; exact mode must hold it (the
+    // watermark, 10:00:30, is still below its 10:01:00 deadline)
+    mem.addData(ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:01:30"))
+    q.processAllAvailable()
+    assert(spark.table("exact_sessions").isEmpty,
+      "nothing is provably final yet — emission must wait for the watermark")
+    // batch 2: the cross-batch late event at 10:00:45 (above the
+    // 10:00:30 watermark, so admitted) bridges BOTH carried intervals
+    // into one session — the exact case eager emission gets wrong by
+    // design (it already published [10:00:00] as closed)
+    mem.addData(ev(1, "2024-01-01 10:00:45"))
+    q.processAllAvailable()
+    // advance the watermark past the merged session's deadline, then
+    // once more so the event-time timeout fires and flushes it
+    mem.addData(ev(2, "2024-01-01 11:00:00"))
+    q.processAllAvailable()
+    mem.addData(ev(2, "2024-01-01 12:00:00"))
+    q.processAllAvailable()
+
+    val out = spark.table("exact_sessions").as[Session].collect()
+      .filter(_.user_id == 1L)
+    // the batch law over everything admitted: ONE session spanning all
+    // three events (mergeIntervals IS the one-shot law, property-pinned
+    // by SessionizePropSpec)
+    val expected = Sessionize.mergeIntervals(Seq.empty,
+      Seq(ms("2024-01-01 10:00:00"), ms("2024-01-01 10:01:30"),
+        ms("2024-01-01 10:00:45")), 60000L)
+    assert(out.length == expected.length && out.length == 1)
+    assert(out(0).session_start.getTime == expected(0).start &&
+      out(0).session_end.getTime == expected(0).lastSeen &&
+      out(0).n_events == expected(0).nEvents,
+      s"streamed ${out.toList} != batch $expected")
+    q.stop()
+  }
+
+  test("sessionsExact: distinct sessions emit separately and event-time " +
+    "timeouts flush state without batch data for the user") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import Sessionize._
+
+    val mem = MemoryStream[Event]
+    val q = Sessionize.sessionsExact(spark, mem.toDS(), gapMillis = 60000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("exact_sessions2").start()
+    def ev(u: Long, s: String) = Event(u, java.sql.Timestamp.valueOf(s))
+    // two bursts 10 min apart, one batch — the eager shape, but gated
+    mem.addData(
+      ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:00:30"),
+      ev(1, "2024-01-01 10:10:00"), ev(1, "2024-01-01 10:10:20"))
+    q.processAllAvailable()
+    mem.addData(ev(2, "2024-01-01 11:00:00"))
+    q.processAllAvailable()
+    mem.addData(ev(2, "2024-01-01 12:00:00"))
+    q.processAllAvailable()
+    val out = spark.table("exact_sessions2").as[Session].collect()
+      .filter(_.user_id == 1L).sortBy(_.session_start.getTime)
+    assert(out.length == 2, out.toList)
+    assert(out(0).n_events == 2 &&
+      out(0).session_end.toString.startsWith("2024-01-01 10:00:30"))
+    assert(out(1).n_events == 2 &&
+      out(1).session_start.toString.startsWith("2024-01-01 10:10:00"))
+    q.stop()
+  }
+
   test("streaming funnel equals the batch funnel's completions across waves") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
