@@ -539,6 +539,60 @@ final class Warehouse(private[graft] val spark: SparkSession,
       }
     }
 
+  /** Additive schema evolution (`ALTER TABLE ... ADD COLUMN`): commit a
+    * new generation whose files are the CURRENT generation's, hard-
+    * linked — no data is read or rewritten, the only new bytes are one
+    * zero-row parquet file carrying the widened schema (old columns in
+    * their stored order, `newColumns` appended) and a `_graft_widened`
+    * marker. Readers of the widened table union the footers (the
+    * marker tells the SQL catalog to resolve with `mergeSchema`;
+    * programmatic [[read]] passes the widened schema explicitly), and
+    * parquet null-fills the added columns for pre-evolution files — so
+    * an O(100 TB) table widens in O(1) data. The marker and schema
+    * file ride [[linkTree]] into every later append generation, so
+    * evolution survives appends (including appends still writing the
+    * narrow schema); [[replace]] writes a fresh directory and so
+    * resets the schema to the replacement's, which is what a full
+    * overwrite means. Old generations keep their narrow schema —
+    * time travel across the evolution boundary reads each version's
+    * own columns.
+    *
+    * New columns must be nullable (there is nothing to backfill with
+    * but null) and must not collide with stored columns. Parquet only:
+    * the ORC reader has no footer-merge option, so a widened ORC
+    * table's inferred schema would be whichever footer won. */
+  def widen(table: String, newColumns: StructType): Unit = {
+    require(format == "parquet",
+      s"additive schema evolution requires parquet, not $format")
+    require(newColumns.nonEmpty, "ADD COLUMN with no columns")
+    newColumns.foreach(f => require(f.nullable,
+      s"added column ${f.name} must be nullable — existing rows have " +
+        "nothing to backfill it with but null"))
+    withTableLock(table) {
+      val cur = currentDir(table).getOrElse(throw new IllegalArgumentException(
+        s"cannot widen absent table $table"))
+      // footer-merged current schema: the table may already be evolved,
+      // and a single arbitrary footer would then under-report columns
+      val curSchema = spark.read.option("mergeSchema", "true")
+        .format(format).load(cur.toString).schema
+      val clash = newColumns.fieldNames.filter(n =>
+        curSchema.fieldNames.exists(_.equalsIgnoreCase(n)))
+      require(clash.isEmpty,
+        s"column(s) already exist on $table: ${clash.mkString(", ")}")
+      val gen = nextGenDir(table)
+      deleteRecursively(gen)
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(curSchema.fields ++ newColumns.fields))
+        .coalesce(1).write.mode(SaveMode.Overwrite).format(format)
+        .save(gen.toString)
+      linkTree(cur, gen)
+      Files.writeString(gen.resolve(Warehouse.WidenedMarker),
+        newColumns.fieldNames.mkString(","))
+      commit(table, gen)
+    }
+  }
+
   /** Drop a table: ONE commit removes it from committed resolution (the
     * catalog-manifest entry when transaction-managed, plus the per-table
     * `_current` pointer). Generations pinned by retained catalog
@@ -809,6 +863,12 @@ final class Warehouse(private[graft] val spark: SparkSession,
 }
 
 object Warehouse {
+  /** Marker file a [[Warehouse.widen]] commit drops into its generation:
+    * underscore-prefixed so file-source scans ignore it, carried into
+    * later append generations by linkTree, and read by the SQL catalog
+    * to resolve the table with footer-merged schema inference. */
+  private[graft] val WidenedMarker = "_graft_widened"
+
   // Files.list/walk return streams holding an open directory fd until
   // closed — on the per-micro-batch commit path that's a leak per call
   // (reclaimed only at GC, EMFILE under pressure). Materialize + close.

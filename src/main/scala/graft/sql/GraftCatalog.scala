@@ -43,9 +43,11 @@ import scala.jdk.CollectionConverters._
   * The lowering is the DSv2 V1Write bridge: the insert arrives as one
   * DataFrame and the Warehouse owns the actual file layout (a writer
   * that streamed parquet straight into a generation directory would
-  * bypass the commit protocol). Schema evolution (`ALTER TABLE`),
-  * renames, and partition transforms in `CREATE TABLE` stay
-  * unsupported and refuse loudly.
+  * bypass the commit protocol). ADDITIVE schema evolution (`ALTER
+  * TABLE ... ADD COLUMN`) commits a widened generation with zero data
+  * rewrite ([[Warehouse.widen]]); every other evolution (drop, rename,
+  * retype, reposition), table renames, and partition transforms in
+  * `CREATE TABLE` stay unsupported and refuse loudly.
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -125,9 +127,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     requireDefaultNs(ident.namespace())
     dir match {
       case Some(d) =>
+        // a generation evolved by Warehouse.widen mixes narrow and wide
+        // footers; the marker switches inference to footer-merge so the
+        // widened schema (with null-filled added columns) is what SQL
+        // sees. Pre-evolution generations (time travel) have no marker
+        // and read their own narrow schema at one-footer cost.
+        val widened = Files.exists(d.resolve(Warehouse.WidenedMarker))
         new WritableGraftTable(
           ParquetTableBridge.create(s"$catalogName.${ident.name()}",
-            SparkSession.active, d.toString, format),
+            SparkSession.active, d.toString, format, mergeSchema = widened),
           ident.name(), () => wh, d)
       case None => throw new NoSuchTableException(ident)
     }
@@ -171,7 +179,41 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table = readOnly
+  /** `ALTER TABLE ... ADD COLUMN(S)` — the one schema evolution a
+    * 100 TB generation-committed warehouse supports naturally: the new
+    * generation hard-links the old files and adds ONE zero-row file
+    * carrying the widened schema ([[Warehouse.widen]] — no data
+    * rewrite); readers footer-merge and null-fill. Everything else
+    * (drops, renames, type changes, repositioning, comments) would
+    * require rewriting or re-interpreting committed files and is
+    * refused loudly. Added columns must be top-level nullable, appended
+    * at the end (parquet has no column order to renegotiate). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    requireDefaultNs(ident.namespace())
+    val adds = changes.map {
+      case a: TableChange.AddColumn => a
+      case other => throw new UnsupportedOperationException(
+        s"catalog '$catalogName' supports only ADD COLUMN in ALTER " +
+          s"TABLE, not ${other.getClass.getSimpleName}; rewrite through " +
+          "graft.etl.Warehouse.replace")
+    }
+    val newCols = StructType(adds.map { a =>
+      if (a.fieldNames().length != 1) throw new UnsupportedOperationException(
+        s"catalog '$catalogName' supports only top-level ADD COLUMN, " +
+          s"not nested field ${a.fieldNames().mkString(".")}")
+      if (a.position() != null) throw new UnsupportedOperationException(
+        s"catalog '$catalogName' appends added columns at the end; " +
+          "FIRST/AFTER would re-order committed parquet files")
+      if (!a.isNullable) throw new UnsupportedOperationException(
+        s"added column ${a.fieldNames()(0)} must be nullable — existing " +
+          "rows have nothing to backfill it with but null")
+      val f = org.apache.spark.sql.types
+        .StructField(a.fieldNames()(0), a.dataType(), nullable = true)
+      if (a.comment() != null) f.withComment(a.comment()) else f
+    }.toArray)
+    wh.widen(ident.name(), newCols)
+    loadTable(ident)
+  }
   override def dropTable(ident: Identifier): Boolean = {
     requireDefaultNs(ident.namespace())   // same error surface as loads
     wh.drop(ident.name())

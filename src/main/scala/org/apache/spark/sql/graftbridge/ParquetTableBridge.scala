@@ -17,10 +17,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * packages, so the construction sits here with the other
   * `org.apache.spark.sql` internals bridges. */
 object ParquetTableBridge {
+  /** `mergeSchema` unions the footers at schema inference — required
+    * for generations evolved by `Warehouse.widen`, where pre-evolution
+    * files lack the added columns and a single arbitrary footer would
+    * otherwise decide the table's SQL schema. Off by default: the
+    * catalog turns it on only for generations carrying the widened
+    * marker, so unevolved tables keep one-footer resolution cost. */
   def create(name: String, spark: SparkSession, path: String,
-             format: String = "parquet"): Table = {
+             format: String = "parquet",
+             mergeSchema: Boolean = false): Table = {
     val opts = new java.util.HashMap[String, String]()
     opts.put("path", path)
+    if (mergeSchema) opts.put("mergeSchema", "true")
     val map = new CaseInsensitiveStringMap(opts)
     format match {
       case "parquet" =>

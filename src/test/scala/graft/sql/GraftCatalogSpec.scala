@@ -121,8 +121,12 @@ class GraftCatalogSpec extends SparkSpec {
       assert(sql.sql("SELECT max(v) FROM graft.a VERSION AS OF 2")
         .head.getInt(0) == 2)
 
-      // still-unsupported mutations refuse loudly
-      intercept[Exception] { sql.sql("ALTER TABLE graft.a ADD COLUMN z INT") }
+      // still-unsupported mutations refuse loudly (ADD COLUMN is now
+      // supported — see the evolution test — but nothing else is)
+      intercept[Exception] { sql.sql("ALTER TABLE graft.a DROP COLUMN v") }
+      intercept[Exception] {
+        sql.sql("ALTER TABLE graft.a RENAME COLUMN v TO w")
+      }
       intercept[Exception] {
         sql.sql("CREATE TABLE graft.p (id INT) PARTITIONED BY (id)")
       }
@@ -140,6 +144,93 @@ class GraftCatalogSpec extends SparkSpec {
       assert(sql.sql("SELECT count(*) FROM graft.pt").head.getLong(0) == 25)
       intercept[Exception] { sql.sql("INSERT INTO graft.pt VALUES (9, 9)") }
       assert(sql.sql("SELECT count(*) FROM graft.pt").head.getLong(0) == 25)
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+
+  test("ALTER TABLE ADD COLUMN: zero-rewrite widening, null-fill, " +
+    "evolution survives appends, time travel across the boundary") {
+    import spark.implicits._
+    val root = tmpDir("whevo").toString
+    val wh = new Warehouse(spark, root, catalogRetention = 4)
+    wh.transact {
+      wh.replace("e", (0 until 10).map(i => (i.toLong, i * 2)).toDF("id", "v"))
+    }                                                                    // v1
+    val genBefore = wh.currentDir("e").get
+    val dataFilesBefore = Warehouse.listDir(genBefore)
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSet
+
+    val shared = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val sql = SparkSession.builder()
+      .config("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+      .config("spark.sql.catalog.graft.root", root)
+      .config("spark.sql.catalog.graft.retention", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try {
+      sql.sql("ALTER TABLE graft.e ADD COLUMN label STRING")
+
+      // the widened table: old columns in order, new column appended,
+      // old rows null-filled, nothing lost
+      assert(sql.table("graft.e").schema.fieldNames.toSeq ==
+        Seq("id", "v", "label"))
+      assert(sql.sql("SELECT count(*) FROM graft.e").head.getLong(0) == 10)
+      assert(sql.sql("SELECT count(*) FROM graft.e WHERE label IS NULL")
+        .head.getLong(0) == 10)
+
+      // ZERO data rewrite: every pre-evolution data file is hard-linked
+      // into the widened generation (same inode, not a copy)
+      val genAfter = wh.currentDir("e").get
+      assert(genAfter != genBefore)
+      dataFilesBefore.foreach { f =>
+        val linked = genAfter.resolve(f.getFileName.toString)
+        assert(java.nio.file.Files.exists(linked), s"missing link $linked")
+        assert(java.nio.file.Files.isSameFile(f, linked),
+          s"$linked was copied, not hard-linked")
+      }
+
+      // wide inserts land; evolution survives the append generation
+      sql.sql("INSERT INTO graft.e VALUES (100, 100, 'x')")
+      assert(sql.sql("SELECT count(*) FROM graft.e").head.getLong(0) == 11)
+      assert(sql.sql("SELECT id FROM graft.e WHERE label = 'x'")
+        .head.getLong(0) == 100L)
+      assert(sql.sql("SELECT count(*) FROM graft.e WHERE label IS NULL")
+        .head.getLong(0) == 10)
+
+      // time travel across the evolution boundary: the pre-evolution
+      // version reads its OWN narrow schema
+      val v1 = sql.sql("SELECT * FROM graft.e VERSION AS OF 1")
+      assert(v1.schema.fieldNames.toSeq == Seq("id", "v"))
+      assert(v1.count() == 10)
+
+      // a second widening footer-merges the already-evolved table
+      sql.sql("ALTER TABLE graft.e ADD COLUMN score BIGINT")
+      assert(sql.table("graft.e").schema.fieldNames.toSeq ==
+        Seq("id", "v", "label", "score"))
+      assert(sql.sql("SELECT count(*) FROM graft.e WHERE score IS NULL")
+        .head.getLong(0) == 11)
+
+      // the programmatic read path null-fills under the explicit wide
+      // schema too (one warehouse, one evolution)
+      assert(wh.read("e", sql.table("graft.e").schema)
+        .filter("label = 'x'").count() == 1)
+
+      // refusals: non-nullable, nested, positioned, duplicate
+      intercept[Exception] {
+        sql.sql("ALTER TABLE graft.e ADD COLUMN z INT NOT NULL")
+      }
+      intercept[Exception] {
+        sql.sql("ALTER TABLE graft.e ADD COLUMN q INT FIRST")
+      }
+      intercept[Exception] {
+        sql.sql("ALTER TABLE graft.e ADD COLUMN label STRING")
+      }
+      // unchanged by the failed attempts
+      assert(sql.table("graft.e").schema.fieldNames.length == 4)
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
