@@ -22,10 +22,13 @@ import org.apache.spark.sql.functions._
   * MP4/ISO-BMFF with a JPEG sample entry via the box+sample tables,
   * raw concatenated-JPEG MJPEG streams via SOI scanning) and each
   * extracted frame decodes through the JDK's ImageIO JPEG reader.
-  * Inter-frame codecs (H.264/H.265/VP9/AV1) have no JDK decoder and
-  * are genuinely unsupported — those payloads fall back to the
-  * deterministic byte-histogram stub; swap in a codec-backed decoder
-  * (JNI or `mapInArrow` to a worker) without touching the plan shape.
+  * Inter-frame codecs (H.264/H.265/VP9/AV1) have no JDK decoder, so
+  * their PIXEL decode stays a deterministic byte-histogram stub — swap
+  * in a codec-backed decoder (JNI or `mapInArrow` to a worker) without
+  * touching the plan shape. Their CONTAINER metadata is real, though:
+  * [[videoMetadata]] parses codec/resolution/frame-count/duration from
+  * the ISO-BMFF box tree, with H.264 resolution read out of the
+  * avcC-carried SPS by a pure-JVM Exp-Golomb bit reader — no decoding.
   */
 object Multimodal {
 
@@ -48,6 +51,39 @@ object Multimodal {
     media.select(col("media_id"), col("kind"),
       octet_length(col("bytes")).as("n_bytes"),
       sha2(col("bytes"), 256).as("sha256"))
+
+  final case class VideoMetaRow(media_id: Long, n_bytes: Long,
+      codec: Option[String], width: Option[Int], height: Option[Int],
+      n_frames: Option[Long], duration_sec: Option[Float],
+      fps: Option[Float])
+
+  /** Typed container metadata for video payloads — codec, resolution,
+    * frame count, duration, fps — WITHOUT decoding any frames, so it
+    * covers the inter-frame codecs (H.264 & co) whose pixel decode is
+    * stubbed: resolution comes from the avcC/SPS bit parse, timing from
+    * the stts table ([[videoContainerMeta]]). Payloads that are not an
+    * ISO-BMFF video (or are corrupt) keep their row with null metadata
+    * — one bad record never fails the batch. Per-partition batch loop
+    * like [[extractFeatures]] (a JVM byte-walk, not an expression). */
+  def videoMetadata(spark: SparkSession, media: DataFrame)
+      : Dataset[VideoMetaRow] = {
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("kind"),
+        col("bytes"), lit(0).as("width"), lit(0).as("height"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = if (r.bytes == null) Array.emptyByteArray else r.bytes
+          videoContainerMeta(bytes) match {
+            case Some(m) => VideoMetaRow(r.media_id, bytes.length.toLong,
+              Some(m.codec), Some(m.width), Some(m.height),
+              Some(m.nFrames), Some(m.durationSec), Some(m.fps))
+            case None => VideoMetaRow(r.media_id, bytes.length.toLong,
+              None, None, None, None, None, None)
+          }
+        }
+      }
+  }
 
   /** Decode + feature extract as a per-partition batch loop (the Scala
     * analogue of `mapInPandas` batching). `kind == "image"` payloads go
@@ -316,6 +352,8 @@ object Multimodal {
   private def leU32(b: Array[Byte], off: Int): Long =
     (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
       ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+  private def beU16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
   private def beU32(b: Array[Byte], off: Int): Long =
     ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
       ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
@@ -363,43 +401,59 @@ object Multimodal {
     * byte range through stsc (samples per chunk) + stco/co64 (chunk
     * offsets) + stsz (sample sizes); fps from mdhd timescale/duration.
     * A non-JPEG codec yields None — no JDK decoder exists for it. */
-  private def parseMp4(b: Array[Byte]): Option[(Float, Vector[(Int, Int)])] = {
-    final case class Box(typ: String, start: Long, end: Long)
-    def boxes(start: Long, end: Long): Vector[Box] = {
-      val out = Vector.newBuilder[Box]
-      var off = start
-      while (off + 8 <= end) {
-        val size0 = beU32(b, off.toInt)
-        val typ = fourcc(b, off.toInt + 4)
-        val (dataStart, boxEnd) =
-          if (size0 == 1 && off + 16 <= end)
-            (off + 16, math.min(off + beU64(b, off.toInt + 8), end))
-          else if (size0 == 0) (off + 8, end)
-          else (off + 8, math.min(off + size0, end))
-        if (boxEnd <= off) return out.result() // corrupt size: stop
-        out += Box(typ, dataStart, boxEnd)
-        off = boxEnd
-      }
-      out.result()
+  /** An ISO-BMFF box: `start` is the payload offset (past the 8- or
+    * 16-byte header), `end` the box end. Shared by the MJPEG sample
+    * extractor and the container-metadata probe. */
+  private final case class Mp4Box(typ: String, start: Long, end: Long)
+
+  private def mp4Boxes(b: Array[Byte], start: Long, end: Long): Vector[Mp4Box] = {
+    val out = Vector.newBuilder[Mp4Box]
+    var off = start
+    while (off + 8 <= end) {
+      val size0 = beU32(b, off.toInt)
+      val typ = fourcc(b, off.toInt + 4)
+      val (dataStart, boxEnd) =
+        if (size0 == 1 && off + 16 <= end)
+          (off + 16, math.min(off + beU64(b, off.toInt + 8), end))
+        else if (size0 == 0) (off + 8, end)
+        else (off + 8, math.min(off + size0, end))
+      if (boxEnd <= off) return out.result() // corrupt size: stop
+      out += Mp4Box(typ, dataStart, boxEnd)
+      off = boxEnd
     }
-    def child(bs: Vector[Box], typ: String): Option[Box] =
-      bs.find(_.typ == typ)
-    val JpegEntries = Set("jpeg", "mjpa", "mjpb", "mjpg", "MJPG", "AVDJ")
-    val root = boxes(0L, b.length.toLong)
+    out.result()
+  }
+
+  private def mp4Child(bs: Vector[Mp4Box], typ: String): Option[Mp4Box] =
+    bs.find(_.typ == typ)
+
+  /** moov → the `vide`-handler trak → (mdia children, stbl children) —
+    * the walk every video-track consumer starts from. */
+  private def videoTrakTables(b: Array[Byte])
+      : Option[(Vector[Mp4Box], Vector[Mp4Box])] = {
+    val root = mp4Boxes(b, 0L, b.length.toLong)
     for {
-      moov <- child(root, "moov")
-      moovKids = boxes(moov.start, moov.end)
+      moov <- mp4Child(root, "moov")
+      moovKids = mp4Boxes(b, moov.start, moov.end)
       trak <- moovKids.filter(_.typ == "trak").find { t =>
         (for {
-          mdia <- child(boxes(t.start, t.end), "mdia")
-          hdlr <- child(boxes(mdia.start, mdia.end), "hdlr")
+          mdia <- mp4Child(mp4Boxes(b, t.start, t.end), "mdia")
+          hdlr <- mp4Child(mp4Boxes(b, mdia.start, mdia.end), "hdlr")
         } yield fourcc(b, hdlr.start.toInt + 8) == "vide").getOrElse(false)
       }
-      mdia <- child(boxes(trak.start, trak.end), "mdia")
-      mdiaKids = boxes(mdia.start, mdia.end)
-      minf <- child(mdiaKids, "minf")
-      stbl <- child(boxes(minf.start, minf.end), "stbl")
-      stblKids = boxes(stbl.start, stbl.end)
+      mdia <- mp4Child(mp4Boxes(b, trak.start, trak.end), "mdia")
+      mdiaKids = mp4Boxes(b, mdia.start, mdia.end)
+      minf <- mp4Child(mdiaKids, "minf")
+      stbl <- mp4Child(mp4Boxes(b, minf.start, minf.end), "stbl")
+    } yield (mdiaKids, mp4Boxes(b, stbl.start, stbl.end))
+  }
+
+  private def parseMp4(b: Array[Byte]): Option[(Float, Vector[(Int, Int)])] = {
+    def child(bs: Vector[Mp4Box], typ: String): Option[Mp4Box] =
+      mp4Child(bs, typ)
+    val JpegEntries = Set("jpeg", "mjpa", "mjpb", "mjpg", "MJPG", "AVDJ")
+    for {
+      (mdiaKids, stblKids) <- videoTrakTables(b)
       stsd <- child(stblKids, "stsd")
       // first sample entry: 4B ver/flags + 4B count, then size+format
       if beU32(b, stsd.start.toInt + 4) >= 1 &&
@@ -455,6 +509,193 @@ object Multimodal {
       (fps, payloads.result())
     }
   }
+
+  /** Container-level metadata of an ISO-BMFF (MP4/MOV) video track —
+    * codec fourcc, resolution, frame count, duration, frame rate —
+    * extracted WITHOUT decoding a single frame, so it works for the
+    * inter-frame codecs (H.264 & co) whose pixel decode stays stubbed
+    * (no JDK decoder). Resolution comes from the H.264 sequence
+    * parameter set inside the `avcC` configuration box, parsed with a
+    * real Exp-Golomb bit reader ([[parseSpsDims]]) — the coded
+    * mb-aligned size minus the declared cropping, the number every
+    * serving system reports — falling back to the sample entry's
+    * width/height fields for other codecs (or a malformed SPS). Frame
+    * count and duration come from the `stts` time-to-sample table
+    * (sum of counts; sum of count×delta over the `mdhd` timescale). */
+  private[llm] final case class VideoContainerMeta(codec: String, width: Int,
+      height: Int, nFrames: Long, durationSec: Float, fps: Float)
+
+  private[llm] def videoContainerMeta(b: Array[Byte])
+      : Option[VideoContainerMeta] =
+    try {
+      if (b == null || b.length < 12 || fourcc(b, 4) != "ftyp") None
+      else for {
+        (mdiaKids, stblKids) <- videoTrakTables(b)
+        stsd <- mp4Child(stblKids, "stsd")
+        if beU32(b, stsd.start.toInt + 4) >= 1
+        stts <- mp4Child(stblKids, "stts")
+      } yield {
+        val entry = stsd.start.toInt + 8     // first sample entry
+        val codec = fourcc(b, entry + 4)
+        // VisualSampleEntry fixed fields: width/height at +32/+34,
+        // codec-specific child boxes (avcC, ...) from +86
+        val entryEnd = math.min(entry + beU32(b, entry), stsd.end)
+        val fallbackW = beU16(b, entry + 32)
+        val fallbackH = beU16(b, entry + 34)
+        val spsDims =
+          if (codec == "avc1" || codec == "avc3")
+            mp4Child(mp4Boxes(b, entry + 86L, entryEnd), "avcC")
+              .flatMap(c => avcCFirstSps(b, c.start.toInt, c.end.toInt))
+              .flatMap(parseSpsDims)
+          else None
+        val (w, h) = spsDims.getOrElse((fallbackW, fallbackH))
+        // stts: (count, delta) runs; frames = Σ count, units = Σ c·δ
+        val nEntries = beU32(b, stts.start.toInt + 4).toInt
+        var frames = 0L
+        var units = 0L
+        var i = 0
+        while (i < nEntries && stts.start + 8 + 8L * i + 8 <= stts.end) {
+          val c = beU32(b, stts.start.toInt + 8 + 8 * i)
+          frames += c
+          units += c * beU32(b, stts.start.toInt + 12 + 8 * i)
+          i += 1
+        }
+        val timescale = mp4Child(mdiaKids, "mdhd").map { mdhd =>
+          if ((b(mdhd.start.toInt) & 0xff) == 1)
+            beU32(b, mdhd.start.toInt + 20)
+          else beU32(b, mdhd.start.toInt + 12)
+        }.getOrElse(0L)
+        val durationSec =
+          if (timescale > 0) (units.toDouble / timescale).toFloat else 0.0f
+        val fps =
+          if (durationSec > 0) (frames / durationSec.toDouble).toFloat
+          else 0.0f
+        VideoContainerMeta(codec, w, h, frames, durationSec, fps)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** First SPS NAL inside an `avcC` (AVCDecoderConfigurationRecord)
+    * payload: version(1) profile(1) compat(1) level(1)
+    * lengthSizeMinusOne(1) numSps(1), then per SPS a 2-byte length and
+    * the NAL (header byte + RBSP). */
+  private def avcCFirstSps(b: Array[Byte], start: Int, end: Int)
+      : Option[Array[Byte]] = {
+    if (start + 8 > end) return None
+    val numSps = b(start + 5) & 0x1f
+    if (numSps < 1) return None
+    val len = beU16(b, start + 6)
+    val spsStart = start + 8
+    if (len < 2 || spsStart + len > end) return None
+    // drop the 1-byte NAL header (forbidden_zero/nal_ref_idc/type=7)
+    Some(java.util.Arrays.copyOfRange(b, spsStart + 1, spsStart + len))
+  }
+
+  /** MSB-first bit reader over an H.264 RBSP with Exp-Golomb decode —
+    * emulation-prevention bytes (00 00 03) are unescaped up front, per
+    * the spec's RBSP extraction. Throws past-end; callers catch. */
+  private final class RbspReader(raw: Array[Byte]) {
+    private val b: Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(raw.length)
+      var i = 0
+      while (i < raw.length) {
+        if (i + 2 < raw.length && raw(i) == 0 && raw(i + 1) == 0 &&
+            raw(i + 2) == 3) {
+          out.write(0); out.write(0); i += 3
+        } else { out.write(raw(i)); i += 1 }
+      }
+      out.toByteArray
+    }
+    private var pos = 0
+    def u1(): Int = {
+      val bit = (b(pos >> 3) >> (7 - (pos & 7))) & 1
+      pos += 1
+      bit
+    }
+    def u(n: Int): Int = { var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | u1(); i += 1 }; v }
+    /** ue(v): count leading zeros, read that many more bits. */
+    def ue(): Int = {
+      var zeros = 0
+      while (u1() == 0) {
+        zeros += 1
+        require(zeros <= 31, "Exp-Golomb run past 31 bits — corrupt SPS")
+      }
+      (1 << zeros) - 1 + u(zeros)
+    }
+    def se(): Int = { val k = ue(); if ((k & 1) == 1) (k + 1) / 2 else -(k / 2) }
+  }
+
+  /** Decode (width, height) from an H.264 SPS RBSP (header byte already
+    * stripped): the mb-aligned coded size minus the declared frame
+    * cropping, with the chroma-format-dependent crop units — the exact
+    * display resolution, not the padded coded one. Pure bit arithmetic,
+    * no decoding. */
+  private[llm] def parseSpsDims(sps: Array[Byte]): Option[(Int, Int)] =
+    try {
+      val r = new RbspReader(sps)
+      val profileIdc = r.u(8)
+      r.u(8) // constraint flags + reserved
+      r.u(8) // level_idc
+      r.ue() // seq_parameter_set_id
+      var chromaFormatIdc = 1 // 4:2:0 default for non-high profiles
+      if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
+          .contains(profileIdc)) {
+        chromaFormatIdc = r.ue()
+        if (chromaFormatIdc == 3) r.u1() // separate_colour_plane_flag
+        r.ue(); r.ue() // bit depths
+        r.u1() // qpprime_y_zero_transform_bypass
+        if (r.u1() == 1) { // seq_scaling_matrix_present
+          val nLists = if (chromaFormatIdc != 3) 8 else 12
+          var i = 0
+          while (i < nLists) {
+            if (r.u1() == 1) { // scaling_list_present
+              val size = if (i < 6) 16 else 64
+              var lastScale = 8; var nextScale = 8; var j = 0
+              while (j < size) {
+                if (nextScale != 0)
+                  nextScale = (lastScale + r.se() + 256) % 256
+                if (nextScale != 0) lastScale = nextScale
+                j += 1
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      r.ue() // log2_max_frame_num_minus4
+      val pocType = r.ue()
+      if (pocType == 0) r.ue()
+      else if (pocType == 1) {
+        r.u1(); r.se(); r.se()
+        val n = r.ue()
+        var i = 0
+        while (i < n) { r.se(); i += 1 }
+      }
+      r.ue() // max_num_ref_frames
+      r.u1() // gaps_in_frame_num_value_allowed
+      val picWidthInMbs = r.ue() + 1
+      val picHeightInMapUnits = r.ue() + 1
+      val frameMbsOnly = r.u1()
+      if (frameMbsOnly == 0) r.u1() // mb_adaptive_frame_field_flag
+      r.u1() // direct_8x8_inference_flag
+      var (cropL, cropR, cropT, cropB) = (0, 0, 0, 0)
+      if (r.u1() == 1) { // frame_cropping_flag
+        cropL = r.ue(); cropR = r.ue(); cropT = r.ue(); cropB = r.ue()
+      }
+      val (subW, subH) = chromaFormatIdc match {
+        case 0 => (1, 1) // monochrome: crop units are luma samples
+        case 1 => (2, 2) // 4:2:0
+        case 2 => (2, 1) // 4:2:2
+        case _ => (1, 1) // 4:4:4
+      }
+      val cropUnitX = subW
+      val cropUnitY = subH * (2 - frameMbsOnly)
+      val width = picWidthInMbs * 16 - (cropL + cropR) * cropUnitX
+      val height =
+        picHeightInMapUnits * 16 * (2 - frameMbsOnly) -
+          (cropT + cropB) * cropUnitY
+      if (width > 0 && height > 0) Some((width, height)) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Raw MJPEG stream parse: standalone JPEGs back to back, split by a
     * STRUCTURAL marker walk — never a bare SOI grep: an embedded JPEG

@@ -845,6 +845,153 @@ class LlmOpsSpec extends SparkSpec {
     assert(feats(5L).toSeq == stubbed(5L).toSeq)
   }
 
+  test("H.264 container metadata: avcC/SPS bit parse + stts timing, " +
+    "no decoding") {
+    // ------- independent SPS bit WRITER (ITU-T H.264 §7.3.2.1.1 field
+    // order, Exp-Golomb per §9.1) so the parser is tested against the
+    // spec, not against itself
+    final class BitWriter {
+      private val bits = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def u1(v: Int): this.type = { bits += (v & 1); this }
+      def u(n: Int, v: Int): this.type = {
+        (n - 1 to 0 by -1).foreach(i => u1((v >> i) & 1)); this
+      }
+      def ue(v: Int): this.type = {
+        val k = v + 1
+        val nBits = 32 - Integer.numberOfLeadingZeros(k)
+        (0 until nBits - 1).foreach(_ => u1(0))
+        u(nBits, k)
+      }
+      def se(v: Int): this.type = ue(if (v <= 0) -2 * v else 2 * v - 1)
+      /** rbsp_stop_one_bit + byte-align, then EMULATION-PREVENTION
+        * escaping (00 00 0x → 00 00 03 0x) exactly as an encoder
+        * writes it — exercising the reader's unescape. */
+      def rbsp(): Array[Byte] = {
+        u1(1)
+        while (bits.length % 8 != 0) u1(0)
+        val raw = bits.grouped(8)
+          .map(g => g.foldLeft(0)((a, b) => (a << 1) | b).toByte).toArray
+        val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+        var zeros = 0
+        raw.foreach { b =>
+          if (zeros >= 2 && (b & 0xff) <= 3) { out += 3; zeros = 0 }
+          out += b
+          zeros = if (b == 0) zeros + 1 else 0
+        }
+        out.toArray
+      }
+    }
+    // baseline profile, 320x240, no cropping
+    def spsBaseline(): Array[Byte] = Array(0x67.toByte) ++ // NAL header
+      new BitWriter()
+        .u(8, 66).u(8, 0).u(8, 30)  // profile/constraints/level
+        .ue(0)                      // sps_id
+        .ue(0)                      // log2_max_frame_num_minus4
+        .ue(0).ue(0)                // poc_type 0 + log2_max_poc_lsb
+        .ue(1).u1(0)                // max_ref_frames, gaps flag
+        .ue(19).ue(14)              // 20x15 macroblocks = 320x240
+        .u1(1)                      // frame_mbs_only
+        .u1(1)                      // direct_8x8
+        .u1(0)                      // no cropping
+        .u1(0)                      // no VUI
+        .rbsp()
+    // high profile (chroma branch), 1920x1088 coded, cropped to 1080
+    def spsHigh(): Array[Byte] = Array(0x67.toByte) ++
+      new BitWriter()
+        .u(8, 100).u(8, 0).u(8, 40)
+        .ue(0)                      // sps_id
+        .ue(1)                      // chroma_format_idc 4:2:0
+        .ue(0).ue(0)                // bit depths
+        .u1(0)                      // qpprime bypass
+        .u1(0)                      // no scaling matrix
+        .ue(0)                      // log2_max_frame_num_minus4
+        .ue(0).ue(0)                // poc_type 0 + log2_max_poc_lsb
+        .ue(4).u1(0)
+        .ue(119).ue(67)             // 120x68 mbs = 1920x1088
+        .u1(1).u1(1)
+        .u1(1)                      // frame_cropping_flag
+        .ue(0).ue(0).ue(0).ue(4)    // crop bottom 4 * CropUnitY(2) = 8
+        .u1(0)
+        .rbsp()
+    assert(Multimodal.parseSpsDims(spsBaseline().drop(1)).contains((320, 240)))
+    assert(Multimodal.parseSpsDims(spsHigh().drop(1)).contains((1920, 1080)))
+
+    // ------- ISO-BMFF fixture with a real avcC + stts (builder follows
+    // ISO/IEC 14496-12 / -15 layouts, not the parser)
+    def be32(v: Long): Array[Byte] = Array[Byte](
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be16(v: Int): Array[Byte] =
+      Array[Byte](((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8) ++ cc(typ) ++ payload
+    def mp4H264(sps: Array[Byte], timescale: Int,
+                sttsRuns: Seq[(Int, Int)],
+                entryDims: Option[(Int, Int)] = None,
+                codec: String = "avc1"): Array[Byte] = {
+      val ftyp = box("ftyp", cc("isom") ++ be32(512) ++ cc("isom"))
+      val avcc = box("avcC", Array[Byte](1, sps(1), sps(2), sps(3),
+        0xff.toByte, 0xe1.toByte) ++ be16(sps.length) ++ sps ++
+        Array[Byte](0)) // numPps = 0
+      // VisualSampleEntry: 78 fixed bytes after size+format; width and
+      // height live at +32/+34 (zero unless the fixture sets them, so
+      // a passing SPS parse can't be the entry fields in disguise)
+      val fixed = Array.fill(78)(0.toByte)
+      entryDims.foreach { case (w, h) =>
+        be16(w).copyToArray(fixed, 24); be16(h).copyToArray(fixed, 26)
+      }
+      val sampleEntry =
+        be32(86 + (if (codec == "avc1") avcc.length else 0)) ++
+          cc(codec) ++ fixed ++
+          (if (codec == "avc1") avcc else Array.emptyByteArray)
+      val stsd = box("stsd", be32(0) ++ be32(1) ++ sampleEntry)
+      val stts = box("stts", be32(0) ++ be32(sttsRuns.size) ++
+        sttsRuns.flatMap { case (c, d) => be32(c) ++ be32(d) }.toArray)
+      val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(0))
+      val stsc = box("stsc", be32(0) ++ be32(0))
+      val stco = box("stco", be32(0) ++ be32(0))
+      val mdhd = box("mdhd", be32(0) ++ be32(0) ++ be32(0) ++
+        be32(timescale) ++ be32(sttsRuns.map(r => r._1 * r._2).sum) ++
+        be32(0x55c40000L))
+      val hdlr = box("hdlr", be32(0) ++ be32(0) ++ cc("vide") ++
+        Array.fill(13)(0.toByte))
+      val stbl = box("stbl", stsd ++ stts ++ stsz ++ stsc ++ stco)
+      val mdia = box("mdia", mdhd ++ hdlr ++ box("minf", stbl))
+      ftyp ++ box("moov", box("trak", mdia))
+    }
+    // 3 frames: 2 at delta 1500 + 1 at 3000, timescale 30000
+    // -> 0.2 s, 15 fps
+    val h264 = mp4H264(spsBaseline(), timescale = 30000,
+      sttsRuns = Seq((2, 1500), (1, 3000)))
+    val m = Multimodal.videoContainerMeta(h264).get
+    assert(m.codec == "avc1" && m.width == 320 && m.height == 240, m)
+    assert(m.nFrames == 3L && m.durationSec == 0.2f && m.fps == 15.0f, m)
+
+    // cropped high-profile SPS through the container
+    val cropped = mp4H264(spsHigh(), timescale = 600, Seq((10, 60)))
+    val mc = Multimodal.videoContainerMeta(cropped).get
+    assert(mc.width == 1920 && mc.height == 1080 && mc.nFrames == 10L, mc)
+
+    // non-AVC codec: dims fall back to the sample entry fields
+    val hevc = mp4H264(spsBaseline(), timescale = 600, Seq((5, 60)),
+      entryDims = Some((640, 360)), codec = "hvc1")
+    val mh = Multimodal.videoContainerMeta(hevc).get
+    assert(mh.codec == "hvc1" && mh.width == 640 && mh.height == 360, mh)
+
+    // DataFrame surface: typed rows, null metadata for junk — one bad
+    // record never fails the batch
+    val rows = Multimodal.videoMetadata(spark,
+        Seq((1L, "video", h264),
+          (2L, "video", "not a video".getBytes("UTF-8")))
+        .toDF("media_id", "kind", "bytes"))
+      .collect().map(r => r.media_id -> r).toMap
+    assert(rows(1L).codec.contains("avc1") &&
+      rows(1L).width.contains(320) && rows(1L).n_frames.contains(3L))
+    assert(rows(2L).codec.isEmpty && rows(2L).width.isEmpty &&
+      rows(2L).n_bytes == 11L)
+  }
+
   // 20 vectors in two well-separated directions (plus id-0/1 seeds in
   // each): k-means with k=2 must split them cleanly.
   private lazy val twoBlobs = (0L until 20L).map { i =>
