@@ -173,7 +173,31 @@ object Bench {
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","shared_store_build_sec":$storeBuildSec,"methodology":"best of a back-to-back pair per query; stall suspects (samples disagreeing >25% or best >0.4s) re-measured with up to two fresh pairs after the sweep, overall minimum reported (steady-state); a query that throws is listed in errors and scored 1e6 s, never its time-to-failure; dedup/clustering/funnel/retrieval families measured over their shared production artifacts (signature stores, candidate/exact/ER pair tables, funnel step-times and BM25 ranking tables), producers exposing the same landed plans"}"""
+    // Streaming-frame throughput (docs/sec per sink) recorded so a
+    // micro-batch-frame regression is visible round over round — the
+    // query sweep never exercises graft.stream. EXCLUDED from `value`:
+    // the gate prices the query surface against a baseline that never
+    // contained streaming time. Skipped for dev-loop solo runs; a
+    // failure records an error field, never loses the sweep's line.
+    val streamJson =
+      if (only.isDefined || sys.env.get("SPARK_GRAFT_STREAM_BENCH").contains("0"))
+        "{}"
+      else try {
+        StreamBench.run(spark).map { r =>
+          val dps = if (r.sec > 0) (r.docs / r.sec).toLong else 0L
+          s""""${r.sink}":{"docs":${r.docs},"sec":${f"${r.sec}%.2f"},""" +
+            s""""docs_per_sec":$dps${r.error.map(e =>
+              s""","error":"${e.replaceAll("[^\\x20-\\x7e]", " ")
+                .replace("\\", "\\\\").replace("\"", "\\\"")}"""")
+              .getOrElse("")}}"""
+        }.mkString("{", ",", "}")
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] stream bench failed: ${e.getMessage}")
+        s"""{"error":"${String.valueOf(e.getMessage)
+          .replaceAll("[^\\x20-\\x7e]", " ").replace("\\", "\\\\")
+          .replace("\"", "\\\"").take(200)}"}"""
+      }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","shared_store_build_sec":$storeBuildSec,"stream_bench":$streamJson,"methodology":"best of a back-to-back pair per query; stall suspects (samples disagreeing >25% or best >0.4s) re-measured with up to two fresh pairs after the sweep, overall minimum reported (steady-state); a query that throws is listed in errors and scored 1e6 s, never its time-to-failure; dedup/clustering/funnel/retrieval families measured over their shared production artifacts (signature stores, candidate/exact/ER pair tables, funnel step-times and BM25 ranking tables), producers exposing the same landed plans; stream_bench reports streaming-sink docs/sec over a synthesized waved corpus, excluded from value"}"""
     // stdout FIRST: it is the guarantee the harness always had; the file
     // copy (the metric line on stdout drowns in sbt/log4j noise) is
     // best-effort — an unwritable path must not lose the line

@@ -338,14 +338,32 @@ object TextAnalysis {
                           id: Column = col("doc_id"),
                           terms: Column = null)
       : DataFrame = {
-    require(maxDf >= 2, s"maxDf=$maxDf")
-    require(tauDen > 0 && tauNum >= 0, s"tau=$tauNum/$tauDen")
     // default term space: word 3-shingles (the corpus vocabulary may be
     // tiny — testdata's is ~31 words, every one a stop-word — while
     // shingle df distributions discriminate)
     val termCol =
       if (terms == null) graft.llm.Dedup.shingles(col("text"), 3) else terms
-    val tf = docs.select(id.as("doc_id"), explode(termCol).as("term"))
+    tfidfSimilarityJoinFromTerms(
+      docs.select(id.as("doc_id"), explode(termCol).as("term")),
+      maxDf, tauNum, tauDen)
+  }
+
+  /** [[tfidfSimilarityJoin]] starting from a PRECOMPUTED term-occurrence
+    * table — one (doc_id, term) row per occurrence — the production
+    * entry point at corpus scale. Tokenization is the expensive leg and
+    * feeds two aggregation subtrees (tf and, through it, norms and
+    * posting groups); a 100 TB caller lands or persists the term table
+    * once (alongside the signature store this engine already maintains)
+    * and every tf-idf pass consumes it, instead of re-shingling the
+    * corpus per call and rediscovering that decision in a comment. The
+    * column-based overload above stays the one-shot convenience form —
+    * the two are equal by construction (it delegates here). */
+  def tfidfSimilarityJoinFromTerms(termRows: DataFrame, maxDf: Int = 20,
+                                   tauNum: Long = 1, tauDen: Long = 2)
+      : DataFrame = {
+    require(maxDf >= 2, s"maxDf=$maxDf")
+    require(tauDen > 0 && tauNum >= 0, s"tau=$tauNum/$tauDen")
+    val tf = termRows.select(col("doc_id"), col("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     // df as a partial-aggregated count joined back onto tf — NOT a
     // term-partitioned window, though that measures ~0.5 s faster at
@@ -364,8 +382,9 @@ object TextAnalysis {
     // no-persist identical (2.595 s vs 2.594 s best-of-3 warm — the
     // shared shuffle subtrees are cheap to replay), and an un-owned
     // persist leaks MEMORY_AND_DISK blocks on every call for a library
-    // caller looping over corpora. Callers who want the weight stage
-    // resident can persist `docs` (or a precomputed `terms`) themselves.
+    // caller looping over corpora. Callers who want the tokenization
+    // leg resident pass a landed/persisted term table to
+    // tfidfSimilarityJoinFromTerms — the API owns that decision now.
     val w = tf.join(dfs, Seq("term"))
       .select(col("doc_id"), col("term"),
         expr("tf * (1000000L div df)").as("w"))

@@ -1606,6 +1606,15 @@ class LlmOpsSpec extends SparkSpec {
     assert(run(3) == expected)
     assert(spark.sharedState.cacheManager.isEmpty,
       "tfidfSimilarityJoin left persisted blocks behind")
+    // the production entry point over a PRECOMPUTED term table (the
+    // 100 TB shape: tokenize once, land the term rows, consume them per
+    // pass) is the same operator — equal output by construction
+    val termRows = docs.select(col("doc_id"),
+      explode(graft.llm.Dedup.shingles(col("text"), 3)).as("term"))
+    assert(TextAnalysis.tfidfSimilarityJoinFromTerms(termRows, maxDf = 20,
+        tauNum = 1, tauDen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSet == expected)
   }
 
   test("bloom semi-join equals the plain semi-join and prunes pre-join") {

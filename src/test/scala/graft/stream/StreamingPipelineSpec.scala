@@ -294,6 +294,43 @@ class StreamingPipelineSpec extends SparkSpec {
     q.stop()
   }
 
+  test("sessionsExact: pending state survives a checkpoint RESTART — " +
+    "file-source waves, the production shape") {
+    import spark.implicits._
+    import Sessionize._
+    val landing = tmpDir("exsessland")
+    val ckpt = tmpDir("exsessckpt").toString
+    val outDir = tmpDir("exsessout").toString
+    def ev(u: Long, s: String) = (u, java.sql.Timestamp.valueOf(s))
+    var n = 0
+    def wave(events: (Long, java.sql.Timestamp)*): Unit = {
+      events.toSeq.toDF("user_id", "ts").coalesce(1)
+        .write.mode("append").json(landing.toString + s"/w$n")
+      n += 1
+      val src = spark.readStream.schema("user_id LONG, ts TIMESTAMP")
+        .json(landing.toString + "/*").as[Event]
+      Sessionize.sessionsExact(spark, src, gapMillis = 60000L)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    // the bridging scenario, but each wave is a FULL stream restart:
+    // the kept-session list must round-trip the state store
+    wave(ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:01:30"))
+    wave(ev(1, "2024-01-01 10:00:45"))
+    wave(ev(2, "2024-01-01 11:00:00"))
+    wave(ev(2, "2024-01-01 12:00:00"))
+    val out = spark.read.schema(
+        "user_id LONG, session_start TIMESTAMP, session_end TIMESTAMP, " +
+          "n_events LONG")
+      .parquet(outDir).as[Session].collect().filter(_.user_id == 1L)
+    assert(out.length == 1, out.toList)
+    assert(out(0).session_start.toString.startsWith("2024-01-01 10:00:00") &&
+      out(0).session_end.toString.startsWith("2024-01-01 10:01:30") &&
+      out(0).n_events == 3L, out.toList)
+  }
+
   test("sessionsExact: distinct sessions emit separately and event-time " +
     "timeouts flush state without batch data for the user") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
