@@ -551,11 +551,15 @@ final class Warehouse(private[graft] val spark: SparkSession,
     * an O(100 TB) table widens in O(1) data. The marker and schema
     * file ride [[linkTree]] into every later append generation, so
     * evolution survives appends (including appends still writing the
-    * narrow schema); [[replace]] writes a fresh directory and so
-    * resets the schema to the replacement's, which is what a full
-    * overwrite means. Old generations keep their narrow schema —
-    * time travel across the evolution boundary reads each version's
-    * own columns.
+    * narrow schema); [[replace]] (and the replace-class rewrites —
+    * [[mergeReplace]], whose caller-declared schema IS the new table
+    * contents) writes a fresh directory and so resets the schema to
+    * what it was given, which is what a full overwrite means —
+    * post-evolution callers of those must pass the widened schema.
+    * [[optimizeTable]] refuses a stale narrow schema outright:
+    * maintenance must never change the schema. Old generations keep
+    * their narrow schema — time travel across the evolution boundary
+    * reads each version's own columns.
     *
     * New columns must be nullable (there is nothing to backfill with
     * but null) and must not collide with stored columns. Parquet only:
@@ -826,6 +830,21 @@ final class Warehouse(private[graft] val spark: SparkSession,
                     targetBytesPerFile: Long = 128L << 20,
                     partitionBy: Seq[String] = Nil): Unit = withTableLock(table) {
     currentDir(table).foreach { cur =>
+      // a widened table compacted under a STALE narrow schema would
+      // silently drop the evolved column's values (OPTIMIZE rewrites
+      // everything it reads) — routine maintenance must never change
+      // the schema, so refuse loudly instead. One Files.exists on the
+      // unevolved path; the footer merge runs only behind the marker.
+      if (Files.exists(cur.resolve(Warehouse.WidenedMarker))) {
+        val full = spark.read.option("mergeSchema", "true").format(format)
+          .load(cur.toString).schema
+        val missing = full.fieldNames.filterNot(n =>
+          schema.fieldNames.exists(_.equalsIgnoreCase(n)))
+        require(missing.isEmpty,
+          s"optimizeTable($table) would DROP evolved column(s) " +
+            s"${missing.mkString(", ")} — the table was widened; pass " +
+            "the full post-evolution schema")
+      }
       val bytes = walkDir(cur)
         .filter(p => Files.isRegularFile(p) &&
           p.getFileName.toString.endsWith(s".$format"))

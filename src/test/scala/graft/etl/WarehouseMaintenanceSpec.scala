@@ -84,6 +84,31 @@ class WarehouseMaintenanceSpec extends SparkSpec {
     assert(r.filter(col("tag").isNull).count() == 20)
   }
 
+  test("optimizeTable on a WIDENED table refuses a stale narrow schema " +
+    "and compacts to uniform wide files under the full one") {
+    val wh = new Warehouse(spark, tmpDir("whoptevo").toString)
+    wh.replace("t", (0 until 20).map(i => (i, i * 2)).toDF("id", "v"))
+    wh.widen("t", StructType(Seq(StructField("tag", StringType))))
+    val evolved = StructType(schema.fields :+ StructField("tag", StringType))
+    wh.append("t", Seq((100, 7, "x")).toDF("id", "v", "tag"))
+    // routine compaction under the pre-evolution schema would silently
+    // drop tag='x' — it must refuse instead
+    val e = intercept[IllegalArgumentException] {
+      wh.optimizeTable("t", schema)
+    }
+    assert(e.getMessage.contains("tag"), e.getMessage)
+    // under the full schema it compacts; the evolved value survives and
+    // the rewritten generation is schema-uniform (no marker needed —
+    // every footer now carries the wide schema)
+    wh.optimizeTable("t", evolved)
+    val r = wh.read("t", evolved)
+    assert(r.count() == 21 &&
+      r.filter(col("tag") === "x").count() == 1 &&
+      r.filter(col("tag").isNull).count() == 20)
+    assert(!java.nio.file.Files.exists(
+      wh.currentDir("t").get.resolve("_graft_widened")))
+  }
+
   test("changesBetween yields the exact keyed change feed of two commits") {
     val wh = new Warehouse(spark, tmpDir("whcdc").toString, catalogRetention = 4)
     // null-keyed rows have no identity: the UNCHANGED (null, 5) must not
