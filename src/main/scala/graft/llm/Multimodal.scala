@@ -838,6 +838,95 @@ object Multimodal {
     out
   }
 
+  final case class ImageHashRow(media_id: Long, dhash: Option[Long])
+
+  /** Perceptual 64-bit difference hash (dHash) per image payload — the
+    * standard near-duplicate representation for image corpora: decode
+    * (real, `javax.imageio`), deterministic nearest-neighbor rescale to
+    * a 9x8 luma grid (ITU-R 601, the shared [[luma601]]), bit (x, y) =
+    * luma(x+1, y) > luma(x, y). Horizontal-gradient signs are invariant
+    * under uniform brightness/contrast shifts and JPEG requantization
+    * noise, which is exactly what re-encoded copies of one image differ
+    * by. Integer arithmetic end to end — bit-identical across JVMs and
+    * partitionings. Payloads no reader decodes hash to null (one bad
+    * record never fails the batch). */
+  def imageDHash(spark: SparkSession, media: DataFrame)
+      : Dataset[ImageHashRow] = {
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("kind"),
+        col("bytes"), lit(0).as("width"), lit(0).as("height"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val bytes = if (r.bytes == null) Array.emptyByteArray else r.bytes
+          ImageHashRow(r.media_id, decodeImage(bytes).map { img =>
+            val g = scaleImage(img, 9, 8)
+            var h = 0L
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                h <<= 1
+                if (luma601(g.getRGB(x + 1, y)) > luma601(g.getRGB(x, y)))
+                  h |= 1L
+                x += 1
+              }
+              y += 1
+            }
+            h
+          })
+        }
+      }
+  }
+
+  /** Near-duplicate image candidate pairs at Hamming distance <=
+    * `maxHamming` over [[imageDHash]] output — image-corpus dedup, the
+    * visual sibling of the SimHash text pipeline. Pigeonhole block LSH:
+    * the 64-bit hash splits into `maxHamming + 1` blocks, two hashes
+    * within the radius must agree on at least one whole block, so
+    * candidates come from equi-joins on (block index, block value) —
+    * never an all-pairs product — and the exact distance check is one
+    * codegen'd `bit_count(a ^ b)` per candidate. Requires
+    * `maxHamming <= 7` (8+ blocks of a 64-bit hash stop pigeonholing
+    * usefully and the radius stops meaning "same image").
+    *
+    * 100 TB shape: one narrow (media_id, dhash) table explodes to
+    * `maxHamming + 1` block rows, ONE shuffle on the block key, pair
+    * expansion only within equal-block buckets (the shared capped
+    * [[Dedup.pairsFromMembers]] guard shape applies upstream when
+    * corpora are degenerate), exact verify never touches pixels. */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7, s"maxHamming=$maxHamming")
+    val nBlocks = maxHamming + 1
+    val width = 64 / nBlocks
+    val blocks = hashes.filter(col("dhash").isNotNull)
+      .select(col("media_id"), col("dhash"),
+        explode(sequence(lit(0), lit(nBlocks - 1))).as("block"))
+      .withColumn("bval", {
+        // top-aligned disjoint slices; the last block keeps the
+        // remainder bits so all 64 participate (mask computed driver-
+        // side: 1L << 64 wraps, so a full-width last block masks -1)
+        val lastWidth = 64 - (nBlocks - 1) * width
+        val lastMask = if (lastWidth >= 64) -1L else (1L << lastWidth) - 1
+        when(col("block") < nBlocks - 1,
+          expr(s"shiftrightunsigned(dhash, 64 - (block + 1) * $width)")
+            .bitwiseAND(lit((1L << width) - 1)))
+          .otherwise(col("dhash").bitwiseAND(lit(lastMask)))
+      })
+    val a = blocks.select(col("block"), col("bval"),
+      col("media_id").as("id_a"), col("dhash").as("ha"))
+    val b = blocks.select(col("block"), col("bval"),
+      col("media_id").as("id_b"), col("dhash").as("hb"))
+    a.join(b, Seq("block", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .groupBy("id_a", "id_b")        // same pair can match in >1 block
+      .agg(min("hamming").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Resize as a per-partition batch transform: binary in, binary out,
     * metadata updated, the blob column only materialized inside the
     * partition iterator. `kind == "image"` payloads that decode go

@@ -487,6 +487,24 @@ object Oracles {
          |            ELSE 'test' END AS split
          |FROM lab""".stripMargin,
 
+    // brute-force ALL-pairs Hamming ground truth — the completeness
+    // proof for the pigeonhole block LSH (q79's pattern for PPJoin)
+    "q164_hamming_pairs" ->
+      raw"""WITH h AS (
+         |  SELECT doc_id AS media_id,
+         |         ('0x' || substr(md5($norm), 1, 15))::BIGINT AS dhash
+         |  FROM documents),
+         |tw AS (
+         |  SELECT media_id + 1000000 AS media_id,
+         |         xor(dhash, (1::BIGINT << CAST(media_id % 60 AS INT)))
+         |           AS dhash
+         |  FROM h),
+         |allh AS (SELECT * FROM h UNION ALL SELECT * FROM tw)
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |       CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+         |FROM allh a JOIN allh b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin,
+
     // the assignment-stable incremental split law, replayed end to end:
     // store splits = the q156 law over the old slice (old-old edges
     // only), incremental components over the new-touching edge set

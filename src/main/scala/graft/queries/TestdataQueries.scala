@@ -2120,7 +2120,37 @@ object TestdataQueries {
       docs.filter(col("doc_id") >= cut), edges, cuts, lastSplit = "test")
   }
 
+  /** Perceptual-hash near-dup pairing (X106): the Hamming block-LSH
+    * pairing law of [[graft.llm.Multimodal.imageNearDupPairs]] —
+    * pigeonhole blocks -> equi-join candidates -> exact codegen'd
+    * `bit_count(a ^ b)` — driver-oracled over a PORTABLE md5-derived
+    * 60-bit hash table (testdata carries no image payloads; the hash
+    * derivation itself — real JDK image decode + 9x8 luma-gradient
+    * dHash — is spec-pinned in LlmOpsSpec). Every document plants a
+    * 1-bit-flipped twin, so the radius-3 result is 1 pair per distinct
+    * text plus the exact-dup collisions; the oracle brute-forces ALL
+    * pairs in SQL — a completeness proof for the block LSH, like
+    * q79's for PPJoin. */
+  def q164HammingPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val h = conv(substring(md5(Dedup.normalized(col("text"))), 1, 15), 16, 10)
+      .cast("long")
+    // ONE md5 pass over the corpus: base row and twin emerge from the
+    // same generator (a union of two doc scans would hash text twice)
+    val hashes = docs.select(col("doc_id"), h.as("h0"))
+      .select(explode(array(
+        struct(col("doc_id").as("media_id"), col("h0").as("dhash")),
+        struct((col("doc_id") + 1000000L).as("media_id"),
+          col("h0").bitwiseXOR(expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 60 AS INT))"))
+            .as("dhash")))).as("r"))
+      .select(col("r.media_id").as("media_id"), col("r.dhash").as("dhash"))
+    Multimodal.imageNearDupPairs(hashes, maxHamming = 3)
+      .withColumn("hamming", col("hamming").cast("long"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_hamming_pairs" -> q164HammingPairs _,
     "q160_dedup_savings" -> q160DedupSavings _,
     "q161_cluster_sizes" -> q161ClusterSizes _,
     "q162_ngram_diversity" -> q162NgramDiversity _,

@@ -845,6 +845,57 @@ class LlmOpsSpec extends SparkSpec {
     assert(feats(5L).toSeq == stubbed(5L).toSeq)
   }
 
+  test("image dHash: brightness-invariant perceptual hash, near-dup " +
+    "pairs via pigeonhole block LSH") {
+    import java.awt.image.BufferedImage
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(32, 24, BufferedImage.TYPE_INT_RGB)
+      (0 until 24).foreach(y => (0 until 32).foreach { x =>
+        val v = f(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      })
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // base: luma strictly increasing in x (all gradient bits 1), values
+    // in [0, 186] so the +20 brightness copy never clamps — gradient
+    // SIGNS are preserved exactly, so the perceptual hash is identical
+    val base = png((x, _) => x * 6)
+    val bright = png((x, _) => x * 6 + 20)
+    // structurally opposite: strictly decreasing -> all bits flip
+    val opposite = png((x, _) => 186 - x * 6)
+    val media = Seq((1L, "image", base), (2L, "image", bright),
+        (3L, "image", opposite), (4L, "image", "junk".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "bytes")
+    val hashes = Multimodal.imageDHash(spark, media).collect()
+      .map(r => r.media_id -> r.dhash).toMap
+    assert(hashes(1L).isDefined && hashes(1L) == hashes(2L),
+      "brightness shift must not move a single gradient bit")
+    assert(hashes(4L).isEmpty, "undecodable bytes hash to null")
+    assert(java.lang.Long.bitCount(hashes(1L).get ^ hashes(3L).get) == 64,
+      "opposite gradients differ in every bit")
+    val pairs = Multimodal.imageNearDupPairs(
+        Multimodal.imageDHash(spark, media).toDF(), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 0)), pairs)
+
+    // pigeonhole law pinned on raw hashes: flips spread across
+    // DIFFERENT blocks (the adversarial placement — only one block
+    // stays equal) must still pair at exactly their distance; a hash
+    // past the radius never pairs even when a block matches
+    val h0 = 0x0123456789abcdefL
+    val within = h0 ^ (1L << 63) ^ (1L << 40) ^ (1L << 20) // blocks 0,1,2
+    val beyond = h0 ^ (1L << 63) ^ (1L << 47) ^ (1L << 31) ^
+      (1L << 15) ^ (1L << 0)                               // 5 flips
+    val raw = Seq((10L, h0), (11L, within), (12L, beyond))
+      .toDF("media_id", "dhash")
+    val rawPairs = Multimodal.imageNearDupPairs(raw, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rawPairs.contains((10L, 11L, 3)), rawPairs)
+    assert(!rawPairs.exists(p => p._1 == 12L || p._2 == 12L), rawPairs)
+  }
+
   test("H.264 container metadata: avcC/SPS bit parse + stts timing, " +
     "no decoding") {
     // ------- independent SPS bit WRITER (ITU-T H.264 §7.3.2.1.1 field
