@@ -495,7 +495,7 @@ object Oracles {
          |         ('0x' || substr(md5($norm), 1, 15))::BIGINT AS dhash
          |  FROM documents),
          |tw AS (
-         |  SELECT media_id + 1000000 AS media_id,
+         |  SELECT -media_id - 1 AS media_id,
          |         xor(dhash, (1::BIGINT << CAST(media_id % 60 AS INT)))
          |           AS dhash
          |  FROM h),

@@ -2140,7 +2140,10 @@ object TestdataQueries {
     val hashes = docs.select(col("doc_id"), h.as("h0"))
       .select(explode(array(
         struct(col("doc_id").as("media_id"), col("h0").as("dhash")),
-        struct((col("doc_id") + 1000000L).as("media_id"),
+        // twin id = -(doc_id + 1): collision-free with the non-negative
+        // real ids at EVERY scale factor (a fixed offset collides once
+        // the corpus outgrows it)
+        struct((-col("doc_id") - 1L).as("media_id"),
           col("h0").bitwiseXOR(expr(
             "shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 60 AS INT))"))
             .as("dhash")))).as("r"))
