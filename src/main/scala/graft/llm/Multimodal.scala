@@ -510,25 +510,33 @@ object Multimodal {
     }
   }
 
-  /** Container-level metadata of an ISO-BMFF (MP4/MOV) video track —
-    * codec fourcc, resolution, frame count, duration, frame rate —
-    * extracted WITHOUT decoding a single frame, so it works for the
-    * inter-frame codecs (H.264 & co) whose pixel decode stays stubbed
-    * (no JDK decoder). Resolution comes from the H.264 sequence
+  /** Container-level metadata of a video payload — codec fourcc,
+    * resolution, frame count, duration, frame rate — extracted WITHOUT
+    * decoding a single frame, so it works for the inter-frame codecs
+    * (H.264 & co) whose pixel decode stays stubbed (no JDK decoder).
+    * ISO-BMFF (MP4/MOV): resolution comes from the H.264 sequence
     * parameter set inside the `avcC` configuration box, parsed with a
     * real Exp-Golomb bit reader ([[parseSpsDims]]) — the coded
     * mb-aligned size minus the declared cropping, the number every
     * serving system reports — falling back to the sample entry's
-    * width/height fields for other codecs (or a malformed SPS). Frame
+    * width/height fields for other codecs (or a malformed SPS); frame
     * count and duration come from the `stts` time-to-sample table
-    * (sum of counts; sum of count×delta over the `mdhd` timescale). */
+    * (sum of counts; sum of count×delta over the `mdhd` timescale).
+    * AVI (RIFF): codec from the video stream's `strf`
+    * BITMAPINFOHEADER biCompression (falling back to `strh`
+    * fccHandler), resolution from the same header, frames from `strh`
+    * dwLength (falling back to `avih` dwTotalFrames), fps from
+    * dwRate/dwScale (falling back to 1e6/usPerFrame). */
   private[llm] final case class VideoContainerMeta(codec: String, width: Int,
       height: Int, nFrames: Long, durationSec: Float, fps: Float)
 
   private[llm] def videoContainerMeta(b: Array[Byte])
       : Option[VideoContainerMeta] =
     try {
-      if (b == null || b.length < 12 || fourcc(b, 4) != "ftyp") None
+      if (b == null || b.length < 12) None
+      else if (fourcc(b, 0) == "RIFF" && fourcc(b, 8) == "AVI ")
+        aviContainerMeta(b)
+      else if (fourcc(b, 4) != "ftyp") None
       else for {
         (mdiaKids, stblKids) <- videoTrakTables(b)
         stsd <- mp4Child(stblKids, "stsd")
@@ -573,6 +581,70 @@ object Multimodal {
         VideoContainerMeta(codec, w, h, frames, durationSec, fps)
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** AVI (RIFF) leg of [[videoContainerMeta]]: walk hdrl for `avih`
+    * and the first `strl` whose `strh` declares a `vids` stream; codec
+    * = `strf` BITMAPINFOHEADER biCompression fourcc (fccHandler when
+    * the header says BI_RGB/0), dims from the same header, frames from
+    * `strh` dwLength, fps = dwRate/dwScale. No `movi` walk — metadata
+    * never touches frame payloads. */
+  private def aviContainerMeta(b: Array[Byte]): Option[VideoContainerMeta] = {
+    var usPerFrame = 0L
+    var avihFrames = 0L
+    var codec: String = null
+    var w, h = 0
+    var strhFrames = 0L
+    var scale, rate = 0L
+    var inVideoStrl = false
+    var found = false
+    def walk(start: Long, end: Long): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val id = fourcc(b, off.toInt)
+        val size = leU32(b, off.toInt + 4)
+        val dataStart = off + 8
+        val dataEnd = math.min(dataStart + size, end)
+        if (id == "LIST" && size >= 4) {
+          val listType = fourcc(b, dataStart.toInt)
+          if (listType == "hdrl") walk(dataStart + 4, dataEnd)
+          else if (listType == "strl" && !found) {
+            inVideoStrl = false
+            walk(dataStart + 4, dataEnd)
+          }
+        } else if (id == "avih" && size >= 20) {
+          usPerFrame = leU32(b, dataStart.toInt)
+          avihFrames = leU32(b, dataStart.toInt + 16)
+        } else if (id == "strh" && size >= 36) {
+          inVideoStrl = fourcc(b, dataStart.toInt) == "vids"
+          if (inVideoStrl) {
+            codec = fourcc(b, dataStart.toInt + 4)   // fccHandler
+            scale = leU32(b, dataStart.toInt + 20)
+            rate = leU32(b, dataStart.toInt + 24)
+            strhFrames = leU32(b, dataStart.toInt + 32)
+          }
+        } else if (id == "strf" && inVideoStrl && size >= 20) {
+          w = leU32(b, dataStart.toInt + 4).toInt    // biWidth
+          h = math.abs(leU32(b, dataStart.toInt + 8).toInt) // biHeight (can be negative: top-down)
+          val comp = leU32(b, dataStart.toInt + 16)  // biCompression
+          if (comp != 0) codec = fourcc(b, dataStart.toInt + 16)
+          found = true
+        }
+        off = dataStart + size + (size & 1L)         // chunks pad to even
+      }
+    }
+    walk(12L, math.min(8L + leU32(b, 4), b.length.toLong))
+    if (!found && codec == null) None
+    else {
+      val frames = if (strhFrames > 0) strhFrames else avihFrames
+      val fps =
+        if (scale > 0 && rate > 0) (rate.toDouble / scale).toFloat
+        else if (usPerFrame > 0) (1e6 / usPerFrame).toFloat
+        else 0.0f
+      val durationSec = if (fps > 0) (frames / fps.toDouble).toFloat else 0.0f
+      Some(VideoContainerMeta(if (codec == null) "" else codec, w, h,
+        frames, durationSec, fps))
+    }
+  }
 
   /** First SPS NAL inside an `avcC` (AVCDecoderConfigurationRecord)
     * payload: version(1) profile(1) compat(1) level(1)

@@ -109,6 +109,27 @@ class WarehouseMaintenanceSpec extends SparkSpec {
       wh.currentDir("t").get.resolve("_graft_widened")))
   }
 
+  test("widen composes inside a transaction: contents and widened " +
+    "schema flip in one commit") {
+    val wh = new Warehouse(spark, tmpDir("whtxnevo").toString,
+      catalogRetention = 4)
+    wh.transact {
+      wh.replace("t", (0 until 10).map(i => (i, i * 2)).toDF("id", "v"))
+    }                                                                  // v1
+    val evolved = StructType(schema.fields :+ StructField("tag", StringType))
+    wh.transact {
+      // read-your-own-writes: widen links the generation staged by the
+      // replace in THIS transaction, and both publish in one flip
+      wh.replace("t", (0 until 5).map(i => (i, i * 3)).toDF("id", "v"))
+      wh.widen("t", StructType(Seq(StructField("tag", StringType))))
+    }                                                                  // v2
+    val r = wh.read("t", evolved)
+    assert(r.count() == 5 && r.filter(col("v") === 12).count() == 1 &&
+      r.filter(col("tag").isNull).count() == 5)
+    // the pre-transaction version still reads its own narrow world
+    assert(wh.snapshotAt(1).read("t", schema).count() == 10)
+  }
+
   test("changesBetween yields the exact keyed change feed of two commits") {
     val wh = new Warehouse(spark, tmpDir("whcdc").toString, catalogRetention = 4)
     // null-keyed rows have no identity: the UNCHANGED (null, 5) must not

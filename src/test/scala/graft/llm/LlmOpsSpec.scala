@@ -1030,15 +1030,40 @@ class LlmOpsSpec extends SparkSpec {
     val mh = Multimodal.videoContainerMeta(hevc).get
     assert(mh.codec == "hvc1" && mh.width == 640 && mh.height == 360, mh)
 
+    // AVI leg: RIFF walk to avih + the vids strl's strh/strf — an
+    // H.264-in-AVI clip still yields full typed metadata, no decode
+    def le32(v: Long): Array[Byte] = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      cc(id) ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    def list(t: String, inner: Array[Byte]): Array[Byte] =
+      chunk("LIST", cc(t) ++ inner)
+    val avih = chunk("avih", le32(33333) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(90) ++ Array.fill(36)(0.toByte))
+    val strh = chunk("strh", cc("vids") ++ cc("H264") ++ le32(0) ++
+      le32(0) ++ le32(0) ++ le32(1) ++ le32(30) ++ le32(0) ++ le32(90) ++
+      Array.fill(20)(0.toByte))
+    val strf = chunk("strf", le32(40) ++ le32(640) ++ le32(480) ++
+      Array[Byte](1, 0, 24, 0) ++ cc("H264") ++ Array.fill(20)(0.toByte))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val aviBody = cc("AVI ") ++ hdrl
+    val avi = cc("RIFF") ++ le32(aviBody.length) ++ aviBody
+    val ma = Multimodal.videoContainerMeta(avi).get
+    assert(ma.codec == "H264" && ma.width == 640 && ma.height == 480, ma)
+    assert(ma.nFrames == 90L && ma.fps == 30.0f && ma.durationSec == 3.0f, ma)
+
     // DataFrame surface: typed rows, null metadata for junk — one bad
     // record never fails the batch
     val rows = Multimodal.videoMetadata(spark,
-        Seq((1L, "video", h264),
+        Seq((1L, "video", h264), (3L, "video", avi),
           (2L, "video", "not a video".getBytes("UTF-8")))
         .toDF("media_id", "kind", "bytes"))
       .collect().map(r => r.media_id -> r).toMap
     assert(rows(1L).codec.contains("avc1") &&
       rows(1L).width.contains(320) && rows(1L).n_frames.contains(3L))
+    assert(rows(3L).codec.contains("H264") && rows(3L).fps.contains(30.0f))
     assert(rows(2L).codec.isEmpty && rows(2L).width.isEmpty &&
       rows(2L).n_bytes == 11L)
   }
