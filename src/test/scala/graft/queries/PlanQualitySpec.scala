@@ -76,6 +76,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Generate"), p)
   }
 
+  test("q164: Hamming pairing is a block-key equi-join, never all-pairs") {
+    val p = plan("q164_hamming_pairs")
+    // the pigeonhole LSH's whole point: candidates come from equality
+    // on (block, bval) — an all-pairs shape would be quadratic in the
+    // corpus and surface here as a cartesian/BNLJ
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q56: decontamination broadcasts the eval side, fact side never shuffles for the join") {
     val p = plan("q56_decontamination")
     assert(p.contains("BroadcastHashJoin"), p)
