@@ -86,7 +86,11 @@ object TestdataQueries {
     if (!sharedStages) plan
     else {
       val df = memo.computeIfAbsent((s, dir), _ => plan)
-      this.synchronized {
+      // per-STORE monitor (the memoized frame), not this-object-wide:
+      // the guarded count() is the expensive materialization, and one
+      // global lock would serialize warmSharedStages' concurrent store
+      // builds; same-store racers still serialize on their own frame
+      df.synchronized {
         if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
           df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           df.count()
@@ -218,11 +222,37 @@ object TestdataQueries {
     * production cost. Meaningful only with shared stages enabled. */
   def warmSharedStages(s: SparkSession, dir: String): Double = {
     val t0 = System.nanoTime()
-    Seq(portableSigs(s, dir), portableSimhashFps(s, dir),
-      customerFuzzyPairs(s, dir), funnelStepTimes(s, dir),
-      copurchasePairCounts(s, dir), portableCandidatePairs(s, dir),
-      exactJaccardPairs(s, dir), bm25Rankings(s, dir)).foreach(_.count())
-    embeddingCentroids(s, dir)
+    // The stores are independent one-shot jobs in production, so build
+    // them CONCURRENTLY (the q67 pattern: separate submitter threads
+    // sharing one cluster) — sequential building left the cluster idle
+    // in every store's scheduling/driver gaps. Phase order: the
+    // candidate-pair store consumes the signature store, so it builds
+    // after phase A has the signatures resident (a concurrent build
+    // would compute the signature lineage twice). Per-store seconds go
+    // to stderr so a store-build regression names its store.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def timed(name: String)(body: => Unit): Future[Unit] = Future {
+      val t = System.nanoTime()
+      body
+      System.err.println(
+        f"[stores] $name ${(System.nanoTime() - t) / 1e9}%.2f s")
+    }
+    val phaseA = Seq[(String, () => Unit)](
+      ("portable_sigs", () => { portableSigs(s, dir).count(); () }),
+      ("simhash_fps", () => { portableSimhashFps(s, dir).count(); () }),
+      ("fuzzy_pairs", () => { customerFuzzyPairs(s, dir).count(); () }),
+      ("funnel_steps", () => { funnelStepTimes(s, dir).count(); () }),
+      ("copurchase", () => { copurchasePairCounts(s, dir).count(); () }),
+      ("exact_jaccard", () => { exactJaccardPairs(s, dir).count(); () }),
+      ("bm25", () => { bm25Rankings(s, dir).count(); () }),
+      ("centroids", () => { embeddingCentroids(s, dir); () }))
+      .map { case (n, f) => timed(n)(f()) }
+    Await.result(Future.sequence(phaseA), Duration.Inf)
+    Await.result(timed("candidate_pairs") {
+      portableCandidatePairs(s, dir).count(); ()
+    }, Duration.Inf)
     (System.nanoTime() - t0) / 1e9
   }
 
