@@ -505,6 +505,57 @@ object Oracles {
          |FROM allh a JOIN allh b ON a.media_id < b.media_id
          |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin,
 
+    // the conflict law over a LEGACY per-doc-hash store: incremental
+    // components over the new-touching edges, inheritance = arg_min
+    // stored split, conflicted = >1 distinct stored split — the store
+    // itself is the q55 law at 50/75, no recursive walk needed for it
+    "q165_legacy_store_conflicts" ->
+      s"""WITH RECURSIVE $minhashPortableCtes,
+         |cut AS (SELECT ((max(doc_id) + 1) * 4) // 5 AS c FROM documents),
+         |store AS (
+         |  SELECT doc_id,
+         |         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+         |                      1, 7))::BIGINT % 100 < 50 THEN 'train'
+         |              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+         |                      1, 7))::BIGINT % 100 < 75 THEN 'validation'
+         |              ELSE 'test' END AS split
+         |  FROM documents CROSS JOIN cut WHERE doc_id < cut.c),
+         |iedges AS (
+         |  SELECT id_a AS u, id_b AS v FROM est CROSS JOIN cut
+         |  WHERE est_jaccard >= 0.4 AND (id_a >= c OR id_b >= c)
+         |  UNION
+         |  SELECT id_b, id_a FROM est CROSS JOIN cut
+         |  WHERE est_jaccard >= 0.4 AND (id_a >= c OR id_b >= c)),
+         |iverts AS (SELECT DISTINCT u AS id FROM iedges),
+         |iwalk(src, dst) AS (
+         |  SELECT id, id FROM iverts
+         |  UNION
+         |  SELECT w.src, e.v FROM iwalk w JOIN iedges e ON e.u = w.dst),
+         |icomp AS (SELECT src AS doc_id, min(dst) AS comp_id
+         |          FROM iwalk GROUP BY 1),
+         |inh AS (
+         |  SELECT ic.comp_id, arg_min(st.split, st.doc_id) AS inherit,
+         |         count(DISTINCT st.split) AS n_store_splits
+         |  FROM icomp ic JOIN store st ON st.doc_id = ic.doc_id
+         |  GROUP BY 1),
+         |b AS (
+         |  SELECT d.doc_id, coalesce(ic.comp_id, d.doc_id) AS cluster_id
+         |  FROM documents d CROSS JOIN cut
+         |  LEFT JOIN icomp ic ON ic.doc_id = d.doc_id
+         |  WHERE d.doc_id >= cut.c)
+         |SELECT b.doc_id, b.cluster_id,
+         |       coalesce(inh.inherit,
+         |         CASE WHEN ('0x' || substr(md5(CAST(b.cluster_id AS VARCHAR)),
+         |                      1, 7))::BIGINT % 100 < 50 THEN 'train'
+         |              WHEN ('0x' || substr(md5(CAST(b.cluster_id AS VARCHAR)),
+         |                      1, 7))::BIGINT % 100 < 75 THEN 'validation'
+         |              ELSE 'test' END) AS split,
+         |       (inh.inherit IS NOT NULL) AS inherited,
+         |       CAST(coalesce(inh.n_store_splits, 0) AS BIGINT)
+         |         AS n_store_splits,
+         |       (coalesce(inh.n_store_splits, 0) > 1) AS conflicted
+         |FROM b LEFT JOIN inh ON inh.comp_id = b.cluster_id""".stripMargin,
+
     // the assignment-stable incremental split law, replayed end to end:
     // store splits = the q156 law over the old slice (old-old edges
     // only), incremental components over the new-touching edge set

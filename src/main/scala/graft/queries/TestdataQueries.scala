@@ -2182,7 +2182,43 @@ object TestdataQueries {
       .withColumn("hamming", col("hamming").cast("long"))
   }
 
+  /** Legacy-store conflict surfacing (the X104 conflict law,
+    * driver-exercised): the existing corpus's splits were published by
+    * the LEGACY per-document hash law (q55's shape at a 50/25/25
+    * operating point) — NOT leak-safe, so two stored documents that
+    * are near-dups of the same newly-arrived document can sit on
+    * opposite sides of the train/eval boundary. The incremental
+    * splitter must still assign the new doc deterministically (the
+    * smallest stored member's split) AND flag the component
+    * `conflicted` with its distinct-store-split count — the migration
+    * scenario the flag exists for: a batch doc exposing a legacy
+    * boundary leak surfaces in the assignment table instead of
+    * downstream. At sf0.01 stored docs 45 and 267 (near-dups of one
+    * batch arrival) straddle train/validation under these cuts, so the
+    * conflict branch is HASH-verified here — q163's X97-published
+    * store can never straddle by construction, which is why its
+    * conflicted column is all-false on clean data. */
+  def q165LegacyStoreConflicts(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val maxRow = docs.agg(max(col("doc_id"))).head()
+    require(!maxRow.isNullAt(0), s"documents table in $dir is empty")
+    val cut = (maxRow.getLong(0) + 1L) * 4L / 5L
+    val cuts = Seq("train" -> 50, "validation" -> 75)
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 7),
+      16, 10).cast("long") % 100
+    val legacy = docs.filter(col("doc_id") < cut).select(col("doc_id"),
+      when(bucket < 50, "train").when(bucket < 75, "validation")
+        .otherwise("test").as("split"))
+    val edges = Dedup.incrementalMinhashCandidates(
+      portableSigs(s, dir).filter(col("doc_id") < cut),
+      docs.filter(col("doc_id") >= cut),
+      numHashes = 32, bands = 8, k = 3, threshold = 0.4, portable = true)
+    Dedup.incrementalLeakSafeSplit(legacy, docs.filter(col("doc_id") >= cut),
+      edges, cuts, lastSplit = "test")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_legacy_store_conflicts" -> q165LegacyStoreConflicts _,
     "q164_hamming_pairs" -> q164HammingPairs _,
     "q160_dedup_savings" -> q160DedupSavings _,
     "q161_cluster_sizes" -> q161ClusterSizes _,
