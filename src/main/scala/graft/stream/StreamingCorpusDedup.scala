@@ -1,7 +1,7 @@
 package graft.stream
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, min}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 import graft.etl.Warehouse
@@ -87,11 +87,19 @@ final class StreamingCorpusDedup(spark: SparkSession, wh: Warehouse,
           // corrupt JSON lines surface as null doc_id/text rows from the file
           // source — skip them rather than poison the store (one bad line must
           // not fail the batch, matching the pipeline's one-job-not-the-service
-          // failure discipline). Both the source batch and its signature table
-          // are consumed by more than one sink — pin them so neither the file
-          // read nor the shingle+hash stage runs twice.
+          // failure discipline). ONE row per doc_id (deterministic min(text)
+          // winner, the split-router discipline): the same doc landing in two
+          // files of one micro-batch would otherwise land TWICE in the keyed
+          // corpus (appendIfAbsent anti-joins only existing keys) and — for a
+          // differing-text duplicate — CHIMERA the signature, since
+          // minhashTable's per-doc min aggregation would mix both texts'
+          // shingles into one hash row. Both the source batch and its
+          // signature table are consumed by more than one sink — pin them so
+          // neither the file read nor the shingle+hash stage runs twice.
           val docs = batch
-            .filter(col("doc_id").isNotNull && col("text").isNotNull).cache()
+            .filter(col("doc_id").isNotNull && col("text").isNotNull)
+            .groupBy(col("doc_id")).agg(min(col("text")).as("text"))
+            .cache()
           val sigs = Dedup.minhashTable(docs, numHashes, k).cache()
           try {
             val storeExists = wh.exists("sig_store")

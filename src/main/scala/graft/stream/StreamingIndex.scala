@@ -77,9 +77,15 @@ final class StreamingIndex(spark: SparkSession, wh: Warehouse,
     StreamCommits.effectivelyOnce(spark, wh, checkpointDir, batchId, batch,
       additive = true) {
       batch => {
-        // corrupt JSON lines surface as null rows — skip, don't poison
+        // corrupt JSON lines surface as null rows — skip, don't poison.
+        // ONE row per doc_id (deterministic min(text) winner): the same
+        // doc in two files of one micro-batch would otherwise count
+        // df TWICE and duplicate its id in every touched posting list —
+        // a within-batch corruption neither the commit guard nor the
+        // cross-batch duplicate check can see
         val docs = batch
           .filter(col("doc_id").isNotNull && col("text").isNotNull)
+          .groupBy(col("doc_id")).agg(min(col("text")).as("text"))
         val batchIdx = TextAnalysis.invertedIndex(docs, minDf = 1,
           maxPostings = maxPostings)
         if (!capChecked && wh.exists("inverted_index")) {

@@ -1,7 +1,7 @@
 package graft.stream
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, min}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 import graft.etl.Warehouse
@@ -60,9 +60,15 @@ final class StreamingSemDedup(spark: SparkSession, wh: Warehouse,
   private[stream] def processBatch(batch: DataFrame, batchId: Long): Unit =
     StreamCommits.effectivelyOnce(spark, wh, checkpointDir, batchId, batch) {
       batch => {
-          // corrupt lines parse to null rows — skip, never poison the store
+          // corrupt lines parse to null rows — skip, never poison the
+          // store. ONE row per vec_id (deterministic min(embedding)
+          // winner — Spark arrays order lexicographically): the same
+          // vector in two files of one micro-batch would otherwise land
+          // twice in BOTH keyed sinks (appendIfAbsent anti-joins only
+          // existing keys, not within-batch duplicates)
           val vecs = batch
             .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+            .groupBy(col("vec_id")).agg(min(col("embedding")).as("embedding"))
           // assigned ONCE: the same DataFrame feeds the dedup and the store
           val asg = Similarity.assignTo(vecs, centroids)
             .select(col("vec_id"), col("cluster"), col("embedding")).cache()

@@ -54,8 +54,12 @@ final class StreamingSketch(spark: SparkSession, wh: Warehouse,
     StreamCommits.effectivelyOnce(spark, wh, checkpointDir, batchId, batch,
       additive = true) {
       batch => {
+          // ONE row per doc_id (deterministic min(text) winner): the
+          // same doc in two files of one micro-batch would otherwise
+          // double-count every one of its tokens in the additive cells
           val terms = batch
             .filter(col("doc_id").isNotNull && col("text").isNotNull)
+            .groupBy(col("doc_id")).agg(min(col("text")).as("text"))
             .select(explode(Dedup.wsTokens(col("text"))).as("term"))
           val batchSketch =
             Sketches.countMinBuild(terms, col("term"), depth, width)

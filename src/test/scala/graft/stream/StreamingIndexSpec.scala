@@ -182,6 +182,20 @@ class StreamingIndexSpec extends SparkSpec {
     assert(row._2 == 2L && row._3 == List(1L, 3L), row)
   }
 
+  test("the same doc in two files of ONE micro-batch counts df once") {
+    val landing = tmpDir("idxdup1land")
+    val wh = new Warehouse(spark, tmpDir("whidxdup1").toString)
+    val idx = new StreamingIndex(spark, wh, landing.toString,
+      tmpDir("ckptidxdup1").toString)
+    // within-batch duplication is invisible to the commit guard AND to
+    // the cross-batch duplicate check — the sink must collapse it
+    idx.processBatch(
+      Seq((1L, "alpha"), (1L, "alpha"), (2L, "alpha"))
+        .toDF("doc_id", "text"), 0L)
+    val row = collected(idx.index()).find(_._1 == "alpha").get
+    assert(row._2 == 2L && row._3 == List(1L, 2L), row)
+  }
+
   test("a re-delivered doc_id beyond the posting cap is the documented " +
     "detection floor: df double-counts undetected") {
     val landing = tmpDir("idxfloorland")

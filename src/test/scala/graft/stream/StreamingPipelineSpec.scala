@@ -604,4 +604,66 @@ class StreamingPipelineSpec extends SparkSpec {
     ss.processBatch(batch(20 until 50), 1L)
     assert(cells == oneShot)
   }
+
+  test("the same doc in two files of ONE micro-batch lands once in every " +
+    "sink: corpus dedup, count-min, semantic dedup (the router discipline)") {
+    import graft.llm.{Sketches, Similarity}
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+
+    // corpus dedup: the keyed corpus and the signature store must each
+    // hold ONE row for the duplicated doc (appendIfAbsent anti-joins
+    // only existing keys, so within-batch dedup is the sink's job)
+    val landing = tmpDir("dupland-cd")
+    val wh = new Warehouse(spark, tmpDir("whdup-cd").toString)
+    val sd = new StreamingCorpusDedup(spark, wh, landing.toString,
+      tmpDir("ckptdup-cd").toString)
+    val doc = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    doc.coalesce(1).write.mode("append").json(landing.toString)
+    doc.coalesce(1).write.mode("append").json(landing.toString)
+    sd.start(availableNow = true).awaitTermination()
+    val docSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    assert(wh.read("corpus", docSchema).count() == 1L,
+      "duplicate corpus rows within one batch")
+    assert(wh.read("sig_store",
+        StructType.fromDDL("doc_id BIGINT, sig ARRAY<BIGINT>")).count() == 1L,
+      "duplicate signature rows within one batch")
+
+    // count-min: the duplicated doc's tokens must count ONCE — the
+    // merged cells equal the one-shot sketch of the deduplicated batch
+    val wh2 = new Warehouse(spark, tmpDir("whdup-cm").toString)
+    val ss = new StreamingSketch(spark, wh2, tmpDir("dupland-cm").toString,
+      tmpDir("ckptdup-cm").toString, depth = 2, width = 16)
+    ss.processBatch(
+      Seq((1L, "alpha beta"), (1L, "alpha beta")).toDF("doc_id", "text"), 0L)
+    val cells = wh2.read("cm_sketch", ss.sketchSchema)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val oneShot = Sketches.countMinBuild(
+        Seq((1L, "alpha beta")).toDF("doc_id", "text")
+          .select(explode(graft.llm.Dedup.wsTokens(col("text"))).as("term")),
+        col("term"), depth = 2, width = 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cells == oneShot, "a within-batch duplicate double-counted tokens")
+
+    // semantic dedup: one row per vec_id in BOTH keyed sinks
+    def v(hot: Int) = Array.tabulate(4)(d => if (d == hot) 1.0f else 0.0f)
+    val cents = Similarity.kmeansCentroids(
+      Seq((0L, v(0)), (1L, v(2))).toDF("vec_id", "embedding"), k = 2, iters = 1)
+    val wh3 = new Warehouse(spark, tmpDir("whdup-sem").toString)
+    val sem = new StreamingSemDedup(spark, wh3,
+      tmpDir("dupland-sem").toString, tmpDir("ckptdup-sem").toString,
+      cents, tau = 0.999)
+    sem.processBatch(
+      Seq((7L, v(0)), (7L, v(0))).toDF("vec_id", "embedding"), 0L)
+    val storeSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("cluster", IntegerType),
+      StructField("embedding", ArrayType(FloatType))))
+    assert(wh3.read("vec_store", storeSchema).count() == 1L,
+      "duplicate vector store rows within one batch")
+    assert(wh3.read("vec_corpus", StructType(Seq(
+        StructField("vec_id", LongType), StructField("cluster", IntegerType))))
+      .count() == 1L, "duplicate vector corpus rows within one batch")
+  }
 }
