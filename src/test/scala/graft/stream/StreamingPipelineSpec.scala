@@ -331,6 +331,45 @@ class StreamingPipelineSpec extends SparkSpec {
       out(0).n_events == 3L, out.toList)
   }
 
+  test("sessionsExact: a sub-watermark event is dropped, never merged " +
+    "into an already-emitted session (the finality proof's premise)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import Sessionize._
+
+    val mem = MemoryStream[Event]
+    val q = Sessionize.sessionsExact(spark, mem.toDS(), gapMillis = 60000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("exact_sessions3").start()
+    def ev(u: Long, s: String) = Event(u, java.sql.Timestamp.valueOf(s))
+    mem.addData(ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:01:30"))
+    q.processAllAvailable()
+    // push the watermark far past both sessions and fire the timeout
+    mem.addData(ev(2, "2024-01-01 11:00:00"))
+    q.processAllAvailable()
+    mem.addData(ev(2, "2024-01-01 12:00:00"))
+    q.processAllAvailable()
+    val emitted = spark.table("exact_sessions3").as[Session].collect()
+      .filter(_.user_id == 1L)
+    assert(emitted.length == 2, emitted.toList)
+    // an event far below the watermark, inside emitted session 1's gap:
+    // emitted rows are FINAL, so Spark must drop it (flatMapGroups-
+    // WithState filters sub-watermark rows) — admitting it would start
+    // an overlapping third session and break exact == batch-of-admitted
+    mem.addData(ev(1, "2024-01-01 10:00:20"))
+    q.processAllAvailable()
+    mem.addData(ev(2, "2024-01-01 14:00:00"))
+    q.processAllAvailable()
+    mem.addData(ev(2, "2024-01-01 15:00:00"))
+    q.processAllAvailable()
+    val after = spark.table("exact_sessions3").as[Session].collect()
+      .filter(_.user_id == 1L)
+    assert(after.length == 2,
+      s"a sub-watermark event was admitted: ${after.toList}")
+    q.stop()
+  }
+
   test("sessionsExact: distinct sessions emit separately and event-time " +
     "timeouts flush state without batch data for the user") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
