@@ -575,6 +575,18 @@ final class Warehouse(private[graft] val spark: SparkSession,
     withTableLock(table) {
       val cur = currentDir(table).getOrElse(throw new IllegalArgumentException(
         s"cannot widen absent table $table"))
+      // a partitioned generation (col=value subdirectories) cannot take
+      // the zero-row schema file at its root — base files beside
+      // partition dirs are a mixed layout partition discovery rejects,
+      // the same hazard the SQL catalog refuses for INSERT. Refuse
+      // loudly; widen a partitioned table by rewriting it (replace
+      // with the widened frame, partitionBy preserved).
+      val partitioned = Warehouse.listDir(cur).exists(p =>
+        Files.isDirectory(p) && p.getFileName.toString.contains("="))
+      require(!partitioned,
+        s"cannot widen partitioned table $table in place — a root-level " +
+          "schema file beside col=value directories is a mixed layout; " +
+          "rewrite through replace(df, partitionBy) with the new column")
       // footer-merged current schema: the table may already be evolved,
       // and a single arbitrary footer would then under-report columns
       val curSchema = spark.read.option("mergeSchema", "true")

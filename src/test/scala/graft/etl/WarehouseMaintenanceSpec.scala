@@ -109,6 +109,17 @@ class WarehouseMaintenanceSpec extends SparkSpec {
       wh.currentDir("t").get.resolve("_graft_widened")))
   }
 
+  test("widen refuses a partitioned layout (root schema file beside " +
+    "col=value dirs would be a mixed layout)") {
+    val wh = new Warehouse(spark, tmpDir("whevopart").toString)
+    wh.replace("t", (0 until 10).map(i => (i, i % 3)).toDF("id", "v"),
+      partitionBy = Seq("v"))
+    val e = intercept[IllegalArgumentException] {
+      wh.widen("t", StructType(Seq(StructField("tag", StringType))))
+    }
+    assert(e.getMessage.contains("partitioned"), e.getMessage)
+  }
+
   test("widen composes inside a transaction: contents and widened " +
     "schema flip in one commit") {
     val wh = new Warehouse(spark, tmpDir("whtxnevo").toString,
