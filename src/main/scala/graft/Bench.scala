@@ -183,21 +183,33 @@ object Bench {
       if (only.isDefined || sys.env.get("SPARK_GRAFT_STREAM_BENCH").contains("0"))
         "{}"
       else try {
-        StreamBench.run(spark).map { r =>
+        // wave shape first: a future docs/s delta must be attributable —
+        // without (waves, docs/wave, files/wave) in the artifact, a
+        // throughput change can't be separated from a harness wave-shape
+        // change. The f interpolator formats with the JVM default locale,
+        // which in comma-decimal locales emits `"sec":1,23` — malformed
+        // JSON in the round artifact — so seconds format with Locale.ROOT.
+        def secJson(v: Double): String =
+          String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+        val shape = s""""shape":{"docs":${StreamBench.DefaultDocs},""" +
+          s""""waves":${StreamBench.DefaultWaves},""" +
+          s""""files_per_wave":${StreamBench.FilesPerWave},""" +
+          s""""warmup_docs":${StreamBench.WarmupDocs}}"""
+        (shape +: StreamBench.run(spark).map { r =>
           val dps = if (r.sec > 0) (r.docs / r.sec).toLong else 0L
-          s""""${r.sink}":{"docs":${r.docs},"sec":${f"${r.sec}%.2f"},""" +
+          s""""${r.sink}":{"docs":${r.docs},"sec":${secJson(r.sec)},""" +
             s""""docs_per_sec":$dps${r.error.map(e =>
               s""","error":"${e.replaceAll("[^\\x20-\\x7e]", " ")
                 .replace("\\", "\\\\").replace("\"", "\\\"")}"""")
               .getOrElse("")}}"""
-        }.mkString("{", ",", "}")
+        }).mkString("{", ",", "}")
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] stream bench failed: ${e.getMessage}")
         s"""{"error":"${String.valueOf(e.getMessage)
           .replaceAll("[^\\x20-\\x7e]", " ").replace("\\", "\\\\")
           .replace("\"", "\\\"").take(200)}"}"""
       }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","shared_store_build_sec":$storeBuildSec,"stream_bench":$streamJson,"methodology":"best of a back-to-back pair per query; stall suspects (samples disagreeing >25% or best >0.4s) re-measured with up to two fresh pairs after the sweep, overall minimum reported (steady-state); a query that throws is listed in errors and scored 1e6 s, never its time-to-failure; dedup/clustering/funnel/retrieval families measured over their shared production artifacts (signature stores, candidate/exact/ER pair tables, funnel step-times and BM25 ranking tables), producers exposing the same landed plans; stream_bench reports streaming-sink docs/sec over a synthesized waved corpus, excluded from value"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","shared_store_build_sec":$storeBuildSec,"stream_bench":$streamJson,"methodology":"best of a back-to-back pair per query; stall suspects (samples disagreeing >25% or best >0.4s) re-measured with up to two fresh pairs after the sweep, overall minimum reported (steady-state); a query that throws is listed in errors and scored 1e6 s, never its time-to-failure; dedup/clustering/funnel/retrieval families measured over their shared production artifacts (signature stores, candidate/exact/ER pair tables, funnel step-times and BM25 ranking tables), producers exposing the same landed plans; stream_bench reports streaming-sink docs/sec over a synthesized waved corpus (per sink: an untimed 2-wave warm-up stream first, wave files staged untimed and delivered by rename, so the number prices the steady-state sink frame, not JIT or the corpus generator), excluded from value"}"""
     // stdout FIRST: it is the guarantee the harness always had; the file
     // copy (the metric line on stdout drowns in sbt/log4j noise) is
     // best-effort — an unwritable path must not lose the line

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import java.nio.file.Files
+import java.nio.file.{Files, Path, StandardCopyOption}
 
 /** Streaming-frame throughput numbers for the round bench artifact.
   *
@@ -14,6 +14,18 @@ import java.nio.file.Files
   * a small synthesized corpus arriving in waves — the DedupBench
   * phase-4/8 shape, sized for the bench budget instead of the soak —
   * and reports docs/sec per sink so round-over-round drift is visible.
+  *
+  * Methodology, mirroring the query sweep's best-of-pair steady-state
+  * philosophy: each sink first processes an UNTIMED 2-wave warm-up
+  * corpus ([[WarmupDocs]] docs through a throwaway warehouse +
+  * checkpoint, exercising both the store-absent and the incremental
+  * store paths), so one-time JIT, Janino codegen, and Catalyst warm-up
+  * — costs that amortize to zero in any long-running deployment — are
+  * excluded; the timed region then prices the steady-state frame. Wave
+  * files are SYNTHESIZED AND JSON-ENCODED untimed into staging
+  * directories and delivered into the landing directory by file rename
+  * inside the timed region: the number measures the sink, not the
+  * harness's corpus generator.
   *
   * Numbers are recorded under `stream_bench` and deliberately EXCLUDED
   * from the gated `value` total: the gate prices the query surface
@@ -28,12 +40,22 @@ import java.nio.file.Files
   */
 object StreamBench {
 
+  /** The wave shape, named so the bench artifact can record it: a docs/s
+    * delta across rounds is only attributable when the shape provably
+    * did not change underneath it. */
+  val DefaultDocs: Long = 10000L
+  val DefaultWaves: Int = 3
+  val FilesPerWave: Int = 2
+  /** Untimed steady-state warm-up corpus per sink (2 waves). */
+  val WarmupDocs: Long = 200L
+
   final case class Result(sink: String, docs: Long, sec: Double,
                           error: Option[String])
 
-  def run(spark: SparkSession, nDocs: Long = 10000L, waves: Int = 3)
-      : Seq[Result] = {
+  def run(spark: SparkSession, nDocs: Long = DefaultDocs,
+          waves: Int = DefaultWaves): Seq[Result] = {
     import spark.implicits._
+    import scala.jdk.CollectionConverters._
     // deterministic corpus, the DedupBench synthesis: every 20th doc
     // copies its predecessor (planted near-dups keep the dedup sinks'
     // store joins honest), everyone else draws 50 hash-vocab tokens
@@ -46,89 +68,121 @@ object StreamBench {
       .cache()
     docs.count() // synthesis excluded from every sink's timing
 
-    def timed(sink: String)(body: => Unit): Result = {
-      val t0 = System.nanoTime()
-      val err = try { body; None } catch {
-        case e: Throwable =>
-          Some((e.getClass.getSimpleName + ": " +
-            String.valueOf(e.getMessage)).take(200))
-      }
-      Result(sink, nDocs, (System.nanoTime() - t0) / 1e9, err)
-    }
-    def landWave(landing: String, w: Int): Unit =
-      docs.filter(col("doc_id") >= nDocs * w / waves &&
-          col("doc_id") < nDocs * (w + 1) / waves)
-        .coalesce(2).write.mode("append").json(landing)
     def tmp(p: String) = Files.createTempDirectory(s"streambench-$p").toString
+
+    /** Stage `n` docs as `nWaves` JSON wave directories — untimed. */
+    def stageDocWaves(n: Long, nWaves: Int): Seq[String] =
+      (0 until nWaves).map { w =>
+        val d = tmp(s"stage$w")
+        docs.filter(col("doc_id") >= n * w / nWaves &&
+            col("doc_id") < n * (w + 1) / nWaves)
+          .coalesce(FilesPerWave).write.mode("overwrite").json(d)
+        d
+      }
+
+    /** Deliver a staged wave into the landing dir: rename the data files
+      * (cheap, constant-time — the file source sees them as new). */
+    def deliver(stage: String, landing: String): Unit = {
+      val s = Files.list(Path.of(stage))
+      try s.iterator().asScala.foreach { p =>
+        val name = p.getFileName.toString
+        if (Files.isRegularFile(p) && !name.startsWith("_") &&
+            !name.startsWith("."))
+          Files.move(p, Path.of(landing, name), StandardCopyOption.ATOMIC_MOVE)
+      } finally s.close()
+    }
+
+    def errStr(e: Throwable): String =
+      (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage)).take(200)
+
+    /** One warehouse sink: untimed warm-up run first, then the timed
+      * waves. `mk(wh, landing, ckpt)` returns the run-one-wave action. */
+    def warehouseSink(name: String)(
+        mk: (graft.etl.Warehouse, String, String) => () => Unit): Result = {
+      def wavesRun(n: Long, nWaves: Int): Double = {
+        val (whd, landing, ckpt) = (tmp(s"$name-wh"), tmp(s"$name-l"), tmp(s"$name-c"))
+        val stages = stageDocWaves(n, nWaves)
+        val runWave = mk(new graft.etl.Warehouse(spark, whd), landing, ckpt)
+        val t0 = System.nanoTime()
+        stages.foreach { st => deliver(st, landing); runWave() }
+        (System.nanoTime() - t0) / 1e9
+      }
+      // NonFatal only: an OOM/StackOverflow in one sink must propagate —
+      // swallowing it would keep benching the remaining sinks in a
+      // possibly-corrupted JVM and record misleading numbers for them
+      try {
+        wavesRun(WarmupDocs, 2)
+        Result(name, nDocs, wavesRun(nDocs, waves), None)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          Result(name, nDocs, 0.0, Some(errStr(e)))
+      }
+    }
 
     val results = Seq.newBuilder[Result]
 
-    results += timed("corpus_dedup") {
-      val (whd, landing, ckpt) = (tmp("dedup-wh"), tmp("dedup-l"), tmp("dedup-c"))
-      val sink = new graft.stream.StreamingCorpusDedup(spark,
-        new graft.etl.Warehouse(spark, whd), landing, ckpt)
-      (0 until waves).foreach { w =>
-        landWave(landing, w)
-        sink.start(availableNow = true).awaitTermination()
-      }
+    results += warehouseSink("corpus_dedup") { (wh, landing, ckpt) =>
+      val sink = new graft.stream.StreamingCorpusDedup(spark, wh, landing, ckpt)
+      () => sink.start(availableNow = true).awaitTermination()
     }
 
-    results += timed("split_router") {
-      val (whd, landing, ckpt) = (tmp("route-wh"), tmp("route-l"), tmp("route-c"))
-      val sink = new graft.stream.StreamingSplitRouter(spark,
-        new graft.etl.Warehouse(spark, whd), landing, ckpt,
+    results += warehouseSink("split_router") { (wh, landing, ckpt) =>
+      val sink = new graft.stream.StreamingSplitRouter(spark, wh, landing, ckpt,
         cuts = Seq("train" -> 80, "validation" -> 90), lastSplit = "test")
-      (0 until waves).foreach { w =>
-        landWave(landing, w)
-        sink.start(availableNow = true).awaitTermination()
-      }
+      () => sink.start(availableNow = true).awaitTermination()
     }
 
-    results += timed("inverted_index") {
-      val (whd, landing, ckpt) = (tmp("idx-wh"), tmp("idx-l"), tmp("idx-c"))
-      val sink = new graft.stream.StreamingIndex(spark,
-        new graft.etl.Warehouse(spark, whd), landing, ckpt)
-      (0 until waves).foreach { w =>
-        landWave(landing, w)
-        sink.start(availableNow = true).awaitTermination()
-      }
+    results += warehouseSink("inverted_index") { (wh, landing, ckpt) =>
+      val sink = new graft.stream.StreamingIndex(spark, wh, landing, ckpt)
+      () => sink.start(availableNow = true).awaitTermination()
     }
 
-    results += timed("cm_sketch") {
-      val (whd, landing, ckpt) = (tmp("cm-wh"), tmp("cm-l"), tmp("cm-c"))
-      val sink = new graft.stream.StreamingSketch(spark,
-        new graft.etl.Warehouse(spark, whd), landing, ckpt)
-      (0 until waves).foreach { w =>
-        landWave(landing, w)
-        sink.start(availableNow = true).awaitTermination()
-      }
+    results += warehouseSink("cm_sketch") { (wh, landing, ckpt) =>
+      val sink = new graft.stream.StreamingSketch(spark, wh, landing, ckpt)
+      () => sink.start(availableNow = true).awaitTermination()
     }
 
-    results += timed("funnel") {
+    results += {
       import graft.stream.StreamingFunnel
-      val landing = tmp("funnel-l")
-      val ckpt = tmp("funnel-c")
       // one funnel event per doc-step: nDocs/3 users x signup/click/buy
       // (user u owns events 3u..3u+2 in ts order — integer div/mod, not
       // `/`, which is DOUBLE division and walks off the steps array)
       val steps = Seq("signup", "click", "purchase")
-      spark.range(nDocs).select(
-          expr("id div 3").as("user_id"),
-          (to_timestamp(lit("2024-01-01 00:00:00")) +
-            expr("make_interval(0, 0, 0, 0, 0, 0, id)")).as("ts"),
-          col("id").as("event_id"),
-          element_at(typedLit(steps),
-            expr("CAST(id % 3 AS INT)") + 1).as("event_type"))
-        .coalesce(2).write.mode("append").json(landing)
-      val events = spark.readStream
-        .schema("user_id LONG, ts TIMESTAMP, event_id LONG, event_type STRING")
-        .json(landing).as[StreamingFunnel.FEvent]
-      StreamingFunnel.completions(spark, events, steps,
-          maxGapMicros = 3600L * 1000000L * 24 * 365)
-        .writeStream.outputMode("append").format("noop")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start().awaitTermination()
+      def stageEvents(n: Long): String = {
+        val d = tmp("funnel-stage")
+        spark.range(n).select(
+            expr("id div 3").as("user_id"),
+            (to_timestamp(lit("2024-01-01 00:00:00")) +
+              expr("make_interval(0, 0, 0, 0, 0, 0, id)")).as("ts"),
+            col("id").as("event_id"),
+            element_at(typedLit(steps),
+              expr("CAST(id % 3 AS INT)") + 1).as("event_type"))
+          .coalesce(FilesPerWave).write.mode("overwrite").json(d)
+        d
+      }
+      def funnelRun(n: Long): Double = {
+        val (landing, ckpt) = (tmp("funnel-l"), tmp("funnel-c"))
+        val stage = stageEvents(n)
+        val events = spark.readStream
+          .schema("user_id LONG, ts TIMESTAMP, event_id LONG, event_type STRING")
+          .json(landing).as[StreamingFunnel.FEvent]
+        val t0 = System.nanoTime()
+        deliver(stage, landing)
+        StreamingFunnel.completions(spark, events, steps,
+            maxGapMicros = 3600L * 1000000L * 24 * 365)
+          .writeStream.outputMode("append").format("noop")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      try {
+        funnelRun(WarmupDocs)
+        Result("funnel", nDocs, funnelRun(nDocs), None)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          Result("funnel", nDocs, 0.0, Some(errStr(e)))
+      }
     }
 
     docs.unpersist()

@@ -87,6 +87,41 @@ final class Warehouse(private[graft] val spark: SparkSession,
 
   def exists(table: String): Boolean = currentDir(table).isDefined
 
+  /** Normalized root path — the identity two Warehouse instances over one
+    * directory share (transaction state and commit-coupled caches key on
+    * it; see [[graft.stream.StreamCommits]]). */
+  private[graft] def rootKey: String = txnKey
+
+  /** The COMMITTED generation name of `table` (never an in-flight staged
+    * one). Local metadata only — no scan. Because generation names
+    * strictly increase ([[nextGenDir]] numbers past everything on disk)
+    * and generation directories are immutable, an unchanged name is a
+    * proof the committed contents are unchanged — the cheap fingerprint
+    * commit-coupled caches revalidate against. */
+  private[graft] def committedGenName(table: String): Option[String] =
+    committedCurrentDir(table).map(genName)
+
+  /** Hold `table`'s writer lock around `f` — for callers composing a
+    * read-modify-write out of more than one Warehouse call. Reentrant;
+    * inside a transaction the lock joins the transaction and is held to
+    * its commit/abort like any other touched table's. */
+  private[graft] def locked[T](table: String)(f: => T): T =
+    withTableLock(table)(f)
+
+  /** Defer `cb` to just after the current transaction's catalog flip —
+    * while the transaction's table locks are still held, so state `cb`
+    * publishes cannot race the next writer — or run it immediately when
+    * no transaction is open. This is the hook for commit-coupled
+    * in-memory state (the StreamCommits cache): an aborted transaction
+    * must never apply it. Failures are swallowed: the commit already
+    * happened, and consumers of such state must self-heal from the
+    * store (generation-fingerprint mismatch) anyway. */
+  private[graft] def onCommit(cb: () => Unit): Unit = {
+    val tx = txn.get()
+    if (tx == null) cb()
+    else tx.onCommit += cb
+  }
+
   /** Read a table; empty DataFrame with the declared schema when absent.
     * The snapshot is pinned at this call: later merges flip `_current` to
     * a NEW directory and never mutate the one this scan resolved. */
@@ -422,6 +457,9 @@ final class Warehouse(private[graft] val spark: SparkSession,
           gcTable(t, keep = tx.base(t).toSet + g)
         }
       }
+      tx.onCommit.foreach { cb =>
+        try cb() catch { case scala.util.control.NonFatal(_) => () }
+      }
       out
     } catch {
       case e: Throwable =>
@@ -689,10 +727,30 @@ final class Warehouse(private[graft] val spark: SparkSession,
     // single action: append and count what landed
     val staged = fresh.cache()
     val n = staged.count()
-    if (n > 0) append(table, staged, partitionBy)
+    if (n > 0) {
+      // Bound the generation's file count by what the batch actually
+      // holds: micro-batch appends run with AQE disabled (foreachBatch
+      // plans), so a small batch would otherwise land one near-empty
+      // file per shuffle partition — a day of micro-batches explodes
+      // the table into thousands of tiny files that every later read
+      // (including this method's own anti-join) must list and open.
+      // Rows-per-file is a proxy for bytes (optimizeTable remains the
+      // real compactor); a large batch keeps its full parallelism —
+      // coalesce never increases partition count, so no cap against the
+      // actual count is needed — and coalesce on the cached frame is
+      // narrow: no shuffle.
+      val target = math.max(1L, (n + AppendRowsPerFile - 1) / AppendRowsPerFile)
+      append(table, staged.coalesce(math.min(target, Int.MaxValue.toLong).toInt),
+        partitionBy)
+    }
     staged.unpersist()
     n
   }
+
+  // ~1M rows per appended file: small enough that a genuinely large batch
+  // keeps its parallelism, large enough that streaming micro-batches land
+  // one file per append instead of one per shuffle partition
+  private val AppendRowsPerFile = 1L << 20
 
   /** Merge-upsert: full-outer combine of the existing table with `incoming`
     * on `keys`, then snapshot-rewrite. `combine` receives (existing,
@@ -938,6 +996,9 @@ object Warehouse {
     val staged = scala.collection.mutable.LinkedHashMap[String, String]()
     // every staged generation incl. intermediates — what an abort deletes
     val allGens = scala.collection.mutable.Map[String, List[String]]()
+    // commit-coupled callbacks (see Warehouse.onCommit) — run after the
+    // catalog flip, never on abort
+    val onCommit = scala.collection.mutable.ListBuffer[() => Unit]()
     var committed = false
   }
 

@@ -1,9 +1,10 @@
 package graft.stream
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, max}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import graft.etl.Warehouse
+import scala.jdk.CollectionConverters._
 
 /** Per-stream high-water commit records — the Delta `txnAppId`/`txnVersion`
   * pattern shared by every streaming sink in this engine. The stream id is
@@ -28,6 +29,40 @@ import graft.etl.Warehouse
   * checkpoint (or keep the checkpoint intact), and the refusal says so
   * instead of corrupting counts.
   *
+  * == Per-batch cost ==
+  *
+  * The table is one tiny row per stream, but every micro-batch consults
+  * it (replay guard), appends to it (high-water record), and — for
+  * additive sinks — prefix-scans it (incarnation refusal). Running each
+  * of those as a Spark read is three cluster jobs of pure fixed cost
+  * per batch, which dominates small-batch throughput. So this object
+  * keeps ONE in-memory copy of the committed table per warehouse root,
+  * revalidated per use against the table's committed GENERATION NAME
+  * ([[Warehouse.committedGenName]] — local metadata, no scan): names
+  * strictly increase and generations are immutable, so an unchanged
+  * name proves the cached rows are exact, and ANY foreign write —
+  * another JVM's stream on the same warehouse, a test's manual row
+  * surgery — changes the name and forces a reload. Cache updates are
+  * COMMIT-COUPLED ([[Warehouse.onCommit]], applied under the table
+  * lock): an aborted transaction never touches the cache, so a crash
+  * between staging and the catalog flip leaves both the store and the
+  * cache at the old high-water and the batch replays. Steady state is
+  * zero control-table reads per batch; the only control-plane Spark
+  * job left is the one-file write of the updated table.
+  *
+  * == Identity spelling migration ==
+  *
+  * The stream id's path half is CANONICALIZED (scheme added, dots
+  * collapsed — see [[canonical]]); rows written before canonicalization
+  * existed are keyed on the raw caller-supplied path string. Every
+  * reader here therefore matches BOTH spellings — raw and canonical,
+  * same uuid — and [[record]] migrates the row to the canonical key on
+  * first touch (the raw-keyed row is folded into the canonical one via
+  * max). Without this, an upgrade would orphan the old row: the last
+  * batch would look uncommitted (re-applied — duplicated rows in
+  * additive sinks) and stale-incarnation refusals and resets would
+  * miss it.
+  *
   * The merge-upsert runs under the table's writer lock, so streams
   * sharing a warehouse never clobber each other's mark. */
 object StreamCommits {
@@ -35,31 +70,34 @@ object StreamCommits {
   val schema: StructType = StructType(Seq(
     StructField("stream_id", StringType), StructField("batch_id", LongType)))
 
+  private val Table = "_stream_commits"
+
   /** One canonical spelling per checkpoint directory: qualified against
     * its filesystem (scheme + authority added, trailing slash and `.`/
     * `..` segments collapsed, relative paths resolved against the FS
-    * working directory). Every consumer of the path-as-identity —
-    * [[streamId]], the older-incarnation refusal, and
-    * [[resetAdditiveSink]] — goes through this, so `dir`, `dir/` and
-    * `file:///...dir` all name the SAME stream. Without it, a reset
-    * called with a differently-spelled path would wipe the accumulated
-    * tables yet delete zero commit rows, leaving the incarnation
-    * refusal in place after the data is already gone. */
+    * working directory). Every consumer of the path-as-identity goes
+    * through this (plus the raw-spelling compatibility match above), so
+    * `dir`, `dir/` and `file:///...dir` all name the SAME stream.
+    * Without it, a reset called with a differently-spelled path would
+    * wipe the accumulated tables yet delete zero commit rows, leaving
+    * the incarnation refusal in place after the data is already gone. */
   private def canonical(spark: SparkSession, checkpointDir: String): String = {
     val p = new org.apache.hadoop.fs.Path(checkpointDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.makeQualified(p).toString
   }
 
-  /** checkpoint path + the incarnation uuid persisted INSIDE it. The
-    * marker lives on the CHECKPOINT's filesystem (Hadoop FS API, like
-    * Spark's own checkpoint files) — a driver-local marker for an
-    * hdfs:// or s3a:// checkpoint would survive a wipe of the real
-    * checkpoint (resurrecting the stale high-water mark, the exact
-    * data-loss bug the marker exists to fix) and would invent a fresh
-    * identity whenever the driver moves hosts. Exclusive create keeps
-    * concurrent racers agreeing on one uuid. */
-  private def streamId(spark: SparkSession, checkpointDir: String): String = {
+  /** The incarnation uuid persisted INSIDE the checkpoint. The marker
+    * lives on the CHECKPOINT's filesystem (Hadoop FS API, like Spark's
+    * own checkpoint files) — a driver-local marker for an hdfs:// or
+    * s3a:// checkpoint would survive a wipe of the real checkpoint
+    * (resurrecting the stale high-water mark, the exact data-loss bug
+    * the marker exists to fix) and would invent a fresh identity
+    * whenever the driver moves hosts. Exclusive create keeps concurrent
+    * racers agreeing on one uuid. Never cached in this JVM: a wiped-and-
+    * recreated checkpoint mid-process must be seen as a NEW incarnation
+    * the moment it happens. */
+  private def incarnationUuid(spark: SparkSession, checkpointDir: String): String = {
     val p = new org.apache.hadoop.fs.Path(checkpointDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(p)
@@ -75,52 +113,104 @@ object StreamCommits {
         case _: java.nio.file.FileAlreadyExistsException => ()
       }
     val in = fs.open(marker)
-    val uuid =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-    canonical(spark, checkpointDir) + "#" + uuid
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
+  /** Canonical-first spellings of this checkpoint incarnation's stream
+    * id (head is what [[record]] writes); pre-canonicalization rows are
+    * keyed on the raw tail spelling. */
+  private def idSpellings(spark: SparkSession, checkpointDir: String): Seq[String] = {
+    val uuid = incarnationUuid(spark, checkpointDir)
+    Seq(canonical(spark, checkpointDir) + "#" + uuid,
+      checkpointDir + "#" + uuid).distinct
+  }
+
+  /** Both path prefixes (canonical and raw) that identify rows of ANY
+    * incarnation over `checkpointDir`. */
+  private def pathPrefixes(spark: SparkSession, checkpointDir: String): Seq[String] =
+    Seq(canonical(spark, checkpointDir) + "#", checkpointDir + "#").distinct
+
+  // ----------------------------------------------------- committed-row cache
+
+  private final case class Snapshot(gen: Option[String], rows: Map[String, Long])
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Snapshot]()
+
+  /** The committed contents of `_stream_commits`, from the cache when its
+    * generation fingerprint still matches the store, reloaded otherwise
+    * (one tiny collect — once per JVM per root in the steady state). A
+    * racing flip between the fingerprint read and the reload can only
+    * mislabel the snapshot with an OLDER name, which the next call's
+    * fingerprint check detects and reloads — the cache self-heals, never
+    * silently diverges. */
+  private def committedRows(wh: Warehouse): Map[String, Long] = {
+    val gen = wh.committedGenName(Table)
+    val c = cache.get(wh.rootKey)
+    if (c != null && c.gen == gen) c.rows
+    else {
+      val rows: Map[String, Long] =
+        if (gen.isEmpty) Map.empty
+        else wh.read(Table, schema).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      cache.put(wh.rootKey, Snapshot(gen, rows))
+      rows
+    }
+  }
+
+  /** Publish `rows` as the table's new contents: one single-file write
+    * (the table is a row per stream — parallelism would be pure
+    * overhead), cache updated at COMMIT time under the table lock. */
+  private def writeRows(wh: Warehouse, rows: Map[String, Long]): Unit = {
+    val df = wh.spark.createDataFrame(
+      rows.toSeq.sorted.map { case (s, b) => Row(s, b) }.asJava, schema)
+      .coalesce(1)
+    wh.replace(Table, df)
+    wh.onCommit(() => cache.put(wh.rootKey,
+      Snapshot(wh.committedGenName(Table), rows)))
   }
 
   def alreadyCommitted(wh: Warehouse, checkpointDir: String,
                        batchId: Long): Boolean = {
-    val id = streamId(wh.spark, checkpointDir)
-    wh.exists("_stream_commits") &&
-      !wh.read("_stream_commits", schema)
-        .filter(col("stream_id") === id && col("batch_id") >= batchId)
-        .isEmpty
+    val ids = idSpellings(wh.spark, checkpointDir)
+    val rows = committedRows(wh)
+    ids.flatMap(rows.get).exists(_ >= batchId)
   }
 
   def record(spark: SparkSession, wh: Warehouse,
-             checkpointDir: String, batchId: Long): Unit =
-    wh.mergeReplace("_stream_commits", schema,
-      spark.range(1).select(
-        lit(streamId(spark, checkpointDir)).as("stream_id"),
-        lit(batchId).as("batch_id")),
-      (old, incoming) => old.unionByName(incoming)
-        .groupBy("stream_id").agg(max("batch_id").as("batch_id")))
+             checkpointDir: String, batchId: Long): Unit = {
+    val ids = idSpellings(spark, checkpointDir)
+    // the lock brackets the whole read-modify-write (inside a transaction
+    // it is held to the commit), so interleaved streams on one warehouse
+    // never clobber each other's mark
+    wh.locked(Table) {
+      val rows = committedRows(wh)
+      val hw = (batchId +: ids.flatMap(rows.get)).max
+      // drop the legacy raw-spelling row (if any) into the canonical key:
+      // the spelling migration the class doc describes
+      writeRows(wh, rows -- ids.tail + (ids.head -> hw))
+    }
+  }
 
   /** For additive sinks: a NEW checkpoint incarnation over a path that
     * already recorded commits under an OLDER incarnation means the
     * source will re-deliver history that addition cannot deduplicate —
-    * refuse loudly (one tiny-table scan per batch). */
+    * refuse loudly (a lookup in the cached committed rows, free per
+    * batch). */
   private def requireNoOlderIncarnation(wh: Warehouse,
                                         checkpointDir: String): Unit = {
-    if (wh.exists("_stream_commits")) {
-      val id = streamId(wh.spark, checkpointDir)
-      val stale = !wh.read("_stream_commits", schema)
-        .filter(col("stream_id")
-            .startsWith(canonical(wh.spark, checkpointDir) + "#") &&
-          col("stream_id") =!= id)
-        .isEmpty
-      require(!stale,
-        s"checkpoint $checkpointDir was wiped and recreated, but this " +
-          "sink accumulates by ADDITION — re-reading the source would " +
-          "double-count everything already merged. Either restore the " +
-          "original checkpoint, or reset the accumulated table via " +
-          "StreamCommits.resetAdditiveSink (a bare table wipe is NOT " +
-          "enough: the old incarnation's commit rows keyed on this path " +
-          "would keep refusing every batch).")
-    }
+    val ids = idSpellings(wh.spark, checkpointDir).toSet
+    val prefixes = pathPrefixes(wh.spark, checkpointDir)
+    val stale = committedRows(wh).keysIterator.exists(k =>
+      prefixes.exists(k.startsWith) && !ids(k))
+    require(!stale,
+      s"checkpoint $checkpointDir was wiped and recreated, but this " +
+        "sink accumulates by ADDITION — re-reading the source would " +
+        "double-count everything already merged. Either restore the " +
+        "original checkpoint, or reset the accumulated table via " +
+        "StreamCommits.resetAdditiveSink (a bare table wipe is NOT " +
+        "enough: the old incarnation's commit rows keyed on this path " +
+        "would keep refusing every batch).")
   }
 
   /** Operator-confirmed reset of an additive sink: wipe the accumulated
@@ -132,7 +222,7 @@ object StreamCommits {
     * every batch of the new incarnation forever. The CURRENT
     * incarnation's row (if any) is cleared too: with the tables empty,
     * its high-water mark would silently no-op the re-read that is the
-    * whole point of the reset. */
+    * whole point of the reset. Rows under BOTH path spellings go. */
   def resetAdditiveSink(wh: Warehouse, checkpointDir: String,
                         tables: String*): Unit = wh.transact {
     tables.foreach { t =>
@@ -145,11 +235,14 @@ object StreamCommits {
         wh.replace(t, empty)
       }
     }
-    if (wh.exists("_stream_commits"))
-      wh.replace("_stream_commits",
-        wh.read("_stream_commits", schema)
-          .filter(!col("stream_id")
-            .startsWith(canonical(wh.spark, checkpointDir) + "#")))
+    if (wh.exists(Table)) {
+      val prefixes = pathPrefixes(wh.spark, checkpointDir)
+      wh.locked(Table) {
+        val rows = committedRows(wh)
+        writeRows(wh,
+          rows.filterNot { case (k, _) => prefixes.exists(k.startsWith) })
+      }
+    }
   }
 
   /** Shared store-geometry guard for the MinHash signature stores: a
@@ -168,7 +261,7 @@ object StreamCommits {
     * document-level contract.) */
   def requireSigWidth(wh: Warehouse, table: String, sigSchema: StructType,
                       numHashes: Int, context: String): Unit = {
-    import org.apache.spark.sql.functions.{min, size, sum, when}
+    import org.apache.spark.sql.functions.{max, min, size, sum, when}
     // Null sig rows are counted separately so they surface as their own
     // message instead of a confusing "-1-wide signatures".
     val r = wh.read(table, sigSchema)
@@ -220,7 +313,17 @@ object StreamCommits {
   def effectivelyOnce(spark: SparkSession, wh: Warehouse,
                       checkpointDir: String, batchId: Long,
                       batch: DataFrame, additive: Boolean = false)
-                     (body: DataFrame => Unit): Unit =
+                     (body: DataFrame => Unit): Unit = {
+    // The micro-batch engine hands `batch` bound to a cloned session with
+    // AQE force-disabled (required for the STREAMING plan's stateful
+    // operators — but every query the body derives from `batch` is a
+    // plain BATCH query, where AQE is exactly what a micro-batch needs:
+    // post-shuffle partition coalescing so a small batch doesn't schedule
+    // `spark.sql.shuffle.partitions` near-empty tasks per exchange, and
+    // runtime broadcast of the batch side of store joins). Re-enable it
+    // on the clone: the streaming plan itself (source -> foreachBatch
+    // sink) is planned by IncrementalExecution, which never applies AQE.
+    batch.sparkSession.conf.set("spark.sql.adaptive.enabled", "true")
     wh.transact {
       if (!alreadyCommitted(wh, checkpointDir, batchId)) {
         if (additive) requireNoOlderIncarnation(wh, checkpointDir)
@@ -228,4 +331,5 @@ object StreamCommits {
         record(spark, wh, checkpointDir, batchId)
       }
     }
+  }
 }
