@@ -252,13 +252,12 @@ object StreamCommits {
     * is whole-store min/max width plus a null count — NOT one sampled
     * row, because a store that became width-mixed before this guard
     * existed could pass on whichever row the sample happened to hit.
-    * That makes it O(store), so sinks run it ONCE per instance via
-    * [[sigWidthGuard]] and rely on induction afterwards: every writer
-    * verifies the store before its first append and only ever appends
-    * its own verified width, so a store that passes once stays uniform
-    * under this JVM's writers. (Shingle-k mismatches are undetectable
-    * from the data and must be kept apart by table name —
-    * document-level contract.) */
+    * That makes it O(store), so sinks run it through [[SigWidthGuard]],
+    * which pays the scan once per store and persists the verified
+    * width as a generation marker for O(1) checks ever after — in this
+    * JVM and any other. (Shingle-k mismatches are undetectable from
+    * the data and must be kept apart by table name — document-level
+    * contract.) */
   def requireSigWidth(wh: Warehouse, table: String, sigSchema: StructType,
                       numHashes: Int, context: String): Unit = {
     import org.apache.spark.sql.functions.{max, min, size, sum, when}
@@ -280,25 +279,57 @@ object StreamCommits {
     }
   }
 
-  /** Once-per-sink-instance wrapper for [[requireSigWidth]] (the
-    * StreamingIndex `capChecked` pattern): the whole-store scan is
-    * O(store) and the store grows one row per document, so running it
-    * inside every micro-batch's transaction would rescan the corpus
-    * per batch — exactly the scale contract the streaming sinks
-    * promise not to break. The first batch that observes the store
-    * pays the full scan; later batches skip it on the induction
-    * argument in [[requireSigWidth]]'s doc. A sink holds ONE guard for
-    * the lifetime of its stream, so a reconfigured restart re-checks. */
+  /** Name of the verified-width marker a [[SigWidthGuard]] drops into a
+    * signature store's generation directory after a passed full scan.
+    * Underscore-prefixed so data scans ignore it; [[Warehouse]]'s
+    * linkTree carries it into every later APPEND generation, while a
+    * replace (including [[resetAdditiveSink]]'s wipe) writes a fresh
+    * directory and so naturally invalidates it. */
+  private[stream] val SigWidthMarker = "_graft_sig_width"
+
+  /** Per-batch width guard for the MinHash signature stores, O(1) in
+    * the steady state: after the first passed [[requireSigWidth]] scan
+    * the verified width is PERSISTED as a [[SigWidthMarker]] file in
+    * the store's current generation, so every later check — this
+    * stream's next batch, a second sink instance, or a writer in a
+    * DIFFERENT JVM — is one local file read instead of an O(store)
+    * scan or a trust-me induction argument. Because the check is now
+    * free it runs on EVERY batch (not once per instance), so a
+    * misconfigured concurrent writer that goes through a guard is
+    * refused at its very next batch; the marker certifies only
+    * guard-routed writers — a rogue append that bypasses the guard
+    * entirely is undetectable without rescanning, the same
+    * document-level contract as shingle-k. The store's creating sink
+    * writes no marker up front (it has nothing to scan); the first
+    * check that sees the store marker-less pays one scan of the
+    * still-small store and publishes the marker. Marker publication is
+    * best-effort: a racing generation flip strands it in a superseded
+    * directory and the next check simply rescans. */
   final class SigWidthGuard(table: String, sigSchema: StructType,
                             numHashes: Int, context: String) {
-    @volatile private var checked = false
+    // full-scan count, exposed so specs can pin the O(1) steady state
+    private[stream] var fullScans = 0
     def check(wh: Warehouse): Unit =
-      if (!checked) {
-        if (wh.exists(table))
-          requireSigWidth(wh, table, sigSchema, numHashes, context)
-        // absent store: this instance creates it at its own width —
-        // verified-by-construction, same induction as a passed scan
-        checked = true
+      wh.currentDir(table).foreach { dir =>
+        val marker = dir.resolve(SigWidthMarker)
+        val verified =
+          try {
+            if (java.nio.file.Files.exists(marker))
+              Some(java.nio.file.Files.readString(marker).trim)
+            else None
+          } catch { case scala.util.control.NonFatal(_) => None }
+        verified match {
+          case Some(w) =>
+            require(w == numHashes.toString,
+              s"$table is a verified $w-wide signature store, $context " +
+                s"hashes $numHashes — mixed hash families can never pair; " +
+                "align numHashes or use a separate store table")
+          case None =>
+            requireSigWidth(wh, table, sigSchema, numHashes, context)
+            fullScans += 1
+            try java.nio.file.Files.writeString(marker, numHashes.toString)
+            catch { case scala.util.control.NonFatal(_) => () }
+        }
       }
   }
 

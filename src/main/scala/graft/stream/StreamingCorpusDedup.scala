@@ -60,8 +60,9 @@ final class StreamingCorpusDedup(spark: SparkSession, wh: Warehouse,
     StructField("doc_id", LongType),
     StructField("sig", ArrayType(LongType, containsNull = false))))
 
-  // whole-store width scan once per stream instance, induction after —
-  // see StreamCommits.SigWidthGuard for why not per micro-batch
+  // per-batch O(1) width check against the store's persisted verified-
+  // width marker; one full scan only for a marker-less store — see
+  // StreamCommits.SigWidthGuard
   private val sigWidthGuard = new StreamCommits.SigWidthGuard(
     "sig_store", sigSchema, numHashes, "this stream")
 

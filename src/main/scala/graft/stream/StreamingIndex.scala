@@ -16,11 +16,9 @@ import graft.llm.TextAnalysis
   *  - `df` is additive over disjoint document sets (the stream's
   *    contract: a doc_id arrives in exactly one batch — replays are
   *    healed by the commit guard, and re-sending a document in a LATER
-  *    batch would double-count df in the one-shot index too). A
-  *    contract violation the merge can SEE — a re-delivered doc_id
-  *    surviving in both posting lists — fails the batch loudly
-  *    instead of corrupting df (see the merge comment for the
-  *    detection floor the posting cap imposes);
+  *    batch would double-count df in the one-shot index too). The
+  *    contract is enforced exactly, before the merge, by the ever-seen
+  *    doc-id table described below;
   *  - `postings` is the min-k of the term's doc ids, and min-k is
   *    exactly mergeable: the k smallest of a union is the k smallest
   *    of the per-side k-smallest lists — so the merged index equals
@@ -38,7 +36,23 @@ import graft.llm.TextAnalysis
   * Like the Count-Min stream, df addition is not naturally idempotent,
   * so effectively-once leans on the shared [[StreamCommits]] frame: the
   * merged index and the high-water record flip in ONE transaction; a
-  * replayed batch short-circuits and adds nothing twice. */
+  * replayed batch short-circuits and adds nothing twice.
+  *
+  * The disjoint-batch contract (a doc_id arrives in exactly one
+  * committed batch) is enforced EXACTLY by an ever-seen doc-id table
+  * (`inverted_index_docs`, one long per document) maintained in the
+  * same transaction: each batch is semi-joined against it — the seen
+  * side scanned once with the batch ids broadcast, never shuffled —
+  * and any hit fails the batch loudly BEFORE the merge, closing the
+  * detection floor the posting cap used to impose (a re-delivered doc
+  * whose id had been capped out of the stored min-k list was invisible
+  * to the in-merge duplicate check and silently double-counted df). A
+  * probabilistic structure (Bloom/KMV) would be smaller but its false
+  * positives would fail-fast a LEGITIMATE document with no remediation;
+  * one long per doc is the sig-store's scale class (which stores
+  * numHashes longs per doc) and the per-batch probe matches the
+  * merge's own O(index) rewrite shape. Reset remediation must wipe
+  * this table together with the index — use [[StreamingIndex.reset]]. */
 final class StreamingIndex(spark: SparkSession, wh: Warehouse,
                            landingDir: String, checkpointDir: String,
                            maxPostings: Int = 10) {
@@ -86,6 +100,22 @@ final class StreamingIndex(spark: SparkSession, wh: Warehouse,
         val docs = batch
           .filter(col("doc_id").isNotNull && col("text").isNotNull)
           .groupBy(col("doc_id")).agg(min(col("text")).as("text"))
+          .cache()
+        try {
+        // exact re-delivery check (class doc): any batch doc_id already
+        // in the ever-seen table means a previously COMMITTED batch
+        // carried it — the commit guard cannot see that, and additive
+        // df cannot heal it, so fail before touching the index. Seen
+        // side stays unshuffled: the batch ids broadcast into the probe.
+        val seen = wh.read(StreamingIndex.SeenTable, StreamingIndex.seenSchema)
+        val dup = seen.join(broadcast(docs.select(col("doc_id"))),
+            Seq("doc_id"), "left_semi")
+          .limit(1).collect()
+        if (dup.nonEmpty) throw new IllegalStateException(
+          s"doc_id ${dup(0).getLong(0)} was already indexed by a " +
+            "previously committed batch — re-delivery cannot be healed " +
+            "for additive df; fix the source contract or rebuild the " +
+            "index (StreamingIndex.reset)")
         val batchIdx = TextAnalysis.invertedIndex(docs, minDf = 1,
           maxPostings = maxPostings)
         if (!capChecked && wh.exists("inverted_index")) {
@@ -107,17 +137,14 @@ final class StreamingIndex(spark: SparkSession, wh: Warehouse,
         wh.mergeReplace("inverted_index", indexSchema, batchIdx,
           (old, incoming) => old.unionByName(incoming)
             .groupBy("term")
-            // The disjoint-batch contract (class doc) makes duplicate
-            // doc_ids impossible in a correct run, but the commit guard
-            // cannot see a doc_id RE-DELIVERED in a later committed
-            // batch — and addition would then double-count df silently
-            // and permanently. So the merge fails FAST on the evidence
-            // it can see: a duplicate id in the posting union (checked
-            // pre-slice on <= 2*maxPostings elements per group). The
-            // residual stays documented: a re-delivered doc whose id
-            // was already capped OUT of the stored min-k list is
-            // invisible here and still double-counts df — the cap
-            // trades that detection floor for bounded merge state.
+            // Defense-in-depth behind the exact ever-seen check above:
+            // a duplicate id visible in the posting union (checked
+            // pre-slice on <= 2*maxPostings elements per group) fails
+            // the merge even if the seen table was tampered with. The
+            // old detection FLOOR of this check — a re-delivered doc
+            // whose id was capped OUT of the stored min-k list is
+            // invisible here — no longer matters: the seen-table probe
+            // catches every re-delivery exactly, cap or no cap.
             .agg(sum("df").as("df"),
               sort_array(flatten(collect_list(col("postings"))))
                 .as("__all"))
@@ -132,6 +159,27 @@ final class StreamingIndex(spark: SparkSession, wh: Warehouse,
                     "rebuild the index"))))
                 .otherwise(slice(col("__all"), 1, maxPostings))
                 .as("postings")))
+        // all checks passed: the batch's ids become part of the ever-
+        // seen set, in the SAME transaction as the merged index (plain
+        // append — the semi-join above just proved them all new)
+        wh.append(StreamingIndex.SeenTable,
+          docs.select(col("doc_id")))
+        } finally docs.unpersist()
       }
     }
+}
+
+object StreamingIndex {
+  /** Ever-seen doc ids of the maintained index (see the class doc). */
+  val SeenTable = "inverted_index_docs"
+  val seenSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType)))
+
+  /** Operator-confirmed reset of a streaming index: the postings, the
+    * ever-seen doc-id table, and the stream's commit rows go together —
+    * wiping the index alone would leave every re-read document refused
+    * by the ever-seen check. */
+  def reset(wh: Warehouse, checkpointDir: String): Unit =
+    StreamCommits.resetAdditiveSink(wh, checkpointDir,
+      "inverted_index", SeenTable)
 }

@@ -79,8 +79,9 @@ final class StreamingSplitRouter(spark: SparkSession, wh: Warehouse,
   private val conflictSchema = StructType(Seq(
     StructField("doc_id", LongType)))
 
-  // whole-store width scan once per router instance, induction after —
-  // see StreamCommits.SigWidthGuard for why not per micro-batch
+  // per-batch O(1) width check against the store's persisted verified-
+  // width marker; one full scan only for a marker-less store — see
+  // StreamCommits.SigWidthGuard
   private val sigWidthGuard = new StreamCommits.SigWidthGuard(
     sigStoreTable, sigSchema, numHashes, "this router")
 

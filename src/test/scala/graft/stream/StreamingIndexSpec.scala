@@ -125,9 +125,11 @@ class StreamingIndexSpec extends SparkSpec {
     }
     // a bare table wipe is NOT enough: stale commit rows keyed on the
     // old incarnation keep refusing (the ADVICE dead-end) — the helper
-    // clears both in one transaction, and the CURRENT incarnation's
-    // high-water too, so batch 0 re-processes instead of no-oping
-    StreamCommits.resetAdditiveSink(wh, ckpt, "inverted_index")
+    // clears the postings, the ever-seen doc-id table, and the commit
+    // rows in one transaction, including the CURRENT incarnation's
+    // high-water, so batch 0 re-processes instead of no-oping (or
+    // being refused by the ever-seen check)
+    StreamingIndex.reset(wh, ckpt)
     idx.processBatch(Seq((1L, "alpha beta")).toDF("doc_id", "text"), 0L)
     val rebuilt = collected(idx.index())
     assert(rebuilt == collected(TextAnalysis.invertedIndex(
@@ -151,7 +153,7 @@ class StreamingIndexSpec extends SparkSpec {
     // sink used would wipe the table yet delete ZERO commit rows,
     // leaving the refusal in place with the data already gone —
     // canonicalization makes `dir/` and `dir/./` the same stream
-    StreamCommits.resetAdditiveSink(wh, ckpt + "/./", "inverted_index")
+    StreamingIndex.reset(wh, ckpt + "/./")
     idx.processBatch(Seq((1L, "alpha beta")).toDF("doc_id", "text"), 0L)
     val rebuilt = collected(idx.index())
     assert(rebuilt == collected(TextAnalysis.invertedIndex(
@@ -166,16 +168,16 @@ class StreamingIndexSpec extends SparkSpec {
     val idx = new StreamingIndex(spark, wh, landing.toString,
       tmpDir("ckptidxdup").toString, maxPostings = 2)
     // doc 1 re-delivered in a LATER (new-batch-id) batch — the commit
-    // guard cannot see it, and additive df cannot heal it; the merge
-    // must detect the duplicate id in the posting union and refuse the
-    // batch rather than publish a double-counted df
+    // guard cannot see it, and additive df cannot heal it; the exact
+    // ever-seen check must refuse the batch before the merge rather
+    // than publish a double-counted df
     idx.processBatch(Seq((1L, "t"), (3L, "t")).toDF("doc_id", "text"), 0L)
     val e = intercept[Exception] {
       idx.processBatch(Seq((1L, "t")).toDF("doc_id", "text"), 1L)
     }
     def msgs(t: Throwable): List[String] =
       if (t == null) Nil else Option(t.getMessage).toList ::: msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("re-delivered")), e.toString)
+    assert(msgs(e).exists(_.contains("already indexed")), e.toString)
     // the refused batch published NOTHING — the committed wave-0 index
     // is intact (the transaction rolled back, df not double-counted)
     val row = collected(idx.index()).find(_._1 == "t").get
@@ -196,18 +198,23 @@ class StreamingIndexSpec extends SparkSpec {
     assert(row._2 == 2L && row._3 == List(1L, 2L), row)
   }
 
-  test("a re-delivered doc_id beyond the posting cap is the documented " +
-    "detection floor: df double-counts undetected") {
+  test("a re-delivered doc_id CAPPED OUT of the stored posting list still " +
+    "fails loudly: the ever-seen table has no detection floor") {
     val landing = tmpDir("idxfloorland")
     val wh = new Warehouse(spark, tmpDir("whidxfloor").toString)
     val idx = new StreamingIndex(spark, wh, landing.toString,
       tmpDir("ckptidxfloor").toString, maxPostings = 1)
-    // doc 3 is capped OUT of the stored 1-slot posting list, so its
-    // re-delivery is invisible to the duplicate check — the residual
-    // the merge comment documents, pinned so a future fix flips this
+    // doc 3 is capped OUT of the stored 1-slot posting list, so the
+    // in-merge duplicate check alone could never see its re-delivery —
+    // the round-11 documented residual. The exact ever-seen check
+    // closes it: the later committed batch is refused loudly and the
+    // committed index stays intact (df NOT double-counted).
     idx.processBatch(Seq((1L, "t"), (3L, "t")).toDF("doc_id", "text"), 0L)
-    idx.processBatch(Seq((3L, "t")).toDF("doc_id", "text"), 1L)
+    val e = intercept[IllegalStateException] {
+      idx.processBatch(Seq((3L, "t")).toDF("doc_id", "text"), 1L)
+    }
+    assert(e.getMessage.contains("already indexed"), e.getMessage)
     val row = collected(idx.index()).find(_._1 == "t").get
-    assert(row._2 == 3L && row._3 == List(1L), row)
+    assert(row._2 == 2L && row._3 == List(1L), row)
   }
 }

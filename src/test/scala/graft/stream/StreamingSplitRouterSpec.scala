@@ -256,6 +256,50 @@ class StreamingSplitRouterSpec extends SparkSpec {
     StreamCommits.requireSigWidth(wh, "sig_store", sigSchema, 2, "test")
   }
 
+  test("the verified width persists as a generation marker: a second " +
+    "warehouse instance validates O(1), a mismatch refuses from the " +
+    "marker, appends carry it, a replace invalidates it") {
+    import org.apache.spark.sql.types.StructType
+    val whRoot = tmpDir("whmark").toString
+    val wh = new Warehouse(spark, whRoot)
+    val sigSchema = StructType.fromDDL("doc_id BIGINT, sig ARRAY<BIGINT>")
+    wh.replace("sig_store", Seq((1L, Seq(11L, 12L))).toDF("doc_id", "sig"))
+    val g1 = new StreamCommits.SigWidthGuard("sig_store", sigSchema, 2, "g1")
+    g1.check(wh)
+    assert(g1.fullScans == 1, "marker-less store pays ONE scan")
+    g1.check(wh)
+    assert(g1.fullScans == 1, "marker present: the per-batch check is O(1)")
+    // a SECOND Warehouse instance over the same store — the cross-JVM
+    // shape the round-11 induction argument could not cover — validates
+    // without any O(store) scan
+    val wh2 = new Warehouse(spark, whRoot)
+    val g2 = new StreamCommits.SigWidthGuard("sig_store", sigSchema, 2, "g2")
+    g2.check(wh2)
+    assert(g2.fullScans == 0,
+      "a second instance must validate from the persisted marker")
+    // a mismatched width refuses from the marker alone — still no scan
+    val g3 = new StreamCommits.SigWidthGuard("sig_store", sigSchema, 3, "g3")
+    val e = intercept[IllegalArgumentException] { g3.check(wh2) }
+    assert(e.getMessage.contains("verified 2-wide"), e.getMessage)
+    assert(g3.fullScans == 0)
+    // an append's linkTree carries the marker into the next generation
+    wh.appendIfAbsent("sig_store", sigSchema,
+      Seq((2L, Seq(21L, 22L))).toDF("doc_id", "sig"),
+      keys = Seq("doc_id"), orderCol = "doc_id")
+    val g4 = new StreamCommits.SigWidthGuard("sig_store", sigSchema, 2, "g4")
+    g4.check(wh)
+    assert(g4.fullScans == 0, "appends must not invalidate the marker")
+    // a replace (the reset path) writes a FRESH generation directory:
+    // the marker goes with the old contents, and the next check
+    // re-verifies the new contents by scan at the new width
+    wh.replace("sig_store",
+      Seq((1L, Seq(31L, 32L, 33L))).toDF("doc_id", "sig"))
+    val g5 = new StreamCommits.SigWidthGuard("sig_store", sigSchema, 3, "g5")
+    g5.check(wh)
+    assert(g5.fullScans == 1,
+      "a replaced store must be re-verified by scan, not trusted")
+  }
+
   test("the same doc in two files of ONE micro-batch lands once in " +
     "every sink") {
     val landing = tmpDir("dupland")
