@@ -2,7 +2,7 @@ package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.Comparator
@@ -582,12 +582,29 @@ final class Warehouse(private[graft] val spark: SparkSession,
     * linked — no data is read or rewritten, the only new bytes are one
     * zero-row parquet file carrying the widened schema (old columns in
     * their stored order, `newColumns` appended) and a `_graft_widened`
-    * marker. Readers of the widened table union the footers (the
-    * marker tells the SQL catalog to resolve with `mergeSchema`;
-    * programmatic [[read]] passes the widened schema explicitly), and
-    * parquet null-fills the added columns for pre-evolution files — so
-    * an O(100 TB) table widens in O(1) data. The marker and schema
-    * file ride [[linkTree]] into every later append generation, so
+    * marker — so an O(100 TB) table widens in O(1) data.
+    *
+    * Layouts differ in where the zero-row schema file can live:
+    *
+    *  - UNPARTITIONED: at the generation root, beside the data files.
+    *    Readers union the footers (the marker tells the SQL catalog to
+    *    resolve with `mergeSchema`; programmatic [[read]] passes the
+    *    widened schema explicitly) and parquet null-fills the added
+    *    columns for pre-evolution files.
+    *  - PARTITIONED (`col=value` subdirectories): a root-level data
+    *    file beside partition dirs is a mixed layout partition
+    *    discovery rejects, so the schema file goes into a
+    *    `_graft_schema/` SIDECAR directory — underscore-prefixed,
+    *    therefore invisible to partition discovery and data scans —
+    *    holding the complete widened DATA schema (each widen rewrites
+    *    it; partition columns live in the directory names, never in
+    *    the sidecar). The SQL catalog resolves such a generation as
+    *    sidecar schema + discovered partition columns; programmatic
+    *    [[read]] passes the full schema explicitly as before.
+    *
+    * The marker and schema file/sidecar ride [[linkTree]] into every
+    * later append generation — including [[mergeReplacePartitions]],
+    * whose rewritten-partition skip never matches the sidecar — so
     * evolution survives appends (including appends still writing the
     * narrow schema); [[replace]] (and the replace-class rewrites —
     * [[mergeReplace]], whose caller-declared schema IS the new table
@@ -600,9 +617,10 @@ final class Warehouse(private[graft] val spark: SparkSession,
     * reads each version's own columns.
     *
     * New columns must be nullable (there is nothing to backfill with
-    * but null) and must not collide with stored columns. Parquet only:
-    * the ORC reader has no footer-merge option, so a widened ORC
-    * table's inferred schema would be whichever footer won. */
+    * but null) and must not collide with stored columns (partition
+    * columns included). Parquet only: the ORC reader has no
+    * footer-merge option, so a widened ORC table's inferred schema
+    * would be whichever footer won. */
   def widen(table: String, newColumns: StructType): Unit = {
     require(format == "parquet",
       s"additive schema evolution requires parquet, not $format")
@@ -613,38 +631,72 @@ final class Warehouse(private[graft] val spark: SparkSession,
     withTableLock(table) {
       val cur = currentDir(table).getOrElse(throw new IllegalArgumentException(
         s"cannot widen absent table $table"))
-      // a partitioned generation (col=value subdirectories) cannot take
-      // the zero-row schema file at its root — base files beside
-      // partition dirs are a mixed layout partition discovery rejects,
-      // the same hazard the SQL catalog refuses for INSERT. Refuse
-      // loudly; widen a partitioned table by rewriting it (replace
-      // with the widened frame, partitionBy preserved).
-      val partitioned = Warehouse.listDir(cur).exists(p =>
-        Files.isDirectory(p) && p.getFileName.toString.contains("="))
-      require(!partitioned,
-        s"cannot widen partitioned table $table in place — a root-level " +
-          "schema file beside col=value directories is a mixed layout; " +
-          "rewrite through replace(df, partitionBy) with the new column")
-      // footer-merged current schema: the table may already be evolved,
-      // and a single arbitrary footer would then under-report columns
-      val curSchema = spark.read.option("mergeSchema", "true")
+      val partitionCols = partitionColNames(cur)
+      // footer-merged current schema (the table may already be evolved,
+      // and a single arbitrary footer would under-report columns), plus
+      // any columns only the previous sidecar knows (a partitioned
+      // table's earlier widens never reach the data footers)
+      val inferred = spark.read.option("mergeSchema", "true")
         .format(format).load(cur.toString).schema
+      val prevSidecar = cur.resolve(Warehouse.SchemaSidecar)
+      val sidecarOnly =
+        if (!Files.exists(prevSidecar)) Array.empty[StructField]
+        else spark.read.format(format).load(prevSidecar.toString)
+          .schema.fields.filterNot(f =>
+            inferred.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+      val curSchema = StructType(inferred.fields ++ sidecarOnly)
       val clash = newColumns.fieldNames.filter(n =>
         curSchema.fieldNames.exists(_.equalsIgnoreCase(n)))
       require(clash.isEmpty,
         s"column(s) already exist on $table: ${clash.mkString(", ")}")
       val gen = nextGenDir(table)
       deleteRecursively(gen)
-      spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(curSchema.fields ++ newColumns.fields))
-        .coalesce(1).write.mode(SaveMode.Overwrite).format(format)
-        .save(gen.toString)
-      linkTree(cur, gen)
+      if (partitionCols.isEmpty) {
+        spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(curSchema.fields ++ newColumns.fields))
+          .coalesce(1).write.mode(SaveMode.Overwrite).format(format)
+          .save(gen.toString)
+        linkTree(cur, gen)
+      } else {
+        // complete widened DATA schema: stored data columns in footer
+        // order + earlier sidecar-only columns + the new ones; partition
+        // columns stay in the directory names
+        val dataSchema = StructType(
+          curSchema.fields.filterNot(f =>
+            partitionCols.exists(_.equalsIgnoreCase(f.name))) ++
+            newColumns.fields)
+        Files.createDirectories(gen)
+        linkTree(cur, gen)
+        // Overwrite replaces the hard-linked previous sidecar (links die
+        // in THIS generation only; the source generation keeps its copy)
+        spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dataSchema)
+          .coalesce(1).write.mode(SaveMode.Overwrite).format(format)
+          .save(gen.resolve(Warehouse.SchemaSidecar).toString)
+      }
       Files.writeString(gen.resolve(Warehouse.WidenedMarker),
         newColumns.fieldNames.mkString(","))
       commit(table, gen)
     }
+  }
+
+  /** Partition column names of a generation directory, outermost first,
+    * read from the `col=value` directory chain (one walk down the first
+    * chain — partition layouts are uniform by construction). Empty for
+    * unpartitioned layouts. */
+  private def partitionColNames(dir: Path): Seq[String] = {
+    val names = scala.collection.mutable.ListBuffer[String]()
+    var d = dir
+    var next = listDir(d).find(p => Files.isDirectory(p) &&
+      p.getFileName.toString.contains("="))
+    while (next.isDefined) {
+      names += next.get.getFileName.toString.takeWhile(_ != '=')
+      d = next.get
+      next = listDir(d).find(p => Files.isDirectory(p) &&
+        p.getFileName.toString.contains("="))
+    }
+    names.toSeq
   }
 
   /** Drop a table: ONE commit removes it from committed resolution (the
@@ -905,9 +957,18 @@ final class Warehouse(private[graft] val spark: SparkSession,
       // everything it reads) — routine maintenance must never change
       // the schema, so refuse loudly instead. One Files.exists on the
       // unevolved path; the footer merge runs only behind the marker.
+      // A partitioned widen's columns live only in the schema sidecar
+      // (never in data footers) — merge those in too.
       if (Files.exists(cur.resolve(Warehouse.WidenedMarker))) {
-        val full = spark.read.option("mergeSchema", "true").format(format)
+        val merged = spark.read.option("mergeSchema", "true").format(format)
           .load(cur.toString).schema
+        val sidecar = cur.resolve(Warehouse.SchemaSidecar)
+        val full =
+          if (!Files.exists(sidecar)) merged
+          else StructType(merged.fields ++
+            spark.read.format(format).load(sidecar.toString).schema.fields
+              .filterNot(f =>
+                merged.fieldNames.exists(_.equalsIgnoreCase(f.name))))
         val missing = full.fieldNames.filterNot(n =>
           schema.fieldNames.exists(_.equalsIgnoreCase(n)))
         require(missing.isEmpty,
@@ -957,6 +1018,11 @@ object Warehouse {
     * later append generations by linkTree, and read by the SQL catalog
     * to resolve the table with footer-merged schema inference. */
   private[graft] val WidenedMarker = "_graft_widened"
+
+  /** Sidecar directory a PARTITIONED [[Warehouse.widen]] writes its
+    * zero-row widened-data-schema file into (underscore-prefixed:
+    * invisible to partition discovery and data scans; see widen's doc). */
+  private[graft] val SchemaSidecar = "_graft_schema"
 
   // Files.list/walk return streams holding an open directory fd until
   // closed — on the per-micro-batch commit path that's a leak per call

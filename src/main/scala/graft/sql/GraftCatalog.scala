@@ -131,11 +131,30 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
         // footers; the marker switches inference to footer-merge so the
         // widened schema (with null-filled added columns) is what SQL
         // sees. Pre-evolution generations (time travel) have no marker
-        // and read their own narrow schema at one-footer cost.
+        // and read their own narrow schema at one-footer cost. A
+        // PARTITIONED widened generation's added columns live only in
+        // the _graft_schema sidecar (hidden from discovery and from
+        // footer merging), so its resolution is explicit: sidecar data
+        // schema + the discovered partition columns.
         val widened = Files.exists(d.resolve(Warehouse.WidenedMarker))
+        val sidecar = d.resolve(Warehouse.SchemaSidecar)
+        val explicitSchema =
+          if (!widened || !Files.exists(sidecar)) None
+          else {
+            val spark = SparkSession.active
+            val dataSchema =
+              spark.read.format(format).load(sidecar.toString).schema
+            val partCols = spark.read.format(format).load(d.toString)
+              .schema.fields.filterNot(f =>
+                dataSchema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+            Some(org.apache.spark.sql.types.StructType(
+              dataSchema.fields ++ partCols))
+          }
         new WritableGraftTable(
           ParquetTableBridge.create(s"$catalogName.${ident.name()}",
-            SparkSession.active, d.toString, format, mergeSchema = widened),
+            SparkSession.active, d.toString, format,
+            mergeSchema = widened && explicitSchema.isEmpty,
+            schema = explicitSchema),
           ident.name(), () => wh, d)
       case None => throw new NoSuchTableException(ident)
     }

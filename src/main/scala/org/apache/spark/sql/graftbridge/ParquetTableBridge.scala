@@ -22,20 +22,25 @@ object ParquetTableBridge {
     * files lack the added columns and a single arbitrary footer would
     * otherwise decide the table's SQL schema. Off by default: the
     * catalog turns it on only for generations carrying the widened
-    * marker, so unevolved tables keep one-footer resolution cost. */
+    * marker, so unevolved tables keep one-footer resolution cost.
+    * `schema` overrides inference entirely (partition columns included)
+    * — the catalog passes it for PARTITIONED widened generations, whose
+    * added columns live in a sidecar no footer merge can see. */
   def create(name: String, spark: SparkSession, path: String,
              format: String = "parquet",
-             mergeSchema: Boolean = false): Table = {
+             mergeSchema: Boolean = false,
+             schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Table = {
     val opts = new java.util.HashMap[String, String]()
     opts.put("path", path)
     if (mergeSchema) opts.put("mergeSchema", "true")
     val map = new CaseInsensitiveStringMap(opts)
     format match {
       case "parquet" =>
-        ParquetTable(name, spark, map, Seq(path), userSpecifiedSchema = None,
+        ParquetTable(name, spark, map, Seq(path), userSpecifiedSchema = schema,
           fallbackFileFormat = classOf[ParquetFileFormat])
       case "orc" =>
-        OrcTable(name, spark, map, Seq(path), userSpecifiedSchema = None,
+        OrcTable(name, spark, map, Seq(path), userSpecifiedSchema = schema,
           fallbackFileFormat = classOf[OrcFileFormat])
       case other =>
         throw new IllegalArgumentException(s"unsupported format $other")

@@ -109,15 +109,88 @@ class WarehouseMaintenanceSpec extends SparkSpec {
       wh.currentDir("t").get.resolve("_graft_widened")))
   }
 
-  test("widen refuses a partitioned layout (root schema file beside " +
-    "col=value dirs would be a mixed layout)") {
-    val wh = new Warehouse(spark, tmpDir("whevopart").toString)
-    wh.replace("t", (0 until 10).map(i => (i, i % 3)).toDF("id", "v"),
+  test("widen works in place on a PARTITIONED table: sidecar schema, " +
+    "null-fill, pruning intact, appends carry it, time travel narrow") {
+    val wh = new Warehouse(spark, tmpDir("whevopart").toString,
+      catalogRetention = 4)
+    wh.transact {
+      wh.replace("t", (0 until 10).map(i => (i, i % 3)).toDF("id", "v"),
+        partitionBy = Seq("v"))
+    }                                                                  // v1
+    val preWiden = wh.currentDir("t").get
+    wh.transact {
+      wh.widen("t", StructType(Seq(StructField("tag", StringType))))
+    }                                                                  // v2
+    // zero data rewrite: every pre-widen parquet file is hard-linked, the
+    // only new data bytes are the zero-row sidecar schema file
+    val gen = wh.currentDir("t").get
+    assert(Files.exists(gen.resolve("_graft_schema")), "sidecar missing")
+    assert(parquetFiles(gen).count(p =>
+      !p.startsWith(gen.resolve("_graft_schema"))) ==
+      parquetFiles(preWiden).size)
+    // reads null-fill the added column; partition pruning stays intact
+    // (the sidecar must be invisible to partition discovery)
+    val evolvedPart = StructType(Seq(
+      StructField("id", IntegerType), StructField("tag", StringType),
+      StructField("v", IntegerType)))
+    val r = wh.read("t", evolvedPart)
+    assert(r.count() == 10 && r.filter(col("tag").isNull).count() == 10)
+    val pruned = r.filter(col("v") === 1)
+    assert(pruned.count() == 3)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s+", " ").matches(".*PartitionFilters: \\[[^]]*v[^]]*=[^]]*1[^]]*\\].*"),
+      s"partition pruning lost after widen: $plan")
+    // an append (narrow or wide) carries the sidecar + marker forward
+    wh.append("t", Seq((100, "x", 1)).toDF("id", "tag", "v"),
       partitionBy = Seq("v"))
+    assert(Files.exists(wh.currentDir("t").get.resolve("_graft_schema")))
+    val r2 = wh.read("t", evolvedPart)
+    assert(r2.count() == 11 && r2.filter(col("tag") === "x").count() == 1)
+    // a SECOND widen folds the first's sidecar-only column in (it exists
+    // in no data footer) and still refuses collisions with any column,
+    // partition column included
+    wh.widen("t", StructType(Seq(StructField("score", DoubleType))))
+    val sidecarSchema = spark.read.parquet(
+      wh.currentDir("t").get.resolve("_graft_schema").toString).schema
+    assert(sidecarSchema.fieldNames.toSeq == Seq("id", "tag", "score"),
+      sidecarSchema.treeString)
+    intercept[IllegalArgumentException] {
+      wh.widen("t", StructType(Seq(StructField("tag", StringType))))
+    }
+    intercept[IllegalArgumentException] {
+      wh.widen("t", StructType(Seq(StructField("v", IntegerType))))
+    }
+    // time travel across the evolution boundary reads v1's narrow world
+    assert(wh.snapshotAt(1).read("t",
+      StructType(Seq(StructField("id", IntegerType),
+        StructField("v", IntegerType)))).count() == 10)
+    // optimize under a stale narrow schema refuses (the sidecar column
+    // is in NO footer — the refusal must still see it); under the full
+    // schema it compacts to uniform wide files and retires the sidecar
+    val full = StructType(evolvedPart.fields.patch(2,
+      Seq(StructField("score", DoubleType)), 0))
+    val e = intercept[IllegalArgumentException] {
+      wh.optimizeTable("t", evolvedPart, partitionBy = Seq("v"))
+    }
+    assert(e.getMessage.contains("score"), e.getMessage)
+    wh.optimizeTable("t", full, partitionBy = Seq("v"))
+    val opt = wh.currentDir("t").get
+    assert(!Files.exists(opt.resolve("_graft_schema")) &&
+      !Files.exists(opt.resolve("_graft_widened")))
+    val r3 = wh.read("t", full)
+    assert(r3.count() == 11 && r3.filter(col("tag") === "x").count() == 1)
+  }
+
+  test("widen on an ORC warehouse refuses: no footer-merge inference " +
+    "exists to read a mixed-schema ORC generation") {
+    val wh = new Warehouse(spark, tmpDir("whevoorc").toString,
+      format = "orc")
+    wh.replace("t", (0 until 5).map(i => (i, i)).toDF("id", "v"))
     val e = intercept[IllegalArgumentException] {
       wh.widen("t", StructType(Seq(StructField("tag", StringType))))
     }
-    assert(e.getMessage.contains("partitioned"), e.getMessage)
+    assert(e.getMessage.contains("parquet"), e.getMessage)
   }
 
   test("widen composes inside a transaction: contents and widened " +

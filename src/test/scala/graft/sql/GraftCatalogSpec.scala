@@ -236,4 +236,56 @@ class GraftCatalogSpec extends SparkSpec {
       SparkSession.setActiveSession(shared)
     }
   }
+
+  test("ALTER TABLE ADD COLUMN on a PARTITIONED table: sidecar schema " +
+    "resolution, null-fill, pruning intact, time travel narrow") {
+    import spark.implicits._
+    val root = tmpDir("whevopart").toString
+    val wh = new Warehouse(spark, root, catalogRetention = 4)
+    wh.transact {
+      wh.replace("p",
+        (0 until 12).map(i => (i.toLong, i % 3)).toDF("id", "v"),
+        partitionBy = Seq("v"))
+    }                                                                 // v1
+    val shared = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val sql = SparkSession.builder()
+      .config("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+      .config("spark.sql.catalog.graft.root", root)
+      .config("spark.sql.catalog.graft.retention", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try {
+      sql.sql("ALTER TABLE graft.p ADD COLUMN label STRING")
+      // resolution = sidecar data schema + DISCOVERED partition column;
+      // the sidecar itself must stay invisible to partition discovery
+      assert(sql.table("graft.p").schema.fieldNames.toSeq ==
+        Seq("id", "label", "v"))
+      assert(sql.sql("SELECT count(*) FROM graft.p").head.getLong(0) == 12)
+      assert(sql.sql("SELECT count(*) FROM graft.p WHERE label IS NULL")
+        .head.getLong(0) == 12)
+      // partition pruning still reaches the scan after the evolution
+      val q = sql.sql("SELECT id FROM graft.p WHERE v = 1")
+      assert(q.count() == 4)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters"),
+        s"partition pruning lost after partitioned widen: $plan")
+      // time travel across the boundary reads v1's own narrow schema
+      val v1 = sql.sql("SELECT * FROM graft.p VERSION AS OF 1")
+      assert(v1.schema.fieldNames.toSeq == Seq("id", "v") && v1.count() == 12)
+      // a second widening folds the sidecar-only column in
+      sql.sql("ALTER TABLE graft.p ADD COLUMN score BIGINT")
+      assert(sql.table("graft.p").schema.fieldNames.toSeq ==
+        Seq("id", "label", "score", "v"))
+      assert(sql.sql("SELECT count(*) FROM graft.p WHERE score IS NULL")
+        .head.getLong(0) == 12)
+      // the programmatic read path agrees under the explicit wide schema
+      assert(wh.read("p", sql.table("graft.p").schema)
+        .filter("label IS NULL AND v = 2").count() == 4)
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
 }
