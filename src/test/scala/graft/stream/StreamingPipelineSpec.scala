@@ -401,6 +401,56 @@ class StreamingPipelineSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming sessionize SINK: the warehouse table equals the batch " +
+    "law across waves; whole-batch replays and row redeliveries no-op") {
+    import spark.implicits._
+    val landing = tmpDir("sesssinkland").toString
+    val ckpt = tmpDir("sesssinkckpt").toString
+    val wh = new graft.etl.Warehouse(spark, tmpDir("whsesssink").toString)
+    val sink = new StreamingSessionize(spark, wh, landing, ckpt,
+      gapMillis = 60000L)
+    def wave(events: (Long, String)*): Unit = {
+      events.toSeq.map { case (u, s) => (u, java.sql.Timestamp.valueOf(s)) }
+        .toDF("user_id", "ts").coalesce(1)
+        .write.mode("append").json(landing)
+      sink.start(availableNow = true).awaitTermination()
+    }
+    // u1's session arrives out of order ACROSS waves (the bridging late
+    // event) — exactly the case the eager `sessions` mode cannot give
+    // batch parity on; the exact sink must land ONE merged session
+    wave(1L -> "2024-01-01 10:00:00", 1L -> "2024-01-01 10:01:30")
+    wave(1L -> "2024-01-01 10:00:45")
+    wave(2L -> "2024-01-01 11:00:00")  // watermark passes u1's deadline
+    wave(2L -> "2024-01-01 12:00:00")  // u1 flushed; watermark past u2#1
+    wave(3L -> "2024-01-01 13:00:00")  // u2's first session flushed
+    def rows() = wh.read("sessions", sink.sessionSchema).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString.take(19),
+        r.getTimestamp(2).toString.take(19), r.getLong(3))).toSet
+    // the batch law over everything admitted and provably final:
+    // u1's three events merge to one session (mergeIntervals IS the
+    // one-shot law, property-pinned by SessionizePropSpec); both of
+    // u2's bursts are their own closed sessions (wave 5's watermark,
+    // 12:59, passes the 12:01 deadline and AvailableNow runs a final
+    // timeout batch after the advance); u3's 13:00 is still pending
+    // (not past the watermark) and must NOT be in the table — final
+    // rows only
+    val expected = Set(
+      (1L, "2024-01-01 10:00:00", "2024-01-01 10:01:30", 3L),
+      (2L, "2024-01-01 11:00:00", "2024-01-01 11:00:00", 1L),
+      (2L, "2024-01-01 12:00:00", "2024-01-01 12:00:00", 1L))
+    assert(rows() == expected, rows())
+    val dup = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-01 10:01:30"), 3L))
+      .toDF("user_id", "session_start", "session_end", "n_events")
+    // whole-batch replay: an already-committed batch id no-ops on the
+    // high-water record
+    sink.processBatch(dup, batchId = 0L)
+    assert(rows() == expected, "replayed batch must no-op")
+    // row redelivery under a NEW batch id: the keyed append heals it
+    sink.processBatch(dup, batchId = 999L)
+    assert(rows() == expected, "redelivered session row must not duplicate")
+  }
+
   test("streaming funnel equals the batch funnel's completions across waves") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
