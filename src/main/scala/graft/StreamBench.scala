@@ -35,7 +35,8 @@ import java.nio.file.{Files, Path, StandardCopyOption}
   * files, `Trigger.AvailableNow` per wave so every wave restarts the
   * stream from its checkpoint — restart cost is part of the frame):
   * corpus near-dup dedup, split router, inverted index, count-min
-  * sketch, and the funnel state operator (one pass, noop sink — its
+  * sketch, the exact-sessionize sink (event rows, watermark-gated
+  * state), and the funnel state operator (one pass, noop sink — its
   * cost is operator state, not a warehouse).
   */
 object StreamBench {
@@ -140,6 +141,43 @@ object StreamBench {
     results += warehouseSink("cm_sketch") { (wh, landing, ckpt) =>
       val sink = new graft.stream.StreamingSketch(spark, wh, landing, ckpt)
       () => sink.start(availableNow = true).awaitTermination()
+    }
+
+    results += {
+      // exact-sessionize sink: event rows (user_id, ts) instead of docs —
+      // one event per doc id, a burst per user of 5 with a closing wave
+      // far in the future so most sessions finalize inside the run
+      def stageSessionWaves(n: Long, nWaves: Int): Seq[String] =
+        (0 until nWaves).map { w =>
+          val d = tmp(s"sess-stage$w")
+          spark.range(n * w / nWaves, n * (w + 1) / nWaves).select(
+              expr("id div 5").as("user_id"),
+              (to_timestamp(lit("2024-01-01 00:00:00")) +
+                expr("make_interval(0, 0, 0, 0, 0, 0, id * 7)")).as("ts"))
+            .coalesce(FilesPerWave).write.mode("overwrite").json(d)
+          d
+        }
+      def sessRun(n: Long, nWaves: Int): Double = {
+        val (whd, landing, ckpt) =
+          (tmp("sess-wh"), tmp("sess-l"), tmp("sess-c"))
+        val stages = stageSessionWaves(n, nWaves)
+        val sink = new graft.stream.StreamingSessionize(spark,
+          new graft.etl.Warehouse(spark, whd), landing, ckpt,
+          gapMillis = 60000L)
+        val t0 = System.nanoTime()
+        stages.foreach { st =>
+          deliver(st, landing)
+          sink.start(availableNow = true).awaitTermination()
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      try {
+        sessRun(WarmupDocs, 2)
+        Result("sessionize", nDocs, sessRun(nDocs, waves), None)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          Result("sessionize", nDocs, 0.0, Some(errStr(e)))
+      }
     }
 
     results += {
