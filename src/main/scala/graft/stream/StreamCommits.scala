@@ -352,8 +352,11 @@ object StreamCommits {
     // post-shuffle partition coalescing so a small batch doesn't schedule
     // `spark.sql.shuffle.partitions` near-empty tasks per exchange, and
     // runtime broadcast of the batch side of store joins). Re-enable it
-    // on the clone: the streaming plan itself (source -> foreachBatch
-    // sink) is planned by IncrementalExecution, which never applies AQE.
+    // on the clone: IncrementalExecution never applies AQE to the
+    // STREAMING plan regardless of the conf (its stateful exchanges
+    // plan REQUIRED_BY_STATEFUL_OPERATOR, with no AdaptiveSparkPlan) —
+    // pinned empirically in StreamingPipelineSpec's AQE-reach test so a
+    // Spark upgrade that changes this fails loudly there.
     batch.sparkSession.conf.set("spark.sql.adaptive.enabled", "true")
     wh.transact {
       if (!alreadyCommitted(wh, checkpointDir, batchId)) {

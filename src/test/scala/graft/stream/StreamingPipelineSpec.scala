@@ -401,6 +401,60 @@ class StreamingPipelineSpec extends SparkSpec {
     q.stop()
   }
 
+  test("effectivelyOnce's AQE re-enable reaches ONLY sink-internal batch " +
+    "queries — the stateful streaming plan itself stays AQE-free") {
+    import spark.implicits._
+    import Sessionize._
+    // The frame sets spark.sql.adaptive.enabled=true on the micro-batch
+    // engine's cloned session (see StreamCommits.effectivelyOnce): the
+    // derived batch queries inside a sink need AQE's post-shuffle
+    // coalescing, but AQE inside the STREAMING plan would re-plan the
+    // exchanges stateful operators pin to the state-store partitioning.
+    // This pins the split empirically so a Spark upgrade that starts
+    // honoring the conf in IncrementalExecution fails HERE, not as
+    // silent state corruption in production sinks.
+    val landing = tmpDir("aqeland").toString
+    val ckpt = tmpDir("aqeckpt").toString
+    @volatile var derivedPlanHead: String = ""
+    def wave(events: (Long, String)*): org.apache.spark.sql.streaming.StreamingQuery = {
+      events.toSeq.map { case (u, s) => (u, java.sql.Timestamp.valueOf(s)) }
+        .toDF("user_id", "ts").coalesce(1).write.mode("append").json(landing)
+      val src = spark.readStream.schema("user_id LONG, ts TIMESTAMP")
+        .json(landing).as[Event]
+      val q = Sessionize.sessionsExact(spark, src, gapMillis = 60000L)
+        .toDF().writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.sparkSession.conf.set("spark.sql.adaptive.enabled", "true")
+          derivedPlanHead = b.groupBy("user_id").count()
+            .queryExecution.executedPlan.toString.linesIterator
+            .take(1).mkString
+          // the batch must EXECUTE: a foreachBatch that runs no action
+          // never loads/commits the stateful operator's state stores,
+          // which Spark 4.1's commit validation rejects
+          b.count()
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q
+    }
+    wave(1L -> "2024-01-01 10:00:00")
+    // second run replans the stateful incremental plan AFTER the conf
+    // flip — the case that would corrupt state if AQE leaked in
+    val q2 = wave(1L -> "2024-01-01 10:00:30", 2L -> "2024-01-01 11:00:00")
+    val streamingPlan = q2.asInstanceOf[
+        org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan.toString
+    assert(!streamingPlan.contains("AdaptiveSparkPlan"),
+      s"AQE leaked into the stateful streaming plan:\n$streamingPlan")
+    assert(streamingPlan.contains("REQUIRED_BY_STATEFUL_OPERATOR"),
+      "expected the state-store-pinned exchange in the streaming plan")
+    assert(derivedPlanHead.contains("AdaptiveSparkPlan"),
+      s"sink-internal batch query did NOT get AQE: $derivedPlanHead")
+  }
+
   test("streaming sessionize SINK: the warehouse table equals the batch " +
     "law across waves; whole-batch replays and row redeliveries no-op") {
     import spark.implicits._
