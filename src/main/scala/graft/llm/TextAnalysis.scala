@@ -834,6 +834,67 @@ object TextAnalysis {
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_n")
   }
 
+  /** Apply a learned BPE merge table to a corpus — the tokenizer's
+    * ENCODE half ([[bpeMerges]] is the training half; an engine that
+    * can learn merges but not apply them leaves the user to
+    * re-implement the exact greedy scan, and any drift there silently
+    * changes every downstream token count). Each word's character
+    * symbols fold through the merges in merge-RANK order with the
+    * training scan VERBATIM (greedy left-to-right non-overlapping), so
+    * encoding the training corpus reproduces training's final symbol
+    * state, and encoding any other corpus applies the tokenizer exactly
+    * as trained.
+    *
+    * Scale shape: the merge folds run over the DISTINCT-WORD table only
+    * (k x vocab work, independent of corpus size — the same property
+    * that makes training scale); the corpus pays one narrow posexplode,
+    * one word-keyed join against the word->pieces map (broadcast when
+    * it fits — the planner's call via AQE), and the [[encodeCorpus]]
+    * order-restoring per-doc reassembly (partitioning-independent).
+    * Words outside the trained `[a-z0-9]+` alphabet — which training
+    * excluded, see [[bpeMerges]]' portability note — pass through as a
+    * single opaque piece (the real-tokenizer byte-fallback analogue).
+    * Empty/null docs encode as (0, ""). Output: (doc_id, n_pieces,
+    * pieces) with pieces space-joined in document order — the canonical
+    * cross-engine rendering, like [[encodeCorpus]]' id strings.
+    *
+    * `merges` is the [[bpeMerges]] output (or any (merge_rank, lhs,
+    * rhs) table); it is collected to the driver — bounded by the
+    * training parameter k, the same metadata class as training's own
+    * per-round argmax collects. */
+  def bpeEncode(docs: DataFrame, merges: DataFrame,
+                id: Column = col("doc_id"),
+                text: Column = col("text")): DataFrame = {
+    val ms = merges.select(col("merge_rank"), col("lhs"), col("rhs"))
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val words = docs.select(explode(wsTokens(text)).as("w")).distinct()
+    var syms: Column = filter(split(col("w"), ""), s => length(s) > 0)
+    ms.foreach { case (a, b) =>
+      val m = a + b
+      syms = aggregate(syms, array().cast("array<string>"), (acc, s) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+          .otherwise(concat(acc, array(s))))
+    }
+    val pieces = words.select(col("w"),
+        when(col("w").rlike("^[a-z0-9]+$"), syms)
+          .otherwise(array(col("w"))).as("__pieces"))
+      .select(col("w"), array_join(col("__pieces"), " ").as("__ps"),
+        size(col("__pieces")).cast("long").as("__np"))
+    docs.select(id.as("doc_id"),
+        posexplode_outer(wsTokens(text)).as(Seq("pos", "w")))
+      .join(pieces, Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(
+        coalesce(sum(when(col("pos").isNotNull, col("__np"))), lit(0L))
+          .as("n_pieces"),
+        array_join(transform(
+          array_sort(collect_list(when(col("pos").isNotNull,
+            struct(col("pos"), col("__ps"))))),
+          p => p.getField("__ps")), " ").as("pieces"))
+  }
+
   /** Frequency-ranked vocabulary: `(term, c, token_id)` with ids
     * assigned 1..V in `(count desc, term asc)` order — the tokenizer-
     * training primitive (id tables for word-level models, candidate

@@ -254,6 +254,41 @@ object Oracles {
        |             THEN (1::BIGINT << p.plane) ELSE 0 END) AS bucket
        |  FROM embeddings e, planes p GROUP BY 1)""".stripMargin
 
+  /** Shared BPE CTE chain (q129 learns, q166 applies): word-frequency
+    * table w0 over the alphabet-restricted words, each word's symbol
+    * segmentation as a chr(1)-wrapped string (\u0001sym\u0001\u0001sym\u0001...,
+    * so the greedy left-to-right non-overlapping merge IS SQL replace()
+    * and separators stop cross-symbol pattern bleed), then k unrolled
+    * rounds p$r (pair stats) / m$r (lexicographic-tie argmax) / w$r
+    * (merged segmentation). */
+  private def bpeCtes(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      s"""p$r AS (
+         |  SELECT sy[i] AS a, sy[i+1] AS b, sum(n) AS c FROM (
+         |    SELECT n, sy, unnest(range(1, len(sy))) AS i FROM (
+         |      SELECT n, string_split(trim(s, chr(1)),
+         |                             chr(1) || chr(1)) AS sy
+         |      FROM w${r - 1}))
+         |  GROUP BY 1, 2),
+         |m$r AS (SELECT a, b, CAST(c AS BIGINT) AS c FROM p$r
+         |        ORDER BY c DESC, a, b LIMIT 1),
+         |w$r AS (
+         |  SELECT w, n,
+         |         replace(s, chr(1) || a || chr(1) || chr(1) || b || chr(1),
+         |                 chr(1) || a || b || chr(1)) AS s
+         |  FROM w${r - 1} CROSS JOIN m$r)""".stripMargin
+    }.mkString(",\n")
+    s"""w0 AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS n,
+       |         regexp_replace(w, '(.)',
+       |           chr(1) || '\\1' || chr(1), 'g') AS s
+       |  FROM (SELECT unnest(list_filter(string_split($norm, ' '),
+       |          t -> len(t) > 0)) AS w FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z0-9]+$$')
+       |  GROUP BY w),
+       |$rounds""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
 
     "q147_group_sample" ->
@@ -2684,44 +2719,47 @@ object Oracles {
     },
 
     "q129_bpe_merges" -> {
-      // Each BPE round unrolled as CTEs (the kmeansCtes pattern): the
-      // word table carries its symbol segmentation as a chr(1)-wrapped
-      // string (\1sym\1\1sym\1...), so the greedy left-to-right
-      // non-overlapping merge IS SQL replace(), and the separators stop
-      // any cross-symbol pattern bleed.
       val k = 5
-      val rounds = (1 to k).map { r =>
-        s"""p$r AS (
-           |  SELECT sy[i] AS a, sy[i+1] AS b, sum(n) AS c FROM (
-           |    SELECT n, sy, unnest(range(1, len(sy))) AS i FROM (
-           |      SELECT n, string_split(trim(s, chr(1)),
-           |                             chr(1) || chr(1)) AS sy
-           |      FROM w${r - 1}))
-           |  GROUP BY 1, 2),
-           |m$r AS (SELECT a, b, CAST(c AS BIGINT) AS c FROM p$r
-           |        ORDER BY c DESC, a, b LIMIT 1),
-           |w$r AS (
-           |  SELECT w, n,
-           |         replace(s, chr(1) || a || chr(1) || chr(1) || b || chr(1),
-           |                 chr(1) || a || b || chr(1)) AS s
-           |  FROM w${r - 1} CROSS JOIN m$r)""".stripMargin
-      }.mkString(",\n")
       val finals = (1 to k).map { r =>
         if (r == 1)
           s"SELECT 1 AS merge_rank, a AS lhs, b AS rhs, c AS pair_n FROM m1"
         else s"SELECT $r, a, b, c FROM m$r"
       }.mkString("\n  UNION ALL ")
-      s"""WITH w0 AS (
-         |  SELECT w, CAST(count(*) AS BIGINT) AS n,
-         |         regexp_replace(w, '(.)',
-         |           chr(1) || '\\1' || chr(1), 'g') AS s
-         |  FROM (SELECT unnest(list_filter(string_split($norm, ' '),
-         |          t -> len(t) > 0)) AS w FROM documents)
-         |  WHERE regexp_matches(w, '^[a-z0-9]+$$')
-         |  GROUP BY w),
-         |$rounds
+      s"""WITH ${bpeCtes(k)}
          |SELECT * FROM (
          |  $finals)""".stripMargin
+    },
+
+    // the tokenizer's APPLY half: re-learn the same merges (the shared
+    // chain), then w5's final segmentation IS each alphabet word's piece
+    // list — de-wrap the chr(1) separators to a space-joined piece
+    // string, re-join the corpus tokens positionally (non-alphabet words
+    // pass through whole, like the engine), and reassemble per doc
+    "q166_bpe_encode" -> {
+      val k = 5
+      s"""WITH ${bpeCtes(k)},
+         |wp AS (
+         |  SELECT w, replace(trim(s, chr(1)), chr(1) || chr(1), ' ') AS ps
+         |  FROM w$k),
+         |tk AS (
+         |  SELECT doc_id, list_filter(string_split($norm, ' '),
+         |    t -> len(t) > 0) AS t FROM documents),
+         |tok AS (
+         |  SELECT doc_id, unnest(t) AS w,
+         |         unnest(range(len(t))) AS pos FROM tk),
+         |enc AS (
+         |  SELECT tok.doc_id, tok.pos, coalesce(wp.ps, tok.w) AS ps
+         |  FROM tok LEFT JOIN wp ON tok.w = wp.w),
+         |agg AS (
+         |  SELECT doc_id,
+         |         CAST(sum(len(string_split(ps, ' '))) AS BIGINT)
+         |           AS n_pieces,
+         |         string_agg(ps, ' ' ORDER BY pos) AS pieces
+         |  FROM enc GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(agg.n_pieces, 0) AS n_pieces,
+         |       coalesce(agg.pieces, '') AS pieces
+         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id"""
+        .stripMargin
     },
 
     "q128_pq_adc" -> {

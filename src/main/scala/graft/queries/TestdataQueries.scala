@@ -1761,6 +1761,18 @@ object TestdataQueries {
   def q129BpeMerges(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeMerges(t(s, dir, "documents"), k = 5)
 
+  /** BPE corpus encoding (X108): the tokenizer's APPLY half — learn the
+    * same five merges as q129, then encode every document with the
+    * training scan verbatim ([[graft.llm.TextAnalysis.bpeEncode]]: merge
+    * folds over the distinct-word table only, corpus pays one join +
+    * ordered reassembly). The oracle re-learns the merges with q129's
+    * CTE chain and re-applies them per word, so the whole train->encode
+    * pipeline replays exactly. */
+  def q166BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.bpeEncode(docs, TextAnalysis.bpeMerges(docs, k = 5))
+  }
+
   /** IVF-PQ ANN (X69): the IVF cell routing (16 cells, 4 probes) and
     * the PQ-ADC code scan composed — the multiplied-pruning 100 TB
     * serving shape ([[graft.llm.Similarity.ivfPqTopK]]); every stage
@@ -2255,6 +2267,7 @@ object TestdataQueries {
     "q133_ab_readout" -> q133AbReadout _,
     "q130_ivf_pq" -> q130IvfPq _,
     "q129_bpe_merges" -> q129BpeMerges _,
+    "q166_bpe_encode" -> q166BpeEncode _,
     "q128_pq_adc" -> q128PqAdc _,
     "q121_cm_freq" -> q121CmFreq _,
     "q122_collocations" -> q122Collocations _,

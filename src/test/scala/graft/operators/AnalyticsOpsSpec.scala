@@ -598,6 +598,36 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", "b", 2L))) // only the two "abc"
   }
 
+  test("bpe encode: training corpus reproduces training's final symbol " +
+    "state; order, OOV pass-through, and empty docs hold") {
+    import graft.llm.TextAnalysis
+    // merges on this corpus (hand-replayed above): (l,o), (lo,w), (e,s)
+    // -> low = [low], lowest = [low, es, t]
+    val docs = Seq(
+      (1L, "low low lowest"), (2L, "low"),
+      (3L, "lowest abé low"),              // non-alphabet word passes whole
+      (4L, ""), (5L, null.asInstanceOf[String])) // encode as (0, "")
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMerges(
+      Seq((1L, "low low lowest"), (2L, "low")).toDF("doc_id", "text"), k = 3)
+    val got = TextAnalysis.bpeEncode(docs, merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(got(1L) == ((5L, "low low low es t")), got(1L))
+    assert(got(2L) == ((1L, "low")))
+    // document order preserved; abé never split (a,b merge doesn't apply
+    // to it — outside the trained alphabet, it is one opaque piece)
+    assert(got(3L) == ((5L, "low es t abé low")), got(3L))
+    assert(got(4L) == ((0L, "")) && got(5L) == ((0L, "")))
+    // encoding ANOTHER corpus applies the tokenizer as trained: unseen
+    // words still fold through the merge table from their characters
+    val other = Seq((9L, "slow lot")).toDF("doc_id", "text")
+    val g2 = TextAnalysis.bpeEncode(other, merges).collect()
+      .map(r => (r.getLong(1), r.getString(2))).head
+    // slow: s l o w -> s lo w -> s low ; lot: l o t -> lo t
+    assert(g2 == ((4L, "s low lo t")), g2)
+  }
+
   // ------------------------------------------------------------ PQ / ADC
 
   private def vec(xs: Double*): Seq[Double] = xs.toSeq
