@@ -670,6 +670,52 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"), col("lm_score"), col("keep"))
   }
 
+  /** CCNet-style perplexity partitioning (Wenzek et al. 2020 — the
+    * production form of the LM quality filter): score every document
+    * against a reference-corpus bigram LM ([[bigramLmScore]] — higher
+    * integer score = more reference-like = lower perplexity), cut each
+    * LANGUAGE slice at exact per-slice score quantiles, and label
+    * head / middle / tail. CCNet ships the three-way per-language split
+    * rather than one fixed threshold precisely because LM score scales
+    * differ per language — head feeds pretraining directly, middle is
+    * kept for diversity, tail is dropped or down-weighted.
+    *
+    * A pure composition (the X74 discipline — the point is that the
+    * engine's pieces compose): one LM scoring pass, one two-phase
+    * exact-quantile pass over (lang, score) —
+    * [[graft.operators.EventAnalytics.exactGroupQuantiles]], never a
+    * per-language window over corpus rows — and one broadcast cutoff
+    * join. Cut law (all exact integers, ties deterministic): with
+    * per-language ascending-rank cuts at `ceil(p * n / 100)` for
+    * `loPct`/`hiPct`, a document is `head` when `score >= hi cut`,
+    * `middle` when `lo cut <= score < hi cut`, else `tail` — heavy
+    * score ties can make buckets uneven, which IS the law (the tied
+    * documents are indistinguishable to the LM). Documents with fewer
+    * than two tokens have no bigram, hence no score and no bucket
+    * (route them to a length filter — bigramLmScore's contract). */
+  def perplexityBuckets(train: DataFrame, toScore: DataFrame,
+                        lang: Column = col("lang"),
+                        loPct: Int = 34, hiPct: Int = 67,
+                        id: Column = col("doc_id"),
+                        text: Column = col("text")): DataFrame = {
+    require(1 <= loPct && loPct < hiPct && hiPct <= 100,
+      s"need 1 <= loPct < hiPct <= 100: $loPct/$hiPct")
+    val scored = bigramLmScore(train, toScore, id = id, text = text)
+      .join(toScore.select(id.as("doc_id"), lang.as("lang")), Seq("doc_id"))
+    val cuts = graft.operators.EventAnalytics.exactGroupQuantiles(
+        scored, col("lang"), col("lm_score"), Seq(loPct, hiPct))
+      .groupBy(col("g").as("lang"))
+      .agg(max(when(col("pct") === loPct, col("cut"))).as("__lo"),
+        max(when(col("pct") === hiPct, col("cut"))).as("__hi"))
+    scored.join(broadcast(cuts), Seq("lang"))
+      .withColumn("bucket",
+        when(col("lm_score") >= col("__hi"), lit("head"))
+          .when(col("lm_score") >= col("__lo"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc_id"), col("lang"),
+        col("lm_score").cast("long").as("lm_score"), col("bucket"))
+  }
+
   /** Per-slice n-gram diversity (the type–token ratio generalized to
     * n-grams — the Self-BLEU-family "is this slice repetitive?" corpus
     * readout): for each requested n, the slice's total n-gram

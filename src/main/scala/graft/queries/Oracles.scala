@@ -1994,6 +1994,54 @@ object Oracles {
          |         >= ${TestdataQueries.BigramLmMinScore} AS keep
          |FROM p GROUP BY doc_id""".stripMargin,
 
+    // q94's LM replay (even-train / odd-score) + q144's rank-cut law
+    // per language: head >= hi cut, middle >= lo cut, else tail
+    "q167_ccnet_buckets" ->
+      raw"""WITH tk AS (
+         |  SELECT doc_id, list_filter(string_split($norm, ' '),
+         |    t -> len(t) > 0) AS t
+         |  FROM documents),
+         |bi AS (
+         |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tk)),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi
+         |       WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+         |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+         |v AS (SELECT count(DISTINCT w) AS v FROM (
+         |        SELECT unnest(t) AS w FROM tk WHERE doc_id % 2 = 0)),
+         |occ AS (SELECT doc_id, w1, w2, count(*) AS m FROM bi
+         |        WHERE doc_id % 2 = 1 GROUP BY doc_id, w1, w2),
+         |p AS (
+         |  SELECT occ.doc_id, occ.m,
+         |         CAST(1000000000 AS HUGEINT) * (coalesce(c2.c2, 0) + 1)
+         |           // (coalesce(c1.c1, 0) + v.v) AS p_scaled
+         |  FROM occ
+         |  LEFT JOIN c2 ON occ.w1 = c2.w1 AND occ.w2 = c2.w2
+         |  LEFT JOIN c1 ON occ.w1 = c1.w1
+         |  CROSS JOIN v),
+         |sc AS (
+         |  SELECT p.doc_id, d.lang,
+         |         CAST(sum(m * p_scaled) // sum(m) AS BIGINT) AS lm_score
+         |  FROM p JOIN documents d ON d.doc_id = p.doc_id
+         |  GROUP BY p.doc_id, d.lang),
+         |r AS (SELECT lang, lm_score,
+         |        row_number() OVER (PARTITION BY lang ORDER BY lm_score)
+         |          AS rn,
+         |        count(*) OVER (PARTITION BY lang) AS n
+         |      FROM sc),
+         |cuts AS (
+         |  SELECT lang,
+         |         max(CASE WHEN rn = (34 * n + 99) // 100
+         |               THEN lm_score END) AS lo,
+         |         max(CASE WHEN rn = (67 * n + 99) // 100
+         |               THEN lm_score END) AS hi
+         |  FROM r GROUP BY lang)
+         |SELECT sc.doc_id, sc.lang, sc.lm_score,
+         |       CASE WHEN sc.lm_score >= cuts.hi THEN 'head'
+         |            WHEN sc.lm_score >= cuts.lo THEN 'middle'
+         |            ELSE 'tail' END AS bucket
+         |FROM sc JOIN cuts ON sc.lang = cuts.lang""".stripMargin,
+
     "q95_pagerank" -> {
       // unrolled damped-update CTEs, one per engine iteration
       val iterCtes = (1 to 4).map { i =>

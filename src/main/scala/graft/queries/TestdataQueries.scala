@@ -1312,6 +1312,19 @@ object TestdataQueries {
       minScore = BigramLmMinScore)
   }
 
+  /** CCNet perplexity buckets (X109): the q94 LM (trained on even doc
+    * ids) scores the odd docs, each LANGUAGE slice cuts at its exact
+    * 34/67 rank quantiles, and every scored doc lands head / middle /
+    * tail ([[graft.llm.TextAnalysis.perplexityBuckets]]). The oracle
+    * replays the LM exactly like q94's and the cut law exactly like
+    * q144's, per language. */
+  def q167CcnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    TextAnalysis.perplexityBuckets(
+      d.filter(col("doc_id") % 2 === 0),
+      d.filter(col("doc_id") % 2 === 1))
+  }
+
   /** The ONE part–supplier graph q95 and q98 both traverse (prefixed
     * node ids, both edge directions) — shared so the two queries, and
     * their separately-authored oracles, can never drift apart. */
@@ -2268,6 +2281,7 @@ object TestdataQueries {
     "q130_ivf_pq" -> q130IvfPq _,
     "q129_bpe_merges" -> q129BpeMerges _,
     "q166_bpe_encode" -> q166BpeEncode _,
+    "q167_ccnet_buckets" -> q167CcnetBuckets _,
     "q128_pq_adc" -> q128PqAdc _,
     "q121_cm_freq" -> q121CmFreq _,
     "q122_collocations" -> q122Collocations _,

@@ -628,6 +628,33 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(g2 == ((4L, "s low lo t")), g2)
   }
 
+  test("ccnet perplexity buckets: per-language exact cuts, head/middle/" +
+    "tail law, tie at the cut, scoreless docs excluded") {
+    import graft.llm.TextAnalysis
+    // train LM: c2(x,x)=4, c2(x,y)=1, c1(x)=5, V=2 -> smoothed p_scaled:
+    // (x,x) 5e9 div 7 = 714285714, (x,y) 2e9 div 7 = 285714285, any
+    // unseen-w1 bigram 1e9 div 2 = 500000000
+    val train = Seq((0L, "x x x x x y")).toDF("doc_id", "text")
+    // en scores: d1 714285714, d5 500000000, d3 285714285 — n=3 cuts at
+    // ranks ceil(34*3/100)=2 and ceil(67*3/100)=3 -> head/middle/tail;
+    // fr (n=2) cuts at ranks 1 and 2 -> d7 head, d9 EQUALS the lo cut ->
+    // middle, and fr has no tail: cuts are PER LANGUAGE, never global
+    val score = Seq(
+      (1L, "x x x", "en"), (3L, "x y", "en"), (5L, "z z", "en"),
+      (7L, "x x", "fr"), (9L, "x y", "fr"),
+      (11L, "solo", "en"))             // < 2 tokens: no bigram, no row
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.perplexityBuckets(train, score)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got.keySet == Set(1L, 3L, 5L, 7L, 9L), got)
+    assert(got(1L) == (("en", 714285714L, "head")))
+    assert(got(5L) == (("en", 500000000L, "middle")))
+    assert(got(3L) == (("en", 285714285L, "tail")))
+    assert(got(7L) == (("fr", 714285714L, "head")))
+    assert(got(9L) == (("fr", 285714285L, "middle")))
+  }
+
   // ------------------------------------------------------------ PQ / ADC
 
   private def vec(xs: Double*): Seq[Double] = xs.toSeq
