@@ -716,6 +716,103 @@ object TextAnalysis {
         col("lm_score").cast("long").as("lm_score"), col("bucket"))
   }
 
+  /** DSIR — data selection via importance resampling (Xie et al. 2023):
+    * score every raw-corpus document by how much more likely its hashed
+    * n-gram features are under the TARGET corpus' feature distribution
+    * than under the raw corpus' own, and keep the top slice. The
+    * production recipe behind "select web data that looks like
+    * Wikipedia/books": fit two bag-of-hashed-n-grams multinomials
+    * (target p, raw q), weight each document by its feature likelihood
+    * ratio, resample by weight.
+    *
+    * Features: whitespace unigrams AND bigrams, hashed into `buckets`
+    * cells with the engine's portable md5 bucketer
+    * ([[Sampling.hashBucket]]) — hashing makes the feature space fixed
+    * and metadata-sized regardless of corpus vocabulary, which is the
+    * published design and the reason this scales: both corpus-side
+    * count tables are at most `buckets` rows, so the corpus meets only
+    * a BROADCAST of the ratio table and never shuffles as text.
+    *
+    * Scoring law (exact integers, the [[bigramLmScore]] policy — no
+    * libm `log`): each bucket's add-one-smoothed likelihood ratio is
+    * `r(b) = 1e9 * (ct(b)+1) * (Nr+B)  div  ((cr(b)+1) * (Nt+B))`
+    * (ct/cr = target/raw bucket occurrence counts, Nt/Nr their totals,
+    * B = buckets), and a document's `dsir_weight` is the exact integer
+    * mean of `r` over its feature OCCURRENCES — the published
+    * sum-of-log-ratios is replaced by the mean scaled ratio, monotone
+    * per feature, bit-identical across engines; the per-occurrence mean
+    * (rather than the raw sum) keeps long and short documents on one
+    * scale, exactly like `lm_score`. Documents with empty text have no
+    * features, hence no weight and no row (route them to a length
+    * filter). Decimal(38) headroom: the numerator is ≤ 1e9·ct·Nr ≈
+    * 1e9·1e12·1e13 = 1e34 at 100 TB corpus scale — inside decimal(38)
+    * exact arithmetic on both engines. */
+  def dsirWeights(target: DataFrame, raw: DataFrame, buckets: Int = 512,
+                  id: Column = col("doc_id"),
+                  text: Column = col("text")): DataFrame = {
+    require(buckets >= 2, s"buckets=$buckets")
+    def feats(d: DataFrame): DataFrame = {
+      val withToks = d.select(id.as("doc_id"), wsTokens(text).as("__t"))
+      val uni = withToks.select(col("doc_id"), explode(col("__t")).as("f"))
+      val bi = withToks.select(col("doc_id"), explode(zip_with(
+        slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
+        slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("f"))
+      uni.unionByName(bi)
+        .select(col("doc_id"),
+          (Sampling.hashBucket(col("f")) % buckets).as("b"))
+    }
+    val ct = feats(target).groupBy("b").agg(count(lit(1)).as("ct"))
+    val cr = feats(raw).groupBy("b").agg(count(lit(1)).as("cr"))
+    // totals as 1-row frames (metadata-sized crossJoin, the vocab idiom)
+    val nt = ct.agg(coalesce(sum("ct"), lit(0L)).as("nt"))
+    val nr = cr.agg(coalesce(sum("cr"), lit(0L)).as("nr"))
+    val ratio = cr.join(ct, Seq("b"), "left")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .withColumn("r", expr(
+        s"""CAST(1000000000 AS DECIMAL(38,0)) * (coalesce(ct, 0L) + 1)
+           |  * (nr + $buckets)
+           |  div (CAST(cr + 1 AS DECIMAL(38,0)) * (nt + ${buckets}L))"""
+          .stripMargin))
+      .select("b", "r")
+    val occ = feats(raw).groupBy("doc_id", "b").agg(count(lit(1)).as("m"))
+    // every scored bucket appears in cr by construction, so the inner
+    // broadcast join against the ≤`buckets`-row ratio table is total
+    occ.join(broadcast(ratio), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum("m").as("n_feats"),
+        sum(expr("CAST(m AS DECIMAL(38,0)) * r")).as("__sum_r"))
+      .withColumn("dsir_weight",
+        expr("CAST(__sum_r div n_feats AS BIGINT)"))
+      .select(col("doc_id"), col("n_feats"), col("dsir_weight"))
+  }
+
+  /** DSIR selection — [[dsirWeights]] plus the deterministic keep
+    * decision: keep the top `keepPct`% of raw documents by weight. The
+    * cutoff is the exact ascending-rank `(100-keepPct)` quantile of the
+    * weights ([[graft.operators.EventAnalytics.exactGroupQuantiles]] —
+    * two narrow passes, never a global sort/window over corpus rows)
+    * and `keep = dsir_weight >= cut`; weight ties at the cut keep extra
+    * documents, which IS the law (tied documents are indistinguishable
+    * to the scorer — the [[perplexityBuckets]] convention). The
+    * published stochastic resampling (Gumbel noise) is deliberately
+    * replaced by the deterministic rank cut: reproducible across runs,
+    * engines, and partitionings. */
+  def dsirSelect(target: DataFrame, raw: DataFrame, keepPct: Int,
+                 buckets: Int = 512,
+                 id: Column = col("doc_id"),
+                 text: Column = col("text")): DataFrame = {
+    require(1 <= keepPct && keepPct <= 99, s"keepPct=$keepPct")
+    val w = dsirWeights(target, raw, buckets, id, text)
+    val cut = graft.operators.EventAnalytics.exactGroupQuantiles(
+        w.withColumn("__g", lit("all")), col("__g"), col("dsir_weight"),
+        Seq(100 - keepPct))
+      .select(col("cut"))
+    w.crossJoin(broadcast(cut))
+      .withColumn("keep", col("dsir_weight") >= col("cut"))
+      .select(col("doc_id"), col("n_feats"), col("dsir_weight"), col("keep"))
+  }
+
   /** Per-slice n-gram diversity (the type–token ratio generalized to
     * n-grams — the Self-BLEU-family "is this slice repetitive?" corpus
     * readout): for each requested n, the slice's total n-gram

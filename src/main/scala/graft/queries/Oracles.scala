@@ -2042,6 +2042,52 @@ object Oracles {
          |            ELSE 'tail' END AS bucket
          |FROM sc JOIN cuts ON sc.lang = cuts.lang""".stripMargin,
 
+    "q168_dsir" ->
+      raw"""WITH tk AS (
+         |  SELECT doc_id, list_filter(string_split($norm, ' '),
+         |    t -> len(t) > 0) AS t
+         |  FROM documents),
+         |uni AS (SELECT doc_id, unnest(t) AS f FROM tk),
+         |bi AS (
+         |  SELECT doc_id, t[i] || ' ' || t[i+1] AS f
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tk)),
+         |fe AS (
+         |  SELECT doc_id,
+         |         ('0x' || substr(md5(f), 1, 7))::BIGINT % 64 AS b
+         |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+         |ct AS (SELECT b, count(*) AS c FROM fe
+         |       WHERE doc_id % 2 = 0 GROUP BY b),
+         |cr AS (SELECT b, count(*) AS c FROM fe
+         |       WHERE doc_id % 2 = 1 GROUP BY b),
+         |nt AS (SELECT coalesce(sum(c), 0) AS n FROM ct),
+         |nr AS (SELECT coalesce(sum(c), 0) AS n FROM cr),
+         |occ AS (SELECT doc_id, b, count(*) AS m FROM fe
+         |        WHERE doc_id % 2 = 1 GROUP BY doc_id, b),
+         |r AS (
+         |  SELECT occ.doc_id, occ.m,
+         |         CAST(1000000000 AS HUGEINT) * (coalesce(ct.c, 0) + 1)
+         |           * (nr.n + 64)
+         |           // (CAST(cr.c + 1 AS HUGEINT) * (nt.n + 64)) AS r
+         |  FROM occ
+         |  JOIN cr ON occ.b = cr.b
+         |  LEFT JOIN ct ON occ.b = ct.b
+         |  CROSS JOIN nt CROSS JOIN nr),
+         |w AS (
+         |  SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_feats,
+         |         CAST(sum(CAST(m AS HUGEINT) * r) // sum(m) AS BIGINT)
+         |           AS dsir_weight
+         |  FROM r GROUP BY doc_id),
+         |c AS (
+         |  SELECT max(CASE WHEN rn = (70 * n + 99) // 100
+         |           THEN dsir_weight END) AS cut
+         |  FROM (SELECT dsir_weight,
+         |          row_number() OVER (ORDER BY dsir_weight) AS rn,
+         |          count(*) OVER () AS n
+         |        FROM w))
+         |SELECT doc_id, n_feats, dsir_weight,
+         |       dsir_weight >= c.cut AS keep
+         |FROM w CROSS JOIN c""".stripMargin,
+
     "q95_pagerank" -> {
       // unrolled damped-update CTEs, one per engine iteration
       val iterCtes = (1 to 4).map { i =>

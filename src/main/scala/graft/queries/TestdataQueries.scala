@@ -1325,6 +1325,22 @@ object TestdataQueries {
       d.filter(col("doc_id") % 2 === 1))
   }
 
+  /** X110: DSIR data selection — importance-resample the odd-doc "raw"
+    * corpus toward the even-doc "target" distribution over hashed
+    * unigram+bigram features, keep the top 30% by exact integer weight
+    * ([[graft.llm.TextAnalysis.dsirSelect]]). 64 buckets so the hashed
+    * feature space actually collides at sf0.01 (the published design —
+    * hashing IS lossy) and the smoothing + ratio branches all fire. The
+    * oracle replays the md5 bucketer, both count tables, the smoothed
+    * ratio, the occurrence mean, and the rank cut. */
+  def q168Dsir(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    TextAnalysis.dsirSelect(
+      d.filter(col("doc_id") % 2 === 0),
+      d.filter(col("doc_id") % 2 === 1),
+      keepPct = 30, buckets = 64)
+  }
+
   /** The ONE part–supplier graph q95 and q98 both traverse (prefixed
     * node ids, both edge directions) — shared so the two queries, and
     * their separately-authored oracles, can never drift apart. */
@@ -2282,6 +2298,7 @@ object TestdataQueries {
     "q129_bpe_merges" -> q129BpeMerges _,
     "q166_bpe_encode" -> q166BpeEncode _,
     "q167_ccnet_buckets" -> q167CcnetBuckets _,
+    "q168_dsir" -> q168Dsir _,
     "q128_pq_adc" -> q128PqAdc _,
     "q121_cm_freq" -> q121CmFreq _,
     "q122_collocations" -> q122Collocations _,

@@ -655,6 +655,69 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got(9L) == (("fr", 285714285L, "middle")))
   }
 
+  test("dsir: weights match an independent BigInt md5 replay; rank-cut " +
+    "keep law with a tie at the cut; empty docs excluded") {
+    import graft.llm.TextAnalysis
+    val B = 16 // small so hashed features genuinely collide
+    val target = Seq((100L, "the cat sat"), (102L, "the cat")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "the cat sat"),      // target-like -> high weight
+      (2L, "zz qq zz"),         // OOV features (ct=0 smoothing branch)
+      (3L, "zz qq zz"),         // identical -> tied weight with doc 2
+      (5L, "the dog sat"),      // mixed
+      (7L, "cat cat cat"),      // repeated feature occurrences (m > 1)
+      (9L, "")                  // no features -> no row
+    ).toDF("doc_id", "text")
+
+    // independent replay: md5 bucketer + add-one ratio + occurrence mean
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.replaceAll("\\s+", " ").split(" ").filter(_.nonEmpty).toSeq
+    def feats(t: String): Seq[Long] = {
+      val ts = toks(t)
+      val fs = ts ++ ts.zip(ts.drop(1)).map { case (a, b) => s"$a $b" }
+      fs.map { f =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(f.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.take(7), 16) % B
+      }
+    }
+    val tFeats = Seq("the cat sat", "the cat").flatMap(feats)
+    val rDocs = Seq(1L -> "the cat sat", 2L -> "zz qq zz", 3L -> "zz qq zz",
+      5L -> "the dog sat", 7L -> "cat cat cat")
+    val rFeats = rDocs.flatMap { case (_, t) => feats(t) }
+    val ct = tFeats.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cr = rFeats.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (nt, nr) = (tFeats.size.toLong, rFeats.size.toLong)
+    def ratio(b: Long): BigInt =
+      (BigInt(1000000000) * (ct.getOrElse(b, 0L) + 1) * (nr + B)) /
+        (BigInt(cr(b) + 1) * (nt + B))
+    val expWeights = rDocs.map { case (id, t) =>
+      val fs = feats(t)
+      id -> (fs.map(ratio).sum / fs.size).toLong
+    }.toMap
+
+    val got = TextAnalysis.dsirWeights(target, raw, buckets = B)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 5L, 7L), got) // doc 9 has no row
+    rDocs.foreach { case (id, t) =>
+      assert(got(id) == ((feats(t).size.toLong, expWeights(id))),
+        s"doc $id: ${got(id)} vs ${expWeights(id)}")
+    }
+    assert(expWeights(2L) == expWeights(3L)) // the engineered tie
+
+    // keep law: ascending rank cut at ceil((100-keepPct)*n/100); ties at
+    // the cut keep extra docs (the perplexityBuckets convention)
+    val sorted = expWeights.values.toSeq.sorted
+    val cut = sorted((40 * 5 + 99) / 100 - 1)
+    val sel = TextAnalysis.dsirSelect(target, raw, keepPct = 60, buckets = B)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    expWeights.foreach { case (id, w) =>
+      assert(sel(id) == (w >= cut), s"doc $id keep=${sel(id)} w=$w cut=$cut")
+    }
+  }
+
   // ------------------------------------------------------------ PQ / ADC
 
   private def vec(xs: Double*): Seq[Double] = xs.toSeq
