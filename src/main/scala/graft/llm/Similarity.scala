@@ -518,6 +518,113 @@ object Similarity {
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("s.vec_id").as("vec_id"), col("s.cosine").as("cosine"))
   }
+
+  // ------------------------------------------------- margin-based mining
+
+  /** Margin-based pair mining (Artetxe & Schwenk 2019 — the CCMatrix /
+    * LASER bitext-mining scorer): a pair (a, b) is a mined match when
+    * its similarity stands OUT against each side's own neighborhood,
+    * not merely when the raw cosine is high — raw-cosine thresholds
+    * fail because some vectors (hub points, short sentences) are close
+    * to everything. The margin here is the published "distance" variant
+    * on integer-quantized cosines, exactly:
+    *
+    *   `ci = floor(cos * 1e9 + 0.5)`  (one IEEE multiply+add+floor —
+    *   bit-identical across engines; every later step is exact integer)
+    *   `margin(a,b) = 2k*ci(a,b) - sumA(a) - sumB(b)`
+    *
+    * where `sumA(a)` is the sum of a's k best `ci` among its scored
+    * pairs (ties broken by neighbor id) and `sumB(b)` symmetrically —
+    * i.e. `2k` times the distance-margin `cos - (avgK_a + avgK_b)/2`,
+    * scaled to integers so sums are order-free and cross-engine exact.
+    * Mined pairs are the MUTUAL best (a is b's argmax by (margin desc,
+    * id) and vice versa) with `margin >= minMargin`. A side with fewer
+    * than k scored neighbors has no denominator and is excluded (in the
+    * exact variant that only happens when |A| < k or |B| < k); zero-norm
+    * vectors score the guarded -2.0 cosine and never win.
+    *
+    * Scale shape: this kernel consumes a CANDIDATE pair table. The
+    * exact variant ([[marginMine]]) broadcasts the smaller side —
+    * all-pairs is the completeness baseline, same contract as
+    * [[bruteForceTopK]]; at corpus scale feed LSH/IVF co-bucketed
+    * candidates instead ([[marginMineCandidates]]) and the kNN
+    * denominators restrict to the candidate graph — the FAISS-mining
+    * approximation CCMatrix itself ships. Per-side top-k runs as
+    * `row_number <= k` (map-side WindowGroupLimit before either
+    * shuffle), so each of the two rank passes moves at most k rows per
+    * side key. */
+  def marginScores(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k=$k")
+    val wa = Window.partitionBy("a_id").orderBy(col("ci").desc, col("b_id"))
+    val wb = Window.partitionBy("b_id").orderBy(col("ci").desc, col("a_id"))
+    def sideSum(w: org.apache.spark.sql.expressions.WindowSpec,
+                key: String, out: String): DataFrame =
+      scored.withColumn("__r", row_number().over(w)).filter(col("__r") <= k)
+        .groupBy(key).agg(count(lit(1)).as("__n"), sum("ci").as(out))
+        .filter(col("__n") === k).drop("__n")
+    scored
+      .join(sideSum(wa, "a_id", "__sa"), Seq("a_id"))
+      .join(sideSum(wb, "b_id", "__sb"), Seq("b_id"))
+      .withColumn("margin",
+        lit(2L * k) * col("ci") - col("__sa") - col("__sb"))
+      .select(col("a_id"), col("b_id"), col("ci"), col("margin"))
+  }
+
+  /** [[marginScores]] + the mutual-best mining decision. `pairs` must
+    * carry (a_id, b_id, ci). */
+  def marginMineFromScored(pairs: DataFrame, k: Int,
+                           minMargin: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = marginScores(pairs, k)
+    def best(key: String, other: String): DataFrame =
+      m.withColumn("__r", row_number().over(
+          Window.partitionBy(key).orderBy(col("margin").desc, col(other))))
+        .filter(col("__r") === 1).select("a_id", "b_id")
+    m.join(best("a_id", "b_id"), Seq("a_id", "b_id"))
+      .join(best("b_id", "a_id"), Seq("a_id", "b_id"))
+      .filter(col("margin") >= minMargin)
+      .select(col("a_id"), col("b_id"), col("ci"), col("margin"))
+  }
+
+  /** Integer-quantized guarded cosine for a joined pair of embedding
+    * columns with precomputed norms. */
+  private def ciCol(ae: Column, be: Column, an: Column, bn: Column): Column =
+    floor(cosinePre(ae, be, an, bn) * lit(1e9) + lit(0.5)).cast("long")
+
+  /** Exact margin mining: ALL pairs A x B scored, side B broadcast —
+    * use when one side fits an executor (the completeness baseline and
+    * the oracle's form); at scale use [[marginMineCandidates]]. */
+  def marginMine(a: DataFrame, b: DataFrame, k: Int = 4,
+                 minMargin: Long = Long.MinValue,
+                 id: Column = col("vec_id"),
+                 emb: Column = col("embedding")): DataFrame = {
+    val aN = a.select(id.as("a_id"), emb.as("__ae"), norm(emb).as("__an"))
+    val bN = b.select(id.as("b_id"), emb.as("__be"), norm(emb).as("__bn"))
+    val pairs = aN.crossJoin(broadcast(bN))
+      .select(col("a_id"), col("b_id"),
+        ciCol(col("__ae"), col("__be"), col("__an"), col("__bn")).as("ci"))
+    marginMineFromScored(pairs, k, minMargin)
+  }
+
+  /** Candidate-pruned margin mining: score only the supplied candidate
+    * pairs (e.g. [[rpBucket]] co-bucketed ids — one equi-join, never
+    * all-pairs) and mine with kNN denominators restricted to the
+    * candidate graph, the standard ANN-mining approximation. With
+    * candidates = all pairs this equals [[marginMine]] exactly
+    * (spec-pinned). `candidates`: (a_id, b_id). */
+  def marginMineCandidates(candidates: DataFrame, a: DataFrame, b: DataFrame,
+                           k: Int = 4, minMargin: Long = Long.MinValue,
+                           id: Column = col("vec_id"),
+                           emb: Column = col("embedding")): DataFrame = {
+    val aN = a.select(id.as("a_id"), emb.as("__ae"), norm(emb).as("__an"))
+    val bN = b.select(id.as("b_id"), emb.as("__be"), norm(emb).as("__bn"))
+    val pairs = candidates.select("a_id", "b_id").distinct()
+      .join(aN, Seq("a_id")).join(bN, Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        ciCol(col("__ae"), col("__be"), col("__an"), col("__bn")).as("ci"))
+    marginMineFromScored(pairs, k, minMargin)
+  }
 }
 
 /** Custom typed aggregator (SURVEY §2.11 tier-b extension): bounded

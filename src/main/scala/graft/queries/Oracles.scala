@@ -2088,6 +2088,39 @@ object Oracles {
          |       dsir_weight >= c.cut AS keep
          |FROM w CROSS JOIN c""".stripMargin,
 
+    "q169_margin_mine" ->
+      s"""WITH a AS (SELECT vec_id AS a_id, embedding AS e FROM embeddings
+         |           WHERE vec_id % 2 = 0),
+         |b AS (SELECT vec_id AS b_id, embedding AS e FROM embeddings
+         |      WHERE vec_id % 2 = 1),
+         |p AS (
+         |  SELECT a_id, b_id,
+         |         CAST(floor(${cosSql("a.e", "b.e")} * 1e9 + 0.5) AS BIGINT)
+         |           AS ci
+         |  FROM a CROSS JOIN b),
+         |sa AS (SELECT a_id, sum(ci) AS s FROM (
+         |         SELECT a_id, ci, row_number() OVER (
+         |           PARTITION BY a_id ORDER BY ci DESC, b_id) AS rn
+         |         FROM p) WHERE rn <= 4 GROUP BY a_id),
+         |sb AS (SELECT b_id, sum(ci) AS s FROM (
+         |         SELECT b_id, ci, row_number() OVER (
+         |           PARTITION BY b_id ORDER BY ci DESC, a_id) AS rn
+         |         FROM p) WHERE rn <= 4 GROUP BY b_id),
+         |m AS (SELECT p.a_id, p.b_id, p.ci,
+         |        CAST(8 * p.ci - sa.s - sb.s AS BIGINT) AS margin
+         |      FROM p JOIN sa USING (a_id) JOIN sb USING (b_id)),
+         |ba AS (SELECT a_id, b_id FROM (
+         |         SELECT a_id, b_id, row_number() OVER (
+         |           PARTITION BY a_id ORDER BY margin DESC, b_id) AS rn
+         |         FROM m) WHERE rn = 1),
+         |bb AS (SELECT a_id, b_id FROM (
+         |         SELECT a_id, b_id, row_number() OVER (
+         |           PARTITION BY b_id ORDER BY margin DESC, a_id) AS rn
+         |         FROM m) WHERE rn = 1)
+         |SELECT m.a_id, m.b_id, m.ci, m.margin
+         |FROM m JOIN ba USING (a_id, b_id) JOIN bb USING (a_id, b_id)
+         |WHERE m.margin >= 300000000""".stripMargin,
+
     "q95_pagerank" -> {
       // unrolled damped-update CTEs, one per engine iteration
       val iterCtes = (1 to 4).map { i =>

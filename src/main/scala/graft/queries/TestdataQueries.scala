@@ -1325,6 +1325,23 @@ object TestdataQueries {
       d.filter(col("doc_id") % 2 === 1))
   }
 
+  /** X111: margin-based pair mining (Artetxe & Schwenk — the CCMatrix
+    * bitext scorer) between the even- and odd-id embedding halves:
+    * integer-quantized cosines, distance-variant margin against each
+    * side's k=4 neighborhood, mutual-best pairs over a 3e8 margin
+    * ([[graft.llm.Similarity.marginMine]] — exact variant, odd side
+    * broadcast). The threshold drops roughly half the mutual bests at
+    * both scales, so the filter branch genuinely fires; the oracle IS
+    * the all-pairs replay (quantized cosine, both kNN sums, argmax
+    * both ways) — a completeness proof. */
+  def q169MarginMine(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.marginMine(
+      emb.filter(col("vec_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 === 1),
+      k = 4, minMargin = 300000000L)
+  }
+
   /** X110: DSIR data selection — importance-resample the odd-doc "raw"
     * corpus toward the even-doc "target" distribution over hashed
     * unigram+bigram features, keep the top 30% by exact integer weight
@@ -2299,6 +2316,7 @@ object TestdataQueries {
     "q166_bpe_encode" -> q166BpeEncode _,
     "q167_ccnet_buckets" -> q167CcnetBuckets _,
     "q168_dsir" -> q168Dsir _,
+    "q169_margin_mine" -> q169MarginMine _,
     "q128_pq_adc" -> q128PqAdc _,
     "q121_cm_freq" -> q121CmFreq _,
     "q122_collocations" -> q122Collocations _,

@@ -315,6 +315,82 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("margin mining: independent brute-force law replay; mutual-best, " +
+    "threshold, short-side exclusion, zero-norm guard, candidates==exact") {
+    val K = 2
+    val av = Seq(
+      0L -> Array(1.0f, 0.0f, 0.0f), 2L -> Array(0.9f, 0.1f, 0.0f),
+      4L -> Array(0.0f, 1.0f, 0.0f), 6L -> Array(0.5f, 0.5f, 0.2f),
+      8L -> Array(0.0f, 0.0f, 1.0f))
+    val bv = Seq(
+      1L -> Array(0.95f, 0.05f, 0.0f), 3L -> Array(0.0f, 0.9f, 0.1f),
+      5L -> Array(0.6f, 0.4f, 0.1f), 7L -> Array(0.0f, 0.0f, 0.9f),
+      9L -> Array(0.1f, 0.9f, 0.0f),
+      11L -> Array(0.0f, 0.0f, 0.0f)) // zero norm: guarded, never mined
+    val a = av.toDF("vec_id", "embedding")
+    val b = bv.toDF("vec_id", "embedding")
+
+    // independent replay — same IEEE accumulation order as VecOps
+    def ci(x: Array[Float], y: Array[Float]): Long = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) {
+        d += x(i).toDouble * y(i).toDouble
+        nx += x(i).toDouble * x(i).toDouble
+        ny += y(i).toDouble * y(i).toDouble
+        i += 1
+      }
+      val c = if (nx == 0.0 || ny == 0.0) -2.0
+        else d / (math.sqrt(nx) * math.sqrt(ny))
+      math.floor(c * 1e9 + 0.5).toLong
+    }
+    val pairs = for { (ai, ax) <- av; (bi, bx) <- bv }
+      yield (ai, bi, ci(ax, bx))
+    def topSum(xs: Seq[(Long, Long)]): Long = // (otherId, ci) -> k-best sum
+      xs.sortBy { case (o, c) => (-c, o) }.take(K).map(_._2).sum
+    val sa = pairs.groupBy(_._1).view
+      .mapValues(ps => topSum(ps.map(p => (p._2, p._3)))).toMap
+    val sb = pairs.groupBy(_._2).view
+      .mapValues(ps => topSum(ps.map(p => (p._1, p._3)))).toMap
+    val margins = pairs.map { case (ai, bi, c) =>
+      (ai, bi, c, 2L * K * c - sa(ai) - sb(bi)) }
+    def argmax(ps: Seq[(Long, Long)]): Long = // (otherId, margin) -> best
+      ps.minBy { case (o, m) => (-m, o) }._1
+    val bestA = margins.groupBy(_._1).view
+      .mapValues(ps => argmax(ps.map(p => (p._2, p._4)))).toMap
+    val bestB = margins.groupBy(_._2).view
+      .mapValues(ps => argmax(ps.map(p => (p._1, p._4)))).toMap
+    val mutual = margins.filter { case (ai, bi, _, _) =>
+      bestA(ai) == bi && bestB(bi) == ai }
+    // the fixture engineers a non-mutual best: a=0 and a=2 both point at
+    // b=1, so at most one of them can be mutual — the ∩ genuinely prunes
+    assert(mutual.size < av.size, mutual)
+    assert(!mutual.exists(_._2 == 11L)) // zero-norm never mined
+
+    val got = Similarity.marginMine(a, b, k = K).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == mutual.toSet, s"got $got\nexp $mutual")
+
+    // threshold branch: pick the median mutual margin — strictly prunes
+    val thr = mutual.map(_._4).sorted.apply(mutual.size / 2)
+    val thresholded = Similarity.marginMine(a, b, k = K, minMargin = thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expThr = mutual.filter(_._4 >= thr).map(p => (p._1, p._2)).toSet
+    assert(thresholded == expThr && thresholded.size < mutual.size)
+
+    // a side with fewer than k scored neighbors has no denominator:
+    // k > |B| excludes every a -> empty
+    assert(Similarity.marginMine(a, b, k = bv.size + 1).isEmpty)
+
+    // candidate form with candidates == all pairs IS the exact form
+    val allCand = for { (ai, _) <- av; (bi, _) <- bv } yield (ai, bi)
+    val viaCand = Similarity.marginMineCandidates(
+        allCand.toDF("a_id", "b_id"), a, b, k = K).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(viaCand == mutual.toSet)
+  }
+
   test("salted aggregation equals the plain groupBy exactly") {
     val df = (1 to 1000).map(i => (i % 7L, i.toDouble)).toDF("k", "v")
     val plain = df.groupBy("k")
