@@ -1038,6 +1038,45 @@ object TextAnalysis {
           p => p.getField("__ps")), " ").as("pieces"))
   }
 
+  /** Tokenizer fertility per corpus slice — the standard multilingual
+    * tokenizer-parity readout (fertility = subword pieces per word;
+    * Ács' metric): a tokenizer that fragments one language into 3×
+    * more pieces than another silently taxes that language's effective
+    * context window and training token budget, so pipelines audit
+    * fertility per language/domain before committing a tokenizer.
+    * Composes the BPE halves (X68 train, X108 apply) with one narrow
+    * slice-keyed groupBy — the [[bpeEncode]] join does the heavy work;
+    * the readout adds no corpus-row shuffle beyond it.
+    *
+    * Output per slice: doc/word/char/piece totals plus two exact
+    * integer-scaled rates (the no-libm policy): `fertility_scaled =
+    * 1e6 * n_pieces div n_words` (pieces per word) and
+    * `chars_per_piece_scaled = 1e6 * n_chars div n_pieces` (the
+    * compression ratio — characters are the whitespace-token
+    * characters, i.e. text minus separators). A slice with zero words
+    * (or zero pieces) has no defined rate and reports NULL rather than
+    * a fake zero. Decimal(38) headroom through 100 TB piece counts. */
+  def tokenizerFertility(docs: DataFrame, merges: DataFrame,
+                         slice: Column = col("lang"),
+                         id: Column = col("doc_id"),
+                         text: Column = col("text")): DataFrame = {
+    val enc = bpeEncode(docs, merges, id, text)
+    val st = docs.select(id.as("doc_id"), slice.as("slice"),
+      size(wsTokens(text)).cast("long").as("__w"),
+      length(array_join(wsTokens(text), "")).cast("long").as("__c"))
+    st.join(enc, Seq("doc_id"))
+      .groupBy("slice")
+      .agg(count(lit(1)).as("n_docs"), sum("__w").as("n_words"),
+        sum("__c").as("n_chars"), sum("n_pieces").as("n_pieces"))
+      .withColumn("fertility_scaled", when(col("n_words") > 0, expr(
+        "CAST(1000000 AS DECIMAL(38,0)) * n_pieces div n_words")))
+      .withColumn("chars_per_piece_scaled", when(col("n_pieces") > 0, expr(
+        "CAST(1000000 AS DECIMAL(38,0)) * n_chars div n_pieces")))
+      .select(col("slice"), col("n_docs"), col("n_words"), col("n_chars"),
+        col("n_pieces"), col("fertility_scaled"),
+        col("chars_per_piece_scaled"))
+  }
+
   /** Frequency-ranked vocabulary: `(term, c, token_id)` with ids
     * assigned 1..V in `(count desc, term asc)` order — the tokenizer-
     * training primitive (id tables for word-level models, candidate

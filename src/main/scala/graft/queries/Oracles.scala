@@ -2889,6 +2889,46 @@ object Oracles {
         .stripMargin
     },
 
+    "q170_fertility" -> {
+      val k = 5
+      s"""WITH ${bpeCtes(k)},
+         |wp AS (
+         |  SELECT w, replace(trim(s, chr(1)), chr(1) || chr(1), ' ') AS ps
+         |  FROM w$k),
+         |tk AS (
+         |  SELECT doc_id, list_filter(string_split($norm, ' '),
+         |    t -> len(t) > 0) AS t FROM documents),
+         |tok AS (
+         |  SELECT doc_id, unnest(t) AS w FROM tk),
+         |pieces AS (
+         |  SELECT tok.doc_id,
+         |         sum(len(string_split(coalesce(wp.ps, tok.w), ' ')))
+         |           AS n_pieces
+         |  FROM tok LEFT JOIN wp ON tok.w = wp.w
+         |  GROUP BY tok.doc_id),
+         |st AS (
+         |  SELECT doc_id, len(t) AS n_w,
+         |         len(array_to_string(t, '')) AS n_c
+         |  FROM tk)
+         |SELECT d.lang AS slice, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(st.n_w) AS BIGINT) AS n_words,
+         |       CAST(sum(st.n_c) AS BIGINT) AS n_chars,
+         |       CAST(sum(coalesce(pieces.n_pieces, 0)) AS BIGINT)
+         |         AS n_pieces,
+         |       CASE WHEN sum(st.n_w) > 0 THEN
+         |         CAST(CAST(1000000 AS HUGEINT)
+         |              * sum(coalesce(pieces.n_pieces, 0))
+         |              // sum(st.n_w) AS BIGINT) END AS fertility_scaled,
+         |       CASE WHEN sum(coalesce(pieces.n_pieces, 0)) > 0 THEN
+         |         CAST(CAST(1000000 AS HUGEINT) * sum(st.n_c)
+         |              // sum(coalesce(pieces.n_pieces, 0)) AS BIGINT) END
+         |         AS chars_per_piece_scaled
+         |FROM documents d
+         |JOIN st ON d.doc_id = st.doc_id
+         |LEFT JOIN pieces ON d.doc_id = pieces.doc_id
+         |GROUP BY d.lang""".stripMargin
+    },
+
     "q128_pq_adc" -> {
       // subspace-windowed dot / squared-L2 with the engine's exact
       // left-to-right accumulation (PqCode/PqLut read window index i on

@@ -1325,6 +1325,18 @@ object TestdataQueries {
       d.filter(col("doc_id") % 2 === 1))
   }
 
+  /** X112: tokenizer fertility per language — train q166's 5-merge BPE
+    * on the corpus, encode it, and report per-language pieces-per-word
+    * and chars-per-piece (the multilingual tokenizer-parity audit,
+    * [[graft.llm.TextAnalysis.tokenizerFertility]]). The oracle replays
+    * the whole train→encode chain (q129's shared CTEs) plus the
+    * per-language rate law in HUGEINT. */
+  def q170Fertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.tokenizerFertility(
+      docs, TextAnalysis.bpeMerges(docs, k = 5))
+  }
+
   /** X111: margin-based pair mining (Artetxe & Schwenk — the CCMatrix
     * bitext scorer) between the even- and odd-id embedding halves:
     * integer-quantized cosines, distance-variant margin against each
@@ -2317,6 +2329,7 @@ object TestdataQueries {
     "q167_ccnet_buckets" -> q167CcnetBuckets _,
     "q168_dsir" -> q168Dsir _,
     "q169_margin_mine" -> q169MarginMine _,
+    "q170_fertility" -> q170Fertility _,
     "q128_pq_adc" -> q128PqAdc _,
     "q121_cm_freq" -> q121CmFreq _,
     "q122_collocations" -> q122Collocations _,

@@ -628,6 +628,32 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(g2 == ((4L, "s low lo t")), g2)
   }
 
+  test("tokenizer fertility: hand-derived per-slice rates, OOV words, " +
+    "empty docs, zero-word slice reports NULL rates") {
+    import graft.llm.TextAnalysis
+    // merges on this train corpus (replayed in the bpe specs):
+    // (l,o), (lo,w), (e,s) -> low = [low] (1 piece), lowest = [low,es,t]
+    val merges = TextAnalysis.bpeMerges(
+      Seq((1L, "low low lowest"), (2L, "low")).toDF("doc_id", "text"), k = 3)
+    val docs = Seq(
+      (1L, "low low lowest", "en"), // 3 words, 12 chars, 1+1+3=5 pieces
+      (2L, "low abé", "fr"),        // abé OOV -> 1 whole piece; 2w 6c 2p
+      (4L, "", "fr"),               // empty: contributes only to n_docs
+      (6L, "", "zz")                // whole slice empty -> NULL rates
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.tokenizerFertility(docs, merges)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5),
+        if (r.isNullAt(6)) -1L else r.getLong(6)))).toMap
+    // en: fertility 1e6*5 div 3 = 1666666; chars/piece 1e6*12 div 5
+    assert(got("en") == ((1L, 3L, 12L, 5L, 1666666L, 2400000L)), got("en"))
+    // fr: 2 docs (one empty), 2 words, 6 chars, 2 pieces -> 1e6 and 3e6
+    assert(got("fr") == ((2L, 2L, 6L, 2L, 1000000L, 3000000L)), got("fr"))
+    // zz: no words, no pieces -> rates NULL (never a fake zero)
+    assert(got("zz") == ((1L, 0L, 0L, 0L, -1L, -1L)), got("zz"))
+  }
+
   test("ccnet perplexity buckets: per-language exact cuts, head/middle/" +
     "tail law, tie at the cut, scoreless docs excluded") {
     import graft.llm.TextAnalysis
