@@ -85,6 +85,25 @@ class PlanQualitySpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q168: dsir corpus occurrences meet the ratio table as a broadcast, never a cartesian") {
+    val p = plan("q168_dsir")
+    // the whole scale story: the <=buckets-row ratio table broadcasts to
+    // the per-doc occurrences; the only nested-loop shapes are the 1-row
+    // total frames (metadata crossJoins, all broadcast)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q169: margin mining's per-side top-k is a map-side group limit; no cartesian") {
+    val p = plan("q169_margin_mine")
+    // rank<=k over each side key rewrites to WindowGroupLimit, so the
+    // two denominator passes move at most k rows per key; the pair
+    // scorer itself is the documented broadcast brute-force baseline
+    // (BNLJ against a broadcast side), never a non-broadcast cartesian
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q56: decontamination broadcasts the eval side, fact side never shuffles for the join") {
     val p = plan("q56_decontamination")
     assert(p.contains("BroadcastHashJoin"), p)
