@@ -592,6 +592,49 @@ object Similarity {
   private def ciCol(ae: Column, be: Column, an: Column, bn: Column): Column =
     floor(cosinePre(ae, be, an, bn) * lit(1e9) + lit(0.5)).cast("long")
 
+  /** Hard-negative mining for contrastive/embedding training — the
+    * DPR/ANCE recipe: in-batch random negatives are too easy, so the
+    * trainer wants, per anchor, the corpus vectors that are SIMILAR
+    * but wrong. For each anchor this returns the k best corpus
+    * vectors by quantized cosine ([[ciCol]]'s `floor(cos*1e9+0.5)` —
+    * exact integers after one bit-identical IEEE step) inside a
+    * similarity BAND: `ci < hiCi` (the near-duplicate ceiling — above
+    * it a "negative" is probably an unlabeled positive, the classic
+    * false-negative poisoning) and `ci >= loCi` (the triviality floor
+    * — far-away vectors teach nothing), minus any explicitly-known
+    * positive pairs (`positives`: (query_id, vec_id), anti-joined).
+    * Ranking is deterministic: (ci desc, vec_id asc).
+    *
+    * Composes with itself: `k = 1` with no exclusions mines the band
+    * argmax as the retrieved positive; feeding that back via
+    * `positives` yields the negatives below it. Scale shape: anchors
+    * and positives broadcast (both query-set-sized — the
+    * [[bruteForceTopK]] contract); the corpus never shuffles, the
+    * band filter prunes before the bounded-heap top-k, and the heap
+    * caps map-side state at k per (anchor, partition). */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int,
+                    loCi: Long, hiCi: Long,
+                    positives: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1, s"k=$k")
+    require(loCi < hiCi, s"empty band: loCi=$loCi hiCi=$hiCi")
+    val c = corpus.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("c_nrm"))
+    val q = anchors.select(col("query_id"), col("embedding").as("q_emb"),
+      norm(col("embedding")).as("q_nrm"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        ciCol(col("q_emb"), col("embedding"), col("q_nrm"), col("c_nrm"))
+          .as("ci"))
+      .filter(col("ci") >= loCi && col("ci") < hiCi)
+    val banded = positives.fold(scored)(p =>
+      scored.join(broadcast(p.select("query_id", "vec_id")),
+        Seq("query_id", "vec_id"), "left_anti"))
+    // ci <= 1e9 << 2^53: exact through the double-typed bounded heap
+    topKPerQuery(banded.withColumn("cosine", col("ci").cast("double")), k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("cosine").cast("long").as("ci"))
+  }
+
   /** Exact margin mining: ALL pairs A x B scored, side B broadcast —
     * use when one side fits an executor (the completeness baseline and
     * the oracle's form); at scale use [[marginMineCandidates]]. */

@@ -2088,6 +2088,24 @@ object Oracles {
          |       dsir_weight >= c.cut AS keep
          |FROM w CROSS JOIN c""".stripMargin,
 
+    "q171_hard_negatives" ->
+      s"""WITH a AS (SELECT vec_id AS query_id, embedding AS e
+         |           FROM embeddings WHERE vec_id < 8),
+         |p AS (
+         |  SELECT a.query_id, c.vec_id,
+         |         CAST(floor(${cosSql("a.e", "c.embedding")} * 1e9 + 0.5)
+         |              AS BIGINT) AS ci
+         |  FROM a CROSS JOIN embeddings c
+         |  WHERE c.vec_id <> a.query_id),
+         |r AS (
+         |  SELECT query_id, vec_id, ci,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY ci DESC, vec_id) AS rn
+         |  FROM p
+         |  WHERE ci >= 100000000 AND ci < 300000000)
+         |SELECT query_id, CAST(rn - 1 AS INT) AS rank, vec_id, ci
+         |FROM r WHERE rn >= 2 AND rn <= 6""".stripMargin,
+
     "q169_margin_mine" ->
       s"""WITH a AS (SELECT vec_id AS a_id, embedding AS e FROM embeddings
          |           WHERE vec_id % 2 = 0),

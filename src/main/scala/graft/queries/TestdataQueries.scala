@@ -1325,6 +1325,26 @@ object TestdataQueries {
       d.filter(col("doc_id") % 2 === 1))
   }
 
+  /** X113: hard-negative mining (the DPR/ANCE contrastive-training
+    * recipe, [[graft.llm.Similarity.hardNegatives]]): per anchor, the
+    * 5 best band-similar corpus vectors AFTER excluding the band
+    * argmax as the retrieved positive (the operator composed with
+    * itself at k=1). Band [0.1, 0.3) on these embeddings makes every
+    * branch bind: the ceiling cuts real pairs (tail to ~0.49), the
+    * floor cuts the mass near 0, and the positive exclusion shifts
+    * every rank. Oracle = the banded all-pairs replay where ranks
+    * 2..6 re-rank as 1..5. */
+  def q171HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val anchors = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val pos = Similarity.hardNegatives(emb, anchors, k = 1,
+        loCi = 100000000L, hiCi = 300000000L)
+      .select("query_id", "vec_id")
+    Similarity.hardNegatives(emb, anchors, k = 5,
+      loCi = 100000000L, hiCi = 300000000L, Some(pos))
+  }
+
   /** X112: tokenizer fertility per language — train q166's 5-merge BPE
     * on the corpus, encode it, and report per-language pieces-per-word
     * and chars-per-piece (the multilingual tokenizer-parity audit,
@@ -2330,6 +2350,7 @@ object TestdataQueries {
     "q168_dsir" -> q168Dsir _,
     "q169_margin_mine" -> q169MarginMine _,
     "q170_fertility" -> q170Fertility _,
+    "q171_hard_negatives" -> q171HardNegatives _,
     "q128_pq_adc" -> q128PqAdc _,
     "q121_cm_freq" -> q121CmFreq _,
     "q122_collocations" -> q122Collocations _,

@@ -391,6 +391,56 @@ class LlmOpsSpec extends SparkSpec {
     assert(viaCand == mutual.toSet)
   }
 
+  test("hard negatives: band replay — near-dup ceiling, triviality " +
+    "floor, positive exclusion reshifts ranks, self never scored") {
+    val corpus = Seq(
+      0L -> Array(1.0f, 0.0f, 0.0f),   // anchor itself: never scored
+      1L -> Array(0.99f, 0.14f, 0.0f), // cos ~0.990 -> above ceiling
+      2L -> Array(0.8f, 0.6f, 0.0f),   // cos 0.8    -> in band, best
+      3L -> Array(0.7f, 0.71f, 0.1f),  // in band
+      4L -> Array(0.6f, 0.8f, 0.0f),   // in band (0.6)
+      5L -> Array(0.0f, 1.0f, 0.0f),   // cos 0      -> below floor
+      6L -> Array(-1.0f, 0.0f, 0.0f))  // cos -1     -> below floor
+      .toDF("vec_id", "embedding")
+    val anchors = Seq(0L -> Array(1.0f, 0.0f, 0.0f))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id".as("query_id"), $"embedding")
+    val (lo, hi) = (500000000L, 900000000L)
+
+    def ci(x: Array[Float], y: Array[Float]): Long = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) {
+        d += x(i).toDouble * y(i).toDouble
+        nx += x(i).toDouble * x(i).toDouble
+        ny += y(i).toDouble * y(i).toDouble; i += 1
+      }
+      math.floor(d / (math.sqrt(nx) * math.sqrt(ny)) * 1e9 + 0.5).toLong
+    }
+    val a = Array(1.0f, 0.0f, 0.0f)
+    val cis = Seq(1L, 2L, 3L, 4L, 5L, 6L).map(i =>
+      i -> ci(a, Seq(Array(0.99f, 0.14f, 0.0f), Array(0.8f, 0.6f, 0.0f),
+        Array(0.7f, 0.71f, 0.1f), Array(0.6f, 0.8f, 0.0f),
+        Array(0.0f, 1.0f, 0.0f), Array(-1.0f, 0.0f, 0.0f))(i.toInt - 1)))
+    val band = cis.filter { case (_, c) => c >= lo && c < hi }
+      .sortBy { case (id, c) => (-c, id) }
+    assert(band.map(_._1) == Seq(2L, 3L, 4L)) // 1 above hi, 5/6 below lo
+
+    val got = Similarity.hardNegatives(corpus, anchors, k = 5, lo, hi)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == band.zipWithIndex.map { case ((id, c), i) =>
+      (i + 1, id, c) }, got.toSeq)
+
+    // excluding the band argmax as the known positive reshifts ranks:
+    // the operator composed with itself at k = 1
+    val pos = Similarity.hardNegatives(corpus, anchors, k = 1, lo, hi)
+      .select("query_id", "vec_id")
+    assert(pos.collect().map(_.getLong(1)).toSeq == Seq(2L))
+    val negs = Similarity.hardNegatives(corpus, anchors, k = 5, lo, hi,
+        Some(pos)).collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(negs == Seq((1, 3L), (2, 4L)), negs)
+  }
+
   test("salted aggregation equals the plain groupBy exactly") {
     val df = (1 to 1000).map(i => (i % 7L, i.toDouble)).toDF("k", "v")
     val plain = df.groupBy("k")
