@@ -553,17 +553,25 @@ object Similarity {
     * `row_number <= k` (map-side WindowGroupLimit before either
     * shuffle), so each of the two rank passes moves at most k rows per
     * side key. */
-  def marginScores(scored: DataFrame, k: Int): DataFrame = {
+  def marginScores(scored: DataFrame, k: Int,
+                   onPersist: DataFrame => Unit = _ => ()): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"k=$k")
+    // the pair scoring (one dot per candidate) feeds THREE consumers —
+    // both side sums and the join base — so it persists once instead of
+    // re-running the dot products per branch (the GraphRank discipline;
+    // long-lived callers unpersist via onPersist)
+    val sc = scored.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    onPersist(sc)
     val wa = Window.partitionBy("a_id").orderBy(col("ci").desc, col("b_id"))
     val wb = Window.partitionBy("b_id").orderBy(col("ci").desc, col("a_id"))
     def sideSum(w: org.apache.spark.sql.expressions.WindowSpec,
                 key: String, out: String): DataFrame =
-      scored.withColumn("__r", row_number().over(w)).filter(col("__r") <= k)
+      sc.withColumn("__r", row_number().over(w)).filter(col("__r") <= k)
         .groupBy(key).agg(count(lit(1)).as("__n"), sum("ci").as(out))
         .filter(col("__n") === k).drop("__n")
-    scored
+    sc
       .join(sideSum(wa, "a_id", "__sa"), Seq("a_id"))
       .join(sideSum(wb, "b_id", "__sb"), Seq("b_id"))
       .withColumn("margin",
@@ -573,10 +581,15 @@ object Similarity {
 
   /** [[marginScores]] + the mutual-best mining decision. `pairs` must
     * carry (a_id, b_id, ci). */
-  def marginMineFromScored(pairs: DataFrame, k: Int,
-                           minMargin: Long): DataFrame = {
+  def marginMineFromScored(pairs: DataFrame, k: Int, minMargin: Long,
+                           onPersist: DataFrame => Unit = _ => ())
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val m = marginScores(pairs, k)
+    // the margin table likewise feeds three consumers (both argmaxes
+    // and the mutual join base) — persist, don't recompute
+    val m = marginScores(pairs, k, onPersist).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    onPersist(m)
     def best(key: String, other: String): DataFrame =
       m.withColumn("__r", row_number().over(
           Window.partitionBy(key).orderBy(col("margin").desc, col(other))))
@@ -641,13 +654,14 @@ object Similarity {
   def marginMine(a: DataFrame, b: DataFrame, k: Int = 4,
                  minMargin: Long = Long.MinValue,
                  id: Column = col("vec_id"),
-                 emb: Column = col("embedding")): DataFrame = {
+                 emb: Column = col("embedding"),
+                 onPersist: DataFrame => Unit = _ => ()): DataFrame = {
     val aN = a.select(id.as("a_id"), emb.as("__ae"), norm(emb).as("__an"))
     val bN = b.select(id.as("b_id"), emb.as("__be"), norm(emb).as("__bn"))
     val pairs = aN.crossJoin(broadcast(bN))
       .select(col("a_id"), col("b_id"),
         ciCol(col("__ae"), col("__be"), col("__an"), col("__bn")).as("ci"))
-    marginMineFromScored(pairs, k, minMargin)
+    marginMineFromScored(pairs, k, minMargin, onPersist)
   }
 
   /** Candidate-pruned margin mining: score only the supplied candidate
@@ -659,14 +673,16 @@ object Similarity {
   def marginMineCandidates(candidates: DataFrame, a: DataFrame, b: DataFrame,
                            k: Int = 4, minMargin: Long = Long.MinValue,
                            id: Column = col("vec_id"),
-                           emb: Column = col("embedding")): DataFrame = {
+                           emb: Column = col("embedding"),
+                           onPersist: DataFrame => Unit = _ => ())
+      : DataFrame = {
     val aN = a.select(id.as("a_id"), emb.as("__ae"), norm(emb).as("__an"))
     val bN = b.select(id.as("b_id"), emb.as("__be"), norm(emb).as("__bn"))
     val pairs = candidates.select("a_id", "b_id").distinct()
       .join(aN, Seq("a_id")).join(bN, Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         ciCol(col("__ae"), col("__be"), col("__an"), col("__bn")).as("ci"))
-    marginMineFromScored(pairs, k, minMargin)
+    marginMineFromScored(pairs, k, minMargin, onPersist)
   }
 }
 

@@ -749,21 +749,31 @@ object TextAnalysis {
     * exact arithmetic on both engines. */
   def dsirWeights(target: DataFrame, raw: DataFrame, buckets: Int = 512,
                   id: Column = col("doc_id"),
-                  text: Column = col("text")): DataFrame = {
+                  text: Column = col("text"),
+                  onPersist: DataFrame => Unit = _ => ()): DataFrame = {
     require(buckets >= 2, s"buckets=$buckets")
-    def feats(d: DataFrame): DataFrame = {
-      val withToks = d.select(id.as("doc_id"), wsTokens(text).as("__t"))
-      val uni = withToks.select(col("doc_id"), explode(col("__t")).as("f"))
-      val bi = withToks.select(col("doc_id"), explode(zip_with(
-        slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
-        slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
-        (a, b) => concat(a, lit(" "), b))).as("f"))
-      uni.unionByName(bi)
+    // unigrams ++ bigrams materialize as ONE array in one projection —
+    // a union of two explode branches would scan and tokenize the
+    // corpus twice for the same multiset of features
+    def feats(d: DataFrame): DataFrame =
+      d.select(id.as("doc_id"), wsTokens(text).as("__t"))
+        .select(col("doc_id"), explode(concat(col("__t"), zip_with(
+          slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
+          slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b)))).as("f"))
         .select(col("doc_id"),
           (Sampling.hashBucket(col("f")) % buckets).as("b"))
-    }
+    // the raw corpus is featurized ONCE: cr and Nr both derive from the
+    // per-doc occurrence table (algebraically identical to a second
+    // corpus pass), and occ persists because the ratio derivation and
+    // the scoring join both consume it (the GraphRank discipline)
+    val occ = feats(raw).groupBy("doc_id", "b").agg(count(lit(1)).as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    onPersist(occ)
     val ct = feats(target).groupBy("b").agg(count(lit(1)).as("ct"))
-    val cr = feats(raw).groupBy("b").agg(count(lit(1)).as("cr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    onPersist(ct)
+    val cr = occ.groupBy("b").agg(sum("m").as("cr"))
     // totals as 1-row frames (metadata-sized crossJoin, the vocab idiom)
     val nt = ct.agg(coalesce(sum("ct"), lit(0L)).as("nt"))
     val nr = cr.agg(coalesce(sum("cr"), lit(0L)).as("nr"))
@@ -775,7 +785,6 @@ object TextAnalysis {
            |  div (CAST(cr + 1 AS DECIMAL(38,0)) * (nt + ${buckets}L))"""
           .stripMargin))
       .select("b", "r")
-    val occ = feats(raw).groupBy("doc_id", "b").agg(count(lit(1)).as("m"))
     // every scored bucket appears in cr by construction, so the inner
     // broadcast join against the ≤`buckets`-row ratio table is total
     occ.join(broadcast(ratio), Seq("b"))
@@ -801,9 +810,14 @@ object TextAnalysis {
   def dsirSelect(target: DataFrame, raw: DataFrame, keepPct: Int,
                  buckets: Int = 512,
                  id: Column = col("doc_id"),
-                 text: Column = col("text")): DataFrame = {
+                 text: Column = col("text"),
+                 onPersist: DataFrame => Unit = _ => ()): DataFrame = {
     require(1 <= keepPct && keepPct <= 99, s"keepPct=$keepPct")
-    val w = dsirWeights(target, raw, buckets, id, text)
+    // the weight table feeds the quantile pass AND the keep join —
+    // persist, don't re-run the whole scoring pipeline twice
+    val w = dsirWeights(target, raw, buckets, id, text, onPersist)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    onPersist(w)
     val cut = graft.operators.EventAnalytics.exactGroupQuantiles(
         w.withColumn("__g", lit("all")), col("__g"), col("dsir_weight"),
         Seq(100 - keepPct))
