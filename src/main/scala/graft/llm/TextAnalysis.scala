@@ -747,46 +747,99 @@ object TextAnalysis {
     * filter). Decimal(38) headroom: the numerator is ≤ 1e9·ct·Nr ≈
     * 1e9·1e12·1e13 = 1e34 at 100 TB corpus scale — inside decimal(38)
     * exact arithmetic on both engines. */
+  /** The hashed unigram+bigram feature occurrences of a corpus:
+    * `(doc_id, b, m)` with `b` the portable md5 bucket. Unigrams ++
+    * bigrams materialize as ONE array in one projection — a union of
+    * two explode branches would scan and tokenize the corpus twice for
+    * the same multiset of features. */
+  def dsirFeatures(d: DataFrame, buckets: Int,
+                   id: Column = col("doc_id"),
+                   text: Column = col("text")): DataFrame =
+    dsirFeats(d, buckets, id, text)
+
+  private def dsirFeats(d: DataFrame, buckets: Int,
+                        id: Column, text: Column): DataFrame =
+    d.select(id.as("doc_id"), wsTokens(text).as("__t"))
+      .select(col("doc_id"), explode(concat(col("__t"), zip_with(
+        slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
+        slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)))).as("f"))
+      .select(col("doc_id"),
+        (Sampling.hashBucket(col("f")) % buckets).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("m"))
+
+  /** The DSIR ratio table — the TRAINED state of the selector, built
+    * once and applied to any number of batches ([[dsirScore]]): per
+    * bucket, the add-one-smoothed integer-scaled target/raw likelihood
+    * ratio over the given target occurrences and raw occurrences (both
+    * in [[dsirFeats]]' (doc_id, b, m) shape). ≤ `buckets`+ rows — the
+    * frozen, broadcastable artifact a production pipeline lands in the
+    * warehouse and every later scoring pass (batch or streaming) reads
+    * back. Buckets never seen in the raw corpus fall back to the
+    * smoothed floor at scoring time via [[dsirScore]]'s coalesce. */
+  def dsirRatioTable(targetOcc: DataFrame, rawOcc: DataFrame,
+                     buckets: Int): DataFrame = {
+    require(buckets >= 2, s"buckets=$buckets")
+    val ct = targetOcc.groupBy("b").agg(sum("m").as("ct"))
+    val cr = rawOcc.groupBy("b").agg(sum("m").as("cr"))
+    // totals as 1-row frames (metadata-sized crossJoin, the vocab idiom)
+    val nt = ct.agg(coalesce(sum("ct"), lit(0L)).as("nt"))
+    val nr = cr.agg(coalesce(sum("cr"), lit(0L)).as("nr"))
+    cr.join(ct, Seq("b"), "full")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .withColumn("r", expr(
+        s"""CAST(1000000000 AS DECIMAL(38,0)) * (coalesce(ct, 0L) + 1)
+           |  * (nr + $buckets)
+           |  div (CAST(coalesce(cr, 0L) + 1 AS DECIMAL(38,0))
+           |       * (nt + ${buckets}L))""".stripMargin))
+      .select("b", "r")
+  }
+
+  /** Score a batch of documents against a FROZEN ratio table — the
+    * apply half of DSIR (train once on the big corpora, score every
+    * later batch against the landed table; the
+    * tfidfSimilarityJoinFromTerms discipline, so the one-shot and
+    * production paths cannot drift): each document's `dsir_weight` is
+    * the exact integer mean of its feature occurrences' ratios. A
+    * batch feature hashed to a bucket absent from the table (possible
+    * only when the table was built from other corpora) scores the
+    * smoothed floor `1e9 div (nt-proxy)` — callers wanting that law
+    * must land the FULL `buckets`-row table ([[dsirRatioTable]] emits
+    * every bucket either corpus touched; a truly absent bucket means
+    * neither corpus ever hashed there, and the conservative neutral
+    * 1e9 is applied: unseen-everywhere features carry no evidence). */
+  def dsirScore(docs: DataFrame, ratio: DataFrame, buckets: Int,
+                id: Column = col("doc_id"),
+                text: Column = col("text")): DataFrame =
+    dsirFeats(docs, buckets, id, text)
+      .join(broadcast(ratio.select("b", "r")), Seq("b"), "left")
+      .withColumn("r", coalesce(col("r"), lit(1000000000L)))
+      .groupBy("doc_id")
+      .agg(sum("m").as("n_feats"),
+        sum(expr("CAST(m AS DECIMAL(38,0)) * r")).as("__sum_r"))
+      .withColumn("dsir_weight",
+        expr("CAST(__sum_r div n_feats AS BIGINT)"))
+      .select(col("doc_id"), col("n_feats"), col("dsir_weight"))
+
   def dsirWeights(target: DataFrame, raw: DataFrame, buckets: Int = 512,
                   id: Column = col("doc_id"),
                   text: Column = col("text"),
                   onPersist: DataFrame => Unit = _ => ()): DataFrame = {
     require(buckets >= 2, s"buckets=$buckets")
-    // unigrams ++ bigrams materialize as ONE array in one projection —
-    // a union of two explode branches would scan and tokenize the
-    // corpus twice for the same multiset of features
-    def feats(d: DataFrame): DataFrame =
-      d.select(id.as("doc_id"), wsTokens(text).as("__t"))
-        .select(col("doc_id"), explode(concat(col("__t"), zip_with(
-          slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
-          slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
-          (a, b) => concat(a, lit(" "), b)))).as("f"))
-        .select(col("doc_id"),
-          (Sampling.hashBucket(col("f")) % buckets).as("b"))
     // the raw corpus is featurized ONCE: cr and Nr both derive from the
     // per-doc occurrence table (algebraically identical to a second
     // corpus pass), and occ persists because the ratio derivation and
     // the scoring join both consume it (the GraphRank discipline)
-    val occ = feats(raw).groupBy("doc_id", "b").agg(count(lit(1)).as("m"))
+    val occ = dsirFeats(raw, buckets, id, text)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     onPersist(occ)
-    val ct = feats(target).groupBy("b").agg(count(lit(1)).as("ct"))
+    val tOcc = dsirFeats(target, buckets, id, text)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    onPersist(ct)
-    val cr = occ.groupBy("b").agg(sum("m").as("cr"))
-    // totals as 1-row frames (metadata-sized crossJoin, the vocab idiom)
-    val nt = ct.agg(coalesce(sum("ct"), lit(0L)).as("nt"))
-    val nr = cr.agg(coalesce(sum("cr"), lit(0L)).as("nr"))
-    val ratio = cr.join(ct, Seq("b"), "left")
-      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
-      .withColumn("r", expr(
-        s"""CAST(1000000000 AS DECIMAL(38,0)) * (coalesce(ct, 0L) + 1)
-           |  * (nr + $buckets)
-           |  div (CAST(cr + 1 AS DECIMAL(38,0)) * (nt + ${buckets}L))"""
-          .stripMargin))
-      .select("b", "r")
-    // every scored bucket appears in cr by construction, so the inner
-    // broadcast join against the ≤`buckets`-row ratio table is total
+    onPersist(tOcc)
+    val ratio = dsirRatioTable(tOcc, occ, buckets)
+    // every scored bucket appears in cr by construction, so the left
+    // join's neutral-fallback branch can never fire on this path and
+    // the one-shot weights ARE dsirScore over the just-built table
     occ.join(broadcast(ratio), Seq("b"))
       .groupBy("doc_id")
       .agg(sum("m").as("n_feats"),

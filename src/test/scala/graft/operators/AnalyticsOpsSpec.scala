@@ -628,6 +628,46 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(g2 == ((4L, "s low lo t")), g2)
   }
 
+  test("dsir train/apply split: scoring against the frozen ratio table " +
+    "equals the one-shot weights; unseen-everywhere bucket scores neutral") {
+    import graft.llm.TextAnalysis
+    val B = 16
+    val target = Seq((100L, "the cat sat"), (102L, "the cat"))
+      .toDF("doc_id", "text")
+    val raw = Seq(1L -> "the cat sat", 2L -> "zz qq zz", 5L -> "the dog sat",
+      7L -> "cat cat cat").toDF("doc_id", "text")
+    val ratio = TextAnalysis.dsirRatioTable(
+      TextAnalysis.dsirFeatures(target, B),
+      TextAnalysis.dsirFeatures(raw, B), B)
+    // the production path (train once, apply to the batch) IS the
+    // one-shot law — the delegation cannot drift
+    val oneShot = TextAnalysis.dsirWeights(target, raw, buckets = B)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val applied = TextAnalysis.dsirScore(raw, ratio, B)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(applied == oneShot, s"$applied vs $oneShot")
+
+    // a single-token doc whose bucket NEITHER corpus touched scores the
+    // conservative neutral 1e9: find such a word by the md5 replay
+    def bucket(f: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(f.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(7), 16) % B
+    }
+    val touched = (Seq("the cat sat", "the cat", "zz qq zz", "the dog sat",
+      "cat cat cat")).flatMap { t =>
+      val ts = t.split(" ").toSeq
+      (ts ++ ts.zip(ts.drop(1)).map { case (a, b) => s"$a $b" }).map(bucket)
+    }.toSet
+    val novel = (1 to 1000).map(i => s"w$i")
+      .find(w => !touched.contains(bucket(w)))
+    assume(novel.nonEmpty) // 16 buckets, 1000 candidates: practically sure
+    val scored = TextAnalysis.dsirScore(
+        Seq((9L, novel.get)).toDF("doc_id", "text"), ratio, B)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    assert(scored == ((1L, 1000000000L)), scored)
+  }
+
   test("tokenizer fertility: hand-derived per-slice rates, OOV words, " +
     "empty docs, zero-word slice reports NULL rates") {
     import graft.llm.TextAnalysis
