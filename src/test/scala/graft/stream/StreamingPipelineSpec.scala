@@ -809,4 +809,72 @@ class StreamingPipelineSpec extends SparkSpec {
         StructField("vec_id", LongType), StructField("cluster", IntegerType))))
       .count() == 1L, "duplicate vector corpus rows within one batch")
   }
+
+  test("streaming dsir gate: routed tables equal the batch law across " +
+    "waves; scoreless docs rejected with null weight; replay no-op") {
+    import graft.llm.TextAnalysis
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val B = 32
+    val landing = tmpDir("dsir-landing")
+    val wh = new Warehouse(spark, tmpDir("whdsir").toString)
+    // batch trainer lands the frozen ratio table
+    val target = Seq((1000L, "alpha beta gamma alpha beta"),
+      (1001L, "alpha beta gamma")).toDF("doc_id", "text")
+    val rawTrain = Seq((2000L, "zz qq pp rr ss"),
+      (2001L, "alpha zz beta qq")).toDF("doc_id", "text")
+    wh.replace("dsir_ratio", TextAnalysis.dsirRatioTable(
+      TextAnalysis.dsirFeatures(target, B),
+      TextAnalysis.dsirFeatures(rawTrain, B), B))
+
+    // the streamed corpus: target-like docs score high, junk low; doc 3
+    // arrives in BOTH waves (cross-wave redelivery heals via the key),
+    // doc 6 is whitespace-only (no features -> rejected, null weight)
+    val texts = Map(
+      0L -> "alpha beta gamma alpha", 1L -> "zz qq zz qq pp",
+      2L -> "alpha beta zz", 3L -> "alpha beta gamma beta",
+      4L -> "pp rr ss zz", 5L -> "gamma alpha beta alpha", 6L -> " ")
+    def jsonl(ids: Seq[Long]): String =
+      ids.map(i => s"""{"doc_id": $i, "text": "${texts(i)}"}""")
+        .mkString("\n")
+    // threshold from the batch law: between junk and target-like scores
+    val scores = TextAnalysis.dsirScore(
+        texts.toSeq.toDF("doc_id", "text"),
+        wh.read("dsir_ratio", StructType(Seq(StructField("b", LongType),
+          StructField("r", LongType)))), B)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(!scores.contains(6L)) // whitespace-only doc has no features
+    val minW = (scores(1L) + scores(0L)) / 2
+    assert(scores.values.exists(_ >= minW) &&
+      scores.values.exists(_ < minW)) // both branches live
+
+    val gate = new StreamingDsirGate(spark, wh, landing.toString,
+      tmpDir("ckpt-dsir").toString, buckets = B, minWeight = minW)
+    writeCsv(landing, "w1.json", jsonl(Seq(0L, 1L, 2L, 3L)))
+    gate.start(availableNow = true).awaitTermination()
+    writeCsv(landing, "w2.json",
+      jsonl(Seq(3L, 4L, 5L, 6L)) + "\nnot json\n{\"doc_id\": 99}")
+    gate.start(availableNow = true).awaitTermination()
+
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("n_feats", LongType), StructField("dsir_weight", LongType)))
+    def table(t: String) = wh.read(t, outSchema).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val kept = table("corpus_kept"); val rejected = table("corpus_rejected")
+    val expKept = scores.filter(_._2 >= minW).keySet
+    val expRej = scores.filter(_._2 < minW).keySet + 6L
+    assert(kept.keySet == expKept, s"$kept")
+    assert(rejected.keySet == expRej, s"$rejected")
+    kept.foreach { case (id, w) => assert(w.contains(scores(id))) }
+    assert(rejected(6L).isEmpty, "scoreless doc must carry a null weight")
+    rejected.collect { case (id, Some(w)) => assert(w == scores(id)) }
+
+    // whole-batch replay: an already-committed batch id no-ops
+    gate.processBatch(Seq((0L, texts(0L)), (1L, texts(1L)))
+      .toDF("doc_id", "text"), 0L)
+    assert(table("corpus_kept") == kept &&
+      table("corpus_rejected") == rejected, "replayed batch must no-op")
+  }
 }
