@@ -605,6 +605,45 @@ object Similarity {
   private def ciCol(ae: Column, be: Column, an: Column, bn: Column): Column =
     floor(cosinePre(ae, be, an, bn) * lit(1e9) + lit(0.5)).cast("long")
 
+  /** Cluster-balanced corpus subset — the DataComp/LAION-style
+    * diversity-capping curation stage: assign every vector to its
+    * nearest fixed centroid ([[assignTo]] — the k-means state the
+    * pipeline already landed), rank within each cluster by the
+    * engine's deterministic md5 law ([[Sampling.groupSample]]'s
+    * (hash(id), id) order — no RNG, partition-invariant), and KEEP at
+    * most `cap` per cluster. Over-represented clusters (boilerplate
+    * families, spam templates, near-duplicate scrapes) stop dominating
+    * the training mix while rare clusters survive whole — the
+    * diversity complement to similarity dedup, which removes pairs but
+    * cannot shrink a 10M-doc template cluster of mutually-dissimilar
+    * members.
+    *
+    * Returns EVERY assigned row with (cluster, sample_rank, keep) —
+    * capped-out rows stay visible with a null rank for audit (the
+    * never-drop-silently discipline); callers filter `keep`. Scale
+    * shape: the assignment is a shuffle-free projection against
+    * broadcast-literal centroids, persisted once because the rank pass
+    * and the audit join both consume it; the rank pass is `row_number
+    * <= cap` — map-side WindowGroupLimit, so at most `cap` rows per
+    * cluster per partition shuffle — and the audit join is id-keyed. */
+  def clusterBalancedSample(corpus: DataFrame,
+                            centroids: Array[Array[Double]], cap: Int,
+                            onPersist: DataFrame => Unit = _ => ())
+      : DataFrame = {
+    require(cap >= 1, s"cap=$cap")
+    val assigned = assignTo(corpus, centroids)
+      .select(col("vec_id"), col("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    onPersist(assigned)
+    val kept = Sampling.groupSample(assigned, col("cluster"),
+      col("vec_id"), cap)
+    assigned
+      .join(kept.select(col("vec_id"), col("sample_rank")),
+        Seq("vec_id"), "left")
+      .withColumn("keep", col("sample_rank").isNotNull)
+      .select(col("vec_id"), col("cluster"), col("sample_rank"), col("keep"))
+  }
+
   /** Hard-negative mining for contrastive/embedding training — the
     * DPR/ANCE recipe: in-batch random negatives are too easy, so the
     * trainer wants, per anchor, the corpus vectors that are SIMILAR

@@ -1539,6 +1539,19 @@ object Oracles {
          |       round(cos, 6) AS cosine
          |FROM a2""".stripMargin,
 
+    "q172_cluster_cap" ->
+      s"""WITH ${kmeansCtes(8, 2)},
+         |r AS (
+         |  SELECT vec_id, CAST(cluster AS INT) AS cluster,
+         |         row_number() OVER (PARTITION BY cluster
+         |           ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+         |                     1, 7))::BIGINT, vec_id) AS rn
+         |  FROM a2)
+         |SELECT vec_id, cluster,
+         |       CASE WHEN rn <= 20 THEN CAST(rn AS INT) END AS sample_rank,
+         |       rn <= 20 AS keep
+         |FROM r""".stripMargin,
+
     "q74_semdedup" ->
       s"""WITH ${kmeansCtes(8, 2)},
          |dropped AS (

@@ -1325,6 +1325,16 @@ object TestdataQueries {
       d.filter(col("doc_id") % 2 === 1))
   }
 
+  /** X115: cluster-balanced subset (the DataComp/LAION diversity cap,
+    * [[graft.llm.Similarity.clusterBalancedSample]]): q73's k-means
+    * state caps every cluster at 20 by the deterministic md5 rank;
+    * capped-out rows stay visible with null rank. The oracle replays
+    * the whole chain — the two Lloyd iterations through q73's shared
+    * CTEs, then the q147 rank law per cluster. */
+  def q172ClusterCap(s: SparkSession, dir: String): DataFrame =
+    Similarity.clusterBalancedSample(
+      t(s, dir, "embeddings"), embeddingCentroids(s, dir), cap = 20)
+
   /** X113: hard-negative mining (the DPR/ANCE contrastive-training
     * recipe, [[graft.llm.Similarity.hardNegatives]]): per anchor, the
     * 5 best band-similar corpus vectors AFTER excluding the band
@@ -2351,6 +2361,7 @@ object TestdataQueries {
     "q169_margin_mine" -> q169MarginMine _,
     "q170_fertility" -> q170Fertility _,
     "q171_hard_negatives" -> q171HardNegatives _,
+    "q172_cluster_cap" -> q172ClusterCap _,
     "q128_pq_adc" -> q128PqAdc _,
     "q121_cm_freq" -> q121CmFreq _,
     "q122_collocations" -> q122Collocations _,

@@ -391,6 +391,40 @@ class LlmOpsSpec extends SparkSpec {
     assert(viaCand == mutual.toSet)
   }
 
+  test("cluster-balanced sample: md5 rank law per cluster, cap binds " +
+    "only where clusters overflow, drops stay visible with null rank") {
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val corpus = Seq( // 4 vectors near centroid 0, 2 near centroid 1
+      10L -> Array(1.0f, 0.1f), 11L -> Array(1.0f, 0.2f),
+      12L -> Array(0.9f, 0.1f), 13L -> Array(0.8f, 0.3f),
+      20L -> Array(0.1f, 1.0f), 21L -> Array(0.0f, 0.9f))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.clusterBalancedSample(corpus, cents, cap = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2), r.getBoolean(3)))).toMap
+    assert(got.keySet == Set(10L, 11L, 12L, 13L, 20L, 21L))
+    // cluster 1 is under the cap: both kept, ranks by the md5 law
+    def hb(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(7), 16)
+    }
+    def ranks(ids: Seq[Long]): Map[Long, Int] =
+      ids.sortBy(i => (hb(i), i)).zipWithIndex
+        .map { case (i, r) => i -> (r + 1) }.toMap
+    val c1 = ranks(Seq(20L, 21L))
+    assert(got(20L) == ((1, c1(20L), true)) &&
+      got(21L) == ((1, c1(21L), true)), got)
+    // cluster 0 overflows: exactly the 2 smallest (hash, id) keep; the
+    // capped-out rows stay visible with null rank and keep=false
+    val c0 = ranks(Seq(10L, 11L, 12L, 13L))
+    Seq(10L, 11L, 12L, 13L).foreach { i =>
+      val exp = if (c0(i) <= 2) ((0, c0(i), true)) else ((0, -1, false))
+      assert(got(i) == exp, s"$i: ${got(i)} vs $exp")
+    }
+  }
+
   test("hard negatives: band replay — near-dup ceiling, triviality " +
     "floor, positive exclusion reshifts ranks, self never scored") {
     val corpus = Seq(
