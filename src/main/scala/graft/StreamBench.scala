@@ -143,6 +143,23 @@ object StreamBench {
       () => sink.start(availableNow = true).awaitTermination()
     }
 
+    results += warehouseSink("dsir_gate") { (wh, landing, ckpt) =>
+      // trained state lands untimed (setup, like the warehouse creation
+      // itself): even docs train the target model, odd docs the raw one;
+      // the neutral 1e9 threshold splits a same-distribution corpus
+      // roughly in half, so both routed appends run every batch
+      import graft.llm.TextAnalysis
+      val buckets = 512
+      wh.replace("dsir_ratio", TextAnalysis.dsirRatioTable(
+        TextAnalysis.dsirFeatures(docs.filter(col("doc_id") % 2 === 0),
+          buckets),
+        TextAnalysis.dsirFeatures(docs.filter(col("doc_id") % 2 === 1),
+          buckets), buckets))
+      val sink = new graft.stream.StreamingDsirGate(spark, wh, landing,
+        ckpt, buckets = buckets, minWeight = 1000000000L)
+      () => sink.start(availableNow = true).awaitTermination()
+    }
+
     results += {
       // exact-sessionize sink: event rows (user_id, ts) instead of docs —
       // one event per doc id, a burst per user of 5 with a closing wave
