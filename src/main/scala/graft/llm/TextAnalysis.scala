@@ -92,6 +92,67 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS local fingerprinting scheme): from every window of `w`
+    * consecutive token-k-gram hashes, select the minimum (rightmost
+    * position on hash ties) — the published scheme with the GUARANTEE
+    * plain sampling lacks: any shared substring of at least `w+k-1`
+    * tokens between two documents yields at least one IDENTICAL
+    * selected fingerprint in both, while storing ~2/(w+1) of the
+    * all-k-grams table ([[graft.llm.Dedup.dupSpans]]' full-density
+    * complement — winnow when the index must be sparse, keep every
+    * gram when spans must be exact). Fingerprints use the engine's
+    * portable md5 bucketer over the gram text, so selections replay
+    * cross-engine exactly.
+    *
+    * Law (exact, deterministic): grams are the `g = n-k+1` token
+    * k-grams of the whitespace-normalized text; windows are
+    * `[s, s+w')` for `s = 0..g-w'` with `w' = min(w, g)` (a document
+    * shorter than one full window winnows its single short window —
+    * every document with at least one gram yields at least one
+    * fingerprint); each window selects `argmin by (hash asc, pos
+    * desc)`; the result is the DISTINCT (doc_id, pos, fp) set — one
+    * row per selected position, exactly the published "record the
+    * selected hash once per position" form.
+    *
+    * Scale shape: one narrow gram projection (tokens materialize
+    * once), each gram expands to at most `w` window memberships (a
+    * constant-factor explode, linear in corpus size), one
+    * (doc, window) partial-aggregated argmin, one distinct — every
+    * shuffle key is (doc_id, position)-grained; nothing is quadratic
+    * and no window function sorts a whole document through one task. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4,
+                         id: Column = col("doc_id"),
+                         text: Column = col("text")): DataFrame = {
+    require(k >= 1 && w >= 1, s"k=$k w=$w")
+    val grams = docs
+      .select(id.as("doc_id"), wsTokens(text).as("__t"))
+      .select(col("doc_id"), size(col("__t")).as("__n"),
+        // sequence(1, 0) would DESCEND, not empty — guard the n < k case
+        // explicitly (such docs have no gram and produce no row)
+        posexplode(when(size(col("__t")) >= k, transform(
+            sequence(lit(1), size(col("__t")) - (k - 1)),
+            i => concat_ws(" ", slice(col("__t"), i, lit(k)))))
+          .otherwise(array().cast("array<string>")))
+          .as(Seq("pos", "__gram")))
+      .select(col("doc_id"), (col("__n") - (k - 1)).as("__g"), col("pos"),
+        Sampling.hashBucket(col("__gram")).as("fp"))
+    // each gram joins its window memberships: s in
+    // [max(0, pos-w'+1), min(pos, g-w')], w' = min(w, g)
+    val member = grams
+      .withColumn("__w", least(lit(w), col("__g")))
+      .select(col("doc_id"), col("pos"), col("fp"),
+        explode(sequence(
+          greatest(col("pos") - col("__w") + 1, lit(0)),
+          least(col("pos"), col("__g") - col("__w")))).as("__s"))
+    member
+      .groupBy(col("doc_id"), col("__s"))
+      .agg(min(struct(col("fp"), (-col("pos")).as("__np"))).as("__m"))
+      .select(col("doc_id"), (-col("__m.__np")).as("pos"),
+        col("__m.fp").as("fp"))
+      .distinct()
+  }
+
   /** PII redaction patterns, applied in order. Explicit character classes
     * only — no lookaround, no `\s`, no `\d` — so Java regex (the engine)
     * and RE2 (the DuckDB oracle) read each pattern identically. Email

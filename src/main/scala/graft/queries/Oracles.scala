@@ -2101,6 +2101,30 @@ object Oracles {
          |       dsir_weight >= c.cut AS keep
          |FROM w CROSS JOIN c""".stripMargin,
 
+    "q173_winnow" ->
+      raw"""WITH tk AS (
+         |  SELECT doc_id, list_filter(string_split($norm, ' '),
+         |    t -> len(t) > 0) AS t
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, len(t) - 2 AS g, i - 1 AS pos,
+         |         ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' '
+         |            || t[i+2]), 1, 7))::BIGINT AS fp
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+         |        FROM tk WHERE len(t) >= 3)),
+         |m AS (
+         |  SELECT doc_id, pos, fp,
+         |         unnest(range(greatest(pos - least(4, g) + 1, 0),
+         |                      least(pos, g - least(4, g)) + 1)) AS s
+         |  FROM g),
+         |sel AS (
+         |  SELECT doc_id, pos, fp,
+         |         row_number() OVER (PARTITION BY doc_id, s
+         |                            ORDER BY fp, pos DESC) AS rn
+         |  FROM m)
+         |SELECT DISTINCT doc_id, pos, fp FROM sel WHERE rn = 1"""
+        .stripMargin,
+
     "q171_hard_negatives" ->
       s"""WITH a AS (SELECT vec_id AS query_id, embedding AS e
          |           FROM embeddings WHERE vec_id < 8),

@@ -1325,6 +1325,16 @@ object TestdataQueries {
       d.filter(col("doc_id") % 2 === 1))
   }
 
+  /** X116: winnowing fingerprints (the MOSS scheme,
+    * [[graft.llm.TextAnalysis.winnowFingerprints]]) over the corpus at
+    * k=3, w=4 — every window of 4 consecutive trigram hashes selects
+    * its rightmost minimum. The corpus's repeated trigrams make equal
+    * hashes share windows, so the rightmost-tie branch fires on real
+    * data; the oracle replays grams, window membership, and the
+    * (hash asc, pos desc) argmin per window. */
+  def q173Winnow(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowFingerprints(t(s, dir, "documents"), k = 3, w = 4)
+
   /** X115: cluster-balanced subset (the DataComp/LAION diversity cap,
     * [[graft.llm.Similarity.clusterBalancedSample]]): q73's k-means
     * state caps every cluster at 20 by the deterministic md5 rank;
@@ -2362,6 +2372,7 @@ object TestdataQueries {
     "q170_fertility" -> q170Fertility _,
     "q171_hard_negatives" -> q171HardNegatives _,
     "q172_cluster_cap" -> q172ClusterCap _,
+    "q173_winnow" -> q173Winnow _,
     "q128_pq_adc" -> q128PqAdc _,
     "q121_cm_freq" -> q121CmFreq _,
     "q122_collocations" -> q122Collocations _,

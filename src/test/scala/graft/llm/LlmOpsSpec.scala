@@ -391,6 +391,52 @@ class LlmOpsSpec extends SparkSpec {
     assert(viaCand == mutual.toSet)
   }
 
+  test("winnowing: independent law replay (windows, rightmost-min ties, " +
+    "short-doc single window, sub-k docs empty); the shared-substring " +
+    "guarantee holds") {
+    import graft.llm.TextAnalysis
+    val (k, w) = (3, 4)
+    val docs = Seq(
+      1L -> "a b a b a b a b",          // repeated grams -> real hash ties
+      2L -> "x y z q",                  // g=2 < w: one short window
+      3L -> "p q",                      // n < k: no grams, no rows
+      4L -> "m n o p q r s t u v",
+      5L -> "c c m n o p q r w w")      // shares 6 tokens (w+k-1) with 4
+    val got = TextAnalysis.winnowFingerprints(
+        docs.toDF("doc_id", "text"), k, w)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).toSet).toMap
+
+    // independent replay of the published law
+    def hb(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(7), 16)
+    }
+    def law(text: String): Set[(Int, Long)] = {
+      val ts = text.split(" ").toSeq
+      if (ts.size < k) return Set.empty
+      val grams = ts.sliding(k).map(_.mkString(" ")).map(hb).toVector
+      val wp = math.min(w, grams.size)
+      (0 to grams.size - wp).flatMap { s =>
+        val win = (s until s + wp).map(p => (grams(p), p))
+        Seq(win.minBy { case (h, p) => (h, -p) }.swap)
+      }.map { case (p, h) => (p, h) }.toSet
+    }
+    docs.foreach { case (id, t) =>
+      assert(got.getOrElse(id, Set.empty) == law(t), s"doc $id")
+    }
+    assert(!got.contains(3L))
+    // doc 1's repeated "a b a"/"b a b" grams collide — the replay only
+    // matches the engine if both picked the RIGHTMOST minimal position
+    assert(law(docs.head._2).nonEmpty)
+
+    // the winnowing guarantee: any shared run of >= w+k-1 tokens yields
+    // at least one identical selected fingerprint in both documents
+    val shared = got(4L).map(_._2) intersect got(5L).map(_._2)
+    assert(shared.nonEmpty, s"${got(4L)} / ${got(5L)}")
+  }
+
   test("cluster-balanced sample: md5 rank law per cluster, cap binds " +
     "only where clusters overflow, drops stay visible with null rank") {
     val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
