@@ -92,6 +92,55 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Vocabulary growth curve — the Heaps-law corpus-scaling diagnostic:
+    * split the corpus into `slices` deterministic same-law samples (the
+    * md5 value cut — a pure projection, no rank, no shuffle to order
+    * anything) and report, per slice, the documents, tokens, NEW
+    * distinct terms (terms whose first slice this is), and the
+    * cumulative vocabulary. Reading the curve tells a pipeline how
+    * vocabulary scales with data: a flattening curve means more data
+    * buys repetition (dedup and tokenizer budgets can be extrapolated
+    * from the S points), a linear one means the domain is still open.
+    *
+    * Law (all exact integers): a document's slice is
+    * `(hash(id) * slices) div 16^7 + 1` (the [[Sampling.hashBucket]]
+    * space — the same deterministic assignment the samplers use, so
+    * "first 3 slices" IS a 30% sample another operator would draw); a
+    * term's first slice is the MIN slice over documents containing it;
+    * `cum_terms` accumulates new terms in slice order. Slices
+    * hash-balance to ±noise, not exactly n/slices — that is the
+    * sampling law, not a defect.
+    *
+    * Scale shape: one narrow projection assigns slices, one
+    * term-keyed groupBy takes the min slice (partial-aggregated), and
+    * the cumulative window runs over the ≤`slices`-row summary —
+    * metadata-sized, never over corpus rows. */
+  def vocabGrowth(docs: DataFrame, slices: Int = 10,
+                  id: Column = col("doc_id"),
+                  text: Column = col("text")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(slices >= 1, s"slices=$slices")
+    val sliced = docs
+      .select(id.as("doc_id"), wsTokens(text).as("__t"),
+        Sampling.hashBucket(id).as("__hb"))
+      .withColumn("slice",
+        expr(s"CAST((__hb * $slices) div 268435456 AS INT) + 1"))
+    val docStats = sliced.groupBy("slice")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("__t")).cast("long")).as("n_tokens"))
+    val newTerms = sliced
+      .select(col("slice"), explode(col("__t")).as("__term"))
+      .groupBy("__term").agg(min("slice").as("slice"))
+      .groupBy("slice").agg(count(lit(1)).as("new_terms"))
+    docStats.join(newTerms, Seq("slice"), "left")
+      .withColumn("new_terms", coalesce(col("new_terms"), lit(0L)))
+      // the cumulative window orders the <=`slices`-row summary only
+      .withColumn("cum_terms",
+        sum(col("new_terms")).over(Window.orderBy(col("slice"))))
+      .select(col("slice"), col("n_docs"), col("n_tokens"),
+        col("new_terms"), col("cum_terms"))
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
     * MOSS local fingerprinting scheme): from every window of `w`
     * consecutive token-k-gram hashes, select the minimum (rightmost

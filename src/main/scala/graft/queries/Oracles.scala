@@ -2101,6 +2101,26 @@ object Oracles {
          |       dsir_weight >= c.cut AS keep
          |FROM w CROSS JOIN c""".stripMargin,
 
+    "q174_vocab_growth" ->
+      raw"""WITH tk AS (
+         |  SELECT doc_id, list_filter(string_split($norm, ' '),
+         |    t -> len(t) > 0) AS t,
+         |    CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+         |      ::BIGINT * 10) // 268435456 AS INT) + 1 AS slice
+         |  FROM documents),
+         |ds AS (SELECT slice, CAST(count(*) AS BIGINT) AS n_docs,
+         |              CAST(sum(len(t)) AS BIGINT) AS n_tokens
+         |       FROM tk GROUP BY slice),
+         |fs AS (SELECT w, min(slice) AS slice FROM (
+         |         SELECT slice, unnest(t) AS w FROM tk) GROUP BY w),
+         |nt AS (SELECT slice, CAST(count(*) AS BIGINT) AS new_terms
+         |       FROM fs GROUP BY slice)
+         |SELECT ds.slice, ds.n_docs, ds.n_tokens,
+         |       coalesce(nt.new_terms, 0) AS new_terms,
+         |       CAST(sum(coalesce(nt.new_terms, 0))
+         |            OVER (ORDER BY ds.slice) AS BIGINT) AS cum_terms
+         |FROM ds LEFT JOIN nt ON ds.slice = nt.slice""".stripMargin,
+
     "q173_winnow" ->
       raw"""WITH tk AS (
          |  SELECT doc_id, list_filter(string_split($norm, ' '),

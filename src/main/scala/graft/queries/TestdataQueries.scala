@@ -1325,6 +1325,13 @@ object TestdataQueries {
       d.filter(col("doc_id") % 2 === 1))
   }
 
+  /** X117: vocabulary growth curve (Heaps-law diagnostic,
+    * [[graft.llm.TextAnalysis.vocabGrowth]]) over 10 deterministic
+    * hash slices of the corpus; the oracle replays the md5 value cut,
+    * the per-term min slice, and the cumulative sum. */
+  def q174VocabGrowth(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabGrowth(t(s, dir, "documents"), slices = 10)
+
   /** X116: winnowing fingerprints (the MOSS scheme,
     * [[graft.llm.TextAnalysis.winnowFingerprints]]) over the corpus at
     * k=3, w=4 — every window of 4 consecutive trigram hashes selects
@@ -2373,6 +2380,7 @@ object TestdataQueries {
     "q171_hard_negatives" -> q171HardNegatives _,
     "q172_cluster_cap" -> q172ClusterCap _,
     "q173_winnow" -> q173Winnow _,
+    "q174_vocab_growth" -> q174VocabGrowth _,
     "q128_pq_adc" -> q128PqAdc _,
     "q121_cm_freq" -> q121CmFreq _,
     "q122_collocations" -> q122Collocations _,

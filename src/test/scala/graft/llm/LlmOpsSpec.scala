@@ -391,6 +391,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(viaCand == mutual.toSet)
   }
 
+  test("vocab growth: md5 value-cut slices, per-term min slice, " +
+    "cumulative law; zero-new-term slices and empty docs counted") {
+    import graft.llm.TextAnalysis
+    def hb(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(7), 16)
+    }
+    def slice(id: Long, s: Int): Int = (hb(id) * s / 268435456L).toInt + 1
+    // two slices; craft ids so both slices are populated, one doc is
+    // empty, and the later slice repeats earlier vocabulary
+    val ids = (1L to 40L)
+    val s1 = ids.filter(slice(_, 2) == 1).take(3)
+    val s2 = ids.filter(slice(_, 2) == 2).take(3)
+    assume(s1.size == 3 && s2.size == 3)
+    val docs = Seq(
+      s1(0) -> "a b c", s1(1) -> "a d", s1(2) -> "",  // slice-1 vocab abcd
+      s2(0) -> "a b", s2(1) -> "c d", s2(2) -> "d a") // nothing new
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabGrowth(docs, slices = 2)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(slice(s1(0), 2)) == ((3L, 5L, 4L, 4L)), got)
+    assert(got(slice(s2(0), 2)) == ((3L, 6L, 0L, 4L)), got)
+  }
+
   test("winnowing: independent law replay (windows, rightmost-min ties, " +
     "short-doc single window, sub-k docs empty); the shared-substring " +
     "guarantee holds") {
