@@ -104,6 +104,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q172: cluster cap ranks map-side and assigns without a shuffle of the corpus") {
+    val p = plan("q172_cluster_cap")
+    // the rank pass is rank<=cap -> WindowGroupLimit; the assignment is
+    // a broadcast-literal projection, so no join shape can be cartesian
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q173: winnowing is explode + partial-aggregated argmin — no joins at all") {
+    val p = plan("q173_winnow")
+    // the law is per-(doc, window) argmin over an exploded membership
+    // table: any join shape here would mean the candidate expansion
+    // regressed into a self-join
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_min") || p.contains("HashAggregate"), p)
+  }
+
   test("q56: decontamination broadcasts the eval side, fact side never shuffles for the join") {
     val p = plan("q56_decontamination")
     assert(p.contains("BroadcastHashJoin"), p)
