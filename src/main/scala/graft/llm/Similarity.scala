@@ -644,6 +644,54 @@ object Similarity {
       .select(col("vec_id"), col("cluster"), col("sample_rank"), col("keep"))
   }
 
+  /** Embedding outlier detection — the LAION-style "far from every
+    * centroid" quality filter: a vector whose cosine to its OWN
+    * nearest centroid sits more than `sigmas` standard deviations
+    * below that cluster's mean is flagged (mislabeled pairs, garbage
+    * embeddings, encoder failures — the population each cluster's own
+    * distribution defines, which no global threshold can: clusters
+    * differ in tightness exactly like languages differ in LM score,
+    * the q167 lesson).
+    *
+    * Exact integer law (the bucket-outliers discipline — no float
+    * variance, no libm sqrt): with `ci = floor(cos*1e9 + 0.5)`,
+    * per-cluster `n`, `S = Σci`, `Q = Σci²`, a vector is an outlier
+    * iff `n·ci < S` AND `(S − n·ci)² > sigmas²·(n·Q − S²)` — the
+    * one-sided `x < μ − kσ` test with denominators cleared, every
+    * quantity exact in decimal(38) (Q ≤ n·1e18: fine through
+    * billion-row clusters). A 1-vector cluster has zero variance and
+    * flags nothing; a zero-norm vector lands in cluster 0 with
+    * cosine 0 ([[graft.expr.VectorExprs.CentroidArgMax]]'s documented
+    * no-direction law) — far below any coherent cluster's mean, so it
+    * flags whenever its cluster is tight enough to see it.
+    *
+    * Scale shape: assignment is the shuffle-free broadcast-literal
+    * projection (persisted once — the moment pass and the flag join
+    * both consume it); cluster moments are one partial-aggregated
+    * groupBy to ≤|centroids| rows, broadcast back. */
+  def embeddingOutliers(corpus: DataFrame, centroids: Array[Array[Double]],
+                        sigmas: Int = 2,
+                        onPersist: DataFrame => Unit = _ => ())
+      : DataFrame = {
+    require(sigmas >= 1, s"sigmas=$sigmas")
+    val assigned = assignTo(corpus, centroids)
+      .select(col("vec_id"), col("cluster"),
+        floor(col("cosine") * lit(1e9) + lit(0.5)).cast("long").as("ci"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    onPersist(assigned)
+    val moments = assigned.groupBy("cluster").agg(
+      count(lit(1)).as("__n"),
+      sum(expr("CAST(ci AS DECIMAL(38,0))")).as("__s"),
+      sum(expr("CAST(ci AS DECIMAL(38,0)) * ci")).as("__q"))
+    assigned.join(broadcast(moments), Seq("cluster"))
+      .withColumn("is_outlier", expr(
+        s"""__n * ci < __s AND
+           |  (__s - __n * ci) * (__s - __n * ci) >
+           |    ${sigmas.toLong * sigmas} * (__n * __q - __s * __s)"""
+          .stripMargin))
+      .select(col("vec_id"), col("cluster"), col("ci"), col("is_outlier"))
+  }
+
   /** Hard-negative mining for contrastive/embedding training — the
     * DPR/ANCE recipe: in-batch random negatives are too easy, so the
     * trainer wants, per anchor, the corpus vectors that are SIMILAR

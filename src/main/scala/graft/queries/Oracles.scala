@@ -1539,6 +1539,22 @@ object Oracles {
          |       round(cos, 6) AS cosine
          |FROM a2""".stripMargin,
 
+    "q175_embedding_outliers" ->
+      s"""WITH ${kmeansCtes(8, 2)},
+         |c AS (
+         |  SELECT vec_id, CAST(cluster AS INT) AS cluster,
+         |         CAST(floor(cos * 1e9 + 0.5) AS BIGINT) AS ci
+         |  FROM a2),
+         |m AS (
+         |  SELECT cluster, count(*) AS n, sum(CAST(ci AS HUGEINT)) AS s,
+         |         sum(CAST(ci AS HUGEINT) * ci) AS q
+         |  FROM c GROUP BY cluster)
+         |SELECT c.vec_id, c.cluster, c.ci,
+         |       (m.n * c.ci < m.s AND
+         |        (m.s - m.n * c.ci) * (m.s - m.n * c.ci) >
+         |          4 * (m.n * m.q - m.s * m.s)) AS is_outlier
+         |FROM c JOIN m USING (cluster)""".stripMargin,
+
     "q172_cluster_cap" ->
       s"""WITH ${kmeansCtes(8, 2)},
          |r AS (

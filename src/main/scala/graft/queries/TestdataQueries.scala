@@ -1325,6 +1325,16 @@ object TestdataQueries {
       d.filter(col("doc_id") % 2 === 1))
   }
 
+  /** X118: embedding outlier pruning (the LAION-style quality filter,
+    * [[graft.llm.Similarity.embeddingOutliers]]) over q73's k-means
+    * state: a vector more than 2 exact sigmas below its own cluster's
+    * mean centroid-cosine flags. The oracle replays the assignment
+    * (q73's shared CTEs) and the cleared-denominator one-sided sigma
+    * test in HUGEINT. */
+  def q175EmbeddingOutliers(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingOutliers(
+      t(s, dir, "embeddings"), embeddingCentroids(s, dir), sigmas = 2)
+
   /** X117: vocabulary growth curve (Heaps-law diagnostic,
     * [[graft.llm.TextAnalysis.vocabGrowth]]) over 10 deterministic
     * hash slices of the corpus; the oracle replays the md5 value cut,
@@ -2381,6 +2391,7 @@ object TestdataQueries {
     "q172_cluster_cap" -> q172ClusterCap _,
     "q173_winnow" -> q173Winnow _,
     "q174_vocab_growth" -> q174VocabGrowth _,
+    "q175_embedding_outliers" -> q175EmbeddingOutliers _,
     "q128_pq_adc" -> q128PqAdc _,
     "q121_cm_freq" -> q121CmFreq _,
     "q122_collocations" -> q122Collocations _,

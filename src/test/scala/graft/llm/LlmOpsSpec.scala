@@ -391,6 +391,44 @@ class LlmOpsSpec extends SparkSpec {
     assert(viaCand == mutual.toSet)
   }
 
+  test("embedding outliers: exact cleared-denominator sigma law, planted " +
+    "garbage flags, tight clusters and singletons don't, zero-norm flags") {
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    def run(corpus: Seq[(Long, Array[Float])]) = {
+      val got = Similarity.embeddingOutliers(
+          corpus.toDF("vec_id", "embedding"), cents, sigmas = 2)
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2),
+          r.getBoolean(3)))).toMap
+      // independent BigInt replay of the law over the engine's own ci
+      val byCluster = got.toSeq.groupBy(_._2._1)
+      got.foreach { case (id, (cl, ci, flagged)) =>
+        val cis = byCluster(cl).map(_._2._2)
+        val (n, s) = (BigInt(cis.size), cis.map(BigInt(_)).sum)
+        val q = cis.map(c => BigInt(c) * c).sum
+        val exp = n * ci < s &&
+          (s - n * ci) * (s - n * ci) > 4 * (n * q - s * s)
+        assert(flagged == exp, s"vec $id")
+      }
+      got
+    }
+    val a = run(Seq(
+      1L -> Array(1.0f, 0.01f), 2L -> Array(1.0f, 0.02f),
+      3L -> Array(1.0f, 0.015f), 4L -> Array(1.0f, 0.005f),
+      5L -> Array(1.0f, 0.025f),
+      6L -> Array(0.5f, 0.45f),          // garbage in cluster 0
+      9L -> Array(0.0f, 1.0f)))          // cluster 1 singleton: no flag
+    assert(a(6L)._3, "planted garbage must flag")
+    Seq(1L, 2L, 3L, 4L, 5L).foreach(i => assert(!a(i)._3, s"tight $i"))
+    assert(!a(9L)._3, "singleton cluster has zero variance: never flags")
+    // zero-norm vector: CentroidArgMax's no-direction law lands it in
+    // cluster 0 with cosine 0 — far enough below a tight cluster's
+    // mean (8 members) that even its own drag on the variance can't
+    // hide it
+    val b = run((1L to 8L).map(i =>
+      i -> Array(1.0f, 0.001f * i)) :+ (99L -> Array(0.0f, 0.0f)))
+    assert(b(99L) == ((0, 0L, true)), b(99L))
+  }
+
   test("vocab growth: md5 value-cut slices, per-term min slice, " +
     "cumulative law; zero-new-term slices and empty docs counted") {
     import graft.llm.TextAnalysis
