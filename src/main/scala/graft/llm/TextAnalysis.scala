@@ -780,6 +780,70 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"), col("lm_score"), col("keep"))
   }
 
+  /** Naive-Bayes seed quality classifier — the GPT-3-style "does this
+    * document look like the curated seed corpus" filter (Brown et al.
+    * 2020 appendix A trains a linear classifier on a positive seed vs
+    * the raw crawl; this is its NB form), trained AND applied
+    * in-engine with no feature hashing: the vocabulary IS the feature
+    * table.
+    *
+    * Train side: per-token class counts `cp(w)` / `cn(w)` over the
+    * labeled seed (a NULL `positive` is negative-class — CASE-ELSE
+    * semantics, the engine law), class token totals `tp` / `tn`, and
+    * the labeled vocabulary size `V` for add-one smoothing.
+    *
+    * Score side: every token occurrence scores the integer-scaled
+    * smoothed class-likelihood RATIO
+    * `r = 1e9 * (cp+1)(tn+V) div ((cn+1)(tp+V))` — monotone per token
+    * in the NB log-likelihood ratio `log p(w|pos) - log p(w|neg)` —
+    * and a document's `nb_score` is the integer mean of `r` over its
+    * token occurrences, `keep = nb_score >= minScore` (1e9 is the
+    * neutral point: the token is equally likely under both classes).
+    * The mean-of-scaled-ratios ordering is the documented engine
+    * policy, exactly [[bigramLmScore]]'s discipline: all arithmetic is
+    * exact integer (decimal(38,0) numerators), bit-identical across
+    * engines, no libm `log` anywhere.
+    *
+    * Scale shape: the count table is vocab-sized (shuffles keyed on
+    * the term), the three totals are ONE broadcast row, and scoring is
+    * occurrence-pre-aggregated (doc_id, w, m) before meeting the count
+    * table — the corpus text never shuffles. The LABELED side is
+    * scanned twice (the count table and its totals are separate
+    * subtrees — Catalyst prunes them differently, so the exchange is
+    * not reused) — acceptable by construction: the labeled seed is
+    * curated and small relative to the crawl being scored, and the
+    * crawl side is exactly one pass. Zero-token documents have
+    * nothing to score and produce no row (route them to a length
+    * filter — [[bigramLmScore]]'s contract); an empty labeled seed
+    * yields NULL scores (nothing was learned), not a crash. */
+  def naiveBayesOdds(labeled: DataFrame, toScore: DataFrame,
+                     positive: Column,
+                     minScore: Long = 1000000000L,
+                     id: Column = col("doc_id"),
+                     text: Column = col("text")): DataFrame = {
+    val cnt = labeled
+      .select(positive.as("__pos"), explode(wsTokens(text)).as("w"))
+      .groupBy("w")
+      .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("cp"),
+        sum(when(col("__pos"), 0L).otherwise(1L)).as("cn"))
+    val tot = cnt.agg(coalesce(sum("cp"), lit(0L)).as("tp"),
+      coalesce(sum("cn"), lit(0L)).as("tn"), count(lit(1)).as("v"))
+    val occ = toScore.select(id.as("doc_id"), explode(wsTokens(text)).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("m"))
+    occ
+      .join(cnt, Seq("w"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("r_scaled", expr(
+        """CAST(1000000000 AS DECIMAL(38,0)) * (coalesce(cp, 0L) + 1)
+          |  * (tn + v) div (CAST(coalesce(cn, 0L) + 1 AS DECIMAL(38,0))
+          |  * (tp + v))""".stripMargin))
+      .groupBy("doc_id")
+      .agg(sum("m").as("n_tokens"), sum(expr("m * r_scaled")).as("__s"))
+      .withColumn("nb_score", expr("__s div n_tokens"))
+      .withColumn("keep", col("nb_score") >= minScore)
+      .select(col("doc_id"), col("n_tokens"), col("nb_score"), col("keep"))
+  }
+
   /** CCNet-style perplexity partitioning (Wenzek et al. 2020 — the
     * production form of the LM quality filter): score every document
     * against a reference-corpus bigram LM ([[bigramLmScore]] — higher

@@ -1555,6 +1555,39 @@ object Oracles {
          |          4 * (m.n * m.q - m.s * m.s)) AS is_outlier
          |FROM c JOIN m USING (cluster)""".stripMargin,
 
+    // X119 Naive-Bayes seed classifier: class counts over the even-id
+    // seed (lang='en' positive), exact HUGEINT mean of the scaled
+    // smoothed likelihood ratios over each odd doc's token occurrences
+    "q176_naive_bayes" ->
+      raw"""WITH tk AS (
+         |  SELECT doc_id, lang, list_filter(string_split($norm, ' '),
+         |    t -> len(t) > 0) AS t
+         |  FROM documents),
+         |tok AS (SELECT lang = 'en' AS pos, unnest(t) AS w
+         |        FROM tk WHERE doc_id % 2 = 0),
+         |cnt AS (SELECT w, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+         |               sum(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
+         |        FROM tok GROUP BY w),
+         |tot AS (SELECT coalesce(sum(cp), 0) AS tp,
+         |               coalesce(sum(cn), 0) AS tn, count(*) AS v
+         |        FROM cnt),
+         |occ AS (SELECT doc_id, w, count(*) AS m FROM (
+         |          SELECT doc_id, unnest(t) AS w
+         |          FROM tk WHERE doc_id % 2 = 1)
+         |        GROUP BY doc_id, w),
+         |p AS (
+         |  SELECT occ.doc_id, occ.m,
+         |         CAST(1000000000 AS HUGEINT) * (coalesce(cnt.cp, 0) + 1)
+         |           * (tot.tn + tot.v)
+         |           // (CAST(coalesce(cnt.cn, 0) + 1 AS HUGEINT)
+         |              * (tot.tp + tot.v)) AS r
+         |  FROM occ LEFT JOIN cnt ON occ.w = cnt.w CROSS JOIN tot)
+         |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
+         |       CAST(sum(m * r) // sum(m) AS BIGINT) AS nb_score,
+         |       CAST(sum(m * r) // sum(m) AS BIGINT)
+         |         >= 1000000000 AS keep
+         |FROM p GROUP BY doc_id""".stripMargin,
+
     "q172_cluster_cap" ->
       s"""WITH ${kmeansCtes(8, 2)},
          |r AS (

@@ -1335,6 +1335,20 @@ object TestdataQueries {
     Similarity.embeddingOutliers(
       t(s, dir, "embeddings"), embeddingCentroids(s, dir), sigmas = 2)
 
+  /** X119: Naive-Bayes seed quality classifier
+    * ([[graft.llm.TextAnalysis.naiveBayesOdds]]) — train on even doc
+    * ids with `lang = 'en'` as the curated-seed class, score the odd
+    * ones at the neutral 1e9 threshold (the held-out shape the GPT-3
+    * quality filter runs at corpus scale). The oracle replays the
+    * class counts and the exact HUGEINT mean-of-scaled-ratios law. */
+  def q176NaiveBayes(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    TextAnalysis.naiveBayesOdds(
+      d.filter(col("doc_id") % 2 === 0),
+      d.filter(col("doc_id") % 2 === 1),
+      positive = col("lang") === "en")
+  }
+
   /** X117: vocabulary growth curve (Heaps-law diagnostic,
     * [[graft.llm.TextAnalysis.vocabGrowth]]) over 10 deterministic
     * hash slices of the corpus; the oracle replays the md5 value cut,
@@ -2392,6 +2406,7 @@ object TestdataQueries {
     "q173_winnow" -> q173Winnow _,
     "q174_vocab_growth" -> q174VocabGrowth _,
     "q175_embedding_outliers" -> q175EmbeddingOutliers _,
+    "q176_naive_bayes" -> q176NaiveBayes _,
     "q128_pq_adc" -> q128PqAdc _,
     "q121_cm_freq" -> q121CmFreq _,
     "q122_collocations" -> q122Collocations _,

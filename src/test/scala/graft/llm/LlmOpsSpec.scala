@@ -2151,6 +2151,45 @@ class LlmOpsSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("naive bayes odds: exact smoothed ratios, unseen tokens neutral, empty docs dropped") {
+    val labeled = Seq((0L, "a a b", true), (2L, "b c c", false))
+      .toDF("doc_id", "text", "is_seed")
+    // cp: a=2 b=1 c=0; cn: a=0 b=1 c=2; tp=3 tn=3 V=3 -> both totals 6,
+    // so r = 1e9 * (cp+1) div (cn+1): a=3e9, b=1e9, c=333333333, unseen=1e9
+    val toScore = Seq(
+      (1L, "a b z"), // seen-positive + tie + unseen-neutral
+      (3L, "c c"),   // pure negative-class text
+      (5L, "")       // zero tokens: no row
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.naiveBayesOdds(labeled, toScore, col("is_seed"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("nb_score"),
+          r.getAs[Boolean]("keep"))).toMap
+    // doc 1: (3e9 + 1e9 + 1e9) div 3 = 1666666666 >= 1e9
+    assert(got(1L) == ((3L, 1666666666L, true)))
+    // doc 3: 2*333333333 div 2 = 333333333 < 1e9
+    assert(got(3L) == ((2L, 333333333L, false)))
+    assert(!got.contains(5L))
+    val again = TextAnalysis.naiveBayesOdds(labeled.repartition(4),
+        toScore.repartition(3), col("is_seed"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("nb_score"),
+          r.getAs[Boolean]("keep"))).toMap
+    assert(again == got)
+  }
+
+  test("naive bayes odds: NULL positive counts negative (engine law)") {
+    val labeled = Seq((0L, "a", Some(true)), (2L, "b", None))
+      .toDF("doc_id", "text", "is_seed")
+    // cp: a=1 b=0; cn: a=0 b=1; tp=1 tn=1 V=2 -> totals 3
+    // r(b) = 1e9 * 1 * 3 div (2 * 3) = 500000000
+    val got = TextAnalysis.naiveBayesOdds(labeled,
+        Seq((1L, "b")).toDF("doc_id", "text"), col("is_seed"))
+      .collect().head
+    assert(got.getAs[Long]("nb_score") == 500000000L &&
+      !got.getAs[Boolean]("keep"))
+  }
+
   test("rrf fusion: exact integer scores, absent docs score one-sided, doc_id ties") {
     val sysA = Seq(("q1", 10L, 1), ("q1", 20L, 2)).toDF("query_id", "doc_id", "rank")
     val sysB = Seq(("q1", 20L, 1), ("q1", 30L, 2)).toDF("query_id", "doc_id", "rank")
