@@ -1482,6 +1482,76 @@ object Dedup {
         array_join(col("__kept"), " ").as("scrubbed"))
   }
 
+  /** Keep-first span dedup — the Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better") ExactSubstr law at
+    * window granularity: every k-token window that occurs ≥2 times in
+    * the corpus keeps ONLY its globally-first occurrence — the
+    * smallest (doc_id, pos), deterministic and partition-invariant —
+    * and every LATER occurrence is scrubbed from its document. The
+    * complement to [[scrubSpans]]: scrubSpans treats repetition as
+    * template noise and deletes ALL copies; keep-first treats it as
+    * content that deserves exactly one surviving copy (memorization
+    * drops, the corpus still teaches the content once).
+    *
+    * Law detail: a token is scrubbed iff at least one NON-FIRST
+    * duplicated-window occurrence covers it — even if a first
+    * occurrence of some other window also covers it (the scrub mark
+    * wins; the laws compose per window, not per document). Overlapping
+    * non-first occurrences merge into islands exactly like
+    * [[dupSpans]] (gap > k cuts). A document may hold the first
+    * occurrence of one window and a later occurrence of another.
+    *
+    * Scale shape: [[dupSpans]]'s — the gram table partial-aggregates
+    * to (hash → count, min occurrence); marking is one equi-join on
+    * the hash shuffling positions only (never text); islands + the
+    * rewrite are one doc-keyed aggregation and [[scrubSpans]]'s
+    * index-aware projection filter. Nothing quadratic. `portable`
+    * swaps xxhash64 window hashing for md5 of the joined window (the
+    * form a SQL oracle replays). */
+  def scrubSpansKeepFirst(docs: DataFrame, k: Int = 8,
+                          id: Column = col("doc_id"),
+                          text: Column = col("text"),
+                          portable: Boolean = false): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val toks = docs.select(id.as("doc_id"), wsTokens(text).as("__t"))
+    val n = size(col("__t"))
+    val win = slice(col("__t"), col("pos") + 1, lit(k))
+    val grams = toks
+      .select(col("doc_id"), col("__t"),
+        explode(when(n >= k, sequence(lit(0), n - k))
+          .otherwise(array().cast("array<int>"))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        (if (portable) md5(array_join(win, " ")) else xxhash64(win)).as("__h"))
+    val firsts = grams.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col("doc_id").as("d"), col("pos").as("p"))).as("__f"))
+      .filter(col("__c") >= 2)
+      .select(col("__h"), col("__f.d").as("__fd"), col("__f.p").as("__fp"))
+    val seeds = grams.join(firsts, "__h")
+      .filter(!(col("doc_id") === col("__fd") && col("pos") === col("__fp")))
+      .select(col("doc_id"), col("pos"))
+    // islands over the non-first seed positions, dupSpans' cut law
+    val spans = seeds.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("__ps"))
+      .withColumn("__st", filter(col("__ps"),
+        (p, i) => i === 0 || p - element_at(col("__ps"), i) > k))
+      .withColumn("__en", filter(col("__ps"),
+        (p, i) => i === size(col("__ps")) - 1 ||
+          element_at(col("__ps"), i + 2) - p > k))
+      .select(col("doc_id"), zip_with(col("__st"), col("__en"),
+        (s, e) => struct(s.as("span_start"),
+          (e + lit(k - 1)).as("span_end"))).as("__sp"))
+    toks.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("__t")).as("n_tokens"),
+        when(col("__sp").isNull, col("__t")).otherwise(
+          filter(col("__t"), (_, i) => !exists(col("__sp"),
+            sp => i >= sp.getField("span_start") &&
+              i <= sp.getField("span_end")))).as("__kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("__kept")).as("n_kept"),
+        array_join(col("__kept"), " ").as("deduped"))
+  }
+
   /** Embedding-cosine near-dup for an explicit candidate pair set
     * (id_a, id_b) — the verification stage when candidates come from
     * another generator. */

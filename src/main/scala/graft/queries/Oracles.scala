@@ -1588,6 +1588,66 @@ object Oracles {
          |         >= 1000000000 AS keep
          |FROM p GROUP BY doc_id""".stripMargin,
 
+    // X120 keep-first span dedup: q83's md5 gram law, per-gram
+    // (doc_id, pos) argmin = the kept first occurrence, islands over
+    // the NON-FIRST occurrences only, anti-covered token reassembly
+    "q177_keep_first_spans" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split(coalesce($norm, ''), ' '),
+         |                     t -> length(t) > 0) AS t
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+         |  FROM tk WHERE len(t) >= 8),
+         |g AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |         md5(array_to_string(t[i : i + 7], ' ')) AS h
+         |  FROM p),
+         |f AS (
+         |  SELECT h, fd, fp FROM (
+         |    SELECT h, doc_id AS fd, pos AS fp,
+         |           row_number() OVER (PARTITION BY h
+         |             ORDER BY doc_id, pos) AS rn,
+         |           count(*) OVER (PARTITION BY h) AS c
+         |    FROM g) WHERE rn = 1 AND c >= 2),
+         |seeds AS (
+         |  SELECT g.doc_id, g.pos FROM g JOIN f USING (h)
+         |  WHERE NOT (g.doc_id = f.fd AND g.pos = f.fp)),
+         |lagged AS (
+         |  SELECT doc_id, pos,
+         |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+         |                                        ORDER BY pos) > 8
+         |              THEN 1 ELSE 0 END AS brk
+         |  FROM seeds),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |  FROM lagged),
+         |spans AS (
+         |  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+         |  FROM isl GROUP BY doc_id, grp),
+         |covered AS (
+         |  SELECT doc_id, unnest(range(s, e + 1)) AS j FROM spans),
+         |tok AS (
+         |  SELECT doc_id, i - 1 AS j, t[i] AS w
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+         |        FROM tk)),
+         |kept AS (
+         |  SELECT tok.doc_id, tok.j, tok.w
+         |  FROM tok LEFT JOIN covered c
+         |    ON tok.doc_id = c.doc_id AND tok.j = c.j
+         |  WHERE c.j IS NULL),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |         string_agg(w, ' ' ORDER BY j) AS deduped
+         |  FROM kept GROUP BY doc_id)
+         |SELECT tk.doc_id, len(tk.t) AS n_tokens,
+         |       CAST(coalesce(agg.n_kept, 0) AS INT) AS n_kept,
+         |       coalesce(agg.deduped, '') AS deduped
+         |FROM tk LEFT JOIN agg USING (doc_id)""".stripMargin,
+
     "q172_cluster_cap" ->
       s"""WITH ${kmeansCtes(8, 2)},
          |r AS (

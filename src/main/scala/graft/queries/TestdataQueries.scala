@@ -1349,6 +1349,17 @@ object TestdataQueries {
       positive = col("lang") === "en")
   }
 
+  /** X120: keep-first span dedup ([[graft.llm.Dedup.scrubSpansKeepFirst]])
+    * — the Lee et al. ExactSubstr law: every duplicated 8-token window
+    * keeps its globally-first occurrence, later copies are scrubbed
+    * (q84's corpus-duplicated spans make both branches fire: first
+    * copies survive, later copies vanish). Oracle replays the md5 gram
+    * law, the per-gram (doc_id, pos) argmin, the island merge, and the
+    * anti-covered reassembly. */
+  def q177KeepFirstSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.scrubSpansKeepFirst(t(s, dir, "documents"), k = 8,
+      portable = true)
+
   /** X117: vocabulary growth curve (Heaps-law diagnostic,
     * [[graft.llm.TextAnalysis.vocabGrowth]]) over 10 deterministic
     * hash slices of the corpus; the oracle replays the md5 value cut,
@@ -2407,6 +2418,7 @@ object TestdataQueries {
     "q174_vocab_growth" -> q174VocabGrowth _,
     "q175_embedding_outliers" -> q175EmbeddingOutliers _,
     "q176_naive_bayes" -> q176NaiveBayes _,
+    "q177_keep_first_spans" -> q177KeepFirstSpans _,
     "q128_pq_adc" -> q128PqAdc _,
     "q121_cm_freq" -> q121CmFreq _,
     "q122_collocations" -> q122Collocations _,

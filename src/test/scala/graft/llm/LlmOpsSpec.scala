@@ -2190,6 +2190,52 @@ class LlmOpsSpec extends SparkSpec {
       !got.getAs[Boolean]("keep"))
   }
 
+  test("keep-first span dedup: first copy survives, later copies scrubbed, islands merge") {
+    val d = Seq(
+      (0L, "p q r s"),      // holds the first occurrences -> untouched
+      (1L, "z p q r s"),    // pqr/qrs both non-first -> island [1,4]
+      (2L, "m n o m n o"),  // within-doc repeat: second mno scrubbed
+      (3L, "")              // zero tokens
+    ).toDF("doc_id", "text")
+    val got = Dedup.scrubSpansKeepFirst(d, k = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_tokens"), r.getAs[Int]("n_kept"),
+          r.getAs[String]("deduped"))).toMap
+    assert(got(0L) == ((4, 4, "p q r s")))
+    assert(got(1L) == ((5, 1, "z")))
+    assert(got(2L) == ((6, 3, "m n o")))
+    assert(got(3L) == ((0, 0, "")))
+    // corpus-wide: exactly ONE copy of the duplicated window survives
+    val survivors = got.values.count(_._3.contains("p q r"))
+    assert(survivors == 1)
+    // partition invariance of the (doc_id, pos) argmin
+    val again = Dedup.scrubSpansKeepFirst(d.repartition(5), k = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_tokens"), r.getAs[Int]("n_kept"),
+          r.getAs[String]("deduped"))).toMap
+    assert(again == got)
+    // portable md5 hashing selects the same survivors
+    val portable = Dedup.scrubSpansKeepFirst(d, k = 3, portable = true)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_tokens"), r.getAs[Int]("n_kept"),
+          r.getAs[String]("deduped"))).toMap
+    assert(portable == got)
+  }
+
+  test("keep-first span dedup: adjacent non-first windows merge across their gap") {
+    // docD's two non-first windows sit at pos 0 and 3 (gap == k) ->
+    // ONE island covering the whole doc
+    val d = Seq(
+      (6L, "u v w t"),
+      (7L, "v w t u v w")
+    ).toDF("doc_id", "text")
+    val got = Dedup.scrubSpansKeepFirst(d, k = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_kept"), r.getAs[String]("deduped"))).toMap
+    assert(got(6L) == ((4, "u v w t")))
+    assert(got(7L) == ((0, "")))
+  }
+
   test("rrf fusion: exact integer scores, absent docs score one-sided, doc_id ties") {
     val sysA = Seq(("q1", 10L, 1), ("q1", 20L, 2)).toDF("query_id", "doc_id", "rank")
     val sysB = Seq(("q1", 20L, 1), ("q1", 30L, 2)).toDF("query_id", "doc_id", "rank")
