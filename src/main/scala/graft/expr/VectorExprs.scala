@@ -162,6 +162,63 @@ case class RpBits(child: Expression, dim: Int, nPlanes: Int) extends UnaryExpres
     copy(child = newChild)
 }
 
+/** Random projection to `outDim` doubles — the Johnson–Lindenstrauss
+  * dimensionality reducer sharing [[RpBits]]'s exact weight law:
+  * `weight(plane p, dim d) = xxhash64(p*7919+d, 42) % 1e6 / 1e6`
+  * (Java `%` keeps the dividend's sign, so weights span (-1, 1) with
+  * mean ~0 — a valid JL family). Each projection is the left-fold
+  * multiply-add over dimensions, the same accumulation order a SQL
+  * `list_reduce` replays, so projected values are bit-identical
+  * cross-engine. [[RpBits]] IS this projection's sign pattern at
+  * `outDim = nPlanes` — the two stay consistent by construction. */
+case class RpProject(child: Expression, dim: Int, outDim: Int) extends UnaryExpression {
+  private lazy val isFloat = VecOps.floatFlag(child)
+
+  private lazy val weights: Array[Double] = {
+    val w = new Array[Double](outDim * dim)
+    var p = 0
+    while (p < outDim) {
+      var d = 0
+      while (d < dim) {
+        w(p * dim + d) = (XXH64.hashInt(p * 7919 + d, 42L) % 1000000L).toDouble / 1000000.0
+        d += 1
+      }
+      p += 1
+    }
+    w
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "rp_project"
+
+  def compute(a: ArrayData): ArrayData = {
+    val v = VecOps.toDoubles(a, isFloat)
+    val n = math.min(v.length, dim)
+    val out = new Array[Double](outDim)
+    var p = 0
+    while (p < outDim) {
+      var proj = 0.0
+      val base = p * dim
+      var d = 0
+      while (d < n) { proj += v(d) * weights(base + d); d += 1 }
+      out(p) = proj
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("rpProject", this, "graft.expr.RpProject")
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RpProject =
+    copy(child = newChild)
+}
+
 /** Integer dot product of two `array<int>` columns -> long. The hot
   * kernel of quantized (int8) similarity search: products and the
   * accumulator are exact integers, so the result is bit-identical on any
@@ -418,6 +475,9 @@ object VectorExprs {
 
   def rpBits(a: Column, dim: Int, nPlanes: Int): Column =
     ColumnBridge.toColumn(RpBits(ColumnBridge.toExpression(a), dim, nPlanes))
+
+  def rpProject(a: Column, dim: Int, outDim: Int): Column =
+    ColumnBridge.toColumn(RpProject(ColumnBridge.toExpression(a), dim, outDim))
 
   def pqCode(a: Column, codebook: Array[Array[Double]], m: Int): Column =
     ColumnBridge.toColumn(PqCode(ColumnBridge.toExpression(a), codebook, m))

@@ -692,6 +692,51 @@ object Similarity {
       .select(col("vec_id"), col("cluster"), col("ci"), col("is_outlier"))
   }
 
+  /** Johnson–Lindenstrauss random projection of the embedding column
+    * to `outDim` dimensions ([[graft.expr.RpProject]] — [[rpBucket]]'s
+    * exact signed weight law, left-fold accumulation, bit-identical
+    * cross-engine; the LSH bits ARE this projection's sign pattern).
+    * JL preserves pairwise geometry at outDim = O(log n / eps²); at
+    * corpus scale the point is cost — a 64→8 projection shrinks every
+    * downstream pairwise pass 8× and the projected table becomes the
+    * cheap first-stage filter. One narrow codegen'd projection: no
+    * shuffle, the corpus never moves. */
+  def jlProject(vectors: DataFrame, dim: Int, outDim: Int,
+                id: Column = col("vec_id"),
+                embedding: Column = col("embedding")): DataFrame =
+    vectors.select(id.as("vec_id"),
+      VectorExprs.rpProject(embedding, dim, outDim).as("projected"))
+
+  /** JL distortion audit: over a deterministic pair panel (all pairs
+    * among `vec_id < panel`), the quantized cosine in the ORIGINAL
+    * space vs the PROJECTED space and their absolute error — the
+    * empirical check that the cheap space ranks like the true space,
+    * run BEFORE a pipeline trusts [[jlProject]]'s output as a
+    * first-stage filter. Cosines quantize exactly like the ANN family
+    * (`floor(cos·1e9 + 0.5)` after bit-identical IEEE steps), so the
+    * report is exact integers. Panel-sized by construction: both
+    * sides broadcast, pairs = panel²/2 — an audit, never a
+    * corpus-scale pass. */
+  def jlDistortionReport(vectors: DataFrame, dim: Int, outDim: Int,
+                         panel: Long = 24): DataFrame = {
+    require(panel >= 2, s"panel=$panel")
+    val base = vectors.filter(col("vec_id") < panel)
+      .select(col("vec_id"), col("embedding"),
+        VectorExprs.rpProject(col("embedding"), dim, outDim).as("proj"))
+    val a = base.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+      col("proj").as("pa"))
+    val b = base.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+      col("proj").as("pb"))
+    def q(c: Column): Column = floor(c * lit(1e9) + lit(0.5)).cast("long")
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        q(dot(col("ea"), col("eb")) /
+          (norm(col("ea")) * norm(col("eb")))).as("cos_orig"),
+        q(dot(col("pa"), col("pb")) /
+          (norm(col("pa")) * norm(col("pb")))).as("cos_proj"))
+      .withColumn("err", abs(col("cos_orig") - col("cos_proj")))
+  }
+
   /** Hard-negative mining for contrastive/embedding training — the
     * DPR/ANCE recipe: in-batch random negatives are too easy, so the
     * trainer wants, per anchor, the corpus vectors that are SIMILAR

@@ -1648,6 +1648,41 @@ object Oracles {
          |       coalesce(agg.deduped, '') AS deduped
          |FROM tk LEFT JOIN agg USING (doc_id)""".stripMargin,
 
+    // X121 JL distortion audit: the exact RpBits weight literals, a
+    // left-fold projection per (vector, plane), and both cosine
+    // quantizations — original space via the shared 64-dim fold,
+    // projected space via an 8-dim fold over the projection lists
+    "q178_jl_distortion" -> {
+      val dotP = (a: String, b: String) =>
+        s"list_reduce(list_transform(range(1, 9), i -> " +
+          s"$a[i] * $b[i]), (x, y) -> x + y)"
+      val cosP = (a: String, b: String) =>
+        s"(${dotP(a, b)} / (sqrt(${dotP(a, a)}) * sqrt(${dotP(b, b)})))"
+      s"""WITH w AS (
+         |  SELECT * FROM (VALUES
+         |         ${planesValues(8, 64)}) AS t(plane, wts)),
+         |pr AS (
+         |  SELECT e.vec_id, w.plane,
+         |         list_reduce(list_transform(range(1, 65),
+         |           i -> e.embedding[i]::DOUBLE * w.wts[i]),
+         |           (x, y) -> x + y) AS proj
+         |  FROM embeddings e CROSS JOIN w WHERE e.vec_id < 24),
+         |pv AS (SELECT vec_id, list(proj ORDER BY plane) AS p
+         |       FROM pr GROUP BY vec_id),
+         |base AS (SELECT e.vec_id, e.embedding, pv.p
+         |         FROM embeddings e JOIN pv USING (vec_id))
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       CAST(floor((${cosSql("a.embedding", "b.embedding")})
+         |         * 1e9 + 0.5) AS BIGINT) AS cos_orig,
+         |       CAST(floor((${cosP("a.p", "b.p")})
+         |         * 1e9 + 0.5) AS BIGINT) AS cos_proj,
+         |       abs(CAST(floor((${cosSql("a.embedding", "b.embedding")})
+         |             * 1e9 + 0.5) AS BIGINT)
+         |         - CAST(floor((${cosP("a.p", "b.p")})
+         |             * 1e9 + 0.5) AS BIGINT)) AS err
+         |FROM base a JOIN base b ON a.vec_id < b.vec_id""".stripMargin
+    },
+
     "q172_cluster_cap" ->
       s"""WITH ${kmeansCtes(8, 2)},
          |r AS (

@@ -1360,6 +1360,16 @@ object TestdataQueries {
     Dedup.scrubSpansKeepFirst(t(s, dir, "documents"), k = 8,
       portable = true)
 
+  /** X121: JL random-projection distortion audit
+    * ([[graft.llm.Similarity.jlDistortionReport]]): 64→8 projection
+    * under RpBits' exact signed weight law, all pairs among the first
+    * 24 vectors, quantized original-vs-projected cosines + exact
+    * integer error. The oracle replays the weight literals, the
+    * left-fold projections, and both cosine quantizations. */
+  def q178JlDistortion(s: SparkSession, dir: String): DataFrame =
+    Similarity.jlDistortionReport(t(s, dir, "embeddings"),
+      dim = 64, outDim = 8, panel = 24)
+
   /** X117: vocabulary growth curve (Heaps-law diagnostic,
     * [[graft.llm.TextAnalysis.vocabGrowth]]) over 10 deterministic
     * hash slices of the corpus; the oracle replays the md5 value cut,
@@ -2419,6 +2429,7 @@ object TestdataQueries {
     "q175_embedding_outliers" -> q175EmbeddingOutliers _,
     "q176_naive_bayes" -> q176NaiveBayes _,
     "q177_keep_first_spans" -> q177KeepFirstSpans _,
+    "q178_jl_distortion" -> q178JlDistortion _,
     "q128_pq_adc" -> q128PqAdc _,
     "q121_cm_freq" -> q121CmFreq _,
     "q122_collocations" -> q122Collocations _,

@@ -2236,6 +2236,53 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(7L) == ((0, "")))
   }
 
+  test("jl projection: independent weight-law replay, rpBucket sign consistency") {
+    def mk(id: Long, f: Int => Float) = (id, Array.tabulate(64)(f))
+    val gens: Seq[(Long, Int => Float)] = Seq(
+      0L -> ((i: Int) => (i % 7 - 3).toFloat),
+      1L -> ((i: Int) => math.sin(i.toDouble).toFloat),
+      2L -> ((_: Int) => 1.0f))
+    val vecs = gens.map { case (id, f) => mk(id, f) }.toDF("vec_id", "embedding")
+    val got = Similarity.jlProject(vecs, 64, 8).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1)).toMap
+    // driver-side replay of the exact weight law + left-fold order
+    def w(p: Int, d: Int): Double =
+      (org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashInt(p * 7919 + d, 42L) % 1000000L).toDouble / 1000000.0
+    for ((id, f) <- gens; p <- 0 until 8) {
+      var acc = 0.0
+      var d = 0
+      while (d < 64) { acc += f(d).toDouble * w(p, d); d += 1 }
+      assert(got(id)(p) == acc, s"vec $id plane $p")
+    }
+    // the LSH bits ARE the sign pattern of this projection
+    val bits = vecs.select(col("vec_id"),
+        graft.expr.VectorExprs.rpBits(col("embedding"), 64, 8).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((id, proj) <- got; p <- 0 until 8)
+      assert(((bits(id) >> p) & 1L) == (if (proj(p) >= 0) 1L else 0L))
+  }
+
+  test("jl distortion report: identical pair ~zero error, panel + pair-order laws") {
+    val vecs = Seq(
+      (0L, Array.fill(64)(1.0f)),
+      (1L, Array.fill(64)(1.0f)),
+      (2L, Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)),
+      (99L, Array.fill(64)(5.0f)) // outside the panel
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.jlDistortionReport(vecs, 64, 8, panel = 3).collect()
+    assert(rows.length == 3) // pairs (0,1) (0,2) (1,2), vec 99 excluded
+    assert(rows.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+    assert(rows.forall(r => r.getAs[Long]("err") ==
+      math.abs(r.getAs[Long]("cos_orig") - r.getAs[Long]("cos_proj"))))
+    val same = rows.find(r => r.getAs[Long]("id_a") == 0L &&
+      r.getAs[Long]("id_b") == 1L).get
+    // identical vectors: exact 1.0 original cosine (64/(8*8)); the
+    // projected cosine may differ by one quantum from sqrt rounding
+    assert(same.getAs[Long]("cos_orig") == 1000000000L)
+    assert(same.getAs[Long]("err") <= 1L)
+  }
+
   test("rrf fusion: exact integer scores, absent docs score one-sided, doc_id ties") {
     val sysA = Seq(("q1", 10L, 1), ("q1", 20L, 2)).toDF("query_id", "doc_id", "rank")
     val sysB = Seq(("q1", 20L, 1), ("q1", 30L, 2)).toDF("query_id", "doc_id", "rank")
