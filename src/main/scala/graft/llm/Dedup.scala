@@ -231,6 +231,71 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Corpus novelty scoring — the acquisition-time "does this crawl add
+    * new information" audit: per NEW document, the best
+    * signature-estimated Jaccard against the persisted corpus signature
+    * store, probed through the same banded LSH the incremental dedup
+    * runs. One row per signable new document: candidate count, the
+    * best-matching store doc (ties to the smallest store id —
+    * deterministic, partition-invariant), the exact signature agreement
+    * (`sig_matches` of `numHashes` — an integer, no float estimate),
+    * the scaled estimate `est_ji = 1e9·matches div numHashes`, and
+    * `is_novel = matches·tDen < tNum·numHashes` (the threshold an exact
+    * fraction, never a float compare). A document sharing NO band
+    * bucket with the store is maximally novel (0 candidates, null
+    * nearest). Sub-k-token docs have no signature and no row
+    * ([[minhashTable]]'s contract — route them through content hashing
+    * like [[contentHashSplit]]).
+    *
+    * Scale shape: the nightly-arrivals shape — the batch's bucket rows
+    * broadcast against the store's (`broadcastNewSide`, disable for
+    * huge batches), so the store never shuffles; store buckets larger
+    * than `maxBucket` are excluded ([[minhashCandidatesFromSigs]]'s
+    * degenerate-bucket guard — a saturated boilerplate bucket adds
+    * fanout, not signal); per-pair and per-doc reductions are
+    * candidate-sized groupBys. */
+  def noveltyScore(existingSigs: DataFrame, newSigs: DataFrame,
+                   numHashes: Int = 32, bands: Int = 8,
+                   tNum: Long = 1, tDen: Long = 2,
+                   portable: Boolean = false,
+                   maxBucket: Int = MaxBucketMembers,
+                   broadcastNewSide: Boolean = true): DataFrame = {
+    require(numHashes % bands == 0, s"numHashes=$numHashes bands=$bands")
+    require(tDen > 0 && tNum >= 0, s"t=$tNum/$tDen")
+    val rowsPerBand = numHashes / bands
+    val sb0 = sigBuckets(existingSigs, bands, rowsPerBand, portable)
+    val okBuckets = sb0.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__bc")).filter(col("__bc") <= maxBucket)
+      .select("band", "bucket")
+    val sb = sb0.join(okBuckets, Seq("band", "bucket"))
+      .select(col("band"), col("bucket"),
+        col("doc_id").as("__sid"), col("sig").as("__ssig"))
+    val nbRaw = sigBuckets(newSigs, bands, rowsPerBand, portable)
+      .select(col("band"), col("bucket"),
+        col("doc_id").as("__nid"), col("sig").as("__nsig"))
+    val nb = if (broadcastNewSide) broadcast(nbRaw) else nbRaw
+    // the same (new, store) pair can match in several bands; agreement
+    // is a pure function of the two sigs, so max == the value
+    val perPair = sb.join(nb, Seq("band", "bucket"))
+      .select(col("__nid"), col("__sid"),
+        size(filter(zip_with(col("__nsig"), col("__ssig"),
+          (x, y) => x === y), e => e)).as("__m"))
+      .groupBy("__nid", "__sid").agg(max("__m").as("__m"))
+    val best = perPair.groupBy("__nid").agg(
+      count(lit(1)).as("n_candidates"),
+      min(struct((-col("__m")).as("nm"), col("__sid").as("sid"))).as("__b"))
+    newSigs.select(col("doc_id"))
+      .join(best.withColumnRenamed("__nid", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("__b.sid").as("nearest_id"),
+        coalesce((-col("__b.nm")).cast("int"), lit(0)).as("sig_matches"))
+      .withColumn("est_ji", expr(
+        s"(CAST(1000000000 AS BIGINT) * sig_matches) div $numHashes"))
+      .withColumn("is_novel",
+        expr(s"sig_matches * ${tDen}L < ${tNum}L * $numHashes"))
+  }
+
   /** Incremental near-dup candidate generation — the shape a 100 TB
     * corpus actually runs nightly: signatures are computed for the NEW
     * batch only and compared against a persisted signature store of the

@@ -1588,6 +1588,52 @@ object Oracles {
          |         >= 1000000000 AS keep
          |FROM p GROUP BY doc_id""".stripMargin,
 
+    // X122 corpus novelty: the shared portable minhash chain split by
+    // parity, the band probe (store-side degenerate-bucket guard), the
+    // exact per-pair agreement count, and the (matches desc, sid asc)
+    // deterministic pick; batch docs with no probe hit are novel
+    "q179_novelty" ->
+      s"""WITH $minhashSigCtes,
+         |ssig AS (SELECT * FROM sig WHERE doc_id % 2 = 0),
+         |nsig AS (SELECT * FROM sig WHERE doc_id % 2 = 1),
+         |sband AS (
+         |  SELECT doc_id, i // 4 AS band,
+         |         string_agg(m::VARCHAR, ',' ORDER BY i) AS bucket
+         |  FROM ssig GROUP BY 1, 2),
+         |okb AS (SELECT band, bucket FROM sband GROUP BY 1, 2
+         |        HAVING count(*) <= ${graft.llm.Dedup.MaxBucketMembers}),
+         |nband AS (
+         |  SELECT doc_id, i // 4 AS band,
+         |         string_agg(m::VARCHAR, ',' ORDER BY i) AS bucket
+         |  FROM nsig GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT n.doc_id AS nid, s.doc_id AS sid
+         |  FROM nband n
+         |  JOIN sband s ON n.band = s.band AND n.bucket = s.bucket
+         |  JOIN okb k ON k.band = s.band AND k.bucket = s.bucket),
+         |m AS (
+         |  SELECT c.nid, c.sid,
+         |         count(*) FILTER (WHERE sa.m = sb.m) AS mm
+         |  FROM cand c
+         |  JOIN nsig sa ON sa.doc_id = c.nid
+         |  JOIN ssig sb ON sb.doc_id = c.sid AND sb.i = sa.i
+         |  GROUP BY 1, 2),
+         |cnt AS (SELECT nid, count(*) AS n_candidates FROM m GROUP BY nid),
+         |pick AS (
+         |  SELECT nid, sid, mm FROM (
+         |    SELECT nid, sid, mm, row_number() OVER (PARTITION BY nid
+         |      ORDER BY mm DESC, sid) AS rn FROM m) WHERE rn = 1),
+         |nd AS (SELECT DISTINCT doc_id FROM nsig)
+         |SELECT nd.doc_id,
+         |       coalesce(cnt.n_candidates, 0) AS n_candidates,
+         |       pick.sid AS nearest_id,
+         |       CAST(coalesce(pick.mm, 0) AS INT) AS sig_matches,
+         |       CAST((CAST(1000000000 AS BIGINT) * coalesce(pick.mm, 0))
+         |         // 32 AS BIGINT) AS est_ji,
+         |       coalesce(pick.mm, 0) * 5 < 2 * 32 AS is_novel
+         |FROM nd LEFT JOIN cnt ON cnt.nid = nd.doc_id
+         |LEFT JOIN pick ON pick.nid = nd.doc_id""".stripMargin,
+
     // X120 keep-first span dedup: q83's md5 gram law, per-gram
     // (doc_id, pos) argmin = the kept first occurrence, islands over
     // the NON-FIRST occurrences only, anti-covered token reassembly

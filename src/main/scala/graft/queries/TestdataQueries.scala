@@ -1370,6 +1370,21 @@ object TestdataQueries {
     Similarity.jlDistortionReport(t(s, dir, "embeddings"),
       dim = 64, outDim = 8, panel = 24)
 
+  /** X122: corpus novelty scoring ([[graft.llm.Dedup.noveltyScore]]):
+    * the odd-id batch probes the even-id half of the landed signature
+    * store through the banded LSH — per batch doc its best store match
+    * (exact signature agreement, smallest-id ties) and the `is_novel`
+    * cut at est Jaccard 2/5. The oracle replays the shared portable
+    * minhash chain, the band probe, the per-pair agreement count, and
+    * the (matches desc, sid asc) pick. */
+  def q179Novelty(s: SparkSession, dir: String): DataFrame = {
+    val sigs = portableSigs(s, dir)
+    Dedup.noveltyScore(
+      sigs.filter(col("doc_id") % 2 === 0),
+      sigs.filter(col("doc_id") % 2 === 1),
+      numHashes = 32, bands = 8, tNum = 2, tDen = 5, portable = true)
+  }
+
   /** X117: vocabulary growth curve (Heaps-law diagnostic,
     * [[graft.llm.TextAnalysis.vocabGrowth]]) over 10 deterministic
     * hash slices of the corpus; the oracle replays the md5 value cut,
@@ -2430,6 +2445,7 @@ object TestdataQueries {
     "q176_naive_bayes" -> q176NaiveBayes _,
     "q177_keep_first_spans" -> q177KeepFirstSpans _,
     "q178_jl_distortion" -> q178JlDistortion _,
+    "q179_novelty" -> q179Novelty _,
     "q128_pq_adc" -> q128PqAdc _,
     "q121_cm_freq" -> q121CmFreq _,
     "q122_collocations" -> q122Collocations _,

@@ -2283,6 +2283,53 @@ class LlmOpsSpec extends SparkSpec {
     assert(same.getAs[Long]("err") <= 1L)
   }
 
+  test("novelty score: full match not novel, disjoint doc novel, ties pick smallest sid") {
+    val store = Seq(
+      (0L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"), // identical sig to 0 -> nearest tie
+      (4L, "apples oranges pears bananas grapes")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "alpha beta gamma delta"),            // exact sig match
+      (3L, "unrelated vocabulary tokens entirely"), // no shared bucket
+      (5L, "xy")                                  // sub-k: no signature
+    ).toDF("doc_id", "text")
+    val ss = Dedup.minhashTable(store, numHashes = 16, k = 3)
+    val ns = Dedup.minhashTable(batch, numHashes = 16, k = 3)
+    val got = Dedup.noveltyScore(ss, ns, numHashes = 16, bands = 4,
+        tNum = 1, tDen = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_candidates"), Option(r.getAs[Any]("nearest_id")),
+          r.getAs[Int]("sig_matches"), r.getAs[Long]("est_ji"),
+          r.getAs[Boolean]("is_novel"))).toMap
+    assert(got(1L) == ((2L, Some(0L), 16, 1000000000L, false)))
+    assert(got(3L) == ((0L, None, 0, 0L, true)))
+    assert(!got.contains(5L))
+    val again = Dedup.noveltyScore(ss.repartition(5), ns.repartition(3),
+        numHashes = 16, bands = 4, tNum = 1, tDen = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_candidates"), Option(r.getAs[Any]("nearest_id")),
+          r.getAs[Int]("sig_matches"), r.getAs[Long]("est_ji"),
+          r.getAs[Boolean]("is_novel"))).toMap
+    assert(again == got)
+  }
+
+  test("novelty score: saturated store buckets are excluded from the probe") {
+    val store = Seq((0L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"), (4L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val batch = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val ss = Dedup.minhashTable(store, numHashes = 16, k = 3)
+    val ns = Dedup.minhashTable(batch, numHashes = 16, k = 3)
+    // every store bucket holds all 3 identical docs > maxBucket=2 ->
+    // the probe sees nothing and the exact-duplicate batch doc reads
+    // as novel (the documented degenerate-bucket trade)
+    val r = Dedup.noveltyScore(ss, ns, numHashes = 16, bands = 4,
+      maxBucket = 2).collect().head
+    assert(r.getAs[Long]("n_candidates") == 0L &&
+      r.getAs[Boolean]("is_novel"))
+  }
+
   test("rrf fusion: exact integer scores, absent docs score one-sided, doc_id ties") {
     val sysA = Seq(("q1", 10L, 1), ("q1", 20L, 2)).toDF("query_id", "doc_id", "rank")
     val sysB = Seq(("q1", 20L, 1), ("q1", 30L, 2)).toDF("query_id", "doc_id", "rank")
