@@ -844,6 +844,74 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("nb_score"), col("keep"))
   }
 
+  /** Classifier calibration report — the audit a pipeline runs before
+    * TRUSTING a quality score as a keep/drop gate: bucket the scored
+    * held-out set into exact score-rank quantile buckets (bucket
+    * `buckets-1` = highest scores) and report per-bucket and
+    * cumulative-from-the-top precision against the true label. If the
+    * top buckets aren't measurably purer than the bottom ones, the
+    * score is noise and the gate would shred the corpus at random.
+    *
+    * Law: cuts at exact ascending rank quantiles
+    * ([[graft.operators.EventAnalytics.exactGroupQuantiles]] —
+    * `ceil(p·n/100)`, quantile_disc semantics); a document's bucket is
+    * the COUNT of cuts its score reaches (`score >= cut`), so heavy
+    * score ties can leave buckets empty or uneven — which IS the law
+    * (tied documents are indistinguishable to the classifier, the q167
+    * lesson); a NULL label counts negative (CASE-ELSE semantics, the
+    * [[naiveBayesOdds]] law); precisions are exact integers
+    * (`1e9·pos div docs`), cumulative runs from the TOP bucket down —
+    * the "keep the top x%" readout. Only scored documents calibrate
+    * (zero-token docs never scored — the producer's contract).
+    *
+    * Scale shape: the quantile pass is the two-phase rank-statistics
+    * shape (never a corpus-rows window); cuts are ≤buckets-1 rows
+    * broadcast back; bucketing is a narrow projection; the report
+    * aggregation is ≤buckets rows, and the cumulative window runs over
+    * those ≤buckets rows only. */
+  def classifierCalibration(scored: DataFrame, label: Column,
+                            buckets: Int = 10,
+                            score: Column = col("nb_score"),
+                            id: Column = col("doc_id"),
+                            onPersist: DataFrame => Unit = _ => ())
+      : DataFrame = {
+    require(buckets >= 2 && buckets <= 100 && 100 % buckets == 0,
+      s"buckets=$buckets (needs 2..100 dividing 100 — integer pct cuts)")
+    val pcts = (1 until buckets).map(_ * 100 / buckets)
+    // the scored frame feeds TWO subtrees (the quantile pass and the
+    // bucketing) and is usually the output of a full scoring chain —
+    // persist it for the computation (the DSIR/GraphRank discipline;
+    // handle reported through onPersist for long-lived callers)
+    val base = scored
+      .select(id.as("doc_id"), score.cast("long").as("__s"),
+        label.as("__lab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    onPersist(base)
+    val cuts = graft.operators.EventAnalytics
+      .exactGroupQuantiles(base, lit(0), col("__s"), pcts)
+      .agg(collect_list(col("cut")).as("__cuts"))
+    val bucketed = base
+      .crossJoin(broadcast(cuts))
+      .withColumn("bucket", size(filter(col("__cuts"), c => col("__s") >= c)))
+    val agg = bucketed.groupBy("bucket").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("__lab"), 1L).otherwise(0L)).as("n_pos"))
+    import org.apache.spark.sql.expressions.Window
+    // the window runs over the <=buckets report rows only, never corpus
+    val w = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    agg
+      .withColumn("prec_scaled",
+        expr("(CAST(1000000000 AS BIGINT) * n_pos) div n_docs"))
+      .withColumn("cum_docs", sum("n_docs").over(w))
+      .withColumn("cum_pos", sum("n_pos").over(w))
+      .withColumn("cum_prec_scaled",
+        expr("(CAST(1000000000 AS BIGINT) * cum_pos) div cum_docs"))
+      .select(col("bucket"), col("n_docs"), col("n_pos"),
+        col("prec_scaled"), col("cum_docs"), col("cum_pos"),
+        col("cum_prec_scaled"))
+  }
+
   /** CCNet-style perplexity partitioning (Wenzek et al. 2020 — the
     * production form of the LM quality filter): score every document
     * against a reference-corpus bigram LM ([[bigramLmScore]] — higher

@@ -1588,6 +1588,74 @@ object Oracles {
          |         >= 1000000000 AS keep
          |FROM p GROUP BY doc_id""".stripMargin,
 
+    // X123 classifier calibration: q176's NB scoring chain, ascending
+    // rank cuts at 10..90 (order statistic at ceil(p*n/100)), bucket =
+    // count of cuts reached, exact per-bucket + cumulative-from-top
+    // precision
+    "q180_calibration" ->
+      raw"""WITH tk AS (
+         |  SELECT doc_id, lang, list_filter(string_split($norm, ' '),
+         |    t -> len(t) > 0) AS t
+         |  FROM documents),
+         |tok AS (SELECT lang = 'en' AS pos, unnest(t) AS w
+         |        FROM tk WHERE doc_id % 2 = 0),
+         |cnt AS (SELECT w, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+         |               sum(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
+         |        FROM tok GROUP BY w),
+         |tot AS (SELECT coalesce(sum(cp), 0) AS tp,
+         |               coalesce(sum(cn), 0) AS tn, count(*) AS v
+         |        FROM cnt),
+         |occ AS (SELECT doc_id, w, count(*) AS m FROM (
+         |          SELECT doc_id, unnest(t) AS w
+         |          FROM tk WHERE doc_id % 2 = 1)
+         |        GROUP BY doc_id, w),
+         |p AS (
+         |  SELECT occ.doc_id, occ.m,
+         |         CAST(1000000000 AS HUGEINT) * (coalesce(cnt.cp, 0) + 1)
+         |           * (tot.tn + tot.v)
+         |           // (CAST(coalesce(cnt.cn, 0) + 1 AS HUGEINT)
+         |              * (tot.tp + tot.v)) AS r
+         |  FROM occ LEFT JOIN cnt ON occ.w = cnt.w CROSS JOIN tot),
+         |sc AS (SELECT doc_id,
+         |              CAST(sum(m * r) // sum(m) AS BIGINT) AS nb_score
+         |       FROM p GROUP BY doc_id),
+         |rk AS (SELECT nb_score,
+         |              row_number() OVER (ORDER BY nb_score) AS rn,
+         |              count(*) OVER () AS n
+         |       FROM sc),
+         |cut AS (
+         |  SELECT pp.p, min(rk.nb_score) AS c
+         |  FROM rk CROSS JOIN (SELECT unnest([10, 20, 30, 40, 50, 60,
+         |                                     70, 80, 90]) AS p) pp
+         |  WHERE rk.rn >= (pp.p * rk.n + 99) // 100
+         |  GROUP BY pp.p),
+         |bkt AS (
+         |  SELECT sc.doc_id,
+         |         sum(CASE WHEN sc.nb_score >= cut.c THEN 1 ELSE 0 END)
+         |           AS bucket
+         |  FROM sc CROSS JOIN cut GROUP BY sc.doc_id),
+         |lab AS (SELECT b.doc_id, b.bucket, d.lang = 'en' AS pos
+         |        FROM bkt b JOIN documents d USING (doc_id)),
+         |agg AS (SELECT bucket, count(*) AS n_docs,
+         |               sum(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos
+         |        FROM lab GROUP BY bucket)
+         |SELECT CAST(bucket AS INT) AS bucket,
+         |       n_docs, CAST(n_pos AS BIGINT) AS n_pos,
+         |       CAST((1000000000 * n_pos) // n_docs AS BIGINT)
+         |         AS prec_scaled,
+         |       CAST(sum(n_docs) OVER (ORDER BY bucket DESC
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |         AS BIGINT) AS cum_docs,
+         |       CAST(sum(n_pos) OVER (ORDER BY bucket DESC
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |         AS BIGINT) AS cum_pos,
+         |       CAST((1000000000 * sum(n_pos) OVER (ORDER BY bucket DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |         // sum(n_docs) OVER (ORDER BY bucket DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |         AS BIGINT) AS cum_prec_scaled
+         |FROM agg""".stripMargin,
+
     // X122 corpus novelty: the shared portable minhash chain split by
     // parity, the band probe (store-side degenerate-bucket guard), the
     // exact per-pair agreement count, and the (matches desc, sid asc)

@@ -247,6 +247,7 @@ object TestdataQueries {
       ("copurchase", () => { copurchasePairCounts(s, dir).count(); () }),
       ("exact_jaccard", () => { exactJaccardPairs(s, dir).count(); () }),
       ("bm25", () => { bm25Rankings(s, dir).count(); () }),
+      ("nb_scored", () => { nbScored(s, dir).count(); () }),
       ("centroids", () => { embeddingCentroids(s, dir); () }))
       .map { case (n, f) => timed(n)(f()) }
     Await.result(Future.sequence(phaseA), Duration.Inf)
@@ -1335,19 +1336,29 @@ object TestdataQueries {
     Similarity.embeddingOutliers(
       t(s, dir, "embeddings"), embeddingCentroids(s, dir), sigmas = 2)
 
+  // Shared artifact: the NB seed-classifier scored frame (train on even
+  // ids, lang='en' positive, score odd ids). The producer q176 exposes
+  // the frame itself against a full-chain oracle, so the landed scores
+  // the calibration (q180) consumes are fully verified — the signature
+  // store pattern.
+  private val nbScoredMemo = new Memo()
+  private def nbScored(s: SparkSession, dir: String): DataFrame =
+    memoShared(nbScoredMemo, s, dir) {
+      val d = t(s, dir, "documents")
+      TextAnalysis.naiveBayesOdds(
+        d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1),
+        positive = col("lang") === "en")
+    }
+
   /** X119: Naive-Bayes seed quality classifier
     * ([[graft.llm.TextAnalysis.naiveBayesOdds]]) — train on even doc
     * ids with `lang = 'en'` as the curated-seed class, score the odd
     * ones at the neutral 1e9 threshold (the held-out shape the GPT-3
     * quality filter runs at corpus scale). The oracle replays the
     * class counts and the exact HUGEINT mean-of-scaled-ratios law. */
-  def q176NaiveBayes(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
-    TextAnalysis.naiveBayesOdds(
-      d.filter(col("doc_id") % 2 === 0),
-      d.filter(col("doc_id") % 2 === 1),
-      positive = col("lang") === "en")
-  }
+  def q176NaiveBayes(s: SparkSession, dir: String): DataFrame =
+    nbScored(s, dir)
 
   /** X120: keep-first span dedup ([[graft.llm.Dedup.scrubSpansKeepFirst]])
     * — the Lee et al. ExactSubstr law: every duplicated 8-token window
@@ -1383,6 +1394,20 @@ object TestdataQueries {
       sigs.filter(col("doc_id") % 2 === 0),
       sigs.filter(col("doc_id") % 2 === 1),
       numHashes = 32, bands = 8, tNum = 2, tDen = 5, portable = true)
+  }
+
+  /** X123: classifier calibration
+    * ([[graft.llm.TextAnalysis.classifierCalibration]]) of q176's NB
+    * seed classifier on its held-out odd docs against the TRUE
+    * `lang = 'en'` label: decile rank-quantile buckets, per-bucket and
+    * cumulative-from-the-top exact precision. The oracle replays
+    * q176's scoring chain, the rank cuts, the cut-count bucket law,
+    * and both precision ratios. */
+  def q180Calibration(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val labeled = nbScored(s, dir).join(
+      d.select(col("doc_id"), (col("lang") === "en").as("__lab")), "doc_id")
+    TextAnalysis.classifierCalibration(labeled, col("__lab"), buckets = 10)
   }
 
   /** X117: vocabulary growth curve (Heaps-law diagnostic,
@@ -2446,6 +2471,7 @@ object TestdataQueries {
     "q177_keep_first_spans" -> q177KeepFirstSpans _,
     "q178_jl_distortion" -> q178JlDistortion _,
     "q179_novelty" -> q179Novelty _,
+    "q180_calibration" -> q180Calibration _,
     "q128_pq_adc" -> q128PqAdc _,
     "q121_cm_freq" -> q121CmFreq _,
     "q122_collocations" -> q122Collocations _,

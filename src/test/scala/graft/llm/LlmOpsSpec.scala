@@ -2330,6 +2330,35 @@ class LlmOpsSpec extends SparkSpec {
       r.getAs[Boolean]("is_novel"))
   }
 
+  test("classifier calibration: exact rank cuts, bucket law, cumulative-from-top") {
+    val scored = (1 to 10).map(i =>
+        (i.toLong, i * 10L, if (i >= 7) Some(true) else if (i == 1) None
+        else Some(false)))
+      .toDF("doc_id", "s", "lab")
+    // buckets=2: one cut at rank ceil(50*10/100)=5 -> score 50;
+    // bucket 1 = scores >= 50 (6 docs, 4 positive), bucket 0 = 4 docs
+    // (incl. the NULL label, which counts negative)
+    val got = TextAnalysis.classifierCalibration(scored, col("lab"),
+        buckets = 2, score = col("s"))
+      .collect().map(r => r.getAs[Int]("bucket") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_pos"),
+          r.getAs[Long]("prec_scaled"), r.getAs[Long]("cum_docs"),
+          r.getAs[Long]("cum_pos"), r.getAs[Long]("cum_prec_scaled"))).toMap
+    assert(got(1) == ((6L, 4L, 666666666L, 6L, 4L, 666666666L)))
+    assert(got(0) == ((4L, 0L, 0L, 10L, 4L, 400000000L)))
+  }
+
+  test("classifier calibration: total score ties collapse into the top bucket") {
+    val scored = (1 to 6).map(i => (i.toLong, 42L, i % 2 == 0))
+      .toDF("doc_id", "s", "lab")
+    val got = TextAnalysis.classifierCalibration(scored, col("lab"),
+      buckets = 2, score = col("s")).collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Int]("bucket") == 1 &&
+      got.head.getAs[Long]("n_docs") == 6L &&
+      got.head.getAs[Long]("n_pos") == 3L)
+  }
+
   test("rrf fusion: exact integer scores, absent docs score one-sided, doc_id ties") {
     val sysA = Seq(("q1", 10L, 1), ("q1", 20L, 2)).toDF("query_id", "doc_id", "rank")
     val sysB = Seq(("q1", 20L, 1), ("q1", 30L, 2)).toDF("query_id", "doc_id", "rank")
