@@ -259,6 +259,63 @@ object DedupBench {
     assert(nCrossWave > 0 && crossWaveNotInherited == 0,
       s"$crossWaveNotInherited of $nCrossWave wave-boundary pairs not inherited")
     assert(conflicted2 == 0, s"$conflicted2 rows flagged in a conflict-free corpus")
+
+    // phase 9: KEEP-FIRST span dedup (the Lee et al. ExactSubstr law)
+    // over the same corpus — the complement check to phase 5's
+    // scrub-all: the planted copy (the LATER occurrence) must empty,
+    // while its original (the first occurrence) keeps all 50 tokens.
+    // Closed forms: emptied == nPairs (copies only), total kept ==
+    // (n - nPairs) * 50.
+    val t8 = System.nanoTime()
+    val kf = Dedup.scrubSpansKeepFirst(docs, k = 8)
+      .agg(sum(when(col("n_kept") === 0, 1L).otherwise(0L)).as("emptied"),
+        sum(col("n_kept")).as("kept")).head()
+    val sec9 = (System.nanoTime() - t8) / 1e9
+    println(f"""{"phase":"keep_first_spans","docs":$n,"emptied":${kf.getLong(0)},"kept_tokens":${kf.getLong(1)},"sec":$sec9%.2f,"docs_per_sec":${(n / sec9).toLong}}""")
+    assert(kf.getLong(0) == nPairs,
+      s"emptied=${kf.getLong(0)} expected $nPairs (only the later copies)")
+    assert(kf.getLong(1) == (n - nPairs) * 50L,
+      s"kept=${kf.getLong(1)} expected ${(n - nPairs) * 50L}")
+
+    // phase 10: novelty scoring of a fresh probe batch against the
+    // phase-2 signature store — the acquisition-time audit at corpus
+    // scale. Every 20th probe doc copies a store doc with residue 7
+    // mod 20 (never itself a planted copy or an original-of-copy, so
+    // its text is UNIQUE in the store); all other probe docs are fresh
+    // hash-derived text. Closed forms: not-novel == m/20, each with
+    // sig_matches == 32 and nearest_id == its exact target; everything
+    // else novel with zero candidates.
+    val m = n / 10
+    val probeSeed = when(col("id") % 20 === 0, (col("id") % 100) * 20 + 7)
+      .otherwise(col("id"))
+    val probe = spark.range(n, n + m).select(col("id").as("doc_id"),
+        array_join(transform(sequence(lit(0), lit(49)),
+          j => concat(lit("w"), pmod(xxhash64(probeSeed, j), lit(9973)))), " ")
+          .as("text"))
+      .cache()
+    probe.count()
+    val t9 = System.nanoTime()
+    val nov = Dedup.noveltyScore(store,
+        Dedup.minhashTable(probe, numHashes = 32, k = 3),
+        numHashes = 32, bands = 8, tNum = 1, tDen = 2)
+      .withColumn("__target", when(col("doc_id") % 20 === 0,
+        (col("doc_id") % 100) * 20 + 7))
+      .agg(
+        sum(when(!col("is_novel"), 1L).otherwise(0L)).as("not_novel"),
+        sum(when(!col("is_novel") && col("sig_matches") === 32 &&
+          col("nearest_id") === col("__target"), 1L).otherwise(0L))
+          .as("exact_hits"),
+        sum(when(col("is_novel") && col("n_candidates") === 0, 1L)
+          .otherwise(0L)).as("clean_novel"))
+      .head()
+    val sec10 = (System.nanoTime() - t9) / 1e9
+    println(f"""{"phase":"novelty","store_docs":$cut,"probe_docs":$m,"not_novel":${nov.getLong(0)},"exact_hits":${nov.getLong(1)},"clean_novel":${nov.getLong(2)},"sec":$sec10%.2f,"probe_docs_per_sec":${(m / sec10).toLong}}""")
+    assert(nov.getLong(0) == m / 20,
+      s"not_novel=${nov.getLong(0)} expected ${m / 20}")
+    assert(nov.getLong(1) == m / 20,
+      s"exact_hits=${nov.getLong(1)} — a planted probe missed its target")
+    assert(nov.getLong(2) == m - m / 20,
+      s"clean_novel=${nov.getLong(2)} expected ${m - m / 20}")
     spark.stop()
   }
 }

@@ -939,11 +939,30 @@ object TextAnalysis {
                         lang: Column = col("lang"),
                         loPct: Int = 34, hiPct: Int = 67,
                         id: Column = col("doc_id"),
-                        text: Column = col("text")): DataFrame = {
-    require(1 <= loPct && loPct < hiPct && hiPct <= 100,
-      s"need 1 <= loPct < hiPct <= 100: $loPct/$hiPct")
+                        text: Column = col("text"),
+                        onPersist: DataFrame => Unit = _ => ()): DataFrame = {
+    // the scored frame feeds TWO subtrees (cuts + the bucketing join) —
+    // without persistence the whole LM chain (train counts + the scoring
+    // join) replays once per consumer, the classifierCalibration lesson
     val scored = bigramLmScore(train, toScore, id = id, text = text)
       .join(toScore.select(id.as("doc_id"), lang.as("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("lm_score"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    onPersist(scored)
+    perplexityBucketsFromScores(scored, loPct, hiPct)
+  }
+
+  /** [[perplexityBuckets]] starting from a PRECOMPUTED scored frame —
+    * (doc_id, lang, lm_score) — the production entry point: the LM
+    * scores are landed once (the [[tfidfSimilarityJoinFromTerms]]
+    * pattern) and every partitioning pass consumes the stored table
+    * instead of re-scoring the corpus. The two are equal by
+    * construction (the convenience form delegates here). */
+  def perplexityBucketsFromScores(scored: DataFrame,
+                                  loPct: Int = 34, hiPct: Int = 67)
+      : DataFrame = {
+    require(1 <= loPct && loPct < hiPct && hiPct <= 100,
+      s"need 1 <= loPct < hiPct <= 100: $loPct/$hiPct")
     val cuts = graft.operators.EventAnalytics.exactGroupQuantiles(
         scored, col("lang"), col("lm_score"), Seq(loPct, hiPct))
       .groupBy(col("g").as("lang"))

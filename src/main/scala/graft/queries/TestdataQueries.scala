@@ -248,6 +248,8 @@ object TestdataQueries {
       ("exact_jaccard", () => { exactJaccardPairs(s, dir).count(); () }),
       ("bm25", () => { bm25Rankings(s, dir).count(); () }),
       ("nb_scored", () => { nbScored(s, dir).count(); () }),
+      ("bpe_merges", () => { bpeMergeTable(s, dir).count(); () }),
+      ("lm_scored", () => { lmScored(s, dir).count(); () }),
       ("centroids", () => { embeddingCentroids(s, dir); () }))
       .map { case (n, f) => timed(n)(f()) }
     Await.result(Future.sequence(phaseA), Duration.Inf)
@@ -1305,13 +1307,9 @@ object TestdataQueries {
   /** Bigram-LM likelihood quality filter: train the LM on even doc_ids,
     * score the odd ones with add-one smoothing — the held-out-scoring
     * shape a CCNet-style gibberish filter runs at corpus scale. */
-  def q94BigramLm(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
-    TextAnalysis.bigramLmScore(
-      d.filter(col("doc_id") % 2 === 0),
-      d.filter(col("doc_id") % 2 === 1),
-      minScore = BigramLmMinScore)
-  }
+  def q94BigramLm(s: SparkSession, dir: String): DataFrame =
+    lmScored(s, dir)
+      .select(col("doc_id"), col("n_bigrams"), col("lm_score"), col("keep"))
 
   /** CCNet perplexity buckets (X109): the q94 LM (trained on even doc
     * ids) scores the odd docs, each LANGUAGE slice cuts at its exact
@@ -1319,12 +1317,9 @@ object TestdataQueries {
     * tail ([[graft.llm.TextAnalysis.perplexityBuckets]]). The oracle
     * replays the LM exactly like q94's and the cut law exactly like
     * q144's, per language. */
-  def q167CcnetBuckets(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
-    TextAnalysis.perplexityBuckets(
-      d.filter(col("doc_id") % 2 === 0),
-      d.filter(col("doc_id") % 2 === 1))
-  }
+  def q167CcnetBuckets(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.perplexityBucketsFromScores(
+      lmScored(s, dir).select(col("doc_id"), col("lang"), col("lm_score")))
 
   /** X118: embedding outlier pruning (the LAION-style quality filter,
     * [[graft.llm.Similarity.embeddingOutliers]]) over q73's k-means
@@ -1335,6 +1330,31 @@ object TestdataQueries {
   def q175EmbeddingOutliers(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingOutliers(
       t(s, dir, "embeddings"), embeddingCentroids(s, dir), sigmas = 2)
+
+  // Shared artifact: the learned BPE merge table (k=5 over the corpus's
+  // distinct-word table). The tokenizer is trained ONCE in production
+  // and applied everywhere; q129 exposes the table itself against the
+  // full unrolled-training oracle, so the landed merges q166 (encode)
+  // and q170 (fertility) consume are fully verified.
+  private val bpeMemo = new Memo()
+  private def bpeMergeTable(s: SparkSession, dir: String): DataFrame =
+    memoShared(bpeMemo, s, dir)(
+      TextAnalysis.bpeMerges(t(s, dir, "documents"), k = 5))
+
+  // Shared artifact: the bigram-LM scored frame (trained on even ids,
+  // scoring the odd ids) with the language joined on. q94 exposes the
+  // score columns against the full LM-replay oracle; q167 consumes the
+  // same landed scores for its per-language cuts.
+  private val lmScoredMemo = new Memo()
+  private def lmScored(s: SparkSession, dir: String): DataFrame =
+    memoShared(lmScoredMemo, s, dir) {
+      val d = t(s, dir, "documents")
+      TextAnalysis.bigramLmScore(
+          d.filter(col("doc_id") % 2 === 0),
+          d.filter(col("doc_id") % 2 === 1),
+          minScore = BigramLmMinScore)
+        .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    }
 
   // Shared artifact: the NB seed-classifier scored frame (train on even
   // ids, lang='en' positive, score odd ids). The producer q176 exposes
@@ -1463,11 +1483,9 @@ object TestdataQueries {
     * [[graft.llm.TextAnalysis.tokenizerFertility]]). The oracle replays
     * the whole train→encode chain (q129's shared CTEs) plus the
     * per-language rate law in HUGEINT. */
-  def q170Fertility(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+  def q170Fertility(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenizerFertility(
-      docs, TextAnalysis.bpeMerges(docs, k = 5))
-  }
+      t(s, dir, "documents"), bpeMergeTable(s, dir))
 
   /** X111: margin-based pair mining (Artetxe & Schwenk — the CCMatrix
     * bitext scorer) between the even- and odd-id embedding halves:
@@ -1949,7 +1967,7 @@ object TestdataQueries {
     * oracle unrolls each round (pair stats, lexicographic-tie argmax,
     * greedy replace) as a CTE chain. */
   def q129BpeMerges(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.bpeMerges(t(s, dir, "documents"), k = 5)
+    bpeMergeTable(s, dir)
 
   /** BPE corpus encoding (X108): the tokenizer's APPLY half — learn the
     * same five merges as q129, then encode every document with the
@@ -1958,10 +1976,8 @@ object TestdataQueries {
     * ordered reassembly). The oracle re-learns the merges with q129's
     * CTE chain and re-applies them per word, so the whole train->encode
     * pipeline replays exactly. */
-  def q166BpeEncode(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    TextAnalysis.bpeEncode(docs, TextAnalysis.bpeMerges(docs, k = 5))
-  }
+  def q166BpeEncode(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeEncode(t(s, dir, "documents"), bpeMergeTable(s, dir))
 
   /** IVF-PQ ANN (X69): the IVF cell routing (16 cells, 4 probes) and
     * the PQ-ADC code scan composed — the multiplied-pruning 100 TB

@@ -146,4 +146,22 @@ class SigMemoSpec extends SparkSpec {
   pinSharedEqualsIsolated("q161_cluster_sizes",
     "the cluster-size histogram over the landed candidate-pair store " +
       "must equal re-banding the signature store per query")
+  pinSharedEqualsIsolated("q176_naive_bayes",
+    "the landed NB scored store must equal scoring inside the query")
+  pinSharedEqualsIsolated("q180_calibration",
+    "calibration over the landed NB scored store must equal re-running " +
+      "the scoring chain inside the query")
+  pinSharedEqualsIsolated("q94_bigram_lm",
+    "the landed LM scored store must equal scoring inside the query")
+  pinSharedEqualsIsolated("q167_ccnet_buckets",
+    "per-language cuts over the landed LM scored store must equal " +
+      "re-scoring the corpus inside the query")
+  pinSharedEqualsIsolated("q129_bpe_merges",
+    "the landed BPE merge table must equal training inside the query")
+  pinSharedEqualsIsolated("q166_bpe_encode",
+    "encoding with the landed merge table must equal train-then-encode " +
+      "inside the query")
+  pinSharedEqualsIsolated("q170_fertility",
+    "fertility under the landed merge table must equal train-then-audit " +
+      "inside the query")
 }
