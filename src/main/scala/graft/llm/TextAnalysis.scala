@@ -202,6 +202,59 @@ object TextAnalysis {
       .distinct()
   }
 
+  /** The MOSS MATCH step over [[winnowFingerprints]] output — "where
+    * did this text come from": rank corpus documents by the number of
+    * DISTINCT winnowing fingerprints they share with each query
+    * document. The winnowing guarantee makes a zero here meaningful:
+    * no shared fingerprint ⇒ no shared substring of ≥ w+k-1 tokens
+    * (with the caveat below), which is what lets a sparse index answer
+    * provenance/attribution queries a full-gram index would answer at
+    * (w+1)/2 times the storage.
+    *
+    * Law: fingerprint sets are DISTINCT per doc (a print selected at
+    * several positions counts once); a fingerprint present in more
+    * than `maxDf` corpus documents is a stop-fingerprint and drops
+    * from the evidence (the inverted-index maxDf discipline —
+    * boilerplate is fanout, not provenance; this is the caveat on the
+    * zero-means-nothing-shared reading); `shared` counts surviving
+    * common prints per (query, corpus doc), ranking per query is
+    * (shared desc, doc_id asc) cut at `topK`, and `coverage_scaled =
+    * 1e9·shared div q_prints` reports evidence mass against the
+    * query's own (uncapped) print count. Self-matches excluded by
+    * default; queries with no surviving candidate produce no row.
+    *
+    * Scale shape: the corpus side is the LANDED fingerprint store (one
+    * narrow table, ~2/(w+1) of the gram count); the query side is
+    * query-set-sized and broadcasts (the [[bm25TopK]] contract); the
+    * df guard partial-aggregates to fingerprint cells before the join;
+    * the per-query cut is a map-side WindowGroupLimit. Nothing
+    * quadratic, the corpus never rescans text. */
+  def winnowMatches(corpusFps: DataFrame, queryFps: DataFrame,
+                    topK: Int = 5, maxDf: Int = 100,
+                    excludeSelf: Boolean = true): DataFrame = {
+    require(topK >= 1 && maxDf >= 1, s"topK=$topK maxDf=$maxDf")
+    val cp = corpusFps.select(col("doc_id"), col("fp")).distinct()
+    val qp = queryFps.select(col("doc_id").as("query_id"), col("fp"))
+      .distinct()
+    val qTotals = qp.groupBy("query_id").agg(count(lit(1)).as("q_prints"))
+    val dfs = cp.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("fp")
+    val shared = cp.join(dfs, Seq("fp"))
+      .join(broadcast(qp), Seq("fp"))
+      .filter(if (excludeSelf) col("doc_id") =!= col("query_id")
+        else lit(true))
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("shared"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("shared").desc, col("doc_id"))
+    shared.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .join(broadcast(qTotals), Seq("query_id"))
+      .withColumn("coverage_scaled",
+        expr("(CAST(1000000000 AS BIGINT) * shared) div q_prints"))
+      .select(col("query_id"), col("rank"), col("doc_id"), col("shared"),
+        col("q_prints"), col("coverage_scaled"))
+  }
+
   /** PII redaction patterns, applied in order. Explicit character classes
     * only — no lookaround, no `\s`, no `\d` — so Java regex (the engine)
     * and RE2 (the DuckDB oracle) read each pattern identically. Email

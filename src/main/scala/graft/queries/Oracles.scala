@@ -2403,6 +2403,52 @@ object Oracles {
          |SELECT DISTINCT doc_id, pos, fp FROM sel WHERE rn = 1"""
         .stripMargin,
 
+    // X124 MOSS match step: q173's winnow chain -> distinct print sets,
+    // df<=3 stop-print guard, distinct shared prints per (query, doc),
+    // (shared desc, doc_id) rank cut at 5, coverage vs the query's own
+    // uncapped print count
+    "q181_winnow_matches" ->
+      raw"""WITH tk AS (
+         |  SELECT doc_id, list_filter(string_split($norm, ' '),
+         |    t -> len(t) > 0) AS t
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, len(t) - 2 AS g, i - 1 AS pos,
+         |         ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' '
+         |            || t[i+2]), 1, 7))::BIGINT AS fp
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+         |        FROM tk WHERE len(t) >= 3)),
+         |m AS (
+         |  SELECT doc_id, pos, fp,
+         |         unnest(range(greatest(pos - least(4, g) + 1, 0),
+         |                      least(pos, g - least(4, g)) + 1)) AS s
+         |  FROM g),
+         |sel AS (
+         |  SELECT doc_id, pos, fp,
+         |         row_number() OVER (PARTITION BY doc_id, s
+         |                            ORDER BY fp, pos DESC) AS rn
+         |  FROM m),
+         |wfp AS (SELECT DISTINCT doc_id, fp FROM sel WHERE rn = 1),
+         |ok AS (SELECT fp FROM wfp GROUP BY fp HAVING count(*) <= 3),
+         |q AS (SELECT doc_id AS query_id, fp FROM wfp WHERE doc_id < 25),
+         |qt AS (SELECT query_id, count(*) AS q_prints FROM q GROUP BY 1),
+         |sh AS (
+         |  SELECT q.query_id, c.doc_id, count(*) AS shared
+         |  FROM wfp c JOIN ok USING (fp) JOIN q USING (fp)
+         |  WHERE c.doc_id <> q.query_id
+         |  GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT query_id, doc_id, shared,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY shared DESC, doc_id) AS rank
+         |  FROM sh)
+         |SELECT rk.query_id, CAST(rk.rank AS INT) AS rank, rk.doc_id,
+         |       rk.shared, qt.q_prints,
+         |       CAST((CAST(1000000000 AS BIGINT) * rk.shared)
+         |         // qt.q_prints AS BIGINT) AS coverage_scaled
+         |FROM rk JOIN qt USING (query_id)
+         |WHERE rk.rank <= 5""".stripMargin,
+
     "q171_hard_negatives" ->
       s"""WITH a AS (SELECT vec_id AS query_id, embedding AS e
          |           FROM embeddings WHERE vec_id < 8),

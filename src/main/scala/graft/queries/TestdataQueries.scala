@@ -250,6 +250,7 @@ object TestdataQueries {
       ("nb_scored", () => { nbScored(s, dir).count(); () }),
       ("bpe_merges", () => { bpeMergeTable(s, dir).count(); () }),
       ("lm_scored", () => { lmScored(s, dir).count(); () }),
+      ("winnow_fps", () => { winnowStore(s, dir).count(); () }),
       ("centroids", () => { embeddingCentroids(s, dir); () }))
       .map { case (n, f) => timed(n)(f()) }
     Await.result(Future.sequence(phaseA), Duration.Inf)
@@ -1356,6 +1357,15 @@ object TestdataQueries {
         .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
     }
 
+  // Shared artifact: the winnowing fingerprint table (k=3, w=4 — the
+  // MOSS index). q173 exposes the table itself against the full
+  // window-argmin oracle; q181 (the match step) consumes the same
+  // landed prints.
+  private val winnowMemo = new Memo()
+  private def winnowStore(s: SparkSession, dir: String): DataFrame =
+    memoShared(winnowMemo, s, dir)(
+      TextAnalysis.winnowFingerprints(t(s, dir, "documents"), k = 3, w = 4))
+
   // Shared artifact: the NB seed-classifier scored frame (train on even
   // ids, lang='en' positive, score odd ids). The producer q176 exposes
   // the frame itself against a full-chain oracle, so the landed scores
@@ -1445,7 +1455,20 @@ object TestdataQueries {
     * data; the oracle replays grams, window membership, and the
     * (hash asc, pos desc) argmin per window. */
   def q173Winnow(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.winnowFingerprints(t(s, dir, "documents"), k = 3, w = 4)
+    winnowStore(s, dir)
+
+  /** X124: the MOSS match step ([[graft.llm.TextAnalysis.winnowMatches]])
+    * over the landed q173 fingerprint store — the first 25 docs as
+    * queries, top-5 corpus matches each by distinct shared
+    * fingerprints, stop-fingerprints capped at df 3 (the cap fires on
+    * this corpus: 311 → 251 candidate pairs at sf0.01). The oracle
+    * replays the winnow chain, the distinct print sets, the df guard,
+    * and the (shared desc, doc_id) rank law. */
+  def q181WinnowMatches(s: SparkSession, dir: String): DataFrame = {
+    val fps = winnowStore(s, dir)
+    TextAnalysis.winnowMatches(fps, fps.filter(col("doc_id") < 25),
+      topK = 5, maxDf = 3)
+  }
 
   /** X115: cluster-balanced subset (the DataComp/LAION diversity cap,
     * [[graft.llm.Similarity.clusterBalancedSample]]): q73's k-means
@@ -2488,6 +2511,7 @@ object TestdataQueries {
     "q178_jl_distortion" -> q178JlDistortion _,
     "q179_novelty" -> q179Novelty _,
     "q180_calibration" -> q180Calibration _,
+    "q181_winnow_matches" -> q181WinnowMatches _,
     "q128_pq_adc" -> q128PqAdc _,
     "q121_cm_freq" -> q121CmFreq _,
     "q122_collocations" -> q122Collocations _,

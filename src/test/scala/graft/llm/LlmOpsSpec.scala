@@ -2359,6 +2359,46 @@ class LlmOpsSpec extends SparkSpec {
       got.head.getAs[Long]("n_pos") == 3L)
   }
 
+  test("winnow matches: distinct-print counting, stop-print cap, rank cut, self exclusion") {
+    // hand-built print sets; print 7 sits in 4 corpus docs -> capped at
+    // maxDf=3 and contributes no evidence anywhere
+    val corpus = Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 7L),
+      (11L, 2L), (11L, 3L), (11L, 7L), (12L, 9L), (12L, 7L),
+      (13L, 2L), (13L, 7L)).toDF("doc_id", "fp")
+    val queries = Seq((1L, 2L), (1L, 3L), (1L, 7L), (1L, 8L),
+      (10L, 1L), (10L, 2L)).toDF("doc_id", "fp")
+    val got = TextAnalysis.winnowMatches(corpus, queries,
+        topK = 2, maxDf = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("shared"),
+          r.getAs[Long]("q_prints"), r.getAs[Long]("coverage_scaled"))).toMap
+    // q1 {2,3,(7 capped),8}: doc10 shares {2,3}, doc11 {2,3}, doc13 {2};
+    // topK=2 keeps the two shared=2 docs, id-ordered; q_prints counts
+    // the UNCAPPED query set (4)
+    assert(got((1L, 1)) == ((10L, 2L, 4L, 500000000L)))
+    assert(got((1L, 2)) == ((11L, 2L, 4L, 500000000L)))
+    assert(!got.contains((1L, 3)))
+    // q10 never matches itself; shared print 2 reaches docs 11 and 13
+    assert(got((10L, 1)) == ((11L, 1L, 2L, 500000000L)))
+    assert(got((10L, 2)) == ((13L, 1L, 2L, 500000000L)))
+  }
+
+  test("winnow matches: the w+k-1 shared-substring guarantee surfaces a match") {
+    // docs share the 6-token run "p q r s t u" (= w+k-1 at k=3, w=4) ->
+    // winnowing guarantees at least one identical selected fingerprint
+    val docs = Seq(
+      (0L, "p q r s t u x1 x2 x3 x4"),
+      (1L, "y1 y2 p q r s t u y3 y4"),
+      (2L, "z1 z2 z3 z4 z5 z6 z7 z8")).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(docs, k = 3, w = 4)
+    val got = TextAnalysis.winnowMatches(fps,
+        fps.filter(col("doc_id") === 0L), topK = 5, maxDf = 100)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("shared")).toMap
+    assert(got.getOrElse(1L, 0L) >= 1L, "guaranteed fingerprint missing")
+    assert(!got.contains(2L), "disjoint doc must not match")
+  }
+
   test("rrf fusion: exact integer scores, absent docs score one-sided, doc_id ties") {
     val sysA = Seq(("q1", 10L, 1), ("q1", 20L, 2)).toDF("query_id", "doc_id", "rank")
     val sysB = Seq(("q1", 20L, 1), ("q1", 30L, 2)).toDF("query_id", "doc_id", "rank")

@@ -164,4 +164,9 @@ class SigMemoSpec extends SparkSpec {
   pinSharedEqualsIsolated("q170_fertility",
     "fertility under the landed merge table must equal train-then-audit " +
       "inside the query")
+  pinSharedEqualsIsolated("q173_winnow",
+    "the landed fingerprint table must equal winnowing inside the query")
+  pinSharedEqualsIsolated("q181_winnow_matches",
+    "matching over the landed fingerprint store must equal re-winnowing " +
+      "both sides inside the query")
 }
