@@ -1386,6 +1386,79 @@ object TextAnalysis {
     * rhs) table); it is collected to the driver — bounded by the
     * training parameter k, the same metadata class as training's own
     * per-round argmax collects. */
+  /** Tokenizer BUDGET sweep — how much does each extra merge buy:
+    * corpus-level pieces-per-word and encoded-piece vocabulary at
+    * several merge budgets, priced from ONE learned merge table via the
+    * BPE prefix law (greedy training is sequential, so the first `j`
+    * merges of a k-merge table ARE the j-merge tokenizer — no
+    * retraining per operating point, the [[graft.llm.Dedup.bandingSweep]]
+    * discipline applied to the tokenizer). `budget = 0` is the
+    * character baseline. A flattening pieces-per-word curve says the
+    * remaining merges buy little — the datapoint a vocab-size decision
+    * actually needs.
+    *
+    * Law: per budget j, every alphabet word segments under merges
+    * 1..j ([[bpeEncode]]'s exact fold), non-alphabet words pass
+    * through whole; `total_pieces` weights by corpus occurrence,
+    * `pieces_per_word_scaled = 1e9·pieces div words` (exact integers),
+    * `piece_vocab` counts distinct piece strings in the encoded
+    * corpus.
+    *
+    * Scale shape: the corpus is read once into the word-frequency
+    * table; the per-budget segmentations explode over the DISTINCT
+    * word table only (steps × vocab rows, persisted for its two
+    * consumers — stats and the vocab distinct). The snapshot
+    * expressions nest one fold per merge, so this is the EXPLORATORY
+    * tool for small k (tokenizer design); a production 32k-merge
+    * tokenizer applies ONE budget through [[bpeEncode]]'s loop. */
+  def bpeBudgetSweep(docs: DataFrame, merges: DataFrame, steps: Seq[Int],
+                     text: Column = col("text"),
+                     onPersist: DataFrame => Unit = _ => ()): DataFrame = {
+    require(steps.nonEmpty && steps.forall(_ >= 0) &&
+      steps == steps.sorted && steps.distinct.size == steps.size,
+      s"steps must be ascending distinct non-negative: $steps")
+    val ms = merges.select(col("merge_rank"), col("lhs"), col("rhs"))
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    require(steps.last <= ms.length,
+      s"budget ${steps.last} exceeds the ${ms.length}-merge table")
+    val wn = docs.select(explode(wsTokens(text)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    var syms: Column = filter(split(col("w"), ""), s => length(s) > 0)
+    val snaps = scala.collection.mutable.ArrayBuffer.empty[(Int, Column)]
+    if (steps.head == 0) snaps += ((0, syms))
+    var j = 0
+    ms.take(steps.last).foreach { case (a, b) =>
+      val m = a + b
+      syms = aggregate(syms, array().cast("array<string>"), (acc, s) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(a) &&
+            s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+          .otherwise(concat(acc, array(s))))
+      j += 1
+      if (steps.contains(j)) snaps += ((j, syms))
+    }
+    val snapArr = array(snaps.toSeq.map { case (jj, s) =>
+      struct(lit(jj).as("budget"),
+        when(col("w").rlike("^[a-z0-9]+$"), s)
+          .otherwise(array(col("w"))).as("pieces")) }: _*)
+    val enc = wn.select(col("w"), col("n"), explode(snapArr).as("__e"))
+      .select(col("n"), col("__e.budget").as("budget"),
+        col("__e.pieces").as("pieces"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    onPersist(enc)
+    val stats = enc.groupBy("budget").agg(
+      sum(col("n")).as("n_words"),
+      sum(col("n") * size(col("pieces"))).as("total_pieces"))
+    val vocab = enc.select(col("budget"), explode(col("pieces")).as("p"))
+      .groupBy("budget").agg(count_distinct(col("p")).as("piece_vocab"))
+    stats.join(vocab, Seq("budget"))
+      .withColumn("pieces_per_word_scaled", expr(
+        "(CAST(1000000000 AS DECIMAL(38,0)) * total_pieces) div n_words"))
+      .select(col("budget"), col("n_words"), col("total_pieces"),
+        col("pieces_per_word_scaled"), col("piece_vocab"))
+  }
+
   def bpeEncode(docs: DataFrame, merges: DataFrame,
                 id: Column = col("doc_id"),
                 text: Column = col("text")): DataFrame = {

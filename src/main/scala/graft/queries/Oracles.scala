@@ -2403,6 +2403,47 @@ object Oracles {
          |SELECT DISTINCT doc_id, pos, fp FROM sel WHERE rn = 1"""
         .stripMargin,
 
+    // X125 tokenizer budget sweep: the shared BPE chain's w0/w1/w3/w5
+    // prefix states priced against the full-multiplicity corpus —
+    // occurrence-weighted piece totals + distinct piece vocab per
+    // budget, non-alphabet words passing through whole
+    "q182_bpe_budget_sweep" -> {
+      val steps = Seq(0, 1, 3, 5)
+      val stepCtes = steps.map { j =>
+        s"""wp$j AS (
+           |  SELECT w, string_split(replace(trim(s, chr(1)),
+           |           chr(1) || chr(1), ' '), ' ') AS ps
+           |  FROM w$j),
+           |enc$j AS (
+           |  SELECT wn.w, wn.n, coalesce(wp$j.ps, [wn.w]) AS ps
+           |  FROM wn LEFT JOIN wp$j USING (w)),
+           |st$j AS (
+           |  SELECT $j AS budget,
+           |         CAST(sum(n) AS BIGINT) AS n_words,
+           |         CAST(sum(n * len(ps)) AS BIGINT) AS total_pieces
+           |  FROM enc$j),
+           |v$j AS (
+           |  SELECT $j AS budget, count(DISTINCT p) AS piece_vocab
+           |  FROM (SELECT unnest(ps) AS p FROM enc$j))""".stripMargin
+      }.mkString(",\n")
+      val finals = steps.map { j =>
+        s"""SELECT st$j.budget, st$j.n_words, st$j.total_pieces,
+           |       CAST((CAST(1000000000 AS HUGEINT) * st$j.total_pieces)
+           |         // st$j.n_words AS BIGINT) AS pieces_per_word_scaled,
+           |       CAST(v$j.piece_vocab AS BIGINT) AS piece_vocab
+           |FROM st$j CROSS JOIN v$j""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ${bpeCtes(5)},
+         |tk AS (
+         |  SELECT doc_id, list_filter(string_split($norm, ' '),
+         |    t -> len(t) > 0) AS t FROM documents),
+         |wn AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w),
+         |$stepCtes
+         |$finals""".stripMargin
+    },
+
     // X124 MOSS match step: q173's winnow chain -> distinct print sets,
     // df<=3 stop-print guard, distinct shared prints per (query, doc),
     // (shared desc, doc_id) rank cut at 5, coverage vs the query's own

@@ -1464,6 +1464,16 @@ object TestdataQueries {
     * this corpus: 311 → 251 candidate pairs at sf0.01). The oracle
     * replays the winnow chain, the distinct print sets, the df guard,
     * and the (shared desc, doc_id) rank law. */
+  /** X125: tokenizer budget sweep
+    * ([[graft.llm.TextAnalysis.bpeBudgetSweep]]) over the landed q129
+    * merge table at budgets 0/1/3/5 (0 = the character baseline) — the
+    * BPE prefix law prices every budget from one learned table. The
+    * oracle reads the shared chain's w0/w1/w3/w5 prefix states and
+    * replays the occurrence-weighted stats + piece vocab per budget. */
+  def q182BpeBudgetSweep(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeBudgetSweep(t(s, dir, "documents"),
+      bpeMergeTable(s, dir), steps = Seq(0, 1, 3, 5))
+
   def q181WinnowMatches(s: SparkSession, dir: String): DataFrame = {
     val fps = winnowStore(s, dir)
     TextAnalysis.winnowMatches(fps, fps.filter(col("doc_id") < 25),
@@ -2512,6 +2522,7 @@ object TestdataQueries {
     "q179_novelty" -> q179Novelty _,
     "q180_calibration" -> q180Calibration _,
     "q181_winnow_matches" -> q181WinnowMatches _,
+    "q182_bpe_budget_sweep" -> q182BpeBudgetSweep _,
     "q128_pq_adc" -> q128PqAdc _,
     "q121_cm_freq" -> q121CmFreq _,
     "q122_collocations" -> q122Collocations _,

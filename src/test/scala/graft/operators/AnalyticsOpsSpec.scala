@@ -628,6 +628,28 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(g2 == ((4L, "s low lo t")), g2)
   }
 
+  test("bpe budget sweep: prefix law prices each budget, char baseline, pass-through") {
+    val docs = Seq((0L, "ab ab b"), (1L, "ab!")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMerges(docs, k = 1) // one merge: a+b
+    val got = TextAnalysis.bpeBudgetSweep(docs, merges, steps = Seq(0, 1))
+      .collect().map(r => r.getAs[Int]("budget") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("total_pieces"),
+          r.getAs[Long]("pieces_per_word_scaled"),
+          r.getAs[Long]("piece_vocab"))).toMap
+    // budget 0 (chars): ab->2 pieces x2 occ, b->1, ab!->1 whole
+    // (non-alphabet pass-through) = 6 pieces over 4 words; vocab {a,b,ab!}
+    assert(got(0) == ((4L, 6L, 1500000000L, 3L)))
+    // budget 1 (a+b): ab->1 piece -> 4 pieces; vocab {ab,b,ab!}
+    assert(got(1) == ((4L, 4L, 1000000000L, 3L)))
+    // budgets past the learned table refuse loudly
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeBudgetSweep(docs, merges, steps = Seq(0, 2))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeBudgetSweep(docs, merges, steps = Seq(1, 0))
+    }
+  }
+
   test("dsir train/apply split: scoring against the frozen ratio table " +
     "equals the one-shot weights; unseen-everywhere bucket scores neutral") {
     import graft.llm.TextAnalysis
