@@ -968,6 +968,66 @@ object Multimodal {
     * expansion only within equal-block buckets (the shared capped
     * [[Dedup.pairsFromMembers]] guard shape applies upstream when
     * corpora are degenerate), exact verify never touches pixels. */
+  final case class AudioHashRow(media_id: Long, afp: Option[Long])
+
+  /** 64-bit audio fingerprint from the REAL decoded waveform — a
+    * chromaprint-lite over the loudness envelope: the mono signal
+    * ([[decodeAudio]] — javax.sound PCM WAV, channel-averaged) splits
+    * into 65 equal-width windows, each window accumulates its energy
+    * (sum of squares, sequential IEEE order — deterministic across
+    * partitionings), and bit i of the print is `energy(i+1) >
+    * energy(i)` — the same delta-sign construction as [[imageDHash]]'s
+    * luma gradients, so the print is invariant to uniform GAIN (a
+    * re-mastered louder copy scales every energy by g² and no
+    * comparison flips) and captures rhythm/dynamics structure.
+    * Signals shorter than 65 samples (no full window grid) and
+    * undecodable payloads fingerprint as null — route them by content
+    * hash, the [[imageDHash]] contract. Near-dup pairing reuses the
+    * SAME pigeonhole block-LSH verifier ([[imageNearDupPairs]] — it
+    * never looks at what the 64 bits mean), so audio gets the
+    * never-all-pairs pairing story for free. */
+  def audioFingerprint(spark: SparkSession, media: DataFrame)
+      : Dataset[AudioHashRow] = {
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("kind"),
+        col("bytes"), lit(0).as("width"), lit(0).as("height"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = if (r.bytes == null) Array.emptyByteArray else r.bytes
+          AudioHashRow(r.media_id, decodeAudio(bytes).flatMap {
+            case (_, mono) =>
+              val windows = 65
+              if (mono.length < windows) None
+              else {
+                val e = new Array[Double](windows)
+                var wi = 0
+                while (wi < windows) {
+                  // equal-width grid; the last window absorbs remainder
+                  val lo = (mono.length.toLong * wi / windows).toInt
+                  val hi =
+                    if (wi == windows - 1) mono.length
+                    else (mono.length.toLong * (wi + 1) / windows).toInt
+                  var acc = 0.0
+                  var i = lo
+                  while (i < hi) { acc += mono(i).toDouble * mono(i); i += 1 }
+                  e(wi) = acc
+                  wi += 1
+                }
+                var h = 0L
+                var i = 0
+                while (i < 64) {
+                  h <<= 1
+                  if (e(i + 1) > e(i)) h |= 1L
+                  i += 1
+                }
+                Some(h)
+              }
+          })
+        }
+      }
+  }
+
   def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7, s"maxHamming=$maxHamming")
     val nBlocks = maxHamming + 1

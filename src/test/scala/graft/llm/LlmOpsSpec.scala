@@ -957,6 +957,58 @@ class LlmOpsSpec extends SparkSpec {
     assert(back.getWidth == 1 && back.getHeight == 1)
   }
 
+  test("audio fingerprint: envelope-delta law, gain invariance, near-dup pairing") {
+    import javax.sound.sampled._
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val format = new AudioFormat(8000f, 16, 1, true, false)
+      val raw = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { i =>
+        raw(2 * i) = (samples(i) & 0xff).toByte
+        raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), format, samples.length),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // strictly rising amplitude ramp: every window's energy exceeds its
+    // predecessor's -> all 64 delta bits set
+    val rising = Array.tabulate(6500)(i => (i * 4 + 100).toShort)
+    // the same signal at exactly half gain: energies scale by 1/4, no
+    // comparison flips
+    val half = rising.map(s => (s / 2).toShort)
+    // rising with one window's worth of samples zeroed near the middle:
+    // a small, localized print difference
+    val dented = rising.clone()
+    (3200 until 3300).foreach(i => dented(i) = 0)
+    // falling ramp: every delta bit clear
+    val falling = rising.reverse
+    val media = Seq(
+      (1L, "audio", wav(rising)), (2L, "audio", wav(half)),
+      (3L, "audio", wav(dented)), (4L, "audio", wav(falling)),
+      (5L, "audio", wav(Array.tabulate(30)(_.toShort))), // < 65 samples
+      (6L, "audio", "not audio".getBytes("UTF-8")))      // undecodable
+      .toDF("media_id", "kind", "bytes")
+    val fp = Multimodal.audioFingerprint(spark, media).collect()
+      .map(r => r.media_id -> r.afp).toMap
+    assert(fp(1L).contains(-1L))              // 64 ones
+    assert(fp(4L).contains(0L))               // 64 zeros
+    assert(fp(2L) == fp(1L), "gain scaling must not move the print")
+    val d = java.lang.Long.bitCount(fp(1L).get ^ fp(3L).get)
+    assert(d >= 1 && d <= 3, s"dent should flip a few local bits, got $d")
+    assert(fp(5L).isEmpty && fp(6L).isEmpty)
+    // the generic Hamming pairer finds the planted near-dups and only them
+    import spark.implicits._
+    val hashes = fp.toSeq.collect { case (id, Some(h)) => (id, h) }
+      .toDF("media_id", "dhash")
+    val pairs = Multimodal.imageNearDupPairs(hashes, maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"expected the rising-family near-dups, got $pairs")
+  }
+
   test("multimodal audio kind decodes REAL samples (javax.sound) with stub fallback") {
     import javax.sound.sampled._
     // 16-bit PCM WAV fixtures with exactly-known features
