@@ -833,6 +833,86 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"), col("lm_score"), col("keep"))
   }
 
+  /** Stupid Backoff trigram LM scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation") — the LM law PUBLISHED
+    * for distributed counting at web scale: no discounting, no
+    * normalization, just relative frequencies with a fixed 0.4 backoff
+    * penalty per level, because at corpus scale the count tables are
+    * the only thing a cluster can afford to materialize and the score
+    * only needs to RANK text, not be a probability.
+    *
+    * Score law (exact integers, the [[bigramLmScore]] discipline —
+    * every branch is ONE division of decimal(38) products, no nesting,
+    * no libm): per trigram occurrence (w1, w2, w3) of the scored text,
+    *  - seen trigram:      `s = 1e9 · c3(w1,w2,w3) div c2(w1,w2)`
+    *  - else seen bigram:  `s = 4e8 · c2(w2,w3)    div c1(w2)`
+    *  - else:              `s = 1.6e8 · c1(w3)     div N`
+    * (0.4·1e9 and 0.4²·1e9 are exact integers; an unseen-everywhere
+    * w3 scores 0 — Stupid Backoff deliberately does not smooth).
+    * A document's `sb_score` is the integer mean over its trigram
+    * occurrences; `keep = sb_score >= minScore`. Documents with fewer
+    * than three tokens have no trigram and no row (route to a length
+    * filter — the [[bigramLmScore]] contract).
+    *
+    * Scale shape: three count tables, each partial-aggregated and
+    * term-keyed; the scored corpus pre-aggregates to (doc, trigram,
+    * multiplicity) and meets the tables through term-keyed joins (c2
+    * twice and c1 twice — denominator and backoff legs are different
+    * keys); the 1-row total broadcasts. The corpus never shuffles as
+    * text. */
+  def stupidBackoffScore(train: DataFrame, toScore: DataFrame,
+                         minScore: Long = 0L,
+                         id: Column = col("doc_id"),
+                         text: Column = col("text")): DataFrame = {
+    def grams(d: DataFrame, n: Int): DataFrame = {
+      val toks = d.select(id.as("doc_id"), wsTokens(text).as("__t"))
+      val cols = (0 until n).map(j => s"w${j + 1}")
+      toks.select(col("doc_id"), explode(when(size(col("__t")) >= n,
+          transform(sequence(lit(1), size(col("__t")) - (n - 1)), i =>
+            struct(cols.zipWithIndex.map { case (c, j) =>
+              element_at(col("__t"), i + j).as(c) }: _*)))
+          .otherwise(array().cast(
+            s"array<struct<${cols.map(_ + ":string").mkString(",")}>>")))
+          .as("__g"))
+        .select(col("doc_id") +: cols.map(c => col(s"__g.$c")): _*)
+    }
+    val c3 = grams(train, 3).groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).as("c3"))
+    val c2 = grams(train, 2).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c2"))
+    val c1 = grams(train, 1).groupBy("w1").agg(count(lit(1)).as("c1"))
+    val n = c1.agg(coalesce(sum("c1"), lit(0L)).as("nn"))
+    val perDoc = grams(toScore, 3).groupBy("doc_id", "w1", "w2", "w3")
+      .agg(count(lit(1)).as("m"))
+    perDoc
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c2.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("c2").as("c2b")), Seq("w2", "w3"), "left")
+      .join(c1.select(col("w1").as("w2"), col("c1").as("c1b")),
+        Seq("w2"), "left")
+      .join(c1.select(col("w1").as("w3"), col("c1").as("c1c")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(n))
+      .withColumn("s_scaled", expr(
+        """CASE
+          |  WHEN c3 IS NOT NULL THEN
+          |    (CAST(1000000000 AS DECIMAL(38,0)) * c3) div c2
+          |  WHEN c2b IS NOT NULL THEN
+          |    (CAST(400000000 AS DECIMAL(38,0)) * c2b) div c1b
+          |  WHEN c1c IS NOT NULL THEN
+          |    (CAST(160000000 AS DECIMAL(38,0)) * c1c) div nn
+          |  ELSE 0L
+          |END""".stripMargin))
+      .groupBy("doc_id")
+      .agg(sum("m").as("n_trigrams"),
+        sum(expr("m * s_scaled")).as("__s"))
+      .withColumn("sb_score", expr("__s div n_trigrams"))
+      .withColumn("keep", col("sb_score") >= minScore)
+      .select(col("doc_id"), col("n_trigrams"), col("sb_score"),
+        col("keep"))
+  }
+
   /** Naive-Bayes seed quality classifier — the GPT-3-style "does this
     * document look like the curated seed corpus" filter (Brown et al.
     * 2020 appendix A trains a linear classifier on a positive seed vs

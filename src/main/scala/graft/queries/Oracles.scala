@@ -2403,6 +2403,55 @@ object Oracles {
          |SELECT DISTINCT doc_id, pos, fp FROM sel WHERE rn = 1"""
         .stripMargin,
 
+    // X127 Stupid Backoff: three count tables off the even half, the
+    // one-division-per-branch backoff chain (1e9/4e8/1.6e8 exact
+    // multipliers), integer mean per odd doc
+    "q183_stupid_backoff" ->
+      raw"""WITH tk AS (
+         |  SELECT doc_id, list_filter(string_split($norm, ' '),
+         |    t -> len(t) > 0) AS t
+         |  FROM documents),
+         |g3 AS (
+         |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+         |        FROM tk WHERE len(t) >= 3)),
+         |g2 AS (
+         |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+         |        FROM tk WHERE len(t) >= 2)),
+         |g1 AS (SELECT doc_id, unnest(t) AS w1 FROM tk),
+         |c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM g3
+         |       WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM g2
+         |       WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM g1
+         |       WHERE doc_id % 2 = 0 GROUP BY 1),
+         |n AS (SELECT coalesce(sum(c1), 0) AS nn FROM c1),
+         |occ AS (SELECT doc_id, w1, w2, w3, count(*) AS m FROM g3
+         |        WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3, 4),
+         |p AS (
+         |  SELECT occ.doc_id, occ.m,
+         |    CASE WHEN c3.c3 IS NOT NULL THEN
+         |           (CAST(1000000000 AS HUGEINT) * c3.c3) // ca.c2
+         |         WHEN cb.c2 IS NOT NULL THEN
+         |           (CAST(400000000 AS HUGEINT) * cb.c2) // c1b.c1
+         |         WHEN c1c.c1 IS NOT NULL THEN
+         |           (CAST(160000000 AS HUGEINT) * c1c.c1) // n.nn
+         |         ELSE 0 END AS s
+         |  FROM occ
+         |  LEFT JOIN c3 ON occ.w1 = c3.w1 AND occ.w2 = c3.w2
+         |    AND occ.w3 = c3.w3
+         |  LEFT JOIN c2 ca ON occ.w1 = ca.w1 AND occ.w2 = ca.w2
+         |  LEFT JOIN c2 cb ON occ.w2 = cb.w1 AND occ.w3 = cb.w2
+         |  LEFT JOIN c1 c1b ON occ.w2 = c1b.w1
+         |  LEFT JOIN c1 c1c ON occ.w3 = c1c.w1
+         |  CROSS JOIN n)
+         |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_trigrams,
+         |       CAST(sum(m * s) // sum(m) AS BIGINT) AS sb_score,
+         |       CAST(sum(m * s) // sum(m) AS BIGINT)
+         |         >= ${TestdataQueries.StupidBackoffMinScore} AS keep
+         |FROM p GROUP BY doc_id""".stripMargin,
+
     // X125 tokenizer budget sweep: the shared BPE chain's w0/w1/w3/w5
     // prefix states priced against the full-multiplicity corpus —
     // occurrence-weighted piece totals + distinct piece vocab per

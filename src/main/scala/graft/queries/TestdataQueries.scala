@@ -1464,6 +1464,22 @@ object TestdataQueries {
     * this corpus: 311 → 251 candidate pairs at sf0.01). The oracle
     * replays the winnow chain, the distinct print sets, the df guard,
     * and the (shared desc, doc_id) rank law. */
+  /** q183's keep threshold — shared with the oracle SQL. */
+  val StupidBackoffMinScore: Long = 40000000L
+
+  /** X127: Stupid Backoff trigram LM scoring (Brants et al. 2007 —
+    * [[graft.llm.TextAnalysis.stupidBackoffScore]]): train the three
+    * count tables on even doc ids, score the odd ones through the
+    * exact one-division-per-branch backoff chain. The oracle replays
+    * all three tables, the branch law, and the integer mean. */
+  def q183StupidBackoff(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    TextAnalysis.stupidBackoffScore(
+      d.filter(col("doc_id") % 2 === 0),
+      d.filter(col("doc_id") % 2 === 1),
+      minScore = StupidBackoffMinScore)
+  }
+
   /** X125: tokenizer budget sweep
     * ([[graft.llm.TextAnalysis.bpeBudgetSweep]]) over the landed q129
     * merge table at budgets 0/1/3/5 (0 = the character baseline) — the
@@ -2523,6 +2539,7 @@ object TestdataQueries {
     "q180_calibration" -> q180Calibration _,
     "q181_winnow_matches" -> q181WinnowMatches _,
     "q182_bpe_budget_sweep" -> q182BpeBudgetSweep _,
+    "q183_stupid_backoff" -> q183StupidBackoff _,
     "q128_pq_adc" -> q128PqAdc _,
     "q121_cm_freq" -> q121CmFreq _,
     "q122_collocations" -> q122Collocations _,

@@ -2451,6 +2451,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(!got.contains(2L), "disjoint doc must not match")
   }
 
+  test("stupid backoff: every branch hand-derived, unseen scores zero, short docs drop") {
+    val train = Seq((0L, "a b c a b c")).toDF("doc_id", "text")
+    // c3: abc=2 bca=1 cab=1; c2: ab=2 bc=2 ca=1; c1: a=b=c=2; N=6
+    val toScore = Seq(
+      (1L, "a b c"),    // seen trigram: 1e9*2 div 2 = 1e9
+      (3L, "b c a"),    // seen trigram: 1e9*1 div 2 = 5e8
+      (7L, "x a b"),    // bigram backoff: 4e8*2 div 2 = 4e8
+      (9L, "x y c"),    // unigram backoff: 1.6e8*2 div 6 = 53333333
+      (5L, "a b x"),    // unseen everywhere -> 0
+      (11L, "ab"),      // < 3 tokens: no row
+      (13L, "a b c a")  // mean of 1e9 and 5e8 = 750000000
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.stupidBackoffScore(train, toScore,
+        minScore = 500000000L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_trigrams"), r.getAs[Long]("sb_score"),
+          r.getAs[Boolean]("keep"))).toMap
+    assert(got(1L) == ((1L, 1000000000L, true)))
+    assert(got(3L) == ((1L, 500000000L, true)))
+    assert(got(7L) == ((1L, 400000000L, false)))
+    assert(got(9L) == ((1L, 53333333L, false)))
+    assert(got(5L) == ((1L, 0L, false)))
+    assert(!got.contains(11L))
+    assert(got(13L) == ((2L, 750000000L, true)))
+    val again = TextAnalysis.stupidBackoffScore(train.repartition(3),
+        toScore.repartition(4), minScore = 500000000L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_trigrams"), r.getAs[Long]("sb_score"),
+          r.getAs[Boolean]("keep"))).toMap
+    assert(again == got)
+  }
+
   test("rrf fusion: exact integer scores, absent docs score one-sided, doc_id ties") {
     val sysA = Seq(("q1", 10L, 1), ("q1", 20L, 2)).toDF("query_id", "doc_id", "rank")
     val sysB = Seq(("q1", 20L, 1), ("q1", 30L, 2)).toDF("query_id", "doc_id", "rank")
