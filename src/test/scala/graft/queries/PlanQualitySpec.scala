@@ -424,6 +424,33 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q179: the novelty probe broadcasts the batch; the store never products") {
+    // the nightly shape: batch bucket rows broadcast against the store
+    // probe, per-pair/per-doc reductions are joins + aggregates — an
+    // all-pairs shape would surface as a cartesian here
+    val p = plan("q179_novelty")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q181: winnow matching broadcasts the query prints; the cut is a group limit") {
+    val p = plan("q181_winnow_matches")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // rank<=topK per query rewrites to the map-side WindowGroupLimit
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q183: stupid backoff joins stay keyed — no product anywhere in the chain") {
+    val p = plan("q183_stupid_backoff")
+    // the five count-table joins are all term-keyed equi-joins; the
+    // only nested-loop shape allowed is the 1-row total broadcast
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("q67: exactly two LSH candidate passes — compaction reuses batch edges") {
     // the r8 regression ran a THIRD full minhashCandidatesFromSigs over
     // the whole store to derive the compaction drop-set, re-emitting
