@@ -138,4 +138,79 @@ class GovernancePropSpec extends SparkSpec {
         ((r.getLong(2), r.getLong(3)))).toMap
     assert(got == expected)
   }
+
+  test("scrubSpansKeepFirst on random corpora equals the per-window driver law") {
+    // tiny alphabet + short docs force heavy window collisions: within-doc
+    // repeats, cross-doc chains, and overlapping first/non-first windows —
+    // the shapes the hand fixtures undersample
+    val k = 3
+    val genDoc = for {
+      len <- Gen.choose(0, 12)
+      ts <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d", "e"))
+    } yield ts.mkString(" ")
+    val docs = (0L until 60L).map(i => (i, genDoc.sample.get))
+    // driver reference: first occurrence per duplicated window = min
+    // (doc_id, pos); a token scrubs iff ANY non-first occurrence covers it
+    val toks = docs.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).toSeq }.toMap
+    val occ = for {
+      (id, ts) <- toks.toSeq
+      p <- 0 to ts.length - k
+    } yield (ts.slice(p, p + k).mkString(" "), id, p)
+    val covered = scala.collection.mutable.Set.empty[(Long, Int)]
+    occ.groupBy(_._1).values.foreach { os =>
+      if (os.size >= 2)
+        os.sortBy(o => (o._2, o._3)).drop(1).foreach { case (_, id, p) =>
+          (p until p + k).foreach(j => covered += ((id, j))) }
+    }
+    val expected = toks.map { case (id, ts) =>
+      val kept = ts.zipWithIndex.collect {
+        case (tok, j) if !covered((id, j)) => tok }
+      id -> ((ts.length, kept.length, kept.mkString(" ")))
+    }
+    val got = Dedup.scrubSpansKeepFirst(docs.toDF("doc_id", "text"), k = k)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(got == expected)
+  }
+
+  test("winnowMatches on random corpora equals the driver match law over " +
+    "the engine's own fingerprints") {
+    val genDoc = for {
+      len <- Gen.choose(0, 10)
+      ts <- Gen.listOfN(len, Gen.oneOf("u", "v", "w", "x"))
+    } yield ts.mkString(" ")
+    val docs = (0L until 40L).map(i => (i, genDoc.sample.get))
+    val fpsDf = TextAnalysis.winnowFingerprints(
+      docs.toDF("doc_id", "text"), k = 2, w = 3)
+    val fps = fpsDf.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("fp")))
+    val (topK, maxDf) = (3, 4)
+    val cp = fps.toSet
+    val dfs = cp.groupBy(_._2).collect {
+      case (fp, os) if os.size <= maxDf => fp }.toSet
+    val queryIds = (0L until 8L).toSet
+    val qp = cp.filter(p => queryIds(p._1))
+    val qTotals = qp.groupBy(_._1).map { case (q, s) => q -> s.size.toLong }
+    // qp/cp are Sets — materialize to Seq first or the yielded
+    // (query, doc) pairs dedupe and shared counts collapse to 1
+    val shared = (for {
+      (qid, fp) <- qp.toSeq if dfs(fp)
+      (cid, cfp) <- cp.toSeq if cfp == fp && cid != qid
+    } yield (qid, cid)).groupBy(identity).map { case (p, l) => p -> l.size.toLong }
+    val expected = shared.groupBy(_._1._1).flatMap { case (qid, m) =>
+      m.toSeq.map { case ((_, cid), s) => (cid, s) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(topK).zipWithIndex
+        .map { case ((cid, s), i) =>
+          (qid, i + 1) -> ((cid, s, qTotals(qid),
+            1000000000L * s / qTotals(qid))) }
+    }
+    val got = TextAnalysis.winnowMatches(fpsDf,
+        fpsDf.filter(col("doc_id") < 8), topK = topK, maxDf = maxDf)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("doc_id"), r.getAs[Long]("shared"),
+          r.getAs[Long]("q_prints"), r.getAs[Long]("coverage_scaled"))))
+      .toMap
+    assert(got == expected)
+  }
 }
