@@ -160,6 +160,18 @@ object StreamBench {
       () => sink.start(availableNow = true).awaitTermination()
     }
 
+    results += warehouseSink("nb_gate") { (wh, landing, ckpt) =>
+      // trained state lands untimed: even docs are the "seed" class, odd
+      // the negative — a same-distribution corpus scores around the
+      // neutral 1e9 point, so both routed appends run every batch
+      import graft.llm.TextAnalysis
+      wh.replace("nb_counts", TextAnalysis.nbCountTable(
+        docs.withColumn("__pos", col("doc_id") % 2 === 0), col("__pos")))
+      val sink = new graft.stream.StreamingNbGate(spark, wh, landing,
+        ckpt, minScore = 1000000000L)
+      () => sink.start(availableNow = true).awaitTermination()
+    }
+
     results += {
       // exact-sessionize sink: event rows (user_id, ts) instead of docs —
       // one event per doc id, a burst per user of 5 with a closing wave

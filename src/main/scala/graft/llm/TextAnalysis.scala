@@ -954,18 +954,40 @@ object TextAnalysis {
                      minScore: Long = 1000000000L,
                      id: Column = col("doc_id"),
                      text: Column = col("text")): DataFrame = {
-    val cnt = labeled
+    val cnt = nbCountTable(labeled, positive, text)
+    nbScore(toScore, cnt, nbTotals(cnt), minScore, id, text)
+  }
+
+  /** [[naiveBayesOdds]]'s TRAIN half: the per-token class count table
+    * (w, cp, cn) over the labeled seed — the frozen state a production
+    * gate lands once (the [[dsirRatioTable]] train/apply split). */
+  def nbCountTable(labeled: DataFrame, positive: Column,
+                   text: Column = col("text")): DataFrame =
+    labeled
       .select(positive.as("__pos"), explode(wsTokens(text)).as("w"))
       .groupBy("w")
       .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("cp"),
         sum(when(col("__pos"), 0L).otherwise(1L)).as("cn"))
-    val tot = cnt.agg(coalesce(sum("cp"), lit(0L)).as("tp"),
+
+  /** The 1-row class totals of a [[nbCountTable]] — computed once per
+    * trained state, never per batch (the X114 zero-per-batch-store-
+    * reads discipline). */
+  def nbTotals(counts: DataFrame): DataFrame =
+    counts.agg(coalesce(sum("cp"), lit(0L)).as("tp"),
       coalesce(sum("cn"), lit(0L)).as("tn"), count(lit(1)).as("v"))
+
+  /** [[naiveBayesOdds]]'s APPLY half: score documents against a FROZEN
+    * count table + totals row — exactly the fused operator's law
+    * (equal by construction: the convenience form delegates here). */
+  def nbScore(toScore: DataFrame, counts: DataFrame, totals: DataFrame,
+              minScore: Long = 1000000000L,
+              id: Column = col("doc_id"),
+              text: Column = col("text")): DataFrame = {
     val occ = toScore.select(id.as("doc_id"), explode(wsTokens(text)).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("m"))
     occ
-      .join(cnt, Seq("w"), "left")
-      .crossJoin(broadcast(tot))
+      .join(counts, Seq("w"), "left")
+      .crossJoin(broadcast(totals))
       .withColumn("r_scaled", expr(
         """CAST(1000000000 AS DECIMAL(38,0)) * (coalesce(cp, 0L) + 1)
           |  * (tn + v) div (CAST(coalesce(cn, 0L) + 1 AS DECIMAL(38,0))

@@ -877,4 +877,68 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(table("corpus_kept") == kept &&
       table("corpus_rejected") == rejected, "replayed batch must no-op")
   }
+
+  test("streaming NB gate: routed tables equal the batch classifier law " +
+    "across waves; zero-token docs rejected with null score; replay no-op") {
+    import graft.llm.TextAnalysis
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val landing = tmpDir("nb-landing")
+    val wh = new Warehouse(spark, tmpDir("whnb").toString)
+    // batch trainer lands the frozen count table (seed = positive class)
+    val labeled = Seq(
+      (1000L, "alpha beta gamma alpha", true),
+      (1001L, "alpha beta delta", true),
+      (2000L, "zz qq pp zz", false),
+      (2001L, "qq pp rr", false)).toDF("doc_id", "text", "is_seed")
+    wh.replace("nb_counts",
+      TextAnalysis.nbCountTable(labeled, col("is_seed")))
+
+    // seed-like docs score above neutral, junk below; doc 3 arrives in
+    // both waves; doc 6 is whitespace-only (no tokens -> null score)
+    val texts = Map(
+      0L -> "alpha beta alpha", 1L -> "zz qq pp",
+      2L -> "alpha zz beta", 3L -> "beta gamma delta",
+      4L -> "pp rr zz qq", 5L -> "alpha alpha gamma", 6L -> " ")
+    def jsonl(ids: Seq[Long]): String =
+      ids.map(i => s"""{"doc_id": $i, "text": "${texts(i)}"}""")
+        .mkString("\n")
+    val minScore = 1000000000L
+    val scores = TextAnalysis.naiveBayesOdds(labeled,
+        texts.toSeq.toDF("doc_id", "text"), col("is_seed"),
+        minScore = minScore)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(!scores.contains(6L)) // zero tokens: never scored
+    assert(scores.values.exists(_ >= minScore) &&
+      scores.values.exists(_ < minScore)) // both branches live
+
+    val gate = new StreamingNbGate(spark, wh, landing.toString,
+      tmpDir("ckpt-nb").toString, minScore = minScore)
+    writeCsv(landing, "w1.json", jsonl(Seq(0L, 1L, 2L, 3L)))
+    gate.start(availableNow = true).awaitTermination()
+    writeCsv(landing, "w2.json",
+      jsonl(Seq(3L, 4L, 5L, 6L)) + "\nnot json\n{\"doc_id\": 99}")
+    gate.start(availableNow = true).awaitTermination()
+
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("n_tokens", LongType), StructField("nb_score", LongType)))
+    def table(t: String) = wh.read(t, outSchema).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val kept = table("corpus_kept"); val rejected = table("corpus_rejected")
+    val expKept = scores.filter(_._2 >= minScore).keySet
+    val expRej = scores.filter(_._2 < minScore).keySet + 6L
+    assert(kept.keySet == expKept, s"$kept")
+    assert(rejected.keySet == expRej, s"$rejected")
+    kept.foreach { case (id, s) => assert(s.contains(scores(id))) }
+    assert(rejected(6L).isEmpty, "zero-token doc must carry a null score")
+    rejected.collect { case (id, Some(s)) => assert(s == scores(id)) }
+
+    // whole-batch replay no-ops
+    gate.processBatch(Seq((0L, texts(0L)), (1L, texts(1L)))
+      .toDF("doc_id", "text"), 0L)
+    assert(table("corpus_kept") == kept &&
+      table("corpus_rejected") == rejected, "replayed batch must no-op")
+  }
 }
