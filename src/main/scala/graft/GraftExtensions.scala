@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.expr.{ParseBloodPressure, PolyFingerprint, RpBits, VecDot, VecDotInt, VecNorm, WordShingles}
+import graft.expr.{ParseBloodPressure, PolyFingerprint, RpBits, RpProject, VecDot, VecDotInt, VecNorm, WordShingles}
 
 /** Session extensions for the engine's native functions.
   *
@@ -45,6 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       WordShingles(ch(0), intArg("word_shingles", ch(1))))
     inject("rp_bits", ch =>
       RpBits(ch(0), intArg("rp_bits", ch(1)), intArg("rp_bits", ch(2))))
+    inject("rp_project", ch =>
+      RpProject(ch(0), intArg("rp_project", ch(1)),
+        intArg("rp_project", ch(2))))
 
     // whole-operator extension: the native as-of join physical operator
     extensions.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)

@@ -158,7 +158,8 @@ class NativeExprSpec extends SparkSpec {
           |       size(word_shingles('a b c d', 2)) AS s,
           |       poly_fingerprint('ab') AS fp,
           |       parse_bp('120/80').systolic AS sys,
-          |       rp_bits(array(1.0F, -2.0F), 2, 4) AS bits""".stripMargin).head()
+          |       rp_bits(array(1.0F, -2.0F), 2, 4) AS bits,
+          |       rp_project(array(1.0F, -2.0F), 2, 4) AS proj""".stripMargin).head()
       assert(r.getAs[Double]("d") == 11.0)
       assert(r.getAs[Long]("di") == 31L)
       assert(r.getAs[Double]("n") == 5.0)
@@ -166,6 +167,13 @@ class NativeExprSpec extends SparkSpec {
       assert(r.getAs[Long]("fp") == ('a'.toLong * 31 + 'b'.toLong) % 1000000007L)
       assert(r.getAs[Int]("sys") == 120)
       assert(!r.isNullAt(r.fieldIndex("bits")))
+      // rp_project is rp_bits' pre-sign projection: the sign pattern of
+      // the 4 projected doubles must equal the 4 bits
+      val proj = r.getSeq[Double](r.fieldIndex("proj"))
+      val bits = r.getAs[Long]("bits")
+      assert(proj.length == 4)
+      proj.zipWithIndex.foreach { case (v, p) =>
+        assert(((bits >> p) & 1L) == (if (v >= 0) 1L else 0L)) }
 
       // the planner strategy rides the same extension: a native as-of
       // node must plan and execute WITHOUT AsofJoinPlan.register
