@@ -446,4 +446,45 @@ object Sampling {
       .select(col("doc_id"), col("n_tok"),
         expr(s"(__rank - 1L) div ${batchSize}L").as("batch_id"))
   }
+
+  /** Epoch expansion — materialize per-document sampling WEIGHTS into
+    * deterministic training copies: the step after a mixture/importance
+    * pass ([[temperatureMix]], [[graft.llm.TextAnalysis.dsirWeights]])
+    * hands back weights that can exceed 1.0 — "this domain trains for
+    * 1.7 epochs" — and the trainer needs actual rows. Each document
+    * emits `floor(w)` whole copies plus one more with probability
+    * `frac(w)`, decided by the engine's deterministic md5 VALUE law
+    * (60-bit hash of the id mod 1e9 < the weight's fractional part —
+    * no RNG, partition-invariant, any SQL engine replays it); weights
+    * are scaled integers (`1e9` = 1.0, the house fixed-point).
+    *
+    * Zero-copy documents are dropped — that IS resampling (the weight
+    * said "skip this epoch"), and a document whose copy count exceeds
+    * `maxCopies` is clamped WITH `clamped = true` on every emitted row
+    * (visible, never silent — a runaway weight multiplying the corpus
+    * is a bug upstream, not a thing to do quietly). NULL or negative
+    * weights count zero. One narrow projection + a bounded
+    * `explode(sequence)` — no shuffle, no RNG, `copy` is 1-based so
+    * downstream shard/order laws can key on (doc_id, copy). */
+  def epochExpand(docs: DataFrame, weightScaled: Column,
+                  maxCopies: Int = 100,
+                  id: Column = col("doc_id")): DataFrame = {
+    require(maxCopies >= 1, s"maxCopies=$maxCopies")
+    val w = when(weightScaled.isNull || weightScaled < 0, 0L)
+      .otherwise(weightScaled.cast("long"))
+    val h60 = conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val copies0 = (w / lit(1000000000L)).cast("long") +
+      when(h60 % 1000000000L < w % 1000000000L, 1L).otherwise(0L)
+    docs
+      .select(id.as("doc_id"), copies0.as("__c0"))
+      .withColumn("n_copies", least(col("__c0"), lit(maxCopies.toLong)))
+      .withColumn("clamped", col("__c0") > maxCopies)
+      .select(col("doc_id"), col("n_copies"), col("clamped"),
+        // sequence(1, 0) would DESCEND, not empty — guard zero-copy docs
+        explode(when(col("n_copies") >= 1L,
+            sequence(lit(1L), col("n_copies")))
+          .otherwise(array().cast("array<bigint>"))).as("copy"))
+      .select(col("doc_id"), col("copy"), col("n_copies"), col("clamped"))
+  }
 }

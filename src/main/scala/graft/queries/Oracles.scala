@@ -2403,6 +2403,27 @@ object Oracles {
          |SELECT DISTINCT doc_id, pos, fp FROM sel WHERE rn = 1"""
         .stripMargin,
 
+    // X129 epoch expansion: floor(w) + md5-60-bit bernoulli on frac(w),
+    // visible clamp at 2, zero-copy docs dropped, copies 1-based
+    "q184_epoch_expand" ->
+      raw"""WITH w AS (
+         |  SELECT doc_id,
+         |         (CAST(n_chars AS BIGINT) * 1000000000) // 200 AS ws
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |         ws // 1000000000
+         |           + CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+         |                        1, 15))::BIGINT % 1000000000
+         |                       < ws % 1000000000
+         |                  THEN 1 ELSE 0 END AS c0
+         |  FROM w)
+         |SELECT doc_id, CAST(copy AS BIGINT) AS copy,
+         |       CAST(least(c0, 2) AS BIGINT) AS n_copies,
+         |       c0 > 2 AS clamped
+         |FROM (SELECT doc_id, c0, unnest(range(1, least(c0, 2) + 1)) AS copy
+         |      FROM c WHERE c0 >= 1)""".stripMargin,
+
     // X127 Stupid Backoff: three count tables off the even half, the
     // one-division-per-branch backoff chain (1e9/4e8/1.6e8 exact
     // multipliers), integer mean per odd doc

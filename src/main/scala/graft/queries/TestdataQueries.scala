@@ -1464,6 +1464,17 @@ object TestdataQueries {
     * this corpus: 311 → 251 candidate pairs at sf0.01). The oracle
     * replays the winnow chain, the distinct print sets, the df guard,
     * and the (shared desc, doc_id) rank law. */
+  /** X129: epoch expansion ([[graft.llm.Sampling.epochExpand]]) —
+    * length-proportional weights (`n_chars/200` epochs) materialize
+    * into deterministic training copies; at this corpus every branch
+    * is live (zero-copy drops, fractional md5 bernoulli, whole copies,
+    * and the visible clamp at 2). The oracle replays the 60-bit md5
+    * value law, the floor+bernoulli count, and the clamp. */
+  def q184EpochExpand(s: SparkSession, dir: String): DataFrame =
+    Sampling.epochExpand(t(s, dir, "documents"),
+      expr("(CAST(n_chars AS BIGINT) * 1000000000L) div 200L"),
+      maxCopies = 2)
+
   /** q183's keep threshold — shared with the oracle SQL. */
   val StupidBackoffMinScore: Long = 40000000L
 
@@ -2540,6 +2551,7 @@ object TestdataQueries {
     "q181_winnow_matches" -> q181WinnowMatches _,
     "q182_bpe_budget_sweep" -> q182BpeBudgetSweep _,
     "q183_stupid_backoff" -> q183StupidBackoff _,
+    "q184_epoch_expand" -> q184EpochExpand _,
     "q128_pq_adc" -> q128PqAdc _,
     "q121_cm_freq" -> q121CmFreq _,
     "q122_collocations" -> q122Collocations _,

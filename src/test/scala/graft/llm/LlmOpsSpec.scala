@@ -2483,6 +2483,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("epoch expansion: floor+bernoulli law, exact-integer weights, clamp visible, drops") {
+    def h60(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def jl(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+    val docs = Seq(
+      (1L, jl(2500000000L)),        // 2.5 epochs: 2 + bernoulli(0.5)
+      (2L, jl(0L)),                 // zero weight: dropped
+      (3L, null: java.lang.Long),   // null: dropped
+      (4L, jl(10000000000L)),       // 10 epochs vs maxCopies=3: clamped
+      (5L, jl(-7L)),                // negative: dropped
+      (6L, jl(1000000000L))         // exactly 1.0: one copy, no bernoulli
+    ).toDF("doc_id", "w")
+    val got = Sampling.epochExpand(docs, col("w"), maxCopies = 3)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rows) =>
+        id -> ((rows.map(_.getAs[Long]("copy")).sorted.toSeq,
+          rows.head.getAs[Long]("n_copies"),
+          rows.head.getAs[Boolean]("clamped"))) }
+    val d1Expected = 2L + (if (h60(1L) % 1000000000L < 500000000L) 1L else 0L)
+    assert(got(1L) == (((1L to d1Expected).toSeq, d1Expected, false)))
+    assert(!got.contains(2L) && !got.contains(3L) && !got.contains(5L))
+    assert(got(4L) == ((Seq(1L, 2L, 3L), 3L, true)))
+    assert(got(6L) == ((Seq(1L), 1L, false)))
+  }
+
   test("rrf fusion: exact integer scores, absent docs score one-sided, doc_id ties") {
     val sysA = Seq(("q1", 10L, 1), ("q1", 20L, 2)).toDF("query_id", "doc_id", "rank")
     val sysB = Seq(("q1", 20L, 1), ("q1", 30L, 2)).toDF("query_id", "doc_id", "rank")
