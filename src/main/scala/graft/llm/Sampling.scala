@@ -474,10 +474,15 @@ object Sampling {
       .otherwise(weightScaled.cast("long"))
     val h60 = conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
       .cast("long")
-    val copies0 = (w / lit(1000000000L)).cast("long") +
-      when(h60 % 1000000000L < w % 1000000000L, 1L).otherwise(0L)
     docs
-      .select(id.as("doc_id"), copies0.as("__c0"))
+      .select(id.as("doc_id"), w.as("__w"), h60.as("__h"))
+      // INTEGRAL division for the whole-copy count: Column `/` is
+      // double division (exact only below 2^53), while the fixed-point
+      // law — and the oracle's `//` replay — is exact at any long
+      .withColumn("__c0", expr("__w div 1000000000L") +
+        when(col("__h") % 1000000000L < col("__w") % 1000000000L, 1L)
+          .otherwise(0L))
+      .select(col("doc_id"), col("__c0"))
       .withColumn("n_copies", least(col("__c0"), lit(maxCopies.toLong)))
       .withColumn("clamped", col("__c0") > maxCopies)
       .select(col("doc_id"), col("n_copies"), col("clamped"),

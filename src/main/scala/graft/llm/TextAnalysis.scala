@@ -989,9 +989,14 @@ object TextAnalysis {
       .join(counts, Seq("w"), "left")
       .crossJoin(broadcast(totals))
       .withColumn("r_scaled", expr(
-        """CAST(1000000000 AS DECIMAL(38,0)) * (coalesce(cp, 0L) + 1)
-          |  * (tn + v) div (CAST(coalesce(cn, 0L) + 1 AS DECIMAL(38,0))
-          |  * (tp + v))""".stripMargin))
+        // an EMPTY count table (tp = tn = v = 0) has a zero divisor —
+        // ANSI mode (this build's default) would raise, so the
+        // degenerate case yields NULL explicitly (nothing was learned;
+        // the scaladoc contract) instead of crashing every scored row
+        """CASE WHEN tp + v = 0 THEN CAST(NULL AS DECIMAL(38,0))
+          |  ELSE CAST(1000000000 AS DECIMAL(38,0)) * (coalesce(cp, 0L) + 1)
+          |    * (tn + v) div (CAST(coalesce(cn, 0L) + 1 AS DECIMAL(38,0))
+          |    * (tp + v)) END""".stripMargin))
       .groupBy("doc_id")
       .agg(sum("m").as("n_tokens"), sum(expr("m * r_scaled")).as("__s"))
       .withColumn("nb_score", expr("__s div n_tokens"))
@@ -1023,48 +1028,55 @@ object TextAnalysis {
     * shape (never a corpus-rows window); cuts are ≤buckets-1 rows
     * broadcast back; bucketing is a narrow projection; the report
     * aggregation is ≤buckets rows, and the cumulative window runs over
-    * those ≤buckets rows only. */
+    * those ≤buckets rows only. The ≤buckets-row report is materialized
+    * EAGERLY so the scored frame's persist is released before return —
+    * nothing stays cached behind the caller's back. */
   def classifierCalibration(scored: DataFrame, label: Column,
                             buckets: Int = 10,
                             score: Column = col("nb_score"),
-                            id: Column = col("doc_id"),
-                            onPersist: DataFrame => Unit = _ => ())
+                            id: Column = col("doc_id"))
       : DataFrame = {
     require(buckets >= 2 && buckets <= 100 && 100 % buckets == 0,
       s"buckets=$buckets (needs 2..100 dividing 100 — integer pct cuts)")
     val pcts = (1 until buckets).map(_ * 100 / buckets)
     // the scored frame feeds TWO subtrees (the quantile pass and the
     // bucketing) and is usually the output of a full scoring chain —
-    // persist it for the computation (the DSIR/GraphRank discipline;
-    // handle reported through onPersist for long-lived callers)
+    // persist it for the computation (the DSIR/GraphRank discipline),
+    // released in the finally below
     val base = scored
       .select(id.as("doc_id"), score.cast("long").as("__s"),
         label.as("__lab"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    onPersist(base)
-    val cuts = graft.operators.EventAnalytics
-      .exactGroupQuantiles(base, lit(0), col("__s"), pcts)
-      .agg(collect_list(col("cut")).as("__cuts"))
-    val bucketed = base
-      .crossJoin(broadcast(cuts))
-      .withColumn("bucket", size(filter(col("__cuts"), c => col("__s") >= c)))
-    val agg = bucketed.groupBy("bucket").agg(
-      count(lit(1)).as("n_docs"),
-      sum(when(col("__lab"), 1L).otherwise(0L)).as("n_pos"))
-    import org.apache.spark.sql.expressions.Window
-    // the window runs over the <=buckets report rows only, never corpus
-    val w = Window.orderBy(col("bucket").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    agg
-      .withColumn("prec_scaled",
-        expr("(CAST(1000000000 AS BIGINT) * n_pos) div n_docs"))
-      .withColumn("cum_docs", sum("n_docs").over(w))
-      .withColumn("cum_pos", sum("n_pos").over(w))
-      .withColumn("cum_prec_scaled",
-        expr("(CAST(1000000000 AS BIGINT) * cum_pos) div cum_docs"))
-      .select(col("bucket"), col("n_docs"), col("n_pos"),
-        col("prec_scaled"), col("cum_docs"), col("cum_pos"),
-        col("cum_prec_scaled"))
+    try {
+      val cuts = graft.operators.EventAnalytics
+        .exactGroupQuantiles(base, lit(0), col("__s"), pcts)
+        .agg(collect_list(col("cut")).as("__cuts"))
+      val bucketed = base
+        .crossJoin(broadcast(cuts))
+        .withColumn("bucket", size(filter(col("__cuts"), c => col("__s") >= c)))
+      val agg = bucketed.groupBy("bucket").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__lab"), 1L).otherwise(0L)).as("n_pos"))
+      import org.apache.spark.sql.expressions.Window
+      // the window runs over the <=buckets report rows only, never corpus
+      val w = Window.orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val out = agg
+        .withColumn("prec_scaled",
+          expr("(CAST(1000000000 AS BIGINT) * n_pos) div n_docs"))
+        .withColumn("cum_docs", sum("n_docs").over(w))
+        .withColumn("cum_pos", sum("n_pos").over(w))
+        .withColumn("cum_prec_scaled",
+          expr("(CAST(1000000000 AS BIGINT) * cum_pos) div cum_docs"))
+        .select(col("bucket"), col("n_docs"), col("n_pos"),
+          col("prec_scaled"), col("cum_docs"), col("cum_pos"),
+          col("cum_prec_scaled"))
+      // ≤buckets rows — collect and rebuild as a literal frame so the
+      // persist can release NOW (the RFM bounded-collect discipline)
+      val rows = out.collect()
+      scored.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema)
+    } finally base.unpersist()
   }
 
   /** CCNet-style perplexity partitioning (Wenzek et al. 2020 — the
@@ -1089,21 +1101,24 @@ object TextAnalysis {
     * score ties can make buckets uneven, which IS the law (the tied
     * documents are indistinguishable to the LM). Documents with fewer
     * than two tokens have no bigram, hence no score and no bucket
-    * (route them to a length filter — bigramLmScore's contract). */
+    * (route them to a length filter — bigramLmScore's contract).
+    *
+    * This convenience form recomputes the scoring chain once per
+    * consumer subtree (cuts + the bucketing join = twice total): the
+    * corpus-sized result gives the operator no point at which a
+    * persist could be released, and a persist the caller never
+    * releases accumulates for the session lifetime. Production
+    * callers LAND the scores once and partition through
+    * [[perplexityBucketsFromScores]] — the
+    * [[tfidfSimilarityJoinFromTerms]] pattern. */
   def perplexityBuckets(train: DataFrame, toScore: DataFrame,
                         lang: Column = col("lang"),
                         loPct: Int = 34, hiPct: Int = 67,
                         id: Column = col("doc_id"),
-                        text: Column = col("text"),
-                        onPersist: DataFrame => Unit = _ => ()): DataFrame = {
-    // the scored frame feeds TWO subtrees (cuts + the bucketing join) —
-    // without persistence the whole LM chain (train counts + the scoring
-    // join) replays once per consumer, the classifierCalibration lesson
+                        text: Column = col("text")): DataFrame = {
     val scored = bigramLmScore(train, toScore, id = id, text = text)
       .join(toScore.select(id.as("doc_id"), lang.as("lang")), Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("lm_score"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    onPersist(scored)
     perplexityBucketsFromScores(scored, loPct, hiPct)
   }
 
@@ -1514,8 +1529,7 @@ object TextAnalysis {
     * tool for small k (tokenizer design); a production 32k-merge
     * tokenizer applies ONE budget through [[bpeEncode]]'s loop. */
   def bpeBudgetSweep(docs: DataFrame, merges: DataFrame, steps: Seq[Int],
-                     text: Column = col("text"),
-                     onPersist: DataFrame => Unit = _ => ()): DataFrame = {
+                     text: Column = col("text")): DataFrame = {
     require(steps.nonEmpty && steps.forall(_ >= 0) &&
       steps == steps.sorted && steps.distinct.size == steps.size,
       s"steps must be ascending distinct non-negative: $steps")
@@ -1548,17 +1562,23 @@ object TextAnalysis {
       .select(col("n"), col("__e.budget").as("budget"),
         col("__e.pieces").as("pieces"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    onPersist(enc)
-    val stats = enc.groupBy("budget").agg(
-      sum(col("n")).as("n_words"),
-      sum(col("n") * size(col("pieces"))).as("total_pieces"))
-    val vocab = enc.select(col("budget"), explode(col("pieces")).as("p"))
-      .groupBy("budget").agg(count_distinct(col("p")).as("piece_vocab"))
-    stats.join(vocab, Seq("budget"))
-      .withColumn("pieces_per_word_scaled", expr(
-        "(CAST(1000000000 AS DECIMAL(38,0)) * total_pieces) div n_words"))
-      .select(col("budget"), col("n_words"), col("total_pieces"),
-        col("pieces_per_word_scaled"), col("piece_vocab"))
+    try {
+      val stats = enc.groupBy("budget").agg(
+        sum(col("n")).as("n_words"),
+        sum(col("n") * size(col("pieces"))).as("total_pieces"))
+      val vocab = enc.select(col("budget"), explode(col("pieces")).as("p"))
+        .groupBy("budget").agg(count_distinct(col("p")).as("piece_vocab"))
+      val out = stats.join(vocab, Seq("budget"))
+        .withColumn("pieces_per_word_scaled", expr(
+          "(CAST(1000000000 AS DECIMAL(38,0)) * total_pieces) div n_words"))
+        .select(col("budget"), col("n_words"), col("total_pieces"),
+          col("pieces_per_word_scaled"), col("piece_vocab"))
+      // ≤steps.size rows — materialize so the persist releases NOW
+      // instead of accumulating for the session lifetime
+      val rows = out.collect()
+      docs.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema)
+    } finally enc.unpersist()
   }
 
   def bpeEncode(docs: DataFrame, merges: DataFrame,

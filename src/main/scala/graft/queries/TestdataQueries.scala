@@ -1457,13 +1457,6 @@ object TestdataQueries {
   def q173Winnow(s: SparkSession, dir: String): DataFrame =
     winnowStore(s, dir)
 
-  /** X124: the MOSS match step ([[graft.llm.TextAnalysis.winnowMatches]])
-    * over the landed q173 fingerprint store — the first 25 docs as
-    * queries, top-5 corpus matches each by distinct shared
-    * fingerprints, stop-fingerprints capped at df 3 (the cap fires on
-    * this corpus: 311 → 251 candidate pairs at sf0.01). The oracle
-    * replays the winnow chain, the distinct print sets, the df guard,
-    * and the (shared desc, doc_id) rank law. */
   /** X129: epoch expansion ([[graft.llm.Sampling.epochExpand]]) —
     * length-proportional weights (`n_chars/200` epochs) materialize
     * into deterministic training copies; at this corpus every branch
@@ -1501,6 +1494,13 @@ object TestdataQueries {
     TextAnalysis.bpeBudgetSweep(t(s, dir, "documents"),
       bpeMergeTable(s, dir), steps = Seq(0, 1, 3, 5))
 
+  /** X124: the MOSS match step ([[graft.llm.TextAnalysis.winnowMatches]])
+    * over the landed q173 fingerprint store — the first 25 docs as
+    * queries, top-5 corpus matches each by distinct shared
+    * fingerprints, stop-fingerprints capped at df 3 (the cap fires on
+    * this corpus: 311 → 251 candidate pairs at sf0.01). The oracle
+    * replays the winnow chain, the distinct print sets, the df guard,
+    * and the (shared desc, doc_id) rank law. */
   def q181WinnowMatches(s: SparkSession, dir: String): DataFrame = {
     val fps = winnowStore(s, dir)
     TextAnalysis.winnowMatches(fps, fps.filter(col("doc_id") < 25),

@@ -67,6 +67,17 @@ final class StreamingNbGate(spark: SparkSession, wh: Warehouse,
   }
 
   def start(availableNow: Boolean = false): StreamingQuery = {
+    // refuse to start against an UNTRAINED gate: an empty count table
+    // has learned nothing (every r_scaled would be NULL and every
+    // document would route to rejected by default) — starting before
+    // the batch trainer lands nb_counts is a deployment-order bug and
+    // must fail loudly at start, not score a corpus into the bin
+    val t0 = totals.first()
+    if (t0.getLong(2) == 0L)
+      throw new IllegalStateException(
+        s"$countsTable is empty — train the classifier " +
+          "(TextAnalysis.nbCountTable) and land the counts before " +
+          "starting the gate")
     val docs = spark.readStream.schema(docSchema).json(landingDir)
     val writer = docs.writeStream
       .option("checkpointLocation", checkpointDir)

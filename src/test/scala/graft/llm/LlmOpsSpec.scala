@@ -2242,6 +2242,20 @@ class LlmOpsSpec extends SparkSpec {
       !got.getAs[Boolean]("keep"))
   }
 
+  test("naive bayes odds: EMPTY labeled seed yields NULL scores, not a crash") {
+    // tp = tn = V = 0 makes every ratio's divisor zero; the scaladoc
+    // contract is NULL scores (nothing was learned) — under this
+    // build's ANSI default an unguarded div would raise per row
+    val labeled = Seq.empty[(Long, String, Boolean)]
+      .toDF("doc_id", "text", "is_seed")
+    val got = TextAnalysis.naiveBayesOdds(labeled,
+        Seq((1L, "a b"), (2L, "c")).toDF("doc_id", "text"), col("is_seed"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.isNullAt(2), r.isNullAt(3))).toMap
+    // every doc still rows out with its token count; score/keep NULL
+    assert(got == Map(1L -> ((2L, true, true)), 2L -> ((1L, true, true))))
+  }
+
   test("keep-first span dedup: first copy survives, later copies scrubbed, islands merge") {
     val d = Seq(
       (0L, "p q r s"),      // holds the first occurrences -> untouched

@@ -941,4 +941,15 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(table("corpus_kept") == kept &&
       table("corpus_rejected") == rejected, "replayed batch must no-op")
   }
+
+  test("streaming NB gate: refuses to start against an UNTRAINED (empty) count table") {
+    val wh = new Warehouse(spark, tmpDir("whnb-empty").toString)
+    val gate = new StreamingNbGate(spark, wh, tmpDir("nb-empty").toString,
+      tmpDir("ckpt-nb-empty").toString)
+    val ex = intercept[IllegalStateException] {
+      gate.start(availableNow = true)
+    }
+    assert(ex.getMessage.contains("nb_counts is empty"),
+      s"got: ${ex.getMessage}")
+  }
 }
