@@ -126,7 +126,15 @@ object Bench {
       (cold, warm, cerr.orElse(werr))
     }
     val FailPenalty = 1e6
-    val firstPass = names.map { case (name, fn) => name -> pair(fn) }
+    val firstPass = names.map { case (name, fn) =>
+      val p = pair(fn)
+      // stderr decomposition: a slow WARM sample (vs a slow cold) says
+      // the residual cost is the consumer itself, not store/codegen
+      // warm-up — the first thing a perf pass needs to know
+      System.err.println(
+        f"[bench] $name cold=${p._1}%.3f warm=${p._2}%.3f")
+      name -> p
+    }
     // Stall-suspect queries re-measure with a fresh pair after the sweep
     // — minutes later, outside whatever stall window polluted the first
     // pair; report the overall minimum. Two suspect triggers:
@@ -219,6 +227,22 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
       java.nio.file.Files.write(out,
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case scala.util.control.NonFatal(_) => () }
+    // In-repo sweep history: the round artifacts (BENCH_r*.json)
+    // truncate their tails, so round-over-round per-query drift was
+    // not diffable from the repo alone. Full sweeps append one compact
+    // line here (timestamp, sf, total, every query's seconds); dev-loop
+    // SPARK_GRAFT_ONLY runs skip it — their numbers lack the sweep's
+    // cache/GC context and would pollute the series. Best-effort like
+    // bench_out.json: an unwritable path must not lose the sweep.
+    if (only.isEmpty) try {
+      val dir = java.nio.file.Paths.get("bench_history")
+      java.nio.file.Files.createDirectories(dir)
+      val line = s"""{"ts":"${java.time.Instant.now()}","sf":"$sfDir","total":$total,"shared_store_build_sec":$storeBuildSec,"n_queries":${results.size},"errors":$errs,"queries":$qs}""" + "\n"
+      java.nio.file.Files.write(dir.resolve("sweeps.jsonl"),
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
     } catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
   }

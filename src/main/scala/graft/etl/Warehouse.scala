@@ -130,10 +130,15 @@ final class Warehouse(private[graft] val spark: SparkSession,
 
   // --------------------------------------------------------- writer locking
 
-  /** Single-writer guard. Concurrent writers to one table are out of
-    * scope (the reference is one ETL service), but a misconfigured second
-    * writer must fail FAST — two interleaved commits could GC a
-    * generation a reader pinned. Every mutating entry point runs under:
+  /** Per-TABLE single-writer guard. Locks are keyed by table directory,
+    * so independent pipelines committing to DIFFERENT tables of one
+    * warehouse never queue on each other — the only cross-table
+    * serialization point is the catalog flip (one tiny manifest write,
+    * bounded-wait on cross-process races; see [[withCatalogLock]]).
+    * Concurrent writers to ONE table are out of scope (the reference is
+    * one ETL service), and a misconfigured second same-table writer
+    * must fail FAST — two interleaved commits could GC a generation a
+    * reader pinned. Every mutating entry point runs under:
     *
     *  - an in-process reentrant lock per table path (so nested calls —
     *    appendIfAbsent → append → replace — re-enter, and two threads of
@@ -170,8 +175,20 @@ final class Warehouse(private[graft] val spark: SparkSession,
     * piggybacks on the outer frame's file lock. The `_lock` file itself
     * persists across acquisitions (deleting a lock file while others may
     * be blocked on its inode is the classic unlink race); only the OS
-    * lock and the diagnostic pid inside it change hands. */
-  private def acquireLock(dir: Path, what: String): () => Unit = {
+    * lock and the diagnostic pid inside it change hands.
+    *
+    * `retryMillis` bounds a POLLING WAIT on a foreign live holder before
+    * the loud failure: 0 (the table default) fails fast — a concurrent
+    * same-table writer is a misconfiguration, and queueing would hide
+    * it. The CATALOG lock passes a bounded budget instead: its critical
+    * section is one tiny manifest write, so two PROCESSES flipping
+    * different tables overlap only for milliseconds — failing a whole
+    * pipeline's commit over that transient race would serialize
+    * independent pipelines through their retry machinery at 100 TB
+    * scale. A holder that outlives the budget still fails loudly (a
+    * stuck flip is a real fault, not contention). */
+  private def acquireLock(dir: Path, what: String,
+                          retryMillis: Long = 0L): () => Unit = {
     val local = Warehouse.localLock(dir.toAbsolutePath.toString)
     local.lock()
     if (local.getHoldCount > 1) { () => local.unlock() }
@@ -182,11 +199,26 @@ final class Warehouse(private[graft] val spark: SparkSession,
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE,
         java.nio.file.StandardOpenOption.READ)
-      val flock =
+      // Some(None) = held by a live writer (foreign process, or an
+      // in-process channel outside our reentrant bookkeeping); None
+      // sentinel via exception = no lock support on this filesystem
+      def attempt(): Option[java.nio.channels.FileLock] =
         try Option(ch.tryLock())
         catch {
           case _: java.nio.channels.OverlappingFileLockException =>
             None                         // held by this process (live writer)
+        }
+      val flock =
+        try {
+          var fl = attempt()
+          val deadline = System.nanoTime() + retryMillis * 1000000L
+          while (fl.isEmpty && retryMillis > 0L &&
+              System.nanoTime() < deadline) {
+            Thread.sleep(25L)
+            fl = attempt()
+          }
+          fl
+        } catch {
           case _: java.io.IOException =>
             // the filesystem has no lock support (e.g. an NFS mount
             // without a lock daemon): degrade to in-process-only
@@ -397,8 +429,14 @@ final class Warehouse(private[graft] val spark: SparkSession,
   private def cataloguedGens(table: String): Set[String] =
     catalogVersions().flatMap(v => manifestAt(v).get(table)).toSet
 
+  /** The catalog lock waits out transient cross-process flip races
+    * (bounded poll) instead of failing fast like table locks: two
+    * pipelines committing DIFFERENT tables contend here only for the
+    * duration of one manifest write, and that contention is normal
+    * operation at many-pipelines scale, not a misconfiguration. */
   private def withCatalogLock[T](f: => T): T = {
-    val release = acquireLock(catalogDir, "catalog")
+    val release = acquireLock(catalogDir, "catalog",
+      retryMillis = Warehouse.CatalogLockWaitMillis)
     try f finally release()
   }
 
@@ -1047,6 +1085,11 @@ object Warehouse {
       override def initialValue() =
         scala.collection.mutable.Map.empty[String, TxnState]
     }
+
+  /** Bounded wait for a foreign process's catalog flip (one tiny
+    * manifest write) before the loud lock failure — see
+    * [[Warehouse#withCatalogLock]]. */
+  private[etl] val CatalogLockWaitMillis: Long = 10000L
 
   private val localLocks =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()

@@ -1296,12 +1296,23 @@ object TextAnalysis {
                  id: Column = col("doc_id"),
                  text: Column = col("text"),
                  onPersist: DataFrame => Unit = _ => ()): DataFrame = {
-    require(1 <= keepPct && keepPct <= 99, s"keepPct=$keepPct")
     // the weight table feeds the quantile pass AND the keep join —
     // persist, don't re-run the whole scoring pipeline twice
     val w = dsirWeights(target, raw, buckets, id, text, onPersist)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     onPersist(w)
+    dsirSelectFromWeights(w, keepPct)
+  }
+
+  /** [[dsirSelect]]'s keep decision over a PRECOMPUTED weights frame —
+    * (doc_id, n_feats, dsir_weight) — the production entry point: the
+    * importance weights are landed once per (target, raw) snapshot
+    * (the [[perplexityBucketsFromScores]] pattern) and every selection
+    * cut consumes the stored table instead of re-featurizing the
+    * corpus. Equal to [[dsirSelect]] by construction (the one-shot
+    * form delegates here). */
+  def dsirSelectFromWeights(w: DataFrame, keepPct: Int): DataFrame = {
+    require(1 <= keepPct && keepPct <= 99, s"keepPct=$keepPct")
     val cut = graft.operators.EventAnalytics.exactGroupQuantiles(
         w.withColumn("__g", lit("all")), col("__g"), col("dsir_weight"),
         Seq(100 - keepPct))
@@ -1581,24 +1592,73 @@ object TextAnalysis {
     } finally enc.unpersist()
   }
 
+  /** BPE APPLY (X108): encode the corpus under a LEARNED merge table
+    * ([[bpeMerges]]' training fold verbatim, applied in rank order) —
+    * cost is merges × DISTINCT words, corpus-size-independent; each
+    * document then picks up its words' piece strings through one
+    * term-keyed join.
+    *
+    * Expression-depth bound: each merge nests one `aggregate()` fold
+    * into the symbol column, so a single-plan application of a
+    * production 32k-merge tokenizer would blow the analyzer/codegen
+    * stack long before data size matters. Merges therefore apply in
+    * CHUNKS of `chunkMerges`: after each chunk the distinct-word
+    * symbol state materializes via `localCheckpoint` (the
+    * [[graft.operators.GraphRank.pageRank]] lineage discipline —
+    * superseded checkpoints unpersist as soon as the next one lands),
+    * so plan depth is bounded by the chunk while the total work stays
+    * merges × vocab across k/chunk bounded-depth passes. A table at
+    * or under the chunk plans exactly as one pass (no checkpoint). */
   def bpeEncode(docs: DataFrame, merges: DataFrame,
                 id: Column = col("doc_id"),
-                text: Column = col("text")): DataFrame = {
+                text: Column = col("text"),
+                chunkMerges: Int = 64): DataFrame = {
+    require(chunkMerges >= 1, s"chunkMerges=$chunkMerges")
     val ms = merges.select(col("merge_rank"), col("lhs"), col("rhs"))
       .orderBy("merge_rank").collect()
       .map(r => (r.getString(1), r.getString(2)))
     val words = docs.select(explode(wsTokens(text)).as("w")).distinct()
-    var syms: Column = filter(split(col("w"), ""), s => length(s) > 0)
-    ms.foreach { case (a, b) =>
-      val m = a + b
-      syms = aggregate(syms, array().cast("array<string>"), (acc, s) =>
-        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
-          .otherwise(concat(acc, array(s))))
+    def fold(start: Column, grp: Array[(String, String)]): Column = {
+      var syms = start
+      grp.foreach { case (a, b) =>
+        val m = a + b
+        syms = aggregate(syms, array().cast("array<string>"), (acc, s) =>
+          when(size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+            .otherwise(concat(acc, array(s))))
+      }
+      syms
     }
-    val pieces = words.select(col("w"),
-        when(col("w").rlike("^[a-z0-9]+$"), syms)
-          .otherwise(array(col("w"))).as("__pieces"))
+    // non-alphabet words pass through whole and never enter a fold —
+    // the when-gate rides EVERY chunk so the skip holds at runtime in
+    // the chunked path exactly as it does in the single-plan path
+    val alpha = col("w").rlike("^[a-z0-9]+$")
+    val chars: Column = filter(split(col("w"), ""), s => length(s) > 0)
+    val encoded =
+      if (ms.length <= chunkMerges)
+        words.select(col("w"),
+          when(alpha, fold(chars, ms)).otherwise(array(col("w")))
+            .as("__pieces"))
+      else {
+        // residency: each localCheckpoint materializes the vocab-sized
+        // symbol table; a SUPERSEDED checkpoint's blocks are freed by
+        // Spark's ContextCleaner once the old frame is unreferenced
+        // (GC-driven, not immediate — the GraphRank residency note),
+        // bounded at a few vocab-sized tables beyond the live one
+        val grps = ms.grouped(chunkMerges).toSeq
+        var state = words.select(col("w"), alpha.as("__alpha"),
+            when(alpha, fold(chars, grps.head.toArray))
+              .otherwise(array(col("w"))).as("__pieces"))
+          .localCheckpoint()
+        grps.tail.foreach { grp =>
+          state = state.select(col("w"), col("__alpha"),
+              when(col("__alpha"), fold(col("__pieces"), grp.toArray))
+                .otherwise(col("__pieces")).as("__pieces"))
+            .localCheckpoint()
+        }
+        state.select(col("w"), col("__pieces"))
+      }
+    val pieces = encoded
       .select(col("w"), array_join(col("__pieces"), " ").as("__ps"),
         size(col("__pieces")).cast("long").as("__np"))
     docs.select(id.as("doc_id"),

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+
+/** Test-scope query profiling harness (the [[StreamProfile]] sibling):
+  * `Test/runMain graft.QueryProfile <query> [runs]` runs one driver
+  * query repeatedly under the Bench session shape (shared stages ON)
+  * and prints per-run wall seconds with JOB and STAGE counts. A warm
+  * run whose job count stays high tells a perf pass the residual cost
+  * is scheduling overhead of the consumer's own exchanges — not store
+  * rebuild, codegen, or JIT — which is the first fork in the road when
+  * chasing a bench heavy. */
+object QueryProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    @volatile var jobs = 0
+    @volatile var stages = 0
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        stages += 1
+    })
+    graft.queries.TestdataQueries.enableSharedStages()
+    val name = args.headOption.getOrElse("q167_ccnet_buckets")
+    val runs = args.lift(1).map(_.toInt).getOrElse(4)
+    val fn = SparkEntry.queries(name)
+    (1 to runs).foreach { i =>
+      val j0 = jobs; val s0 = stages
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)  // let listener events drain
+      println(f"[profile] run$i $name ${dt}%.3f s " +
+        s"jobs=${jobs - j0} stages=${stages - s0}")
+    }
+    spark.stop()
+  }
+}

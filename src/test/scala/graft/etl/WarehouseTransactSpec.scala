@@ -129,6 +129,80 @@ class WarehouseTransactSpec extends SparkSpec {
     assert(readV(wh, "a") == Set(1) && readV(wh, "b") == Set(1))
   }
 
+  test("concurrent transactions on DIFFERENT tables overlap — commits " +
+    "never queue on a warehouse-global writer lock") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val wh = new Warehouse(spark, tmpDir("whconc").toString)
+    // catalog both tables so both commits exercise the shared flip path
+    wh.transact { wh.replace("ta", batch(1)); wh.replace("tb", batch(1)) }
+    val v1 = wh.catalogVersions().max
+    val taStaged = new CountDownLatch(1)
+    val tbDone = new CountDownLatch(1)
+    @volatile var overlapped = false
+    @volatile var t1Err: Throwable = null
+    val t1 = new Thread(() => try {
+      wh.transact {
+        wh.replace("ta", batch(2))     // holds ta's table lock until flip
+        taStaged.countDown()
+        // hold the transaction OPEN (ta locked, flip not reached) while
+        // the other pipeline commits tb END-TO-END — per-table locking
+        // means that commit must not wait for this one
+        overlapped = tbDone.await(60, TimeUnit.SECONDS)
+      }
+    } catch { case e: Throwable => t1Err = e; taStaged.countDown() })
+    t1.start()
+    assert(taStaged.await(60, TimeUnit.SECONDS) && t1Err == null,
+      s"writer 1 failed to stage: $t1Err")
+    wh.transact { wh.replace("tb", batch(2)) }   // writer 2, this thread
+    val v2 = wh.catalogVersions().max
+    tbDone.countDown()
+    t1.join(60000)
+    assert(t1Err == null, s"writer 1 failed: $t1Err")
+    assert(overlapped,
+      "a tb commit must complete while ta's transaction holds its lock")
+    // both landed; neither update lost at the shared flip
+    assert(readV(wh, "ta") == Set(2) && readV(wh, "tb") == Set(2))
+    // time travel: the intermediate version (tb committed, ta still
+    // open) resolves tb=2 and ta=1 — the flip order is preserved
+    val mid = wh.snapshotAt(v2)
+    assert(mid.read("tb", schema).select("v").distinct().as[Int]
+      .collect().toSet == Set(2))
+    assert(mid.read("ta", schema).select("v").distinct().as[Int]
+      .collect().toSet == Set(1))
+    // v1 itself may have aged past the retention horizon (2 newer
+    // commits landed) — monotone version growth is the remaining check
+    assert(v2 > v1)
+  }
+
+  test("a foreign live CATALOG lock delays a commit (bounded wait), " +
+    "never fails it — table locks still fail fast") {
+    val wh = new Warehouse(spark, tmpDir("whcatwait").toString)
+    wh.transact { wh.replace("a", batch(1)) }    // 'a' is cataloged now
+    val lock = Paths.get(wh.root, "_catalog", "_lock")
+    val foreign = java.nio.channels.FileChannel.open(lock,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val held = foreign.tryLock()
+    assert(held != null, "test setup: catalog lock not acquirable")
+    val holdMillis = 1500L
+    val releaser = new Thread(() => {
+      Thread.sleep(holdMillis)
+      held.release(); foreign.close()
+    })
+    val t0 = System.nanoTime()
+    releaser.start()
+    // the commit needs the catalog flip; a same-budget table lock would
+    // throw here (the nested-transactions test pins that) — the catalog
+    // lock must WAIT the foreign holder out and then commit
+    wh.replace("a", batch(2))
+    val waited = (System.nanoTime() - t0) / 1e6
+    releaser.join(30000)
+    assert(readV(wh, "a") == Set(2))
+    assert(waited >= holdMillis * 0.5,
+      s"commit returned in $waited ms — it cannot have waited the " +
+        "foreign catalog holder out")
+  }
+
   test("transaction state is visible across instances over one root") {
     val root = tmpDir("whxinst").toString
     val wh = new Warehouse(spark, root)

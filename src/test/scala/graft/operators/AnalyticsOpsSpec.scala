@@ -628,6 +628,34 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(g2 == ((4L, "s low lo t")), g2)
   }
 
+  test("bpe encode: chunked fold bounds plan depth — a 1.2k-merge table " +
+    "encodes (no analyzer/codegen blowup) and equals the small-k path") {
+    import graft.llm.TextAnalysis
+    val docs = Seq(
+      (1L, "low low lowest"), (2L, "slow lot"), (3L, "lowest abé low"))
+      .toDF("doc_id", "text")
+    val trained = TextAnalysis.bpeMerges(
+      Seq((1L, "low low lowest"), (2L, "low")).toDF("doc_id", "text"), k = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val single = rows(TextAnalysis.bpeEncode(docs, trained))
+    // chunk boundary CROSSING the real merges: the per-chunk state
+    // handoff must reproduce the one-plan fold exactly
+    val boundary = rows(TextAnalysis.bpeEncode(docs, trained,
+      chunkMerges = 2))
+    assert(boundary == single, "chunk-boundary handoff diverged")
+    // production-scale depth: pad the learned table to 1200 merges with
+    // pairs outside the corpus alphabet (law-level no-ops) — a single
+    // nested plan at this k dies in the analyzer/codegen; the chunked
+    // fold must encode it and reproduce the 3-merge segmentation
+    val pad = (4 to 1200).map(i => (i.toLong, s"zz$i", "qq"))
+      .toDF("merge_rank", "lhs", "rhs")
+    val merges1200 = trained.select(col("merge_rank"), col("lhs"),
+      col("rhs")).unionByName(pad)
+    val chunked = rows(TextAnalysis.bpeEncode(docs, merges1200))
+    assert(chunked == single, "padded 1.2k-merge chunked encode diverged")
+  }
+
   test("bpe budget sweep: prefix law prices each budget, char baseline, pass-through") {
     val docs = Seq((0L, "ab ab b"), (1L, "ab!")).toDF("doc_id", "text")
     val merges = TextAnalysis.bpeMerges(docs, k = 1) // one merge: a+b

@@ -169,4 +169,13 @@ class SigMemoSpec extends SparkSpec {
   pinSharedEqualsIsolated("q181_winnow_matches",
     "matching over the landed fingerprint store must equal re-winnowing " +
       "both sides inside the query")
+  pinSharedEqualsIsolated("q163_incremental_split",
+    "split inheritance over the landed per-batch candidate table must " +
+      "equal re-hashing the batch inside the query")
+  pinSharedEqualsIsolated("q165_legacy_store_conflicts",
+    "conflict surfacing over the landed per-batch candidate table must " +
+      "equal re-hashing the batch inside the query")
+  pinSharedEqualsIsolated("q168_dsir",
+    "the rank cut over the landed DSIR weight table must equal " +
+      "featurizing and scoring inside the query")
 }
