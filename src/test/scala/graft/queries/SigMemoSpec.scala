@@ -178,4 +178,7 @@ class SigMemoSpec extends SparkSpec {
   pinSharedEqualsIsolated("q168_dsir",
     "the rank cut over the landed DSIR weight table must equal " +
       "featurizing and scoring inside the query")
+  pinSharedEqualsIsolated("q137_rfm",
+    "binning over the landed per-user metrics table must equal " +
+      "rebuilding the metrics from events inside the query")
 }

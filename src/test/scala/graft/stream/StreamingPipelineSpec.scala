@@ -942,6 +942,145 @@ class StreamingPipelineSpec extends SparkSpec {
       table("corpus_rejected") == rejected, "replayed batch must no-op")
   }
 
+  test("NB gate retrain rotation: a running incarnation keeps the frozen " +
+    "law; a restarted sink picks up the new generation; replays across " +
+    "the rotation stay no-ops") {
+    import graft.llm.TextAnalysis
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val landing = tmpDir("nb-rot-landing")
+    val wh = new Warehouse(spark, tmpDir("whnb-rot").toString)
+    // gen1: alpha is the seed class; gen2 REVERSES the labels, so the
+    // keep decision flips for every doc — a rotation that leaked into a
+    // running incarnation would be unmissable
+    def counts(alphaPositive: Boolean) = TextAnalysis.nbCountTable(
+      Seq((1L, "alpha alpha alpha", alphaPositive),
+        (2L, "zz zz zz", !alphaPositive)).toDF("doc_id", "text", "is_seed"),
+      col("is_seed"))
+    wh.replace("nb_counts", counts(alphaPositive = true))
+
+    val texts = Map(10L -> "alpha alpha", 11L -> "zz zz",
+      12L -> "alpha", 13L -> "zz", 14L -> "alpha", 15L -> "zz")
+    def jsonl(ids: Seq[Long]): String =
+      ids.map(i => s"""{"doc_id": $i, "text": "${texts(i)}"}""")
+        .mkString("\n")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("n_tokens", LongType), StructField("nb_score", LongType)))
+    def keptIds = wh.read("corpus_kept", outSchema)
+      .select("doc_id").as[Long].collect().toSet
+    def rejectedIds = wh.read("corpus_rejected", outSchema)
+      .select("doc_id").as[Long].collect().toSet
+
+    val ckpt = tmpDir("ckpt-nb-rot").toString
+    val gate1 = new StreamingNbGate(spark, wh, landing.toString, ckpt)
+    writeCsv(landing, "w1.json", jsonl(Seq(10L, 11L)))
+    gate1.start(availableNow = true).awaitTermination()
+    assert(keptIds == Set(10L) && rejectedIds == Set(11L))
+
+    // RETRAIN lands mid-stream: a NEW counts generation flips the law
+    wh.replace("nb_counts", counts(alphaPositive = false))
+
+    // the same incarnation (gate1 holds its frozen state) must keep the
+    // OLD law to stream end — alpha still keeps, zz still rejects
+    writeCsv(landing, "w2.json", jsonl(Seq(12L, 13L)))
+    gate1.start(availableNow = true).awaitTermination()
+    assert(keptIds == Set(10L, 12L) && rejectedIds == Set(11L, 13L),
+      "a running incarnation must NOT pick up the rotated generation")
+
+    // a RESTARTED sink (new incarnation, same checkpoint + tables)
+    // reads the new generation: the law flips for wave 3
+    val gate2 = new StreamingNbGate(spark, wh, landing.toString, ckpt)
+    writeCsv(landing, "w3.json", jsonl(Seq(14L, 15L)))
+    gate2.start(availableNow = true).awaitTermination()
+    assert(keptIds == Set(10L, 12L, 15L) &&
+      rejectedIds == Set(11L, 13L, 14L),
+      "a restarted incarnation must score under the new generation")
+
+    // replays ACROSS the rotation stay no-ops: wave 1's batch id
+    // re-delivered to the new incarnation must not re-route docs 10/11
+    // under the new law
+    val (k0, r0) = (keptIds, rejectedIds)
+    gate2.processBatch(Seq((10L, texts(10L)), (11L, texts(11L)))
+      .toDF("doc_id", "text"), 0L)
+    assert(keptIds == k0 && rejectedIds == r0,
+      "a pre-rotation batch replay must no-op on the new incarnation")
+  }
+
+  test("DSIR gate retrain rotation: a running incarnation keeps the " +
+    "frozen ratio table; a restart picks up the new generation; replays " +
+    "across the rotation stay no-ops") {
+    import graft.llm.TextAnalysis
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val B = 32
+    val landing = tmpDir("dsir-rot-landing")
+    val wh = new Warehouse(spark, tmpDir("whdsir-rot").toString)
+    // gen1: target is alpha-heavy (alpha docs importance-weight high);
+    // gen2 swaps target and raw, flipping every keep decision
+    val alphaCorpus = Seq((1L, "alpha alpha alpha beta")).toDF("doc_id", "text")
+    val zzCorpus = Seq((2L, "zz zz zz qq")).toDF("doc_id", "text")
+    def ratio(alphaTarget: Boolean) = {
+      val (t, r) = if (alphaTarget) (alphaCorpus, zzCorpus)
+        else (zzCorpus, alphaCorpus)
+      TextAnalysis.dsirRatioTable(
+        TextAnalysis.dsirFeatures(t, B), TextAnalysis.dsirFeatures(r, B), B)
+    }
+    wh.replace("dsir_ratio", ratio(alphaTarget = true))
+    val texts = Map(10L -> "alpha alpha", 11L -> "zz zz",
+      12L -> "alpha", 13L -> "zz", 14L -> "alpha", 15L -> "zz")
+    def jsonl(ids: Seq[Long]): String =
+      ids.map(i => s"""{"doc_id": $i, "text": "${texts(i)}"}""")
+        .mkString("\n")
+    // the neutral point separates the two classes under BOTH
+    // generations (swap symmetry): alpha > 1e9 under gen1, < under gen2
+    val minW = 1000000000L
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("n_feats", LongType), StructField("dsir_weight", LongType)))
+    def keptIds = wh.read("corpus_kept", outSchema)
+      .select("doc_id").as[Long].collect().toSet
+    def rejectedIds = wh.read("corpus_rejected", outSchema)
+      .select("doc_id").as[Long].collect().toSet
+    // sanity: the law flips as designed
+    val s1 = TextAnalysis.dsirScore(texts.toSeq.toDF("doc_id", "text"),
+      ratio(alphaTarget = true), B).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val s2 = TextAnalysis.dsirScore(texts.toSeq.toDF("doc_id", "text"),
+      ratio(alphaTarget = false), B).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(s1(10L) >= minW && s1(11L) < minW &&
+      s2(10L) < minW && s2(11L) >= minW, s"law not separable: $s1 / $s2")
+
+    val ckpt = tmpDir("ckpt-dsir-rot").toString
+    val gate1 = new StreamingDsirGate(spark, wh, landing.toString, ckpt,
+      buckets = B, minWeight = minW)
+    writeCsv(landing, "w1.json", jsonl(Seq(10L, 11L)))
+    gate1.start(availableNow = true).awaitTermination()
+    assert(keptIds == Set(10L) && rejectedIds == Set(11L))
+
+    wh.replace("dsir_ratio", ratio(alphaTarget = false))   // retrain
+
+    writeCsv(landing, "w2.json", jsonl(Seq(12L, 13L)))
+    gate1.start(availableNow = true).awaitTermination()
+    assert(keptIds == Set(10L, 12L) && rejectedIds == Set(11L, 13L),
+      "a running incarnation must NOT pick up the rotated ratio table")
+
+    val gate2 = new StreamingDsirGate(spark, wh, landing.toString, ckpt,
+      buckets = B, minWeight = minW)
+    writeCsv(landing, "w3.json", jsonl(Seq(14L, 15L)))
+    gate2.start(availableNow = true).awaitTermination()
+    assert(keptIds == Set(10L, 12L, 15L) &&
+      rejectedIds == Set(11L, 13L, 14L),
+      "a restarted incarnation must score under the new generation")
+
+    val (k0, r0) = (keptIds, rejectedIds)
+    gate2.processBatch(Seq((10L, texts(10L)), (11L, texts(11L)))
+      .toDF("doc_id", "text"), 0L)
+    assert(keptIds == k0 && rejectedIds == r0,
+      "a pre-rotation batch replay must no-op on the new incarnation")
+  }
+
   test("streaming NB gate: refuses to start against an UNTRAINED (empty) count table") {
     val wh = new Warehouse(spark, tmpDir("whnb-empty").toString)
     val gate = new StreamingNbGate(spark, wh, tmpDir("nb-empty").toString,
