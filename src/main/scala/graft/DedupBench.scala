@@ -316,6 +316,92 @@ object DedupBench {
       s"exact_hits=${nov.getLong(1)} — a planted probe missed its target")
     assert(nov.getLong(2) == m - m / 20,
       s"clean_novel=${nov.getLong(2)} expected ${m - m / 20}")
+
+    // phase 11: AUDIO near-dup dedup at payload scale — 50k REAL WAV
+    // payloads through the decoded-waveform perceptual print
+    // (graft.llm.Multimodal.audioFingerprint: PCM decode -> 65-window
+    // energy envelope -> 64 delta-sign bits) and the pigeonhole
+    // block-LSH pairer, against closed-form planted answers. Families
+    // are CONSTRUCTED so the whole answer is exact:
+    //  - family id f (16 bits) encodes the print [f, ~f, f, ~f] (MSB
+    //    first), realized as an amplitude walk (x1.08 up, /1.08 down;
+    //    the f/~f alternation bounds drift to 16 steps = x3.43, so
+    //    16-bit PCM never clips or underflows) — two distinct families
+    //    differ in 4*hamming(f, f') >= 4 print bits, STRICTLY outside
+    //    the radius-3 pairing, and every 16-bit LSH block takes a
+    //    family-distinct value (tiny buckets — a low-diversity code
+    //    here degenerates the block join quadratically, measured);
+    //  - every 20th payload is its predecessor at HALF GAIN: energies
+    //    scale uniformly, no delta flips — print-identical (the gain
+    //    invariance law), so planted pairs sit at hamming 0;
+    //  - every 1000th payload (residue 7 — never a copy or an
+    //    original) is a 10-sample stub: shorter than the window grid,
+    //    prints null, excluded from pairing by contract.
+    // Closed forms: nulls == aN/1000, pairs == exactly the planted
+    // (id-1, id) set at hamming 0 — nothing else pairs.
+    val aN = 50000L
+    require(aN <= 65536L, "family ids must fit the 16-bit print code")
+    val tA = System.nanoTime()
+    import spark.implicits._
+    val media = spark.range(aN).map { boxed =>
+      val id: Long = boxed
+      val isCopy = id % 20 == 0 && id > 0
+      val family: Long = if (isCopy) id - 1 else id
+      val gain = if (isCopy) 0.5 else 1.0
+      val samples: Array[Short] =
+        if (id % 1000 == 7) Array.fill(10)((1000 * gain).toShort)
+        else {
+          // print bit i (MSB first): 16-bit word f on even blocks, ~f
+          // on odd; the walk realizes each bit as an energy step
+          val amps = new Array[Double](65)
+          amps(0) = 8000.0 * gain
+          var i = 0
+          while (i < 64) {
+            val word = if ((i / 16) % 2 == 0) family else ~family
+            val up = ((word >> (15 - i % 16)) & 1L) == 1L
+            amps(i + 1) = if (up) amps(i) * 1.08 else amps(i) / 1.08
+            i += 1
+          }
+          Array.tabulate(65 * 16)(s => amps(s / 16).toShort)
+        }
+      val format = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val raw = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { i =>
+        raw(2 * i) = (samples(i) & 0xff).toByte
+        raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(raw), format, samples.length),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      (id, "audio", bos.toByteArray)
+    }.toDF("media_id", "kind", "bytes")
+      .cache()
+    media.count()                      // synthesis excluded from timing
+    val tAfp = System.nanoTime()
+    val prints = graft.llm.Multimodal.audioFingerprint(spark, media)
+      .toDF("media_id", "dhash").cache()
+    val nNullPrints = prints.filter(col("dhash").isNull).count()
+    val audioPairs = graft.llm.Multimodal
+      .imageNearDupPairs(prints, maxHamming = 3)
+      .withColumn("__planted",
+        col("id_b") === col("id_a") + 1 && col("id_b") % 20 === 0 &&
+          col("hamming") === 0)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__planted"), 1L).otherwise(0L)).as("planted"))
+      .head()
+    val secA = (System.nanoTime() - tAfp) / 1e9
+    val expPairs = (aN - 1) / 20
+    val expNulls = (aN + 992) / 1000   // ids == 7 mod 1000 in [0, aN)
+    println(f"""{"phase":"audio_neardup","payloads":$aN,"null_prints":$nNullPrints,"pairs":${audioPairs.getLong(0)},"planted_hit":${audioPairs.getLong(1)},"expected_pairs":$expPairs,"synth_sec":${(tAfp - tA) / 1e9}%.2f,"sec":$secA%.2f,"payloads_per_sec":${(aN / secA).toLong}}""")
+    assert(nNullPrints == expNulls,
+      s"null prints=$nNullPrints expected $expNulls (the short stubs)")
+    assert(audioPairs.getLong(0) == expPairs &&
+      audioPairs.getLong(1) == expPairs,
+      s"pairs=${audioPairs.getLong(0)} planted=${audioPairs.getLong(1)} " +
+        s"expected exactly $expPairs gain-copy pairs at hamming 0")
+    media.unpersist(); prints.unpersist()
     spark.stop()
   }
 }

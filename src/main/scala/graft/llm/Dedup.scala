@@ -1157,10 +1157,15 @@ object Dedup {
                                edges: DataFrame, cuts: Seq[(String, Int)],
                                lastSplit: String,
                                id: Column = col("doc_id"),
-                               conflictedIds: Option[DataFrame] = None)
+                               conflictedIds: Option[DataFrame] = None,
+                               compsOpt: Option[DataFrame] = None)
       : DataFrame = {
     validateCuts(cuts)
-    val comps = duplicateClusters(edges) // (doc_id, comp_id) for edge docs
+    // (doc_id, comp_id) for edge docs. A caller that also needs the
+    // components (the streaming router's conflict closure) passes them
+    // in — recomputing them here would run the whole candidate-edge
+    // lineage a second time per batch.
+    val comps = compsOpt.getOrElse(duplicateClusters(edges))
     // stored members of touched components -> per-component inherited
     // split: the split of the smallest stored member id. min(struct) is
     // the argmin with one combiner cell per component.

@@ -1188,13 +1188,20 @@ object TextAnalysis {
                    text: Column = col("text")): DataFrame =
     dsirFeats(d, buckets, id, text)
 
+  /** The exploded unigram++bigram feature generator shared by the
+    * train-side occurrence table and the apply-side scorer — one
+    * generator over a PRE-TOKENIZED array column (tokenize once per
+    * row; inlining the split here would re-tokenize per reference). */
+  private def featsFromTokens(t: Column): Column =
+    explode(concat(t, zip_with(
+      slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+      slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))))
+
   private def dsirFeats(d: DataFrame, buckets: Int,
                         id: Column, text: Column): DataFrame =
     d.select(id.as("doc_id"), wsTokens(text).as("__t"))
-      .select(col("doc_id"), explode(concat(col("__t"), zip_with(
-        slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
-        slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
-        (a, b) => concat(a, lit(" "), b)))).as("f"))
+      .select(col("doc_id"), featsFromTokens(col("__t")).as("f"))
       .select(col("doc_id"),
         (Sampling.hashBucket(col("f")) % buckets).as("b"))
       .groupBy("doc_id", "b").agg(count(lit(1)).as("m"))
@@ -1242,12 +1249,22 @@ object TextAnalysis {
   def dsirScore(docs: DataFrame, ratio: DataFrame, buckets: Int,
                 id: Column = col("doc_id"),
                 text: Column = col("text")): DataFrame =
-    dsirFeats(docs, buckets, id, text)
+    // ONE shuffle, not two: each feature OCCURRENCE meets the ≤buckets
+    // broadcast map-side and the per-doc mean partial-aggregates into
+    // one row per doc per partition — the (doc_id, b, m) intermediate
+    // of [[dsirFeats]] would add a full extra exchange for the same
+    // post-combine shuffle volume (it exists for the TRAIN side, where
+    // the occurrence table feeds the ratio derivation too). Identical
+    // integer law: sum of r over occurrences div occurrence count.
+    docs.select(id.as("doc_id"), wsTokens(text).as("__t"))
+      .select(col("doc_id"), featsFromTokens(col("__t")).as("f"))
+      .select(col("doc_id"),
+        (Sampling.hashBucket(col("f")) % buckets).as("b"))
       .join(broadcast(ratio.select("b", "r")), Seq("b"), "left")
       .withColumn("r", coalesce(col("r"), lit(1000000000L)))
       .groupBy("doc_id")
-      .agg(sum("m").as("n_feats"),
-        sum(expr("CAST(m AS DECIMAL(38,0)) * r")).as("__sum_r"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(expr("CAST(r AS DECIMAL(38,0))")).as("__sum_r"))
       .withColumn("dsir_weight",
         expr("CAST(__sum_r div n_feats AS BIGINT)"))
       .select(col("doc_id"), col("n_feats"), col("dsir_weight"))

@@ -133,12 +133,18 @@ final class StreamingSplitRouter(spark: SparkSession, wh: Warehouse,
               else Dedup.incrementalMinhashCandidatesFromSigs(
                 wh.read(sigStoreTable, sigSchema), sigs, numHashes, bands,
                 threshold)
+            // components computed ONCE per batch and passed to both the
+            // splitter and the conflict closure below — the closure's
+            // own duplicateClusters call would re-run the entire
+            // candidate-edge lineage a second time per conflicted batch
+            val comps = Dedup.duplicateClusters(edges)
             // Warehouse.read of an absent table is the empty frame with
             // the declared schema, so first-batch reads need no guard
             val knownConflicts = wh.read(conflictTable, conflictSchema)
             assignments = Dedup.incrementalLeakSafeSplit(
               wh.read(assignTable, assignSchema), shingled, edges,
-              cuts, lastSplit, conflictedIds = Some(knownConflicts))
+              cuts, lastSplit, conflictedIds = Some(knownConflicts),
+              compsOpt = Some(comps))
               .unionByName(Dedup.contentHashSplit(short, cuts, lastSplit)
                 .select(col("doc_id"), col("doc_id").as("cluster_id"),
                   col("split"), lit(false).as("inherited"),
@@ -160,7 +166,7 @@ final class StreamingSplitRouter(spark: SparkSession, wh: Warehouse,
             if (!conflictedClusters.isEmpty) {
               val store = wh.read(assignTable, assignSchema)
                 .select(col("doc_id"), col("cluster_id")).cache()
-              var members = Dedup.duplicateClusters(edges)
+              var members = comps
                 .join(conflictedClusters,
                   col("comp_id") === col("cluster_id"), "left_semi")
                 .select(col("doc_id")).cache()

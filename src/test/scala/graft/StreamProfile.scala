@@ -149,6 +149,22 @@ object StreamProfile {
           sink.start(availableNow = true).awaitTermination()
           waveT(w) = (System.nanoTime() - tw) / 1e9
         }
+      case "dsir_gate" =>
+        import graft.llm.TextAnalysis
+        val buckets = 512
+        wh.replace("dsir_ratio", TextAnalysis.dsirRatioTable(
+          TextAnalysis.dsirFeatures(docs.filter(col("doc_id") % 2 === 0),
+            buckets),
+          TextAnalysis.dsirFeatures(docs.filter(col("doc_id") % 2 === 1),
+            buckets), buckets))
+        val sink = new graft.stream.StreamingDsirGate(spark, wh, landing,
+          ckpt, buckets = buckets, minWeight = 1000000000L)
+        (0 until waves).foreach { w =>
+          val tw = System.nanoTime()
+          landWave(landing, w)
+          sink.start(availableNow = true).awaitTermination()
+          waveT(w) = (System.nanoTime() - tw) / 1e9
+        }
     }
     val total = (System.nanoTime() - t0) / 1e9
     Thread.sleep(500)
