@@ -833,6 +833,57 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"), col("lm_score"), col("keep"))
   }
 
+  /** Moore–Lewis contrastive selection (Moore & Lewis 2010,
+    * "Intelligent Selection of Language Model Training Data") — the
+    * classic cross-entropy-difference selector every later data-
+    * selection method (DSIR included) cites as the baseline: score
+    * each candidate under an IN-DOMAIN LM and a GENERAL LM (both
+    * [[bigramLmScore]]'s exact add-one-smoothed integer law) and keep
+    * documents whose in-domain score beats the general score by at
+    * least `minDelta`. The published rule thresholds
+    * `H_in(d) − H_gen(d)`; the engine's scores are mean scaled
+    * probabilities (higher = more in-domain-like), so the rule is
+    * `lm_in − lm_gen >= minDelta` — same selections on the
+    * fixed-point scale, bit-identical across engines, no libm.
+    *
+    * A pure composition (the X74 discipline): two [[bigramLmScore]]
+    * passes over the SAME candidate set, one doc-keyed join, one
+    * integer subtraction. Documents with fewer than two tokens have no
+    * bigram under either LM, hence no row (bigramLmScore's contract —
+    * route them to a length filter).
+    *
+    * Scale shape: each LM chain is one candidate-corpus bigram pass
+    * against its own vocab-sized count tables (term-keyed joins — the
+    * corpus text never shuffles). This convenience form runs both
+    * passes per call; production pipelines LAND each model's scores
+    * once and diff the stored tables through [[mooreLewisFromScores]]
+    * (the [[perplexityBucketsFromScores]] pattern; equal by
+    * construction — this form delegates there). */
+  def mooreLewisSelect(inDomain: DataFrame, general: DataFrame,
+                       toScore: DataFrame, minDelta: Long = 0L,
+                       id: Column = col("doc_id"),
+                       text: Column = col("text")): DataFrame =
+    mooreLewisFromScores(
+      bigramLmScore(inDomain, toScore, id = id, text = text)
+        .select(col("doc_id"), col("n_bigrams"),
+          col("lm_score").as("lm_in")),
+      bigramLmScore(general, toScore, id = id, text = text)
+        .select(col("doc_id"), col("lm_score").as("lm_gen")),
+      minDelta)
+
+  /** [[mooreLewisSelect]] over PRECOMPUTED per-model score tables —
+    * (doc_id, n_bigrams, lm_in) and (doc_id, lm_gen) — the production
+    * entry point: each LM's scores land once per (model, candidate)
+    * snapshot and every threshold sweep diffs the stored tables
+    * instead of re-scoring the corpus. */
+  def mooreLewisFromScores(inScored: DataFrame, genScored: DataFrame,
+                           minDelta: Long = 0L): DataFrame =
+    inScored.join(genScored, Seq("doc_id"))
+      .withColumn("ml_delta", col("lm_in") - col("lm_gen"))
+      .withColumn("keep", col("ml_delta") >= minDelta)
+      .select(col("doc_id"), col("n_bigrams"), col("lm_in"),
+        col("lm_gen"), col("ml_delta"), col("keep"))
+
   /** Stupid Backoff trigram LM scoring (Brants et al. 2007, "Large
     * Language Models in Machine Translation") — the LM law PUBLISHED
     * for distributed counting at web scale: no discounting, no

@@ -2403,6 +2403,59 @@ object Oracles {
          |SELECT DISTINCT doc_id, pos, fp FROM sel WHERE rn = 1"""
         .stripMargin,
 
+    // X130 Moore-Lewis: q94's LM replay TWICE (in-domain = even 'en'
+    // docs, general = even non-'en'), doc-keyed join, integer delta,
+    // keep at threshold 0
+    "q185_moore_lewis" ->
+      raw"""WITH tk AS (
+         |  SELECT doc_id, lang, list_filter(string_split($norm, ' '),
+         |    t -> len(t) > 0) AS t
+         |  FROM documents),
+         |bi AS (
+         |  SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2
+         |  FROM (SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i
+         |        FROM tk)),
+         |c2a AS (SELECT w1, w2, count(*) AS c2 FROM bi
+         |        WHERE doc_id % 2 = 0 AND lang = 'en' GROUP BY w1, w2),
+         |c1a AS (SELECT w1, sum(c2) AS c1 FROM c2a GROUP BY w1),
+         |va AS (SELECT count(DISTINCT w) AS v FROM (
+         |         SELECT unnest(t) AS w FROM tk
+         |         WHERE doc_id % 2 = 0 AND lang = 'en')),
+         |c2b AS (SELECT w1, w2, count(*) AS c2 FROM bi
+         |        WHERE doc_id % 2 = 0 AND lang <> 'en' GROUP BY w1, w2),
+         |c1b AS (SELECT w1, sum(c2) AS c1 FROM c2b GROUP BY w1),
+         |vb AS (SELECT count(DISTINCT w) AS v FROM (
+         |         SELECT unnest(t) AS w FROM tk
+         |         WHERE doc_id % 2 = 0 AND lang <> 'en')),
+         |occ AS (SELECT doc_id, w1, w2, count(*) AS m FROM bi
+         |        WHERE doc_id % 2 = 1 GROUP BY doc_id, w1, w2),
+         |pa AS (
+         |  SELECT occ.doc_id, occ.m,
+         |         CAST(1000000000 AS HUGEINT) * (coalesce(c2a.c2, 0) + 1)
+         |           // (coalesce(c1a.c1, 0) + va.v) AS p
+         |  FROM occ
+         |  LEFT JOIN c2a ON occ.w1 = c2a.w1 AND occ.w2 = c2a.w2
+         |  LEFT JOIN c1a ON occ.w1 = c1a.w1
+         |  CROSS JOIN va),
+         |sa AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+         |              CAST(sum(m * p) // sum(m) AS BIGINT) AS lm_in
+         |       FROM pa GROUP BY doc_id),
+         |pb AS (
+         |  SELECT occ.doc_id, occ.m,
+         |         CAST(1000000000 AS HUGEINT) * (coalesce(c2b.c2, 0) + 1)
+         |           // (coalesce(c1b.c1, 0) + vb.v) AS p
+         |  FROM occ
+         |  LEFT JOIN c2b ON occ.w1 = c2b.w1 AND occ.w2 = c2b.w2
+         |  LEFT JOIN c1b ON occ.w1 = c1b.w1
+         |  CROSS JOIN vb),
+         |sb AS (SELECT doc_id,
+         |              CAST(sum(m * p) // sum(m) AS BIGINT) AS lm_gen
+         |       FROM pb GROUP BY doc_id)
+         |SELECT sa.doc_id, sa.n_bigrams, sa.lm_in, sb.lm_gen,
+         |       CAST(sa.lm_in - sb.lm_gen AS BIGINT) AS ml_delta,
+         |       sa.lm_in - sb.lm_gen >= 0 AS keep
+         |FROM sa JOIN sb ON sa.doc_id = sb.doc_id""".stripMargin,
+
     // X129 epoch expansion: floor(w) + md5-60-bit bernoulli on frac(w),
     // visible clamp at 2, zero-copy docs dropped, copies 1-based
     "q184_epoch_expand" ->

@@ -253,6 +253,8 @@ object TestdataQueries {
       ("winnow_fps", () => { winnowStore(s, dir).count(); () }),
       ("dsir_weights", () => { dsirWeightTable(s, dir).count(); () }),
       ("rfm_metrics", () => { rfmMetricsTable(s, dir).count(); () }),
+      ("ml_in_scored", () => { mlInScored(s, dir).count(); () }),
+      ("ml_gen_scored", () => { mlGenScored(s, dir).count(); () }),
       ("centroids", () => { embeddingCentroids(s, dir); () }))
       .map { case (n, f) => timed(n)(f()) }
     Await.result(Future.sequence(phaseA), Duration.Inf)
@@ -1507,6 +1509,45 @@ object TestdataQueries {
       expr("(CAST(n_chars AS BIGINT) * 1000000000L) div 200L"),
       maxCopies = 2)
 
+  // Shared artifacts: the two Moore-Lewis LM score tables (in-domain =
+  // even-id 'en' docs, general = even-id rest, candidates = odd ids).
+  // In production each model's scores land once per (model, candidate)
+  // snapshot and every threshold sweep diffs the stored tables; q185's
+  // oracle replays both full LM chains, so the landed scores are fully
+  // verified through it.
+  private val mlInMemo = new Memo()
+  private def mlInScored(s: SparkSession, dir: String): DataFrame =
+    memoShared(mlInMemo, s, dir) {
+      val d = t(s, dir, "documents")
+      TextAnalysis.bigramLmScore(
+          d.filter(col("doc_id") % 2 === 0 && col("lang") === "en"),
+          d.filter(col("doc_id") % 2 === 1))
+        .select(col("doc_id"), col("n_bigrams"), col("lm_score").as("lm_in"))
+    }
+  private val mlGenMemo = new Memo()
+  private def mlGenScored(s: SparkSession, dir: String): DataFrame =
+    memoShared(mlGenMemo, s, dir) {
+      val d = t(s, dir, "documents")
+      TextAnalysis.bigramLmScore(
+          d.filter(col("doc_id") % 2 === 0 && col("lang") =!= "en"),
+          d.filter(col("doc_id") % 2 === 1))
+        .select(col("doc_id"), col("lm_score").as("lm_gen"))
+    }
+
+  /** X130: Moore–Lewis contrastive selection
+    * ([[graft.llm.TextAnalysis.mooreLewisSelect]]) — the 2010
+    * cross-entropy-difference classic: the in-domain LM trains on the
+    * even-id ENGLISH docs, the general LM on the even-id REST, odd ids
+    * are the candidate pool, threshold 0 (keep iff the candidate looks
+    * more in-domain than general); diffed over the two LANDED per-model
+    * score tables (equal to the one-shot mooreLewisSelect by
+    * construction — both run mooreLewisFromScores). The oracle replays
+    * BOTH q94-style LM chains, the doc-keyed join, and the integer
+    * delta law. */
+  def q185MooreLewis(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.mooreLewisFromScores(
+      mlInScored(s, dir), mlGenScored(s, dir))
+
   /** q183's keep threshold — shared with the oracle SQL. */
   val StupidBackoffMinScore: Long = 40000000L
 
@@ -2536,6 +2577,7 @@ object TestdataQueries {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_moore_lewis" -> q185MooreLewis _,
     "q165_legacy_store_conflicts" -> q165LegacyStoreConflicts _,
     "q164_hamming_pairs" -> q164HammingPairs _,
     "q160_dedup_savings" -> q160DedupSavings _,

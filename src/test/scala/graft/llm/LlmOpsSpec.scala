@@ -2242,6 +2242,34 @@ class LlmOpsSpec extends SparkSpec {
       !got.getAs[Boolean]("keep"))
   }
 
+  test("moore-lewis: exact cross-entropy-difference law — in-domain-like " +
+    "kept, general-like dropped, bigram-less docs rowless") {
+    // in-domain LM trains on "a b a b": c2(a,b)=2 c2(b,a)=1, c1(a)=2
+    // c1(b)=1, V=2; general LM on "z q z q" symmetrically
+    val inD = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    val gen = Seq((1L, "z q z q")).toDF("doc_id", "text")
+    val cand = Seq((10L, "a b"), (11L, "z q"), (12L, "m"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.mooreLewisSelect(inD, gen, cand)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("lm_in"), r.getAs[Long]("lm_gen"),
+          r.getAs[Long]("ml_delta"), r.getAs[Boolean]("keep"))).toMap
+    // doc 10 "a b": in = 1e9*(2+1) div (2+2) = 75e7; gen (unseen) =
+    // 1e9*1 div (0+2) = 5e8 -> delta +25e7, kept
+    assert(got(10L) == ((750000000L, 500000000L, 250000000L, true)))
+    // doc 11 "z q": the mirror -> delta -25e7, dropped
+    assert(got(11L) == ((500000000L, 750000000L, -250000000L, false)))
+    // doc 12 has no bigram under either LM: no row (length-filter route)
+    assert(!got.contains(12L) && got.size == 2)
+    // partition-invariant (the exact-integer law is order-free)
+    val again = TextAnalysis.mooreLewisSelect(inD.repartition(3),
+        gen.repartition(2), cand.repartition(4))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("lm_in"), r.getAs[Long]("lm_gen"),
+          r.getAs[Long]("ml_delta"), r.getAs[Boolean]("keep"))).toMap
+    assert(again == got)
+  }
+
   test("naive bayes odds: EMPTY labeled seed yields NULL scores, not a crash") {
     // tp = tn = V = 0 makes every ratio's divisor zero; the scaladoc
     // contract is NULL scores (nothing was learned) — under this

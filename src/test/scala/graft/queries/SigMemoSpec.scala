@@ -181,4 +181,7 @@ class SigMemoSpec extends SparkSpec {
   pinSharedEqualsIsolated("q137_rfm",
     "binning over the landed per-user metrics table must equal " +
       "rebuilding the metrics from events inside the query")
+  pinSharedEqualsIsolated("q185_moore_lewis",
+    "the delta over the two landed per-model LM score tables must " +
+      "equal re-scoring the candidates inside the query")
 }
