@@ -107,15 +107,22 @@ object Bench {
     // as the build breaks. Failed queries surface in an "errors" field
     // and contribute a 1e6 s penalty to the total, so a crash can only
     // ever make the reported number loudly worse.
+    // One escaping law for every string that lands inside the JSON
+    // artifacts: TRUNCATE FIRST, then strip non-printables and escape
+    // backslash/quote — truncating after escaping can split an escape
+    // pair (a line ending in a lone `\`), malforming the diffable
+    // bench_out.json / sweeps.jsonl lines.
+    def jsonEsc(raw: String, max: Int = 200): String =
+      String.valueOf(raw).take(max)
+        .replaceAll("[^\\x20-\\x7e]", " ").replace("\\", "\\\\")
+        .replace("\"", "\\\"")
     def pair(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Double, Option[String]) = {
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None } catch {
-          case e: Throwable => Some(
-            (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
-              .replaceAll("[^\\x20-\\x7e]", " ").replace("\\", "\\\\")
-              .replace("\"", "\\\"").take(200))
+          case e: Throwable => Some(jsonEsc(
+            e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage)))
         }
         ((System.nanoTime() - t0) / 1e9, err)
       }
@@ -207,15 +214,12 @@ object Bench {
           val dps = if (r.sec > 0) (r.docs / r.sec).toLong else 0L
           s""""${r.sink}":{"docs":${r.docs},"sec":${secJson(r.sec)},""" +
             s""""docs_per_sec":$dps${r.error.map(e =>
-              s""","error":"${e.replaceAll("[^\\x20-\\x7e]", " ")
-                .replace("\\", "\\\\").replace("\"", "\\\"")}"""")
+              s""","error":"${jsonEsc(e, max = Int.MaxValue)}"""")
               .getOrElse("")}}"""
         }).mkString("{", ",", "}")
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] stream bench failed: ${e.getMessage}")
-        s"""{"error":"${String.valueOf(e.getMessage)
-          .replaceAll("[^\\x20-\\x7e]", " ").replace("\\", "\\\\")
-          .replace("\"", "\\\"").take(200)}"}"""
+        s"""{"error":"${jsonEsc(String.valueOf(e.getMessage))}"}"""
       }
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","shared_store_build_sec":$storeBuildSec,"stream_bench":$streamJson,"methodology":"best of a back-to-back pair per query; stall suspects (samples disagreeing >25% or best >0.4s) re-measured with up to two fresh pairs after the sweep, overall minimum reported (steady-state); a query that throws is listed in errors and scored 1e6 s, never its time-to-failure; dedup/clustering/funnel/retrieval families measured over their shared production artifacts (signature stores, candidate/exact/ER pair tables, funnel step-times and BM25 ranking tables), producers exposing the same landed plans; stream_bench reports streaming-sink docs/sec over a synthesized waved corpus (per sink: an untimed 2-wave warm-up stream first, wave files staged untimed and delivered by rename, so the number prices the steady-state sink frame, not JIT or the corpus generator), excluded from value"}"""
     // stdout FIRST: it is the guarantee the harness always had; the file

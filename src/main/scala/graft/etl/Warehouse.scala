@@ -225,6 +225,13 @@ final class Warehouse(private[graft] val spark: SparkSession,
             // protection, as documented — don't fail every mutation
             ch.close()
             return () => local.unlock()
+          case t: Throwable =>
+            // any other unwind (an interrupt mid-poll, say) reaches the
+            // outer catch, which releases the local lock but knows
+            // nothing of ch — close it here or the channel leaks
+            try ch.close()
+            catch { case scala.util.control.NonFatal(_) => () }
+            throw t
         }
       flock match {
         case None =>

@@ -20,6 +20,13 @@ object Sampling {
     * assignment, expressible in any SQL engine. */
   private val BucketSpace = 268435456.0 // 16^7
 
+  /** Ceiling on the distinct-strata count the mixture samplers
+    * ([[temperatureMix]]/[[temperatureMixAlpha]]/[[epochCappedMix]])
+    * will collect to the driver: their count tables are metadata
+    * (languages, domains — at most thousands), and a high-cardinality
+    * stratum must fail loudly rather than OOM the driver. */
+  val MaxStrata: Int = 100000
+
   def hashBucket(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 7), 16, 10).cast("long")
 
@@ -219,9 +226,19 @@ object Sampling {
                                      id: Column, targetRows: Long,
                                      weight: Long => Double): DataFrame = {
     require(targetRows >= 0, s"targetRows $targetRows")
+    // the count table is DRIVER metadata — the contract is a
+    // language/domain-scale stratum (tens to thousands of values). A
+    // high-cardinality stratum (a doc id, a timestamp) would silently
+    // OOM the driver here, so the collect is bounded and over-budget
+    // fails loudly instead: pick a coarser stratum or pre-bucket it.
     val counts = df.filter(stratum.isNotNull)
       .groupBy(stratum.cast("string").as("__s")).agg(count(lit(1)).as("__n"))
+      .limit(MaxStrata + 1)
       .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(counts.length <= MaxStrata,
+      s"temperature mixing saw more than $MaxStrata distinct strata — " +
+        "the stratum must be language/domain-scale metadata, not a " +
+        "high-cardinality key; pre-bucket it or pick a coarser column")
     val weights = counts.map { case (s, n) =>
       (s, n, math.floor(weight(n) * 1e6).toLong)
     }
@@ -230,6 +247,81 @@ object Sampling {
       s -> math.min(1.0, targetRows.toDouble * w / totalW / n)
     }.toMap
     stratified(df, stratum.cast("string"), id, rates, defaultRate = 0.0)
+  }
+
+  /** UniMax epoch-capped mixture allocation (Chung et al. 2023,
+    * "UniMax: Fairer and More Effective Language Sampling for
+    * Large-Scale Multilingual Pretraining") — the allocation the
+    * mixing family lacked next to temperature scaling (X33),
+    * token-budget mix (X14) and epoch expansion (X129): distribute a
+    * token budget as UNIFORMLY across strata as possible, subject to a
+    * per-stratum cap of `maxEpochs` passes over its data, and
+    * redistribute every capped stratum's surplus over the rest. Unlike
+    * temperature scaling there is no exponent to tune and no stratum
+    * ever trains past `maxEpochs` epochs — the paper's point.
+    *
+    * Law (exact integers, deterministic on any engine): strata with a
+    * positive token count sort ascending by `(n_tokens, stratum)`;
+    * walking that order with remaining budget R over m remaining
+    * strata, each stratum takes `min(n·maxEpochs, R div m)` and leaves
+    * the rest. Visiting smallest-first is WHY the walk equals the
+    * published waterfill: a stratum caps only if its cap is below the
+    * current uniform share, and every un-capped stratum ends with the
+    * final equal share (integer-division remainders roll forward to
+    * the larger strata — a deterministic tie law the oracle replays
+    * verbatim). `epochs_scaled = 1e9·alloc div n` is the house
+    * fixed-point weight, ready for [[epochExpand]] (join back on the
+    * stratum) to materialize the allocation into training copies.
+    *
+    * Output: (stratum, n_tokens, alloc_tokens, epochs_scaled, capped),
+    * one row per positive-count stratum; null strata and zero-token
+    * strata have nothing to allocate and emit no row. The count pass
+    * is the [[temperatureMix]] shape — one aggregation collected to
+    * the driver, bounded by [[MaxStrata]] (fails loudly beyond), the
+    * walk itself is driver-side closed-form over that metadata. */
+  def epochCappedMix(df: DataFrame, stratum: Column, tokens: Column,
+                     budgetTokens: Long, maxEpochs: Long): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens=$budgetTokens")
+    require(maxEpochs >= 1, s"maxEpochs=$maxEpochs")
+    val counts = df.filter(stratum.isNotNull)
+      .groupBy(stratum.cast("string").as("__s"))
+      .agg(sum(tokens.cast("long")).as("__n"))
+      .filter(col("__n") > 0)
+      .limit(MaxStrata + 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(counts.length <= MaxStrata,
+      s"epochCappedMix saw more than $MaxStrata distinct strata — " +
+        "the stratum must be language/domain-scale metadata, not a " +
+        "high-cardinality key; pre-bucket it or pick a coarser column")
+    val ordered = counts.sortBy { case (s, n) => (n, s) }
+    var r = budgetTokens
+    var m = ordered.length
+    val rows = ordered.map { case (s, n) =>
+      // multiplyExact: a runaway maxEpochs × corpus-scale n must fail
+      // loudly, never wrap into a negative cap
+      val cap = Math.multiplyExact(n, maxEpochs)
+      val share = r / m
+      val a = math.min(cap, share)
+      r -= a; m -= 1
+      // BigInt for the fixed-point scale: 1e9 × a overflows a long
+      // already at corpus-scale token counts (~1e10); the quotient
+      // itself is ≤ maxEpochs × 1e9 and always fits
+      org.apache.spark.sql.Row(s, n, a,
+        (BigInt(a) * 1000000000L / n).toLong, a == cap)
+    }
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("stratum",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_tokens",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("alloc_tokens",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("epochs_scaled",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("capped",
+          org.apache.spark.sql.types.BooleanType, nullable = false))))
   }
 
   /** Deterministic per-group k-sample — the "pull k examples of every

@@ -823,8 +823,13 @@ object TextAnalysis {
       .join(c1, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .withColumn("p_scaled", expr(
-        """CAST(1000000000 AS DECIMAL(38,0)) * (coalesce(c2, 0L) + 1)
-          |  div (coalesce(c1, 0L) + v)""".stripMargin))
+        // an EMPTY train corpus has v = 0 and c1 NULL — a zero divisor
+        // that ANSI mode (this build's default) would raise on every
+        // scored row; the degenerate case yields NULL explicitly
+        // (nothing was learned) instead — the nbScore law
+        """CASE WHEN coalesce(c1, 0L) + v = 0 THEN CAST(NULL AS DECIMAL(38,0))
+          |  ELSE CAST(1000000000 AS DECIMAL(38,0)) * (coalesce(c2, 0L) + 1)
+          |    div (coalesce(c1, 0L) + v) END""".stripMargin))
       .groupBy("doc_id")
       .agg(sum("m").as("n_bigrams"),
         sum(expr("m * p_scaled")).as("__sum_p"))
@@ -1602,8 +1607,9 @@ object TextAnalysis {
     *
     * Scale shape: the corpus is read once into the word-frequency
     * table; the per-budget segmentations explode over the DISTINCT
-    * word table only (steps × vocab rows, persisted for its two
-    * consumers — stats and the vocab distinct). The snapshot
+    * word table only (steps × vocab rows), and stats + piece vocab
+    * come out of ONE per-piece aggregation pass — the fold
+    * expressions never evaluate twice and nothing persists. The snapshot
     * expressions nest one fold per merge, so this is the EXPLORATORY
     * tool for small k (tokenizer design); a production 32k-merge
     * tokenizer applies ONE budget through [[bpeEncode]]'s loop. */
@@ -1637,27 +1643,27 @@ object TextAnalysis {
       struct(lit(jj).as("budget"),
         when(col("w").rlike("^[a-z0-9]+$"), s)
           .otherwise(array(col("w"))).as("pieces")) }: _*)
-    val enc = wn.select(col("w"), col("n"), explode(snapArr).as("__e"))
+    // ONE pass: the nested fold expressions (the sweep's whole cost)
+    // evaluate once per distinct word, and stats + piece vocab come out
+    // of a single per-piece aggregation — `n_words` counts each word at
+    // its first piece (pieces are never empty: tokens are non-empty, so
+    // both the char split and the whole-word fallback yield ≥1 piece),
+    // `total_pieces` weights every piece by the word's corpus count.
+    // No persist/join/second-scan; the earlier two-consumer form paid
+    // the fold twice or a vocab-sized cache to avoid it.
+    wn.select(col("n"), explode(snapArr).as("__e"))
       .select(col("n"), col("__e.budget").as("budget"),
         col("__e.pieces").as("pieces"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val stats = enc.groupBy("budget").agg(
-        sum(col("n")).as("n_words"),
-        sum(col("n") * size(col("pieces"))).as("total_pieces"))
-      val vocab = enc.select(col("budget"), explode(col("pieces")).as("p"))
-        .groupBy("budget").agg(count_distinct(col("p")).as("piece_vocab"))
-      val out = stats.join(vocab, Seq("budget"))
-        .withColumn("pieces_per_word_scaled", expr(
-          "(CAST(1000000000 AS DECIMAL(38,0)) * total_pieces) div n_words"))
-        .select(col("budget"), col("n_words"), col("total_pieces"),
-          col("pieces_per_word_scaled"), col("piece_vocab"))
-      // ≤steps.size rows — materialize so the persist releases NOW
-      // instead of accumulating for the session lifetime
-      val rows = out.collect()
-      docs.sparkSession.createDataFrame(
-        java.util.Arrays.asList(rows: _*), out.schema)
-    } finally enc.unpersist()
+      .select(col("n"), col("budget"),
+        posexplode(col("pieces")).as(Seq("__pos", "__p")))
+      .groupBy("budget").agg(
+        sum(when(col("__pos") === 0, col("n"))).as("n_words"),
+        sum(col("n")).as("total_pieces"),
+        count_distinct(col("__p")).as("piece_vocab"))
+      .withColumn("pieces_per_word_scaled", expr(
+        "(CAST(1000000000 AS DECIMAL(38,0)) * total_pieces) div n_words"))
+      .select(col("budget"), col("n_words"), col("total_pieces"),
+        col("pieces_per_word_scaled"), col("piece_vocab"))
   }
 
   /** BPE APPLY (X108): encode the corpus under a LEARNED merge table

@@ -289,6 +289,109 @@ object Oracles {
        |$rounds""".stripMargin
   }
 
+  /** Unigram-LM (X131) replay — seed substring vocab, `iters` hard-EM
+    * rounds, final cost table. The Viterbi DP unrolls over word
+    * positions 1..maxWordLen (words longer than that never train/apply
+    * segmented, BY LAW, so the unroll bound is the law's own, not a
+    * data assumption): per position j the winning edge minimizes
+    * (total cost, start index) via row_number; unreachable states
+    * simply have no row (the engine's Inf sentinel). Emits CTEs ending
+    * at `um{iters}` (final model) and `umc(p, cnt, cost)` with
+    * `cost = length(bin(Σcnt)) − length(bin(cnt)) + 1` — the exact
+    * integer floor-log2 law. `dpCtes` is reused by the encode oracle
+    * for the apply-side segmentation. */
+  private def unigramDpCtes(tag: String, wordsCte: String, edgesCte: String,
+                            maxWordLen: Int): String = {
+    val steps = (1 to maxWordLen).map { j =>
+      s"""b$tag$j AS MATERIALIZED (
+         |  SELECT w, pos, c, back, pc FROM (
+         |    SELECT e.w, CAST($j AS BIGINT) AS pos, pv.c + e.cost AS c,
+         |           e.i AS back, e.p AS pc,
+         |           row_number() OVER (PARTITION BY e.w
+         |             ORDER BY pv.c + e.cost, e.i) AS rn
+         |    FROM $edgesCte e JOIN a$tag${j - 1} pv
+         |      ON pv.w = e.w AND pv.pos = e.i
+         |    WHERE e.j = $j)
+         |  WHERE rn = 1),
+         |a$tag$j AS MATERIALIZED (SELECT * FROM a$tag${j - 1}
+         |            UNION ALL SELECT * FROM b$tag$j)""".stripMargin
+    }.mkString(",\n")
+    val walks = (1 to maxWordLen).map { k =>
+      s"""g$tag$k AS MATERIALIZED (
+         |  SELECT s.w,
+         |         CASE WHEN s.pos > 0 THEN b.back ELSE s.pos END AS pos,
+         |         CASE WHEN s.pos > 0 THEN b.pc ||
+         |           CASE WHEN s.ps = '' THEN '' ELSE ' ' END || s.ps
+         |           ELSE s.ps END AS ps
+         |  FROM g$tag${k - 1} s LEFT JOIN a$tag$maxWordLen b
+         |    ON b.w = s.w AND b.pos = s.pos)""".stripMargin
+    }.mkString(",\n")
+    s"""a${tag}0 AS MATERIALIZED (
+       |  SELECT w, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS c,
+       |         CAST(-1 AS BIGINT) AS back, '' AS pc FROM $wordsCte),
+       |$steps,
+       |g${tag}0 AS MATERIALIZED (
+       |  SELECT w, CAST(length(w) AS BIGINT) AS pos, '' AS ps
+       |  FROM $wordsCte),
+       |$walks,
+       |seg$tag AS MATERIALIZED (SELECT w, ps FROM g$tag$maxWordLen WHERE pos = 0)"""
+      .stripMargin
+  }
+
+  private def unigramCostCte(name: String, modelCte: String): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT p, cnt,
+       |         CAST(length(bin(CAST(t.tot AS BIGINT))) -
+       |              length(bin(cnt)) + 1 AS BIGINT) AS cost
+       |  FROM $modelCte, (SELECT CAST(sum(cnt) AS BIGINT) AS tot
+       |                   FROM $modelCte) t)""".stripMargin
+
+  private def unigramCtes(vocabSize: Int, maxPieceLen: Int, iters: Int,
+                          maxWordLen: Int): String = {
+    val rounds = (1 to iters).map { r =>
+      s"""${unigramCostCte(s"uc$r", s"um${r - 1}")},
+         |ue$r AS MATERIALIZED (
+         |  SELECT s.w, s.i, s.j, c.cost, s.p
+         |  FROM usp s JOIN uc$r c USING (p)),
+         |${unigramDpCtes(s"r$r", "uw", s"ue$r", maxWordLen)},
+         |uu$r AS MATERIALIZED (
+         |  SELECT p, CAST(sum(n) AS BIGINT) AS u FROM (
+         |    SELECT uw.n, unnest(string_split(f.ps, ' ')) AS p
+         |    FROM segr$r f JOIN uw USING (w))
+         |  GROUP BY p),
+         |um$r AS MATERIALIZED (
+         |  SELECT p, u AS cnt FROM uu$r WHERE length(p) >= 2
+         |  UNION ALL
+         |  SELECT c.p, CAST(coalesce(u.u, 0) + 1 AS BIGINT) AS cnt
+         |  FROM (SELECT p FROM um${r - 1} WHERE length(p) = 1) c
+         |  LEFT JOIN uu$r u USING (p))""".stripMargin
+    }.mkString(",\n")
+    s"""uw AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(list_filter(string_split($norm, ' '),
+       |          t -> len(t) > 0)) AS w FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z0-9]+$$')
+       |    AND length(w) <= $maxWordLen
+       |  GROUP BY w),
+       |usp AS MATERIALIZED (
+       |  SELECT w, i, i + l AS j,
+       |         substr(w, CAST(i + 1 AS INTEGER), CAST(l AS INTEGER)) AS p
+       |  FROM (
+       |    SELECT w, i, unnest(range(1,
+       |        least($maxPieceLen, length(w) - i) + 1)) AS l FROM (
+       |      SELECT w, unnest(range(length(w))) AS i FROM uw))),
+       |ucand AS MATERIALIZED (
+       |  SELECT p, CAST(sum(n) AS BIGINT) AS cnt
+       |  FROM usp JOIN uw USING (w) GROUP BY p),
+       |um0 AS MATERIALIZED (
+       |  (SELECT p, cnt FROM ucand WHERE length(p) >= 2
+       |   ORDER BY cnt DESC, p LIMIT $vocabSize)
+       |  UNION ALL
+       |  SELECT p, cnt FROM ucand WHERE length(p) = 1),
+       |$rounds,
+       |${unigramCostCte("umc", s"um$iters")}""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
 
     "q147_group_sample" ->
@@ -2406,6 +2509,105 @@ object Oracles {
     // X130 Moore-Lewis: q94's LM replay TWICE (in-domain = even 'en'
     // docs, general = even non-'en'), doc-keyed join, integer delta,
     // keep at threshold 0
+    // audio decode leg: the oracle computes the print CLOSED-FORM from
+    // doc_id — the synthesized walk's step directions ARE the code
+    // [f, ~f, f, ~f] (f = low 16 bits), so decode+envelope+delta-sign
+    // must reproduce it bit-exactly; stubs (97-residue 13) print null
+    "q189_audio_prints" ->
+      """SELECT doc_id AS media_id,
+        |       CASE WHEN doc_id % 97 = 13 THEN NULL ELSE
+        |         CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+        |              THEN u - 18446744073709551616::HUGEINT
+        |              ELSE u END AS BIGINT)
+        |       END AS afp
+        |FROM (
+        |  SELECT doc_id, CAST(hi AS HUGEINT) * 4294967296 + hi AS u
+        |  FROM (
+        |    SELECT doc_id,
+        |           CAST(doc_id % 65536 AS BIGINT) * 65536
+        |             + (65535 - doc_id % 65536) AS hi
+        |    FROM documents))""".stripMargin,
+
+    // UniMax waterfill: smallest-first recursive walk — integer
+    // uniform shares, remainder roll-forward, per-stratum epoch cap,
+    // surplus redistribution, 1e9 fixed-point epochs
+    "q188_unimax_mix" ->
+      """WITH RECURSIVE cnts AS (
+        |  SELECT lang AS stratum, CAST(sum(n_chars) AS BIGINT) AS n
+        |  FROM documents WHERE lang IS NOT NULL
+        |  GROUP BY 1 HAVING sum(n_chars) > 0),
+        |ord AS (
+        |  SELECT stratum, n,
+        |         CAST(row_number() OVER (ORDER BY n, stratum) AS BIGINT)
+        |           AS rn,
+        |         CAST(count(*) OVER () AS BIGINT) AS m
+        |  FROM cnts),
+        |alloc AS (
+        |  SELECT rn, stratum, n, m,
+        |         least(n * 2, CAST(250000 AS BIGINT) // m) AS a,
+        |         CAST(250000 AS BIGINT)
+        |           - least(n * 2, CAST(250000 AS BIGINT) // m) AS r
+        |  FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.rn, o.stratum, o.n, o.m,
+        |         least(o.n * 2, p.r // (o.m - p.rn)) AS a,
+        |         p.r - least(o.n * 2, p.r // (o.m - p.rn)) AS r
+        |  FROM alloc p JOIN ord o ON o.rn = p.rn + 1)
+        |SELECT stratum, n AS n_tokens, a AS alloc_tokens,
+        |       CAST(CAST(1000000000 AS HUGEINT) * a // n AS BIGINT)
+        |         AS epochs_scaled,
+        |       a = n * 2 AS capped
+        |FROM alloc""".stripMargin,
+
+    // unigram-LM TRAIN: the full hard-EM replay — seed counts, two
+    // rounds of cost/DP/uses/prune, final cost attach
+    "q186_unigram_train" ->
+      s"""WITH ${unigramCtes(16, 4, 2, 12)}
+         |SELECT p AS piece, cnt AS n_uses, cost FROM umc""".stripMargin,
+
+    // unigram-LM APPLY: re-learn the model with q186's replay, Viterbi-
+    // segment every distinct corpus word under the final costs (same DP
+    // unroll), fall back to whole-word for non-alphabet / overlong /
+    // unreachable words, and reassemble per doc (the q166 pattern)
+    "q187_unigram_encode" ->
+      s"""WITH ${unigramCtes(16, 4, 2, 12)},
+         |utk AS MATERIALIZED (
+         |  SELECT doc_id, list_filter(string_split($norm, ' '),
+         |    t -> len(t) > 0) AS t FROM documents),
+         |uaw AS MATERIALIZED (SELECT DISTINCT unnest(t) AS w FROM utk),
+         |uel AS MATERIALIZED (
+         |  SELECT w FROM uaw
+         |  WHERE regexp_matches(w, '^[a-z0-9]+$$') AND length(w) <= 12),
+         |uesp AS MATERIALIZED (
+         |  SELECT w, i, i + l AS j,
+         |         substr(w, CAST(i + 1 AS INTEGER), CAST(l AS INTEGER)) AS p
+         |  FROM (
+         |    SELECT w, i, unnest(range(1, least(4, length(w) - i) + 1)) AS l
+         |    FROM (SELECT w, unnest(range(length(w))) AS i FROM uel))),
+         |uee AS MATERIALIZED (
+         |  SELECT s.w, s.i, s.j, c.cost, s.p
+         |  FROM uesp s JOIN umc c USING (p)),
+         |${unigramDpCtes("e", "uel", "uee", 12)},
+         |uwp AS MATERIALIZED (
+         |  SELECT a.w, coalesce(g.ps, a.w) AS ps
+         |  FROM uaw a LEFT JOIN sege g ON g.w = a.w),
+         |utok AS MATERIALIZED (
+         |  SELECT doc_id, unnest(t) AS w,
+         |         unnest(range(len(t))) AS pos FROM utk),
+         |uenc AS MATERIALIZED (
+         |  SELECT utok.doc_id, utok.pos, coalesce(uwp.ps, utok.w) AS ps
+         |  FROM utok LEFT JOIN uwp ON utok.w = uwp.w),
+         |uagg AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         CAST(sum(len(string_split(ps, ' '))) AS BIGINT)
+         |           AS n_pieces,
+         |         string_agg(ps, ' ' ORDER BY pos) AS pieces
+         |  FROM uenc GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(uagg.n_pieces, 0) AS n_pieces,
+         |       coalesce(uagg.pieces, '') AS pieces
+         |FROM documents d LEFT JOIN uagg ON d.doc_id = uagg.doc_id"""
+        .stripMargin,
+
     "q185_moore_lewis" ->
       raw"""WITH tk AS (
          |  SELECT doc_id, lang, list_filter(string_split($norm, ' '),

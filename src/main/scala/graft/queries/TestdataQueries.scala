@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{CorpusMaintenance, Dedup, Sampling, Similarity, Sketches, TextAnalysis, Multimodal}
+import graft.llm.{CorpusMaintenance, Dedup, Sampling, Similarity, Sketches, TextAnalysis, Multimodal, UnigramLm}
 
 /** SURVEY §2 operator inventory expressed over the driver's synthetic
   * testdata (`/root/testdata/sf*`), one query per operator family, each
@@ -249,6 +249,7 @@ object TestdataQueries {
       ("bm25", () => { bm25Rankings(s, dir).count(); () }),
       ("nb_scored", () => { nbScored(s, dir).count(); () }),
       ("bpe_merges", () => { bpeMergeTable(s, dir).count(); () }),
+      ("unigram_model", () => { unigramModel(s, dir).count(); () }),
       ("lm_scored", () => { lmScored(s, dir).count(); () }),
       ("winnow_fps", () => { winnowStore(s, dir).count(); () }),
       ("dsir_weights", () => { dsirWeightTable(s, dir).count(); () }),
@@ -1548,6 +1549,109 @@ object TestdataQueries {
     TextAnalysis.mooreLewisFromScores(
       mlInScored(s, dir), mlGenScored(s, dir))
 
+  // Shared artifact: the unigram-LM piece model (vocabSize=16 multi-char
+  // budget, maxPieceLen=4, 2 hard-EM rounds, maxWordLen=12). Like the
+  // BPE merge table: trained ONCE in production, applied everywhere —
+  // q186 exposes the model itself against the full EM-replay oracle, so
+  // the landed model q187 (encode) consumes is fully verified.
+  private val unigramMemo = new Memo()
+  private def unigramModel(s: SparkSession, dir: String): DataFrame =
+    memoShared(unigramMemo, s, dir)(
+      UnigramLm.unigramTrain(t(s, dir, "documents"), vocabSize = 16,
+        maxPieceLen = 4, iters = 2, maxWordLen = 12))
+
+  /** X131: unigram-LM (SentencePiece-style) tokenizer TRAINING
+    * ([[graft.llm.UnigramLm.unigramTrain]]) — the deterministic hard-EM
+    * variant (exact floor-log2 piece costs, Viterbi E-step, Laplace
+    * char floor): seed substring vocab (top 16 multi-char pieces +
+    * all chars), two EM rounds of segment-count-prune. The oracle
+    * replays the whole law — seed counts, both rounds' cost tables,
+    * the per-word min-cost DP (unrolled over word positions), the use
+    * counts, and the final cost attach. */
+  def q186UnigramTrain(s: SparkSession, dir: String): DataFrame =
+    unigramModel(s, dir)
+
+  /** X131's APPLY half: encode the corpus under the landed q186 model
+    * ([[graft.llm.UnigramLm.unigramEncode]]) — each distinct word
+    * Viterbi-segments once under the stored costs; non-alphabet /
+    * overlong / unknown-char words pass through whole. The oracle
+    * re-learns the model with q186's replay, re-segments every word,
+    * and reassembles per doc (the q166 pattern). */
+  def q187UnigramEncode(s: SparkSession, dir: String): DataFrame =
+    UnigramLm.unigramEncode(t(s, dir, "documents"), unigramModel(s, dir),
+      maxPieceLen = 4, maxWordLen = 12)
+
+  /** X132: UniMax epoch-capped mixture allocation
+    * ([[graft.llm.Sampling.epochCappedMix]]) — a 250k-char budget over
+    * the language strata with a 2-epoch cap: at this corpus four
+    * languages cap out and `en` absorbs the redistributed surplus, so
+    * both branches of the waterfill are live. The oracle replays the
+    * smallest-first walk as a recursive CTE — integer shares,
+    * remainder roll-forward, the cap law, and the 1e9 fixed-point
+    * epochs verbatim. */
+  def q188UnimaxMix(s: SparkSession, dir: String): DataFrame =
+    Sampling.epochCappedMix(t(s, dir, "documents"), col("lang"),
+      col("n_chars"), budgetTokens = 250000L, maxEpochs = 2L)
+
+  /** X126's DECODE leg, driver-oracled at last
+    * ([[graft.llm.Multimodal.audioFingerprint]]): the testdata carries
+    * no audio payloads, so the query DERIVES a deterministic WAV per
+    * doc_id — the DedupBench phase-11 synthesis law: a 65-block
+    * amplitude walk (×1.08 up, ÷1.08 down) whose step directions spell
+    * the 64-bit code [f, ~f, f, ~f] (f = doc_id's low 16 bits, MSB
+    * first), at one of three gains (doc_id mod 3 — the gain-invariance
+    * law is live), with every 97th doc (residue 13) a 10-sample stub
+    * (shorter than the window grid → null print, the contract). The
+    * REAL chain then runs end-to-end — WAV container parse, PCM
+    * decode, 65-window energy envelope, delta-sign pack — and the
+    * oracle computes the expected print CLOSED-FORM from doc_id (the
+    * q164 discipline: the oracle never decodes; the walk's ±1.08
+    * steps are ≥60 PCM units at the lowest gain, so 16-bit truncation
+    * can never flip a comparison and print == code exactly). Pairing
+    * over audio prints is the SAME pigeonhole block-LSH operator q164
+    * oracles; this query closes the decode leg. */
+  def q189AudioPrints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = t(s, dir, "documents")
+      .select(col("doc_id").cast("long")).as[Long]
+    val media = ids.map { id =>
+      val gain = 1.0 / (1.0 + (id % 3).toDouble)
+      val samples: Array[Short] =
+        if (id % 97 == 13) Array.fill(10)((1000 * gain).toShort)
+        else {
+          val f = id & 0xffffL
+          // drift bounded: f/~f alternation caps any prefix at 16 net
+          // steps (×3.43), so 8000·gain stays inside 16-bit PCM at
+          // gain 1 and above truncation noise at gain 1/3
+          val amps = new Array[Double](65)
+          amps(0) = 8000.0 * gain
+          var i = 0
+          while (i < 64) {
+            val word = if ((i / 16) % 2 == 0) f else ~f
+            val up = ((word >> (15 - i % 16)) & 1L) == 1L
+            amps(i + 1) = if (up) amps(i) * 1.08 else amps(i) / 1.08
+            i += 1
+          }
+          Array.tabulate(65 * 16)(sIdx => amps(sIdx / 16).toShort)
+        }
+      val format =
+        new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val raw = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { i =>
+        raw(2 * i) = (samples(i) & 0xff).toByte
+        raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(raw), format,
+          samples.length.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      (id, "audio", bos.toByteArray)
+    }.toDF("media_id", "kind", "bytes")
+    Multimodal.audioFingerprint(s, media).toDF("media_id", "afp")
+  }
+
   /** q183's keep threshold — shared with the oracle SQL. */
   val StupidBackoffMinScore: Long = 40000000L
 
@@ -2578,6 +2682,10 @@ object TestdataQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q185_moore_lewis" -> q185MooreLewis _,
+    "q186_unigram_train" -> q186UnigramTrain _,
+    "q187_unigram_encode" -> q187UnigramEncode _,
+    "q188_unimax_mix" -> q188UnimaxMix _,
+    "q189_audio_prints" -> q189AudioPrints _,
     "q165_legacy_store_conflicts" -> q165LegacyStoreConflicts _,
     "q164_hamming_pairs" -> q164HammingPairs _,
     "q160_dedup_savings" -> q160DedupSavings _,

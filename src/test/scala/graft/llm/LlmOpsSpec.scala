@@ -2133,6 +2133,47 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("unimax epoch-capped mix: waterfill law, cap, surplus, guards") {
+    val d = Seq.tabulate(40)(i => (i.toLong,
+      if (i < 4) "tiny" else if (i < 14) "mid" else "big", 100L))
+      .toDF("doc_id", "lang", "n_tok")
+    // sizes: tiny 400, mid 1000, big 2600; budget 3000, maxEpochs 2
+    // walk: tiny u=1000 cap 800 -> 800 (capped), r=2200
+    //       mid  u=1100 cap 2000 -> 1100, r=1100; big u=1100 -> 1100
+    val got = Sampling.epochCappedMix(d, col("lang"), col("n_tok"),
+        budgetTokens = 3000L, maxEpochs = 2L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got == Map(
+      "tiny" -> ((400L, 800L, 2000000000L, true)),
+      "mid" -> ((1000L, 1100L, 1100000000L, false)),
+      "big" -> ((2600L, 1100L, 423076923L, false))))
+    // total allocation never exceeds the budget
+    assert(got.values.map(_._2).sum <= 3000L)
+    // null strata and zero-token strata emit no row
+    val d2 = Seq((0L, null.asInstanceOf[String], 5L), (1L, "z", 0L),
+      (2L, "a", 10L)).toDF("doc_id", "lang", "n_tok")
+    val rows2 = Sampling.epochCappedMix(d2, col("lang"), col("n_tok"),
+      budgetTokens = 100L, maxEpochs = 3L).collect()
+    assert(rows2.map(_.getString(0)).toSeq == Seq("a"))
+    // a: cap 30 < share 100 -> capped at 3 epochs
+    assert(rows2.head.getLong(2) == 30L && rows2.head.getBoolean(4))
+  }
+
+  test("mixture samplers refuse high-cardinality strata loudly") {
+    val d = (0L until (Sampling.MaxStrata.toLong + 5L))
+      .toDF("doc_id").withColumn("lang", col("doc_id").cast("string"))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(d, col("lang"), col("doc_id"), 10)
+    }
+    assert(e.getMessage.contains("strata"))
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.epochCappedMix(d.withColumn("n_tok", lit(1L)), col("lang"),
+        col("n_tok"), 10L, 1L)
+    }
+    assert(e2.getMessage.contains("strata"))
+  }
+
   test("null text tokenizes to empty: stats, scrub, repetition report zeros") {
     val d = Seq((0L, "a b c d e"), (1L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
