@@ -111,6 +111,39 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
+  /** [[minhashTable]]'s NARROW form for inputs already holding ONE row
+    * per document — the streaming micro-batch shape after the per-batch
+    * doc_id dedup: the whole signature computes IN-ROW (two base hashes
+    * per shingle inside one higher-order transform, then an `array_min`
+    * per hash function over the precomputed pairs), so a batch pays
+    * ZERO shuffle for hashing where the relational form shuffles every
+    * (doc, shingle) hash pair into a 32-buffer aggregate. Same hash
+    * family, same per-shingle work, bit-identical signatures
+    * (spec-pinned against [[minhashTable]]); shingle-less docs emit no
+    * row, exactly like the groupBy form. The relational form remains
+    * the right shape when one document's text spans several input rows
+    * (its groupBy merges shingle sets by doc_id); on one-row-per-doc
+    * inputs prefer this one. */
+  def minhashSigs(docs: DataFrame, numHashes: Int = 32, k: Int = 3,
+                  id: Column = col("doc_id"),
+                  text: Column = col("text")): DataFrame = {
+    def rot(c: Column, i: Int): Column =
+      if (i % 64 == 0) c
+      else shiftleft(c, i % 64).bitwiseOR(shiftrightunsigned(c, 64 - (i % 64)))
+    val hashed = docs
+      .select(id.as("doc_id"), shingles(text, k).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col("doc_id"),
+        transform(col("__sh"), s =>
+          struct(xxhash64(s).as("h1"), xxhash64(lit(1), s).as("h2")))
+          .as("__h"))
+    val sig = array((0 until numHashes).map { i =>
+      array_min(transform(col("__h"), h =>
+        h.getField("h1").bitwiseXOR(rot(h.getField("h2"), i * 7 + 1))))
+    }: _*)
+    hashed.select(col("doc_id"), sig.as("sig"))
+  }
+
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
     * and hash each band -> (band_idx, band_hash) bucket keys. With
     * `portable = true` the bucket key is the comma-joined band values
@@ -362,8 +395,13 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     val newBuckets = sigBuckets(newSigs, bands, rowsPerBand, portable)
       .withColumn("is_new", lit(true))
-    val newKeys = newBuckets.select("band", "bucket").distinct()
-    val newIds = newSigs.select("doc_id").distinct()
+    // NO distinct on either pruning side: a semi/anti join is
+    // duplicate-insensitive on its right input, and each distinct is a
+    // full exchange + broadcast-materialization job per micro-batch —
+    // pure fixed cost (sigs are one-row-per-doc already; band keys
+    // barely collide within a batch)
+    val newKeys = newBuckets.select("band", "bucket")
+    val newIds = newSigs.select("doc_id")
     val oldBuckets = sigBuckets(existingSigs, bands, rowsPerBand, portable)
       .join(if (broadcastNewSide) broadcast(newKeys) else newKeys,
         Seq("band", "bucket"), "left_semi")
@@ -965,7 +1003,8 @@ object Dedup {
     * @return (doc_id, comp_id) for every doc appearing in any pair
     */
   def duplicateClusters(edges: DataFrame, maxIter: Int = 50,
-                        localThreshold: Long = 1000000L): DataFrame = {
+                        localThreshold: Long = 1000000L,
+                        edgesDistinct: Boolean = false): DataFrame = {
     require(localThreshold >= 0 && localThreshold < Int.MaxValue,
       s"localThreshold $localThreshold must fit a bounded collect")
     // Near-dup edge lists are normally FAR smaller than the corpus (the
@@ -974,8 +1013,16 @@ object Dedup {
     // ~log(diameter) distributed rounds of fixed scheduling overhead.
     // The distributed loop below remains the path for degenerate corpora
     // whose candidate graphs are themselves huge.
-    val dedupedEdges = edges.select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .distinct().cache()
+    // `edgesDistinct = true` skips the dedup exchange — every
+    // minhash/simhash candidate generator already ends in a
+    // groupBy(id_a, id_b), so its output is distinct BY CONSTRUCTION
+    // and the extra shuffle is one more fixed-cost stage per streaming
+    // micro-batch. Union-find is idempotent under duplicate edges, so a
+    // wrong `true` can only waste probe budget, never change clusters.
+    val dedupedEdges = {
+      val e = edges.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      (if (edgesDistinct) e else e.distinct()).cache()
+    }
     // ONE bounded action decides the path AND fetches the edges: limit
     // N+1 returns every row when there are <= N (the local case) and a
     // cheap overflow witness otherwise — the separate count() pass this
@@ -1003,9 +1050,17 @@ object Dedup {
         if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
       }
       val spark = edges.sparkSession
-      import spark.implicits._
-      return parent.keys.toSeq.map(id => (id, find(id)))
-        .toDF("doc_id", "comp_id")
+      // a BARE LocalRelation (no renaming Project on top), so callers
+      // can detect the local path via Dataset.isLocal and collect the
+      // components without a Spark job (the streaming router does)
+      return spark.createDataFrame(
+        java.util.Arrays.asList(parent.keys.toSeq.map(id =>
+          org.apache.spark.sql.Row(id, find(id))): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("comp_id",
+            org.apache.spark.sql.types.LongType, nullable = false))))
     }
     val sym = dedupedEdges.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(dedupedEdges.select(col("id_b").as("u"), col("id_a").as("v")))
@@ -1051,8 +1106,9 @@ object Dedup {
     * through — the anti-join only carries the (small) non-representative
     * id set. */
   def dedupCorpus(docs: DataFrame, edges: DataFrame,
-                  id: Column = col("doc_id")): DataFrame = {
-    val drop = duplicateClusters(edges)
+                  id: Column = col("doc_id"),
+                  edgesDistinct: Boolean = false): DataFrame = {
+    val drop = duplicateClusters(edges, edgesDistinct = edgesDistinct)
       .filter(col("doc_id") =!= col("comp_id"))
       .select(col("doc_id"))
     docs.join(drop, docs(id.toString) === drop("doc_id"), "left_anti")
@@ -1208,6 +1264,99 @@ object Dedup {
       coalesce(col("n_store_splits"), lit(0L)).as("n_store_splits"),
       (coalesce(col("n_store_splits"), lit(0L)) > 1 || col("__tainted"))
         .as("conflicted"))
+  }
+
+  /** [[incrementalLeakSafeSplit]] with the TOUCHED-COMPONENT store
+    * state COLLECTED to the driver — the streaming micro-batch form.
+    * Same law, same outputs (spec-pinned equal): the per-component
+    * inherited split (min-stored-member argmin), the distinct-stored-
+    * split count, and the sticky-taint marks are all bounded by the
+    * batch's components (every component holds ≥ 1 batch doc), so they
+    * are METADATA — one small action fetches them (a single union'd
+    * scan of the assignment + conflict stores, both pruned to the
+    * broadcast edge-doc set), and the assignment plan itself becomes a
+    * pure narrow map over the batch against one literal per-edge-doc
+    * state table: no store scan, no groupBy, no broadcast
+    * materialization inside the caller's append action. The caller
+    * also gets the conflicted components FOR FREE (driver-known), so
+    * deciding the conflict-closure branch costs zero Spark actions —
+    * read them back via [[LeakSafeBatchState.conflictedComps]].
+    *
+    * `comps` must be the LOCAL (probe-path) [[duplicateClusters]]
+    * output collected by the caller; degenerate batches whose edge
+    * graph overflowed to the distributed path should keep using
+    * [[incrementalLeakSafeSplit]]. */
+  final case class LeakSafeBatchState(assignments: DataFrame,
+                                      conflictedComps: Set[Long],
+                                      compMembers: Map[Long, Seq[Long]])
+
+  def incrementalLeakSafeSplitCollected(
+      assigned: DataFrame, batchDocs: DataFrame,
+      comps: Array[(Long, Long)], cuts: Seq[(String, Int)],
+      lastSplit: String, id: Column = col("doc_id"),
+      conflictedIds: Option[DataFrame] = None): LeakSafeBatchState = {
+    validateCuts(cuts)
+    val spark = batchDocs.sparkSession
+    import org.apache.spark.sql.types._
+    val docToComp = comps.toMap
+    val edgeDocIds = spark.createDataFrame(
+      java.util.Arrays.asList(comps.map(c =>
+        org.apache.spark.sql.Row(c._1)): _*),
+      StructType(Seq(StructField("doc_id", LongType, nullable = false))))
+    // ONE action: inherited stats per touched component + raw taint
+    // hits, union'd into one shape — both sides prune their store scan
+    // with the broadcast edge-doc literal
+    val inh = assigned.select(col("doc_id"), col("split"))
+      .join(broadcast(edgeDocIds), Seq("doc_id"), "left_semi")
+      .select(lit("inh").as("kind"), col("doc_id"), col("split"))
+    val tnt = conflictedIds.map(_.select(col("doc_id"))
+        .join(broadcast(edgeDocIds), Seq("doc_id"), "left_semi")
+        .select(lit("tnt").as("kind"), col("doc_id"),
+          lit(null).cast("string").as("split")))
+    val rows = tnt.map(inh.unionByName(_)).getOrElse(inh).collect()
+    // driver-side replay of the original's aggregations: inherited =
+    // split of the MIN stored member id per component; n_store_splits =
+    // distinct stored splits; tainted = any member in the conflict set
+    val byComp = rows.filter(_.getString(0) == "inh")
+      .map(r => (docToComp(r.getLong(1)), r.getLong(1), r.getString(2)))
+      .groupBy(_._1)
+    // (doc_id, split) lexicographic min — exactly the original's
+    // min(struct(doc_id, split)), deterministic even if the caller's
+    // `assigned` carries duplicate doc_id rows
+    val inhSplit = byComp.map { case (c, ms) =>
+      c -> ms.minBy(m => (m._2, m._3))._3 }
+    val nSplits = byComp.map { case (c, ms) =>
+      c -> ms.map(_._3).distinct.length.toLong }
+    val taintedComps = rows.filter(_.getString(0) == "tnt")
+      .map(r => docToComp(r.getLong(1))).toSet
+    val conflicted = taintedComps ++
+      nSplits.collect { case (c, n) if n > 1 => c }
+    // literal per-edge-doc state; non-edge docs fall through the left
+    // join to (own id, hash split, clean)
+    val stateRows = comps.map { case (d, c) =>
+      org.apache.spark.sql.Row(d, c, inhSplit.get(c).orNull,
+        nSplits.getOrElse(c, 0L), conflicted.contains(c))
+    }
+    val state = spark.createDataFrame(
+      java.util.Arrays.asList(stateRows: _*),
+      StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("__comp", LongType, nullable = false),
+        StructField("__inherit", StringType, nullable = true),
+        StructField("__n", LongType, nullable = false),
+        StructField("__conf", BooleanType, nullable = false))))
+    val assignments = batchDocs.select(id.cast("long").as("doc_id"))
+      .join(broadcast(state), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__comp"), col("doc_id")).as("cluster_id"),
+        coalesce(col("__inherit"),
+          hashSplit(coalesce(col("__comp"), col("doc_id")), cuts, lastSplit))
+          .as("split"),
+        col("__inherit").isNotNull.as("inherited"),
+        coalesce(col("__n"), lit(0L)).as("n_store_splits"),
+        coalesce(col("__conf"), lit(false)).as("conflicted"))
+    LeakSafeBatchState(assignments, conflicted,
+      comps.groupBy(_._2).map { case (c, ms) => c -> ms.map(_._1).toSeq })
   }
 
   /** Content-hash split for documents TOO SHORT to shingle (< k

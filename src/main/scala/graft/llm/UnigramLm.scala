@@ -75,15 +75,41 @@ object UnigramLm {
 
   private def wsTokens(text: Column): Column = Dedup.wsTokens(text)
 
-  /** Exact integer floor(log2 x) for x ≥ 1 — `length(bin(x)) − 1`, the
-    * engine-portable no-libm log (DuckDB's `bin` computes the same). */
-  private def flog2(c: Column): Column = (length(bin(c)) - 1).cast("long")
-
   private def trainWords(docs: DataFrame, maxWordLen: Int,
                          text: Column): DataFrame =
     docs.select(explode(wsTokens(text)).as("w"))
       .filter(col("w").rlike(Alpha) && length(col("w")) <= maxWordLen)
       .groupBy("w").agg(count(lit(1)).as("n"))
+
+  /** Driver-side twin of the cost law — `63 − nlz(x)` IS
+    * `length(bin(x)) − 1` for x ≥ 1. */
+  private def flog2L(x: Long): Long =
+    63L - java.lang.Long.numberOfLeadingZeros(x)
+
+  /** The model is VOCAB-SIZED METADATA by contract (≤ vocabSize
+    * multi-char pieces + the observed alphabet), so between EM rounds
+    * it travels as a driver array and re-enters each round's plan as a
+    * LITERAL frame — the [[TextAnalysis.bpeMerges]] per-round-collect
+    * discipline. This bounds every round's logical plan at one
+    * segmentation (without it the final model's plan stacks all
+    * `iters` fold lineages, and ANALYZING that tree costs more driver
+    * time than executing it — measured 0.8 s/plan at 38 pieces). */
+  private def literalModel(spark: org.apache.spark.sql.SparkSession,
+                           model: Array[(String, Long)]): DataFrame = {
+    val tot = model.map(_._2).sum
+    val shift = flog2L(tot) + 1L
+    val rows = model.sortBy(_._1).map { case (p, c) =>
+      org.apache.spark.sql.Row(p, c, shift - flog2L(c)) }
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("p",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cost",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
 
   /** All (start, end, piece) spans of length 1..maxPieceLen per word —
     * the DP edge candidates before the model join. */
@@ -95,15 +121,6 @@ object UnigramLm {
           least(lit(maxPieceLen), length(col("w")) - col("i")))).as("len"))
       .select(col("w"), col("i"), (col("i") + col("len")).as("j"),
         expr("substring(w, i + 1, len)").as("p"))
-
-  /** Attach the exact-integer cost to a (p, cnt) model:
-    * `cost = flog2(Σ cnt) + 1 − flog2(cnt)` — strictly positive. */
-  private def withCost(model: DataFrame): DataFrame = {
-    val tot = model.agg(sum("cnt").as("__tot"))
-    model.crossJoin(broadcast(tot))
-      .select(col("p"), col("cnt"),
-        (flog2(col("__tot")) + 1L - flog2(col("cnt"))).as("cost"))
-  }
 
   /** Viterbi min-cost segmentation of each word under a (p, cost)
     * model: adds a `pieces` array column (null = unreachable — some
@@ -168,25 +185,29 @@ object UnigramLm {
       .drop("__es", "__best")
   }
 
-  /** One hard-EM round: segment under the current model's costs, count
-    * corpus-weighted piece uses, keep used multi-char pieces and
-    * Laplace-floored single chars. */
-  private def emRound(wn: DataFrame, model: DataFrame,
-                      maxPieceLen: Int): DataFrame = {
-    val segs = segmentWords(wn, withCost(model), maxPieceLen)
+  /** One hard-EM round over a driver-held model: segment under the
+    * current model's costs (a literal frame), count corpus-weighted
+    * piece uses (vocab-bounded — used pieces are a subset of the
+    * model), keep used multi-char pieces and Laplace-floored single
+    * chars. */
+  private def emRound(wn: DataFrame, model: Array[(String, Long)],
+                      maxPieceLen: Int): Array[(String, Long)] = {
+    val segs = segmentWords(wn,
+      literalModel(wn.sparkSession, model), maxPieceLen)
     val uses = segs.select(col("n"), explode(col("pieces")).as("p"))
       .groupBy("p").agg(sum("n").as("u"))
-    val multiNext = uses.filter(length(col("p")) >= 2)
-      .select(col("p"), col("u").as("cnt"))
-    val charNext = model.filter(length(col("p")) === 1).select("p")
-      .join(uses, Seq("p"), "left")
-      .select(col("p"), (coalesce(col("u"), lit(0L)) + 1L).as("cnt"))
-    multiNext.unionByName(charNext)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val multiNext = uses.toSeq.filter(_._1.length >= 2)
+    val charNext = model.map(_._1).filter(_.length == 1)
+      .map(c => c -> (uses.getOrElse(c, 0L) + 1L)).toSeq
+    (multiNext ++ charNext).toArray
   }
 
   /** TRAIN: learn a unigram-LM piece model from the corpus — the full
     * law in the object scaladoc. Output: (piece, n_uses, cost), the
-    * apply-ready model for [[unigramEncode]]. */
+    * apply-ready model for [[unigramEncode]]; a literal frame, because
+    * the model IS driver metadata (each EM round runs eagerly — one
+    * distributed segmentation pass, one vocab-bounded collect). */
   def unigramTrain(docs: DataFrame, vocabSize: Int, maxPieceLen: Int = 4,
                    iters: Int = 2, maxWordLen: Int = 12,
                    text: Column = col("text")): DataFrame = {
@@ -194,19 +215,25 @@ object UnigramLm {
     require(maxPieceLen >= 2, s"maxPieceLen=$maxPieceLen")
     require(iters >= 1, s"iters=$iters")
     require(maxWordLen >= 1, s"maxWordLen=$maxWordLen")
+    // wn feeds the seed pass + every EM round — persist for the
+    // operator's own actions, released before return
     val wn = trainWords(docs, maxWordLen, text)
-    val cands = spans(wn.select("w"), maxPieceLen)
-      .join(wn, Seq("w"))
-      .groupBy("p").agg(sum("n").as("cnt"))
-    // TakeOrderedAndProject, never a global window — (cnt, p) is a
-    // total order (pieces are distinct)
-    val multi = cands.filter(length(col("p")) >= 2)
-      .orderBy(col("cnt").desc, col("p").asc).limit(vocabSize)
-    val chars = cands.filter(length(col("p")) === 1)
-    var model = multi.unionByName(chars).select(col("p"), col("cnt"))
-    for (_ <- 1 to iters) model = emRound(wn, model, maxPieceLen)
-    withCost(model)
-      .select(col("p").as("piece"), col("cnt").as("n_uses"), col("cost"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cands = spans(wn.select("w"), maxPieceLen)
+        .join(wn, Seq("w"))
+        .groupBy("p").agg(sum("n").as("cnt"))
+      // TakeOrderedAndProject, never a global window — (cnt, p) is a
+      // total order (pieces are distinct)
+      val multi = cands.filter(length(col("p")) >= 2)
+        .orderBy(col("cnt").desc, col("p").asc).limit(vocabSize)
+      val chars = cands.filter(length(col("p")) === 1)
+      var model = multi.unionByName(chars).select(col("p"), col("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      for (_ <- 1 to iters) model = emRound(wn, model, maxPieceLen)
+      literalModel(docs.sparkSession, model)
+        .select(col("p").as("piece"), col("cnt").as("n_uses"), col("cost"))
+    } finally { wn.unpersist(); () }
   }
 
   /** APPLY: encode the corpus under a learned model

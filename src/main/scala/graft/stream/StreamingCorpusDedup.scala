@@ -92,16 +92,16 @@ final class StreamingCorpusDedup(spark: SparkSession, wh: Warehouse,
           // winner, the split-router discipline): the same doc landing in two
           // files of one micro-batch would otherwise land TWICE in the keyed
           // corpus (appendIfAbsent anti-joins only existing keys) and — for a
-          // differing-text duplicate — CHIMERA the signature, since
-          // minhashTable's per-doc min aggregation would mix both texts'
-          // shingles into one hash row. Both the source batch and its
+          // differing-text duplicate — emit TWO signature rows for one id
+          // (minhashSigs is one-row-in-one-row-out), double-filling LSH
+          // bucket slots. Both the source batch and its
           // signature table are consumed by more than one sink — pin them so
           // neither the file read nor the shingle+hash stage runs twice.
           val docs = batch
             .filter(col("doc_id").isNotNull && col("text").isNotNull)
             .groupBy(col("doc_id")).agg(min(col("text")).as("text"))
             .cache()
-          val sigs = Dedup.minhashTable(docs, numHashes, k).cache()
+          val sigs = Dedup.minhashSigs(docs, numHashes, k).cache()
           try {
             val storeExists = wh.exists("sig_store")
             sigWidthGuard.check(wh)
@@ -110,7 +110,10 @@ final class StreamingCorpusDedup(spark: SparkSession, wh: Warehouse,
                 Dedup.minhashCandidatesFromSigs(sigs, numHashes, bands, threshold)
               else Dedup.incrementalMinhashCandidatesFromSigs(
                 wh.read("sig_store", sigSchema), sigs, numHashes, bands, threshold)
-            wh.appendIfAbsent("corpus", docSchema, Dedup.dedupCorpus(docs, edges),
+            // edgesDistinct: the candidate generators end in a
+            // groupBy(id_a, id_b) — the dedup exchange is redundant
+            wh.appendIfAbsent("corpus", docSchema,
+              Dedup.dedupCorpus(docs, edges, edgesDistinct = true),
               keys = Seq("doc_id"), orderCol = "doc_id", dedupWithinBatch = false)
             wh.appendIfAbsent("sig_store", sigSchema, sigs,
               keys = Seq("doc_id"), orderCol = "doc_id", dedupWithinBatch = false)

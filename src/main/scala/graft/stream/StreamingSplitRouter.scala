@@ -121,7 +121,7 @@ final class StreamingSplitRouter(spark: SparkSession, wh: Warehouse,
             .cache()
           val shingled = docs.filter(col("__n_shingles") > 0)
           val short = docs.filter(col("__n_shingles") === 0)
-          val sigs = Dedup.minhashTable(shingled, numHashes, k).cache()
+          val sigs = Dedup.minhashSigs(shingled, numHashes, k).cache()
           var assignments: DataFrame = null
           try {
             val storeExists = wh.exists(sigStoreTable)
@@ -136,21 +136,73 @@ final class StreamingSplitRouter(spark: SparkSession, wh: Warehouse,
             // components computed ONCE per batch and passed to both the
             // splitter and the conflict closure below — the closure's
             // own duplicateClusters call would re-run the entire
-            // candidate-edge lineage a second time per conflicted batch
-            val comps = Dedup.duplicateClusters(edges)
+            // candidate-edge lineage a second time per conflicted batch.
+            // edgesDistinct: the incremental candidate generator ends in
+            // a groupBy(id_a, id_b), so the dedup exchange is redundant
+            val comps = Dedup.duplicateClusters(edges, edgesDistinct = true)
             // Warehouse.read of an absent table is the empty frame with
             // the declared schema, so first-batch reads need no guard
             val knownConflicts = wh.read(conflictTable, conflictSchema)
-            assignments = Dedup.incrementalLeakSafeSplit(
-              wh.read(assignTable, assignSchema), shingled, edges,
-              cuts, lastSplit, conflictedIds = Some(knownConflicts),
-              compsOpt = Some(comps))
+            // components are LOCAL on the normal path (duplicateClusters'
+            // bounded probe) — then the whole touched-component store
+            // state collects in one small action and the assignment plan
+            // is a pure narrow map (incrementalLeakSafeSplitCollected,
+            // equal by spec pin), with the conflict branch decided on
+            // the DRIVER at zero Spark actions. A degenerate batch whose
+            // edge graph overflowed the probe keeps the distributed
+            // splitter and decides conflicts from the cached frame.
+            // isLocal: collect runs on the driver with no Spark job —
+            // true exactly for the probe path's literal output
+            val compsLocal =
+              if (comps.isLocal)
+                Some(comps.collect().map(r => (r.getLong(0), r.getLong(1))))
+              else None
+            val (core, conflictSeed): (DataFrame, () => Option[DataFrame]) =
+              compsLocal match {
+                case Some(arr) =>
+                  val st = Dedup.incrementalLeakSafeSplitCollected(
+                    wh.read(assignTable, assignSchema), shingled, arr,
+                    cuts, lastSplit, conflictedIds = Some(knownConflicts))
+                  val seed = () =>
+                    if (st.conflictedComps.isEmpty) None
+                    else {
+                      import spark.implicits._
+                      Some(st.conflictedComps.toSeq
+                        .flatMap(st.compMembers(_)).distinct
+                        .toDF("doc_id"))
+                    }
+                  (st.assignments, seed)
+                case None =>
+                  val a = Dedup.incrementalLeakSafeSplit(
+                    wh.read(assignTable, assignSchema), shingled, edges,
+                    cuts, lastSplit, conflictedIds = Some(knownConflicts),
+                    compsOpt = Some(comps))
+                  val seed = () => {
+                    val cc = assignments.filter(col("conflicted"))
+                      .select(col("cluster_id")).distinct()
+                    if (cc.isEmpty) None
+                    else Some(comps
+                      .join(cc, col("comp_id") === col("cluster_id"),
+                        "left_semi")
+                      .select(col("doc_id")))
+                  }
+                  (a, seed)
+              }
+            assignments = core
               .unionByName(Dedup.contentHashSplit(short, cuts, lastSplit)
                 .select(col("doc_id"), col("doc_id").as("cluster_id"),
                   col("split"), lit(false).as("inherited"),
                   lit(0L).as("n_store_splits"),
                   lit(false).as("conflicted")))
               .cache()
+            // the assignment append runs FIRST: its staging count is the
+            // action that materializes the cached assignments chain, so
+            // any later look at the frame reads the populated cache.
+            // Within the transaction the append order is invisible: the
+            // catalog flips once at commit.
+            wh.appendIfAbsent(assignTable, assignSchema, assignments,
+              keys = Seq("doc_id"), orderCol = "doc_id",
+              dedupWithinBatch = false)
             // conflict stickiness, CLOSED over the assignment store: a
             // conflicted component's membership must include docs that
             // inherited through its members in EARLIER batches (chains
@@ -161,15 +213,10 @@ final class StreamingSplitRouter(spark: SparkSession, wh: Warehouse,
             // closure walks doc_id <-> cluster_id links in the store;
             // conflict sets are tiny and chains short, each step is two
             // semi-joins on the store, and the loop stops at fixpoint.
-            val conflictedClusters = assignments
-              .filter(col("conflicted")).select(col("cluster_id")).distinct()
-            if (!conflictedClusters.isEmpty) {
+            conflictSeed().foreach { seedMembers =>
               val store = wh.read(assignTable, assignSchema)
                 .select(col("doc_id"), col("cluster_id")).cache()
-              var members = comps
-                .join(conflictedClusters,
-                  col("comp_id") === col("cluster_id"), "left_semi")
-                .select(col("doc_id")).cache()
+              var members = seedMembers.cache()
               var size0 = members.count()
               var grown = true
               var steps = 0
@@ -206,9 +253,6 @@ final class StreamingSplitRouter(spark: SparkSession, wh: Warehouse,
                 dedupWithinBatch = false)
               members.unpersist(); store.unpersist()
             }
-            wh.appendIfAbsent(assignTable, assignSchema, assignments,
-              keys = Seq("doc_id"), orderCol = "doc_id",
-              dedupWithinBatch = false)
             // dropped-or-kept, every shingled doc's signature enters the
             // store: a later near-dup of ANY routed doc must still be
             // recognized

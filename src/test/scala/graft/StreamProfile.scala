@@ -175,6 +175,11 @@ object StreamProfile {
     all.groupBy(_._3).toSeq.sortBy(-_._2.map(_._2).sum).foreach { case (site, js) =>
       println(f"  ${js.map(_._2).sum / 1e9}%7.2f s  n=${js.size}%3d  $site")
     }
+    // unlabeled jobs individually (job id + seconds) so a fixed per-batch
+    // mystery cost can be lined up against the execution list by time
+    all.filter(_._3 == "?").foreach { case (id, ns, _) =>
+      println(f"      ? job#$id%-5d ${ns / 1e9}%6.3f s")
+    }
     val es = execs.asScala.toSeq
     println(f"=== ${es.size} query executions, sum ${es.map(_._2).sum / 1e9}%.2f s")
     es.groupBy(e => (e._1, e._3)).toSeq.sortBy(-_._2.map(_._2).sum)

@@ -77,6 +77,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 3L)))
   }
 
+  test("in-row minhashSigs == relational minhashTable, bit-identically") {
+    // the streaming sinks' shuffle-free form must produce the exact
+    // signatures already in every store written by the groupBy form
+    val viaTable = Dedup.minhashTable(docs, numHashes = 32, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1)
+    val viaRow = Dedup.minhashSigs(docs, numHashes = 32, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1)
+    assert(viaRow.toSeq == viaTable.toSeq)
+    // shingle-less docs emit no row, exactly like the groupBy form
+    import spark.implicits._
+    val short = Seq((7L, "one two"), (8L, "a b c d")).toDF("doc_id", "text")
+    assert(Dedup.minhashSigs(short, 32, k = 3).collect().map(_.getLong(0))
+      .toSeq == Seq(8L))
+  }
+
   test("portable hash families behave like the xxhash64 ones") {
     val cands = Dedup.minhashCandidates(docs, numHashes = 32, bands = 16,
       k = 2, threshold = 0.3, portable = true).collect()
@@ -2766,6 +2781,44 @@ class LlmOpsSpec extends SparkSpec {
     val clean2 = run(Seq(7L -> "train"), Seq(101L, 300L),
       Seq((7L, 101L)), conflicted = Some(Seq(5L, 7L, 100L)))
     assert(clean2(300L) == ((law(300L), false, 0L, false)))
+  }
+
+  test("collected incremental split == distributed form on every scenario") {
+    val cuts = Seq("train" -> 80, "validation" -> 90)
+    def both(store: Seq[(Long, String)], batch: Seq[Long],
+             edges: Seq[(Long, Long)], conflicted: Option[Seq[Long]]) = {
+      val edgesDf = edges.toDF("id_a", "id_b")
+      val distr = Dedup.incrementalLeakSafeSplit(
+          store.toDF("doc_id", "split"), batch.toDF("doc_id"),
+          edgesDf, cuts, "test",
+          conflictedIds = conflicted.map(_.toDF("doc_id")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getBoolean(3), r.getLong(4), r.getBoolean(5))).sortBy(_._1).toSeq
+      val comps = Dedup.duplicateClusters(edgesDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val st = Dedup.incrementalLeakSafeSplitCollected(
+        store.toDF("doc_id", "split"), batch.toDF("doc_id"), comps,
+        cuts, "test", conflictedIds = conflicted.map(_.toDF("doc_id")))
+      val coll = st.assignments
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getBoolean(3), r.getLong(4), r.getBoolean(5))).sortBy(_._1).toSeq
+      assert(coll == distr, s"store=$store batch=$batch edges=$edges")
+      // driver-known conflicted comps == the frame's conflicted clusters
+      assert(st.conflictedComps ==
+        coll.filter(_._6).map(_._2).toSet)
+    }
+    both(Seq.empty, Seq(0L, 1L, 2L, 9L), Seq((0L, 1L)), None)
+    both(Seq(5L -> "validation"), Seq(100L), Seq((5L, 100L)), None)
+    both(Seq(5L -> "validation", 7L -> "train"), Seq(100L),
+      Seq((5L, 100L), (7L, 100L)), None)
+    both(Seq(100L -> "train"), Seq(50L), Seq((50L, 100L)), None)
+    both(Seq(7L -> "train"), Seq(101L, 300L), Seq((7L, 101L)),
+      Some(Seq(5L, 7L, 100L)))
+    // chain + pair + star with a mixed store and taints, all at once
+    both(Seq(1L -> "test", 21L -> "validation", 22L -> "train"),
+      (0L until 30L).toSeq,
+      Seq((0L, 1L), (1L, 2L), (10L, 11L), (20L, 21L), (20L, 22L)),
+      Some(Seq(11L)))
   }
 
   test("canonical docs: best score wins, ties break to the smaller id") {
