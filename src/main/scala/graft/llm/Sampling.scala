@@ -584,4 +584,96 @@ object Sampling {
           .otherwise(array().cast("array<bigint>"))).as("copy"))
       .select(col("doc_id"), col("copy"), col("n_copies"), col("clamped"))
   }
+
+  /** DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining") —
+    * the mixing family's EXCESS-LOSS leg: temperature scaling (X33)
+    * reweights by SIZE, UniMax (X132) by epoch caps, DoReMi by how much
+    * worse a proxy model does than a reference model per DOMAIN, so
+    * domains the proxy hasn't learned yet get upweighted.
+    *
+    * ONE-STEP DETERMINISTIC VARIANT on a base-2 grid, by design: the
+    * published method runs Group-DRO mirror ascent — real-valued
+    * `exp(eta * excess)` updates inside a proxy training loop, libm
+    * territory an engine oracle cannot replay (the
+    * [[temperatureMixAlpha]] boundary, and the same no-libm discipline
+    * as [[graft.llm.UnigramLm]]'s hard EM). This variant takes the
+    * per-document excess as DATA (any two score columns — here the
+    * [[graft.llm.TextAnalysis.mooreLewisFromScores]] delta between a
+    * reference LM and a proxy LM, both already landed tables) and does
+    * one exponentiated-gradient step with the exponential on the exact
+    * base-2 grid:
+    *
+    *  1. per-domain clipped excess: `excess_avg = Σ max(0, excess) div
+    *     n_docs` (DoReMi clips per-example excess at 0 — a domain the
+    *     proxy already beats the reference on contributes nothing);
+    *  2. `shift = min(excess_avg div shiftUnit, maxShift)` — the
+    *     learning rate as "one doubling per shiftUnit of excess",
+    *     capped so a degenerate domain cannot absorb the mix;
+    *  3. `w = n_docs << shift` — the natural-proportion baseline
+    *     (DoReMi's initial mixture) times the exact power of two;
+    *  4. normalize to the 1e9 fixed-point grid and ε-smooth with the
+    *     uniform mixture: `smoothed = (1e9−smoothPpb)·w_ppb div 1e9 +
+    *     smoothPpb div n_domains` — DoReMi's uniform-smoothing term,
+    *     which keeps every domain sampled.
+    *
+    * Scale shape: the corpus-sized work is upstream in the score
+    * tables (landed once per model snapshot); this operator is one
+    * domain-keyed partial aggregation collapsing to ≤ [[MaxStrata]]
+    * metadata rows (bounded collect, over-budget fails loudly — the
+    * [[epochCappedMix]] contract), then a driver-side closed form in
+    * BigInt emitted as a literal frame. Output, sorted by domain:
+    * (domain, n_docs, excess_avg, shift, weight_ppb, smoothed_ppb).
+    * Null domains have no place in a mixture law and are excluded. */
+  def doremiWeights(scored: DataFrame, domain: Column, excess: Column,
+                    shiftUnit: Long, maxShift: Int = 30,
+                    smoothPpb: Long = 100000000L): DataFrame = {
+    require(shiftUnit >= 1, s"shiftUnit=$shiftUnit")
+    require(maxShift >= 0 && maxShift <= 62, s"maxShift=$maxShift")
+    require(smoothPpb >= 0 && smoothPpb <= 1000000000L,
+      s"smoothPpb=$smoothPpb")
+    // clipped sum in decimal(38): per-doc excess is a scaled-integer
+    // score delta (~1e9); a long sum wraps at corpus scale
+    val agg = scored.filter(domain.isNotNull)
+      .groupBy(domain.cast("string").as("__d"))
+      .agg(count(lit(1)).as("__n"),
+        sum(greatest(excess.cast("long"), lit(0L)).cast("decimal(38,0)"))
+          .as("__se"))
+      .limit(MaxStrata + 1)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        BigInt(r.getDecimal(2).toBigInteger)))
+    require(agg.length <= MaxStrata,
+      s"doremiWeights saw more than $MaxStrata distinct domains — " +
+        "the domain must be source/language-scale metadata, not a " +
+        "high-cardinality key; pre-bucket it or pick a coarser column")
+    val nd = agg.length.toLong
+    val terms = agg.map { case (d, n, se) =>
+      val ea = (se / n).toLong
+      val sh = math.min(ea / shiftUnit, maxShift.toLong)
+      (d, n, ea, sh, BigInt(n) << sh.toInt)
+    }
+    val tot = terms.map(_._5).sum
+    val rows = terms.sortBy(_._1).map { case (d, n, ea, sh, w) =>
+      val ppb = if (tot == 0) 0L else (w * 1000000000L / tot).toLong
+      val sm = (1000000000L - smoothPpb) * ppb / 1000000000L +
+        (if (nd == 0) 0L else smoothPpb / nd)
+      org.apache.spark.sql.Row(d, n, ea, sh, ppb, sm)
+    }
+    scored.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("domain",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_docs",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("excess_avg",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("shift",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("weight_ppb",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("smoothed_ppb",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
 }

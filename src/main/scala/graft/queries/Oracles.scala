@@ -254,6 +254,56 @@ object Oracles {
        |             THEN (1::BIGINT << p.plane) ELSE 0 END) AS bucket
        |  FROM embeddings e, planes p GROUP BY 1)""".stripMargin
 
+  /** Shared Moore–Lewis two-LM chain (q185 diffs per doc, q190
+    * reweights per domain): both bigram-LM chains over the even-id
+    * train splits, odd-id candidates scored, ending at sa(doc_id,
+    * n_bigrams, lm_in) and sb(doc_id, lm_gen). */
+  private val mooreLewisCtes: String =
+    raw"""tk AS (
+         |  SELECT doc_id, lang, list_filter(string_split($norm, ' '),
+         |    t -> len(t) > 0) AS t
+         |  FROM documents),
+         |bi AS (
+         |  SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2
+         |  FROM (SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i
+         |        FROM tk)),
+         |c2a AS (SELECT w1, w2, count(*) AS c2 FROM bi
+         |        WHERE doc_id % 2 = 0 AND lang = 'en' GROUP BY w1, w2),
+         |c1a AS (SELECT w1, sum(c2) AS c1 FROM c2a GROUP BY w1),
+         |va AS (SELECT count(DISTINCT w) AS v FROM (
+         |         SELECT unnest(t) AS w FROM tk
+         |         WHERE doc_id % 2 = 0 AND lang = 'en')),
+         |c2b AS (SELECT w1, w2, count(*) AS c2 FROM bi
+         |        WHERE doc_id % 2 = 0 AND lang <> 'en' GROUP BY w1, w2),
+         |c1b AS (SELECT w1, sum(c2) AS c1 FROM c2b GROUP BY w1),
+         |vb AS (SELECT count(DISTINCT w) AS v FROM (
+         |         SELECT unnest(t) AS w FROM tk
+         |         WHERE doc_id % 2 = 0 AND lang <> 'en')),
+         |occ AS (SELECT doc_id, w1, w2, count(*) AS m FROM bi
+         |        WHERE doc_id % 2 = 1 GROUP BY doc_id, w1, w2),
+         |pa AS (
+         |  SELECT occ.doc_id, occ.m,
+         |         CAST(1000000000 AS HUGEINT) * (coalesce(c2a.c2, 0) + 1)
+         |           // (coalesce(c1a.c1, 0) + va.v) AS p
+         |  FROM occ
+         |  LEFT JOIN c2a ON occ.w1 = c2a.w1 AND occ.w2 = c2a.w2
+         |  LEFT JOIN c1a ON occ.w1 = c1a.w1
+         |  CROSS JOIN va),
+         |sa AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+         |              CAST(sum(m * p) // sum(m) AS BIGINT) AS lm_in
+         |       FROM pa GROUP BY doc_id),
+         |pb AS (
+         |  SELECT occ.doc_id, occ.m,
+         |         CAST(1000000000 AS HUGEINT) * (coalesce(c2b.c2, 0) + 1)
+         |           // (coalesce(c1b.c1, 0) + vb.v) AS p
+         |  FROM occ
+         |  LEFT JOIN c2b ON occ.w1 = c2b.w1 AND occ.w2 = c2b.w2
+         |  LEFT JOIN c1b ON occ.w1 = c1b.w1
+         |  CROSS JOIN vb),
+         |sb AS (SELECT doc_id,
+         |              CAST(sum(m * p) // sum(m) AS BIGINT) AS lm_gen
+         |       FROM pb GROUP BY doc_id)""".stripMargin
+
   /** Shared BPE CTE chain (q129 learns, q166 applies): word-frequency
     * table w0 over the alphabet-restricted words, each word's symbol
     * segmentation as a chr(1)-wrapped string (\u0001sym\u0001\u0001sym\u0001...,
@@ -2609,54 +2659,39 @@ object Oracles {
         .stripMargin,
 
     "q185_moore_lewis" ->
-      raw"""WITH tk AS (
-         |  SELECT doc_id, lang, list_filter(string_split($norm, ' '),
-         |    t -> len(t) > 0) AS t
-         |  FROM documents),
-         |bi AS (
-         |  SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2
-         |  FROM (SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i
-         |        FROM tk)),
-         |c2a AS (SELECT w1, w2, count(*) AS c2 FROM bi
-         |        WHERE doc_id % 2 = 0 AND lang = 'en' GROUP BY w1, w2),
-         |c1a AS (SELECT w1, sum(c2) AS c1 FROM c2a GROUP BY w1),
-         |va AS (SELECT count(DISTINCT w) AS v FROM (
-         |         SELECT unnest(t) AS w FROM tk
-         |         WHERE doc_id % 2 = 0 AND lang = 'en')),
-         |c2b AS (SELECT w1, w2, count(*) AS c2 FROM bi
-         |        WHERE doc_id % 2 = 0 AND lang <> 'en' GROUP BY w1, w2),
-         |c1b AS (SELECT w1, sum(c2) AS c1 FROM c2b GROUP BY w1),
-         |vb AS (SELECT count(DISTINCT w) AS v FROM (
-         |         SELECT unnest(t) AS w FROM tk
-         |         WHERE doc_id % 2 = 0 AND lang <> 'en')),
-         |occ AS (SELECT doc_id, w1, w2, count(*) AS m FROM bi
-         |        WHERE doc_id % 2 = 1 GROUP BY doc_id, w1, w2),
-         |pa AS (
-         |  SELECT occ.doc_id, occ.m,
-         |         CAST(1000000000 AS HUGEINT) * (coalesce(c2a.c2, 0) + 1)
-         |           // (coalesce(c1a.c1, 0) + va.v) AS p
-         |  FROM occ
-         |  LEFT JOIN c2a ON occ.w1 = c2a.w1 AND occ.w2 = c2a.w2
-         |  LEFT JOIN c1a ON occ.w1 = c1a.w1
-         |  CROSS JOIN va),
-         |sa AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
-         |              CAST(sum(m * p) // sum(m) AS BIGINT) AS lm_in
-         |       FROM pa GROUP BY doc_id),
-         |pb AS (
-         |  SELECT occ.doc_id, occ.m,
-         |         CAST(1000000000 AS HUGEINT) * (coalesce(c2b.c2, 0) + 1)
-         |           // (coalesce(c1b.c1, 0) + vb.v) AS p
-         |  FROM occ
-         |  LEFT JOIN c2b ON occ.w1 = c2b.w1 AND occ.w2 = c2b.w2
-         |  LEFT JOIN c1b ON occ.w1 = c1b.w1
-         |  CROSS JOIN vb),
-         |sb AS (SELECT doc_id,
-         |              CAST(sum(m * p) // sum(m) AS BIGINT) AS lm_gen
-         |       FROM pb GROUP BY doc_id)
+      raw"""WITH $mooreLewisCtes
          |SELECT sa.doc_id, sa.n_bigrams, sa.lm_in, sb.lm_gen,
          |       CAST(sa.lm_in - sb.lm_gen AS BIGINT) AS ml_delta,
          |       sa.lm_in - sb.lm_gen >= 0 AS keep
          |FROM sa JOIN sb ON sa.doc_id = sb.doc_id""".stripMargin,
+
+    // X133 DoReMi: per-source clipped excess over the same two-LM
+    // chain, one exponentiated-gradient step on the base-2 grid
+    "q190_doremi" ->
+      raw"""WITH $mooreLewisCtes,
+         |ml AS (
+         |  SELECT sa.doc_id,
+         |         CAST(sa.lm_in - sb.lm_gen AS BIGINT) AS ml_delta
+         |  FROM sa JOIN sb ON sa.doc_id = sb.doc_id),
+         |dm AS (
+         |  SELECT d.source AS domain, count(*) AS n_docs,
+         |         sum(CAST(greatest(ml_delta, 0) AS HUGEINT)) AS se
+         |  FROM ml JOIN documents d USING (doc_id)
+         |  WHERE d.source IS NOT NULL GROUP BY 1),
+         |ex AS (SELECT domain, n_docs,
+         |              CAST(se // n_docs AS BIGINT) AS excess_avg FROM dm),
+         |shs AS (SELECT domain, n_docs, excess_avg,
+         |               least(excess_avg // 60000, 12) AS shift FROM ex),
+         |wv AS (SELECT domain, n_docs, excess_avg, shift,
+         |              CAST(n_docs AS HUGEINT)
+         |                * (CAST(1 AS BIGINT) << shift) AS w FROM shs),
+         |tt AS (SELECT sum(w) AS tot, count(*) AS nd FROM wv)
+         |SELECT domain, n_docs, excess_avg, CAST(shift AS BIGINT) AS shift,
+         |       CAST((w * 1000000000) // tot AS BIGINT) AS weight_ppb,
+         |       CAST(900000000 * ((w * 1000000000) // tot) // 1000000000
+         |            + 100000000 // nd AS BIGINT) AS smoothed_ppb
+         |FROM wv CROSS JOIN tt""".stripMargin,
+
 
     // X129 epoch expansion: floor(w) + md5-60-bit bernoulli on frac(w),
     // visible clamp at 2, zero-copy docs dropped, copies 1-based

@@ -1657,6 +1657,25 @@ object TestdataQueries {
     Multimodal.audioFingerprint(s, media).toDF("media_id", "afp")
   }
 
+  /** X133: DoReMi-style domain reweighting
+    * ([[graft.llm.Sampling.doremiWeights]]) — one exponentiated-
+    * gradient step on the exact base-2 grid over per-SOURCE clipped
+    * excess loss, where the per-doc excess is the q185 Moore–Lewis
+    * delta between the landed reference-LM and proxy-LM score tables
+    * (zero extra corpus work in-sweep — the mixing law consumes the
+    * same stores the selection law diffs). shiftUnit 60k / maxShift 12
+    * puts varied shifts at both SFs with the cap branch live at
+    * sf0.01. The oracle replays both LM chains, the doc→source join,
+    * the clipped integer mean, the shift/cap law, and both 1e9-grid
+    * normalizations. */
+  def q190Doremi(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.mooreLewisFromScores(
+      mlInScored(s, dir), mlGenScored(s, dir))
+    val dom = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    Sampling.doremiWeights(scored.join(dom, Seq("doc_id")), col("source"),
+      col("ml_delta"), shiftUnit = 60000L, maxShift = 12)
+  }
+
   /** q183's keep threshold — shared with the oracle SQL. */
   val StupidBackoffMinScore: Long = 40000000L
 
@@ -2687,6 +2706,7 @@ object TestdataQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q185_moore_lewis" -> q185MooreLewis _,
+    "q190_doremi" -> q190Doremi _,
     "q186_unigram_train" -> q186UnigramTrain _,
     "q187_unigram_encode" -> q187UnigramEncode _,
     "q188_unimax_mix" -> q188UnimaxMix _,

@@ -2175,6 +2175,44 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows2.head.getLong(2) == 30L && rows2.head.getBoolean(4))
   }
 
+  test("doremiWeights: clipped excess mean, base-2 EG step, cap, smoothing") {
+    // domA: excesses 100/-50 -> clipped sum 100, mean 50 -> shift 5
+    // domB: excesses 0/20    -> clipped sum 20,  mean 10 -> shift 1
+    // domC: one doc, excess 1000 -> shift capped at 6
+    val d = Seq(
+      ("A", 100L), ("A", -50L),
+      ("B", 0L), ("B", 20L),
+      ("C", 1000L),
+      (null.asInstanceOf[String], 999L)).toDF("dom", "exc")
+    val got = Sampling.doremiWeights(d, col("dom"), col("exc"),
+        shiftUnit = 10L, maxShift = 6, smoothPpb = 100000000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    // weights: A = 2<<5 = 64, B = 2<<1 = 4, C = 1<<6 = 64; tot = 132
+    val (pa, pb, pc) = (64L * 1000000000L / 132L, 4L * 1000000000L / 132L,
+      64L * 1000000000L / 132L)
+    def sm(p: Long) = 900000000L * p / 1000000000L + 100000000L / 3L
+    assert(got == Map(
+      "A" -> ((2L, 50L, 5L, pa, sm(pa))),
+      "B" -> ((2L, 10L, 1L, pb, sm(pb))),
+      "C" -> ((1L, 1000L, 6L, pc, sm(pc)))))
+    // null excess counts as zero (clipped), not a dropped doc
+    val d2 = Seq(("A", Some(40L)), ("A", None), ("B", Some(0L)))
+      .toDF("dom", "exc")
+    val g2 = Sampling.doremiWeights(d2, col("dom"), col("exc"),
+        shiftUnit = 10L, maxShift = 6)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(g2 == Map("A" -> ((2L, 20L)), "B" -> ((1L, 0L))))
+    // all-zero excess: shifts 0, weights = natural proportions
+    val g3 = Sampling.doremiWeights(
+        Seq(("A", 0L), ("B", 0L), ("B", 0L)).toDF("dom", "exc"),
+        col("dom"), col("exc"), shiftUnit = 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(g3 == Map("A" -> 333333333L, "B" -> 666666666L))
+  }
+
   test("mixture samplers refuse high-cardinality strata loudly") {
     val d = (0L until (Sampling.MaxStrata.toLong + 5L))
       .toDF("doc_id").withColumn("lang", col("doc_id").cast("string"))
