@@ -2576,7 +2576,7 @@ object Oracles {
         |    SELECT doc_id,
         |           CAST(doc_id % 65536 AS BIGINT) * 65536
         |             + (65535 - doc_id % 65536) AS hi
-        |    FROM documents WHERE doc_id < 2000))""".stripMargin,
+        |    FROM documents WHERE doc_id < 600))""".stripMargin,
 
     // UniMax waterfill: smallest-first recursive walk — integer
     // uniform shares, remainder roll-forward, per-stratum epoch cap,

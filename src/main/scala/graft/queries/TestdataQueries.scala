@@ -1612,12 +1612,12 @@ object TestdataQueries {
     * oracles; this query closes the decode leg. */
   def q189AudioPrints(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // first 2000 ids: per-doc independent law, every branch live within
-    // the range (all three gains, the 97-residue stubs) — synthesizing
-    // a WAV per corpus doc at larger SFs buys no extra coverage, just
-    // javax.sound encode time against the in-sweep budget
+    // first 600 ids: per-doc independent law, every branch live within
+    // the range (all three gains, six 97-residue stub docs) —
+    // synthesizing a WAV per corpus doc at larger SFs buys no extra
+    // coverage, just javax.sound encode time against the in-sweep budget
     val ids = t(s, dir, "documents")
-      .select(col("doc_id").cast("long")).filter(col("doc_id") < 2000)
+      .select(col("doc_id").cast("long")).filter(col("doc_id") < 600)
       .as[Long]
     val media = ids.map { id =>
       val gain = 1.0 / (1.0 + (id % 3).toDouble)
