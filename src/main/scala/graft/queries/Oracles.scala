@@ -339,6 +339,56 @@ object Oracles {
        |$rounds""".stripMargin
   }
 
+  /** WordPiece (X134) training replay — BPE's round structure
+    * ([[bpeCtes]]' chr(1)-wrapped symbol strings) under the likelihood
+    * selection law: each round recomputes pair AND unigram counts over
+    * the current symbols, scores `pc·1e9 // (uc_a·uc_b)` in HUGEINT
+    * (the engine's exact DECIMAL grid), takes the
+    * `(score desc, pc desc, a, b)` argmax, and rewrites
+    * `a + strip-##(b)` — continuation symbols are `##`-marked from the
+    * seed split on, faithfully to the BERT trainer. */
+  private def wpCtes(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      s"""u$r AS MATERIALIZED (
+         |  SELECT sym, sum(n) AS uc FROM (
+         |    SELECT n, unnest(string_split(trim(s, chr(1)),
+         |                                  chr(1) || chr(1))) AS sym
+         |    FROM v${r - 1})
+         |  GROUP BY sym),
+         |p$r AS MATERIALIZED (
+         |  SELECT sy[i] AS a, sy[i+1] AS b, sum(n) AS c FROM (
+         |    SELECT n, sy, unnest(range(1, len(sy))) AS i FROM (
+         |      SELECT n, string_split(trim(s, chr(1)),
+         |                             chr(1) || chr(1)) AS sy
+         |      FROM v${r - 1}))
+         |  GROUP BY 1, 2),
+         |n$r AS (
+         |  SELECT p.a AS a, p.b AS b, CAST(p.c AS BIGINT) AS c,
+         |         CAST(CAST(p.c AS HUGEINT) * 1000000000
+         |              // (CAST(ua.uc AS HUGEINT) * ub.uc) AS BIGINT)
+         |           AS score
+         |  FROM p$r p JOIN u$r ua ON p.a = ua.sym
+         |             JOIN u$r ub ON p.b = ub.sym
+         |  ORDER BY score DESC, c DESC, a, b LIMIT 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT w, n,
+         |         replace(s, chr(1) || a || chr(1) || chr(1) || b || chr(1),
+         |                 chr(1) || a ||
+         |                 regexp_replace(b, '^##', '') || chr(1)) AS s
+         |  FROM v${r - 1} CROSS JOIN n$r)""".stripMargin
+    }.mkString(",\n")
+    s"""v0 AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS n,
+       |         chr(1) || substr(w, 1, 1) || chr(1) ||
+       |           regexp_replace(substr(w, 2), '(.)',
+       |             chr(1) || '##\\1' || chr(1), 'g') AS s
+       |  FROM (SELECT unnest(list_filter(string_split($norm, ' '),
+       |          t -> len(t) > 0)) AS w FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z0-9]+$$')
+       |  GROUP BY w),
+       |$rounds""".stripMargin
+  }
+
   /** Unigram-LM (X131) replay — seed substring vocab, `iters` hard-EM
     * rounds, final cost table. The Viterbi DP unrolls over word
     * positions 1..maxWordLen (words longer than that never train/apply
@@ -3635,6 +3685,104 @@ object Oracles {
       s"""WITH ${bpeCtes(k)}
          |SELECT * FROM (
          |  $finals)""".stripMargin
+    },
+
+    "q191_wordpiece_train" -> {
+      val k = 5
+      val finals = (1 to k).map { r =>
+        if (r == 1)
+          s"SELECT 1 AS merge_rank, a AS lhs, b AS rhs, c AS pair_n," +
+            s" score AS score_e9 FROM n1"
+        else s"SELECT $r, a, b, c, score FROM n$r"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH ${wpCtes(k)}
+         |SELECT * FROM (
+         |  $finals)""".stripMargin
+    },
+
+    // the WordPiece APPLY half is NOT a merge replay: re-learn the
+    // merges (shared chain), derive the vocabulary (seed alphabet +
+    // merge products), then walk every eligible word greedily —
+    // longest vocab match per position, unrolled maxWordLen=12 steps,
+    // [UNK] when a reached position has no match — and reassemble per
+    // doc exactly like q166
+    "q192_wordpiece_encode" -> {
+      val k = 5
+      val products = (1 to k).map(r =>
+        s"SELECT a || regexp_replace(b, '^##', '') AS piece FROM n$r")
+        .mkString("\n  UNION ")
+      val maxW = 12
+      val steps = (1 to maxW).map { j =>
+        s"""s$j AS MATERIALIZED (
+           |  SELECT s.w,
+           |         CASE WHEN s.unk OR s.pos >= len(s.w) OR m.l IS NULL
+           |              THEN s.pos ELSE s.pos + m.l END AS pos,
+           |         CASE WHEN s.unk OR s.pos >= len(s.w) OR m.l IS NULL
+           |              THEN s.ps
+           |              ELSE s.ps ||
+           |                CASE WHEN s.ps = '' THEN '' ELSE ' ' END ||
+           |                m.piece END AS ps,
+           |         CASE WHEN s.unk THEN TRUE
+           |              WHEN s.pos < len(s.w) AND m.l IS NULL THEN TRUE
+           |              ELSE FALSE END AS unk
+           |  FROM s${j - 1} s LEFT JOIN mpc m
+           |    ON m.w = s.w AND m.i = s.pos)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${wpCtes(k)},
+         |voc AS MATERIALIZED (
+         |  SELECT DISTINCT sym AS piece FROM (
+         |    SELECT unnest(string_split(trim(s, chr(1)),
+         |                               chr(1) || chr(1))) AS sym
+         |    FROM v0)
+         |  UNION
+         |  $products),
+         |wrd AS MATERIALIZED (
+         |  SELECT DISTINCT unnest(list_filter(string_split($norm, ' '),
+         |    t -> len(t) > 0)) AS w FROM documents),
+         |elig AS (
+         |  SELECT w FROM wrd
+         |  WHERE regexp_matches(w, '^[a-z0-9]+$$') AND len(w) <= $maxW),
+         |cand AS (
+         |  SELECT w, i, unnest(range(1, len(w) - i + 1)) AS l
+         |  FROM (SELECT w, unnest(range(0, len(w))) AS i FROM elig)),
+         |mpc AS MATERIALIZED (
+         |  SELECT c.w, c.i, max(c.l) AS l,
+         |         CASE WHEN c.i = 0 THEN substr(c.w, 1, max(c.l))
+         |              ELSE '##' || substr(c.w, c.i + 1, max(c.l)) END
+         |           AS piece
+         |  FROM cand c JOIN voc v ON v.piece =
+         |    CASE WHEN c.i = 0 THEN substr(c.w, 1, c.l)
+         |         ELSE '##' || substr(c.w, c.i + 1, c.l) END
+         |  GROUP BY c.w, c.i),
+         |s0 AS (
+         |  SELECT w, 0 AS pos, '' AS ps, FALSE AS unk FROM elig),
+         |$steps,
+         |seg AS (
+         |  SELECT w, CASE WHEN unk THEN '[UNK]' ELSE ps END AS ps,
+         |         CASE WHEN unk THEN 1
+         |              ELSE len(string_split(ps, ' ')) END AS np
+         |  FROM s$maxW),
+         |wp AS MATERIALIZED (
+         |  SELECT wrd.w, coalesce(seg.ps, wrd.w) AS ps,
+         |         CAST(coalesce(seg.np, 1) AS BIGINT) AS np
+         |  FROM wrd LEFT JOIN seg ON wrd.w = seg.w),
+         |tk AS (
+         |  SELECT doc_id, list_filter(string_split($norm, ' '),
+         |    t -> len(t) > 0) AS t FROM documents),
+         |tok AS (
+         |  SELECT doc_id, unnest(t) AS w,
+         |         unnest(range(len(t))) AS pos FROM tk),
+         |enc AS (
+         |  SELECT tok.doc_id, tok.pos, wp.ps, wp.np
+         |  FROM tok JOIN wp ON tok.w = wp.w),
+         |agg AS (
+         |  SELECT doc_id, CAST(sum(np) AS BIGINT) AS n_pieces,
+         |         string_agg(ps, ' ' ORDER BY pos) AS pieces
+         |  FROM enc GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(agg.n_pieces, 0) AS n_pieces,
+         |       coalesce(agg.pieces, '') AS pieces
+         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id"""
+        .stripMargin
     },
 
     // the tokenizer's APPLY half: re-learn the same merges (the shared

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{CorpusMaintenance, Dedup, Sampling, Similarity, Sketches, TextAnalysis, Multimodal, UnigramLm}
+import graft.llm.{CorpusMaintenance, Dedup, Sampling, Similarity, Sketches, TextAnalysis, Multimodal, UnigramLm, WordPiece}
 
 /** SURVEY §2 operator inventory expressed over the driver's synthetic
   * testdata (`/root/testdata/sf*`), one query per operator family, each
@@ -249,6 +249,7 @@ object TestdataQueries {
       ("bm25", () => { bm25Rankings(s, dir).count(); () }),
       ("nb_scored", () => { nbScored(s, dir).count(); () }),
       ("bpe_merges", () => { bpeMergeTable(s, dir).count(); () }),
+      ("wp_merges", () => { wordpieceMergeTable(s, dir).count(); () }),
       ("unigram_model", () => { unigramModel(s, dir).count(); () }),
       ("lm_scored", () => { lmScored(s, dir).count(); () }),
       ("winnow_fps", () => { winnowStore(s, dir).count(); () }),
@@ -1335,6 +1336,15 @@ object TestdataQueries {
     memoShared(bpeMemo, s, dir)(
       TextAnalysis.bpeMerges(t(s, dir, "documents"), k = 5))
 
+  // Shared artifact: the WordPiece merge table (likelihood-scored; the
+  // tokenizer family's third trainer). q191 exposes the table against
+  // the full round-replay oracle; q192 encodes under the vocabulary it
+  // defines.
+  private val wpMemo = new Memo()
+  private def wordpieceMergeTable(s: SparkSession, dir: String): DataFrame =
+    memoShared(wpMemo, s, dir)(
+      WordPiece.wordpieceMerges(t(s, dir, "documents"), k = 5))
+
   // Shared artifact: the bigram-LM scored frame (trained on even ids,
   // scoring the odd ids) with the language joined on. q94 exposes the
   // score columns against the full LM-replay oracle; q167 consumes the
@@ -1674,6 +1684,30 @@ object TestdataQueries {
     val dom = t(s, dir, "documents").select(col("doc_id"), col("source"))
     Sampling.doremiWeights(scored.join(dom, Seq("doc_id")), col("source"),
       col("ml_delta"), shiftUnit = 60000L, maxShift = 12)
+  }
+
+  /** X134: WordPiece tokenizer TRAINING
+    * ([[graft.llm.WordPiece.wordpieceMerges]]) — BPE's merge loop under
+    * the likelihood selection law `count(ab)·1e9 div
+    * (count(a)·count(b))` with `##`-marked continuation symbols (the
+    * BERT trainer). The oracle replays all five rounds: seed symbol
+    * state, pair + unigram counts, the scored argmax with its full tie
+    * chain, and the marker-stripping merge rewrite. */
+  def q191WordpieceTrain(s: SparkSession, dir: String): DataFrame =
+    wordpieceMergeTable(s, dir)
+
+  /** X134's APPLY half: BERT's greedy longest-match-first encode under
+    * the vocabulary the q191 training run defines (seed alphabet +
+    * merge products, [[graft.llm.WordPiece.wordpieceVocab]]) — each
+    * distinct word walks once, `[UNK]` on a reached position with no
+    * match, non-alphabet/overlong words pass through whole. The oracle
+    * re-learns the merges with q191's CTE chain, re-derives the
+    * vocabulary, and replays every word's greedy walk position by
+    * position. */
+  def q192WordpieceEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    WordPiece.wordpieceEncode(docs,
+      WordPiece.wordpieceVocab(docs, wordpieceMergeTable(s, dir)))
   }
 
   /** q183's keep threshold — shared with the oracle SQL. */
@@ -2711,6 +2745,8 @@ object TestdataQueries {
     "q187_unigram_encode" -> q187UnigramEncode _,
     "q188_unimax_mix" -> q188UnimaxMix _,
     "q189_audio_prints" -> q189AudioPrints _,
+    "q191_wordpiece_train" -> q191WordpieceTrain _,
+    "q192_wordpiece_encode" -> q192WordpieceEncode _,
     "q165_legacy_store_conflicts" -> q165LegacyStoreConflicts _,
     "q164_hamming_pairs" -> q164HammingPairs _,
     "q160_dedup_savings" -> q160DedupSavings _,
