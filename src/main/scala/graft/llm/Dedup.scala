@@ -1444,6 +1444,93 @@ object Dedup {
         coalesce(col("n_hit"), lit(0L)).as("n_hit"))
   }
 
+  /** Contamination SPAN report — the diagnostic [[contaminationFraction]]
+    * can't give: per (train doc, eval doc) pair, the length of the
+    * LONGEST contiguous shared token run, plus how many distinct runs
+    * and aligned grams the pair shares. Gram-count overlap says "some
+    * k-grams leak"; the max-run length separates quote-level incidental
+    * overlap from wholesale copying (Lee et al. 2022's exact-substring
+    * framing of decontamination, reported at pair granularity).
+    *
+    * Law: whitespace tokens ([[wsTokens]]) → all k-gram start positions
+    * on both sides → equi-join on the gram TEXT (exact, no hash
+    * collision caveat) → each match lands on a diagonal
+    * `d = train_pos − eval_pos`; within a (pair, diagonal) group,
+    * matched start positions are chained into maximal runs and a run
+    * spanning starts `[st, en]` covers `en − st + k` tokens. Matched
+    * starts on one diagonal can never sit 2..k apart — two overlapping
+    * matched grams force every intermediate gram to match (their token
+    * ranges pairwise agree), so the intermediate start position is
+    * present too and the chain cut at gap > 1 is exact, not a
+    * heuristic. Output: (train_id, eval_id, max_run_tokens, n_islands,
+    * n_aligned_grams), pairs with `max_run_tokens >= minRunTokens`
+    * (default k — every pair sharing any gram).
+    *
+    * Scale shape: the eval set is the SMALL side by contract (a
+    * benchmark suite, not a second corpus — the [[contaminationFraction]]
+    * convention) and its positioned grams broadcast, so the corpus'
+    * grams are probed in their scan tasks and never shuffle; only
+    * matched (ids, positions) rows — candidate-sized — reach the
+    * chain-and-aggregate stage, grouped per (pair, diagonal) with the
+    * [[dupSpans]] sorted-position island fold (no per-row window). For
+    * eval sets past broadcast size, pre-prune with the Bloom pass of
+    * [[contaminationFraction]] and shuffle on the gram key. */
+  def contaminationSpans(train: DataFrame, eval: DataFrame, k: Int = 5,
+                         minRunTokens: Int = 0,
+                         trainId: Column = col("doc_id"),
+                         evalId: Column = col("doc_id"),
+                         trainText: Column = col("text"),
+                         evalText: Column = col("text")): DataFrame = {
+    require(k >= 1, s"k=$k")
+    def positioned(df: DataFrame, id: Column, text: Column,
+                   idName: String, posName: String): DataFrame = {
+      val n = size(col("__t"))
+      // (pos, gram) pairs built IN-ROW before the explode: the naive
+      // explode-then-slice shape carries the whole token array on every
+      // gram row (O(doc²) projected bytes through the stage); here the
+      // array is sliced once per position inside its own row and the
+      // explode emits narrow structs
+      df.select(id.cast("long").as(idName), wsTokens(text).as("__t"))
+        .select(col(idName),
+          explode(when(n >= k, transform(sequence(lit(0), n - k), i =>
+              struct(i.as("p"),
+                array_join(slice(col("__t"), i + 1, lit(k)), " ")
+                  .as("g"))))
+            .otherwise(expr(
+              "CAST(array() AS array<struct<p:int,g:string>>)")))
+            .as("__pg"))
+        .select(col(idName), col("__pg.p").as(posName),
+          col("__pg.g").as("__g"))
+    }
+    val tg = positioned(train, trainId, trainText, "train_id", "__ti")
+    val eg = positioned(eval, evalId, evalText, "eval_id", "__ej")
+    val seeds = tg.join(broadcast(eg), Seq("__g"))
+      .select(col("train_id"), col("eval_id"),
+        (col("__ti") - col("__ej")).as("__diag"), col("__ti"))
+    // runs per (pair, diagonal): dupSpans' sorted-list island fold with
+    // the gap > 1 cut (exact — see scaladoc); start/end lists zip 1:1
+    val runs = seeds
+      .groupBy(col("train_id"), col("eval_id"), col("__diag"))
+      .agg(sort_array(collect_list(col("__ti"))).as("__ps"))
+      .withColumn("__st", filter(col("__ps"),
+        (p, i) => i === 0 || p - element_at(col("__ps"), i) > 1))
+      .withColumn("__en", filter(col("__ps"),
+        (p, i) => i === size(col("__ps")) - 1 ||
+          element_at(col("__ps"), i + 2) - p > 1))
+      .select(col("train_id"), col("eval_id"),
+        explode(arrays_zip(col("__st"), col("__en"))).as("__r"))
+      .select(col("train_id"), col("eval_id"),
+        (col("__r.__en") - col("__r.__st") + lit(k)).cast("long")
+          .as("__run_tokens"),
+        (col("__r.__en") - col("__r.__st") + lit(1)).cast("long")
+          .as("__n_grams"))
+    runs.groupBy(col("train_id"), col("eval_id"))
+      .agg(max(col("__run_tokens")).as("max_run_tokens"),
+        count(lit(1)).as("n_islands"),
+        sum(col("__n_grams")).as("n_aligned_grams"))
+      .filter(col("max_run_tokens") >= math.max(minRunTokens, k))
+  }
+
   /** Dedup impact report: per slice (language, crawl source, shard…),
     * how many documents and how much weight (chars, tokens, bytes) the
     * keep-minimum-id dedup policy would drop — the "what did dedup buy

@@ -3687,6 +3687,41 @@ object Oracles {
          |  $finals)""".stripMargin
     },
 
+    // contamination spans: positioned 3-grams on both sides, exact
+    // gram-text join, diagonal = ti - ej, runs = gaps-and-islands per
+    // (pair, diagonal) over matched start positions (row_number grp),
+    // run covers cnt + k - 1 tokens; keep pairs with a run >= 4
+    "q193_contamination_spans" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split($NORM, ' '),
+        |    t -> len(t) > 0) AS t FROM documents),
+        |tg AS (
+        |  SELECT doc_id AS train_id, i - 1 AS ti,
+        |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM tk WHERE doc_id >= 10 AND len(t) >= 3)),
+        |eg AS (
+        |  SELECT doc_id AS eval_id, i - 1 AS ej,
+        |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM tk WHERE doc_id < 10 AND len(t) >= 3)),
+        |isl AS (
+        |  SELECT train_id, eval_id, ti - ej AS diag, ti,
+        |         ti - row_number() OVER (
+        |           PARTITION BY train_id, eval_id, ti - ej
+        |           ORDER BY ti) AS grp
+        |  FROM tg JOIN eg USING (g)),
+        |runs AS (
+        |  SELECT train_id, eval_id, diag, grp, count(*) AS cnt
+        |  FROM isl GROUP BY train_id, eval_id, diag, grp)
+        |SELECT * FROM (
+        |  SELECT train_id, eval_id,
+        |         CAST(max(cnt + 2) AS BIGINT) AS max_run_tokens,
+        |         CAST(count(*) AS BIGINT) AS n_islands,
+        |         CAST(sum(cnt) AS BIGINT) AS n_aligned_grams
+        |  FROM runs GROUP BY train_id, eval_id)
+        |WHERE max_run_tokens >= 4""".stripMargin.replace("$NORM", norm),
+
     "q191_wordpiece_train" -> {
       val k = 5
       val finals = (1 to k).map { r =>

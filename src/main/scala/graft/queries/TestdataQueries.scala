@@ -1710,6 +1710,22 @@ object TestdataQueries {
       WordPiece.wordpieceVocab(docs, wordpieceMergeTable(s, dir)))
   }
 
+  /** X135: contamination span chaining
+    * ([[graft.llm.Dedup.contaminationSpans]]) — per (train, eval) doc
+    * pair, the longest contiguous shared token run (diagonal-chained
+    * 3-gram matches), run and aligned-gram counts; `minRunTokens = 4`
+    * keeps only pairs sharing a run strictly longer than one gram, so
+    * both the chain-extension and the filter branches are live at both
+    * verification SFs (25/461 pairs kept at sf0.01, 163/4804 at
+    * sf0.1). Same eval slice as q158 (doc_id < 10) against the rest of
+    * the corpus. The oracle replays grams, the diagonal join,
+    * gaps-and-islands run chaining, and the pair rollup. */
+  def q193ContaminationSpans(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Dedup.contaminationSpans(d.filter(col("doc_id") >= 10),
+      d.filter(col("doc_id") < 10), k = 3, minRunTokens = 4)
+  }
+
   /** q183's keep threshold — shared with the oracle SQL. */
   val StupidBackoffMinScore: Long = 40000000L
 
@@ -2747,6 +2763,7 @@ object TestdataQueries {
     "q189_audio_prints" -> q189AudioPrints _,
     "q191_wordpiece_train" -> q191WordpieceTrain _,
     "q192_wordpiece_encode" -> q192WordpieceEncode _,
+    "q193_contamination_spans" -> q193ContaminationSpans _,
     "q165_legacy_store_conflicts" -> q165LegacyStoreConflicts _,
     "q164_hamming_pairs" -> q164HammingPairs _,
     "q160_dedup_savings" -> q160DedupSavings _,

@@ -2910,6 +2910,40 @@ class LlmOpsSpec extends SparkSpec {
     assert(dirty == decon)
   }
 
+  test("contamination spans: chained runs, single-gram islands, the " +
+    "minRun filter, multi-diagonal repeats, partitioning invariance") {
+    val docs = Seq(
+      // eval 0: 8 tokens -> train 10 shares tokens c..h = a 6-token run
+      (0L, "c d e f g h q r"),
+      // eval 1: shares exactly ONE 5-gram with train 11
+      (1L, "v w x y z unrelated tail words"),
+      (10L, "a b c d e f g h i j"),
+      (11L, "v w x y z completely different ending"),
+      (12L, "no shared content in this document at all"),
+      // train 13 contains eval 0's run TWICE -> two diagonals
+      (13L, "c d e f g h pad pad c d e f g h")
+    ).toDF("doc_id", "text")
+    val train = docs.filter(col("doc_id") >= 10)
+    val eval = docs.filter(col("doc_id") < 10)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // default minRun (= k): every sharing pair, incl. the 1-gram island
+    val all = collect(Dedup.contaminationSpans(train, eval, k = 5))
+    assert(all == Map(
+      (10L, 0L) -> ((6L, 1L, 2L)),   // run c..h: starts {0,1} chained
+      (11L, 1L) -> ((5L, 1L, 1L)),   // single gram v..z
+      (13L, 0L) -> ((6L, 2L, 4L)))) // the run on two diagonals
+    // minRun 6 drops the single-gram pair — the q193 law
+    val filtered = collect(
+      Dedup.contaminationSpans(train, eval, k = 5, minRunTokens = 6))
+    assert(filtered == all - ((11L, 1L)))
+    // partitioning cannot change any count
+    val re = collect(Dedup.contaminationSpans(
+      train.repartition(7), eval.repartition(3), k = 5, minRunTokens = 6))
+    assert(re == filtered)
+  }
+
   test("dedup savings: per-slice drop counts and weights are exact") {
     val d = Seq(
       (0L, "a", 100L), (1L, "a", 50L), (2L, "a", 30L),  // cluster {0,1,2}
