@@ -969,6 +969,92 @@ object TextAnalysis {
         col("keep"))
   }
 
+  /** Interpolated Kneser–Ney bigram LM scoring (Kneser & Ney 1995; the
+    * modified form is the reference smoothing every LM-quality paper
+    * benchmarks against) — completes the LM family's smoothing
+    * spectrum: add-one ([[bigramLmScore]]), none-with-penalty
+    * ([[stupidBackoffScore]]), and the continuation-count law here,
+    * which fixes exactly what add-one gets wrong: a word seen often
+    * but only in ONE context ("francisco") stops inheriting a high
+    * unigram backoff weight, because backoff mass follows how many
+    * DISTINCT contexts a word continues, not how often it occurs.
+    *
+    * Law (absolute discount D = 3/4 — the literature's 0.75 as an
+    * exact rational, so the whole model stays on the integer grid):
+    * for a scored bigram (w1, w2) with train counts c2, context total
+    * c1, right diversity R(w1) = |{w : c(w1,w) > 0}|, continuation
+    * diversity L(w2) = |{w : c(w,w2) > 0}|, and Nbi = total distinct
+    * train bigrams,
+    *
+    *   P(w2|w1) = max(c2 − 3/4, 0)/c1 + (3/4)·R(w1)/c1 · L(w2)/Nbi
+    *
+    * cleared to one exact division per occurrence:
+    * `p_e9 = (max(4·c2 − 3, 0)·Nbi + 3·R·L) · 1e9 div (4·c1·Nbi)`.
+    * An UNSEEN context (c1 null) backs off to the continuation
+    * distribution alone, `p_e9 = 1e9·L div Nbi` (0 when w2 never
+    * continues anything — KN assigns unseen-unseen no mass; route
+    * those through [[bigramLmScore]]'s additive floor if a nonzero
+    * tail is needed); an empty train corpus yields NULL (nothing was
+    * learned — the [[bigramLmScore]] ANSI-safe law). The true KN
+    * kernel normalizes exactly: over rationals, Σ_w2 P(w2|w1) = 1 for
+    * every seen context (the spec pins the 1e9-grid image of this).
+    * A document's `kn_score` is the integer mean of `p_e9` over its
+    * bigram occurrences; `keep = kn_score >= minScore`. Sub-2-token
+    * docs have no bigram and no row (the family contract).
+    *
+    * Scale shape ([[bigramLmScore]]'s): all four count tables are
+    * vocab-/bigram-vocab-sized and derive from ONE train bigram
+    * aggregation pass (R and c1 come out of the same groupBy as c2's
+    * rollup; L is one more vocab-sized groupBy); scored occurrences
+    * pre-aggregate per (doc, bigram) before meeting the counts
+    * term-keyed, so corpus text never shuffles and the per-occurrence
+    * work is three joins + one division. */
+  def kneserNeyScore(train: DataFrame, toScore: DataFrame,
+                     minScore: Long = 0L,
+                     id: Column = col("doc_id"),
+                     text: Column = col("text")): DataFrame = {
+    def bigrams(d: DataFrame): DataFrame =
+      d.select(id.as("doc_id"), wsTokens(text).as("__t"))
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
+          slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("__b"))
+        .select(col("doc_id"), col("__b.w1"), col("__b.w2"))
+    val c2 = bigrams(train).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    // context total AND right diversity from the same distinct-bigram
+    // table — one pass, no second corpus scan
+    val ctx = c2.groupBy("w1")
+      .agg(sum("c2").as("c1"), count(lit(1)).as("rdiv"))
+    val cont = c2.groupBy("w2").agg(count(lit(1)).as("ldiv"))
+    val nbi = c2.agg(count(lit(1)).as("nbi"))
+    val occ = bigrams(toScore).groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("m"))
+    occ
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(nbi))
+      .withColumn("p_e9", expr(
+        """CASE
+          |  WHEN nbi = 0 THEN CAST(NULL AS DECIMAL(38,0))
+          |  WHEN c1 IS NULL THEN
+          |    CAST(1000000000 AS DECIMAL(38,0)) * coalesce(ldiv, 0L)
+          |      div nbi
+          |  ELSE
+          |    (greatest(4 * coalesce(c2, 0L) - 3, 0L)
+          |       * CAST(nbi AS DECIMAL(38,0))
+          |     + 3 * rdiv * CAST(coalesce(ldiv, 0L) AS DECIMAL(38,0)))
+          |      * 1000000000 div (4 * c1 * CAST(nbi AS DECIMAL(38,0)))
+          |END""".stripMargin))
+      .groupBy("doc_id")
+      .agg(sum("m").as("n_bigrams"),
+        sum(expr("m * p_e9")).as("__s"))
+      .withColumn("kn_score", expr("__s div n_bigrams"))
+      .withColumn("keep", col("kn_score") >= minScore)
+      .select(col("doc_id"), col("n_bigrams"), col("kn_score"),
+        col("keep"))
+  }
+
   /** Naive-Bayes seed quality classifier — the GPT-3-style "does this
     * document look like the curated seed corpus" filter (Brown et al.
     * 2020 appendix A trains a linear classifier on a positive seed vs

@@ -2468,6 +2468,51 @@ object Oracles {
          |         >= ${TestdataQueries.BigramLmMinScore} AS keep
          |FROM p GROUP BY doc_id""".stripMargin,
 
+    // Kneser-Ney: q94's even/odd split with the continuation-count
+    // smoothing law — four count tables, the cleared-denominator
+    // discount kernel (D = 3/4), unseen-context continuation backoff
+    "q194_kneser_ney" ->
+      raw"""WITH tk AS (
+         |  SELECT doc_id, list_filter(string_split($norm, ' '),
+         |    t -> len(t) > 0) AS t
+         |  FROM documents),
+         |bi AS (
+         |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tk)),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi
+         |       WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+         |ctx AS (SELECT w1, sum(c2) AS c1, count(*) AS rdiv
+         |        FROM c2 GROUP BY w1),
+         |cont AS (SELECT w2, count(*) AS ldiv FROM c2 GROUP BY w2),
+         |nbi AS (SELECT count(*) AS nbi FROM c2),
+         |occ AS (SELECT doc_id, w1, w2, count(*) AS m FROM bi
+         |        WHERE doc_id % 2 = 1 GROUP BY doc_id, w1, w2),
+         |p AS (
+         |  SELECT occ.doc_id, occ.m,
+         |         CASE
+         |           WHEN nbi.nbi = 0 THEN NULL
+         |           WHEN ctx.c1 IS NULL THEN
+         |             CAST(1000000000 AS HUGEINT)
+         |               * coalesce(cont.ldiv, 0) // nbi.nbi
+         |           ELSE
+         |             (greatest(4 * coalesce(c2.c2, 0) - 3, 0)
+         |                * CAST(nbi.nbi AS HUGEINT)
+         |              + 3 * ctx.rdiv
+         |                * CAST(coalesce(cont.ldiv, 0) AS HUGEINT))
+         |               * 1000000000
+         |               // (4 * ctx.c1 * CAST(nbi.nbi AS HUGEINT))
+         |         END AS p_e9
+         |  FROM occ
+         |  LEFT JOIN c2 ON occ.w1 = c2.w1 AND occ.w2 = c2.w2
+         |  LEFT JOIN ctx ON occ.w1 = ctx.w1
+         |  LEFT JOIN cont ON occ.w2 = cont.w2
+         |  CROSS JOIN nbi)
+         |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+         |       CAST(sum(m * p_e9) // sum(m) AS BIGINT) AS kn_score,
+         |       CAST(sum(m * p_e9) // sum(m) AS BIGINT)
+         |         >= ${TestdataQueries.KneserNeyMinScore} AS keep
+         |FROM p GROUP BY doc_id""".stripMargin,
+
     // q94's LM replay (even-train / odd-score) + q144's rank-cut law
     // per language: head >= hi cut, middle >= lo cut, else tail
     "q167_ccnet_buckets" ->

@@ -1726,6 +1726,22 @@ object TestdataQueries {
       d.filter(col("doc_id") < 10), k = 3, minRunTokens = 4)
   }
 
+  /** X136: interpolated Kneser–Ney bigram LM scoring
+    * ([[graft.llm.TextAnalysis.kneserNeyScore]]) — the continuation-
+    * count smoothing law (D = 3/4 exact), trained on even doc ids and
+    * scoring the odd ids like q94; the keep threshold sits at the
+    * corpus median so both branches are live at both verification SFs.
+    * The oracle replays all four count tables and the cleared-
+    * denominator discount law in HUGEINT. */
+  def q194KneserNey(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    TextAnalysis.kneserNeyScore(d.filter(col("doc_id") % 2 === 0),
+      d.filter(col("doc_id") % 2 === 1), minScore = KneserNeyMinScore)
+  }
+
+  /** q194's keep threshold — shared with the oracle SQL. */
+  val KneserNeyMinScore: Long = 33500000L
+
   /** q183's keep threshold — shared with the oracle SQL. */
   val StupidBackoffMinScore: Long = 40000000L
 
@@ -2764,6 +2780,7 @@ object TestdataQueries {
     "q191_wordpiece_train" -> q191WordpieceTrain _,
     "q192_wordpiece_encode" -> q192WordpieceEncode _,
     "q193_contamination_spans" -> q193ContaminationSpans _,
+    "q194_kneser_ney" -> q194KneserNey _,
     "q165_legacy_store_conflicts" -> q165LegacyStoreConflicts _,
     "q164_hamming_pairs" -> q164HammingPairs _,
     "q160_dedup_savings" -> q160DedupSavings _,

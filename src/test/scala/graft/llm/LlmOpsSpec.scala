@@ -2587,6 +2587,46 @@ class LlmOpsSpec extends SparkSpec {
     assert(!got.contains(2L), "disjoint doc must not match")
   }
 
+  test("kneser-ney: every branch hand-derived, exact normalization on " +
+    "the 1e9 grid, empty train NULLs, partitioning invariance") {
+    // train: c2 (a,b)=2 (b,a)=3 (a,c)=1 (a,francisco)=1; ctx a:(4,3)
+    // b:(3,1); cont a/b/c/francisco ldiv=1; nbi=4
+    val train = Seq((0L, "a b a b a c"), (2L, "b a francisco"))
+      .toDF("doc_id", "text")
+    val probe = Seq(
+      (1L, "a b z a q c"), // discount + zero-cont + unseen-ctx branches
+      (3L, "z q z")        // unseen-unseen everywhere -> 0
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.kneserNeyScore(train, probe,
+        minScore = 100000000L)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getBoolean(3))).toSeq
+    // (a,b): (5*4+9)*1e9//64 = 453125000; (b,z): 0; (z,a): 1e9*1//4;
+    // (a,q): 0; (q,c): 1e9*1//4 — mean 953125000/5
+    assert(got == Seq((1L, 5L, 190625000L, true),
+      (3L, 2L, 0L, false)))
+    // KN normalizes exactly: P(.|a) over the continuation vocabulary
+    // sums to 1, and 64 | 1e9 so the grid image sums to exactly 1e9
+    val singles = Seq((11L, "a b"), (13L, "a c"), (15L, "a francisco"),
+      (17L, "a a")).toDF("doc_id", "text")
+    val ps = TextAnalysis.kneserNeyScore(train, singles)
+      .orderBy("doc_id")
+      .collect().map(r => r.getLong(2)).toSeq
+    assert(ps == Seq(453125000L, 203125000L, 203125000L, 140625000L))
+    assert(ps.sum == 1000000000L)
+    // empty train learns nothing: score NULL, keep false at any bar
+    val empty = TextAnalysis.kneserNeyScore(train.limit(0), probe)
+      .collect().map(r => r.isNullAt(2)).toSeq
+    assert(empty == Seq(true, true))
+    // partitioning cannot move a score
+    val re = TextAnalysis.kneserNeyScore(train.repartition(5),
+        probe.repartition(3), minScore = 100000000L)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(re == Seq((1L, 190625000L), (3L, 0L)))
+  }
+
   test("stupid backoff: every branch hand-derived, unseen scores zero, short docs drop") {
     val train = Seq((0L, "a b c a b c")).toDF("doc_id", "text")
     // c3: abc=2 bca=1 cab=1; c2: ab=2 bc=2 ca=1; c1: a=b=c=2; N=6
