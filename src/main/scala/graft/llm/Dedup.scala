@@ -1482,26 +1482,20 @@ object Dedup {
                          trainText: Column = col("text"),
                          evalText: Column = col("text")): DataFrame = {
     require(k >= 1, s"k=$k")
+    // (pos, gram) pairs built IN-ROW before the explode: the naive
+    // explode-then-slice shape carries the whole token array on every
+    // gram row (O(doc²) projected bytes through the stage). The build is
+    // the native single-pass [[graft.expr.PositionedShingles]] expression
+    // (wsTokens law, all starts, duplicates kept) — the HOF chain it
+    // replaces (transform(sequence) + slice + array_join per position)
+    // paid interpreted lambda dispatch and an array copy per gram on the
+    // CORPUS side, ~2.5x the scan cost
     def positioned(df: DataFrame, id: Column, text: Column,
-                   idName: String, posName: String): DataFrame = {
-      val n = size(col("__t"))
-      // (pos, gram) pairs built IN-ROW before the explode: the naive
-      // explode-then-slice shape carries the whole token array on every
-      // gram row (O(doc²) projected bytes through the stage); here the
-      // array is sliced once per position inside its own row and the
-      // explode emits narrow structs
-      df.select(id.cast("long").as(idName), wsTokens(text).as("__t"))
-        .select(col(idName),
-          explode(when(n >= k, transform(sequence(lit(0), n - k), i =>
-              struct(i.as("p"),
-                array_join(slice(col("__t"), i + 1, lit(k)), " ")
-                  .as("g"))))
-            .otherwise(expr(
-              "CAST(array() AS array<struct<p:int,g:string>>)")))
-            .as("__pg"))
+                   idName: String, posName: String): DataFrame =
+      df.select(id.cast("long").as(idName),
+          explode(graft.expr.PositionedShingles(text, k)).as("__pg"))
         .select(col(idName), col("__pg.p").as(posName),
           col("__pg.g").as("__g"))
-    }
     val tg = positioned(train, trainId, trainText, "train_id", "__ti")
     val eg = positioned(eval, evalId, evalText, "eval_id", "__ej")
     val seeds = tg.join(broadcast(eg), Seq("__g"))

@@ -1020,13 +1020,34 @@ object TextAnalysis {
           slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("__b"))
         .select(col("doc_id"), col("__b.w1"), col("__b.w2"))
-    val c2 = bigrams(train).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    // the explicit isnotnull filter is a semantic no-op (w1/w2 are
+    // tokens — never null) but it is LOAD-BEARING for exchange reuse:
+    // without it, InferFiltersFromConstraints derives a DIFFERENT
+    // null-filter into each consumer's copy of this subtree from that
+    // consumer's own join keys (w1 AND w2 under the c2 join, w1 alone
+    // under ctx, w2 alone under cont, none under nbi), the four
+    // (w1,w2)-shuffle stages stop canonicalizing equal, reuse can't
+    // fire, and the train corpus is scanned and bigram-exploded four
+    // times (measured: 4 FileScans materialized as 4 separate AQE
+    // stages). With the superset filter present, inference adds
+    // nothing, all four consumers sit on ONE canonically-equal shuffle
+    // stage — written once, read four ways
+    val c2 = bigrams(train)
+      .filter(col("w1").isNotNull && col("w2").isNotNull)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     // context total AND right diversity from the same distinct-bigram
-    // table — one pass, no second corpus scan
+    // table — one pass, no second corpus scan. The cont/nbi row counts
+    // count `when(c2 >= 0, 1)` — identical to count(1) (c2 is a count
+    // output, always >= 1) but it keeps c2 REFERENCED: with a bare
+    // count(1), column pruning degenerates the cont/nbi inner (w1,w2)
+    // aggregation to a distinct, which breaks the same stage equality
+    // (a plain count(col("c2")) doesn't survive either — the optimizer
+    // rewrites count-of-non-nullable back to count(1)).
+    val keepC2 = count(when(col("c2") >= 0L, lit(1)))
     val ctx = c2.groupBy("w1")
-      .agg(sum("c2").as("c1"), count(lit(1)).as("rdiv"))
-    val cont = c2.groupBy("w2").agg(count(lit(1)).as("ldiv"))
-    val nbi = c2.agg(count(lit(1)).as("nbi"))
+      .agg(sum("c2").as("c1"), keepC2.as("rdiv"))
+    val cont = c2.groupBy("w2").agg(keepC2.as("ldiv"))
+    val nbi = c2.agg(keepC2.as("nbi"))
     val occ = bigrams(toScore).groupBy("doc_id", "w1", "w2")
       .agg(count(lit(1)).as("m"))
     occ

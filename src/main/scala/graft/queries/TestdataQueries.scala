@@ -252,6 +252,8 @@ object TestdataQueries {
       ("wp_merges", () => { wordpieceMergeTable(s, dir).count(); () }),
       ("unigram_model", () => { unigramModel(s, dir).count(); () }),
       ("lm_scored", () => { lmScored(s, dir).count(); () }),
+      ("kn_scored", () => { knScored(s, dir).count(); () }),
+      ("sb_scored", () => { sbScored(s, dir).count(); () }),
       ("winnow_fps", () => { winnowStore(s, dir).count(); () }),
       ("dsir_weights", () => { dsirWeightTable(s, dir).count(); () }),
       ("rfm_metrics", () => { rfmMetricsTable(s, dir).count(); () }),
@@ -1360,6 +1362,31 @@ object TestdataQueries {
         .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
     }
 
+  // Shared artifact: the Kneser–Ney scored frame (trained on even ids,
+  // scoring the odd ids) — the LM-family landed-score convention
+  // (lmScored's): a trained model scores the corpus once and consumers
+  // read the landed scores. q194 exposes the frame against the full
+  // four-count-table replay oracle, so the landed scores are verified
+  // end to end.
+  private val knScoredMemo = new Memo()
+  private def knScored(s: SparkSession, dir: String): DataFrame =
+    memoShared(knScoredMemo, s, dir) {
+      val d = t(s, dir, "documents")
+      TextAnalysis.kneserNeyScore(d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1), minScore = KneserNeyMinScore)
+    }
+
+  // Shared artifact: the Stupid Backoff scored frame (same split, same
+  // convention). q183 exposes it against the full three-count-table
+  // replay oracle.
+  private val sbScoredMemo = new Memo()
+  private def sbScored(s: SparkSession, dir: String): DataFrame =
+    memoShared(sbScoredMemo, s, dir) {
+      val d = t(s, dir, "documents")
+      TextAnalysis.stupidBackoffScore(d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1), minScore = StupidBackoffMinScore)
+    }
+
   // Shared artifact: the winnowing fingerprint table (k=3, w=4 — the
   // MOSS index). q173 exposes the table itself against the full
   // window-argmin oracle; q181 (the match step) consumes the same
@@ -1732,12 +1759,11 @@ object TestdataQueries {
     * scoring the odd ids like q94; the keep threshold sits at the
     * corpus median so both branches are live at both verification SFs.
     * The oracle replays all four count tables and the cleared-
-    * denominator discount law in HUGEINT. */
-  def q194KneserNey(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
-    TextAnalysis.kneserNeyScore(d.filter(col("doc_id") % 2 === 0),
-      d.filter(col("doc_id") % 2 === 1), minScore = KneserNeyMinScore)
-  }
+    * denominator discount law in HUGEINT. Production shape = the
+    * landed scored frame ([[knScored]], the lmScored convention);
+    * shared==isolated pinned in SigMemoSpec. */
+  def q194KneserNey(s: SparkSession, dir: String): DataFrame =
+    knScored(s, dir)
 
   /** q194's keep threshold — shared with the oracle SQL. */
   val KneserNeyMinScore: Long = 33500000L
@@ -1749,14 +1775,11 @@ object TestdataQueries {
     * [[graft.llm.TextAnalysis.stupidBackoffScore]]): train the three
     * count tables on even doc ids, score the odd ones through the
     * exact one-division-per-branch backoff chain. The oracle replays
-    * all three tables, the branch law, and the integer mean. */
-  def q183StupidBackoff(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
-    TextAnalysis.stupidBackoffScore(
-      d.filter(col("doc_id") % 2 === 0),
-      d.filter(col("doc_id") % 2 === 1),
-      minScore = StupidBackoffMinScore)
-  }
+    * all three tables, the branch law, and the integer mean.
+    * Production shape = the landed scored frame ([[sbScored]], the
+    * lmScored convention); shared==isolated pinned in SigMemoSpec. */
+  def q183StupidBackoff(s: SparkSession, dir: String): DataFrame =
+    sbScored(s, dir)
 
   /** X125: tokenizer budget sweep
     * ([[graft.llm.TextAnalysis.bpeBudgetSweep]]) over the landed q129

@@ -184,4 +184,10 @@ class SigMemoSpec extends SparkSpec {
   pinSharedEqualsIsolated("q185_moore_lewis",
     "the delta over the two landed per-model LM score tables must " +
       "equal re-scoring the candidates inside the query")
+  pinSharedEqualsIsolated("q194_kneser_ney",
+    "the landed Kneser-Ney scored store must equal scoring inside " +
+      "the query")
+  pinSharedEqualsIsolated("q183_stupid_backoff",
+    "the landed Stupid Backoff scored store must equal scoring inside " +
+      "the query")
 }
