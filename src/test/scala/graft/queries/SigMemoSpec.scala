@@ -190,4 +190,10 @@ class SigMemoSpec extends SparkSpec {
   pinSharedEqualsIsolated("q183_stupid_backoff",
     "the landed Stupid Backoff scored store must equal scoring inside " +
       "the query")
+  pinSharedEqualsIsolated("q103_tfidf_join",
+    "the landed tf-idf cosine pair table must equal running the " +
+      "similarity join inside the query")
+  pinSharedEqualsIsolated("q69_tfidf_terms",
+    "the landed keyword table must equal ranking tf-idf terms inside " +
+      "the query")
 }
