@@ -801,47 +801,93 @@ final class Warehouse(private[graft] val spark: SparkSession,
   def appendIfAbsent(table: String, schema: StructType, df: DataFrame,
                      keys: Seq[String], orderCol: String,
                      partitionBy: Seq[String] = Nil,
-                     dedupWithinBatch: Boolean = true): Long = withTableLock(table) {
-    val keyCols = keys.map(col)
-    val firstPerKey = if (!dedupWithinBatch) df else
-      // keep-FIRST by orderCol, like Postgres keeping the first
-      // conflicting row of an INSERT batch. min_by instead of a
-      // row_number window: the window shuffles AND sorts the whole batch,
-      // while the aggregate partial-combines map-side and carries one
-      // buffered row per key through the shuffle. orderCol is unique per
-      // key within a batch (file row number), so the argmin is exact.
-      df.groupBy(keyCols: _*)
-        .agg(min_by(struct(schema.fieldNames.toSeq.map(col): _*), col(orderCol))
-          .as("__first"))
-        .select(col("__first.*"))
-    val deduped = firstPerKey.select(schema.fieldNames.toSeq.map(col): _*)
-    val fresh =
-      if (!exists(table)) deduped
-      else deduped.join(
-        prunedToIncoming(read(table, schema), deduped,
-          partitionBy.filter(keys.contains)).select(keyCols: _*),
-        keys, "left_anti")
-    // single action: append and count what landed
-    val staged = fresh.cache()
-    val n = staged.count()
-    if (n > 0) {
-      // Bound the generation's file count by what the batch actually
-      // holds: micro-batch appends run with AQE disabled (foreachBatch
-      // plans), so a small batch would otherwise land one near-empty
-      // file per shuffle partition — a day of micro-batches explodes
-      // the table into thousands of tiny files that every later read
-      // (including this method's own anti-join) must list and open.
-      // Rows-per-file is a proxy for bytes (optimizeTable remains the
-      // real compactor); a large batch keeps its full parallelism —
-      // coalesce never increases partition count, so no cap against the
-      // actual count is needed — and coalesce on the cached frame is
-      // narrow: no shuffle.
-      val target = math.max(1L, (n + AppendRowsPerFile - 1) / AppendRowsPerFile)
-      append(table, staged.coalesce(math.min(target, Int.MaxValue.toLong).toInt),
-        partitionBy)
+                     dedupWithinBatch: Boolean = true): Long =
+    appendIfAbsentMany(Seq(Append(table, schema, df, keys, orderCol,
+      partitionBy, dedupWithinBatch))).head
+
+  /** One table's worth of [[appendIfAbsent]] arguments, for the
+    * multi-table form. */
+  case class Append(table: String, schema: StructType, df: DataFrame,
+                    keys: Seq[String], orderCol: String,
+                    partitionBy: Seq[String] = Nil,
+                    dedupWithinBatch: Boolean = true)
+
+  /** Multi-table [[appendIfAbsent]]: every table's staged frame (deduped
+    * + anti-joined) is materialized and counted in ONE tagged-union
+    * Spark action instead of one count job per table, then each
+    * non-empty staging writes its own generation — so a micro-batch
+    * transaction appending to two sinks pays one staging job, not two
+    * (the per-batch action count is the streaming frame's fixed cost).
+    * Per-table semantics are [[appendIfAbsent]]'s exactly — the
+    * single-table form delegates here, so the two cannot drift. All
+    * table locks are held across staging AND writes (the anti-join
+    * snapshot must stay consistent with the write decision), acquired
+    * in NAME order so concurrent multi-table takers cannot deadlock
+    * (single-table takers hold one lock and cannot close a cycle). */
+  def appendIfAbsentMany(appends: Seq[Append]): Seq[Long] = {
+    require(appends.nonEmpty, "appendIfAbsentMany of nothing")
+    require(appends.map(_.table).distinct.size == appends.size,
+      s"duplicate table in one multi-append: ${appends.map(_.table)}")
+    def locked[T](remaining: List[String])(f: => T): T = remaining match {
+      case Nil => f
+      case t :: rest => withTableLock(t)(locked(rest)(f))
     }
-    staged.unpersist()
-    n
+    locked(appends.map(_.table).sorted.toList) {
+      val staged = appends.map { a =>
+        val keyCols = a.keys.map(col)
+        val firstPerKey = if (!a.dedupWithinBatch) a.df else
+          // keep-FIRST by orderCol, like Postgres keeping the first
+          // conflicting row of an INSERT batch. min_by instead of a
+          // row_number window: the window shuffles AND sorts the whole
+          // batch, while the aggregate partial-combines map-side and
+          // carries one buffered row per key through the shuffle.
+          // orderCol is unique per key within a batch (file row
+          // number), so the argmin is exact.
+          a.df.groupBy(keyCols: _*)
+            .agg(min_by(struct(a.schema.fieldNames.toSeq.map(col): _*),
+              col(a.orderCol)).as("__first"))
+            .select(col("__first.*"))
+        val deduped = firstPerKey.select(a.schema.fieldNames.toSeq.map(col): _*)
+        val fresh =
+          if (!exists(a.table)) deduped
+          else deduped.join(
+            prunedToIncoming(read(a.table, a.schema), deduped,
+              a.partitionBy.filter(a.keys.contains)).select(keyCols: _*),
+            a.keys, "left_anti")
+        fresh.cache()
+      }
+      // ONE action materializes every staged cache and counts what
+      // landed per table (tag = position, so table names never have to
+      // be distinct-safe strings in the plan)
+      val counts: Map[Int, Long] =
+        staged.zipWithIndex
+          .map { case (s, i) => s.select(lit(i).as("__t")) }
+          .reduce(_ unionByName _)
+          .groupBy("__t").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      appends.zip(staged).zipWithIndex.map { case ((a, s), i) =>
+        val n = counts.getOrElse(i, 0L)
+        if (n > 0) {
+          // Bound the generation's file count by what the batch actually
+          // holds: micro-batch appends run with AQE disabled (foreachBatch
+          // plans), so a small batch would otherwise land one near-empty
+          // file per shuffle partition — a day of micro-batches explodes
+          // the table into thousands of tiny files that every later read
+          // (including this method's own anti-join) must list and open.
+          // Rows-per-file is a proxy for bytes (optimizeTable remains the
+          // real compactor); a large batch keeps its full parallelism —
+          // coalesce never increases partition count, so no cap against
+          // the actual count is needed — and coalesce on the cached frame
+          // is narrow: no shuffle.
+          val target = math.max(1L, (n + AppendRowsPerFile - 1) / AppendRowsPerFile)
+          append(a.table,
+            s.coalesce(math.min(target, Int.MaxValue.toLong).toInt),
+            a.partitionBy)
+        }
+        s.unpersist()
+        n
+      }
+    }
   }
 
   // ~1M rows per appended file: small enough that a genuinely large batch

@@ -195,14 +195,24 @@ final class StreamingSplitRouter(spark: SparkSession, wh: Warehouse,
                   lit(0L).as("n_store_splits"),
                   lit(false).as("conflicted")))
               .cache()
-            // the assignment append runs FIRST: its staging count is the
-            // action that materializes the cached assignments chain, so
-            // any later look at the frame reads the populated cache.
-            // Within the transaction the append order is invisible: the
-            // catalog flips once at commit.
-            wh.appendIfAbsent(assignTable, assignSchema, assignments,
-              keys = Seq("doc_id"), orderCol = "doc_id",
-              dedupWithinBatch = false)
+            // BOTH unconditional sinks stage in ONE fused append: the
+            // single tagged staging count materializes the cached
+            // assignments chain AND the cached sigs in one Spark job
+            // (two separate appendIfAbsent calls cost one count job
+            // each — per-batch action count is the streaming frame's
+            // fixed cost). The append runs before the conflict closure
+            // so the closure's store walk sees this batch's rows;
+            // within the transaction the append order is otherwise
+            // invisible: the catalog flips once at commit. Dropped-or-
+            // kept, every shingled doc's signature enters the store: a
+            // later near-dup of ANY routed doc must still be recognized.
+            wh.appendIfAbsentMany(Seq(
+              wh.Append(assignTable, assignSchema, assignments,
+                keys = Seq("doc_id"), orderCol = "doc_id",
+                dedupWithinBatch = false),
+              wh.Append(sigStoreTable, sigSchema, sigs,
+                keys = Seq("doc_id"), orderCol = "doc_id",
+                dedupWithinBatch = false)))
             // conflict stickiness, CLOSED over the assignment store: a
             // conflicted component's membership must include docs that
             // inherited through its members in EARLIER batches (chains
@@ -253,12 +263,6 @@ final class StreamingSplitRouter(spark: SparkSession, wh: Warehouse,
                 dedupWithinBatch = false)
               members.unpersist(); store.unpersist()
             }
-            // dropped-or-kept, every shingled doc's signature enters the
-            // store: a later near-dup of ANY routed doc must still be
-            // recognized
-            wh.appendIfAbsent(sigStoreTable, sigSchema, sigs,
-              keys = Seq("doc_id"), orderCol = "doc_id",
-              dedupWithinBatch = false)
           } finally {
             // unpersist in finally: a failed append (width guard, disk,
             // writer lock) must not leak the cached frames for the

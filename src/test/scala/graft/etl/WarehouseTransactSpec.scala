@@ -224,4 +224,56 @@ class WarehouseTransactSpec extends SparkSpec {
     other2.transact { other2.replace("b", batch(3)) }
     assert(other2.drop("b") && !other2.exists("b"))
   }
+
+  test("appendIfAbsentMany: one staging job for N tables, appendIfAbsent " +
+      "semantics per table, idempotent replay") {
+    val wh = new Warehouse(spark, tmpDir("whmany").toString)
+    // seed table a so its anti-join path is live; b starts absent
+    wh.replace("a", (0 until 10).map(i => (i, 0)).toDF("id", "v"))
+    // batch overlaps a on ids 5..9 and carries a within-batch dup for b
+    val batchA = (5 until 20).map(i => (i, 1)).toDF("id", "v")
+    val batchB = ((0 until 5) :+ 0).map(i => (i, 2)).toDF("id", "v")
+    // pin the ACTION fusion (jobs-per-action varies with AQE): the call
+    // must run exactly ONE non-command query execution — the tagged-
+    // union staging count — plus one write command per non-empty table
+    val actions = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = actions.add(funcName)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val ns = wh.appendIfAbsentMany(Seq(
+        wh.Append("a", schema, batchA, Seq("id"), "id"),
+        wh.Append("b", schema, batchB, Seq("id"), "id")))
+      Thread.sleep(500)  // let listener events drain
+      val inCall = actions.toArray(Array.empty[String]).toSeq
+      // semantics: a gets only the non-conflicting 10..19; b dedupes the
+      // within-batch id-0 dup and lands 5 rows
+      assert(ns == Seq(10L, 5L), s"landed counts $ns")
+      assert(wh.read("a", schema).count() == 20)
+      assert(wh.read("b", schema).count() == 5)
+      val nonCommand = inCall.count(f => f != "command" && f != "save")
+      assert(nonCommand == 1,
+        s"fused multi-append ran $nonCommand non-command actions " +
+          s"(expected the single tagged staging count): $inCall")
+    } finally spark.listenerManager.unregister(listener)
+    // replay: nothing fresh anywhere, no new generation written
+    val ns2 = wh.appendIfAbsentMany(Seq(
+      wh.Append("a", schema, batchA, Seq("id"), "id"),
+      wh.Append("b", schema, batchB, Seq("id"), "id")))
+    assert(ns2 == Seq(0L, 0L))
+    assert(wh.read("a", schema).count() == 20)
+    assert(wh.read("b", schema).count() == 5)
+    // a duplicate table in one call is refused loudly
+    intercept[IllegalArgumentException] {
+      wh.appendIfAbsentMany(Seq(
+        wh.Append("a", schema, batchA, Seq("id"), "id"),
+        wh.Append("a", schema, batchA, Seq("id"), "id")))
+    }
+  }
 }
