@@ -361,7 +361,17 @@ object StreamCommits {
     wh.transact {
       if (!alreadyCommitted(wh, checkpointDir, batchId)) {
         if (additive) requireNoOlderIncarnation(wh, checkpointDir)
-        if (!batch.isEmpty) body(batch)
+        // Empty-batch guard WITHOUT a per-batch Spark job where
+        // possible: a file-source batch lists its backing files
+        // driver-side (inputFiles), so files-present means "possibly
+        // non-empty — run the body" at zero cost; the body's sinks
+        // already no-op on zero fresh rows (appendIfAbsent writes no
+        // generation for n=0), so a files-present-but-all-corrupt batch
+        // just runs a cheap empty pipeline. Only a batch with NO
+        // backing files (a memory-source test stream, or a genuinely
+        // file-less trigger) pays the old isEmpty action — the
+        // file-less trigger is exactly the case the guard exists for.
+        if (batch.inputFiles.nonEmpty || !batch.isEmpty) body(batch)
         record(spark, wh, checkpointDir, batchId)
       }
     }
