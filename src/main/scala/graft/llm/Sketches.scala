@@ -340,6 +340,85 @@ object Sketches {
       .groupBy("item")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
   }
+
+  // ------------------------------------------------------------ hyperloglog
+
+  /** Deterministic portable HyperLogLog (Flajolet et al. 2007) in the
+    * RELATIONAL register representation — the answer to the class-doc
+    * caveat that HLL "can only ever be checked within a tolerance":
+    * with the fixed md5-derived 60-bit hash ([[kmvHash]]), bucket = the
+    * low b bits, rank = leading-zero position (+1) of the remaining
+    * w = 60-b bits, the sketch is one row per (slice, bucket) holding
+    * max(rank) — fully deterministic, so the DuckDB oracle replays
+    * registers AND estimate digit for digit, no tolerance anywhere.
+    *
+    * Register-rows ARE the mergeable-summary contract made relational:
+    * a shard lands its bounded register table (≤ m rows per slice)
+    * once, and ANY union of shards/slices merges with
+    * `groupBy(bucket).agg(max(r))` — the cross-shard cardinality story
+    * at 100 TB with no binary blob format, no custom serialization,
+    * and map-side max partials doing the combine. The corpus pays one
+    * scan + one (slice, bucket)-keyed groupBy.
+    *
+    * Nulls are excluded before hashing (the [[kmvDistinct]]
+    * convention); slice columns must be pre-aliased (the kmvRollup
+    * projection discipline). */
+  def hllRegisters(df: DataFrame, value: Column, m: Int = 256,
+                   slices: Seq[Column] = Nil): DataFrame = {
+    require(m >= 128 && Integer.bitCount(m) == 1,
+      s"m must be a power of two >= 128 (the alpha_m closed form's " +
+        s"validity range), got $m")
+    val b = Integer.numberOfTrailingZeros(m)
+    val w = HashBits - b
+    val projected = df.select(slices :+ value.as("__hll_v"): _*)
+    require(projected.columns.count(_ == "__hll_v") == 1,
+      "hllRegisters reserves the column name __hll_v; rename the slice")
+    val keyCols = projected.columns.dropRight(1).map(col).toSeq
+    val h = kmvHash(col("__hll_v"))
+    // h in [0, 2^60): shiftright is sign-safe; the top w bits are the
+    // rank source, the low b bits the bucket
+    val v = shiftright(h, b)
+    val bitlen = when(v === 0L, lit(0)).otherwise(length(bin(v)))
+    projected.filter(col("__hll_v").isNotNull)
+      .select(keyCols
+        :+ h.bitwiseAND(lit((m - 1).toLong)).cast("int").as("bucket")
+        :+ (lit(w + 1) - bitlen).cast("int").as("__r"): _*)
+      .groupBy(keyCols :+ col("bucket"): _*)
+      .agg(max(col("__r")).as("r"))
+  }
+
+  /** The raw HLL estimate from a register table, EXACT-integer form:
+    * alpha_m = 0.7213 / (1 + 1.079/m) as the exact rational
+    * 7213000·m / (10000·(1000·m + 1079)), the harmonic sum cleared to
+    * the 2^(w+1) grid (S = Σ 2^(w+1−r) over present registers +
+    * zeros·2^(w+1) — every term an exact long, S ≤ m·2^(w+1) well
+    * inside bigint), and
+    * `hll_est = alpha_num·m²·2^(w+1) div (alpha_den·S)` in
+    * decimal(38,0) — a BIGINT any engine reproduces. The small-range
+    * linear-counting branch needs ln(m/V) and is deliberately the
+    * CONSUMER's choice — `v_zero` is emitted so it is computable
+    * downstream; the oracle-pinned law is the raw estimator. Output:
+    * slices + (n_buckets, v_zero, sum_scaled, hll_est). */
+  def hllEstimate(registers: DataFrame, m: Int = 256,
+                  slices: Seq[String] = Nil): DataFrame = {
+    require(m >= 128 && Integer.bitCount(m) == 1, s"m=$m")
+    val b = Integer.numberOfTrailingZeros(m)
+    val e = HashBits - b + 1
+    val alphaNum = 7213000L * m
+    val alphaDen = 10000L * (1000L * m + 1079L)
+    registers
+      .groupBy(slices.map(col): _*)
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $e - r)")).as("__sp"))
+      .withColumn("v_zero", lit(m.toLong) - col("n_buckets"))
+      .withColumn("sum_scaled",
+        col("__sp") + col("v_zero") * lit(1L << e))
+      .withColumn("hll_est", expr(
+        s"CAST(CAST($alphaNum AS DECIMAL(38,0)) * ${m.toLong * m} * ${1L << e}" +
+          s" div (CAST($alphaDen AS DECIMAL(38,0)) * sum_scaled) AS BIGINT)"))
+      .select(slices.map(col) ++ Seq(col("n_buckets"), col("v_zero"),
+        col("sum_scaled"), col("hll_est")): _*)
+  }
 }
 
 /** Misra-Gries frequent-items sketch: at most `k` (item, count) counters;

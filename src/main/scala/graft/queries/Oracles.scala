@@ -2468,6 +2468,50 @@ object Oracles {
          |         >= ${TestdataQueries.BigramLmMinScore} AS keep
          |FROM p GROUP BY doc_id""".stripMargin,
 
+    // Deterministic portable HLL, register leg: the 60-bit md5 hash,
+    // bucket = low 8 bits, rank = 53 - bitlength of the top 52 bits —
+    // every register replayed exactly (bin/ltrim = leading-zero count)
+    "q195_hll_registers" ->
+      """WITH h AS (
+        |  SELECT source, ('0x' || substr(md5(text), 1, 15))::BIGINT AS hv
+        |  FROM documents WHERE text IS NOT NULL),
+        |r0 AS (SELECT source, (hv % 256)::INT AS bucket, hv // 256 AS v
+        |       FROM h)
+        |SELECT source, bucket,
+        |       max(53 - (CASE WHEN v = 0 THEN 0
+        |                 ELSE length(ltrim(bin(v), '0')) END))::INT AS r
+        |FROM r0 GROUP BY 1, 2""".stripMargin,
+
+    // HLL merge + estimate leg: per-source registers, the '<all>'
+    // groupBy-max merge, the 2^53-grid harmonic sum, and the
+    // exact-rational-alpha integer estimate — digit-for-digit
+    "q196_hll_union" ->
+      """WITH h AS (
+        |  SELECT source, ('0x' || substr(md5(text), 1, 15))::BIGINT AS hv
+        |  FROM documents WHERE text IS NOT NULL),
+        |regs AS (
+        |  SELECT source, (hv % 256)::INT AS bucket,
+        |         max(53 - (CASE WHEN hv // 256 = 0 THEN 0
+        |                   ELSE length(ltrim(bin(hv // 256), '0')) END)) AS r
+        |  FROM h GROUP BY 1, 2),
+        |ar AS (SELECT source, bucket, r FROM regs
+        |       UNION ALL
+        |       SELECT '<all>' AS source, bucket, max(r) AS r
+        |       FROM regs GROUP BY 2),
+        |est AS (SELECT source, count(*) AS nb,
+        |               sum((1::BIGINT << (53 - r))::HUGEINT) AS sp
+        |        FROM ar GROUP BY 1),
+        |s AS (SELECT source, nb,
+        |             sp + (256 - nb)::HUGEINT
+        |               * (1::BIGINT << 53)::HUGEINT AS ss
+        |      FROM est)
+        |SELECT source, nb::BIGINT AS n_buckets, (256 - nb)::BIGINT AS v_zero,
+        |       ss::BIGINT AS sum_scaled,
+        |       ((7213000::HUGEINT * 256 * 65536 * (1::BIGINT << 53)::HUGEINT)
+        |        // ((10000::HUGEINT * (1000 * 256 + 1079)) * ss))::BIGINT
+        |         AS hll_est
+        |FROM s""".stripMargin,
+
     // Kneser-Ney: q94's even/odd split with the continuation-count
     // smoothing law — four count tables, the cleared-denominator
     // discount kernel (D = 3/4), unseen-context continuation backoff

@@ -256,6 +256,7 @@ object TestdataQueries {
       ("sb_scored", () => { sbScored(s, dir).count(); () }),
       ("tfidf_pairs", () => { tfidfPairs(s, dir).count(); () }),
       ("doc_keywords", () => { docKeywords(s, dir).count(); () }),
+      ("hll_registers", () => { hllRegisterStore(s, dir).count(); () }),
       ("winnow_fps", () => { winnowStore(s, dir).count(); () }),
       ("dsir_weights", () => { dsirWeightTable(s, dir).count(); () }),
       ("rfm_metrics", () => { rfmMetricsTable(s, dir).count(); () }),
@@ -1390,6 +1391,18 @@ object TestdataQueries {
     memoShared(docKeywordsMemo, s, dir)(
       TextAnalysis.topTfidfTerms(t(s, dir, "documents"), k = 3))
 
+  // Shared artifact: the per-source HLL register table over documents'
+  // text (m = 256, the portable md5 hash) — the sketch lands once per
+  // shard/snapshot and every cardinality readout merges register rows
+  // (groupBy-max), exactly the mergeable-summary production shape.
+  // q195 exposes the table against the full hash-replay oracle; q196
+  // merges and estimates from the same landed rows.
+  private val hllRegMemo = new Memo()
+  private def hllRegisterStore(s: SparkSession, dir: String): DataFrame =
+    memoShared(hllRegMemo, s, dir)(
+      Sketches.hllRegisters(t(s, dir, "documents"), col("text"),
+        m = 256, slices = Seq(col("source"))))
+
   // Shared artifact: the Kneser–Ney scored frame (trained on even ids,
   // scoring the odd ids) — the LM-family landed-score convention
   // (lmScored's): a trained model scores the corpus once and consumers
@@ -1792,6 +1805,35 @@ object TestdataQueries {
     * shared==isolated pinned in SigMemoSpec. */
   def q194KneserNey(s: SparkSession, dir: String): DataFrame =
     knScored(s, dir)
+
+  /** X137: deterministic portable HyperLogLog, register leg
+    * ([[graft.llm.Sketches.hllRegisters]]) — the per-source register
+    * table (m = 256): bucket = low 8 bits of the 60-bit md5 hash, rank
+    * = leading-zero position (+1) of the top 52, one row per
+    * (source, bucket) holding max(rank). Fully deterministic, so the
+    * oracle replays every register exactly — no tolerance, unlike
+    * HLL++ — and register rows merge across shards by groupBy-max (the
+    * mergeable-summary contract made relational). */
+  def q195HllRegisters(s: SparkSession, dir: String): DataFrame =
+    hllRegisterStore(s, dir)
+
+  /** X137: HLL merge + exact-integer estimate leg
+    * ([[graft.llm.Sketches.hllEstimate]]) — per-source estimates AND
+    * the cross-source merged sketch ("<all>"), all from the LANDED
+    * register rows (zero extra corpus work): alpha as the exact
+    * rational 7213000·m/(10000·(1000m+1079)), harmonic sum on the
+    * 2^53 grid, one decimal division to a BIGINT the oracle reproduces
+    * digit for digit. `v_zero` rides along so the consumer can apply
+    * the ln-based linear-counting branch downstream. */
+  def q196HllUnion(s: SparkSession, dir: String): DataFrame = {
+    val regs = hllRegisterStore(s, dir)
+    val per = Sketches.hllEstimate(regs, m = 256, slices = Seq("source"))
+    val global = Sketches.hllEstimate(
+        regs.groupBy(col("bucket")).agg(max(col("r")).as("r")), m = 256)
+      .select(lit("<all>").as("source"), col("n_buckets"), col("v_zero"),
+        col("sum_scaled"), col("hll_est"))
+    per.unionByName(global)
+  }
 
   /** q194's keep threshold — shared with the oracle SQL. */
   val KneserNeyMinScore: Long = 33500000L
@@ -2833,6 +2875,8 @@ object TestdataQueries {
     "q192_wordpiece_encode" -> q192WordpieceEncode _,
     "q193_contamination_spans" -> q193ContaminationSpans _,
     "q194_kneser_ney" -> q194KneserNey _,
+    "q195_hll_registers" -> q195HllRegisters _,
+    "q196_hll_union" -> q196HllUnion _,
     "q165_legacy_store_conflicts" -> q165LegacyStoreConflicts _,
     "q164_hamming_pairs" -> q164HammingPairs _,
     "q160_dedup_savings" -> q160DedupSavings _,

@@ -236,6 +236,55 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(rolled == direct) // bit-equal: same k smallest distinct hashes
   }
 
+  test("hll: registers replay the hand-computed md5 law, nulls excluded") {
+    import graft.llm.Sketches
+    val m = 256
+    // hand-replay: the same 60-bit md5 hash, bucket = low 8 bits,
+    // rank = 53 - bitlength of the top 52 bits
+    def expected(s: String): (Int, Int) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(md.take(15), 16)
+      val v = h >>> 8
+      ((h & (m - 1)).toInt, 53 - (64 - java.lang.Long.numberOfLeadingZeros(v)))
+    }
+    val vals = Seq("alpha", "beta", "gamma", "delta")
+    val df = (vals.map(v => ("s1", v)) :+ (("s1", null: String)))
+      .toDF("src", "v")
+    val got = Sketches.hllRegisters(df, $"v", m, Seq($"src".as("src")))
+      .collect().map(r => (r.getInt(1), r.getInt(2))).toSet
+    val want = vals.map(expected).groupBy(_._1)
+      .map { case (b, rs) => (b, rs.map(_._2).max) }.toSet
+    assert(got == want)
+  }
+
+  test("hll: shard merge by groupBy-max equals the direct global sketch; " +
+      "estimate law replays in BigInt") {
+    import graft.llm.Sketches
+    val m = 256
+    val rows = (1L to 800L).map(i => (s"s${i % 3}", s"item-${i % 613}"))
+      .toDF("src", "v")
+    val perShard = Sketches.hllRegisters(rows, $"v", m, Seq($"src".as("src")))
+    val merged = perShard.groupBy($"bucket").agg(max($"r").as("r"))
+    val direct = Sketches.hllRegisters(rows, $"v", m)
+    assert(merged.collect().map(r => (r.getInt(0), r.getInt(1))).toSet ==
+      direct.collect().map(r => (r.getInt(0), r.getInt(1))).toSet)
+    // estimate: replay the integer law from the register rows
+    val regs = direct.collect().map(r => (r.getInt(0), r.getInt(1)))
+    val e = 53
+    val s = regs.map { case (_, r) => BigInt(1) << (e - r) }.sum +
+      BigInt(m - regs.length) * (BigInt(1) << e)
+    val alphaNum = BigInt(7213000L * m)
+    val alphaDen = BigInt(10000L) * (1000L * m + 1079L)
+    val want = (alphaNum * m * m * (BigInt(1) << e)) / (alphaDen * s)
+    val got = Sketches.hllEstimate(direct, m)
+      .select($"hll_est").collect().head.getLong(0)
+    assert(BigInt(got) == want)
+    // and the deterministic estimate is in the right ballpark for the
+    // 613 true distincts (1.04/sqrt(256) ~ 6.5% standard error)
+    assert(got > 400 && got < 900, s"est $got implausible for 613 distinct")
+  }
+
   test("experiment readout: exact 2x2 table and effect numerators") {
     // conversions: user completes signup -> click within the gap
     val events = (
