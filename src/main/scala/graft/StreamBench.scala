@@ -143,6 +143,11 @@ object StreamBench {
       () => sink.start(availableNow = true).awaitTermination()
     }
 
+    results += warehouseSink("hll_sink") { (wh, landing, ckpt) =>
+      val sink = new graft.stream.StreamingHllSink(spark, wh, landing, ckpt)
+      () => sink.start(availableNow = true).awaitTermination()
+    }
+
     results += warehouseSink("dsir_gate") { (wh, landing, ckpt) =>
       // trained state lands untimed (setup, like the warehouse creation
       // itself): even docs train the target model, odd docs the raw one;

@@ -748,6 +748,64 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(cells == oneShot)
   }
 
+  test("streaming HLL: merged registers equal the one-shot sketch; " +
+      "re-delivery is absorbed by max (idempotent even past the guard)") {
+    import graft.llm.Sketches
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("whhll").toString)
+    val sink = new StreamingHllSink(spark, wh,
+      tmpDir("landing-hll").toString, tmpDir("ckpt-hll").toString, m = 256)
+    def batch(ids: Range) =
+      ids.map(i => (i.toLong, s"payload-${i % 97}", s"s${i % 3}"))
+        .toDF("doc_id", "text", "source")
+
+    sink.processBatch(batch(0 until 40), 0L)
+    sink.processBatch(batch(40 until 100), 1L)
+
+    def regRows = sink.registers().collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    val oneShot = Sketches.hllRegisters(batch(0 until 100), $"text",
+        m = 256, slices = Seq($"source".as("source")))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(regRows == oneShot)
+    // the estimate readout is the batch estimator verbatim
+    val est = sink.estimates().collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    val direct = Sketches.hllEstimate(
+        Sketches.hllRegisters(batch(0 until 100), $"text", m = 256,
+          slices = Seq($"source".as("source"))), 256, Seq("source"))
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(est == direct)
+
+    // whole-batch replay under the SAME id: the commit guard no-ops it
+    sink.processBatch(batch(40 until 100), 1L)
+    assert(regRows == oneShot)
+    // re-delivery under a FRESH id — the guard cannot catch this, and
+    // it does not have to: max absorbs every duplicate register
+    // contribution (the sketch property that distinguishes this sink
+    // from the additive count-min/index merges)
+    sink.processBatch(batch(0 until 100), 2L)
+    assert(regRows == oneShot)
+
+    // null text rows sketch nothing; corrupt-ish rows (null doc_id) drop
+    sink.processBatch(
+      Seq[(java.lang.Long, String, String)]((200L, null, "s0"),
+        (null, "x", "s0")).toDF("doc_id", "text", "source"), 3L)
+    assert(regRows == oneShot)
+
+    // geometry guard: a fresh NARROWER sink refuses the wider store
+    // (its buckets provably exceed the narrow m; the reverse direction
+    // is indistinguishable from data — document-level contract)
+    val narrow = new StreamingHllSink(spark, wh,
+      tmpDir("landing-hll2").toString, tmpDir("ckpt-hll2").toString,
+      m = 128)
+    val err = intercept[Exception] {
+      narrow.processBatch(batch(100 until 110), 0L)
+    }
+    assert(err.getMessage != null && err.getMessage.contains("wider"),
+      s"unexpected: ${err.getMessage}")
+  }
+
   test("the same doc in two files of ONE micro-batch lands once in every " +
     "sink: corpus dedup, count-min, semantic dedup (the router discipline)") {
     import graft.llm.{Sketches, Similarity}
