@@ -269,9 +269,36 @@ object EventAnalytics {
   private def rankStatistics(vals: DataFrame, nTags: Int,
                              rankOf: String => Column,
                              buckets: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val stats = vals.groupBy("g").agg(min("v").as("v0"), max("v").as("v1"),
-      count(lit(1)).as("n"))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructType, StructField, LongType,
+      IntegerType}
+    val spark = vals.sparkSession
+    // EVERY intermediate of this algorithm past the input scans is
+    // metadata-sized by construction (group stats = |groups| rows, the
+    // phase-2 summary = |groups| x buckets cells after map-side
+    // aggregation, the boundary spec = |groups| x tags rows), and group
+    // cardinality is broadcast-sized BY CONTRACT (dashboard
+    // dimensions). As a fully lazy plan those bounded tables cost far
+    // more than they weigh: each broadcast build re-ran its producing
+    // aggregation as its own multi-stage AQE job (the stats agg ran
+    // twice — once under the bucket-bound join, once under the rank
+    // targets), and the window+join that located boundary buckets added
+    // two more exchanges over cell-count rows. Measured on q168 (one
+    // group, cached input): 14 jobs at ~90 ms fixed cost each — the
+    // scheduling overhead WAS the query. So the bounded tables are now
+    // landed driver-side (the rfmScoresFromMetrics/GraphRank bounded
+    // metadata-collect pattern) and the boundary spec is computed where
+    // metadata-sized work belongs: two actions scan the input (stats,
+    // cells), the spec walk is a driver loop over at most
+    // |groups| x buckets cells, and phase 3 joins a LocalRelation spec
+    // whose broadcast build launches nothing. Identical output — the
+    // cut law (smallest v whose cumulative mass reaches the rank) is
+    // untouched; only where the bounded tables materialize changed.
+    val statsAgg = vals.groupBy("g").agg(min("v").as("v0"),
+      max("v").as("v1"), count(lit(1)).as("n"))
+    val statsRows = statsAgg.collect()
+    val stats = spark.createDataFrame(
+      java.util.Arrays.asList(statsRows: _*), statsAgg.schema)
     // Overflow-safe LONG bucketing — the shared
     // [[BucketMath.halfSpanBucketSql]] form: wrap-safe on Long-wide
     // group spans, monotone in v, equal values share a bucket; bucket
@@ -282,37 +309,89 @@ object EventAnalytics {
       .select(col("g"), col("v"), col("b"))
     // phase 2: (g, bucket) counts — a narrow projection feeding one
     // map-side-combined shuffle of bucket cells, NOT a per-value
-    // histogram of the whole input (measured ~2x slower end-to-end)
-    val summary = bucketed.groupBy("g", "b").agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum(col("c")).over(
-        Window.partitionBy("g").orderBy("b")
-          .rowsBetween(Window.unboundedPreceding, 0)))
-    val targets = stats.select(col("g").as("tg"), col("n"),
-        explode(sequence(lit(1), lit(nTags))).as("tag"))
+    // histogram of the whole input (measured ~2x slower end-to-end);
+    // the bounded cell table lands driver-side
+    val cellRows = bucketed.groupBy("g", "b").agg(count(lit(1)).as("c"))
+      .collect()
+    // rank targets: rankOf is an arbitrary Column over (n, tag), so it
+    // evaluates through Catalyst — but over a LocalRelation, which
+    // ConvertToLocalRelation folds (Project+Filter), so this collect
+    // launches no job
+    // schema care: g and the cut (= v) must keep the INPUT's exact type
+    // and nullability — the landed result replaces a plan whose output
+    // schema derived from vals, and the driver's oracle gate compares
+    // schemas bit-for-bit (a non-null cut would tighten a consumer's
+    // derived column and fail the schema check)
+    val gField = vals.schema("g")
+    val vField = vals.schema("v")
+    val tagSchema = StructType(Seq(gField,
+      StructField("n", LongType, nullable = false),
+      StructField("tag", IntegerType, nullable = false)))
+    val tagRows: Seq[Row] = statsRows.toIndexedSeq.flatMap(r =>
+      (1 to nTags).map(t => Row(r.get(0), r.getLong(3), t)))
+    import scala.jdk.CollectionConverters._
+    val targetRows = spark.createDataFrame(tagRows.asJava, tagSchema)
       .withColumn("target", rankOf("tag"))
       .filter(col("target") >= 1)
-      .select(col("tg"), col("tag"), col("target"))
-    val spec = summary.join(broadcast(targets),
-        col("g") === col("tg") && col("cum") >= col("target"))
-      .groupBy("g", "tag", "target")
-      .agg(min_by(struct(col("b"), col("cum"), col("c")), col("b"))
-        .as("bb"))
-      .select(col("g"), col("tag"), col("bb.b").as("b"),
-        (col("target") - (col("bb.cum") - col("bb.c"))).as("need"))
+      .select(col("g"), col("tag"), col("target"))
+      .collect()
+    // boundary spec, the former window+join now a driver walk: per
+    // group, cells in bucket order accumulate mass; each rank's
+    // boundary bucket is the FIRST whose cumulative count reaches the
+    // target, and `need` is the rank's offset inside it — exactly the
+    // min_by(cum >= target) law. A null group never joined (inner join
+    // on g), so it never specs.
+    val cellsByG = cellRows.filter(_.get(0) != null).groupBy(_.get(0))
+      .map { case (g, cs) => g -> cs.sortBy(_.getLong(1)) }
+    val specRows = new scala.collection.mutable.ArrayBuffer[Row]
+    targetRows.filter(_.get(0) != null).foreach { t =>
+      cellsByG.get(t.get(0)).foreach { cells =>
+        val target = t.getLong(2)
+        var cum = 0L
+        var i = 0
+        var done = false
+        while (i < cells.length && !done) {
+          val c = cells(i).getLong(2)
+          cum += c
+          if (cum >= target) {
+            specRows += Row(t.get(0), cells(i).getLong(1), t.getInt(1),
+              target - (cum - c))
+            done = true
+          }
+          i += 1
+        }
+      }
+    }
+    val specSchema = StructType(Seq(gField,
+      StructField("b", LongType, nullable = false),
+      StructField("tag", IntegerType, nullable = false),
+      StructField("need", LongType, nullable = false)))
+    val spec = spark.createDataFrame(specRows.asJava, specSchema)
     // phase 3: ONLY boundary-bucket rows survive the broadcast join,
     // then collapse to the bucket's VALUE HISTOGRAM map-side — a
     // bucket holding a billion copies of one hot value contributes one
-    // histogram row per (tag, value), so the in-bucket cumulative
-    // window is bounded by the bucket's distinct-value count, never
-    // its row count
-    val wIn = Window.partitionBy("g", "tag").orderBy("v")
-    bucketed.join(broadcast(spec), Seq("g", "b"))
+    // histogram row per (tag, value), so the histogram is bounded by
+    // the bucket's distinct-value count, never its row count. The
+    // in-bucket cumulative walk (formerly a window whose single task
+    // buffered the same bounded histogram) runs driver-side over the
+    // landed rows, and the RESULT is a LocalRelation — every consumer
+    // (pct joins, crossJoin broadcasts, rfm's cutoff collect) reuses
+    // the landed cuts with no broadcast-build job.
+    val histRows = bucketed.join(broadcast(spec), Seq("g", "b"))
       .groupBy("g", "tag", "need", "v").agg(count(lit(1)).as("mass"))
-      .withColumn("vcum", sum(col("mass")).over(
-        wIn.rowsBetween(Window.unboundedPreceding, 0)))
-      .filter(col("vcum") >= col("need") &&
-        col("vcum") - col("mass") < col("need"))
-      .select(col("g"), col("tag"), col("v").as("cut"))
+      .collect()
+    val cutRows = histRows.groupBy(r => (r.get(0), r.getInt(1)))
+      .flatMap { case ((g, tag), hs) =>
+        val sorted = hs.sortBy(_.getLong(3)) // v asc
+        val need = sorted.head.getLong(2)
+        var cum = 0L
+        sorted.find { h => cum += h.getLong(4); cum >= need }
+          .map(h => Row(g, tag, h.getLong(3)))
+      }.toSeq
+    val cutSchema = StructType(Seq(gField,
+      StructField("tag", IntegerType, nullable = false),
+      StructField("cut", vField.dataType, vField.nullable)))
+    spark.createDataFrame(cutRows.asJava, cutSchema)
   }
 
   /** Exact per-group percentiles (order statistics) WITHOUT buffering

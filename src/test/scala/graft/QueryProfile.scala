@@ -29,6 +29,22 @@ object QueryProfile {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
         stages += 1
     })
+    // per-ACTION decomposition (the StreamProfile trick): funcName +
+    // logical head + duration names the per-batch hog
+    if (sys.env.get("SPARK_GRAFT_PROFILE_ACTIONS").contains("1"))
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit = {
+            val head = qe.logical.toString.linesIterator.take(1).mkString
+              .take(100)
+            println(f"[action] $funcName ${durationNs / 1e9}%.3f s  $head")
+          }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              error: Exception): Unit = ()
+        })
     graft.queries.TestdataQueries.enableSharedStages()
     val name = args.headOption.getOrElse("q167_ccnet_buckets")
     val runs = args.lift(1).map(_.toInt).getOrElse(4)
