@@ -44,7 +44,8 @@ object CorpusMaintenance {
                   maxBucket: Int = Dedup.MaxBucketMembers): DataFrame =
     Dedup.dedupCorpus(corpus,
       Dedup.minhashCandidatesFromSigs(store.dropDuplicates("doc_id"),
-        numHashes, bands, threshold, portable, maxBucket))
+        numHashes, bands, threshold, portable, maxBucket),
+      edgesDistinct = true)
 
   /** Run compaction against a warehouse-held corpus + signature store.
     * The two rewrites commit as ONE [[Warehouse.transact]] block: a

@@ -1023,17 +1023,19 @@ object Dedup {
       val e = edges.select(col("id_a").cast("long"), col("id_b").cast("long"))
       (if (edgesDistinct) e else e.distinct()).cache()
     }
-    // ONE bounded action decides the path AND fetches the edges: limit
-    // N+1 returns every row when there are <= N (the local case) and a
-    // cheap overflow witness otherwise — the separate count() pass this
-    // replaces was a full extra traversal per dedup invocation (and
-    // q67-style maintenance pipelines invoke this three times). On the
-    // degenerate overflow path the probe transiently holds N+1 rows on
-    // the driver before discarding them; that is the same high-water
-    // memory the local path needs by design, so the threshold bounds
-    // driver memory in BOTH cases.
-    val probe = dedupedEdges.limit(localThreshold.toInt + 1).collect()
-    if (probe.length <= localThreshold) {
+    // Bounded path decision over the CACHED edge frame: count, then
+    // collect when under threshold. A `limit(N+1).collect()` probe was
+    // measured costing ~4 serial jobs per invocation (CollectLimit's
+    // incremental partition rounds: 1, 4, 16, all — each a driver
+    // round-trip; q67-style maintenance pipelines invoke this three
+    // times, streaming sinks once per micro-batch). count + collect are
+    // exactly TWO single-round parallel jobs over the cache the frame
+    // pays for anyway, and the count doubles as the cache
+    // materialization. Driver memory stays bounded: the collect only
+    // runs when the count is under the threshold.
+    val edgeCount = dedupedEdges.count()
+    if (edgeCount <= localThreshold) {
+      val probe = dedupedEdges.collect()
       val pairs = probe.map(r => (r.getLong(0), r.getLong(1)))
       dedupedEdges.unpersist()
       val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -1138,9 +1140,10 @@ object Dedup {
     */
   def leakSafeSplit(docs: DataFrame, edges: DataFrame,
                     cuts: Seq[(String, Int)], lastSplit: String,
-                    id: Column = col("doc_id")): DataFrame = {
+                    id: Column = col("doc_id"),
+                    edgesDistinct: Boolean = false): DataFrame = {
     validateCuts(cuts)
-    val comps = duplicateClusters(edges)
+    val comps = duplicateClusters(edges, edgesDistinct = edgesDistinct)
       .select(col("doc_id").as("__cid"), col("comp_id"))
     val withCluster = docs.select(id.cast("long").as("doc_id"))
       .join(comps, col("doc_id") === col("__cid"), "left")
@@ -1214,14 +1217,16 @@ object Dedup {
                                lastSplit: String,
                                id: Column = col("doc_id"),
                                conflictedIds: Option[DataFrame] = None,
-                               compsOpt: Option[DataFrame] = None)
+                               compsOpt: Option[DataFrame] = None,
+                               edgesDistinct: Boolean = false)
       : DataFrame = {
     validateCuts(cuts)
     // (doc_id, comp_id) for edge docs. A caller that also needs the
     // components (the streaming router's conflict closure) passes them
     // in — recomputing them here would run the whole candidate-edge
     // lineage a second time per batch.
-    val comps = compsOpt.getOrElse(duplicateClusters(edges))
+    val comps = compsOpt.getOrElse(
+      duplicateClusters(edges, edgesDistinct = edgesDistinct))
     // stored members of touched components -> per-component inherited
     // split: the split of the smallest stored member id. min(struct) is
     // the argmin with one combiner cell per component.
@@ -1391,9 +1396,10 @@ object Dedup {
     * tiebreak, and a billion-member cluster costs one combiner cell.
     */
   def canonicalDocs(docs: DataFrame, edges: DataFrame, score: Column,
-                    id: Column = col("doc_id")): DataFrame = {
+                    id: Column = col("doc_id"),
+                    edgesDistinct: Boolean = false): DataFrame = {
     requireIntegral(docs, score, "canonicalDocs score")
-    val comps = duplicateClusters(edges)
+    val comps = duplicateClusters(edges, edgesDistinct = edgesDistinct)
     val members = docs
       .select(id.cast("long").as("doc_id"), score.cast("long").as("__score"))
       .join(comps, "doc_id")
@@ -1551,9 +1557,10 @@ object Dedup {
   }
 
   def dedupSavings(docs: DataFrame, edges: DataFrame, slice: Column,
-                   weight: Column, id: Column = col("doc_id")): DataFrame = {
+                   weight: Column, id: Column = col("doc_id"),
+                   edgesDistinct: Boolean = false): DataFrame = {
     requireIntegral(docs, weight, "dedupSavings weight")
-    val drops = duplicateClusters(edges)
+    val drops = duplicateClusters(edges, edgesDistinct = edgesDistinct)
       .filter(col("doc_id") =!= col("comp_id"))
       .select(col("doc_id").as("__drop_id"))
     docs.select(id.cast("long").as("__id"), slice.as("slice"),
@@ -1579,13 +1586,14 @@ object Dedup {
     * the corpus contributes one count(), nothing else.
     */
   def clusterSizeHistogram(docs: DataFrame, edges: DataFrame,
-                           id: Column = col("doc_id")): DataFrame = {
+                           id: Column = col("doc_id"),
+                           edgesDistinct: Boolean = false): DataFrame = {
     // membership restricted to docs: an edge list wider than the doc
     // slice (the natural misuse — global pairs against a filtered
     // corpus) would otherwise subtract foreign members from the
     // singleton mass and report a negative count; sizes are measured
     // WITHIN docs, so members ⊆ docs and the arithmetic stays sound
-    val members = duplicateClusters(edges)
+    val members = duplicateClusters(edges, edgesDistinct = edgesDistinct)
       .join(docs.select(id.cast("long").as("doc_id")), Seq("doc_id"),
         "left_semi")
     val sizes = members

@@ -233,10 +233,40 @@ object TextAnalysis {
                     topK: Int = 5, maxDf: Int = 100,
                     excludeSelf: Boolean = true): DataFrame = {
     require(topK >= 1 && maxDf >= 1, s"topK=$topK maxDf=$maxDf")
-    val cp = corpusFps.select(col("doc_id"), col("fp")).distinct()
-    val qp = queryFps.select(col("doc_id").as("query_id"), col("fp"))
+    import scala.jdk.CollectionConverters._
+    val spark = corpusFps.sparkSession
+    // The query side is query-set-sized and broadcasts BY CONTRACT (the
+    // bm25TopK discipline) — so land it driver-side once (the
+    // rankStatistics bounded metadata-collect pattern): its distinct
+    // print set, per-query totals, and fp membership become
+    // LocalRelations whose broadcast builds launch no jobs. The corpus
+    // is then restricted to QUERY fingerprints BEFORE its per-doc
+    // distinct (guide §2.3: shuffle fewer bytes) — only query-held
+    // prints can produce evidence, and a fp's document frequency is
+    // unchanged by dropping OTHER fps, so the df guard still counts the
+    // true corpus-wide df per surviving print while the corpus distinct
+    // collapses from print-table scale to the query-relevant slice.
+    val qpPlan = queryFps.select(col("doc_id").as("query_id"), col("fp"))
       .distinct()
-    val qTotals = qp.groupBy("query_id").agg(count(lit(1)).as("q_prints"))
+    val qpRows = qpPlan.collect()
+    val qp = spark.createDataFrame(
+      java.util.Arrays.asList(qpRows: _*), qpPlan.schema)
+    val fpField = qpPlan.schema("fp")
+    val qFpSet = spark.createDataFrame(
+      qpRows.map(r => org.apache.spark.sql.Row(r.get(1)))
+        .distinct.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(fpField)))
+    val qTotals = spark.createDataFrame(
+      qpRows.groupBy(_.get(0)).map { case (q, rs) =>
+        org.apache.spark.sql.Row(q, rs.length.toLong)
+      }.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        qpPlan.schema("query_id"),
+        org.apache.spark.sql.types.StructField("q_prints",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val cp = corpusFps.select(col("doc_id"), col("fp"))
+      .join(broadcast(qFpSet), Seq("fp"))
+      .distinct()
     val dfs = cp.groupBy("fp").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf).select("fp")
     val shared = cp.join(dfs, Seq("fp"))

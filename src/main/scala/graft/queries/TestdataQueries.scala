@@ -819,7 +819,10 @@ object TestdataQueries {
     * components (min-label propagation). The DuckDB oracle re-derives the
     * same edges and recomputes the components with a recursive CTE. */
   def q53DupClusters(s: SparkSession, dir: String): DataFrame =
-    Dedup.duplicateClusters(portableCandidatePairs(s, dir))
+    // the landed pair table ends in a per-pair groupBy — distinct by
+    // construction, so skip duplicateClusters' re-dedup exchange
+    Dedup.duplicateClusters(portableCandidatePairs(s, dir),
+      edgesDistinct = true)
 
   /** Vocabulary building: document frequency and total term frequency of
     * the top-100 tokens (integer counts only — no log/IDF float drift;
@@ -863,7 +866,8 @@ object TestdataQueries {
     * minimum id of each cluster). */
   def q58DedupCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    Dedup.dedupCorpus(docs, portableCandidatePairs(s, dir))
+    Dedup.dedupCorpus(docs, portableCandidatePairs(s, dir),
+        edgesDistinct = true)
       .select(col("doc_id"), col("lang"))
   }
 
@@ -990,7 +994,12 @@ object TestdataQueries {
     val parts = Seq(
       (docs.filter(col("doc_id") < cut), edges1),
       (docs.filter(col("doc_id") >= cut), edges2)
-    ).map { case (batch, edges) => Future { Dedup.dedupCorpus(batch, edges) } }
+      // generator outputs end in a per-pair groupBy (distinct by
+      // construction), and the two batch legs are disjoint (every
+      // incremental pair involves a batch-2 doc) — so neither the legs
+      // nor their union below need duplicateClusters' dedup exchange
+    ).map { case (batch, edges) => Future {
+      Dedup.dedupCorpus(batch, edges, edgesDistinct = true) } }
     // COMPACTION: clusters recomputed from accumulated state WITHOUT a
     // third candidate pass — the incremental contract
     // `candidates(all) == candidates(old) ∪ incremental(store, new)`
@@ -1008,7 +1017,8 @@ object TestdataQueries {
     // pass had the same exposure through its batch-leg survivors), and
     // the degenerate-bucket drop metrics are the audit hook for it.
     val drop = Future {
-      Dedup.duplicateClusters(edges1.unionByName(edges2))
+      Dedup.duplicateClusters(edges1.unionByName(edges2),
+          edgesDistinct = true)
         .filter(col("doc_id") =!= col("comp_id")).select(col("doc_id"))
     }
     val corpus = parts.map(Await.result(_, Duration.Inf))
@@ -2712,7 +2722,8 @@ object TestdataQueries {
   def q156LeakSafeSplit(s: SparkSession, dir: String): DataFrame =
     Dedup.leakSafeSplit(t(s, dir, "documents"),
       portableCandidatePairs(s, dir),
-      cuts = Seq("train" -> 80, "validation" -> 90), lastSplit = "test")
+      cuts = Seq("train" -> 80, "validation" -> 90), lastSplit = "test",
+      edgesDistinct = true)
 
   /** Keep-best canonical selection (X98): per duplicate cluster, the
     * member winning on (length DESC, doc_id ASC) — the quality-aware
@@ -2720,7 +2731,8 @@ object TestdataQueries {
     * ([[graft.llm.Dedup.canonicalDocs]]). */
   def q157CanonicalDocs(s: SparkSession, dir: String): DataFrame =
     Dedup.canonicalDocs(t(s, dir, "documents"),
-      portableCandidatePairs(s, dir), score = length(col("text")))
+      portableCandidatePairs(s, dir), score = length(col("text")),
+      edgesDistinct = true)
 
   /** Contamination fraction (X99): per training doc, exact distinct
     * 5-gram denominator and eval-overlap numerator — the graded form of
@@ -2750,7 +2762,8 @@ object TestdataQueries {
   def q160DedupSavings(s: SparkSession, dir: String): DataFrame =
     Dedup.dedupSavings(t(s, dir, "documents"),
         portableCandidatePairs(s, dir),
-        slice = col("source"), weight = col("n_chars"))
+        slice = col("source"), weight = col("n_chars"),
+        edgesDistinct = true)
       .withColumnRenamed("slice", "source")
 
   /** Cluster-size histogram (X102): the duplicate-family size
@@ -2758,7 +2771,7 @@ object TestdataQueries {
     * glance ([[graft.llm.Dedup.clusterSizeHistogram]]). */
   def q161ClusterSizes(s: SparkSession, dir: String): DataFrame =
     Dedup.clusterSizeHistogram(t(s, dir, "documents"),
-      portableCandidatePairs(s, dir))
+      portableCandidatePairs(s, dir), edgesDistinct = true)
 
   /** N-gram diversity (X103): per-language exact type–token ratios at
     * n = 1, 2, 3 — the "is this slice template-generated?" readout
@@ -2792,13 +2805,13 @@ object TestdataQueries {
       docs.filter(col("doc_id") < cut),
       portableCandidatePairs(s, dir)
         .filter(col("id_a") < cut && col("id_b") < cut),
-      cuts, lastSplit = "test")
+      cuts, lastSplit = "test", edgesDistinct = true)
     // the batch's candidate edges are the LANDED per-batch table (the
     // q63 artifact) — the split maintainer reads the nightly candidate
     // pass, it does not re-hash the batch
     Dedup.incrementalLeakSafeSplit(assigned,
       docs.filter(col("doc_id") >= cut), incrementalBatchEdges(s, dir),
-      cuts, lastSplit = "test")
+      cuts, lastSplit = "test", edgesDistinct = true)
   }
 
   /** Perceptual-hash near-dup pairing (X106): the Hamming block-LSH
@@ -2861,7 +2874,8 @@ object TestdataQueries {
     // same landed per-batch candidate table as q63/q163 — the conflict
     // surfacing is a READER of the nightly pass, not a second hasher
     Dedup.incrementalLeakSafeSplit(legacy, docs.filter(col("doc_id") >= cut),
-      incrementalBatchEdges(s, dir), cuts, lastSplit = "test")
+      incrementalBatchEdges(s, dir), cuts, lastSplit = "test",
+      edgesDistinct = true)
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
