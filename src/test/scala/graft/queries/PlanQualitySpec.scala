@@ -354,10 +354,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("bit_count"), p)
   }
 
-  test("q144: grouped quantiles meet the corpus only through broadcasts") {
+  test("q144: grouped quantiles land as a bounded LocalRelation") {
+    // rankStatistics computes its bounded tables (group stats, bucket
+    // cells, boundary histogram) driver-side and the RESULT is a
+    // LocalRelation — consumers must never see a corpus-level join or
+    // exchange in the cuts table's plan (the broadcast contract moved
+    // into the producing actions; their corpus passes stay
+    // partial-aggregated scans, pinned by AnalyticsOpsSpec equality)
     val p = plan("q144_group_quantiles")
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("Exchange") && !p.contains("CartesianProduct"), p)
     spark.catalog.clearCache()
   }
 
