@@ -127,12 +127,22 @@ object Sampling {
     // null-token rows have no place on the token axis and are excluded
     // EXPLICITLY (the packSequences convention): leaving them in makes
     // an all-null bucket's __btok sum NULL, which fails BOTH boundary
-    // filters and silently drops rows the windowed reference kept
+    // filters and silently drops rows the windowed reference kept.
+    // CACHED (the dfOrderedSets discipline): three consumers read this
+    // frame — the offsets aggregate, the fullyIn branch and the
+    // boundary branch — and the caller's token column is typically a
+    // full tokenize of the text (q65 splits every document), so without
+    // the cache the corpus tokenizes three times per run. The frame is
+    // the caller's projection plus three small columns; CacheManager
+    // dedup keys on the canonicalized plan and blocks stay evictable;
+    // a long-running service cycling many corpora should clearCache()
+    // between them (the bench does).
     val rows = df.filter(tokens.isNotNull)
       .withColumn("__strat", stratum)
       .withColumn("__hb", hashBucket(id))
       .withColumn("__bkt",
         floor(col("__hb") / lit(BucketSpace / nBuckets)).cast("int"))
+      .cache()
     // phase 1: per-(stratum, bucket) token sums -> per-bucket prefix
     // offsets. The window here runs over the SUMMARY (≤ nBuckets rows per
     // stratum), not the corpus.

@@ -209,8 +209,17 @@ object Sketches {
     require(k >= threshold, s"sketchSize $k < threshold $threshold loses the " +
       "no-false-negative guarantee")
     val mg = udaf(new MisraGriesAggregator(k))
+    // CACHED (the dfOrderedSets discipline): the sketch pass and the
+    // recount pass both read the item stream, and the caller's item
+    // column is typically a full tokenize+explode of the corpus (q82) —
+    // without the cache that runs twice. Blocks stay evictable and the
+    // bench's post-pair clearCache bounds the session footprint; a
+    // deployment whose exploded item stream outweighs its storage tier
+    // should prefer re-tokenizing (drop the cache) — the two-pass
+    // algorithm itself is unchanged either way.
     val base = items.select(item.cast("string").as("item"))
       .filter(col("item").isNotNull)
+      .cache()
     // ONE aggregation yields both the candidate set and n — keeping the
     // documented two-pass shape honest (sketch pass + recount pass)
     val head = base.agg(mg(col("item")).as("cand"), count(lit(1)).as("n"))

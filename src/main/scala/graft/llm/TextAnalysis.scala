@@ -734,8 +734,14 @@ object TextAnalysis {
   def centroidClassifier(docs: DataFrame, label: Column = col("source"),
                          id: Column = col("doc_id"),
                          text: Column = col("text")): DataFrame = {
+    // CACHED (the dfOrderedSets discipline): the class-frequency pass
+    // and the doc-frequency pass aggregate this stream under DIFFERENT
+    // keys — two distinct exchanges, so exchange reuse cannot share the
+    // tokenize and without the cache the corpus tokenizes twice. Blocks
+    // stay evictable; the bench's post-pair clearCache bounds the
+    // session footprint.
     val terms = docs.select(id.as("doc_id"), label.as("__lab"),
-      explode(wsTokens(text)).as("term"))
+      explode(wsTokens(text)).as("term")).cache()
     val classTf = terms.groupBy(col("__lab"), col("term"))
       .agg(count(lit(1)).as("__tf"))
     val classTot = classTf.groupBy(col("__lab")).agg(sum(col("__tf")).as("__tot"))

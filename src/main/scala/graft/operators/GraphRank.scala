@@ -315,6 +315,25 @@ object GraphRank {
     var frontier = dist0
     var round = 0
     var converged = false
+    // fixed-point probe state: distances only ever DECREASE and nodes
+    // only ever ADD, so the merged state is unchanged — i.e. the round
+    // improved nothing — iff its (row count, dist sum) pair is
+    // unchanged. Tracking that pair from the SAME aggregate action that
+    // materializes the merged cache halves the per-round action count
+    // (the old shape ran merged.count() and then improved.count();
+    // measured on q146: the per-round scheduling, not the node-sized
+    // data, was the cost — 23 warm jobs). Sums of long distances stay
+    // exact in decimal(38).
+    def stateProbe(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(col("dist").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    // dist0 is the seed list with dist = 0 — its probe is known on the
+    // driver, no action needed
+    var probe = (seeds.distinct.size.toLong,
+      java.math.BigDecimal.ZERO.setScale(0))
     while (round < rounds && !converged) {
       val cand = frontier.join(e, frontier("node") === e("src"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("d"))
@@ -328,13 +347,13 @@ object GraphRank {
         .groupBy("node").agg(min("dist").as("dist"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       onPersist(merged)
-      merged.count() // materialize before releasing what built it
-      // an empty improved set is a FIXED POINT — no later round can
-      // relax anything — so stop instead of running the remaining
-      // rounds' joins, persists, and counts over identical state. The
-      // extra count here prices a frontier the merged.count() already
-      // materialized (cached), not a recomputation.
-      converged = improved.count() == 0
+      // ONE action materializes the merged cache AND reads the
+      // fixed-point probe; an unchanged (count, sum) is the empty
+      // improved set — no later round can relax anything, so stop.
+      val next = stateProbe(merged)
+      // compareTo, not equals: BigDecimal.equals is scale-sensitive
+      converged = next._1 == probe._1 && next._2.compareTo(probe._2) == 0
+      probe = next
       val prevBest = best
       val prevFrontier = frontier
       best = merged

@@ -129,7 +129,10 @@ object SeriesMotifs {
           .otherwise(array().cast("array<int>"))).as("p"))
       .select(col("k"),
         (if (portable) md5(array_join(win, " ")) else xxhash64(win)).as("__h"))
-      .distinct()
+    // NO pre-distinct: collect_set dedups (k, h) by itself — partial
+    // aggregation drops in-partition repeats map-side exactly like the
+    // old distinct's first phase did, so the extra exchange of the gram
+    // table bought nothing (guide §2.4: remove shuffles outright)
     val byMotif = grams.groupBy(col("__h"))
       .agg(sort_array(collect_set(col("k"))).as("__ks"))
       .filter(size(col("__ks")).between(2, maxKeys))

@@ -46,17 +46,26 @@ object QueryProfile {
               error: Exception): Unit = ()
         })
     graft.queries.TestdataQueries.enableSharedStages()
-    val name = args.headOption.getOrElse("q167_ccnet_buckets")
+    // comma-separated names profile back-to-back in ONE session (saves
+    // the 30 s sbt+session spin-up per target when sweeping a batch);
+    // caches clear between queries, mirroring the bench's post-pair
+    // hygiene so a later query never reads an earlier one's stores
+    val names = args.headOption.getOrElse("q167_ccnet_buckets")
+      .split(",").map(_.trim).filter(_.nonEmpty)
     val runs = args.lift(1).map(_.toInt).getOrElse(4)
-    val fn = SparkEntry.queries(name)
-    (1 to runs).foreach { i =>
-      val j0 = jobs; val s0 = stages
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
-      val dt = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300)  // let listener events drain
-      println(f"[profile] run$i $name ${dt}%.3f s " +
-        s"jobs=${jobs - j0} stages=${stages - s0}")
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      (1 to runs).foreach { i =>
+        val j0 = jobs; val s0 = stages
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300)  // let listener events drain
+        println(f"[profile] run$i $name ${dt}%.3f s " +
+          s"jobs=${jobs - j0} stages=${stages - s0}")
+      }
+      spark.catalog.clearCache()
+      System.gc()
     }
     spark.stop()
   }

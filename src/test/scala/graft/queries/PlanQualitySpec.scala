@@ -99,7 +99,11 @@ class PlanQualitySpec extends SparkSpec {
     // rank<=k over each side key rewrites to WindowGroupLimit, so the
     // two denominator passes move at most k rows per key; the pair
     // scorer itself is the documented broadcast brute-force baseline
-    // (BNLJ against a broadcast side), never a non-broadcast cartesian
+    // (BNLJ against a broadcast side), never a non-broadcast cartesian.
+    // (An r14 rewrite of both passes onto the bounded-heap
+    // TopKAggregator + min_by argmaxes was measured and REVERTED: the
+    // typed aggregator pays per-row buffer encoding the codegen'd
+    // window never does — 8 -> 16 warm jobs, 1.05 -> 2.1 s at sf0.1.)
     assert(p.contains("WindowGroupLimit"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
