@@ -1607,7 +1607,11 @@ object TextAnalysis {
   def collocations(docs: DataFrame, minCount: Long = 5L, topK: Int = 100,
                    text: Column = col("text")): DataFrame = {
     require(minCount >= 1, s"minCount=$minCount")
-    val toks = docs.select(wsTokens(text).as("__t"))
+    // CACHED (the dfOrderedSets discipline): the bigram aggregation and
+    // the unigram aggregation key differently — two distinct exchanges,
+    // so exchange reuse cannot share the tokenize and the corpus would
+    // tokenize twice. One token-array column per doc, evictable blocks.
+    val toks = docs.select(wsTokens(text).as("__t")).cache()
     val pairs = toks.select(explode(zip_with(
         slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
         slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),

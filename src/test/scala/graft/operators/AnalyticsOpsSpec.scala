@@ -404,6 +404,12 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(run(2) == Map(1L -> 0L, 2L -> 4L, 3L -> 2L, 4L -> 12L))
     // round 3 improves 4 through the shortcut path found at round 2
     assert(run(3) == Map(1L -> 0L, 2L -> 4L, 3L -> 2L, 4L -> 6L))
+    // fixed point: past round 3 nothing can relax; the single-action
+    // (count, dist-sum) convergence probe must stop early AND leave the
+    // final state identical — an improvement would change count or
+    // strictly lower the sum, an unchanged pair is exactly "improved
+    // set empty"
+    assert(run(6) == run(3))
   }
 
   // --------------------------------------------- grouped exact quantiles
